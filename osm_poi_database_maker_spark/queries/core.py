@@ -1,0 +1,256 @@
+"""Core relational operators over the TPC-H-ish fixtures.
+
+Covers the reference's relational surface re-expressed on the driver
+fixtures: projection/filter/agg (SURVEY.md O2, O11), multi-way joins with
+broadcast dims (O6's join shape), window top-k (O14's top-100-per-key),
+explode (O17), set ops, and rollup.
+
+Scale notes per query are in the docstrings; the common themes:
+* dims (region, nation, supplier) are broadcast — no shuffle on the fact;
+* aggregations rely on partial (map-side) aggregation, which Spark's
+  hash-aggregate does automatically;
+* top-k per group is a single shuffle on the partition key then a local
+  sort — no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+
+# --- pricing summary (TPC-H Q1 shape: filter → wide agg) -------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter + grouped wide aggregation (reference capability: O2/O11 agg
+    and projection surface). One shuffle on the 2-value group key; partial
+    aggregation makes the shuffle tiny regardless of input size.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- star join with broadcast dims (revenue per region/nation) -------------
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way star join: lineitem ⨝ orders ⨝ customer ⨝ nation ⨝ region.
+
+    nation/region are broadcast explicitly (≤25 rows); customer joins via
+    shuffle at scale (AQE may still broadcast it at small SF). The fact
+    table is never shuffled more than once per join key.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+ORACLE_REVENUE = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# --- window top-k per group (reference O14's top-100-per-key) --------------
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number window per customer, keep top 3 orders by totalprice.
+
+    Mirrors the reference's per-key top-100 TOI truncation
+    (reference filter.py:239, rp=100 sorted count desc) as a ranking
+    window. One shuffle on o_custkey; ties broken by o_orderkey so the
+    result is deterministic across engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "rk",
+        )
+    )
+
+
+ORACLE_TOP_ORDERS = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+)
+WHERE rk <= 3
+"""
+
+
+# --- semi/anti joins (reference O5/O6/O7 join shapes) ----------------------
+
+def q_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI: customers having ≥1 urgent-priority order (the O6 shape:
+    existence against a filtered set, no duplication of the left side)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+ORACLE_SEMI = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI: customers with no orders at all (the O7 quarantine /
+    exclusion shape — membership test as an anti-join, not a driver-side
+    list probe)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+ORACLE_ANTI = """
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+# --- set operations (reference §2.2 set ops) -------------------------------
+
+def q_nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT/UNION over derived key sets: nations that have
+    customers vs nations that have suppliers."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    both = c.intersect(s).withColumn("membership", F.lit("both"))
+    cust_only = c.distinct().exceptAll(s.distinct()).withColumn("membership", F.lit("customer_only"))
+    supp_only = s.distinct().exceptAll(c.distinct()).withColumn("membership", F.lit("supplier_only"))
+    return both.unionByName(cust_only).unionByName(supp_only)
+
+
+ORACLE_SET_OPS = """
+SELECT nationkey, 'both' AS membership
+FROM (SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'customer_only' AS membership
+FROM (SELECT DISTINCT c_nationkey AS nationkey FROM customer EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'supplier_only' AS membership
+FROM (SELECT DISTINCT s_nationkey AS nationkey FROM supplier EXCEPT SELECT DISTINCT c_nationkey FROM customer)
+"""
+
+
+# --- rollup (engine extension: grouping sets over class hierarchies) -------
+
+def q_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (orderstatus, orderpriority) with grouping flags so the
+    oracle hash matches (NULL group markers made explicit)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "n_orders",
+            "total",
+        )
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "customers_with_urgent_orders": q_customers_with_urgent_orders,
+    "customers_without_orders": q_customers_without_orders,
+    "nation_set_ops": q_nation_set_ops,
+    "order_rollup": q_order_rollup,
+}
+
+ORACLES = {
+    "pricing_summary": ORACLE_PRICING,
+    "revenue_by_nation": ORACLE_REVENUE,
+    "top_orders_per_customer": ORACLE_TOP_ORDERS,
+    "customers_with_urgent_orders": ORACLE_SEMI,
+    "customers_without_orders": ORACLE_ANTI,
+    "nation_set_ops": ORACLE_SET_OPS,
+    "order_rollup": ORACLE_ROLLUP,
+}

@@ -1,0 +1,128 @@
+"""Deduplication operators over ``documents`` (engine [ext]).
+
+Exact dedup (content-hash group-pick) and n-gram Jaccard near-dup here;
+MinHash-LSH and SimHash live in :mod:`osm_poi_database_maker_spark.dedup`
+(engine module) and are surfaced as rows-only checks because their hash
+families aren't portable to the DuckDB oracle.
+
+Scale notes:
+* exact dedup groups on sha256(text) — a fixed-width shuffle key, never
+  the full text;
+* n-gram Jaccard joins docs on shared shingles — the classic
+  explode→join→count formulation whose shuffle volume is bounded by
+  shingle frequency (hot shingles would be dropped by a doc-frequency cap
+  at real scale; see dedup module).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by content hash: keep the min doc_id per
+    distinct text, report group size."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("text_hash", F.sha2(F.col("text"), 256))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+ORACLE_EXACT = """
+SELECT sha256(text) AS text_hash,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by 3-word-shingle Jaccard ≥ 0.25.
+
+    explode distinct shingles → self-join on shingle → per-pair shared
+    count → Jaccard vs per-doc shingle counts. doc_a < doc_b keeps each
+    pair once.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " +")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        )
+    )
+    sh = (
+        d.filter(F.size(toks) >= 3)
+        .select("doc_id", F.explode(shingles).alias("shingle"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 4),
+        )
+        .filter(F.col("jaccard") >= 0.25)
+        .select("doc_a", "doc_b", "shared", "jaccard")
+    )
+
+
+ORACLE_NGRAM = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, ' +') AS t FROM documents
+  WHERE len(string_split_regex(text, ' +')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS shingle
+    FROM (SELECT doc_id, t, unnest(range(len(t) - 2)) AS i FROM toks)
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared,
+       round(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 4) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 4) >= 0.25
+"""
+
+
+QUERIES = {
+    "doc_exact_dedup": q_doc_exact_dedup,
+    "doc_ngram_jaccard_pairs": q_doc_ngram_jaccard_pairs,
+}
+
+ORACLES = {
+    "doc_exact_dedup": ORACLE_EXACT,
+    "doc_ngram_jaccard_pairs": ORACLE_NGRAM,
+}

@@ -1,0 +1,335 @@
+"""Event-stream queries: the flagship POI-pipeline analogue + temporal ops.
+
+``events.props`` (JSON text) plays the role of the reference's hstore tag
+map; ``event_type``/tag values play the tag-of-interest dimension
+(SURVEY.md §2.1 O3/O5/O6/O8/O11/O14). Temporal operators (tumbling /
+sliding / session windows, as-of join) are the batch twins of the
+streaming module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..ops.tags import hstore_literal, non_empty_tags, parse_json_tags, trim_tag_keys
+
+
+def _tagged_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.withColumn("tags", parse_json_tags(F.col("props"))).filter(
+        non_empty_tags(F.col("tags"))
+    )
+
+
+# --- flagship: the reference pipeline shape end-to-end ---------------------
+
+def q_events_toi_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship query — the reference's EP1 cascade re-expressed on events.
+
+    parse props → drop empty tag maps (O3) → build a thresholded
+    tag-of-interest dimension (top-50 tag values by global count, ties by
+    value — reference O14's remote ORDER BY count DESC LIMIT k) →
+    broadcast LEFT SEMI join so multi-key matches emit one row (O6,
+    reference filter.py:199) → aggregate value stats per event_type.
+
+    Scale: the dimension is tiny by construction (top-k of a distinct-value
+    space), so the semi-join broadcasts; the only fact shuffle is the final
+    group-by. The single-partition window is safe because its input is the
+    already-aggregated distinct-value counts, not the fact table.
+    """
+    e = _tagged_events(spark, sf_dir)
+    kv = e.select("event_id", F.explode("tags").alias("k", "v"))
+    counts = kv.groupBy("v").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("v"))
+    dim = counts.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 50).select("v")
+    kept = kv.join(F.broadcast(dim), "v", "left_semi").select("event_id").distinct()
+    return (
+        e.join(kept, "event_id", "left_semi")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+ORACLE_TOI = """
+WITH e AS (
+  SELECT * FROM events WHERE props IS NOT NULL AND props <> '{}'
+),
+kv AS (
+  SELECT event_id, json_extract_string(props, '$."' || k || '"') AS v
+  FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM e)
+),
+counts AS (SELECT v, count(*) AS cnt FROM kv GROUP BY v),
+dim AS (
+  SELECT v FROM (
+    SELECT v, row_number() OVER (ORDER BY cnt DESC, v ASC) AS rk FROM counts
+  ) WHERE rk <= 50
+),
+kept AS (SELECT DISTINCT event_id FROM kv WHERE v IN (SELECT v FROM dim))
+SELECT e.event_type,
+       count(*) AS n_events,
+       round(sum(e.value), 2) AS sum_value,
+       round(avg(e.value), 4) AS avg_value,
+       count(DISTINCT e.user_id) AS n_users
+FROM e
+WHERE e.event_id IN (SELECT event_id FROM kept)
+GROUP BY e.event_type
+"""
+
+
+# --- O17: explode map to rows ----------------------------------------------
+
+def q_events_tag_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode the tag map into (key, value) rows and count — the Spark
+    twin of the reference's unnest PL/pgSQL UDTF (schema.sql:66-85)."""
+    e = _tagged_events(spark, sf_dir)
+    return (
+        e.select(F.explode("tags").alias("tag_key", "tag_value"))
+        .groupBy("tag_key", "tag_value")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+ORACLE_EXPLODE = """
+SELECT k AS tag_key, json_extract_string(props, '$."' || k || '"') AS tag_value,
+       count(*) AS n
+FROM (SELECT props, unnest(json_keys(props)) AS k FROM events
+      WHERE props IS NOT NULL AND props <> '{}')
+GROUP BY 1, 2
+"""
+
+
+# --- O5: exclude-superset anti-filter --------------------------------------
+
+def q_events_exclude_superset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop events whose tag map is a superset of any exclude tuple
+    (reference filter.py:170-173; superset, not any-of), then count
+    survivors per type. Exclude tuples: {k=5} and {k=7}."""
+    from ..ops.tags import excluded_by_superset
+
+    e = _tagged_events(spark, sf_dir)
+    kept = e.filter(~excluded_by_superset(F.col("tags"), [("k=5",), ("k=7",)]))
+    return kept.groupBy("event_type").agg(F.count("*").alias("n_kept"))
+
+
+ORACLE_EXCLUDE = """
+SELECT event_type, count(*) AS n_kept
+FROM events
+WHERE props IS NOT NULL AND props <> '{}'
+  AND NOT coalesce(json_extract_string(props, '$.k') = '5', FALSE)
+  AND NOT coalesce(json_extract_string(props, '$.k') = '7', FALSE)
+GROUP BY event_type
+"""
+
+
+# --- O8 + O11: trim + hstore literal + timestamp projection ----------------
+
+def q_events_hstore_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serialize the (trimmed) tag map to a PostgreSQL hstore literal and
+    format the timestamp to seconds — the reference's output-row shape
+    (filter.py:102-111 hstore, filter.py:147 strftime)."""
+    e = _tagged_events(spark, sf_dir)
+    trimmed = trim_tag_keys(F.col("tags"), ("note", "fixme"))
+    return e.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("tstamp"),
+        hstore_literal(trimmed).alias("tags_hstore"),
+    )
+
+
+ORACLE_HSTORE = r"""
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS tstamp,
+       list_aggregate(
+         list_transform(
+           list_sort(list_filter(json_keys(props), k -> k NOT IN ('note', 'fixme'))),
+           k -> '"' ||
+                replace(replace(regexp_replace(k, '[\n\r\t]', ' ', 'g'), '\', '\\'), '"', '\"')
+                || '"=>"' ||
+                replace(replace(regexp_replace(json_extract_string(props, '$."' || k || '"'),
+                                               '[\n\r\t]', ' ', 'g'), '\', '\\'), '"', '\"')
+                || '"'
+         ),
+         'string_agg', ','
+       ) AS tags_hstore
+FROM events
+WHERE props IS NOT NULL AND props <> '{}'
+"""
+
+
+# --- temporal: tumbling window ---------------------------------------------
+
+def q_events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate (batch twin of the streaming
+    windowed agg). Output window start as epoch micros for engine-stable
+    hashing."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_HOURLY = """
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --- temporal: sliding window ----------------------------------------------
+
+def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 1 hour wide, 15-minute slide — every event lands in
+    4 windows (F.window's slideDuration)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n_events",
+        )
+    )
+
+
+ORACLE_SLIDING = """
+SELECT epoch_us(time_bucket(INTERVAL 15 MINUTE, ts) - INTERVAL (o.off) MINUTE) AS window_start_us,
+       count(*) AS n_events
+FROM events, (SELECT unnest([0, 15, 30, 45]) AS off) o
+GROUP BY 1
+"""
+
+
+# --- temporal: session windows ---------------------------------------------
+
+def q_events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute gap via Spark's native
+    ``session_window`` (batch mode). Two sessions merge iff event gap is
+    strictly under the gap duration."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_SESSION = """
+WITH d AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM d
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start_us,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM s
+GROUP BY user_id, session_id
+"""
+
+
+# --- temporal: as-of join ---------------------------------------------------
+
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the same user's latest strictly
+    earlier click. Spark lacks a native as-of join; the scale-correct
+    formulation is a single shuffle on user_id + an ordered window over the
+    unioned stream (no range cross-join blowup)."""
+    e = load_table(spark, sf_dir, "events")
+    tagged = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        # purchases sort before clicks at identical ts => strictly-earlier semantics
+        F.when(F.col("event_type") == "click", F.lit(1)).otherwise(F.lit(0)).alias("kind_rank"),
+    ).filter(F.col("event_type").isin("click", "purchase"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind_rank")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        tagged.withColumn("prev_click_ts", last_click)
+        .filter((F.col("event_type") == "purchase") & F.col("prev_click_ts").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.unix_micros("ts").alias("purchase_ts_us"),
+            F.unix_micros("prev_click_ts").alias("click_ts_us"),
+        )
+    )
+
+
+ORACLE_ASOF = """
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       epoch_us(p.ts) AS purchase_ts_us,
+       epoch_us(c.ts) AS click_ts_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts < p.ts
+"""
+
+
+QUERIES = {
+    "events_toi_pipeline": q_events_toi_pipeline,
+    "events_tag_explode": q_events_tag_explode,
+    "events_exclude_superset": q_events_exclude_superset,
+    "events_hstore_projection": q_events_hstore_projection,
+    "events_hourly_window": q_events_hourly_window,
+    "events_sliding_window": q_events_sliding_window,
+    "events_session_windows": q_events_session_windows,
+    "events_asof_join": q_events_asof_join,
+}
+
+ORACLES = {
+    "events_toi_pipeline": ORACLE_TOI,
+    "events_tag_explode": ORACLE_EXPLODE,
+    "events_exclude_superset": ORACLE_EXCLUDE,
+    "events_hstore_projection": ORACLE_HSTORE,
+    "events_hourly_window": ORACLE_HOURLY,
+    "events_sliding_window": ORACLE_SLIDING,
+    "events_session_windows": ORACLE_SESSION,
+    "events_asof_join": ORACLE_ASOF,
+}

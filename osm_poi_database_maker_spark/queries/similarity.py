@@ -1,0 +1,112 @@
+"""Embedding similarity search over ``embeddings`` (engine [ext]).
+
+Brute-force cosine top-k is the correctness baseline (oracle-checked);
+the LSH-bucketed approximate variant for 100 TB scale lives in
+:mod:`osm_poi_database_maker_spark.similarity` and is surfaced as a
+rows-only check (its bucketing is engine-specific).
+
+Determinism across engines: cosine is computed as double dot / norms in
+both engines, ranked on the value rounded to 6 decimals with vec_id
+tie-break, and reported rounded to 4 — fp summation-order noise can't flip
+the ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+N_QUERY_VECS = 5
+TOP_K = 5
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: for each query vector (vec_id < 5), the 5
+    nearest other vectors by cosine similarity.
+
+    Plan shape: the tiny query side is broadcast against the full
+    collection (no shuffle of the collection), then a per-query top-k
+    window. At cluster scale the same plan holds for any small query
+    batch; for query-set ≫ broadcast threshold, switch to the LSH variant.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    norms = e.select(
+        "vec_id",
+        F.col("embedding").alias("emb"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
+    q = norms.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    pairs = norms.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    scored = pairs.withColumn(
+        "cosine", _dot(F.col("q_emb"), F.col("emb")) / (F.col("q_norm") * F.col("norm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cosine"), 6)), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cosine", 4).alias("cosine"),
+            "rk",
+        )
+    )
+
+
+ORACLE_COSINE = f"""
+WITH el AS (
+  SELECT vec_id,
+         CAST(unnest(embedding) AS DOUBLE) AS val,
+         unnest(range(len(embedding))) AS idx
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id, sqrt(sum(val * val)) AS norm FROM el GROUP BY vec_id
+),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, sum(q.val * c.val) AS dot
+  FROM el q JOIN el c ON q.idx = c.idx AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < {N_QUERY_VECS}
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.query_id, d.vec_id,
+         d.dot / (nq.norm * nc.norm) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.vec_id
+)
+SELECT query_id, vec_id AS neighbor_id, round(cosine, 4) AS cosine, rk
+FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(cosine, 6) DESC, vec_id ASC) AS rk
+  FROM scored
+)
+WHERE rk <= {TOP_K}
+"""
+
+
+QUERIES = {
+    "emb_cosine_topk": q_emb_cosine_topk,
+}
+
+ORACLES = {
+    "emb_cosine_topk": ORACLE_COSINE,
+}

@@ -1,0 +1,45 @@
+"""SparkSession factory.
+
+Local test runs use ``local[$SPARK_GRAFT_CPUS]``; on a real cluster the same
+builder config applies minus the master override. All settings here are
+scale-first choices:
+
+* AQE on (runtime re-plan, skew-join splitting, partition coalescing),
+* shuffle partitions sized to cores locally (cluster deployments override
+  via ``spark.sql.shuffle.partitions`` / rely on AQE coalescing),
+* Arrow enabled for every pandas-UDF boundary,
+* UTC session timezone so timestamp semantics match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(app_name: str = "osm_poi_database_maker_spark") -> SparkSession:
+    """Build (or reuse) the engine SparkSession."""
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
