@@ -1,0 +1,278 @@
+"""Deterministic OSM-shaped fixtures (FIXTURES.md Part B).
+
+The driver's testdata has no OSM-shaped tables, so the reference-parity
+pipeline is exercised on fixtures defined HERE, once, as plain Python
+rows — materialized to Spark via ``createDataFrame`` and to the DuckDB
+oracle via generated ``VALUES`` SQL. Every edge case called out in
+FIXTURES.md Part B appears: empty tags, missing name, exclude-superset
+full/partial, multi-TOI-key match, threshold straddlers, ``;`` values,
+in_wiki=false, top-100 rank cut, trim keys, escaping, invalid geometry,
+duplicate ids, way-id/node-id collision, area-threshold straddlers.
+
+Tags are carried as canonical JSON text (sorted keys) so both engines
+parse the identical representation.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+_TS = _dt.datetime(2023, 5, 1, 10, 0, 0)
+
+
+def _ts(i: int) -> _dt.datetime:
+    return _TS + _dt.timedelta(minutes=i)
+
+
+def _tags(d: dict[str, str]) -> str:
+    return json.dumps(d, sort_keys=True)
+
+
+# --------------------------------------------------------------------------
+# taginfo dimension (reference filter.py:235-247 shape)
+# --------------------------------------------------------------------------
+
+def _build_taginfo() -> list[tuple[str, str, int, bool]]:
+    rows: list[tuple[str, str, int, bool]] = [
+        ("amenity", "cafe", 5000, True),
+        ("amenity", "bar;pub", 6000, True),   # ';' in value -> dropped at build
+        ("amenity", "nowiki", 4000, False),   # in_wiki false -> dropped at build
+        ("amenity", "edge", 1000, True),      # == threshold -> dropped by > test
+        ("amenity", "rare", 999, True),       # below threshold
+        ("shop", "bakery", 1500, True),
+        ("shop", "florist", 1200, True),
+        ("shop", "seldom", 800, True),
+        ("tourism", "hotel", 2000, True),
+    ]
+    # 110 generic amenity values: counts 3000, 2975, ... — more than 100
+    # values for the key, so the top-100 rank cut actually bites.
+    for i in range(110):
+        rows.append(("amenity", f"v{i:03d}", 3000 - 25 * i, i % 7 != 3))
+    return rows
+
+
+TAGINFO = _build_taginfo()
+
+# --------------------------------------------------------------------------
+# osm_nodes (id, version, user_id, tstamp, changeset_id, tags, lon, lat,
+#            geom_valid)
+# --------------------------------------------------------------------------
+
+NODES: list[tuple] = [
+    # plain TOI matches
+    (1, 1, 101, _ts(0), 9001, {"amenity": "cafe", "name": "Cafe A"}, 5.10, 52.10, True),
+    (2, 1, 101, _ts(1), 9001, {"shop": "bakery", "name": "Bakery B"}, 5.11, 52.11, True),
+    (3, 2, 102, _ts(2), 9002, {"tourism": "hotel", "name": "Hotel C"}, 5.12, 52.12, True),
+    # multi-TOI-key match -> must emit exactly ONE row (filter.py:199,211)
+    (4, 1, 102, _ts(3), 9002, {"amenity": "cafe", "shop": "bakery", "name": "Both D"}, 5.13, 52.13, True),
+    # empty tags -> dropped (filter.py:165-166)
+    (5, 1, 103, _ts(4), 9003, {}, 5.14, 52.14, True),
+    # tags but no TOI match -> dropped
+    (6, 1, 103, _ts(5), 9003, {"highway": "bus_stop", "name": "Stop F"}, 5.15, 52.15, True),
+    # TOI value below threshold -> dropped (filter.py:176-180)
+    (7, 1, 104, _ts(6), 9004, {"amenity": "rare", "name": "Rare G"}, 5.16, 52.16, True),
+    # TOI value at threshold (count == 1000, predicate is >) -> dropped
+    (8, 1, 104, _ts(7), 9004, {"amenity": "edge", "name": "Edge H"}, 5.17, 52.17, True),
+    # in_wiki=false value -> not in dim -> dropped
+    (9, 1, 105, _ts(8), 9005, {"amenity": "nowiki", "name": "NoWiki I"}, 5.18, 52.18, True),
+    # exclude-superset full match -> dropped (filter.py:170-173)
+    (10, 1, 105, _ts(9), 9005, {"amenity": "cafe", "access": "private", "name": "Priv J"}, 5.19, 52.19, True),
+    # exclude partial (only one of the pair) -> KEPT
+    (11, 1, 106, _ts(10), 9006, {"amenity": "cafe", "access": "public", "name": "Pub K"}, 5.20, 52.20, True),
+    # no name tag (kept when SKIP_NO_NAME=False, the default)
+    (12, 1, 106, _ts(11), 9006, {"amenity": "cafe"}, 5.21, 52.21, True),
+    # trim keys stripped from output map (filter.py:109)
+    (13, 1, 107, _ts(12), 9007, {"amenity": "cafe", "note": "internal", "fixme": "check", "name": "Trim M"}, 5.22, 52.22, True),
+    # escaping: backslash, quote, newline, tab in values (filter.py:92-100)
+    (14, 1, 107, _ts(13), 9007, {"amenity": "cafe", "name": 'Back\\slash "Quote"', "desc": "line1\nline2\tend"}, 5.23, 52.23, True),
+    # invalid geometry -> NULL geom -> quarantined (filter.py:127,185-190)
+    (15, 1, 108, _ts(14), 9008, {"amenity": "cafe", "name": "BadGeom O"}, None, None, False),
+    # duplicate id: v2 supersedes v1 (idempotent-write rule, filter.py:58-64)
+    (16, 1, 108, _ts(15), 9008, {"amenity": "cafe", "name": "Dup v1"}, 5.24, 52.24, True),
+    (16, 2, 108, _ts(16), 9008, {"amenity": "cafe", "name": "Dup v2"}, 5.25, 52.25, True),
+    # id colliding with a way id (disjoint id spaces preserved by osm_type)
+    (100, 1, 109, _ts(17), 9009, {"shop": "florist", "name": "Collide Q"}, 5.26, 52.26, True),
+    # generic TOI value within top-100 and above threshold
+    (17, 1, 109, _ts(18), 9009, {"amenity": "v012", "name": "Generic R"}, 5.27, 52.27, True),
+    # generic TOI value cut by the top-100 rank (v105 -> not in dim)
+    (18, 1, 110, _ts(19), 9010, {"amenity": "v105", "name": "Cut S"}, 5.28, 52.28, True),
+]
+
+# --------------------------------------------------------------------------
+# osm_ways: closed rings near (5.0 E, 52.0 N); the ring is stored inline
+# (array of lon/lat) plus as way_nodes/nodes rows for the assembly test.
+# ~30 m square ≈ 900 m² (≤ 20000 -> centroid-converted);
+# ~1000 m square ≈ 1e6 m² (> 20000 -> stays a polygon).
+# --------------------------------------------------------------------------
+
+_DLAT_30M = 0.00027  # ~30 m of latitude
+_DLON_30M = 0.00044  # ~30 m of longitude at 52 N
+_DLAT_1KM = 0.00899
+_DLON_1KM = 0.01461
+
+
+def _square(lon0: float, lat0: float, dlon: float, dlat: float) -> list[tuple[float, float]]:
+    return [
+        (lon0, lat0),
+        (lon0 + dlon, lat0),
+        (lon0 + dlon, lat0 + dlat),
+        (lon0, lat0 + dlat),
+        (lon0, lat0),
+    ]
+
+
+WAYS: list[tuple] = [
+    # small square -> centroid conversion applies
+    (100, 1, 201, _ts(30), 9101, {"amenity": "cafe", "name": "Small W1"},
+     _square(5.300, 52.300, _DLON_30M, _DLAT_30M), True),
+    # large square -> stays a polygon
+    (101, 1, 201, _ts(31), 9101, {"shop": "bakery", "name": "Large W2"},
+     _square(5.400, 52.400, _DLON_1KM, _DLAT_1KM), True),
+    # filtered out by TOI (no match)
+    (102, 1, 202, _ts(32), 9102, {"landuse": "farmland", "name": "Farm W3"},
+     _square(5.500, 52.500, _DLON_30M, _DLAT_30M), True),
+    # excluded by superset
+    (103, 1, 202, _ts(33), 9102, {"amenity": "cafe", "access": "private", "name": "Priv W4"},
+     _square(5.600, 52.600, _DLON_30M, _DLAT_30M), True),
+    # invalid geometry -> quarantined
+    (104, 1, 203, _ts(34), 9103, {"amenity": "cafe", "name": "BadGeom W5"}, None, False),
+    # empty tags -> dropped
+    (105, 1, 203, _ts(35), 9103, {}, _square(5.700, 52.700, _DLON_30M, _DLAT_30M), True),
+    # second small square, different TOI key
+    (106, 1, 204, _ts(36), 9104, {"tourism": "hotel", "name": "Small W6"},
+     _square(5.800, 52.800, _DLON_30M, _DLAT_30M), True),
+]
+
+EXCLUDE = (("amenity=cafe", "access=private"),)
+TRIM = ("note", "fixme")
+MIN_OCCURRENCES = 1000
+TOI_TOP = 100
+
+_NODE_SCHEMA = (
+    "id long, version int, user_id int, tstamp timestamp, changeset_id long, "
+    "tags map<string,string>, lon double, lat double, geom_valid boolean"
+)
+_WAY_SCHEMA = (
+    "id long, version int, user_id int, tstamp timestamp, changeset_id long, "
+    "tags map<string,string>, ring array<struct<lon: double, lat: double>>, "
+    "geom_valid boolean"
+)
+
+
+def nodes_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(NODES, _NODE_SCHEMA)
+
+
+def ways_df(spark: SparkSession) -> DataFrame:
+    rows = [
+        (i, v, u, t, c, tags, [{"lon": x, "lat": y} for x, y in ring] if ring else None, g)
+        for (i, v, u, t, c, tags, ring, g) in WAYS
+    ]
+    return spark.createDataFrame(rows, _WAY_SCHEMA)
+
+
+def taginfo_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(TAGINFO, "key string, value string, count long, in_wiki boolean")
+
+
+def way_nodes_and_nodes_df(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
+    """Explode WAYS rings into way_nodes(way_id, node_id, sequence_id) +
+    nodes(id, lon, lat) for the relational assembly test (O10/O17).
+    Consecutive node ids from 1000; the closing vertex reuses the first id.
+    """
+    wn, nd = _way_nodes_rows()
+    return (
+        spark.createDataFrame(wn, "way_id long, node_id long, sequence_id int"),
+        spark.createDataFrame(nd, "id long, lon double, lat double"),
+    )
+
+
+# --------------------------------------------------------------------------
+# DuckDB VALUES renderers (oracle side)
+# --------------------------------------------------------------------------
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _sql_dbl(x: float | None) -> str:
+    # bare numeric literals parse as DECIMAL in DuckDB — force DOUBLE so
+    # both engines compute on identical IEEE-754 values
+    return "CAST(NULL AS DOUBLE)" if x is None else f"CAST({x!r} AS DOUBLE)"
+
+
+def nodes_values_sql() -> str:
+    rows = []
+    for (i, v, u, t, c, tags, lon, lat, g) in NODES:
+        rows.append(
+            f"({i}, {v}, {u}, TIMESTAMP '{t}', {c}, {_sql_str(_tags(tags))}, "
+            f"{_sql_dbl(lon)}, {_sql_dbl(lat)}, {g})"
+        )
+    return (
+        "SELECT * FROM (VALUES\n  " + ",\n  ".join(rows) + "\n) AS t(id, version, "
+        "user_id, tstamp, changeset_id, tags_json, lon, lat, geom_valid)"
+    )
+
+
+def ways_values_sql() -> str:
+    rows = []
+    for (i, v, u, t, c, tags, ring, g) in WAYS:
+        if ring is None:
+            ring_sql = "NULL"
+        else:
+            pts = ", ".join(
+                f"struct_pack(lon := {_sql_dbl(x)}, lat := {_sql_dbl(y)})" for x, y in ring
+            )
+            ring_sql = f"list_value({pts})"
+        rows.append(
+            f"({i}, {v}, {u}, TIMESTAMP '{t}', {c}, {_sql_str(_tags(tags))}, "
+            f"{ring_sql}, {g})"
+        )
+    return (
+        "SELECT * FROM (VALUES\n  " + ",\n  ".join(rows) + "\n) AS t(id, version, "
+        "user_id, tstamp, changeset_id, tags_json, ring, geom_valid)"
+    )
+
+
+def _way_nodes_rows() -> tuple[list[tuple], list[tuple]]:
+    wn, nd = [], []
+    nid = 1000
+    for (way_id, _v, _u, _t, _c, _tags, ring, _g) in WAYS:
+        if ring is None:
+            continue
+        first_id = None
+        for seq, (x, y) in enumerate(ring):
+            if seq == len(ring) - 1:
+                wn.append((way_id, first_id, seq))
+            else:
+                if seq == 0:
+                    first_id = nid
+                wn.append((way_id, nid, seq))
+                nd.append((nid, x, y))
+                nid += 1
+    return wn, nd
+
+
+def way_nodes_values_sql() -> str:
+    wn, _ = _way_nodes_rows()
+    rows = ", ".join(f"({w}, {n}, {s})" for (w, n, s) in wn)
+    return f"SELECT * FROM (VALUES {rows}) AS t(way_id, node_id, sequence_id)"
+
+
+def ring_nodes_values_sql() -> str:
+    _, nd = _way_nodes_rows()
+    rows = ", ".join(f"({i}, {_sql_dbl(x)}, {_sql_dbl(y)})" for (i, x, y) in nd)
+    return f"SELECT * FROM (VALUES {rows}) AS t(id, lon, lat)"
+
+
+def taginfo_values_sql() -> str:
+    rows = [
+        f"({_sql_str(k)}, {_sql_str(v)}, {c}, {w})" for (k, v, c, w) in TAGINFO
+    ]
+    return (
+        "SELECT * FROM (VALUES\n  " + ",\n  ".join(rows) + "\n) AS t(key, value, "
+        '"count", in_wiki)'
+    )

@@ -1,0 +1,50 @@
+"""Sink tests: COPY-row rendering golden values, dead-letter, gated deps."""
+
+from __future__ import annotations
+
+import pytest
+
+from osm_poi_database_maker_spark import osm_fixtures as fx
+from osm_poi_database_maker_spark.pipeline import poi_nodes
+from osm_poi_database_maker_spark.queries.osm import SETTINGS
+from osm_poi_database_maker_spark.sink import render_copy_rows
+
+
+def test_render_copy_rows_golden(spark):
+    out = poi_nodes(fx.nodes_df(spark), fx.taginfo_df(spark), SETTINGS)
+    lines = {l.line.split("\t")[0]: l.line for l in render_copy_rows(out).collect()}
+    row1 = lines["1"]
+    fields = row1.split("\t")
+    assert fields[:5] == ["1", "1", "101", "2023-05-01 10:00:00", "9001"]
+    assert fields[5] == '"amenity"=>"cafe","name"=>"Cafe A"'
+    assert fields[6].startswith("0101000000")
+    # COPY escaping doubles the hstore backslashes (node 14 has \ " in tags)
+    assert '\\\\"Quote' in lines["14"] or "\\\\" in lines["14"]
+    # exactly one COPY line per kept row, none for dropped/quarantined ids
+    assert "15" not in lines and "5" not in lines
+
+
+def test_copy_null_rendering(spark):
+    df = spark.createDataFrame(
+        [(1, None)], "id long, tags_hstore string"
+    )
+    line = render_copy_rows(df, ("id", "tags_hstore")).collect()[0].line
+    assert line == "1\t\\N"
+
+
+def test_dead_letter_roundtrip(spark, tmp_path):
+    from osm_poi_database_maker_spark.pipeline import quarantined_nodes
+    from osm_poi_database_maker_spark.sink import write_dead_letter
+
+    q = quarantined_nodes(fx.nodes_df(spark))
+    path = str(tmp_path / "dead_letter")
+    write_dead_letter(q.drop("tags"), path)
+    back = spark.read.parquet(path)
+    assert back.count() == 1 and "_quarantined_at" in back.columns
+
+
+def test_osm_bridge_requires_osmium():
+    from osm_poi_database_maker_spark.osm_source import pbf_to_parquet
+
+    with pytest.raises(ImportError, match="pyosmium is required"):
+        pbf_to_parquet("/nonexistent.pbf", "/tmp/out")
