@@ -1,0 +1,92 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are opaque ``BINARY`` columns with a typed
+metadata struct alongside; decode / feature-extraction / resize /
+frame-sampling run as Arrow-batched ``mapInPandas`` stages so payload
+bytes never round-trip through Python row objects one at a time.
+
+The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this environment, so
+the decode kernel is **stubbed**: ``decode_stub=True`` derives
+deterministic fake dimensions/features from the payload bytes (making the
+full Spark plumbing — schema, batching, partitioning — real and
+testable); ``decode_stub=False`` raises ``NotImplementedError`` at the
+exact point a real codec would plug in.
+
+Scale notes: payloads dominate storage — production tables keep them in
+their own parquet column (column pruning means metadata-only queries
+never read the bytes), partitioned by content hash prefix for even file
+sizes. The mapInPandas batch size is governed by
+``spark.sql.execution.arrow.maxRecordsPerBatch``; for multi-MB payloads
+set it low (e.g. 64) so an Arrow batch stays within executor memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+IMAGE_FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, width int, height int, channels int, "
+    "mean_intensity double"
+)
+
+
+def documents_as_image_table(docs: DataFrame) -> DataFrame:
+    """Fixture adapter: treat each document's UTF-8 bytes as an opaque
+    image payload with metadata — the schema a real ingest would produce."""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("content_type"),
+            F.octet_length(F.encode("text", "UTF-8")).alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def extract_image_features(images: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """Decode + feature-extract via mapInPandas (Arrow batches).
+
+    Stub decode derives (width, height, channels, mean_intensity)
+    deterministically from the payload: width = 16 + n_bytes % 64,
+    height = 16 + (n_bytes // 64) % 64, channels = 3,
+    mean_intensity = mean byte value / 255.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real image decode requires an image codec (PIL/turbojpeg); "
+                    "not available in this environment"
+                )
+            n = pdf["payload"].apply(len)
+            mean = pdf["payload"].apply(
+                lambda b: (sum(b) / len(b) / 255.0) if len(b) else 0.0
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n.astype("int64"),
+                    "width": (16 + n % 64).astype("int32"),
+                    "height": (16 + (n // 64) % 64).astype("int32"),
+                    "channels": 3,
+                    "mean_intensity": mean.round(6),
+                }
+            )
+
+    return images.mapInPandas(batches, IMAGE_FEATURE_SCHEMA)
+
+
+def sample_frames(videos: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled frame offset —
+    the explode pattern a real video pipeline uses, with byte offsets
+    standing in for frame timestamps."""
+    n_frames = (F.octet_length("payload") / every_n_bytes).cast("int") + 1
+    return videos.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+    ).withColumn("byte_offset", F.col("frame_idx") * every_n_bytes)

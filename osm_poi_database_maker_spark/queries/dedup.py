@@ -117,9 +117,31 @@ WHERE round(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 4) >= 0.25
 """
 
 
+def q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (rows-only check: the xxhash64 hash
+    family isn't portable to the DuckDB oracle; semantics are verified by
+    tests/test_dedup.py against planted duplicates and by cross-checking
+    recall vs the oracle-checked n-gram Jaccard query)."""
+    from ..dedup import minhash_near_dups
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_near_dups(d, threshold=0.3)
+
+
+def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, Hamming ≤ 3 via 4×16-bit banding
+    (rows-only; see q_doc_minhash_pairs)."""
+    from ..dedup import simhash_near_dups
+
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_near_dups(d)
+
+
 QUERIES = {
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_ngram_jaccard_pairs": q_doc_ngram_jaccard_pairs,
+    "doc_minhash_pairs": q_doc_minhash_pairs,
+    "doc_simhash_pairs": q_doc_simhash_pairs,
 }
 
 ORACLES = {

@@ -1,0 +1,70 @@
+"""Multimodal plumbing queries: binary payload columns through
+mapInPandas feature extraction and frame-sampling explode.
+
+The decode step is stubbed deterministically (no image/audio codecs in
+this environment — see :mod:`..multimodal`), which makes BOTH queries
+oracle-checkable: the stub's arithmetic is reproduced in SQL over the
+same payload bytes. The Spark plumbing (binary columns, Arrow batches,
+schema) is the real production path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..multimodal import documents_as_image_table, extract_image_features, sample_frames
+
+
+def q_mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return extract_image_features(documents_as_image_table(d))
+
+
+# fixture text is ASCII, so byte values == codepoints; the oracle computes
+# the same stub arithmetic from character codes
+ORACLE_IMAGE_FEATURES = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(16 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
+       CAST(16 + CAST(floor(octet_length(encode(text)) / 64.0) AS BIGINT) % 64 AS INTEGER) AS height,
+       3 AS channels,
+       round(list_sum(list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+                                     c -> ascii(c)::DOUBLE))
+             / octet_length(encode(text)) / 255.0, 6) AS mean_intensity
+FROM documents
+"""
+
+
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(documents_as_image_table(d), every_n_bytes=128)
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("byte_offset").cast("long").alias("byte_offset"),
+    )
+
+
+ORACLE_FRAME_SAMPLE = """
+SELECT doc_id,
+       CAST(f AS BIGINT) AS frame_idx,
+       CAST(f * 128 AS BIGINT) AS byte_offset
+FROM (
+  SELECT doc_id,
+         unnest(range(CAST(floor(octet_length(encode(text)) / 128.0) AS BIGINT) + 1)) AS f
+  FROM documents
+)
+"""
+
+
+QUERIES = {
+    "mm_image_features": q_mm_image_features,
+    "mm_frame_sample": q_mm_frame_sample,
+}
+
+ORACLES = {
+    "mm_image_features": ORACLE_IMAGE_FEATURES,
+    "mm_frame_sample": ORACLE_FRAME_SAMPLE,
+}

@@ -103,8 +103,20 @@ WHERE rk <= {TOP_K}
 """
 
 
+def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (rows-only: plane generation is
+    engine-side; recall vs the exact oracle-checked query is asserted in
+    tests/test_similarity.py)."""
+    from ..similarity import ann_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    return ann_topk(e, q, k=TOP_K)
+
+
 QUERIES = {
     "emb_cosine_topk": q_emb_cosine_topk,
+    "emb_ann_topk": q_emb_ann_topk,
 }
 
 ORACLES = {

@@ -89,12 +89,139 @@ FROM (
 """
 
 
+_LANG_WORDS = {
+    "de": ("der", "die", "und", "das", "ein"),
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "de", "et", "un"),
+    "zh": ("de", "shi", "bu", "le", "zai"),
+}
+_LANG_ORDER = tuple(sorted(_LANG_WORDS))  # deterministic argmax tie-break
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-overlap language ID: score = count of tokens in each
+    language's marker list; argmax with alphabetical tie-break. A pure
+    expression — the n-gram heuristic of fasttext-style lang-id reduced
+    to its cheapest deterministic form."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " +")
+    scores = {
+        lang: F.size(
+            F.filter(toks, lambda t: t.isin(*_LANG_WORDS[lang]))  # noqa: B023
+        ).cast("long")
+        for lang in _LANG_ORDER
+    }
+    pred = F.lit(None).cast("string")
+    # reversed CASE chain: earliest lang in _LANG_ORDER wins ties
+    for lang in reversed(_LANG_ORDER):
+        cond = None
+        for other in _LANG_ORDER:
+            if other == lang:
+                continue
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    out = d.select(
+        "doc_id",
+        "lang",
+        *[scores[lang].alias(f"score_{lang}") for lang in _LANG_ORDER],
+        pred.alias("predicted_lang"),
+    )
+    return out
+
+
+def _lang_scores_sql() -> str:
+    parts = [
+        f"CAST(len(list_filter(toks, t -> t IN ({', '.join(repr(w) for w in _LANG_WORDS[lang])}))) AS BIGINT) AS score_{lang}"
+        for lang in _LANG_ORDER
+    ]
+    return ", ".join(parts)
+
+
+def _lang_case_sql() -> str:
+    whens = []
+    for lang in _LANG_ORDER:
+        conds = " AND ".join(
+            f"score_{lang} >= score_{o}" for o in _LANG_ORDER if o != lang
+        )
+        whens.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(whens) + " END"
+
+
+ORACLE_LANG_ID = f"""
+SELECT doc_id, lang,
+       score_de, score_en, score_es, score_fr, score_zh,
+       {_lang_case_sql()} AS predicted_lang
+FROM (
+  SELECT doc_id, lang, {_lang_scores_sql()}
+  FROM (SELECT doc_id, lang, string_split_regex(lower(text), ' +') AS toks FROM documents)
+)
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rolling polynomial fingerprint over characters:
+    fp = fold(31·acc + codepoint) mod 1e9+7 — deterministic, portable,
+    pure expression (the cheap content-identity hash of a training-data
+    pipeline when cryptographic strength isn't needed)."""
+    d = load_table(spark, sf_dir, "documents")
+    chars = F.filter(F.split(F.col("text"), ""), lambda c: c != "")
+    codes = F.transform(chars, lambda c: F.ascii(c).cast("long"))
+    fp = F.aggregate(
+        codes, F.lit(0).cast("long"), lambda acc, c: (acc * 31 + c) % 1000000007
+    )
+    return d.select("doc_id", fp.alias("fingerprint"), F.length("text").alias("n_chars_text"))
+
+
+ORACLE_FINGERPRINT = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+                          c -> ascii(c)::BIGINT)),
+         (a, b) -> (a * 31 + b) % 1000000007
+       ) AS fingerprint,
+       length(text) AS n_chars_text
+FROM documents
+"""
+
+
+def q_doc_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting: words vs punctuation runs — the
+    pre-tokenizer split of GPT-style BPE as a counting query."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z0-9]+"), 0))
+        .cast("long")
+        .alias("n_word_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"), 0))
+        .cast("long")
+        .alias("n_punct_tokens"),
+    )
+
+
+ORACLE_TOKEN_REGEX = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_word_tokens,
+       CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct_tokens
+FROM documents
+"""
+
+
 QUERIES = {
     "doc_token_stats": q_doc_token_stats,
     "doc_quality_score": q_doc_quality_score,
+    "doc_lang_id": q_doc_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "doc_token_regex": q_doc_token_regex,
 }
 
 ORACLES = {
     "doc_token_stats": ORACLE_TOKEN_STATS,
     "doc_quality_score": ORACLE_QUALITY,
+    "doc_lang_id": ORACLE_LANG_ID,
+    "doc_fingerprint": ORACLE_FINGERPRINT,
+    "doc_token_regex": ORACLE_TOKEN_REGEX,
 }

@@ -1,0 +1,60 @@
+"""Dedup operator tests with planted near/exact duplicates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from osm_poi_database_maker_spark.dedup import (
+    exact_dedup,
+    minhash_near_dups,
+    simhash_near_dups,
+    word_shingles,
+)
+
+
+def _docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from a warm sunny window sill nearby every single afternoon"
+    )
+    near = base.replace("warm sunny", "cold rainy")  # small mutation
+    far = "completely different content about spark query engines and shuffles at scale"
+    rows = [(1, base), (2, base), (3, near), (4, far)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    d = _docs(spark)
+    kept = sorted(r.doc_id for r in exact_dedup(d, ["text"], "doc_id").collect())
+    assert kept == [1, 3, 4]
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    pairs = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in minhash_near_dups(_docs(spark), threshold=0.3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # identical
+    assert (1, 3) in pairs  # near duplicate
+    assert not any(4 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_simhash_finds_planted_near_dups(spark):
+    # one mutated token out of 84: simhash must stay within the Hamming
+    # gate; an unrelated doc must stay out
+    base = " ".join(f"token{i:02d}" for i in range(80)) + " shared common words everywhere"
+    near = base.replace("token40", "mutated")
+    far = "completely different content about spark query engines and shuffles at scale"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, far)], "doc_id long, text string"
+    )
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_near_dups(df).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 3
+    assert not any(4 in p for p in pairs)
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    sh = df.select(word_shingles(F.col("text"), 3).alias("s")).collect()[0].s
+    assert sh == ["a b c", "b c d"]

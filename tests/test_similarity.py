@@ -1,0 +1,59 @@
+"""Similarity search tests: exact top-k sanity + ANN recall vs exact."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from osm_poi_database_maker_spark.io import load_table
+from osm_poi_database_maker_spark.similarity import ann_topk, cosine_topk
+from tests.conftest import SF_SMOKE
+
+
+def test_exact_topk_self_similarity(spark):
+    # a vector's nearest neighbor by cosine must score below 1.0 and the
+    # ranking must be deterministic
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    out = cosine_topk(e, q, k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    assert all(-1.0 <= r.cosine <= 1.0 for r in rows)
+    per_q = {r.query_id for r in rows}
+    assert per_q == {0, 1, 2}
+
+
+def test_ann_recall_vs_exact(spark):
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(e, q, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in ann_topk(e, q, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    # defaults (4 bits x 16 tables) on the uniform-random fixture: ~0.98
+    assert recall >= 0.8, f"ANN recall too low: {recall}"
+
+
+def test_multimodal_stub_features(spark):
+    from osm_poi_database_maker_spark.multimodal import (
+        documents_as_image_table,
+        extract_image_features,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    feats = extract_image_features(documents_as_image_table(d))
+    rows = feats.limit(10).collect()
+    assert all(16 <= r.width < 80 and 16 <= r.height < 80 for r in rows)
+    assert all(0.0 <= r.mean_intensity <= 1.0 for r in rows)
+
+
+def test_multimodal_decode_stub_gate(spark):
+    import pytest
+
+    from osm_poi_database_maker_spark.multimodal import (
+        documents_as_image_table,
+        extract_image_features,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    feats = extract_image_features(documents_as_image_table(d), decode_stub=False)
+    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+        feats.collect()
