@@ -27,7 +27,11 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     spark = get_spark("bench")
-    qs = entrymod.queries()
+    # streaming queries run real availableNow streams with checkpoint
+    # setup — fixed-overhead-dominated at bench SF, so timed separately
+    # from the throughput-relevant batch queries were they included;
+    # excluded here to keep the headline metric a query-engine number
+    qs = {k: v for k, v in entrymod.queries().items() if not k.startswith("stream_")}
 
     # warmup: session + parquet footer caches
     next(iter(qs.values()))(spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -13,9 +13,9 @@ keep the driver's order-insensitive value-hash stable across engines:
 
 from __future__ import annotations
 
-from . import core, dedup, events, multimodal, osm, similarity, text
+from . import core, dedup, events, multimodal, osm, similarity, streaming_queries, text
 
-_MODULES = (core, events, text, dedup, similarity, osm, multimodal)
+_MODULES = (core, events, text, dedup, similarity, osm, multimodal, streaming_queries)
 
 QUERIES = {}
 ORACLES = {}

@@ -67,13 +67,25 @@ def q_doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = (
         d.filter(F.size(toks) >= 3)
+        # join on the shingle's 64-bit hash, not the string: an 8-byte
+        # shuffle key instead of ~20-byte text (collision odds ~1e-9 at
+        # this cardinality)
         .select("doc_id", F.explode(shingles).alias("shingle"))
+        .select("doc_id", F.xxhash64("shingle").alias("h"))
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # singleton shingles (the vast majority) can never produce a pair —
+    # prune them before the self-join; doesn't change the result, shrinks
+    # the join input by ~10x
+    nonsingleton = sh.join(
+        sh.groupBy("h").agg(F.count("*").alias("df")).filter(F.col("df") >= 2).select("h"),
+        "h",
+        "left_semi",
+    )
+    a = nonsingleton.alias("a")
+    b = nonsingleton.alias("b")
     pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("shared"))
     )

@@ -1,0 +1,146 @@
+"""Structured Streaming surface (reference O2/O12 streaming shape + [ext]).
+
+The reference is itself a single-pass stream with micro-batched sink
+flushes (filter.py:192-211, WRITE_AFTER=10000). Here the same pipeline
+semantics run as Structured Streaming, plus the event-time operators a
+training-data/event pipeline needs: watermarked tumbling/sliding/session
+windows, within-watermark dedup, and custom stateful aggregation via
+``applyInPandasWithState``.
+
+Batch/stream parity is a design rule: every streaming transform reuses the
+same column expressions as its batch twin in queries/events.py, so the
+DuckDB-oracle checks of the batch twins certify the streaming semantics
+up to trigger/watermark mechanics (which tests/test_streaming.py covers
+by comparing streaming output against the batch result on the same data).
+
+Scale notes: state stores shard by the grouping key across executors;
+watermarks bound state size (without one, session/dedup state grows
+forever at 100 TB/day); ``availableNow`` triggers give batch-sized
+backfills through the same code path.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: events fixture schema as stored (ts is TIMESTAMP(NANOS) in the parquet
+#: footer, surfaced as raw nanos via nanosAsLong — converted on read).
+EVENTS_RAW_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over the events fixture with the same ts
+    normalization as the batch loader (io.load_table)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    # glob, not the bare file path: the file stream source requires a
+    # directory basePath and resolves globs against it
+    df = reader.load(f"{sf_dir}/events*.parquet")
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling-window aggregate — streaming twin of
+    queries/events.q_events_hourly_window (same expressions)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """1-hour window sliding every 15 minutes, watermarked."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.unix_micros(F.col("w.start")).alias("window_start_us"), "n_events")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows (streaming session_window requires a
+    watermark; merges events with gaps under ``gap``)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Late-duplicate suppression: state bounded by the watermark horizon
+    (vs dropDuplicates whose state grows without bound on a stream)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+_STATE_SCHEMA = "n long, total double"
+_OUT_SCHEMA = "user_id long, n_events long, total_value double"
+
+
+def _update_user_state(
+    key: tuple[Any, ...], pdfs: Any, state: GroupState
+):
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+    )
+
+
+def stateful_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): running per-user
+    event count + value sum, emitted on every update — the PySpark
+    equivalent of flatMapGroupsWithState. State is a 2-field tuple per
+    user, sharded by user_id across the cluster's state stores."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_state,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def foreach_batch_parquet_sink(stream: DataFrame, path: str, checkpoint: str):
+    """micro-batch → bulk-append sink (the reference's WRITE_AFTER COPY
+    loop as foreachBatch; swap the body for write_copy_postgres to land
+    in PostGIS)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(path)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

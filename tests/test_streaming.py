@@ -1,0 +1,94 @@
+"""Streaming tests: availableNow triggers, batch-parity comparisons."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+
+from osm_poi_database_maker_spark import streaming as S
+from osm_poi_database_maker_spark.io import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _run_to_memory(df, name: str, mode: str) -> None:
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_windowed_counts_match_batch(spark):
+    stream = S.stream_events(spark, SF_SMOKE)
+    assert stream.isStreaming
+    name = f"win_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(S.windowed_counts(stream), name, "complete")
+    got = {
+        (r.window_start_us, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.table(name).collect()
+    }
+    from osm_poi_database_maker_spark.queries.events import q_events_hourly_window
+
+    expect = {
+        (r.window_start_us, r.event_type): (r.n_events, r.sum_value)
+        for r in q_events_hourly_window(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_session_counts_match_batch(spark):
+    stream = S.stream_events(spark, SF_SMOKE)
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(S.session_counts(stream), name, "complete")
+    got = {
+        (r.user_id, r.session_start_us): (r.n_events, r.sum_value)
+        for r in spark.table(name).collect()
+    }
+    from osm_poi_database_maker_spark.queries.events import q_events_session_windows
+
+    expect = {
+        (r.user_id, r.session_start_us): (r.n_events, r.sum_value)
+        for r in q_events_session_windows(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_dedup_within_watermark(spark):
+    stream = S.stream_events(spark, SF_SMOKE)
+    deduped = S.dedup_within_watermark(stream.union(stream))
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(deduped, name, "append")
+    n = spark.table(name).count()
+    expect = load_table(spark, SF_SMOKE, "events").count()
+    assert n == expect
+
+
+def test_stateful_user_counts(spark):
+    stream = S.stream_events(spark, SF_SMOKE)
+    name = f"state_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(S.stateful_user_counts(stream), name, "update")
+    got = {r.user_id: (r.n_events, round(r.total_value, 2)) for r in spark.table(name).collect()}
+    from pyspark.sql import functions as F
+
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("t"))
+    )
+    expect = {r.user_id: (r.n, r.t) for r in batch.collect()}
+    assert got == expect
+
+
+def test_foreach_batch_sink(spark, tmp_path):
+    stream = S.stream_events(spark, SF_SMOKE)
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = S.foreach_batch_parquet_sink(stream, out, ckpt).start()
+    q.awaitTermination(120)
+    back = spark.read.parquet(out)
+    assert back.count() == load_table(spark, SF_SMOKE, "events").count()
+    assert "_batch_id" in back.columns
