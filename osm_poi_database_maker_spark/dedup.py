@@ -15,6 +15,28 @@ Scale notes (the whole point of LSH):
   quadratic blowup inside a single bucket;
 * signatures are fixed-width arrays (64×8 bytes), so shuffle volume per
   doc is constant regardless of document size.
+
+Plan-shape notes (these matter more than the math):
+* each shingle/token is string-hashed ONCE to a 64-bit long; the 64 hash
+  functions are cheap long-hashes of (i, h) — not 64 string hashes;
+* signatures are computed as explode + 64 plain aggregates rather than
+  ``transform``/``aggregate`` higher-order expressions: HOFs are
+  interpreted per-element (no whole-stage codegen), while explode +
+  groupBy is fully codegen'd and gets map-side partial aggregation, so
+  the signature shuffle carries 64×8 bytes per doc regardless of size;
+* signatures are materialized behind a trailing ``repartition`` exchange
+  that every consumer (both band-join sides, both verify-side rejoins)
+  reads via ReuseExchange — the aggregation runs exactly once. Without
+  the barrier, CollapseProject would inline the signature expression
+  into each of the four consuming subtrees;
+* the within-bucket self-join carries only (id, band, bucket) — 24 bytes
+  a row; signatures are joined back by id for the verify step, instead of
+  shipping two 512-byte arrays through the widest shuffle of the plan.
+
+``minhash_signature`` and ``simhash64`` remain as single-row expression
+variants of the same hash families (useful inside streaming foreachBatch
+or per-row contexts); the ``*_near_dups`` pipelines use the aggregate
+formulation.
 """
 
 from __future__ import annotations
@@ -25,6 +47,10 @@ from pyspark.sql.window import Window
 
 HASH_COUNT = 64
 DEFAULT_BANDS = 16  # 16 bands × 4 rows: catches jaccard ≳ 0.3 reliably
+
+_LONG_MAX = (1 << 63) - 1
+# bit masks for a signed 64-bit long: 1<<b for b<63, sign bit as -(2^63)
+_BIT_MASKS = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
@@ -41,12 +67,20 @@ def word_shingles(text: Column, k: int = 3) -> Column:
 
 
 def minhash_signature(shingles: Column, n_hashes: int = HASH_COUNT) -> Column:
-    """64 independent minhashes: hash_i(s) = xxhash64(i, s); signature[i] =
-    min over shingles. One expression, evaluated JVM-side per row."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(shingles, lambda s: F.xxhash64(i, s))
+    """64 independent minhashes in one pass: each shingle is string-hashed
+    once (``xxhash64(s)``), then hash_i = xxhash64(i, h) — a cheap
+    long-hash — and signature[i] = min over shingles, folded via
+    ``aggregate``+``zip_with`` so the shingle array is traversed once."""
+    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    init = F.array_repeat(F.lit(_LONG_MAX).cast("long"), n_hashes)
+    idx = F.sequence(F.lit(0), F.lit(n_hashes - 1))
+    return F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(idx, lambda i: F.xxhash64(i, h)),
+            lambda a, b: F.least(a, b),
         ),
     )
 
@@ -86,13 +120,34 @@ def minhash_near_dups(
     ``max_bucket`` caps pathological buckets (e.g. near-empty docs all
     hashing together) before the within-bucket self-join.
     """
-    sigs = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(word_shingles(F.col(text_col))).alias("sig"),
+    # spread rows before the shingle explode (a small parquet file scans
+    # as one partition); at scale this is one linear pass
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # signatures via explode + 64 plain min-aggregates: unlike a
+    # transform/aggregate higher-order expression (interpreted, no
+    # codegen), explode + groupBy stays inside whole-stage codegen and
+    # gets map-side partial aggregation — the shuffle carries 64×8 bytes
+    # per doc regardless of document size
+    sh = base.select("id", F.explode(word_shingles(F.col("text"))).alias("s")).select(
+        "id", F.xxhash64("s").alias("h")
     )
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"m{i}")
+        for i in range(HASH_COUNT)
+    ]
+    # trailing repartition = the one exchange all four consumers (two
+    # band-join sides, two verify-side signature rejoins) read via
+    # ReuseExchange, so the signature aggregation runs exactly once
+    sigs = (
+        sh.groupBy("id")
+        .agg(*mins)
+        .select("id", F.array(*[F.col(f"m{i}") for i in range(HASH_COUNT)]).alias("sig"))
+        .repartition("id")
+    )
+
     buckets = sigs.select(
-        "id", "sig", F.explode(lsh_bands(F.col("sig"), bands)).alias("bb")
-    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        "id", F.explode(lsh_bands(F.col("sig"), bands)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     # cap hot buckets: deterministic keep-lowest-ids
     w_rank = F.row_number().over(Window.partitionBy("band", "bucket").orderBy("id"))
     buckets = buckets.withColumn("__r", w_rank).filter(F.col("__r") <= max_bucket).drop("__r")
@@ -105,16 +160,15 @@ def minhash_near_dups(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("doc_a"),
-            F.col("b.id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sa = sigs.select(F.col("id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("doc_b"), F.col("sig").alias("sig_b"))
     return (
-        cand.withColumn("est_jaccard", F.round(estimated_jaccard("sig_a", "sig_b"), 4))
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jaccard", F.round(estimated_jaccard("sig_a", "sig_b"), 4))
         .filter(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
     )
@@ -126,29 +180,36 @@ def minhash_near_dups(
 
 def simhash64(text: Column) -> Column:
     """64-bit SimHash over whitespace tokens: bit b of the output is the
-    sign of Σ_tokens (±1 per token's hash bit b). The 64 per-bit sums are
-    built by a Python loop over literal shift amounts (shiftright needs a
-    literal), yielding one large but fully JVM-side expression."""
+    sign of Σ_tokens (±1 per token's hash bit b).
+
+    Single-pass formulation: one ``aggregate`` over the token hashes folds
+    a 64-wide array of per-bit sums (``zip_with`` against a constant mask
+    array), then a second fold packs the signs into one long. Each token
+    is string-hashed exactly once."""
     toks = F.split(text, " +")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-
-    def bit_sum_at(b: int) -> Column:
-        # closure (not a default arg): higher-order functions introspect
-        # the lambda's parameter count, so it must take exactly (acc, h)
-        def merge(acc: Column, h: Column) -> Column:
-            return acc + F.when(
-                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-
-        return F.aggregate(hashes, F.lit(0), merge)
-
-    sig = F.lit(0).cast("long")
-    for b in range(64):
-        bit_sum = bit_sum_at(b)
-        # bit 63 is the sign bit of a signed long: adding -2^63 sets it
-        contribution = F.lit(1 << b).cast("long") if b < 63 else F.lit(-(2**63)).cast("long")
-        sig = sig + F.when(bit_sum > 0, contribution).otherwise(F.lit(0).cast("long"))
-    return sig
+    masks = F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS])
+    sums = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), HASH_COUNT),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a
+            + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    # positive sum → bit set; masks are disjoint so sum == bitwise OR
+    # (the b=63 mask is -(2^63): adding it sets the sign bit of the long)
+    return F.aggregate(
+        F.zip_with(
+            sums,
+            masks,
+            lambda s, m: F.when(s > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -166,8 +227,30 @@ def simhash_near_dups(
 
     Two 64-bit hashes within Hamming distance 3 must agree exactly on at
     least one of the 4 bands (pigeonhole), so banding loses nothing.
+    The 8-byte signature is cheap enough to carry through the band join
+    (unlike the MinHash array), so no verify-side rejoin is needed.
     """
-    h = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # simhash via explode + 64 plain sum-aggregates (codegen + map-side
+    # partial agg; see the MinHash pipeline for why not a higher-order
+    # expression), then pack the 64 sign bits into one long
+    th = base.select("id", F.explode(F.split(F.col("text"), " +")).alias("tok")).select(
+        "id", F.xxhash64("tok").alias("th")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.col("th").bitwiseAND(F.lit(m).cast("long")) != 0, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b, m in enumerate(_BIT_MASKS)
+    ]
+    packed = sum(
+        [
+            F.when(F.col(f"s{b}") > 0, F.lit(m).cast("long")).otherwise(F.lit(0).cast("long"))
+            for b, m in enumerate(_BIT_MASKS)
+        ],
+        F.lit(0).cast("long"),
+    )
+    h = th.groupBy("id").agg(*bit_sums).select("id", packed.alias("sh"))
     bands = F.array(
         *[
             F.struct(

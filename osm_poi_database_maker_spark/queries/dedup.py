@@ -53,25 +53,35 @@ def q_doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair once.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " +")
+    # barrier: materialize the token array behind a shuffle. Without it,
+    # CollapseProject inlines split() into every element_at reference in
+    # the shingle lambda (3 re-splits per shingle position), and a small
+    # parquet file scans as one partition, serializing the whole query.
+    tok_df = d.select("doc_id", F.split(F.col("text"), " +").alias("t")).repartition(
+        "doc_id"
+    )
+    t = F.col("t")
     shingles = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 2),
+            F.sequence(F.lit(1), F.size(t) - 2),
             lambda i: F.concat_ws(
                 " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
+                F.element_at(t, i),
+                F.element_at(t, i + 1),
+                F.element_at(t, i + 2),
             ),
         )
     )
     sh = (
-        d.filter(F.size(toks) >= 3)
+        tok_df.filter(F.size(t) >= 3)
         # join on the shingle's 64-bit hash, not the string: an 8-byte
         # shuffle key instead of ~20-byte text (collision odds ~1e-9 at
         # this cardinality)
         .select("doc_id", F.explode(shingles).alias("shingle"))
         .select("doc_id", F.xxhash64("shingle").alias("h"))
+        # partition on the self-join key: the doc-frequency groupBy, the
+        # semi-join, and both self-join sides all reuse this one exchange
+        .repartition("h")
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     # singleton shingles (the vast majority) can never produce a pair —

@@ -17,8 +17,10 @@ making a query a partition-pruned scan.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
 DIM = 64
@@ -114,36 +116,49 @@ def ann_topk(
     (8–16) for far smaller candidate sets at the same recall — p(bit
     match) = 1 − θ/π governs the tradeoff.
     """
-    planes = _planes(n_tables, n_bits, DIM)
+    # (n_tables*n_bits, DIM) plane matrix: all signatures for a batch of
+    # vectors are one numpy matmul — Arrow-vectorized, ~100x faster than
+    # evaluating 64 interpreted zip_with/aggregate dot products per row
+    plane_mat = np.asarray(_planes(n_tables, n_bits, DIM)).reshape(n_tables * n_bits, DIM)
+    bit_weights = 1 << np.arange(n_bits - 1, -1, -1)  # first plane = MSB
+
+    @pandas_udf("array<long>")
+    def table_sigs(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)  # (batch, DIM)
+        bits = (m @ plane_mat.T) >= 0  # (batch, n_tables*n_bits)
+        sigs = (
+            bits.reshape(-1, n_tables, n_bits) * bit_weights
+        ).sum(axis=2)  # (batch, n_tables)
+        return pd.Series(list(sigs.astype(np.int64)))
 
     def with_sigs(df: DataFrame, idc: str, vc: str) -> DataFrame:
-        sigs = F.array(
-            *[
-                F.struct(F.lit(t).alias("table"), lsh_signature(F.col(vc), planes[t]).alias("sig"))
-                for t in range(n_tables)
-            ]
+        # signatures only — column pruning drops the vector from the
+        # candidate join; vectors are joined back for the rerank so the
+        # widest shuffle of the plan ships (id, table, sig) not (… + vec)
+        return df.select(F.col(idc), F.posexplode(table_sigs(F.col(vc)))).select(
+            idc, F.col("pos").alias("table"), F.col("col").alias("sig")
         )
-        return df.select(
-            F.col(idc), F.col(vc), F.explode(sigs).alias("ts")
-        ).select(idc, vc, F.col("ts.table").alias("table"), F.col("ts.sig").alias("sig"))
 
-    c = with_sigs(
-        collection.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
-        "neighbor_id",
-        "c_vec",
-    )
-    q = with_sigs(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
-        "query_id",
-        "q_vec",
-    )
+    # barrier: spread the collection before the 16-table signature
+    # projection (a small parquet file scans as one partition) and reuse
+    # the same exchange for signature generation and the rerank join
+    c_base = collection.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).repartition("neighbor_id")
+    q_base = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c = with_sigs(c_base, "neighbor_id", "c_vec")
+    q = with_sigs(q_base, "query_id", "q_vec")
     cand = (
         c.join(F.broadcast(q), ["table", "sig"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
+    scored = (
+        cand.join(c_base, "neighbor_id")
+        .join(F.broadcast(q_base), "query_id")
+        .withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc(F.round("cosine", 6)), F.asc("neighbor_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
