@@ -235,6 +235,72 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
+# --- O20: PK/uniqueness audit ----------------------------------------------
+
+def q_orders_pk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniqueness audit — the Spark replacement for the reference's PK
+    constraints (O20, schema.sql:204-257; duplicate-id abort
+    filter.py:58-64): one aggregation reporting total rows, distinct
+    keys, and how many keys repeat. Per-key distinct is a partial-agg
+    shuffle on the key; the assertion form (`n_dup_keys == 0`) gates an
+    idempotent write in the sink path."""
+    o = load_table(spark, sf_dir, "orders")
+    per_key = o.groupBy("o_orderkey").agg(F.count("*").alias("n"))
+    return per_key.agg(
+        F.sum("n").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_dup_keys"),
+        F.coalesce(F.sum(F.when(F.col("n") > 1, F.col("n"))), F.lit(0)).alias(
+            "n_rows_in_dup_keys"
+        ),
+    )
+
+
+ORACLE_PK_AUDIT = """
+WITH per_key AS (
+  SELECT o_orderkey, count(*) AS n FROM orders GROUP BY o_orderkey
+)
+SELECT sum(n) AS n_rows,
+       count(*) AS n_keys,
+       sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_keys,
+       coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS n_rows_in_dup_keys
+FROM per_key
+"""
+
+
+# --- cube (multi-dimensional aggregate; SURVEY §2.2 aggregations) -----------
+
+def q_order_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority): all 4 grouping
+    combinations in one pass. Spark expands the cube into a single
+    hash-aggregate over the grouping-id-tagged rows — one shuffle, not
+    4 separate aggregations."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "n_orders",
+            "total",
+        )
+    )
+
+
+ORACLE_CUBE = """
+SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -243,6 +309,8 @@ QUERIES = {
     "customers_without_orders": q_customers_without_orders,
     "nation_set_ops": q_nation_set_ops,
     "order_rollup": q_order_rollup,
+    "orders_pk_audit": q_orders_pk_audit,
+    "order_priority_cube": q_order_priority_cube,
 }
 
 ORACLES = {
@@ -253,4 +321,6 @@ ORACLES = {
     "customers_without_orders": ORACLE_ANTI,
     "nation_set_ops": ORACLE_SET_OPS,
     "order_rollup": ORACLE_ROLLUP,
+    "orders_pk_audit": ORACLE_PK_AUDIT,
+    "order_priority_cube": ORACLE_CUBE,
 }

@@ -206,11 +206,45 @@ WHERE area_m2 <= {SETTINGS.centroid_area_m2!r}
 """
 
 
+# --- O19: spatial bucketing + bbox pruning ---------------------------------
+
+_BBOX = (5.115, 52.105, 5.225, 52.225)  # lon_min, lat_min, lon_max, lat_max
+
+
+def q_osm_spatial_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bbox query through the spatial bucketing layer (O19,
+    schema.sql:264-266): the grid-cell IN-list prunes at the scan, the
+    exact bbox predicate trims the residue; the cell id is returned so
+    the oracle verifies the quantization itself."""
+    from ..spatial import GRID_RES, bbox_filter, grid_cell, with_spatial_keys
+
+    nodes = fx.nodes_df(spark).filter(F.col("lon").isNotNull())
+    out = bbox_filter(nodes, *_BBOX)
+    return out.select(
+        "id", "lon", "lat", grid_cell(F.col("lon"), F.col("lat"), GRID_RES).alias("cell")
+    )
+
+
+_N_GRID = 1 << 12
+ORACLE_SPATIAL_BBOX = f"""
+WITH raw AS ({fx.nodes_values_sql()}),
+cells AS (
+  SELECT id, lon, lat,
+         greatest(0, least({_N_GRID - 1}, CAST(floor((lon + 180.0) / 360.0 * {_N_GRID}) AS BIGINT))) * {_N_GRID}
+         + greatest(0, least({_N_GRID - 1}, CAST(floor((lat + 90.0) / 180.0 * {_N_GRID}) AS BIGINT))) AS cell
+  FROM raw WHERE lon IS NOT NULL
+)
+SELECT id, lon, lat, cell FROM cells
+WHERE lon >= {_BBOX[0]} AND lon <= {_BBOX[2]} AND lat >= {_BBOX[1]} AND lat <= {_BBOX[3]}
+"""
+
+
 QUERIES = {
     "osm_toi_dim": q_osm_toi_dim,
     "osm_poi_nodes": q_osm_poi_nodes,
     "osm_way_assembly": q_osm_way_assembly,
     "osm_ways_centroids": q_osm_ways_centroids,
+    "osm_spatial_bbox": q_osm_spatial_bbox,
 }
 
 ORACLES = {
@@ -218,4 +252,5 @@ ORACLES = {
     "osm_poi_nodes": ORACLE_POI_NODES,
     "osm_way_assembly": ORACLE_WAY_ASSEMBLY,
     "osm_ways_centroids": ORACLE_WAYS_CENTROIDS,
+    "osm_spatial_bbox": ORACLE_SPATIAL_BBOX,
 }

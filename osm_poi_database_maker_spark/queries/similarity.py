@@ -114,11 +114,51 @@ def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(e, q, k=TOP_K)
 
 
+def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (rows-only: centroid training is
+    engine-side; recall vs the exact oracle-checked query is asserted in
+    tests/test_similarity.py)."""
+    from ..similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    return ivf_topk(e, q, k=TOP_K)
+
+
+NEARDUP_THRESHOLD = 0.4
+
+
+def q_emb_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (cosine ≥ 0.4, doc_a <
+    doc_b) via the blocked applyInPandas similarity join — the dedup
+    companion to the text-based MinHash/SimHash operators, oracle-checked
+    against DuckDB's list_cosine_similarity."""
+    from ..similarity import cosine_neardup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(e, threshold=NEARDUP_THRESHOLD)
+
+
+ORACLE_NEARDUP = f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {NEARDUP_THRESHOLD}
+"""
+
+
 QUERIES = {
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_ann_topk": q_emb_ann_topk,
+    "emb_ivf_topk": q_emb_ivf_topk,
+    "emb_cosine_neardup_pairs": q_emb_cosine_neardup_pairs,
 }
 
 ORACLES = {
     "emb_cosine_topk": ORACLE_COSINE,
+    "emb_cosine_neardup_pairs": ORACLE_NEARDUP,
 }

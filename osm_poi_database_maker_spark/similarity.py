@@ -66,6 +66,164 @@ def cosine_topk(
     )
 
 
+def train_ivf_centroids(
+    collection: DataFrame,
+    n_cells: int = 16,
+    sample_size: int = 2048,
+    n_iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> np.ndarray:
+    """Deterministic IVF coarse quantizer: spherical k-means (Lloyd on
+    L2-normalized vectors) over a bounded driver-side sample.
+
+    The sample is the ``sample_size`` lowest-id vectors — a TakeOrdered,
+    not a full sort — so training cost is constant w.r.t. collection
+    size; the expensive step (assigning every vector) stays distributed
+    in :func:`ivf_topk`. Fixed seed → identical centroids every run."""
+    rows = (
+        collection.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id")
+        .limit(sample_size)
+        .collect()
+    )
+    m = np.array([r.v for r in rows], dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    cents = m[rng.choice(len(m), size=min(n_cells, len(m)), replace=False)]
+    for _ in range(n_iters):
+        assign = (m @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            members = m[assign == c]
+            if len(members):
+                mean = members.mean(axis=0)
+                cents[c] = mean / np.linalg.norm(mean)
+    return cents
+
+
+def ivf_topk(
+    collection: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the collection into
+    ``n_cells`` centroid cells, probe each query's ``n_probe`` nearest
+    cells, exact-rerank the candidates.
+
+    Scale path: cell assignment is one numpy matmul per Arrow batch; the
+    candidate join is an equi join on the cell id against a broadcast
+    query batch, scanning ~n_probe/n_cells of the collection per query.
+    In a production lakehouse the collection is written
+    ``partitionBy(cell)`` so a query batch becomes a partition-pruned
+    scan (the Spark analogue of an IVF inverted list)."""
+    cents = train_ivf_centroids(collection, n_cells, id_col=id_col, vec_col=vec_col)
+
+    @pandas_udf("int")
+    def nearest_cell(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        return pd.Series((m @ cents.T).argmax(axis=1).astype(np.int32))
+
+    @pandas_udf("array<int>")
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        order = np.argsort(-(m @ cents.T), axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    c = collection.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        nearest_cell(F.col(vec_col)).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc(F.round("cosine", 6)), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rk")
+    )
+
+
+def cosine_neardup_pairs(
+    collection: DataFrame,
+    threshold: float = 0.4,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs embedding near-dup: every (doc_a < doc_b) pair with
+    cosine ≥ threshold.
+
+    Blocked similarity join: ids hash into ``n_blocks`` blocks; each of
+    the (B²+B)/2 block pairs becomes one ``applyInPandas`` group whose
+    pairwise scores are a single numpy matmul over the Arrow batch. Work
+    and shuffle are evenly distributed (replication factor ≈ B per row —
+    the unavoidable cost of an exact quadratic join); raise ``n_blocks``
+    so a block fits executor memory at larger collections. For corpora
+    where exact O(n²) is infeasible, use :func:`ann_topk` (LSH) or
+    MinHash instead.
+    """
+    spark = collection.sparkSession
+    e = collection.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    block_pairs = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
+    bp = spark.createDataFrame(block_pairs, "bi int, bj int")
+    left = e.join(F.broadcast(bp), e.blk == bp.bi).select(
+        "bi", "bj", F.lit("a").alias("side"), "id", "vec"
+    )
+    right = e.join(F.broadcast(bp), e.blk == bp.bj).select(
+        "bi", "bj", F.lit("b").alias("side"), "id", "vec"
+    )
+
+    def score_block_pair(key, pdf):
+        bi, bj = key
+        a = pdf[pdf["side"] == "a"]
+        b = a if bi == bj else pdf[pdf["side"] == "b"]
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "cosine": []}).astype(
+                {"doc_a": "int64", "doc_b": "int64", "cosine": "float64"}
+            )
+        ma = np.array(a["vec"].tolist(), dtype=np.float64)
+        mb = np.array(b["vec"].tolist(), dtype=np.float64)
+        ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+        mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+        cos = np.round(ma @ mb.T, 4)
+        ii, jj = np.nonzero(cos >= threshold)
+        da = a["id"].to_numpy()[ii]
+        db = b["id"].to_numpy()[jj]
+        keep = da != db
+        da, db, c = da[keep], db[keep], cos[ii, jj][keep]
+        lo, hi = np.minimum(da, db), np.maximum(da, db)
+        if bi == bj:  # both directions appear within a block: keep one
+            keep = da < db
+            lo, hi, c = lo[keep], hi[keep], c[keep]
+        return pd.DataFrame({"doc_a": lo, "doc_b": hi, "cosine": c})
+
+    return (
+        left.unionByName(right)
+        .groupBy("bi", "bj")
+        .applyInPandas(score_block_pair, "doc_a long, doc_b long, cosine double")
+    )
+
+
 def _planes(n_tables: int, n_bits: int, dim: int, seed: int = 42) -> list[list[list[float]]]:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((n_tables, n_bits, dim)).tolist()

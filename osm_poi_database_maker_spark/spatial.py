@@ -1,0 +1,140 @@
+"""Spatial bucketing and pruning — the Spark replacement for the
+reference's GiST R-tree indexes + physical clustering (O19,
+``schema.sql:264-266, 287-289``).
+
+Spark has no secondary indexes; the equivalents are:
+
+* a **grid cell id** column (equal-angle lon/lat grid) used as the
+  partition/bucket key — a bbox query becomes ``cell IN (covering
+  cells)``, which prunes partitions at the source (the analogue of an
+  R-tree's top levels);
+* a **Z-order (Morton) key** used with ``sortWithinPartitions`` so
+  parquet row-group min/max statistics stay spatially tight — the
+  analogue of PostgreSQL's ``CLUSTER ... USING <gist index>``;
+* :func:`cluster_spatially` composes both for writing a table at rest.
+
+Everything is pure column expressions (bit arithmetic, no UDFs); the
+bbox→cells cover is computed driver-side with identical quantization so
+the pruning filter provably contains the bbox.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+GRID_RES = 12  # 4096×4096 global grid: ~0.09° ≈ 10 km cells at the equator
+
+
+def _quantize(coord: Column, offset: float, extent: float, n: int) -> Column:
+    ix = F.floor((coord + offset) / extent * n).cast("long")
+    return F.greatest(F.lit(0), F.least(F.lit(n - 1), ix))
+
+
+def grid_cell(lon: Column, lat: Column, res: int = GRID_RES) -> Column:
+    """Cell id of the equal-angle lon/lat grid at 2^res × 2^res."""
+    n = 1 << res
+    ix = _quantize(lon, 180.0, 360.0, n)
+    iy = _quantize(lat, 90.0, 180.0, n)
+    return ix * n + iy
+
+
+def cells_for_bbox(
+    min_lon: float, min_lat: float, max_lon: float, max_lat: float, res: int = GRID_RES
+) -> list[int]:
+    """Driver-side covering cell set for a bbox — same quantization as
+    :func:`grid_cell`, so ``cell IN cells_for_bbox(...)`` never drops a
+    row inside the bbox. Cover size is O(bbox area / cell area); pick
+    ``res`` so typical query boxes cover tens of cells, not thousands."""
+    n = 1 << res
+
+    def q(coord: float, offset: float, extent: float) -> int:
+        return max(0, min(n - 1, int(math.floor((coord + offset) / extent * n))))
+
+    x0, x1 = q(min_lon, 180.0, 360.0), q(max_lon, 180.0, 360.0)
+    y0, y1 = q(min_lat, 90.0, 180.0), q(max_lat, 90.0, 180.0)
+    return [ix * n + iy for ix in range(x0, x1 + 1) for iy in range(y0, y1 + 1)]
+
+
+def zorder_key(lon: Column, lat: Column, bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of the quantized coordinates — a
+    1-D sort key whose ordering keeps 2-D neighbors close, so parquet
+    row-group min/max stats prune tightly after
+    ``sortWithinPartitions``. Pure bit-arithmetic expressions."""
+    n = 1 << bits
+    ix = _quantize(lon, 180.0, 360.0, n)
+    iy = _quantize(lat, 90.0, 180.0, n)
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        key = (
+            key
+            + F.shiftleft(F.shiftright(ix, b).bitwiseAND(F.lit(1)), 2 * b)
+            + F.shiftleft(F.shiftright(iy, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        )
+    return key
+
+
+def with_spatial_keys(
+    df: DataFrame, lon_col: str = "lon", lat_col: str = "lat", res: int = GRID_RES
+) -> DataFrame:
+    return df.withColumn("cell", grid_cell(F.col(lon_col), F.col(lat_col), res)).withColumn(
+        "zkey", zorder_key(F.col(lon_col), F.col(lat_col))
+    )
+
+
+def cluster_spatially(
+    df: DataFrame,
+    num_partitions: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    res: int = GRID_RES,
+) -> DataFrame:
+    """Physically cluster for a spatial table at rest: range-partition by
+    cell (keeps a cell's rows together → partition pruning), Z-order
+    within partitions (tight row-group stats). Write the result with
+    ``partitionBy`` omitted — the layout itself carries the locality."""
+    keyed = with_spatial_keys(df, lon_col, lat_col, res)
+    return keyed.repartitionByRange(num_partitions, "cell").sortWithinPartitions(
+        "cell", "zkey"
+    )
+
+
+def bbox_filter(
+    df: DataFrame,
+    min_lon: float,
+    min_lat: float,
+    max_lon: float,
+    max_lat: float,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    res: int = GRID_RES,
+) -> DataFrame:
+    """Bbox query with cell pruning expressed as RANGE predicates, not an
+    IN-list: a bbox covers a rectangle [x0..x1]×[y0..y1] of grid cells,
+    so the cell condition is two BETWEENs on the cell id's components
+    (cell div n = ix, cell mod n = iy) plus one coarse BETWEEN on the
+    cell id itself that parquet row-group min/max stats can use. A large
+    bbox at fine resolution would otherwise produce a 10⁵-element
+    IN-list — a plan-size and codegen blowup. Use
+    :func:`cells_for_bbox` (IN-list) only for small covers, e.g.
+    partition pruning over a partitionBy(cell) layout."""
+    n = 1 << res
+
+    def q(coord: float, offset: float, extent: float) -> int:
+        return max(0, min(n - 1, int(math.floor((coord + offset) / extent * n))))
+
+    x0, x1 = q(min_lon, 180.0, 360.0), q(max_lon, 180.0, 360.0)
+    y0, y1 = q(min_lat, 90.0, 180.0), q(max_lat, 90.0, 180.0)
+    lon, lat = F.col(lon_col), F.col(lat_col)
+    cell = grid_cell(lon, lat, res)
+    return df.filter(
+        cell.between(x0 * n + y0, x1 * n + y1)
+        & F.floor(cell / n).between(x0, x1)
+        & (cell % n).between(y0, y1)
+        & (lon >= min_lon)
+        & (lon <= max_lon)
+        & (lat >= min_lat)
+        & (lat <= max_lat)
+    )

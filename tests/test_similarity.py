@@ -32,6 +32,30 @@ def test_ann_recall_vs_exact(spark):
     assert recall >= 0.8, f"ANN recall too low: {recall}"
 
 
+def test_ivf_recall_vs_exact(spark):
+    from osm_poi_database_maker_spark.similarity import ivf_topk
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(e, q, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in ivf_topk(e, q, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    # uniform-random fixture vectors are IVF's worst case (no cluster
+    # structure); n_probe=4 of 16 cells still recovers most true
+    # neighbors because high-cosine pairs land in nearby cells
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_cosine_neardup_pairs_symmetric_blocks(spark):
+    from osm_poi_database_maker_spark.similarity import cosine_neardup_pairs
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    rows = cosine_neardup_pairs(e, threshold=0.4).collect()
+    assert all(r.doc_a < r.doc_b for r in rows)
+    assert len(rows) == len({(r.doc_a, r.doc_b) for r in rows})  # no dupes
+    assert all(r.cosine >= 0.4 for r in rows)
+
+
 def test_multimodal_stub_features(spark):
     from osm_poi_database_maker_spark.multimodal import (
         documents_as_image_table,

@@ -1,0 +1,82 @@
+"""Spatial bucketing tests: cover-set soundness, filter equivalence,
+Z-order locality, clustered-write layout."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from osm_poi_database_maker_spark.spatial import (
+    bbox_filter,
+    cells_for_bbox,
+    cluster_spatially,
+    grid_cell,
+    with_spatial_keys,
+    zorder_key,
+)
+
+
+def _points(spark, n=500, seed=7):
+    rng = random.Random(seed)
+    rows = [
+        (i, rng.uniform(-180, 180), rng.uniform(-90, 90)) for i in range(n)
+    ] + [
+        # boundary coords must quantize into valid cells
+        (n, 180.0, 90.0),
+        (n + 1, -180.0, -90.0),
+        (n + 2, 0.0, 0.0),
+    ]
+    return spark.createDataFrame(rows, "id long, lon double, lat double")
+
+
+def test_bbox_filter_equals_plain_bbox(spark):
+    # the cell prefilter must never drop a row the plain bbox keeps
+    df = _points(spark)
+    bbox = (-10.0, -5.0, 25.0, 40.0)
+    lon, lat = F.col("lon"), F.col("lat")
+    plain = df.filter(
+        (lon >= bbox[0]) & (lon <= bbox[2]) & (lat >= bbox[1]) & (lat <= bbox[3])
+    )
+    pruned = bbox_filter(df, *bbox)
+    assert sorted(r.id for r in pruned.collect()) == sorted(r.id for r in plain.collect())
+    assert plain.count() > 0
+
+
+def test_cells_cover_contains_member_cells(spark):
+    df = _points(spark)
+    bbox = (100.0, 30.0, 140.0, 60.0)
+    cover = set(cells_for_bbox(*bbox))
+    lon, lat = F.col("lon"), F.col("lat")
+    inside = df.filter(
+        (lon >= bbox[0]) & (lon <= bbox[2]) & (lat >= bbox[1]) & (lat <= bbox[3])
+    ).select(grid_cell(lon, lat).alias("cell"))
+    assert {r.cell for r in inside.collect()} <= cover
+
+
+def test_zorder_key_locality(spark):
+    # two points in the same small neighborhood must share high z-key
+    # bits; antipodal points must not be adjacent in z-order
+    df = spark.createDataFrame(
+        [(1, 5.100, 52.100), (2, 5.101, 52.101), (3, -170.0, -80.0)],
+        "id long, lon double, lat double",
+    )
+    keys = {r.id: r.z for r in df.select("id", zorder_key(F.col("lon"), F.col("lat")).alias("z")).collect()}
+    assert abs(keys[1] - keys[2]) < abs(keys[1] - keys[3])
+
+
+def test_cluster_spatially_layout(spark, tmp_path):
+    out = str(tmp_path / "clustered")
+    cluster_spatially(_points(spark), num_partitions=4).write.parquet(out)
+    back = spark.read.parquet(out)
+    assert back.count() == 503
+    # a cell's rows must land in exactly one file (range partitioning)
+    spread = (
+        back.withColumn("f", F.input_file_name())
+        .groupBy("cell")
+        .agg(F.count_distinct("f").alias("nf"))
+        .agg(F.max("nf").alias("mx"))
+        .collect()[0]
+        .mx
+    )
+    assert spread == 1
