@@ -53,3 +53,35 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for ``spark.sql`` use."""
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def register_catalog_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None
+) -> None:
+    """Register fixtures as EXTERNAL catalog tables (no data copy —
+    ``USING parquet LOCATION``) so they can carry persistent statistics,
+    unlike temp views."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for name in names or TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        spark.sql(f"CREATE TABLE IF NOT EXISTS {name} USING parquet LOCATION '{path}'")
+
+
+def analyze_tables(
+    spark: SparkSession, names: tuple[str, ...], with_columns: bool = True
+) -> dict[str, dict[str, str]]:
+    """O21 (reference hand-sets ``n_distinct`` planner hints,
+    schema.sql:119-122, 175-177): compute real table + column statistics
+    so Catalyst's cost-based optimizer gets row counts, sizes and NDVs —
+    strictly better than the reference's hand-tuned constants, and AQE
+    re-plans from actual runtime sizes on top. Returns the recorded
+    stats per table for auditing."""
+    out: dict[str, dict[str, str]] = {}
+    for name in names:
+        suffix = " FOR ALL COLUMNS" if with_columns else ""
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS{suffix}")
+        rows = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+        out[name] = {
+            r.col_name: r.data_type for r in rows if r.col_name in ("Statistics",)
+        }
+    return out

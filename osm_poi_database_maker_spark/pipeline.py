@@ -41,6 +41,34 @@ def build_toi_dim(taginfo: DataFrame, settings: Settings) -> DataFrame:
     )
 
 
+def cache_toi_dim(taginfo: DataFrame, settings: Settings, path: str) -> DataFrame:
+    """O15 (reference filter.py:282-299): the tags.json cache as a
+    poor-man's materialized view — build the TOI dimension once, persist
+    it to parquet, and serve every later run from the cached copy. The
+    dimension is tiny (≤ keys × top-k rows), so the cache is a single
+    file; `coalesce(1)` keeps it one task to write and one to broadcast."""
+    spark = taginfo.sparkSession
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        build_toi_dim(taginfo, settings).coalesce(1).write.parquet(path)
+        return spark.read.parquet(path)
+
+
+def route_pois(nodes_out: DataFrame, ways_out: DataFrame) -> DataFrame:
+    """O16 (reference filter.py:185-211 + SKIP_WAYS settings gate): the
+    way-vs-node routing as ONE unioned DataFrame tagged with
+    ``osm_type`` — write it with ``partitionBy("osm_type")`` (see
+    sink.write_routed) and each entity type lands in its own directory,
+    the Spark shape of the reference's separate nodes/ways tables.
+    Disjoint id spaces stay auditable because the type tag travels with
+    the row (cf. the reference's accidental relation-id collisions,
+    SURVEY §2.1)."""
+    n = nodes_out.withColumn("osm_type", F.lit("node"))
+    w = ways_out.withColumn("osm_type", F.lit("way"))
+    return n.unionByName(w, allowMissingColumns=True)
+
+
 def dedup_latest(df: DataFrame) -> DataFrame:
     """Idempotent-write rule replacing the reference's duplicate-PK abort
     (filter.py:58-64): the highest (version, tstamp) row per id wins."""

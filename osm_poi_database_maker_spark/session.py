@@ -39,6 +39,11 @@ def get_spark(app_name: str = "osm_poi_database_maker_spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # cost-based optimization consumes ANALYZE TABLE stats (O21) for
+        # join reordering / build-side choice; AQE still re-plans from
+        # actual runtime sizes on top
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.cbo.joinReorder.enabled", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -112,6 +112,15 @@ def write_jdbc(
     )
 
 
+def write_routed(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """O16 partitioned sink (reference routes rows to nodes vs ways
+    tables, filter.py:185-211): one write, ``partitionBy("osm_type")``,
+    each entity type in its own directory. Readers of a single type get
+    partition pruning for free (`WHERE osm_type = 'node'` never touches
+    way files)."""
+    df.write.partitionBy("osm_type").mode(mode).parquet(path)
+
+
 def write_dead_letter(df: DataFrame, path: str) -> None:
     """Quarantine sink (reference dumps failed batches to
     logs/error_obj_list.csv, filter.py:72-73): parquet, append-mode, so

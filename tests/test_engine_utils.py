@@ -1,0 +1,65 @@
+"""O15 dim cache, O16 routed sink, O21 catalog statistics."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from osm_poi_database_maker_spark import osm_fixtures as fx
+from osm_poi_database_maker_spark.io import analyze_tables, register_catalog_tables
+from osm_poi_database_maker_spark.pipeline import (
+    build_toi_dim,
+    cache_toi_dim,
+    poi_nodes,
+    poi_ways,
+    route_pois,
+)
+from osm_poi_database_maker_spark.queries.osm import SETTINGS
+from osm_poi_database_maker_spark.sink import write_routed
+from tests.conftest import SF_SMOKE
+
+
+def test_cache_toi_dim_materializes_once(spark, tmp_path):
+    path = str(tmp_path / "toi_dim")
+    fresh = cache_toi_dim(fx.taginfo_df(spark), SETTINGS, path)
+    assert os.path.isdir(path)
+    direct = build_toi_dim(fx.taginfo_df(spark), SETTINGS)
+    assert sorted(map(tuple, fresh.collect())) == sorted(map(tuple, direct.collect()))
+    # second call reads the cache (poison the source to prove it)
+    poisoned = fx.taginfo_df(spark).limit(0)
+    cached = cache_toi_dim(poisoned, SETTINGS, path)
+    assert cached.count() == direct.count()
+
+
+def test_route_pois_partitioned_write(spark, tmp_path):
+    nodes_out = poi_nodes(fx.nodes_df(spark), fx.taginfo_df(spark), SETTINGS)
+    ways_out = poi_ways(fx.ways_df(spark), fx.taginfo_df(spark), SETTINGS).select(
+        "id", "version", "user_id",
+        F.date_format("tstamp", "yyyy-MM-dd HH:mm:ss").alias("tstamp"),
+        "changeset_id", "area_m2",
+    )
+    routed = route_pois(nodes_out, ways_out)
+    types = {r.osm_type for r in routed.select("osm_type").distinct().collect()}
+    assert types == {"node", "way"}
+    out = str(tmp_path / "pois")
+    write_routed(routed, out)
+    assert os.path.isdir(os.path.join(out, "osm_type=node"))
+    assert os.path.isdir(os.path.join(out, "osm_type=way"))
+    back = spark.read.parquet(out)
+    assert back.count() == routed.count()
+    # partition pruning: a single-type read lists only that directory
+    plan = back.filter(F.col("osm_type") == "node")._jdf.queryExecution().executedPlan().toString()
+    assert "osm_type=node" in plan or back.filter(F.col("osm_type") == "node").count() == nodes_out.count()
+
+
+def test_analyze_tables_records_stats(spark):
+    register_catalog_tables(spark, SF_SMOKE, ("orders",))
+    stats = analyze_tables(spark, ("orders",))
+    blob = stats["orders"].get("Statistics", "")
+    assert "rows" in blob  # e.g. "123456 bytes, 1500 rows"
+    # Catalyst sees the row count in the optimized plan's stats
+    est = (
+        spark.table("orders")._jdf.queryExecution().optimizedPlan().stats().rowCount().toString()
+    )
+    assert est != "None"
