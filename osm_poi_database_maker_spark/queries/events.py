@@ -39,14 +39,29 @@ def q_events_toi_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     group-by. The single-partition window is safe because its input is the
     already-aggregated distinct-value counts, not the fact table.
     """
-    e = _tagged_events(spark, sf_dir)
-    kv = e.select("event_id", F.explode("tags").alias("k", "v"))
+    raw = load_table(spark, sf_dir, "events")
+    # parse the JSON tag map ONCE: kv is lazily block-materialized
+    # (localCheckpoint) because the optimizer pushes the semi-join below
+    # a plain repartition barrier (PushDownLeftSemiAntiJoin), which would
+    # leave the dimension build and the semi-join each re-parsing the
+    # fact table — the dominant CPU at scale. The materialized form
+    # (event_id, v) is far narrower than the raw JSON.
+    kv = (
+        raw.select("event_id", F.explode(parse_json_tags(F.col("props"))).alias("k", "v"))
+        .select("event_id", "v")
+        .repartition("event_id")
+        .localCheckpoint(eager=False)
+    )
+    # top-k via sort+limit (TakeOrderedAndProject — distributed partial
+    # top-k per partition, no single-partition window over the counts)
     counts = kv.groupBy("v").agg(F.count("*").alias("cnt"))
-    w = Window.orderBy(F.desc("cnt"), F.asc("v"))
-    dim = counts.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 50).select("v")
+    dim = counts.orderBy(F.desc("cnt"), F.asc("v")).limit(50).select("v")
     kept = kv.join(F.broadcast(dim), "v", "left_semi").select("event_id").distinct()
+    # the final aggregate never touches the JSON column: membership in
+    # `kept` already implies a non-empty tag map (O3), so the fact side
+    # is a column-pruned parquet scan of 4 plain columns
     return (
-        e.join(kept, "event_id", "left_semi")
+        raw.join(kept, "event_id", "left_semi")
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
