@@ -51,6 +51,41 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "event_type", "user_id")
 
 
+N_TOP_TYPES = 3
+
+
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join: the event stream enriched against a
+    batch-built top-k event-type dimension, aggregated per type."""
+    from pyspark.sql import functions as F
+
+    from ..io import load_table
+
+    batch = load_table(spark, sf_dir, "events")
+    dim = (
+        batch.groupBy("event_type")
+        .agg(F.count("*").alias("type_count"))
+        .orderBy(F.desc("type_count"), F.asc("event_type"))
+        .limit(N_TOP_TYPES)
+        .select("event_type")
+    )
+    out = S.static_enriched_counts(S.stream_events(spark, sf_dir), dim)
+    return _materialize(out, spark, "complete")
+
+
+ORACLE_STREAM_STATIC = f"""
+WITH dim AS (
+  SELECT event_type FROM (
+    SELECT event_type, count(*) AS type_count FROM events GROUP BY event_type
+    ORDER BY type_count DESC, event_type ASC LIMIT {N_TOP_TYPES}
+  )
+)
+SELECT e.event_type, count(*) AS n_events, round(sum(e.value), 2) AS sum_value
+FROM events e JOIN dim USING (event_type)
+GROUP BY e.event_type
+"""
+
+
 ORACLE_STATEFUL = """
 SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
 FROM events GROUP BY user_id
@@ -65,6 +100,7 @@ QUERIES = {
     "stream_session_windows": q_stream_session_windows,
     "stream_stateful_user_totals": q_stream_stateful_user_totals,
     "stream_dedup_watermark": q_stream_dedup_watermark,
+    "stream_static_join": q_stream_static_join,
 }
 
 ORACLES = {
@@ -72,4 +108,5 @@ ORACLES = {
     "stream_session_windows": ORACLE_SESSION,
     "stream_stateful_user_totals": ORACLE_STATEFUL,
     "stream_dedup_watermark": ORACLE_STREAM_DEDUP,
+    "stream_static_join": ORACLE_STREAM_STATIC,
 }

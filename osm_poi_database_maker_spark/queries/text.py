@@ -8,7 +8,7 @@ aggregate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -210,12 +210,75 @@ FROM documents
 """
 
 
+def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF as pure relational algebra — no ML-pipeline fitting step:
+
+        tf(d,t)  = occurrences of t in d (explode + groupBy)
+        df(t)    = documents containing t (distinct + groupBy)
+        idf(t)   = ln((N+1)/(df+1)) + 1   (smoothed)
+        top-3 terms per doc by tf·idf (window, term tie-break)
+
+    Scale shape: two hash aggregations over the exploded token stream
+    (both map-side partial), the tiny df(t) side broadcast back, and a
+    per-doc top-k window partitioned by doc_id — no global sort. Lower-
+    cased tokens, alphabetic only, so the term space is bounded."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    n_docs = d.count()  # tiny driver-side scalar, exact
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_t = (
+        toks.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    scored = tf.join(F.broadcast(df_t), "term").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf") * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rk")
+    )
+
+
+ORACLE_TFIDF = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+  FROM documents
+),
+toks_f AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+n AS (SELECT count(*) AS n_docs FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks_f GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM toks_f) GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf, rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+  FROM scored
+)
+WHERE rk <= 3
+"""
+
+
 QUERIES = {
     "doc_token_stats": q_doc_token_stats,
     "doc_quality_score": q_doc_quality_score,
     "doc_lang_id": q_doc_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_token_regex": q_doc_token_regex,
+    "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
 }
 
 ORACLES = {
@@ -224,4 +287,5 @@ ORACLES = {
     "doc_lang_id": ORACLE_LANG_ID,
     "doc_fingerprint": ORACLE_FINGERPRINT,
     "doc_token_regex": ORACLE_TOKEN_REGEX,
+    "doc_tfidf_top_terms": ORACLE_TFIDF,
 }

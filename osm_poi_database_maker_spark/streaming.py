@@ -131,6 +131,19 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def static_enriched_counts(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: the streaming fact is enriched against a
+    batch-built dimension (the reference's TOI-dim probe, O6, on a
+    stream). The static side is broadcast once per micro-batch — no
+    stream-side state beyond the final aggregate, so this scales to any
+    stream rate as long as the dimension stays broadcast-sized."""
+    return (
+        events.join(F.broadcast(dim), "event_type")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
 def foreach_batch_parquet_sink(stream: DataFrame, path: str, checkpoint: str):
     """micro-batch → bulk-append sink (the reference's WRITE_AFTER COPY
     loop as foreachBatch; swap the body for write_copy_postgres to land

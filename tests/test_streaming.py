@@ -83,6 +83,31 @@ def test_stateful_user_counts(spark):
     assert got == expect
 
 
+def test_stream_static_join_matches_batch(spark):
+    from pyspark.sql import functions as F
+
+    batch = load_table(spark, SF_SMOKE, "events")
+    dim = (
+        batch.groupBy("event_type")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("event_type"))
+        .limit(3)
+        .select("event_type")
+    )
+    stream = S.stream_events(spark, SF_SMOKE)
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(S.static_enriched_counts(stream, dim), name, "complete")
+    got = {r.event_type: (r.n_events, r.sum_value) for r in spark.table(name).collect()}
+    expect = {
+        r.event_type: (r.n, r.s)
+        for r in batch.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .collect()
+    }
+    assert got == expect
+
+
 def test_foreach_batch_sink(spark, tmp_path):
     stream = S.stream_events(spark, SF_SMOKE)
     out = str(tmp_path / "sink")
