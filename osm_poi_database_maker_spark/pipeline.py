@@ -41,6 +41,19 @@ def build_toi_dim(taginfo: DataFrame, settings: Settings) -> DataFrame:
     )
 
 
+def with_progress_counters(df: DataFrame, name: str = "poi_pipeline") -> DataFrame:
+    """O2 (reference logs a counter every 1M objects, filter.py:213-228):
+    zero-cost streaming metrics via ``observe`` — row and distinct-ish
+    counts accumulate during the job (no extra pass, no action) and are
+    read from the observation after any action on the returned frame via
+    ``df.sparkSession`` listeners or `Observation` objects in tests."""
+    return df.observe(
+        name,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.approx_count_distinct("id").alias("approx_distinct_ids"),
+    )
+
+
 def cache_toi_dim(taginfo: DataFrame, settings: Settings, path: str) -> DataFrame:
     """O15 (reference filter.py:282-299): the tags.json cache as a
     poor-man's materialized view — build the TOI dimension once, persist

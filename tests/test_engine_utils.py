@@ -53,6 +53,22 @@ def test_route_pois_partitioned_write(spark, tmp_path):
     assert "osm_type=node" in plan or back.filter(F.col("osm_type") == "node").count() == nodes_out.count()
 
 
+def test_observe_progress_counters(spark):
+    from pyspark.sql import Observation
+
+    from osm_poi_database_maker_spark.pipeline import dedup_latest
+
+    obs = Observation("o2")
+    nodes = fx.nodes_df(spark).observe(
+        obs, F.count(F.lit(1)).alias("rows_seen")
+    )
+    out = dedup_latest(nodes)
+    n_out = out.count()
+    # the observation saw every input row in the same job — no extra pass
+    assert obs.get["rows_seen"] == len(fx.NODES)
+    assert n_out == len({r[0] for r in fx.NODES})
+
+
 def test_analyze_tables_records_stats(spark):
     register_catalog_tables(spark, SF_SMOKE, ("orders",))
     stats = analyze_tables(spark, ("orders",))
