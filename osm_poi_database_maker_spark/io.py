@@ -55,6 +55,21 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         df.createOrReplaceTempView(name)
 
 
+def taginfo_from_json(spark: SparkSession, path: str) -> DataFrame:
+    """O14/O15 JSON source parity: read the reference's ``tags.json``
+    cache shape — ``{"retrieval_date": str, "data": {key: {value:
+    count}}}`` (filter.py:291-297) — into the engine's flat
+    ``(key, value, count)`` dimension. The nested map explodes twice;
+    the file is driver-dimension-sized so this is one task."""
+    raw = spark.read.schema(
+        "retrieval_date string, data map<string,map<string,bigint>>"
+    ).option("multiLine", "true").json(path)
+    return (
+        raw.select(F.explode("data").alias("key", "values"))
+        .select("key", F.explode("values").alias("value", "count"))
+    )
+
+
 def register_catalog_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None
 ) -> None:

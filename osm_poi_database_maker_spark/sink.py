@@ -121,8 +121,15 @@ def write_routed(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.partitionBy("osm_type").mode(mode).parquet(path)
 
 
-def write_dead_letter(df: DataFrame, path: str) -> None:
+def write_dead_letter(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     """Quarantine sink (reference dumps failed batches to
-    logs/error_obj_list.csv, filter.py:72-73): parquet, append-mode, so
-    re-runs accumulate an auditable reject log."""
-    df.withColumn("_quarantined_at", F.current_timestamp()).write.mode("append").parquet(path)
+    logs/error_obj_list.csv, filter.py:72-73): append-mode so re-runs
+    accumulate an auditable reject log. ``fmt="csv"`` reproduces the
+    reference's artifact byte-for-byte shape (header row, one file per
+    partition); parquet is the default for typed re-ingestion."""
+    out = df.withColumn("_quarantined_at", F.current_timestamp())
+    writer = out.write.mode("append")
+    if fmt == "csv":
+        writer.option("header", "true").csv(path)
+    else:
+        writer.parquet(path)

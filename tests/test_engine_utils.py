@@ -69,6 +69,39 @@ def test_observe_progress_counters(spark):
     assert n_out == len({r[0] for r in fx.NODES})
 
 
+def test_taginfo_from_json_reference_shape(spark, tmp_path):
+    import json
+
+    from osm_poi_database_maker_spark.io import taginfo_from_json
+
+    tags_json = {
+        "retrieval_date": "2026-08-13",
+        "data": {
+            "amenity": {"cafe": 120000, "bench": 90000},
+            "shop": {"bakery": 45000},
+        },
+    }
+    p = tmp_path / "tags.json"
+    p.write_text(json.dumps(tags_json))
+    rows = sorted(map(tuple, taginfo_from_json(spark, str(p)).collect()))
+    assert rows == [
+        ("amenity", "bench", 90000),
+        ("amenity", "cafe", 120000),
+        ("shop", "bakery", 45000),
+    ]
+
+
+def test_dead_letter_csv(spark, tmp_path):
+    from osm_poi_database_maker_spark.sink import write_dead_letter
+
+    df = spark.createDataFrame([(1, "bad geom"), (2, "dup id")], "id long, reason string")
+    out = str(tmp_path / "dl")
+    write_dead_letter(df, out, fmt="csv")
+    back = spark.read.option("header", "true").csv(out)
+    assert back.count() == 2
+    assert {"id", "reason", "_quarantined_at"} <= set(back.columns)
+
+
 def test_analyze_tables_records_stats(spark):
     register_catalog_tables(spark, SF_SMOKE, ("orders",))
     stats = analyze_tables(spark, ("orders",))
