@@ -1,0 +1,114 @@
+"""Property-based tests (SURVEY §5.3): hstore escaping round-trips
+through a real hstore parser; WKB codecs round-trip bit-exactly."""
+
+from __future__ import annotations
+
+import struct
+
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from osm_poi_database_maker_spark.geo import wkb_point_hex, wkb_polygon_hex
+from osm_poi_database_maker_spark.ops.tags import hstore_literal
+
+
+def parse_hstore(s: str) -> dict[str, str]:
+    """Minimal strict parser of the `"k"=>"v",...` literal grammar
+    PostgreSQL accepts (backslash escapes for ``\\`` and ``"``)."""
+    if s == "":
+        return {}
+    out: dict[str, str] = {}
+    i = 0
+
+    def read_quoted(i: int) -> tuple[str, int]:
+        assert s[i] == '"', s[i:]
+        i += 1
+        buf: list[str] = []
+        while True:
+            c = s[i]
+            if c == "\\":
+                buf.append(s[i + 1])
+                i += 2
+            elif c == '"':
+                return "".join(buf), i + 1
+            else:
+                buf.append(c)
+                i += 1
+
+    while i < len(s):
+        k, i = read_quoted(i)
+        assert s[i : i + 2] == "=>"
+        i += 2
+        v, i = read_quoted(i)
+        out[k] = v
+        if i < len(s):
+            assert s[i] == ","
+            i += 1
+    return out
+
+
+def _norm(s: str) -> str:
+    # the reference's sanitizer maps newline/CR/tab to spaces (lossy by
+    # design, filter.py:92-100); everything else must round-trip exactly
+    return s.replace("\n", " ").replace("\r", " ").replace("\t", " ")
+
+
+# keys exclude the normalized whitespace chars so two distinct keys can't
+# collide post-normalization; values exercise the full escape surface
+_KEY = st.text(
+    st.characters(blacklist_characters='\n\r\t', blacklist_categories=("Cs",)),
+    min_size=1,
+    max_size=12,
+)
+_VAL = st.text(
+    st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=20
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.dictionaries(_KEY, _VAL, min_size=0, max_size=6))
+def test_hstore_literal_roundtrips_through_parser(spark, tags):
+    pairs = []
+    for k, v in tags.items():
+        pairs += [F.lit(k), F.lit(v)]
+    m = F.create_map(*pairs) if pairs else F.create_map().cast("map<string,string>")
+    lit = spark.range(1).select(hstore_literal(m).alias("h")).collect()[0].h
+    assert parse_hstore(lit) == {_norm(k): _norm(v) for k, v in tags.items()}
+
+
+_COORD = st.floats(
+    min_value=-180.0, max_value=180.0, allow_nan=False, allow_infinity=False
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.tuples(_COORD, _COORD), min_size=1, max_size=16))
+def test_wkb_point_roundtrip_bit_exact(coords):
+    lon = pd.Series([c[0] for c in coords])
+    lat = pd.Series([c[1] for c in coords])
+    hexes = wkb_point_hex.func(lon, lat)
+    for (x, y), h in zip(coords, hexes):
+        raw = bytes.fromhex(h)
+        assert raw[0] == 1 and raw[1:5] == b"\x01\x00\x00\x00"
+        dx, dy = struct.unpack("<dd", raw[5:21])
+        # bit-exact (covers -0.0, subnormals, ties)
+        assert struct.pack("<d", dx) == struct.pack("<d", x)
+        assert struct.pack("<d", dy) == struct.pack("<d", y)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.tuples(_COORD, _COORD), min_size=3, max_size=8))
+def test_wkb_polygon_roundtrip(pts):
+    ring = [{"lon": x, "lat": y} for x, y in pts] + [{"lon": pts[0][0], "lat": pts[0][1]}]
+    h = wkb_polygon_hex.func(pd.Series([ring]))[0]
+    raw = bytes.fromhex(h)
+    order, gtype, nrings, npts = struct.unpack("<BIII", raw[:13])
+    assert (order, gtype, nrings, npts) == (1, 3, 1, len(ring))
+    decoded = [
+        struct.unpack("<dd", raw[13 + 16 * i : 29 + 16 * i]) for i in range(npts)
+    ]
+    assert decoded[0] == decoded[-1]
+    for (x, y), (dx, dy) in zip([(p["lon"], p["lat"]) for p in ring], decoded):
+        assert struct.pack("<d", dx) == struct.pack("<d", x)
+        assert struct.pack("<d", dy) == struct.pack("<d", y)
