@@ -301,6 +301,84 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+# --- shipping-priority top-k (TPC-H Q3 shape: join + filter + topk) --------
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered 3-way join + aggregate + global top-10 by revenue.
+    The global top-k is a TakeOrderedAndProject (per-partition partial
+    top-k, then a 10-row merge on the driver) — no full sort."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+ORACLE_SHIPPING = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1995-03-15'
+  AND l_shipdate > DATE '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# --- exact percentiles (ordered-set aggregate) ------------------------------
+
+def q_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of order value per order priority —
+    `percentile` (exact; one sort per group internally), matching
+    DuckDB's quantile_cont definition. For 100 TB use
+    `approx_percentile` (t-digest sketch, mergeable map-side) — kept
+    exact here so the oracle can hash-match."""
+    o = load_table(spark, sf_dir, "orders")
+    pct = F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(pct[0], 2).alias("p50"),
+            F.round(pct[1], 2).alias("p90"),
+            F.round(pct[2], 2).alias("p99"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 2) AS p99,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -311,6 +389,8 @@ QUERIES = {
     "order_rollup": q_order_rollup,
     "orders_pk_audit": q_orders_pk_audit,
     "order_priority_cube": q_order_priority_cube,
+    "shipping_priority": q_shipping_priority,
+    "order_value_percentiles": q_order_value_percentiles,
 }
 
 ORACLES = {
@@ -323,4 +403,6 @@ ORACLES = {
     "order_rollup": ORACLE_ROLLUP,
     "orders_pk_audit": ORACLE_PK_AUDIT,
     "order_priority_cube": ORACLE_CUBE,
+    "shipping_priority": ORACLE_SHIPPING,
+    "order_value_percentiles": ORACLE_PERCENTILES,
 }

@@ -14,7 +14,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 from .. import streaming as S
-from .events import ORACLE_HOURLY, ORACLE_SESSION
+from .events import ORACLE_HOURLY, ORACLE_SESSION, ORACLE_SLIDING
 
 
 def _materialize(df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
@@ -32,6 +32,10 @@ def _materialize(df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
 
 def q_stream_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialize(S.windowed_counts(S.stream_events(spark, sf_dir)), spark, "complete")
+
+
+def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _materialize(S.sliding_counts(S.stream_events(spark, sf_dir)), spark, "complete")
 
 
 def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -97,6 +101,7 @@ SELECT event_id, event_type, user_id FROM events
 
 QUERIES = {
     "stream_hourly_window": q_stream_hourly_window,
+    "stream_sliding_window": q_stream_sliding_window,
     "stream_session_windows": q_stream_session_windows,
     "stream_stateful_user_totals": q_stream_stateful_user_totals,
     "stream_dedup_watermark": q_stream_dedup_watermark,
@@ -105,6 +110,7 @@ QUERIES = {
 
 ORACLES = {
     "stream_hourly_window": ORACLE_HOURLY,
+    "stream_sliding_window": ORACLE_SLIDING,
     "stream_session_windows": ORACLE_SESSION,
     "stream_stateful_user_totals": ORACLE_STATEFUL,
     "stream_dedup_watermark": ORACLE_STREAM_DEDUP,

@@ -101,16 +101,32 @@ _LANG_ORDER = tuple(sorted(_LANG_WORDS))  # deterministic argmax tie-break
 
 def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dictionary-overlap language ID: score = count of tokens in each
-    language's marker list; argmax with alphabetical tie-break. A pure
-    expression — the n-gram heuristic of fasttext-style lang-id reduced
-    to its cheapest deterministic form."""
+    language's marker list; argmax with alphabetical tie-break — the
+    n-gram heuristic of fasttext-style lang-id in its cheapest
+    deterministic form.
+
+    Plan shape: explode tokens → broadcast inner join against the tiny
+    (word, lang) marker dim → pivot-count per doc → left join back so
+    zero-match docs keep all-zero scores. Fully codegen'd; the earlier
+    higher-order `filter(toks, isin)` per language was interpreted
+    per-token and ~4× slower."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), " +")
+    marker_rows = [
+        (w, lang) for lang in _LANG_ORDER for w in _LANG_WORDS[lang]
+    ]
+    dim = spark.createDataFrame(marker_rows, "tok string, mlang string")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " +")).alias("tok")
+    )
+    counts = (
+        toks.join(F.broadcast(dim), "tok")
+        .groupBy("doc_id")
+        .pivot("mlang", list(_LANG_ORDER))
+        .count()
+    )
+    joined = d.select("doc_id", "lang").join(counts, "doc_id", "left")
     scores = {
-        lang: F.size(
-            F.filter(toks, lambda t: t.isin(*_LANG_WORDS[lang]))  # noqa: B023
-        ).cast("long")
-        for lang in _LANG_ORDER
+        lang: F.coalesce(F.col(lang), F.lit(0)).cast("long") for lang in _LANG_ORDER
     }
     pred = F.lit(None).cast("string")
     # reversed CASE chain: earliest lang in _LANG_ORDER wins ties
@@ -122,13 +138,12 @@ def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             c = scores[lang] >= scores[other]
             cond = c if cond is None else (cond & c)
         pred = F.when(cond, F.lit(lang)).otherwise(pred)
-    out = d.select(
+    return joined.select(
         "doc_id",
         "lang",
         *[scores[lang].alias(f"score_{lang}") for lang in _LANG_ORDER],
         pred.alias("predicted_lang"),
     )
-    return out
 
 
 def _lang_scores_sql() -> str:
