@@ -379,6 +379,40 @@ GROUP BY o_orderpriority
 """
 
 
+# --- pivot (brand revenue by return flag) ----------------------------------
+
+_RETURN_FLAGS = ("A", "N", "R")
+
+
+def q_brand_returnflag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: revenue per part brand × return flag as columns. The part
+    dimension is broadcast into the fact scan; the pivot's value list is
+    explicit so Spark skips the extra distinct-values job and plans ONE
+    aggregation (each pivot cell is a conditional partial agg)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .pivot("l_returnflag", list(_RETURN_FLAGS))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2))
+        .select(
+            "p_brand",
+            *[F.coalesce(F.col(f), F.lit(0.0)).alias(f"rev_{f}") for f in _RETURN_FLAGS],
+        )
+    )
+
+
+ORACLE_PIVOT = """
+SELECT p_brand,
+       coalesce(round(sum(CASE WHEN l_returnflag = 'A' THEN l_extendedprice * (1 - l_discount) END), 2), 0.0) AS rev_A,
+       coalesce(round(sum(CASE WHEN l_returnflag = 'N' THEN l_extendedprice * (1 - l_discount) END), 2), 0.0) AS rev_N,
+       coalesce(round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice * (1 - l_discount) END), 2), 0.0) AS rev_R
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -391,6 +425,7 @@ QUERIES = {
     "order_priority_cube": q_order_priority_cube,
     "shipping_priority": q_shipping_priority,
     "order_value_percentiles": q_order_value_percentiles,
+    "brand_returnflag_pivot": q_brand_returnflag_pivot,
 }
 
 ORACLES = {
@@ -405,4 +440,5 @@ ORACLES = {
     "order_priority_cube": ORACLE_CUBE,
     "shipping_priority": ORACLE_SHIPPING,
     "order_value_percentiles": ORACLE_PERCENTILES,
+    "brand_returnflag_pivot": ORACLE_PIVOT,
 }
