@@ -90,6 +90,30 @@ GROUP BY e.event_type
 """
 
 
+def q_stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream watermarked join (purchase ← same-user click within
+    2 hours): both sides are live streams; bounded time-range condition
+    keeps join state finite."""
+    out = S.stream_stream_attribution(S.stream_events(spark, sf_dir))
+    return _materialize(out, spark, "append")
+
+
+ORACLE_STREAM_STREAM = """
+SELECT p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       p.user_id AS user_id,
+       epoch_us(p.ts) AS purchase_ts_us,
+       epoch_us(c.ts) AS click_ts_us,
+       round(p.value, 2) AS purchase_value
+FROM events p
+JOIN events c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND p.user_id = c.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 2 HOUR
+"""
+
+
 ORACLE_STATEFUL = """
 SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
 FROM events GROUP BY user_id
@@ -106,6 +130,7 @@ QUERIES = {
     "stream_stateful_user_totals": q_stream_stateful_user_totals,
     "stream_dedup_watermark": q_stream_dedup_watermark,
     "stream_static_join": q_stream_static_join,
+    "stream_stream_attribution": q_stream_stream_attribution,
 }
 
 ORACLES = {
@@ -115,4 +140,5 @@ ORACLES = {
     "stream_stateful_user_totals": ORACLE_STATEFUL,
     "stream_dedup_watermark": ORACLE_STREAM_DEDUP,
     "stream_static_join": ORACLE_STREAM_STATIC,
+    "stream_stream_attribution": ORACLE_STREAM_STREAM,
 }

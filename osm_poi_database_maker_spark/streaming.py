@@ -144,6 +144,57 @@ def static_enriched_counts(events: DataFrame, dim: DataFrame) -> DataFrame:
     )
 
 
+def stream_stream_attribution(
+    events: DataFrame,
+    click_type: str = "click",
+    purchase_type: str = "purchase",
+    horizon: str = "2 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: attribute each purchase to the SAME
+    user's click within ``horizon`` before it.
+
+    Both sides carry watermarks and the join condition bounds event time
+    on both ends, so Spark can expire join state — the required shape
+    for unbounded streams (an unbounded-range condition would grow state
+    forever). Output: one row per (click, purchase) pair in range."""
+    clicks = (
+        events.filter(F.col("event_type") == click_type)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == purchase_type)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return (
+        purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")),
+        )
+        .select(
+            "purchase_id",
+            "click_id",
+            F.col("p_user").alias("user_id"),
+            F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+            F.unix_micros("click_ts").alias("click_ts_us"),
+            F.round("purchase_value", 2).alias("purchase_value"),
+        )
+    )
+
+
 def foreach_batch_parquet_sink(stream: DataFrame, path: str, checkpoint: str):
     """micro-batch → bulk-append sink (the reference's WRITE_AFTER COPY
     loop as foreachBatch; swap the body for write_copy_postgres to land

@@ -108,6 +108,17 @@ def test_stream_static_join_matches_batch(spark):
     assert got == expect
 
 
+def test_stream_stream_attribution_within_horizon(spark):
+    stream = S.stream_events(spark, SF_SMOKE)
+    name = f"attr_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(S.stream_stream_attribution(stream), name, "append")
+    rows = spark.table(name).collect()
+    assert rows, "no attributed purchases found in fixture"
+    horizon_us = 2 * 3600 * 1_000_000
+    for r in rows:
+        assert 0 <= r.purchase_ts_us - r.click_ts_us <= horizon_us
+
+
 def test_foreach_batch_sink(spark, tmp_path):
     stream = S.stream_events(spark, SF_SMOKE)
     out = str(tmp_path / "sink")
