@@ -287,6 +287,57 @@ WHERE rk <= 3
 """
 
 
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24
+
+
+def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM context chunking as a Python UDTF (SURVEY §2.2 UDTF surface —
+    the engine's user-extensible one-row-in/many-rows-out operator, the
+    PL/pgSQL unnest function's modern analogue): overlapping token
+    windows of 32 tokens at stride 24 per document, emitted via a
+    LATERAL join. UDTFs are the flexible path; for this specific op the
+    pure-expression equivalent (sequence + transform + explode) would be
+    faster — the query exists to keep the UDTF machinery covered."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk_text string, n_tokens int")
+    class ChunkWindows:
+        def eval(self, text: str):
+            import re as _re
+
+            toks = _re.split(" +", text or "")
+            for i, start in enumerate(range(0, len(toks), CHUNK_STRIDE)):
+                window = toks[start : start + CHUNK_SIZE]
+                yield i, " ".join(window), len(window)
+
+    spark.udtf.register("chunk_windows", ChunkWindows)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("__docs_for_chunks")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.n_tokens, c.chunk_text
+        FROM __docs_for_chunks d, LATERAL chunk_windows(d.text) c
+        """
+    )
+
+
+ORACLE_CHUNKS = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, ' +') AS t FROM documents
+),
+starts AS (
+  SELECT doc_id, t,
+         unnest(range(0, greatest(1, CAST(ceil(len(t) / {CHUNK_STRIDE}.0) AS INT)))) AS i
+  FROM toks
+)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_idx,
+       CAST(len(t[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_SIZE}]) AS INT) AS n_tokens,
+       array_to_string(t[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_SIZE}], ' ') AS chunk_text
+FROM starts
+"""
+
+
 QUERIES = {
     "doc_token_stats": q_doc_token_stats,
     "doc_quality_score": q_doc_quality_score,
@@ -294,6 +345,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "doc_token_regex": q_doc_token_regex,
     "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
+    "doc_chunk_windows": q_doc_chunk_windows,
 }
 
 ORACLES = {
@@ -303,4 +355,5 @@ ORACLES = {
     "doc_fingerprint": ORACLE_FINGERPRINT,
     "doc_token_regex": ORACLE_TOKEN_REGEX,
     "doc_tfidf_top_terms": ORACLE_TFIDF,
+    "doc_chunk_windows": ORACLE_CHUNKS,
 }

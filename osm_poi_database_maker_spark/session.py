@@ -32,6 +32,11 @@ def get_spark(app_name: str = "osm_poi_database_maker_spark") -> SparkSession:
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce post-shuffle partitions to the advisory size (64MB)
+        # rather than preserving parallelism: tiny shuffles collapse to
+        # one task (map-side work keeps full parallelism), big shuffles
+        # still split at 64MB — the right behavior at every scale
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
