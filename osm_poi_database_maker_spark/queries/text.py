@@ -301,7 +301,7 @@ def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     faster — the query exists to keep the UDTF machinery covered."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="chunk_idx int, chunk_text string, n_tokens int")
+    @udtf(returnType="chunk_idx int, chunk_text string, n_tokens int", useArrow=True)
     class ChunkWindows:
         def eval(self, text: str):
             import re as _re
