@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from osm_poi_database_maker_spark import osm_fixtures as fx
 from osm_poi_database_maker_spark.pipeline import poi_nodes
@@ -41,6 +42,32 @@ def test_dead_letter_roundtrip(spark, tmp_path):
     write_dead_letter(q.drop("tags"), path)
     back = spark.read.parquet(path)
     assert back.count() == 1 and "_quarantined_at" in back.columns
+
+
+def test_jdbc_roundtrip_embedded_derby(spark):
+    # real JDBC source + sink through the Derby driver Spark ships:
+    # write with the reference's WRITE_AFTER batch size, read back, and
+    # verify the JDBC scan pushes a predicate down to the database
+    from osm_poi_database_maker_spark.sink import write_jdbc
+
+    url = "jdbc:derby:memory:sinktest;create=true"
+    df = spark.createDataFrame(
+        [(i, f"name{i}", float(i) * 1.5) for i in range(100)],
+        "id bigint, name string, val double",
+    )
+    write_jdbc(df, url, "pois", batchsize=10_000, mode="overwrite")
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "pois")
+        .load()
+    )
+    assert back.count() == 100
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    filtered = back.filter(F.col("id") < 10)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "id" in plan  # predicate reaches the DB
+    assert filtered.count() == 10
 
 
 def test_osm_bridge_requires_osmium():
