@@ -327,6 +327,25 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+def q_events_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — the 100 TB form of distinct counting and
+    quantiles: approx_count_distinct (HyperLogLog++, fixed ~KB state,
+    mergeable map-side) and approx_percentile (t-digest). Rows-only
+    driver check (sketch estimates are engine-specific);
+    tests/test_entry.py asserts the estimates land within tolerance of
+    the exact values."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.round(F.expr("approx_percentile(value, 0.5)"), 2).alias("p50_value"),
+            F.round(F.expr("approx_percentile(value, 0.95)"), 2).alias("p95_value"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
 QUERIES = {
     "events_toi_pipeline": q_events_toi_pipeline,
     "events_tag_explode": q_events_tag_explode,
@@ -336,6 +355,7 @@ QUERIES = {
     "events_sliding_window": q_events_sliding_window,
     "events_session_windows": q_events_session_windows,
     "events_asof_join": q_events_asof_join,
+    "events_sketch_stats": q_events_sketch_stats,
 }
 
 ORACLES = {

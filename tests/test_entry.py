@@ -22,6 +22,29 @@ def test_oracle_keys_subset_of_queries():
     assert len(qs) >= 20
 
 
+def test_sketch_stats_within_tolerance(spark):
+    from pyspark.sql import functions as F
+
+    from osm_poi_database_maker_spark.io import load_table
+    from osm_poi_database_maker_spark.queries.events import q_events_sketch_stats
+
+    approx = {r.event_type: r for r in q_events_sketch_stats(spark, SF_SMOKE).collect()}
+    e = load_table(spark, SF_SMOKE, "events")
+    exact = {
+        r.event_type: r
+        for r in e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    for t, a in approx.items():
+        x = exact[t]
+        assert abs(a.approx_users - x.users) / max(x.users, 1) < 0.1
+        assert abs(a.p50_value - x.p50) / max(abs(x.p50), 1e-9) < 0.1
+
+
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))
 def test_query_runs_on_smoke_sf(spark, name):
     df = entrymod.queries()[name](spark, SF_SMOKE)
