@@ -81,6 +81,53 @@ def extract_image_features(images: DataFrame, decode_stub: bool = True) -> DataF
     return images.mapInPandas(batches, IMAGE_FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = "doc_id long, width int, height int, payload binary"
+
+
+def resize_images(
+    images: DataFrame,
+    target_w: int = 32,
+    target_h: int = 32,
+    channels: int = 3,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Resize via mapInPandas: emits a fixed-size payload per image —
+    the normalization step before batching images into a training run.
+
+    Stub resize produces a deterministic ``target_w·target_h·channels``
+    payload by cyclically sampling the source bytes (decode-free but
+    shape-faithful); ``decode_stub=False`` marks where a real
+    interpolating resize plugs in. Output payload size is constant, so
+    downstream batch shapes (and Arrow batch memory) are exactly
+    predictable — the property a real pipeline needs from this stage."""
+    out_len = target_w * target_h * channels
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real image resize requires an image codec (PIL/opencv); "
+                    "not available in this environment"
+                )
+
+            def stub_resize(b: bytes) -> bytes:
+                if not b:
+                    return bytes(out_len)
+                reps = -(-out_len // len(b))  # ceil
+                return (b * reps)[:out_len]
+
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": target_w,
+                    "height": target_h,
+                    "payload": pdf["payload"].apply(stub_resize),
+                }
+            )
+
+    return images.mapInPandas(batches, RESIZED_SCHEMA)
+
+
 def sample_frames(videos: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
     """Frame-sampling plumbing: one output row per sampled frame offset —
     the explode pattern a real video pipeline uses, with byte offsets

@@ -69,6 +69,24 @@ def test_multimodal_stub_features(spark):
     assert all(0.0 <= r.mean_intensity <= 1.0 for r in rows)
 
 
+def test_multimodal_resize_fixed_shape(spark):
+    from osm_poi_database_maker_spark.multimodal import (
+        documents_as_image_table,
+        resize_images,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    out = resize_images(documents_as_image_table(d), target_w=8, target_h=8)
+    rows = out.limit(20).collect()
+    assert rows and all(len(r.payload) == 8 * 8 * 3 for r in rows)
+    assert all(r.width == 8 and r.height == 8 for r in rows)
+    # deterministic: same input -> same payload
+    again = {r.doc_id: bytes(r.payload) for r in resize_images(
+        documents_as_image_table(d), target_w=8, target_h=8).limit(20).collect()}
+    for r in rows:
+        assert bytes(r.payload) == again[r.doc_id]
+
+
 def test_multimodal_decode_stub_gate(spark):
     import pytest
 
