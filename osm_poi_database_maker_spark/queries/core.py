@@ -413,6 +413,66 @@ GROUP BY p_brand
 """
 
 
+# --- ranking windows beyond row_number --------------------------------------
+
+def q_customer_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function breadth in one window pass: quartile (ntile),
+    percent_rank, dense_rank of customers by account balance within
+    market segment — one shuffle on the partition key, all four
+    functions evaluated in the same Window operator."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.dense_rank().over(w).alias("drank"),
+    )
+
+
+ORACLE_RANKS = """
+SELECT c_custkey, c_mktsegment,
+       round(c_acctbal, 2) AS acctbal,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       dense_rank() OVER w AS drank
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+"""
+
+
+# --- explicit GROUPING SETS -------------------------------------------------
+
+def q_order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with a hand-picked set list — (status, priority),
+    (status), () — i.e. rollup minus the priority-only slice; one
+    hash-aggregate pass over grouping-id-tagged rows, same as
+    cube/rollup."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+               coalesce(o_orderpriority, 'ALL') AS orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -426,6 +486,8 @@ QUERIES = {
     "shipping_priority": q_shipping_priority,
     "order_value_percentiles": q_order_value_percentiles,
     "brand_returnflag_pivot": q_brand_returnflag_pivot,
+    "customer_value_ranks": q_customer_value_ranks,
+    "order_grouping_sets": q_order_grouping_sets,
 }
 
 ORACLES = {
@@ -441,4 +503,6 @@ ORACLES = {
     "shipping_priority": ORACLE_SHIPPING,
     "order_value_percentiles": ORACLE_PERCENTILES,
     "brand_returnflag_pivot": ORACLE_PIVOT,
+    "customer_value_ranks": ORACLE_RANKS,
+    "order_grouping_sets": ORACLE_GROUPING_SETS,
 }
