@@ -31,11 +31,40 @@ WAY_SCHEMA_DDL = (
 )
 
 
+def _arrow_schema(kind: str):
+    """Explicit Arrow schema per entity kind. Schema inference
+    (`from_pylist` without a schema) would type an all-None column (e.g.
+    a batch of location-less nodes) as null, making the spilled files
+    unmergeable on read — the schema must be pinned, not inferred."""
+    import pyarrow as pa
+
+    base = [
+        ("id", pa.int64()),
+        ("version", pa.int32()),
+        ("user_id", pa.int32()),
+        ("tstamp", pa.timestamp("us")),
+        ("changeset_id", pa.int64()),
+        ("tags", pa.map_(pa.string(), pa.string())),
+    ]
+    if kind == "nodes":
+        extra = [("lon", pa.float64()), ("lat", pa.float64()), ("geom_valid", pa.bool_())]
+    else:
+        extra = [
+            ("nodes", pa.list_(pa.int64())),
+            (
+                "ring",
+                pa.list_(pa.struct([("lon", pa.float64()), ("lat", pa.float64())])),
+            ),
+            ("geom_valid", pa.bool_()),
+        ]
+    return pa.schema(base + extra)
+
+
 def _rows_to_parquet(rows: list[dict[str, Any]], out_path: str, kind: str) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    table = pa.Table.from_pylist(rows)
+    table = pa.Table.from_pylist(rows, schema=_arrow_schema(kind))
     pq.write_table(table, out_path)
 
 

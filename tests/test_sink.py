@@ -70,6 +70,38 @@ def test_jdbc_roundtrip_embedded_derby(spark):
     assert filtered.count() == 10
 
 
+def test_osm_bridge_spill_schema_is_pinned(spark, tmp_path):
+    # a batch of location-less nodes must still write float64 lon/lat
+    # (inference would type them null and break schema merge on read)
+    import datetime as dt
+
+    from osm_poi_database_maker_spark.osm_source import NODE_SCHEMA_DDL, _rows_to_parquet
+
+    rows = [
+        {
+            "id": i,
+            "version": 1,
+            "user_id": 7,
+            "tstamp": dt.datetime(2024, 1, 1),
+            "changeset_id": 5,
+            "tags": {"amenity": "cafe"},
+            "lon": None,
+            "lat": None,
+            "geom_valid": False,
+        }
+        for i in range(3)
+    ]
+    p = str(tmp_path / "nodes_00000.parquet")
+    _rows_to_parquet(rows, p, "nodes")
+    back = spark.read.parquet(p)
+    expect = dict(spark.createDataFrame([], NODE_SCHEMA_DDL).dtypes)
+    # Arrow timestamp("us") reads back as TIMESTAMP_NTZ — the faithful
+    # mapping of the reference's `timestamp without time zone`
+    expect["tstamp"] = "timestamp_ntz"
+    assert dict(back.dtypes) == expect
+    assert back.count() == 3
+
+
 def test_osm_bridge_requires_osmium():
     from osm_poi_database_maker_spark.osm_source import pbf_to_parquet
 
