@@ -79,7 +79,11 @@ def register_catalog_tables(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for name in names or TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
-        spark.sql(f"CREATE TABLE IF NOT EXISTS {name} USING parquet LOCATION '{path}'")
+        # drop-and-recreate, not IF NOT EXISTS: re-registering with a
+        # different sf_dir must repoint the location, never silently keep
+        # serving (and ANALYZE-ing) the previous scale factor's files
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql(f"CREATE TABLE {name} USING parquet LOCATION '{path}'")
 
 
 def analyze_tables(

@@ -52,14 +52,9 @@ def write_embeddings_by_cell(
     """IVF inverted lists as partition directories: assign each vector to
     its nearest centroid cell (``similarity.train_ivf_centroids``) and
     partition by it — an ANN probe of n cells reads n directories."""
-    cents = cells
+    from .similarity import nearest_cell_udf
 
-    @pandas_udf("int")
-    def nearest_cell(vecs: pd.Series) -> pd.Series:
-        m = np.array(vecs.tolist(), dtype=np.float64)
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
-        return pd.Series((m @ cents.T).argmax(axis=1).astype(np.int32))
-
+    nearest_cell = nearest_cell_udf(cells)
     (
         embeddings.withColumn("ivf_cell", nearest_cell(F.col("embedding")))
         .write.partitionBy("ivf_cell")

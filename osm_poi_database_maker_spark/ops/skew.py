@@ -34,7 +34,17 @@ def salted_join(
     deterministic per row content, no rand() so retries/recomputes are
     stable; the dim side is exploded ``n_salts``× (dimension-sized, so
     the blowup is bounded) and the join runs on (key, salt).
+
+    Supported ``how``: inner / left / left_semi / left_anti — shapes
+    where unmatched DIM rows never surface. right/full would emit each
+    unmatched dim row once per salt copy (n_salts duplicates), so they
+    are rejected.
     """
+    if how.replace("outer", "").strip("_") in ("right", "full", ""):
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched dim rows "
+            "would be duplicated once per salt copy"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
     left = skewed.withColumn("__salt", salt.cast("int"))
     right = dim.withColumn(

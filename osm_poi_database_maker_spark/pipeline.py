@@ -64,7 +64,9 @@ def cache_toi_dim(taginfo: DataFrame, settings: Settings, path: str) -> DataFram
     try:
         return spark.read.parquet(path)
     except Exception:
-        build_toi_dim(taginfo, settings).coalesce(1).write.parquet(path)
+        # overwrite, not error-if-exists: a crashed earlier run can leave
+        # the path present but unreadable, and the rebuild must self-heal
+        build_toi_dim(taginfo, settings).coalesce(1).write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 
 

@@ -62,42 +62,50 @@ FROM (
 RESIZE_W, RESIZE_H = 8, 8
 
 
+_OUT_LEN = RESIZE_W * RESIZE_H * 3
+
+
 def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stub resize to a fixed 8×8×3 payload (mapInPandas); the payload is
-    summarized as (length, first byte, last byte) so the check is
-    SQL-expressible — the bytes themselves are covered by
-    tests/test_similarity.py determinism assertions."""
+    """Stub resize to a fixed 8×8×3 payload (mapInPandas). The
+    oracle-compared digest is CHARACTER-based (first codepoint +
+    codepoint at the cyclic wrap position) so both engines compute
+    identically for any text; the payload's actual bytes (a byte-level
+    cycle) are asserted by tests/test_similarity.py determinism and
+    shape checks."""
     from ..multimodal import documents_as_image_table, resize_images
 
     d = load_table(spark, sf_dir, "documents")
     out = resize_images(documents_as_image_table(d), RESIZE_W, RESIZE_H)
-    return out.select(
+    nchars = F.length("text")
+    digest = d.select(
+        "doc_id",
+        F.when(nchars == 0, 0)
+        .otherwise(F.ascii(F.substring("text", 1, 1)))
+        .alias("first_cp"),
+        F.when(nchars == 0, 0)
+        .otherwise(
+            F.expr(f"ascii(substring(text, (({_OUT_LEN} - 1) % length(text)) + 1, 1))")
+        )
+        .alias("cycle_cp"),
+    )
+    return out.join(digest, "doc_id").select(
         "doc_id",
         "width",
         "height",
         F.octet_length("payload").alias("n_out_bytes"),
-        F.conv(F.hex(F.substring(F.col("payload"), 1, 1)), 16, 10)
-        .cast("int")
-        .alias("first_byte"),
-        F.conv(F.hex(F.substring(F.col("payload"), RESIZE_W * RESIZE_H * 3, 1)), 16, 10)
-        .cast("int")
-        .alias("last_byte"),
+        "first_cp",
+        "cycle_cp",
     )
 
 
-_OUT_LEN = RESIZE_W * RESIZE_H * 3
 ORACLE_RESIZE = f"""
-WITH b AS (
-  SELECT doc_id, text, octet_length(encode(text)) AS n
-  FROM documents
-)
 SELECT doc_id,
        {RESIZE_W} AS width, {RESIZE_H} AS height,
        {_OUT_LEN} AS n_out_bytes,
-       CASE WHEN n = 0 THEN 0 ELSE ascii(substring(text, 1, 1)) END AS first_byte,
-       CASE WHEN n = 0 THEN 0
-            ELSE ascii(substring(text, (({_OUT_LEN} - 1) % n) + 1, 1)) END AS last_byte
-FROM b
+       CASE WHEN length(text) = 0 THEN 0 ELSE ascii(substring(text, 1, 1)) END AS first_cp,
+       CASE WHEN length(text) = 0 THEN 0
+            ELSE ascii(substring(text, (({_OUT_LEN} - 1) % length(text)) + 1, 1)) END AS cycle_cp
+FROM documents
 """
 
 

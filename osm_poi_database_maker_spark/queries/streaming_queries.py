@@ -26,7 +26,11 @@ def _materialize(df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    finished = q.awaitTermination(300)
+    if not finished:
+        # never hand back a silently-partial table — fail loudly
+        q.stop()
+        raise TimeoutError(f"streaming query {name} did not finish within 300s")
     return spark.table(name)
 
 
@@ -43,8 +47,18 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _materialize(
+    from pyspark.sql import functions as F
+
+    out = _materialize(
         S.stateful_user_counts(S.stream_events(spark, sf_dir)), spark, "update"
+    )
+    # update mode emits one row per touched user per micro-batch; keep
+    # each user's FINAL state (n_events is a monotone running counter),
+    # so the result is correct even when the source splits into several
+    # micro-batches
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_value", "n_events").alias("total_value"),
     )
 
 

@@ -102,6 +102,22 @@ def train_ivf_centroids(
     return cents
 
 
+def nearest_cell_udf(cents: np.ndarray):
+    """Pandas UDF assigning each vector its nearest IVF centroid cell —
+    THE single definition of the assignment rule, shared by the query
+    path (:func:`ivf_topk`) and the at-rest layout writer
+    (``layout.write_embeddings_by_cell``) so probes and partitions can
+    never diverge."""
+
+    @pandas_udf("int")
+    def nearest_cell(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        return pd.Series((m @ cents.T).argmax(axis=1).astype(np.int32))
+
+    return nearest_cell
+
+
 def ivf_topk(
     collection: DataFrame,
     queries: DataFrame,
@@ -122,12 +138,7 @@ def ivf_topk(
     ``partitionBy(cell)`` so a query batch becomes a partition-pruned
     scan (the Spark analogue of an IVF inverted list)."""
     cents = train_ivf_centroids(collection, n_cells, id_col=id_col, vec_col=vec_col)
-
-    @pandas_udf("int")
-    def nearest_cell(vecs: pd.Series) -> pd.Series:
-        m = np.array(vecs.tolist(), dtype=np.float64)
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
-        return pd.Series((m @ cents.T).argmax(axis=1).astype(np.int32))
+    nearest_cell = nearest_cell_udf(cents)
 
     @pandas_udf("array<int>")
     def probe_cells(vecs: pd.Series) -> pd.Series:
@@ -189,9 +200,12 @@ def cosine_neardup_pairs(
     left = e.join(F.broadcast(bp), e.blk == bp.bi).select(
         "bi", "bj", F.lit("a").alias("side"), "id", "vec"
     )
-    right = e.join(F.broadcast(bp), e.blk == bp.bj).select(
-        "bi", "bj", F.lit("b").alias("side"), "id", "vec"
-    )
+    # diagonal pairs (bi == bj) reuse the side-'a' rows in the scorer, so
+    # only off-diagonal pairs need a 'b' copy — saves a full shuffled
+    # copy of the collection (the widest rows in the plan)
+    right = e.join(
+        F.broadcast(bp.filter(F.col("bi") != F.col("bj"))), e.blk == bp.bj
+    ).select("bi", "bj", F.lit("b").alias("side"), "id", "vec")
 
     def score_block_pair(key, pdf):
         bi, bj = key
@@ -205,7 +219,11 @@ def cosine_neardup_pairs(
         mb = np.array(b["vec"].tolist(), dtype=np.float64)
         ma /= np.linalg.norm(ma, axis=1, keepdims=True)
         mb /= np.linalg.norm(mb, axis=1, keepdims=True)
-        cos = np.round(ma @ mb.T, 4)
+        raw = ma @ mb.T
+        # round half AWAY from zero to match Spark's F.round and DuckDB's
+        # round (np.round is half-to-even — threshold-boundary pairs
+        # would flip between engines)
+        cos = np.sign(raw) * np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4
         ii, jj = np.nonzero(cos >= threshold)
         da = a["id"].to_numpy()[ii]
         db = b["id"].to_numpy()[jj]

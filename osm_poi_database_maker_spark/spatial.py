@@ -33,6 +33,13 @@ def _quantize(coord: Column, offset: float, extent: float, n: int) -> Column:
     return F.greatest(F.lit(0), F.least(F.lit(n - 1), ix))
 
 
+def _quantize_scalar(coord: float, offset: float, extent: float, n: int) -> int:
+    """Driver-side twin of :func:`_quantize` — THE single scalar
+    definition; cover computation and pruning must quantize bit-
+    identically to the column expression or boundary rows get dropped."""
+    return max(0, min(n - 1, int(math.floor((coord + offset) / extent * n))))
+
+
 def grid_cell(lon: Column, lat: Column, res: int = GRID_RES) -> Column:
     """Cell id of the equal-angle lon/lat grid at 2^res × 2^res."""
     n = 1 << res
@@ -49,12 +56,8 @@ def cells_for_bbox(
     row inside the bbox. Cover size is O(bbox area / cell area); pick
     ``res`` so typical query boxes cover tens of cells, not thousands."""
     n = 1 << res
-
-    def q(coord: float, offset: float, extent: float) -> int:
-        return max(0, min(n - 1, int(math.floor((coord + offset) / extent * n))))
-
-    x0, x1 = q(min_lon, 180.0, 360.0), q(max_lon, 180.0, 360.0)
-    y0, y1 = q(min_lat, 90.0, 180.0), q(max_lat, 90.0, 180.0)
+    x0, x1 = _quantize_scalar(min_lon, 180.0, 360.0, n), _quantize_scalar(max_lon, 180.0, 360.0, n)
+    y0, y1 = _quantize_scalar(min_lat, 90.0, 180.0, n), _quantize_scalar(max_lat, 90.0, 180.0, n)
     return [ix * n + iy for ix in range(x0, x1 + 1) for iy in range(y0, y1 + 1)]
 
 
@@ -121,12 +124,8 @@ def bbox_filter(
     :func:`cells_for_bbox` (IN-list) only for small covers, e.g.
     partition pruning over a partitionBy(cell) layout."""
     n = 1 << res
-
-    def q(coord: float, offset: float, extent: float) -> int:
-        return max(0, min(n - 1, int(math.floor((coord + offset) / extent * n))))
-
-    x0, x1 = q(min_lon, 180.0, 360.0), q(max_lon, 180.0, 360.0)
-    y0, y1 = q(min_lat, 90.0, 180.0), q(max_lat, 90.0, 180.0)
+    x0, x1 = _quantize_scalar(min_lon, 180.0, 360.0, n), _quantize_scalar(max_lon, 180.0, 360.0, n)
+    y0, y1 = _quantize_scalar(min_lat, 90.0, 180.0, n), _quantize_scalar(max_lat, 90.0, 180.0, n)
     lon, lat = F.col(lon_col), F.col(lat_col)
     cell = grid_cell(lon, lat, res)
     return df.filter(

@@ -30,6 +30,15 @@ def test_salted_join_matches_plain_join(spark):
     assert n_salts > 8
 
 
+def test_salted_join_rejects_outer_shapes(spark):
+    import pytest
+
+    df = spark.range(5).select(F.col("id").alias("k"))
+    for how in ("right", "full", "outer", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join does not support"):
+            salted_join(df, df, "k", how=how)
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     a = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") % 7).alias("x"))
     b = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") % 5).alias("y"))

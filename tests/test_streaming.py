@@ -19,7 +19,10 @@ def _run_to_memory(df, name: str, mode: str) -> None:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    finished = q.awaitTermination(120)
+    if not finished:
+        q.stop()
+        raise TimeoutError(f"streaming query {name} did not finish within 120s")
 
 
 def test_windowed_counts_match_batch(spark):
