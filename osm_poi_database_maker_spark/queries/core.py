@@ -473,6 +473,35 @@ GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
 """
 
 
+# --- correlated scalar subquery ---------------------------------------------
+
+def q_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders whose value exceeds 1.5× their
+    own customer's average order value. Catalyst de-correlates this into
+    an aggregate + join (no per-row re-execution), so it runs as one
+    shuffle on the correlation key — worth covering explicitly because
+    naive engines execute the subquery per outer row."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__orders_sq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
+        FROM __orders_sq o
+        WHERE o_totalprice > 1.5 * (
+          SELECT avg(o_totalprice) FROM __orders_sq i WHERE i.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+ORACLE_CORRELATED = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
+FROM orders o
+WHERE o_totalprice > 1.5 * (
+  SELECT avg(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey
+)
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -488,6 +517,7 @@ QUERIES = {
     "brand_returnflag_pivot": q_brand_returnflag_pivot,
     "customer_value_ranks": q_customer_value_ranks,
     "order_grouping_sets": q_order_grouping_sets,
+    "orders_above_customer_avg": q_orders_above_customer_avg,
 }
 
 ORACLES = {
@@ -505,4 +535,5 @@ ORACLES = {
     "brand_returnflag_pivot": ORACLE_PIVOT,
     "customer_value_ranks": ORACLE_RANKS,
     "order_grouping_sets": ORACLE_GROUPING_SETS,
+    "orders_above_customer_avg": ORACLE_CORRELATED,
 }
