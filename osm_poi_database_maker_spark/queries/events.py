@@ -327,6 +327,45 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hour, day, and grand-total
+    granularities in ONE pass via GROUPING SETS over pre-computed time
+    buckets — one shuffle of grouping-id-tagged rows instead of three
+    separate aggregations (the timescale rollup shape on Spark)."""
+    e = load_table(spark, sf_dir, "events")
+    e.select(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("h"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd HH:mm:ss").alias("d"),
+        "value",
+    ).createOrReplaceTempView("__events_tr")
+    return spark.sql(
+        """
+        SELECT coalesce(h, 'ALL') AS bucket_hour,
+               coalesce(d, 'ALL') AS bucket_day,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM __events_tr
+        GROUP BY GROUPING SETS ((h, d), (d), ())
+        """
+    )
+
+
+ORACLE_TIME_ROLLUP = """
+WITH b AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
+         strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS d,
+         value
+  FROM events
+)
+SELECT coalesce(h, 'ALL') AS bucket_hour,
+       coalesce(d, 'ALL') AS bucket_day,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM b
+GROUP BY GROUPING SETS ((h, d), (d), ())
+"""
+
+
 def q_events_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates — the 100 TB form of distinct counting and
     quantiles: approx_count_distinct (HyperLogLog++, fixed ~KB state,
@@ -356,6 +395,7 @@ QUERIES = {
     "events_session_windows": q_events_session_windows,
     "events_asof_join": q_events_asof_join,
     "events_sketch_stats": q_events_sketch_stats,
+    "events_time_rollup": q_events_time_rollup,
 }
 
 ORACLES = {
@@ -367,4 +407,5 @@ ORACLES = {
     "events_sliding_window": ORACLE_SLIDING,
     "events_session_windows": ORACLE_SESSION,
     "events_asof_join": ORACLE_ASOF,
+    "events_time_rollup": ORACLE_TIME_ROLLUP,
 }

@@ -121,6 +121,45 @@ def write_routed(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.partitionBy("osm_type").mode(mode).parquet(path)
 
 
+def merge_upsert(
+    spark,
+    target_path: str,
+    updates: DataFrame,
+    key: str = "id",
+    version_cols: tuple[str, ...] = ("version", "tstamp"),
+) -> None:
+    """Idempotent upsert into a parquet table — the engine's MERGE INTO
+    (the reference aborts on duplicate PKs, filter.py:58-64; we resolve
+    instead): union target + updates, keep the highest ``version_cols``
+    row per key, rewrite atomically (write to .staging, then swap).
+
+    Scale note: this rewrites the whole table — correct and simple for
+    dimension-sized tables; fact-sized targets should partition (layout
+    module) and rewrite only the partitions the updates touch, or use a
+    table format with transactional merge (Delta/Iceberg)."""
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    try:
+        current = spark.read.parquet(target_path)
+        merged = current.unionByName(updates)
+    except Exception:
+        merged = updates
+    w = Window.partitionBy(key).orderBy(*[F.desc(c) for c in version_cols])
+    latest = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    staging = target_path.rstrip("/") + ".staging"
+    latest.write.mode("overwrite").parquet(staging)
+    if os.path.exists(target_path):
+        shutil.rmtree(target_path)
+    os.rename(staging, target_path)
+
+
 def write_dead_letter(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     """Quarantine sink (reference dumps failed batches to
     logs/error_obj_list.csv, filter.py:72-73): append-mode so re-runs

@@ -102,6 +102,28 @@ def test_osm_bridge_spill_schema_is_pinned(spark, tmp_path):
     assert back.count() == 3
 
 
+def test_merge_upsert_keeps_latest_version(spark, tmp_path):
+    from osm_poi_database_maker_spark.sink import merge_upsert
+
+    path = str(tmp_path / "target")
+    v1 = spark.createDataFrame(
+        [(1, 1, "2024-01-01", "a"), (2, 1, "2024-01-01", "b")],
+        "id long, version int, tstamp string, payload string",
+    )
+    merge_upsert(spark, path, v1)  # bootstrap: no existing target
+    updates = spark.createDataFrame(
+        [(2, 2, "2024-02-01", "b2"), (3, 1, "2024-02-01", "c")],
+        "id long, version int, tstamp string, payload string",
+    )
+    merge_upsert(spark, path, updates)
+    rows = {r.id: (r.version, r.payload) for r in spark.read.parquet(path).collect()}
+    assert rows == {1: (1, "a"), 2: (2, "b2"), 3: (1, "c")}
+    # idempotent: replaying the same updates changes nothing
+    merge_upsert(spark, path, updates)
+    again = {r.id: (r.version, r.payload) for r in spark.read.parquet(path).collect()}
+    assert again == rows
+
+
 def test_osm_bridge_requires_osmium():
     from osm_poi_database_maker_spark.osm_source import pbf_to_parquet
 
