@@ -287,6 +287,41 @@ WHERE rk <= 3
 """
 
 
+def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: distinct-token
+    ratio and top-token fraction — the repetition filters a training-data
+    pipeline applies after the length/stopword heuristics. One explode +
+    two hash aggregations, both map-side partial; no window."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " +")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    return tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.round(F.count("*") / F.sum("c"), 4).alias("distinct_ratio"),
+        F.round(F.max("c") / F.sum("c"), 4).alias("top_token_fraction"),
+    )
+
+
+ORACLE_REPETITION = """
+WITH tf AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split_regex(text, ' +')) AS tok FROM documents)
+  GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       sum(c) AS n_tokens,
+       count(*) AS n_distinct,
+       round(count(*) / CAST(sum(c) AS DOUBLE), 4) AS distinct_ratio,
+       round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_token_fraction
+FROM tf
+GROUP BY doc_id
+"""
+
+
 CHUNK_SIZE = 32
 CHUNK_STRIDE = 24
 
@@ -346,6 +381,7 @@ QUERIES = {
     "doc_token_regex": q_doc_token_regex,
     "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
     "doc_chunk_windows": q_doc_chunk_windows,
+    "doc_repetition_stats": q_doc_repetition_stats,
 }
 
 ORACLES = {
@@ -356,4 +392,5 @@ ORACLES = {
     "doc_token_regex": ORACLE_TOKEN_REGEX,
     "doc_tfidf_top_terms": ORACLE_TFIDF,
     "doc_chunk_windows": ORACLE_CHUNKS,
+    "doc_repetition_stats": ORACLE_REPETITION,
 }
