@@ -88,6 +88,8 @@ def train_ivf_centroids(
         .limit(sample_size)
         .collect()
     )
+    if not rows:  # empty collection → no cells (callers short-circuit)
+        return np.zeros((0, 0))
     m = np.array([r.v for r in rows], dtype=np.float64)
     m /= np.linalg.norm(m, axis=1, keepdims=True)
     rng = np.random.RandomState(seed)
@@ -138,6 +140,10 @@ def ivf_topk(
     ``partitionBy(cell)`` so a query batch becomes a partition-pruned
     scan (the Spark analogue of an IVF inverted list)."""
     cents = train_ivf_centroids(collection, n_cells, id_col=id_col, vec_col=vec_col)
+    if cents.size == 0:
+        return collection.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rk int"
+        )
     nearest_cell = nearest_cell_udf(cents)
 
     @pandas_udf("array<int>")

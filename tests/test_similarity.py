@@ -56,6 +56,26 @@ def test_cosine_neardup_pairs_symmetric_blocks(spark):
     assert all(r.cosine >= 0.4 for r in rows)
 
 
+def test_empty_inputs_yield_empty_results(spark):
+    from osm_poi_database_maker_spark import dedup as D
+    from osm_poi_database_maker_spark.similarity import (
+        ann_topk as _ann,
+        cosine_neardup_pairs as _ndp,
+        ivf_topk as _ivf,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    one_emb = spark.createDataFrame([(1, [0.1] * 64)], "vec_id long, embedding array<float>")
+    assert D.minhash_near_dups(empty_docs).count() == 0
+    assert D.simhash_near_dups(empty_docs).count() == 0
+    assert _ann(empty_emb, one_emb).count() == 0
+    assert _ann(one_emb, empty_emb).count() == 0
+    assert _ndp(empty_emb).count() == 0
+    assert _ivf(empty_emb, empty_emb).count() == 0
+    assert _ivf(one_emb, one_emb).count() == 0  # single vector, no neighbors
+
+
 def test_multimodal_stub_features(spark):
     from osm_poi_database_maker_spark.multimodal import (
         documents_as_image_table,
