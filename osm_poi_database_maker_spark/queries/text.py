@@ -313,7 +313,7 @@ WITH tf AS (
   GROUP BY doc_id, tok
 )
 SELECT doc_id,
-       sum(c) AS n_tokens,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
        count(*) AS n_distinct,
        round(count(*) / CAST(sum(c) AS DOUBLE), 4) AS distinct_ratio,
        round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_token_fraction

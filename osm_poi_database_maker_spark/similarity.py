@@ -141,8 +141,14 @@ def ivf_topk(
     scan (the Spark analogue of an IVF inverted list)."""
     cents = train_ivf_centroids(collection, n_cells, id_col=id_col, vec_col=vec_col)
     if cents.size == 0:
-        return collection.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, cosine double, rk int"
+        # empty result with the SAME schema the non-empty path produces
+        # (id columns inherit the caller's id_col type)
+        q0 = queries.select(F.col(id_col).alias("query_id")).limit(0)
+        c0 = collection.select(F.col(id_col).alias("neighbor_id")).limit(0)
+        return (
+            q0.crossJoin(c0)
+            .withColumn("cosine", F.lit(None).cast("double"))
+            .withColumn("rk", F.lit(None).cast("int"))
         )
     nearest_cell = nearest_cell_udf(cents)
 

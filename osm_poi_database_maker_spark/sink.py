@@ -131,33 +131,49 @@ def merge_upsert(
     """Idempotent upsert into a parquet table — the engine's MERGE INTO
     (the reference aborts on duplicate PKs, filter.py:58-64; we resolve
     instead): union target + updates, keep the highest ``version_cols``
-    row per key, rewrite atomically (write to .staging, then swap).
+    row per key, swap the rewritten table in. Ties on ``version_cols``
+    resolve in favor of the UPDATES side, so a same-version correction
+    always lands and replays stay deterministic.
 
     Scale note: this rewrites the whole table — correct and simple for
     dimension-sized tables; fact-sized targets should partition (layout
     module) and rewrite only the partitions the updates touch, or use a
-    table format with transactional merge (Delta/Iceberg)."""
+    table format with transactional merge (Delta/Iceberg). The swap is
+    LOCAL-filesystem only (os.rename): target→.old, staging→target,
+    drop .old — a crash can leave a stray .old/.staging to clean up but
+    never a missing table. Object-store targets need a transactional
+    table format instead."""
     import os
     import shutil
 
     from pyspark.sql.window import Window
 
-    try:
-        current = spark.read.parquet(target_path)
-        merged = current.unionByName(updates)
-    except Exception:
-        merged = updates
-    w = Window.partitionBy(key).orderBy(*[F.desc(c) for c in version_cols])
+    exists = os.path.exists(target_path)
+    if exists:
+        # read/union failures (corrupt target, schema drift) must RAISE —
+        # never silently degrade to updates-only and wipe history
+        current = spark.read.parquet(target_path).withColumn("__src", F.lit(0))
+        merged = current.unionByName(updates.withColumn("__src", F.lit(1)))
+    else:
+        merged = updates.withColumn("__src", F.lit(1))
+    w = Window.partitionBy(key).orderBy(
+        *[F.desc(c) for c in version_cols], F.desc("__src")
+    )
     latest = (
         merged.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        .drop("__rn", "__src")
     )
     staging = target_path.rstrip("/") + ".staging"
+    old = target_path.rstrip("/") + ".old"
     latest.write.mode("overwrite").parquet(staging)
-    if os.path.exists(target_path):
-        shutil.rmtree(target_path)
+    if exists:
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(target_path, old)
     os.rename(staging, target_path)
+    if exists:
+        shutil.rmtree(old)
 
 
 def write_dead_letter(df: DataFrame, path: str, fmt: str = "parquet") -> None:

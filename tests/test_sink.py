@@ -122,6 +122,22 @@ def test_merge_upsert_keeps_latest_version(spark, tmp_path):
     merge_upsert(spark, path, updates)
     again = {r.id: (r.version, r.payload) for r in spark.read.parquet(path).collect()}
     assert again == rows
+    # same-version correction: the UPDATES side wins version ties
+    fix = spark.createDataFrame(
+        [(2, 2, "2024-02-01", "b2-fixed")],
+        "id long, version int, tstamp string, payload string",
+    )
+    merge_upsert(spark, path, fix)
+    assert {
+        r.id: r.payload for r in spark.read.parquet(path).collect()
+    }[2] == "b2-fixed"
+    # schema drift must raise, never silently wipe history
+    import pytest as _pytest
+
+    drifted = spark.createDataFrame([(9, 1, "2024-03-01")], "id long, version int, tstamp string")
+    with _pytest.raises(Exception):
+        merge_upsert(spark, path, drifted)
+    assert spark.read.parquet(path).count() == 3  # table untouched
 
 
 def test_osm_bridge_requires_osmium():
