@@ -122,6 +122,45 @@ def test_stream_stream_attribution_within_horizon(spark):
         assert 0 <= r.purchase_ts_us - r.click_ts_us <= horizon_us
 
 
+def test_watermark_closes_windows_across_batches(spark, tmp_path):
+    """Append mode over 4 time-ordered micro-batches: the watermark must
+    advance between batches, emit exactly the windows it has closed, and
+    withhold windows still open at the final watermark."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet").orderBy("ts").collect()
+    d = str(tmp_path / "batches")
+    import os
+
+    os.makedirs(d)
+    q = len(raw) // 4
+    for i in range(4):
+        chunk = raw[i * q : (i + 1) * q if i < 3 else len(raw)]
+        pq.write_table(pa.Table.from_pylist([r.asDict() for r in chunk]),
+                       f"{d}/events_{i:02d}.parquet")
+
+    stream = S.stream_events(spark, d, max_files_per_trigger=1)
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(S.windowed_counts(stream), name, "append")
+    got = {(r.window_start_us, r.event_type) for r in spark.table(name).collect()}
+
+    from osm_poi_database_maker_spark.queries.events import q_events_hourly_window
+
+    full_rows = q_events_hourly_window(spark, SF_SMOKE).collect()
+    full = {(r.window_start_us, r.event_type) for r in full_rows}
+    max_ts = load_table(spark, SF_SMOKE, "events").agg(F.max("ts")).collect()[0][0]
+    wm_us = int((max_ts - dt.timedelta(minutes=10)).timestamp() * 1e6)
+    closed = {
+        (w, t) for (w, t) in full if w + 3_600_000_000 <= wm_us
+    }
+    assert got == closed, (len(got), len(closed), len(full))
+    assert got < full  # at least the final open window is withheld
+
+
 def test_foreach_batch_sink(spark, tmp_path):
     stream = S.stream_events(spark, SF_SMOKE)
     out = str(tmp_path / "sink")
