@@ -502,6 +502,44 @@ WHERE o_totalprice > 1.5 * (
 """
 
 
+# --- supplier revenue (second fact join path) -------------------------------
+
+def q_top_suppliers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per supplier with nation context: lineitem joins supplier
+    (broadcast — dimension-sized) and nation (broadcast), top 25 by
+    revenue via TakeOrderedAndProject. Exercises the second join path out
+    of the fact table (l_suppkey) alongside the orders path."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_suppkey", "s_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lineitems"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("s_suppkey"))
+        .limit(25)
+    )
+
+
+ORACLE_TOP_SUPPLIERS = """
+SELECT s_suppkey, s_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY s_suppkey, s_name, n_name
+ORDER BY revenue DESC, s_suppkey ASC
+LIMIT 25
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -518,6 +556,7 @@ QUERIES = {
     "customer_value_ranks": q_customer_value_ranks,
     "order_grouping_sets": q_order_grouping_sets,
     "orders_above_customer_avg": q_orders_above_customer_avg,
+    "top_suppliers_by_revenue": q_top_suppliers_by_revenue,
 }
 
 ORACLES = {
@@ -536,4 +575,5 @@ ORACLES = {
     "customer_value_ranks": ORACLE_RANKS,
     "order_grouping_sets": ORACLE_GROUPING_SETS,
     "orders_above_customer_avg": ORACLE_CORRELATED,
+    "top_suppliers_by_revenue": ORACLE_TOP_SUPPLIERS,
 }
