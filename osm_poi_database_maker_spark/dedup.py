@@ -286,6 +286,66 @@ def simhash_near_dups(
     )
 
 
+def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs → dedup clusters.
+
+    Input: (doc_a, doc_b) edges from any pair generator (n-gram Jaccard,
+    MinHash, SimHash, embedding cosine). Output: (doc_id, cluster_id,
+    keep) where cluster_id = min doc id reachable through the dup graph
+    and keep marks the cluster representative — turning pairwise
+    similarity into the actual KEEP/REMOVE decision a curation pipeline
+    applies.
+
+    Algorithm: iterative min-label propagation — each round every vertex
+    takes the min of its own label and its neighbors' labels; converges
+    in O(diameter) rounds (near-dup components are shallow; the
+    ``max_iters`` cap is a runaway guard). Each round is one join + one
+    aggregate; the edge list is block-materialized once
+    (localCheckpoint) so rounds don't recompute the pair generator."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
+        "label", F.col("doc_id")
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)  # cut the growing lineage per round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("keep"),
+    )
+
+
 def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     """Exact dedup: keep the lowest id per distinct value of ``cols``."""
     w = Window.partitionBy(*cols).orderBy(id_col)

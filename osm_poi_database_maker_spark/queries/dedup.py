@@ -159,14 +159,47 @@ def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(d)
 
 
+def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clusters: connected components over the n-gram Jaccard
+    pairs (min-reachable-id labeling + keep-representative flag) — the
+    pairwise→decision step of a dedup pipeline. Oracle: recursive-CTE
+    transitive closure in DuckDB over the identical pair set."""
+    from ..dedup import dedup_clusters
+
+    return dedup_clusters(q_doc_ngram_jaccard_pairs(spark, sf_dir))
+
+
+ORACLE_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({ORACLE_NGRAM}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id,
+       min(label) AS cluster_id,
+       (node = min(label)) AS keep
+FROM reach
+GROUP BY node
+"""
+
+
 QUERIES = {
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_ngram_jaccard_pairs": q_doc_ngram_jaccard_pairs,
     "doc_minhash_pairs": q_doc_minhash_pairs,
     "doc_simhash_pairs": q_doc_simhash_pairs,
+    "doc_dedup_clusters": q_doc_dedup_clusters,
 }
 
 ORACLES = {
     "doc_exact_dedup": ORACLE_EXACT,
     "doc_ngram_jaccard_pairs": ORACLE_NGRAM,
+    "doc_dedup_clusters": ORACLE_CLUSTERS,
 }

@@ -54,6 +54,23 @@ def test_simhash_finds_planted_near_dups(spark):
     assert not any(4 in p for p in pairs)
 
 
+def test_dedup_clusters_transitive(spark):
+    from osm_poi_database_maker_spark.dedup import dedup_clusters
+
+    # chain 1-2-3 (transitive: 1 and 3 never paired directly) + pair 7-9
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: (r.cluster_id, r.keep) for r in dedup_clusters(pairs).collect()}
+    assert got == {
+        1: (1, True),
+        2: (1, False),
+        3: (1, False),
+        7: (7, True),
+        9: (7, False),
+    }
+
+
 def test_word_shingles(spark):
     df = spark.createDataFrame([("a b c d",)], "text string")
     sh = df.select(word_shingles(F.col("text"), 3).alias("s")).collect()[0].s
