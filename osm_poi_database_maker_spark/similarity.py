@@ -8,8 +8,8 @@ Approximate path for 100 TB: random-hyperplane LSH — each vector gets a
 B-bit signature per table (sign of dot with B fixed pseudo-random planes);
 candidates share a signature in ≥1 table; exact cosine reranks candidates
 only. The planes are generated ONCE from a fixed seed on the driver and
-inlined as literals, so signatures are deterministic and reproducible
-across runs/engines. Collection-side signatures would be precomputed and
+shipped in the pandas-UDF closure, so signatures are deterministic and
+reproducible across runs. Collection-side signatures would be precomputed and
 bucketed at rest (partitionBy(signature)) in a production lakehouse,
 making a query a partition-pruned scan.
 """
@@ -257,30 +257,6 @@ def cosine_neardup_pairs(
 def _planes(n_tables: int, n_bits: int, dim: int, seed: int = 42) -> list[list[list[float]]]:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((n_tables, n_bits, dim)).tolist()
-
-
-def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """B-bit signature for one table: bit b = sign(vec · plane_b)."""
-    bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.array(*[F.lit(x) for x in plane]),
-                    lambda v, p: v.cast("double") * p,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            >= 0,
-            F.lit(1).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        for plane in planes
-    ]
-    sig = F.lit(0).cast("long")
-    for b in bits:
-        sig = F.shiftleft(sig, 1) + b
-    return sig
 
 
 def ann_topk(
