@@ -310,8 +310,10 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
-    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
-        "label", F.col("doc_id")
+    # round 0 folded into initialization: label = min(self, direct
+    # neighbors) — saves one full propagation round (and its checkpoint)
+    labels = edges.groupBy(F.col("src").alias("doc_id")).agg(
+        F.least(F.col("src"), F.min("dst")).alias("label")
     )
     for _ in range(max_iters):
         nbr = (
