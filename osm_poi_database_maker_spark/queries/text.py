@@ -8,8 +8,11 @@ aggregate.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from ..io import load_table
 
@@ -175,18 +178,41 @@ FROM (
 """
 
 
+_FP_MOD = 1_000_000_007
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document rolling polynomial fingerprint over characters:
     fp = fold(31·acc + codepoint) mod 1e9+7 — deterministic, portable,
-    pure expression (the cheap content-identity hash of a training-data
-    pipeline when cryptographic strength isn't needed)."""
+    cheap content identity when cryptographic strength isn't needed.
+
+    Computed as a vectorized Horner sum in a pandas UDF:
+    fp ≡ Σ code_i·31^(n-1-i) (mod p) with the power table shared across
+    the Arrow batch — the expression-level fold (aggregate over a
+    per-char array) is interpreted per character and ~10× slower; terms
+    stay < 2⁶³ because code·31^k mod p < 2⁴⁰."""
+
+    @pandas_udf("long")
+    def fp_udf(texts: pd.Series) -> pd.Series:
+        if len(texts) == 0:
+            return pd.Series([], dtype="int64")
+        max_len = max((len(t) for t in texts), default=1)
+        pows = np.ones(max(max_len, 1), dtype=np.int64)
+        for i in range(1, max_len):
+            pows[i] = (pows[i - 1] * 31) % _FP_MOD
+        out = []
+        for t in texts:
+            if not t:
+                out.append(0)
+                continue
+            codes = np.fromiter(map(ord, t), dtype=np.int64, count=len(t))
+            out.append(int((codes * pows[len(t) - 1 :: -1] % _FP_MOD).sum() % _FP_MOD))
+        return pd.Series(out, dtype="int64")
+
     d = load_table(spark, sf_dir, "documents")
-    chars = F.filter(F.split(F.col("text"), ""), lambda c: c != "")
-    codes = F.transform(chars, lambda c: F.ascii(c).cast("long"))
-    fp = F.aggregate(
-        codes, F.lit(0).cast("long"), lambda acc, c: (acc * 31 + c) % 1000000007
+    return d.select(
+        "doc_id", fp_udf(F.col("text")).alias("fingerprint"), F.length("text").alias("n_chars_text")
     )
-    return d.select("doc_id", fp.alias("fingerprint"), F.length("text").alias("n_chars_text"))
 
 
 ORACLE_FINGERPRINT = """
