@@ -348,6 +348,41 @@ GROUP BY doc_id
 """
 
 
+_SAMPLE_FRACS = {"en": 0.5, "de": 0.3, "es": 0.3, "fr": 0.3, "zh": 0.2}
+_KNUTH = 2654435761  # Knuth multiplicative hash constant
+_M32 = 1 << 32
+
+
+def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — per-language keep fractions
+    for training-mix curation. The keep decision hashes the doc id with
+    the Knuth multiplicative constant mod 2³² (portable integer
+    arithmetic, reproduced exactly by the oracle — unlike rand() or
+    engine-specific hashes), so the sample is stable across runs,
+    engines, and partitionings; no shuffle at all, just a scan filter."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_M32) / F.lit(float(_M32))
+    frac = F.lit(None).cast("double")
+    for lang, p in sorted(_SAMPLE_FRACS.items()):
+        frac = F.when(F.col("lang") == lang, F.lit(p)).otherwise(frac)
+    return (
+        d.filter(u < F.coalesce(frac, F.lit(0.0)))
+        .select("doc_id", "lang", F.round(u, 6).alias("sample_u"))
+    )
+
+
+_FRAC_CASE = " ".join(
+    f"WHEN lang = '{lang}' THEN {p}" for lang, p in sorted(_SAMPLE_FRACS.items())
+)
+ORACLE_STRATIFIED = f"""
+SELECT doc_id, lang,
+       round(((doc_id * {_KNUTH}) % {_M32}) / {_M32}.0, 6) AS sample_u
+FROM documents
+WHERE ((doc_id * {_KNUTH}) % {_M32}) / {_M32}.0
+      < coalesce(CASE {_FRAC_CASE} END, 0.0)
+"""
+
+
 CHUNK_SIZE = 32
 CHUNK_STRIDE = 24
 
@@ -408,6 +443,7 @@ QUERIES = {
     "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
     "doc_chunk_windows": q_doc_chunk_windows,
     "doc_repetition_stats": q_doc_repetition_stats,
+    "doc_stratified_sample": q_doc_stratified_sample,
 }
 
 ORACLES = {
@@ -419,4 +455,5 @@ ORACLES = {
     "doc_tfidf_top_terms": ORACLE_TFIDF,
     "doc_chunk_windows": ORACLE_CHUNKS,
     "doc_repetition_stats": ORACLE_REPETITION,
+    "doc_stratified_sample": ORACLE_STRATIFIED,
 }
