@@ -341,6 +341,15 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausting max_iters without a fixpoint means labels (and the
+        # keep flags derived from them) are WRONG for any component whose
+        # diameter exceeds the cap — fail loudly, never return bad
+        # clusters silently
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} iterations; "
+            "a component's diameter exceeds the cap — raise max_iters"
+        )
     return labels.select(
         "doc_id",
         F.col("label").alias("cluster_id"),

@@ -195,19 +195,21 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     @pandas_udf("long")
     def fp_udf(texts: pd.Series) -> pd.Series:
         if len(texts) == 0:
-            return pd.Series([], dtype="int64")
-        max_len = max((len(t) for t in texts), default=1)
+            return pd.Series([], dtype="Int64")
+        max_len = max((len(t) for t in texts if t is not None), default=1)
         pows = np.ones(max(max_len, 1), dtype=np.int64)
         for i in range(1, max_len):
             pows[i] = (pows[i - 1] * 31) % _FP_MOD
-        out = []
+        out: list = []
         for t in texts:
-            if not t:
+            if t is None:  # NULL in → NULL out (matches the SQL fold)
+                out.append(None)
+            elif not t:
                 out.append(0)
-                continue
-            codes = np.fromiter(map(ord, t), dtype=np.int64, count=len(t))
-            out.append(int((codes * pows[len(t) - 1 :: -1] % _FP_MOD).sum() % _FP_MOD))
-        return pd.Series(out, dtype="int64")
+            else:
+                codes = np.fromiter(map(ord, t), dtype=np.int64, count=len(t))
+                out.append(int((codes * pows[len(t) - 1 :: -1] % _FP_MOD).sum() % _FP_MOD))
+        return pd.Series(out, dtype="Int64")
 
     d = load_table(spark, sf_dir, "documents")
     return d.select(
@@ -349,19 +351,24 @@ GROUP BY doc_id
 
 
 _SAMPLE_FRACS = {"en": 0.5, "de": 0.3, "es": 0.3, "fr": 0.3, "zh": 0.2}
-_KNUTH = 2654435761  # Knuth multiplicative hash constant
-_M32 = 1 << 32
+# Lehmer/MINSTD: h = (id mod m)·a mod m with m = 2³¹−1, a = 48271.
+# (id mod m) ≤ 2.1e9 and ×48271 ≤ 1.04e14 — comfortably inside int64 for
+# ANY 64-bit id, unlike a raw Knuth multiply which overflows at id≈3.5e9.
+_LEHMER_A = 48271
+_LEHMER_M = (1 << 31) - 1
 
 
 def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling — per-language keep fractions
-    for training-mix curation. The keep decision hashes the doc id with
-    the Knuth multiplicative constant mod 2³² (portable integer
-    arithmetic, reproduced exactly by the oracle — unlike rand() or
-    engine-specific hashes), so the sample is stable across runs,
-    engines, and partitionings; no shuffle at all, just a scan filter."""
+    for training-mix curation. The keep decision is a Lehmer (MINSTD)
+    hash of the doc id: portable int64-safe integer arithmetic the
+    oracle reproduces exactly (unlike rand() or engine-specific hashes),
+    so the sample is stable across runs, engines, and partitionings; the
+    plan is a pure scan filter with no shuffle."""
     d = load_table(spark, sf_dir, "documents")
-    u = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_M32) / F.lit(float(_M32))
+    u = (
+        (F.col("doc_id") % F.lit(_LEHMER_M)) * F.lit(_LEHMER_A) % F.lit(_LEHMER_M)
+    ) / F.lit(float(_LEHMER_M))
     frac = F.lit(None).cast("double")
     for lang, p in sorted(_SAMPLE_FRACS.items()):
         frac = F.when(F.col("lang") == lang, F.lit(p)).otherwise(frac)
@@ -374,12 +381,12 @@ def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FRAC_CASE = " ".join(
     f"WHEN lang = '{lang}' THEN {p}" for lang, p in sorted(_SAMPLE_FRACS.items())
 )
+_U_SQL = f"(((doc_id % {_LEHMER_M}) * {_LEHMER_A}) % {_LEHMER_M}) / {_LEHMER_M}.0"
 ORACLE_STRATIFIED = f"""
 SELECT doc_id, lang,
-       round(((doc_id * {_KNUTH}) % {_M32}) / {_M32}.0, 6) AS sample_u
+       round({_U_SQL}, 6) AS sample_u
 FROM documents
-WHERE ((doc_id * {_KNUTH}) % {_M32}) / {_M32}.0
-      < coalesce(CASE {_FRAC_CASE} END, 0.0)
+WHERE {_U_SQL} < coalesce(CASE {_FRAC_CASE} END, 0.0)
 """
 
 

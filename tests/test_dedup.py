@@ -71,6 +71,49 @@ def test_dedup_clusters_transitive(spark):
     }
 
 
+def test_dedup_clusters_raises_on_nonconvergence(spark):
+    import pytest
+
+    from osm_poi_database_maker_spark.dedup import dedup_clusters
+
+    # a 12-node chain has diameter 11 > 2×max_iters reach with cap 2
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(chain, max_iters=2)
+    # and converges fine with an adequate cap
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(chain, max_iters=15).collect()}
+    assert set(got.values()) == {1}
+
+
+def test_fingerprint_and_sample_edge_values(spark):
+    from osm_poi_database_maker_spark.queries.text import (
+        q_doc_fingerprint,
+        q_doc_stratified_sample,
+    )
+
+    # NULL and empty text through the fingerprint UDF; huge doc_id
+    # through the sample hash (would overflow a raw Knuth multiply)
+    docs = spark.createDataFrame(
+        [(1, None, "en", 0), (2, "", "en", 0), (4_000_000_000, "a b c", "en", 5)],
+        "doc_id long, text string, lang string, n_chars int",
+    )
+    docs.createOrReplaceTempView("__edge_docs")
+    from osm_poi_database_maker_spark.queries import text as T
+
+    fake_loader = lambda spark_, sf_, name_: docs  # noqa: E731
+    orig = T.load_table
+    T.load_table = fake_loader
+    try:
+        fp = {r.doc_id: r.fingerprint for r in q_doc_fingerprint(spark, "x").collect()}
+        assert fp[1] is None and fp[2] == 0 and fp[4_000_000_000] is not None
+        samp = q_doc_stratified_sample(spark, "x").collect()
+        assert all(0.0 <= r.sample_u < 1.0 for r in samp)
+    finally:
+        T.load_table = orig
+
+
 def test_word_shingles(spark):
     df = spark.createDataFrame([("a b c d",)], "text string")
     sh = df.select(word_shingles(F.col("text"), 3).alias("s")).collect()[0].s
