@@ -366,6 +366,42 @@ GROUP BY GROUPING SETS ((h, d), (d), ())
 """
 
 
+def q_events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gaps per user via the lag window function: for each
+    user, the count of events and the average/maximum seconds between
+    consecutive events (event_id breaks timestamp ties so the sequence
+    is deterministic). One shuffle on user_id shared by the window and
+    the subsequent aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)) / 1_000_000.0
+    return (
+        e.withColumn("gap_s", gap)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("gap_s"), 2).alias("avg_gap_s"),
+            F.round(F.max("gap_s"), 2).alias("max_gap_s"),
+        )
+    )
+
+
+ORACLE_GAP_STATS = """
+WITH g AS (
+  SELECT user_id,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id)) / 1000000.0 AS gap_s
+  FROM events
+)
+SELECT user_id,
+       count(*) AS n_events,
+       round(avg(gap_s), 2) AS avg_gap_s,
+       round(max(gap_s), 2) AS max_gap_s
+FROM g
+GROUP BY user_id
+"""
+
+
 def q_events_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates — the 100 TB form of distinct counting and
     quantiles: approx_count_distinct (HyperLogLog++, fixed ~KB state,
@@ -396,6 +432,7 @@ QUERIES = {
     "events_asof_join": q_events_asof_join,
     "events_sketch_stats": q_events_sketch_stats,
     "events_time_rollup": q_events_time_rollup,
+    "events_gap_stats": q_events_gap_stats,
 }
 
 ORACLES = {
@@ -408,4 +445,5 @@ ORACLES = {
     "events_session_windows": ORACLE_SESSION,
     "events_asof_join": ORACLE_ASOF,
     "events_time_rollup": ORACLE_TIME_ROLLUP,
+    "events_gap_stats": ORACLE_GAP_STATS,
 }
