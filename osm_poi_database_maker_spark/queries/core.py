@@ -260,10 +260,11 @@ ORACLE_PK_AUDIT = """
 WITH per_key AS (
   SELECT o_orderkey, count(*) AS n FROM orders GROUP BY o_orderkey
 )
-SELECT sum(n) AS n_rows,
-       count(*) AS n_keys,
-       sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_keys,
-       coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS n_rows_in_dup_keys
+SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+       CAST(coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS BIGINT)
+         AS n_rows_in_dup_keys
 FROM per_key
 """
 

@@ -45,12 +45,26 @@ GROUP BY 1
 """
 
 
-def q_doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs by 3-word-shingle Jaccard ≥ 0.25.
+NGRAM_DF_CAP = 50  # shingles in more docs than this are stopword-like noise
 
-    explode distinct shingles → self-join on shingle → per-pair shared
-    count → Jaccard vs per-doc shingle counts. doc_a < doc_b keeps each
-    pair once.
+
+def q_doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by 3-word-shingle Jaccard ≥ 0.25 over the
+    df-capped shingle universe.
+
+    explode distinct shingles → drop shingles present in more than
+    ``NGRAM_DF_CAP`` docs → self-join on shingle → per-pair shared
+    count → Jaccard vs per-doc (capped-universe) shingle counts.
+    doc_a < doc_b keeps each pair once.
+
+    The doc-frequency cap is the scale guard: the per-shingle self-join
+    is quadratic in shingle frequency, so one boilerplate trigram shared
+    by 1e5 docs would alone emit ~1e10 join rows. Capping df bounds the
+    worst shingle's contribution at NGRAM_DF_CAP² rows — and hot
+    shingles carry no near-dup signal anyway (they're the "the of the"
+    band of the distribution). Sizes are computed over the same capped
+    universe so Jaccard stays a true set similarity of the sets actually
+    joined. The cap is deterministic and mirrored in the DuckDB oracle.
     """
     d = load_table(spark, sf_dir, "documents")
     # barrier: materialize the token array behind a shuffle. Without it,
@@ -83,14 +97,21 @@ def q_doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # semi-join, and both self-join sides all reuse this one exchange
         .repartition("h")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    # singleton shingles (the vast majority) can never produce a pair —
-    # prune them before the self-join; doesn't change the result, shrinks
-    # the join input by ~10x
-    nonsingleton = sh.join(
-        sh.groupBy("h").agg(F.count("*").alias("df")).filter(F.col("df") >= 2).select("h"),
-        "h",
-        "left_semi",
+    # one df aggregation feeds both bounds; the h-partitioned exchange
+    # above is reused by this groupBy and by both self-join sides
+    dfs = sh.groupBy("h").agg(F.count("*").alias("df"))
+    # upper bound: hot (stopword-like) shingles are dropped from the
+    # UNIVERSE — both the join and the per-doc sizes — bounding the
+    # quadratic self-join at df² ≤ NGRAM_DF_CAP² rows per shingle
+    capped = sh.join(
+        dfs.filter(F.col("df") <= NGRAM_DF_CAP).select("h"), "h", "left_semi"
+    )
+    sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # lower bound: singleton shingles (the vast majority) can never
+    # produce a pair — prune them before the self-join; doesn't change
+    # the result, shrinks the join input by ~10x
+    nonsingleton = capped.join(
+        dfs.filter(F.col("df") >= 2).select("h"), "h", "left_semi"
     )
     a = nonsingleton.alias("a")
     b = nonsingleton.alias("b")
@@ -118,11 +139,16 @@ WITH toks AS (
   SELECT doc_id, string_split_regex(text, ' +') AS t FROM documents
   WHERE len(string_split_regex(text, ' +')) >= 3
 ),
-sh AS (
+sh_all AS (
   SELECT DISTINCT doc_id, shingle FROM (
     SELECT doc_id, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS shingle
     FROM (SELECT doc_id, t, unnest(range(len(t) - 2)) AS i FROM toks)
   )
+),
+dfs AS (SELECT shingle, count(*) AS df FROM sh_all GROUP BY 1),
+sh AS (  -- df-capped shingle universe, mirroring NGRAM_DF_CAP = 50
+  SELECT s.doc_id, s.shingle FROM sh_all s
+  JOIN dfs ON dfs.shingle = s.shingle AND dfs.df <= 50
 ),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 pairs AS (

@@ -262,15 +262,20 @@ def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         top-3 terms per doc by tf·idf (window, term tie-break)
 
     Scale shape: two hash aggregations over the exploded token stream
-    (both map-side partial), the tiny df(t) side broadcast back, and a
-    per-doc top-k window partitioned by doc_id — no global sort. Lower-
-    cased tokens, alphabetic only, so the term space is bounded."""
+    (both map-side partial), df(t) joined back on `term` (shuffle
+    hash-join that AQE downgrades to broadcast when df(t) fits — no
+    forced broadcast of an unbounded vocabulary), N as a 1-row
+    aggregate cross-joined into the plan (no separate driver-side
+    count() scan), and a per-doc top-k window partitioned by doc_id —
+    no global sort. Lower-cased tokens, alphabetic only."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
         F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
     ).filter(F.col("term") != "")
-    n_docs = d.count()  # tiny driver-side scalar, exact
+    # N as a 1-row aggregate folded into the plan: one job, no second
+    # full scan of the corpus before the main query runs.
+    n_docs_df = d.agg(F.count("*").cast("double").alias("n_docs"))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_t = (
         toks.select("doc_id", "term")
@@ -278,11 +283,17 @@ def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count("*").alias("df"))
     )
-    scored = tf.join(F.broadcast(df_t), "term").withColumn(
-        "tfidf",
-        F.round(
-            F.col("tf") * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
-        ),
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs_df))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (

@@ -78,13 +78,17 @@ def train_ivf_centroids(
     """Deterministic IVF coarse quantizer: spherical k-means (Lloyd on
     L2-normalized vectors) over a bounded driver-side sample.
 
-    The sample is the ``sample_size`` lowest-id vectors — a TakeOrdered,
+    The sample is the ``sample_size`` vectors with the lowest
+    ``xxhash64(id, seed)`` — a TakeOrdered over a seeded hash of the id,
     not a full sort — so training cost is constant w.r.t. collection
-    size; the expensive step (assigning every vector) stays distributed
-    in :func:`ivf_topk`. Fixed seed → identical centroids every run."""
+    size AND the sample is unbiased even when ids correlate with
+    content (lowest-id sampling would train the quantizer on whatever
+    was ingested first). The expensive step (assigning every vector)
+    stays distributed in :func:`ivf_topk`. Fixed seed → identical
+    centroids every run."""
     rows = (
         collection.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .orderBy("id")
+        .orderBy(F.xxhash64(F.col("id"), F.lit(seed)), F.col("id"))
         .limit(sample_size)
         .collect()
     )

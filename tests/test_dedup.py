@@ -118,3 +118,28 @@ def test_word_shingles(spark):
     df = spark.createDataFrame([("a b c d",)], "text string")
     sh = df.select(word_shingles(F.col("text"), 3).alias("s")).collect()[0].s
     assert sh == ["a b c", "b c d"]
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark, tmp_path):
+    """A shingle planted in 60 docs (> NGRAM_DF_CAP=50) must not pair
+    them — it is dropped from the shingle universe — while a genuine
+    near-dup pair sharing rare shingles is still found."""
+    from osm_poi_database_maker_spark.queries.dedup import (
+        NGRAM_DF_CAP,
+        q_doc_ngram_jaccard_pairs,
+    )
+
+    # 60 docs: shingles {(hot1 hot2 hot3), (hot2 hot3 xx{i})}. Pairwise
+    # Jaccard via the hot shingle alone = 1/3 ≥ 0.25 → WITHOUT the cap
+    # this emits C(60,2)=1770 pairs; with it, zero.
+    rows = [(i, f"hot1 hot2 hot3 xx{i:03d}") for i in range(60)]
+    # plus a rare-shingle near-dup pair: 5 shingles each, 4 shared
+    rows += [(100, "p q r s t u v"), (101, "p q r s t u w")]
+    assert len(rows) - 2 > NGRAM_DF_CAP
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in q_doc_ngram_jaccard_pairs(spark, str(tmp_path)).collect()
+    }
+    assert got == {(100, 101): 0.6667}
