@@ -82,6 +82,55 @@ def wkb_polygon_hex(rings: pd.Series) -> pd.Series:
     return rings.apply(enc)
 
 
+@pandas_udf(T.StringType())
+def _wkb_multipolygon_hex_json(polys_json: pd.Series) -> pd.Series:
+    """JSON-encoded array<array<array<struct<lon,lat>>>> → hex WKB
+    MULTIPOLYGON. Internal: use :func:`wkb_multipolygon_hex`, which
+    serializes the nested column to JSON JVM-side first — Arrow cannot
+    transfer RAGGED triple-nested arrays into pandas (inhomogeneous
+    ndarray), and WKB byte-packing is per-row Python regardless, so a
+    string payload loses nothing."""
+    import json
+    import struct
+
+    def enc(js):
+        if js is None:
+            return None
+        pl = json.loads(js)
+        if not pl:
+            return None
+        out = [struct.pack("<BII", 1, 6, len(pl))]
+        for rings in pl:
+            if not rings:
+                return None
+            out.append(struct.pack("<BII", 1, 3, len(rings)))
+            for ring in rings:
+                if ring is None or len(ring) < 4:
+                    return None
+                pts = [(p["lon"], p["lat"]) for p in ring]
+                if pts[0] != pts[-1]:
+                    return None
+                out.append(struct.pack("<I", len(pts)))
+                out.append(b"".join(struct.pack("<dd", x, y) for x, y in pts))
+        return b"".join(out).hex()
+
+    return polys_json.apply(enc)
+
+
+def wkb_multipolygon_hex(polys: Column | str) -> Column:
+    """array<array<array<struct<lon,lat>>>> column → hex WKB MULTIPOLYGON.
+
+    ``polys[i][0]`` is polygon *i*'s outer ring, ``polys[i][1:]`` its
+    holes — the shape osmium's ``WKBFactory.create_multipolygon``
+    serializes for every area (reference filter.py:130), covering both
+    single-ring way areas and relation-derived donuts. Layout:
+    01 | 06000000 | npolys | (01 | 03000000 | nrings | (npts | pts*)*)*.
+    NULL input, empty polys, or any undersized/unclosed ring yields NULL
+    (the O7 quarantine contract)."""
+    col = F.col(polys) if isinstance(polys, str) else polys
+    return _wkb_multipolygon_hex_json(F.to_json(col))
+
+
 def wkb_point_decode(hexcol: Column) -> Column:
     """hex WKB POINT → struct<lon,lat> — pure expression round-trip used in
     tests and by downstream consumers of sink output."""
@@ -190,6 +239,73 @@ def ring_centroid(ring: Column) -> Column:
     ).otherwise(
         F.struct((cx / (3 * a2)).alias("lon"), (cy / (3 * a2)).alias("lat"))
     )
+
+
+def ring_moments(ring: Column) -> Column:
+    """struct<a2, cx, cy> — the raw shoelace sums of a closed ring
+    (``a2`` = 2·signed planar area; centroid = (cx, cy)/(3·a2)).
+
+    These moments are ADDITIVE across the rings of a polygon-with-holes
+    when outer rings are wound CCW and holes CW (see
+    :func:`ring_oriented`): summing (a2, cx, cy) over all rings and
+    dividing once yields the hole-aware planar centroid — the semantics
+    of PostGIS ``ST_Centroid`` on the reference's multipolygon
+    geometries (ways_to_centroids.sql:2 over filter.py:130 output).
+    Additivity is what makes the computation a plain groupBy over
+    exploded rings instead of nested higher-order functions."""
+    pairs = _edge_pairs(ring)
+    cross = lambda e: (  # noqa: E731
+        e["a"]["lon"] * e["b"]["lat"] - e["b"]["lon"] * e["a"]["lat"]
+    )
+    a2 = F.aggregate(F.transform(pairs, cross), F.lit(0.0), lambda acc, t: acc + t)
+    cx = F.aggregate(
+        F.transform(pairs, lambda e: (e["a"]["lon"] + e["b"]["lon"]) * cross(e)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    cy = F.aggregate(
+        F.transform(pairs, lambda e: (e["a"]["lat"] + e["b"]["lat"]) * cross(e)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    return F.struct(a2.alias("a2"), cx.alias("cx"), cy.alias("cy"))
+
+
+def ring_oriented(ring: Column, ccw: Column) -> Column:
+    """Normalize ring winding: returns the ring reversed if its shoelace
+    orientation disagrees with the requested one (``ccw`` boolean
+    column). OSM imposes no winding on member ways, so assembly must
+    normalize by ROLE — outer→CCW, inner→CW — exactly as osmium's area
+    assembler does before building multipolygon WKB."""
+    is_ccw = ring_area_planar(ring) > 0
+    return F.when(is_ccw == ccw, ring).otherwise(F.reverse(ring))
+
+
+def point_in_ring(lon: Column, lat: Column, ring: Column) -> Column:
+    """Ray-casting point-in-polygon as a pure column expression: count
+    edges crossing the horizontal ray from (lon, lat) to +∞; odd →
+    inside. Boundary vertices follow the half-open convention (an edge
+    counts when exactly one endpoint is strictly above the ray), which
+    is consistent across both engines because it never divides by a
+    zero lat-span. Used to assign each inner ring to its containing
+    outer ring when grouping rings into polygons."""
+    crossings = F.aggregate(
+        _edge_pairs(ring),
+        F.lit(0),
+        lambda acc, e: acc
+        + F.when(
+            ((e["a"]["lat"] > lat) != (e["b"]["lat"] > lat))
+            & (
+                lon
+                < e["a"]["lon"]
+                + (e["b"]["lon"] - e["a"]["lon"])
+                * (lat - e["a"]["lat"])
+                / (e["b"]["lat"] - e["a"]["lat"])
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return crossings % 2 == 1
 
 
 # --------------------------------------------------------------------------

@@ -146,6 +146,75 @@ WAYS: list[tuple] = [
      _square(5.800, 52.800, _DLON_30M, _DLAT_30M), True),
 ]
 
+# --------------------------------------------------------------------------
+# multipolygon relations (reference filter.py:128-144 via osmium areas;
+# membership shape schema.sql:112-122). MEMBER_WAYS are untagged geometry
+# carriers; rings are stored as drawn (all CCW) — assembly must normalize
+# winding by role, never trust input orientation.
+# --------------------------------------------------------------------------
+
+MEMBER_WAYS: list[tuple[int, list[tuple[float, float]]]] = [
+    # R500 donut: 150 m outer (~22151 m² > 20000) with 60 m hole
+    # (~3544 m²) -> net ~18607 m² <= 20000: converts to centroid ONLY
+    # when holes are subtracted — the exact case a single-ring engine
+    # gets wrong.
+    (200, _square(5.900, 52.900, _DLON_30M * 5, _DLAT_30M * 5)),
+    (201, _square(5.9008, 52.9004, _DLON_30M * 2, _DLAT_30M * 2)),
+    # R501: 150 m outer with 30 m hole -> net ~21704 m² > 20000: stays
+    # a polygon (the hole is too small to flip the threshold).
+    (202, _square(6.000, 52.000, _DLON_30M * 5, _DLAT_30M * 5)),
+    (203, _square(6.0008, 52.0004, _DLON_30M, _DLAT_30M)),
+    # R502 two-outer multipolygon: disjoint 30 m squares, net ~1805 m².
+    # 205 is stored CW (reversed) to exercise outer-winding normalization.
+    (204, _square(6.100, 52.100, _DLON_30M, _DLAT_30M)),
+    (205, list(reversed(_square(6.102, 52.102, _DLON_30M, _DLAT_30M)))),
+    # shared member of the quarantine/cascade relations
+    (206, _square(6.200, 52.200, _DLON_30M, _DLAT_30M)),
+    # OPEN way (not closed) -> R504 quarantined with reason open_ring
+    (207, [(6.300, 52.300), (6.3004, 52.300), (6.3004, 52.3003)]),
+    # member of the id-collision relation (relation id 100 == node id 100
+    # and way id 100 — the reference's orig_id() collision hazard)
+    (208, _square(6.400, 52.400, _DLON_30M, _DLAT_30M)),
+]
+
+# (id, version, user_id, tstamp, changeset_id, tags)
+RELATIONS: list[tuple] = [
+    (500, 1, 301, _ts(50), 9201, {"type": "multipolygon", "amenity": "cafe", "name": "Donut R1"}),
+    (501, 1, 301, _ts(51), 9201, {"type": "multipolygon", "shop": "bakery", "name": "SmallHole R2"}),
+    # duplicate id: v2 supersedes v1 (same idempotent-write rule as nodes)
+    (502, 1, 302, _ts(52), 9202, {"type": "multipolygon", "tourism": "hotel", "name": "TwoOuter R3"}),
+    (502, 2, 302, _ts(53), 9202, {"type": "multipolygon", "tourism": "hotel", "name": "TwoOuter R3v2"}),
+    # missing member way 999 -> quarantined (missing_member)
+    (503, 1, 302, _ts(54), 9202, {"type": "multipolygon", "amenity": "cafe", "name": "Missing R4"}),
+    # open member ring -> quarantined (open_ring)
+    (504, 1, 303, _ts(55), 9203, {"type": "multipolygon", "amenity": "cafe", "name": "Open R5"}),
+    # id collides with way 100 AND node 100 (disjoint OSM id spaces)
+    (100, 1, 303, _ts(56), 9203, {"type": "multipolygon", "amenity": "cafe", "name": "Collide R6"}),
+    # excluded by superset -> dropped by the cascade before assembly
+    (505, 1, 304, _ts(57), 9204, {"type": "multipolygon", "amenity": "cafe", "access": "private", "name": "Priv R7"}),
+    # no TOI match -> dropped
+    (506, 1, 304, _ts(58), 9204, {"type": "multipolygon", "landuse": "forest", "name": "Forest R8"}),
+]
+
+# (relation_id, member_id, member_type, member_role, sequence_id) —
+# exactly the reference's relation_members shape (schema.sql:112-122).
+# R500 carries a type-'N' label member that area assembly must ignore.
+RELATION_MEMBERS: list[tuple[int, int, str, str, int]] = [
+    (500, 200, "W", "outer", 0),
+    (500, 201, "W", "inner", 1),
+    (500, 1, "N", "label", 2),
+    (501, 202, "W", "outer", 0),
+    (501, 203, "W", "inner", 1),
+    (502, 204, "W", "outer", 0),
+    (502, 205, "W", "outer", 1),
+    (503, 206, "W", "outer", 0),
+    (503, 999, "W", "outer", 1),
+    (504, 207, "W", "outer", 0),
+    (100, 208, "W", "outer", 0),
+    (505, 206, "W", "outer", 0),
+    (506, 206, "W", "outer", 0),
+]
+
 EXCLUDE = (("amenity=cafe", "access=private"),)
 TRIM = ("note", "fixme")
 MIN_OCCURRENCES = 1000
@@ -176,6 +245,42 @@ def ways_df(spark: SparkSession) -> DataFrame:
 
 def taginfo_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(TAGINFO, "key string, value string, count long, in_wiki boolean")
+
+
+_RELATION_SCHEMA = (
+    "id long, version int, user_id int, tstamp timestamp, changeset_id long, "
+    "tags map<string,string>"
+)
+
+
+def relations_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(RELATIONS, _RELATION_SCHEMA)
+
+
+def relation_members_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        RELATION_MEMBERS,
+        "relation_id long, member_id long, member_type string, "
+        "member_role string, sequence_id int",
+    )
+
+
+def member_way_rings_df(spark: SparkSession) -> DataFrame:
+    """Member-way geometry as already-assembled rings (way_id, ring,
+    is_closed) — the shape :func:`geo.assemble_rings` produces; the
+    assembly itself is oracle-covered by osm_way_assembly."""
+    rows = [
+        (
+            wid,
+            [{"lon": x, "lat": y} for x, y in ring],
+            len(ring) >= 4 and ring[0] == ring[-1],
+        )
+        for wid, ring in MEMBER_WAYS
+    ]
+    return spark.createDataFrame(
+        rows,
+        "way_id long, ring array<struct<lon: double, lat: double>>, is_closed boolean",
+    )
 
 
 def way_nodes_and_nodes_df(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
@@ -266,6 +371,42 @@ def ring_nodes_values_sql() -> str:
     _, nd = _way_nodes_rows()
     rows = ", ".join(f"({i}, {_sql_dbl(x)}, {_sql_dbl(y)})" for (i, x, y) in nd)
     return f"SELECT * FROM (VALUES {rows}) AS t(id, lon, lat)"
+
+
+def relations_values_sql() -> str:
+    rows = []
+    for (i, v, u, t, c, tags) in RELATIONS:
+        rows.append(
+            f"({i}, {v}, {u}, TIMESTAMP '{t}', {c}, {_sql_str(_tags(tags))})"
+        )
+    return (
+        "SELECT * FROM (VALUES\n  " + ",\n  ".join(rows) + "\n) AS t(id, version, "
+        "user_id, tstamp, changeset_id, tags_json)"
+    )
+
+
+def relation_members_values_sql() -> str:
+    rows = ", ".join(
+        f"({r}, {m}, {_sql_str(ty)}, {_sql_str(ro)}, {s})"
+        for (r, m, ty, ro, s) in RELATION_MEMBERS
+    )
+    return (
+        f"SELECT * FROM (VALUES {rows}) AS "
+        "t(relation_id, member_id, member_type, member_role, sequence_id)"
+    )
+
+
+def member_way_rings_values_sql() -> str:
+    rows = []
+    for wid, ring in MEMBER_WAYS:
+        pts = ", ".join(
+            f"struct_pack(lon := {_sql_dbl(x)}, lat := {_sql_dbl(y)})" for x, y in ring
+        )
+        closed = len(ring) >= 4 and ring[0] == ring[-1]
+        rows.append(f"({wid}, list_value({pts}), {closed})")
+    return (
+        "SELECT * FROM (VALUES\n  " + ",\n  ".join(rows) + "\n) AS t(way_id, ring, is_closed)"
+    )
 
 
 def taginfo_values_sql() -> str:

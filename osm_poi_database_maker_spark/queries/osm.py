@@ -17,7 +17,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import geo, osm_fixtures as fx
-from ..pipeline import build_toi_dim, poi_ways, poi_nodes, ways_to_centroids
+from ..pipeline import (
+    build_toi_dim,
+    dedup_latest,
+    poi_filter,
+    poi_nodes,
+    poi_ways,
+    ways_to_centroids,
+)
 from ..settings import Settings
 
 SETTINGS = Settings(
@@ -67,16 +74,18 @@ def _cascade_where(json_col: str) -> str:
     """
 
 
-def _matched_sql(src: str, json_col: str = "tags_json") -> str:
-    """O6: ids whose tag map hits the thresholded dimension."""
+def _matched_sql(src: str, json_col: str = "tags_json", prefix: str = "") -> str:
+    """O6: ids whose tag map hits the thresholded dimension. ``prefix``
+    namespaces the CTEs so two cascades (e.g. ways + relations) can
+    coexist in one WITH chain."""
     return f"""
-  kv AS (
+  {prefix}kv AS (
     SELECT id, k, json_extract_string({json_col}, '$."' || k || '"') AS v
     FROM (SELECT id, {json_col}, unnest(json_keys({json_col})) AS k FROM {src})
   ),
-  matched AS (
-    SELECT DISTINCT kv.id FROM kv
-    JOIN dim ON kv.k = dim.key AND kv.v = dim.value
+  {prefix}matched AS (
+    SELECT DISTINCT {prefix}kv.id FROM {prefix}kv
+    JOIN dim ON {prefix}kv.k = dim.key AND {prefix}kv.v = dim.value
     WHERE dim."count" > {fx.MIN_OCCURRENCES}
   )
 """
@@ -206,6 +215,213 @@ WHERE area_m2 <= {SETTINGS.centroid_area_m2!r}
 """
 
 
+# --- O10 full semantics: multipolygon relations, holes, orig_id ------------
+
+_SIGN_A2 = "(CASE WHEN a2_raw > 0 THEN 1.0 WHEN a2_raw < 0 THEN -1.0 ELSE 0.0 END)"
+_ROLE_SIGN = "(CASE WHEN role = 'outer' THEN 1.0 ELSE -1.0 END)"
+
+
+def _relation_stats_sql() -> str:
+    """CTE chain re-deriving areas.relation_area_stats in DuckDB:
+    member resolution, per-ring spherical area + shoelace moments, and
+    the role-signed winding-normalized aggregation. Expects a ``dim``
+    CTE in scope; defines rels/rdedup/mw/rm/mr/per_ring/rstats."""
+    return f"""
+rels AS ({fx.relations_values_sql()}),
+rdedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY version DESC, tstamp DESC) AS rn
+    FROM rels
+  ) WHERE rn = 1
+),
+mw AS ({fx.member_way_rings_values_sql()}),
+rm AS ({fx.relation_members_values_sql()}),
+mr AS (
+  SELECT rm.relation_id, rm.member_id, rm.member_role AS role, mw.ring,
+         mw.ring IS NOT NULL AS found,
+         coalesce(mw.is_closed, FALSE) AS ring_ok
+  FROM rm LEFT JOIN mw ON rm.member_id = mw.way_id
+  WHERE rm.member_type = 'W' AND rm.member_role IN ('outer', 'inner')
+),
+per_ring AS (
+  SELECT relation_id, role, found, ring_ok,
+    CASE WHEN ring_ok THEN abs(list_sum({_AREA_TERMS})) * {_R2_HALF!r} END AS sphere_m2,
+    CASE WHEN ring_ok THEN list_sum(list_transform(range(1, len(ring)), i -> {_CROSS})) END AS a2_raw,
+    CASE WHEN ring_ok THEN list_sum(list_transform(range(1, len(ring)),
+             i -> (ring[i].lon + ring[i+1].lon) * {_CROSS})) END AS cx_raw,
+    CASE WHEN ring_ok THEN list_sum(list_transform(range(1, len(ring)),
+             i -> (ring[i].lat + ring[i+1].lat) * {_CROSS})) END AS cy_raw
+  FROM mr
+),
+rstats AS (
+  SELECT relation_id,
+    CAST(sum(CASE WHEN role = 'outer' THEN 1 ELSE 0 END) AS BIGINT) AS n_outer,
+    CAST(sum(CASE WHEN role = 'inner' THEN 1 ELSE 0 END) AS BIGINT) AS n_inner,
+    min(CASE WHEN found THEN 1 ELSE 0 END) AS all_found,
+    min(CASE WHEN ring_ok THEN 1 ELSE 0 END) AS all_closed,
+    sum({_ROLE_SIGN} * sphere_m2) AS area_raw,
+    sum({_ROLE_SIGN} * {_SIGN_A2} * a2_raw) AS a2,
+    sum({_ROLE_SIGN} * {_SIGN_A2} * cx_raw) AS cx,
+    sum({_ROLE_SIGN} * {_SIGN_A2} * cy_raw) AS cy
+  FROM per_ring GROUP BY 1
+),
+rmeas AS (
+  SELECT relation_id, n_outer, n_inner,
+    (all_found = 1 AND all_closed = 1 AND n_outer >= 1) AS is_valid,
+    CASE WHEN all_found = 0 THEN 'missing_member'
+         WHEN all_closed = 0 THEN 'open_ring'
+         WHEN n_outer = 0 THEN 'no_outer_ring' END AS invalid_reason,
+    area_raw,
+    CASE WHEN abs(a2) >= 1e-12 THEN cx / (3 * a2) END AS c_lon,
+    CASE WHEN abs(a2) >= 1e-12 THEN cy / (3 * a2) END AS c_lat
+  FROM rstats
+)"""
+
+
+def q_osm_relation_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relation-derived areas with hole-aware measures AND the
+    dead-letter rows (is_valid=false + reason) — full differential
+    coverage of the assembly semantics the reference gets from osmium
+    (filter.py:128-144): the donut whose net area crosses the 20000 m²
+    line only when its hole is subtracted, winding normalization, the
+    two-outer multipolygon, missing-member and open-ring quarantine,
+    and the relation-id/way-id collision (orig_id space)."""
+    from ..areas import member_rings, relation_area_stats
+
+    dim = build_toi_dim(fx.taginfo_df(spark), SETTINGS)
+    filtered = poi_filter(dedup_latest(fx.relations_df(spark)), dim, SETTINGS)
+    stats = relation_area_stats(
+        member_rings(fx.relation_members_df(spark), fx.member_way_rings_df(spark))
+    )
+    out = filtered.join(stats, filtered["id"] == stats["relation_id"])
+    return out.select(
+        "id",
+        "n_outer",
+        "n_inner",
+        "is_valid",
+        "invalid_reason",
+        F.round(F.when(F.col("is_valid"), F.col("area_m2")), 2).alias("area_m2"),
+        F.round(F.when(F.col("is_valid"), F.col("centroid.lon")), 7).alias("lon"),
+        F.round(F.when(F.col("is_valid"), F.col("centroid.lat")), 7).alias("lat"),
+    )
+
+
+ORACLE_RELATION_AREAS = f"""
+WITH dim AS ({_DIM_SQL}),
+{_relation_stats_sql()},
+{_matched_sql("rdedup", prefix="r_")}
+SELECT d.id, m.n_outer, m.n_inner, m.is_valid, m.invalid_reason,
+       round(CASE WHEN m.is_valid THEN m.area_raw END, 2) AS area_m2,
+       round(CASE WHEN m.is_valid THEN m.c_lon END, 7) AS lon,
+       round(CASE WHEN m.is_valid THEN m.c_lat END, 7) AS lat
+FROM rdedup d
+JOIN rmeas m ON m.relation_id = d.id
+WHERE {_cascade_where("d.tags_json")}
+  AND d.id IN (SELECT id FROM r_matched)
+"""
+
+
+def q_osm_mp_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O18 over the UNIFIED area stream (way-derived ∪ relation-derived,
+    reference filter.py:142-144 + ways_to_centroids.sql): hole-aware
+    net area ≤ 20000 m² → centroid POI in the +36e9 id space.
+    ``area_src`` keeps provenance where the reference's shared ways
+    table loses it (two fixture areas collide on id 100 on purpose)."""
+    from ..areas import areas_to_centroids, areas_union, poi_relation_areas
+
+    pw = poi_ways(fx.ways_df(spark), fx.taginfo_df(spark), SETTINGS)
+    pr = poi_relation_areas(
+        fx.relations_df(spark),
+        fx.relation_members_df(spark),
+        fx.member_way_rings_df(spark),
+        fx.taginfo_df(spark),
+        SETTINGS,
+    )
+    cent = areas_to_centroids(areas_union(pw, pr), SETTINGS)
+    return cent.select(
+        "id",
+        F.round("lon", 7).alias("lon"),
+        F.round("lat", 7).alias("lat"),
+        F.round("area_m2", 2).alias("area_m2"),
+        "area_src",
+    )
+
+
+ORACLE_MP_CENTROIDS = f"""
+WITH w AS ({fx.ways_values_sql()}),
+dim AS ({_DIM_SQL}),
+{_matched_sql("w")},
+{_relation_stats_sql()},
+{_matched_sql("rdedup", prefix="r_")},
+f AS (
+  SELECT * FROM w
+  WHERE geom_valid AND ring IS NOT NULL AND len(ring) >= 4
+    AND ring[1].lon = ring[-1].lon AND ring[1].lat = ring[-1].lat
+    AND {_cascade_where("tags_json")}
+    AND id IN (SELECT id FROM matched)
+),
+meas AS (
+  SELECT id, ring,
+    abs(list_sum({_AREA_TERMS})) * {_R2_HALF!r} AS area_m2,
+    list_sum(list_transform(range(1, len(ring)), i -> {_CROSS})) AS a2,
+    list_sum(list_transform(range(1, len(ring)),
+             i -> (ring[i].lon + ring[i+1].lon) * {_CROSS})) AS cx,
+    list_sum(list_transform(range(1, len(ring)),
+             i -> (ring[i].lat + ring[i+1].lat) * {_CROSS})) AS cy,
+    list_sum(list_transform(ring[1:-1], p -> p.lon)) / (len(ring) - 1) AS mean_lon,
+    list_sum(list_transform(ring[1:-1], p -> p.lat)) / (len(ring) - 1) AS mean_lat
+  FROM f
+),
+way_cent AS (
+  SELECT id + {SETTINGS.centroid_id_offset} AS id,
+         round(CASE WHEN abs(a2) < 1e-12 THEN mean_lon ELSE cx / (3 * a2) END, 7) AS lon,
+         round(CASE WHEN abs(a2) < 1e-12 THEN mean_lat ELSE cy / (3 * a2) END, 7) AS lat,
+         round(area_m2, 2) AS area_m2,
+         'way' AS area_src
+  FROM meas
+  WHERE area_m2 <= {SETTINGS.centroid_area_m2!r}
+),
+rel_cent AS (
+  SELECT d.id + {SETTINGS.centroid_id_offset} AS id,
+         round(m.c_lon, 7) AS lon,
+         round(m.c_lat, 7) AS lat,
+         round(m.area_raw, 2) AS area_m2,
+         'relation' AS area_src
+  FROM rdedup d
+  JOIN rmeas m ON m.relation_id = d.id
+  WHERE m.is_valid AND m.area_raw <= {SETTINGS.centroid_area_m2!r}
+    AND {_cascade_where("d.tags_json")}
+    AND d.id IN (SELECT id FROM r_matched)
+)
+SELECT * FROM way_cent UNION ALL SELECT * FROM rel_cent
+"""
+
+
+# --- O4: skip_no_name cascade variant ---------------------------------------
+
+SETTINGS_NONAME = Settings(
+    exclude=fx.EXCLUDE,
+    trim_tags=fx.TRIM,
+    min_occurrences=fx.MIN_OCCURRENCES,
+    toi_top_values=fx.TOI_TOP,
+    skip_no_name=True,
+)
+
+
+def q_osm_poi_nodes_noname(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The node cascade with SKIP_NO_NAME=True (reference
+    settings_default.py knob, filter.py:167-169): identical to
+    osm_poi_nodes except nameless node 12 is dropped — every reference
+    setting now has an oracle-checked path."""
+    out = poi_nodes(fx.nodes_df(spark), fx.taginfo_df(spark), SETTINGS_NONAME)
+    return out.select("id", "tstamp", "tags_hstore", "lon", "lat")
+
+
+ORACLE_POI_NODES_NONAME = ORACLE_POI_NODES + """
+  AND json_extract_string(d.tags_json, '$.name') IS NOT NULL
+"""
+
+
 # --- O19: spatial bucketing + bbox pruning ---------------------------------
 
 _BBOX = (5.115, 52.105, 5.225, 52.225)  # lon_min, lat_min, lon_max, lat_max
@@ -242,15 +458,21 @@ WHERE lon >= {_BBOX[0]} AND lon <= {_BBOX[2]} AND lat >= {_BBOX[1]} AND lat <= {
 QUERIES = {
     "osm_toi_dim": q_osm_toi_dim,
     "osm_poi_nodes": q_osm_poi_nodes,
+    "osm_poi_nodes_noname": q_osm_poi_nodes_noname,
     "osm_way_assembly": q_osm_way_assembly,
     "osm_ways_centroids": q_osm_ways_centroids,
+    "osm_relation_areas": q_osm_relation_areas,
+    "osm_mp_centroids": q_osm_mp_centroids,
     "osm_spatial_bbox": q_osm_spatial_bbox,
 }
 
 ORACLES = {
     "osm_toi_dim": ORACLE_TOI_DIM,
     "osm_poi_nodes": ORACLE_POI_NODES,
+    "osm_poi_nodes_noname": ORACLE_POI_NODES_NONAME,
     "osm_way_assembly": ORACLE_WAY_ASSEMBLY,
     "osm_ways_centroids": ORACLE_WAYS_CENTROIDS,
+    "osm_relation_areas": ORACLE_RELATION_AREAS,
+    "osm_mp_centroids": ORACLE_MP_CENTROIDS,
     "osm_spatial_bbox": ORACLE_SPATIAL_BBOX,
 }
