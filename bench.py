@@ -4,6 +4,12 @@ JSON line {"metric", "value", "unit", "queries", "sf"}.
 
 Each query executes via the noop sink (full pipeline execution, no
 driver-side collect cost). A warmup query absorbs JVM/session startup.
+
+Per-query times are the MEDIAN of $SPARK_GRAFT_BENCH_RUNS (default 3)
+interleaved rounds — the host shows ~1.5× total variance from CPU steal,
+so single runs are noise; interleaving rounds (run all queries, repeat)
+rather than back-to-back repeats keeps one steal burst from biasing one
+query's whole sample. "value" is the sum of medians.
 """
 
 from __future__ import annotations
@@ -11,6 +17,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -23,6 +30,7 @@ from osm_poi_database_maker_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
@@ -36,12 +44,14 @@ def main() -> None:
     # warmup: session + parquet footer caches
     next(iter(qs.values()))(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name, fn in qs.items():
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    samples: dict[str, list[float]] = {name: [] for name in qs}
+    for _ in range(n_runs):
+        for name, fn in qs.items():
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples[name].append(time.time() - t0)
 
+    timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -51,6 +61,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": n_runs,
             }
         )
     )

@@ -22,12 +22,14 @@ Scale: everything shuffles on ``relation_id`` — a fine-grained key (OSM
 relations have ~10² members on average, bounded ~10⁴) — so the assembly
 is one sort-merge join plus one hash aggregate at any corpus size.
 
-Scope note (documented deviation): members that are OPEN ways are
-quarantined rather than stitched end-to-end into rings. osmium attempts
-segment stitching before giving up; stitching is an iterative
-fixed-point the engine does not implement yet — invalid relations land
-in the dead-letter branch with a reason, mirroring the reference's
-``invalid_ways`` log (filter.py:131-137).
+Open-way members are STITCHED end-to-end into rings before validity is
+decided (:func:`stitch_member_rings`) — the same segment assembly
+osmium performs before building an area. Stitching is per-(relation,
+role) chain walking with bounded state (member counts are ~10²,
+capped ~10⁴ in OSM), i.e. exactly the "per-partition imperative logic"
+case ``applyInPandas`` exists for; relations whose segments cannot
+close land in the dead-letter branch with a reason, mirroring the
+reference's ``invalid_ways`` log (filter.py:131-137).
 """
 
 from __future__ import annotations
@@ -69,6 +71,118 @@ def member_rings(relation_members: DataFrame, way_rings: DataFrame) -> DataFrame
         "ring",
         F.col("ring").isNotNull().alias("found"),
         F.coalesce(F.col("is_closed"), F.lit(False)).alias("ring_ok"),
+    )
+
+
+#: Output schema of :func:`stitch_member_rings` — identical to
+#: :func:`member_rings` so stitching composes transparently with
+#: :func:`relation_area_stats` / :func:`relation_polys`.
+_MRINGS_SCHEMA = (
+    "relation_id long, member_id long, role string, sequence_id int, "
+    "ring array<struct<lon: double, lat: double>>, "
+    "found boolean, ring_ok boolean"
+)
+
+
+def stitch_member_rings(mrings: DataFrame) -> DataFrame:
+    """Stitch OPEN member ways into closed rings, per (relation, role) —
+    osmium's segment assembly (the step before
+    ``WKBFactory.create_multipolygon`` in reference filter.py:128-137)
+    as a grouped-map operation.
+
+    Closed members and failure markers pass through untouched. Open
+    members are chained endpoint-to-endpoint (matching on exact
+    coordinates — OSM segments share literal nodes), reversing segments
+    as needed; every segment endpoint must have degree exactly 2, which
+    makes the chain successor unique and the result a disjoint union of
+    cycles — precisely what osmium accepts. Any leftover or stuck
+    segment yields an ``ring_ok=false`` marker row so the relation is
+    quarantined, never silently mis-assembled.
+
+    Determinism: chains start at the smallest unused member id and the
+    emitted ring starts with that member's stored first point; the
+    stitched ring reports the smallest participating member id. Scale:
+    state is one relation's members (bounded ~10⁴ in OSM); the groupBy
+    shuffles each relation's segments once on (relation_id, role)."""
+    import pandas as pd
+
+    def _stitch(pdf: pd.DataFrame) -> pd.DataFrame:
+        keep = pdf[pdf["ring_ok"] | ~pdf["found"]]
+        open_segs = pdf[pdf["found"] & ~pdf["ring_ok"]]
+        out = [keep]
+        if len(open_segs):
+            rel = pdf["relation_id"].iloc[0]
+            role = pdf["role"].iloc[0]
+            segs = {}
+            for r in open_segs.itertuples():
+                pts = [(p["lon"], p["lat"]) for p in r.ring] if r.ring is not None else []
+                segs[r.member_id] = pts
+            # endpoint -> [member ids]; degree-2 everywhere or fail
+            ends: dict[tuple, list] = {}
+            bad = any(len(p) < 2 for p in segs.values())
+            for mid, pts in segs.items():
+                if len(pts) >= 2:
+                    for e in (pts[0], pts[-1]):
+                        ends.setdefault(e, []).append(mid)
+            bad = bad or any(len(v) != 2 for v in ends.values())
+            rows = []
+            if not bad:
+                unused = dict(segs)
+                while unused:
+                    start = min(unused)
+                    chain = list(unused.pop(start))
+                    ok = True
+                    while chain[0] != chain[-1]:
+                        tip = chain[-1]
+                        nxts = [m for m in ends.get(tip, []) if m in unused]
+                        if not nxts:
+                            ok = False
+                            break
+                        m = min(nxts)
+                        pts = unused.pop(m)
+                        chain.extend(pts[1:] if pts[0] == tip else list(reversed(pts))[1:])
+                    if not ok or len(chain) < 4:  # degenerate "ring" [A,B,A]
+                        bad = True
+                        break
+                    rows.append(
+                        {
+                            "relation_id": rel,
+                            "member_id": start,
+                            "role": role,
+                            "sequence_id": 0,
+                            "ring": [{"lon": x, "lat": y} for x, y in chain],
+                            "found": True,
+                            "ring_ok": True,
+                        }
+                    )
+            if bad:
+                # one marker row quarantines the relation (open_ring)
+                rows = [
+                    {
+                        "relation_id": rel,
+                        "member_id": int(open_segs["member_id"].min()),
+                        "role": role,
+                        "sequence_id": 0,
+                        "ring": None,
+                        "found": True,
+                        "ring_ok": False,
+                    }
+                ]
+            out.append(pd.DataFrame(rows))
+        return pd.concat(out, ignore_index=True)[
+            [
+                "relation_id",
+                "member_id",
+                "role",
+                "sequence_id",
+                "ring",
+                "found",
+                "ring_ok",
+            ]
+        ]
+
+    return mrings.groupBy("relation_id", "role").applyInPandas(
+        _stitch, schema=_MRINGS_SCHEMA
     )
 
 
@@ -228,7 +342,9 @@ def poi_relation_areas(
     where the reference loses it)."""
     dim = build_toi_dim(taginfo, settings)
     filtered = poi_filter(dedup_latest(relations), dim, settings)
-    stats = relation_area_stats(member_rings(relation_members, way_rings))
+    stats = relation_area_stats(
+        stitch_member_rings(member_rings(relation_members, way_rings))
+    )
     return (
         filtered.join(stats, filtered["id"] == stats["relation_id"], "inner")
         .filter(F.col("is_valid"))
@@ -252,9 +368,12 @@ def quarantined_relations(
     relations: DataFrame, relation_members: DataFrame, way_rings: DataFrame
 ) -> DataFrame:
     """Dead-letter branch for relations whose geometry assembly failed
-    (missing member, open ring, no outer) — the engine's analogue of the
-    reference's ``invalid_ways`` warning log (filter.py:131-137)."""
-    stats = relation_area_stats(member_rings(relation_members, way_rings))
+    (missing member, unstitchable open ring, no outer) — the engine's
+    analogue of the reference's ``invalid_ways`` warning log
+    (filter.py:131-137)."""
+    stats = relation_area_stats(
+        stitch_member_rings(member_rings(relation_members, way_rings))
+    )
     bad = stats.filter(~F.col("is_valid")).select("relation_id", "invalid_reason")
     return dedup_latest(relations).join(
         bad, F.col("id") == F.col("relation_id"), "inner"

@@ -55,6 +55,65 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         df.createOrReplaceTempView(name)
 
 
+#: Reference filter.py:239 verbatim query contract: first page of 100
+#: values per key, server-sorted by way-usage count descending.
+TAGINFO_VALUES_API_URL = (
+    "https://taginfo.openstreetmap.org/api/4/key/values"
+    "?key={key}&page=1&rp=100&sortname=count_ways&sortorder=desc"
+)
+
+
+def retrieve_taginfo(key: str, http_get=None) -> dict[str, int]:
+    """O14 source half (reference filter.py:235-247): fetch the top-100
+    values for one key from the TagInfo API and keep those that are
+    documented in the OSM wiki and contain no ``;`` — returning
+    ``{value: count}``. ``http_get(url) -> parsed json`` is injectable
+    for tests; the default is an import-gated ``requests`` call (the
+    fetch is driver-side and dimension-sized, never distributed)."""
+    if http_get is None:
+        try:
+            import requests
+        except ImportError as e:  # pragma: no cover - requests is optional
+            raise RuntimeError(
+                "TagInfo fetch needs the 'requests' package; pass http_get= "
+                "or pre-populate the tags.json cache"
+            ) from e
+
+        def http_get(url: str):
+            return requests.get(url, timeout=30).json()
+
+    payload = http_get(TAGINFO_VALUES_API_URL.format(key=key))
+    return {
+        item["value"]: item["count"]
+        for item in payload["data"]
+        if ";" not in item["value"] and item["in_wiki"]
+    }
+
+
+def fetch_taginfo_cache(
+    keys: tuple[str, ...], path: str, http_get=None, now_iso: str | None = None
+) -> dict:
+    """O15 cache-or-fetch (reference filter.py:281-299): serve an
+    existing ``tags.json`` if present, else call TagInfo per key and
+    write the cache in the exact reference shape
+    ``{"retrieval_date": ..., "data": {key: {value: count}}}`` — the
+    shape :func:`taginfo_from_json` reads back into the dimension."""
+    import datetime
+    import json
+
+    if os.path.exists(path):
+        with open(path) as fh:
+            return json.load(fh)
+    tags = {
+        "retrieval_date": now_iso
+        or datetime.datetime.now().isoformat(timespec="minutes"),
+        "data": {k: retrieve_taginfo(k, http_get) for k in keys},
+    }
+    with open(path, "w") as fh:
+        fh.write(json.dumps(tags))
+    return tags
+
+
 def taginfo_from_json(spark: SparkSession, path: str) -> DataFrame:
     """O14/O15 JSON source parity: read the reference's ``tags.json``
     cache shape — ``{"retrieval_date": str, "data": {key: {value:

@@ -175,6 +175,19 @@ MEMBER_WAYS: list[tuple[int, list[tuple[float, float]]]] = [
     # member of the id-collision relation (relation id 100 == node id 100
     # and way id 100 — the reference's orig_id() collision hazard)
     (208, _square(6.400, 52.400, _DLON_30M, _DLAT_30M)),
+    # R507 stitch donut: the 150 m outer ring split into two OPEN halves
+    # (211 stored REVERSED — stitching must flip it) + a closed 60 m
+    # hole; net area ~18607 m² <= 20000 only after both stitching AND
+    # hole subtraction succeed.
+    (210, [(5.950, 52.950), (5.950 + _DLON_30M * 5, 52.950),
+           (5.950 + _DLON_30M * 5, 52.950 + _DLAT_30M * 5)]),
+    (211, [(5.950, 52.950), (5.950, 52.950 + _DLAT_30M * 5),
+           (5.950 + _DLON_30M * 5, 52.950 + _DLAT_30M * 5)]),
+    (212, _square(5.9508, 52.9504, _DLON_30M * 2, _DLAT_30M * 2)),
+    # R508 gap: two open segments that do NOT share an endpoint ->
+    # unstitchable (an endpoint of degree 1), quarantined
+    (213, [(6.500, 52.500), (6.5004, 52.500), (6.5004, 52.5003)]),
+    (214, [(6.5009, 52.5008), (6.500, 52.5003)]),
 ]
 
 # (id, version, user_id, tstamp, changeset_id, tags)
@@ -194,6 +207,11 @@ RELATIONS: list[tuple] = [
     (505, 1, 304, _ts(57), 9204, {"type": "multipolygon", "amenity": "cafe", "access": "private", "name": "Priv R7"}),
     # no TOI match -> dropped
     (506, 1, 304, _ts(58), 9204, {"type": "multipolygon", "landuse": "forest", "name": "Forest R8"}),
+    # outer ring arrives as two open halves -> STITCHED, then the hole
+    # flips it under the centroid threshold
+    (507, 1, 305, _ts(59), 9205, {"type": "multipolygon", "amenity": "cafe", "name": "Stitch R9"}),
+    # unstitchable gap -> quarantined (open_ring)
+    (508, 1, 305, _ts(60), 9205, {"type": "multipolygon", "shop": "bakery", "name": "Gap R10"}),
 ]
 
 # (relation_id, member_id, member_type, member_role, sequence_id) —
@@ -213,6 +231,11 @@ RELATION_MEMBERS: list[tuple[int, int, str, str, int]] = [
     (100, 208, "W", "outer", 0),
     (505, 206, "W", "outer", 0),
     (506, 206, "W", "outer", 0),
+    (507, 210, "W", "outer", 0),
+    (507, 211, "W", "outer", 1),
+    (507, 212, "W", "inner", 2),
+    (508, 213, "W", "outer", 0),
+    (508, 214, "W", "outer", 1),
 ]
 
 EXCLUDE = (("amenity=cafe", "access=private"),)

@@ -41,6 +41,21 @@ def build_toi_dim(taginfo: DataFrame, settings: Settings) -> DataFrame:
     )
 
 
+def toi_dim_from_cache(spark, path: str, settings: Settings) -> DataFrame:
+    """TOI dimension from a ``tags.json`` cache written by
+    :func:`~osm_poi_database_maker_spark.io.fetch_taginfo_cache`. Cached
+    values were already filtered at retrieval (reference
+    retrieve_taginfo drops not-in-wiki and ';' values, filter.py:245)
+    and rank-cut server-side (rp=100), so re-applying
+    :func:`build_toi_dim` is idempotent — one code path builds the
+    dimension whether the source is the live API, the cache, or a
+    fixture table."""
+    from .io import taginfo_from_json
+
+    raw = taginfo_from_json(spark, path).withColumn("in_wiki", F.lit(True))
+    return build_toi_dim(raw, settings)
+
+
 def with_progress_counters(df: DataFrame, name: str = "poi_pipeline") -> DataFrame:
     """O2 (reference logs a counter every 1M objects, filter.py:213-228):
     zero-cost streaming metrics via ``observe`` — row and distinct-ish

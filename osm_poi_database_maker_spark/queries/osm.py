@@ -223,9 +223,18 @@ _ROLE_SIGN = "(CASE WHEN role = 'outer' THEN 1.0 ELSE -1.0 END)"
 
 def _relation_stats_sql() -> str:
     """CTE chain re-deriving areas.relation_area_stats in DuckDB:
-    member resolution, per-ring spherical area + shoelace moments, and
-    the role-signed winding-normalized aggregation. Expects a ``dim``
-    CTE in scope; defines rels/rdedup/mw/rm/mr/per_ring/rstats."""
+    member resolution, SEGMENT STITCHING as a recursive CTE, per-ring
+    spherical area + shoelace moments, and the role-signed
+    winding-normalized aggregation. Expects a ``dim`` CTE in scope;
+    defines rels/rdedup/mw/rm/mr/.../mr2/per_ring/rstats.
+
+    The stitch walk mirrors areas.stitch_member_rings: open segments
+    chain endpoint-to-endpoint; every endpoint must have degree exactly
+    2, which makes the successor UNIQUE — so the recursion needs no
+    tie-breaking and the resulting cycles (hence areas/centroids) are
+    walk-order independent. A cycle is kept once, from the walk that
+    started at its smallest member id; (relation, role) groups whose
+    segments aren't fully covered by kept cycles are failure-marked."""
     return f"""
 rels AS ({fx.relations_values_sql()}),
 rdedup AS (
@@ -243,6 +252,65 @@ mr AS (
   FROM rm LEFT JOIN mw ON rm.member_id = mw.way_id
   WHERE rm.member_type = 'W' AND rm.member_role IN ('outer', 'inner')
 ),
+seg AS (
+  SELECT relation_id, role, member_id, ring FROM mr
+  WHERE found AND NOT ring_ok AND ring IS NOT NULL
+),
+seg_bad AS (  -- an endpoint of degree <> 2, or an undersized segment
+  SELECT DISTINCT relation_id, role FROM (
+    SELECT relation_id, role, pt, count(*) AS deg FROM (
+      SELECT relation_id, role, ring[1] AS pt FROM seg WHERE len(ring) >= 2
+      UNION ALL
+      SELECT relation_id, role, ring[-1] AS pt FROM seg WHERE len(ring) >= 2
+    ) GROUP BY 1, 2, 3
+  ) WHERE deg <> 2
+  UNION
+  SELECT relation_id, role FROM seg WHERE len(ring) < 2
+),
+walk AS (
+  SELECT s.relation_id, s.role, s.member_id AS start_id, s.ring AS cur_ring,
+         [s.member_id] AS used
+  FROM seg s
+  WHERE NOT EXISTS (SELECT 1 FROM seg_bad b
+                    WHERE b.relation_id = s.relation_id AND b.role = s.role)
+  UNION ALL
+  SELECT w.relation_id, w.role, w.start_id,
+         w.cur_ring || (CASE WHEN s.ring[1] = w.cur_ring[-1]
+                             THEN s.ring[2:]
+                             ELSE list_reverse(s.ring)[2:] END),
+         list_append(w.used, s.member_id)
+  FROM walk w
+  JOIN seg s ON s.relation_id = w.relation_id AND s.role = w.role
+   AND NOT list_contains(w.used, s.member_id)
+   AND (s.ring[1] = w.cur_ring[-1] OR s.ring[-1] = w.cur_ring[-1])
+  WHERE w.cur_ring[1] <> w.cur_ring[-1]
+),
+cycles AS (  -- each cycle once: the walk that started at its min member id
+  SELECT relation_id, role, start_id AS member_id, cur_ring AS ring, used
+  FROM walk
+  WHERE cur_ring[1] = cur_ring[-1] AND len(cur_ring) >= 4
+    AND start_id = list_aggregate(used, 'min')
+),
+stitch_fail AS (  -- segments not fully consumed by kept cycles
+  SELECT sc.relation_id, sc.role FROM
+    (SELECT relation_id, role, count(*) AS n_seg FROM seg GROUP BY 1, 2) sc
+  LEFT JOIN
+    (SELECT relation_id, role, CAST(sum(len(used)) AS BIGINT) AS covered
+     FROM cycles GROUP BY 1, 2) cov
+  ON cov.relation_id = sc.relation_id AND cov.role = sc.role
+  WHERE coalesce(cov.covered, 0) <> sc.n_seg
+),
+mr2 AS (  -- closed pass-through + stitched rings + failure/missing markers
+  SELECT relation_id, member_id, role, ring, found, ring_ok FROM mr
+  WHERE ring_ok OR NOT found
+  UNION ALL
+  SELECT relation_id, member_id, role, ring, TRUE, TRUE FROM cycles
+  UNION ALL
+  SELECT f.relation_id, min(s.member_id), f.role, NULL, TRUE, FALSE
+  FROM stitch_fail f JOIN seg s
+    ON s.relation_id = f.relation_id AND s.role = f.role
+  GROUP BY f.relation_id, f.role
+),
 per_ring AS (
   SELECT relation_id, role, found, ring_ok,
     CASE WHEN ring_ok THEN abs(list_sum({_AREA_TERMS})) * {_R2_HALF!r} END AS sphere_m2,
@@ -251,7 +319,7 @@ per_ring AS (
              i -> (ring[i].lon + ring[i+1].lon) * {_CROSS})) END AS cx_raw,
     CASE WHEN ring_ok THEN list_sum(list_transform(range(1, len(ring)),
              i -> (ring[i].lat + ring[i+1].lat) * {_CROSS})) END AS cy_raw
-  FROM mr
+  FROM mr2
 ),
 rstats AS (
   SELECT relation_id,
@@ -286,12 +354,14 @@ def q_osm_relation_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
     line only when its hole is subtracted, winding normalization, the
     two-outer multipolygon, missing-member and open-ring quarantine,
     and the relation-id/way-id collision (orig_id space)."""
-    from ..areas import member_rings, relation_area_stats
+    from ..areas import member_rings, relation_area_stats, stitch_member_rings
 
     dim = build_toi_dim(fx.taginfo_df(spark), SETTINGS)
     filtered = poi_filter(dedup_latest(fx.relations_df(spark)), dim, SETTINGS)
     stats = relation_area_stats(
-        member_rings(fx.relation_members_df(spark), fx.member_way_rings_df(spark))
+        stitch_member_rings(
+            member_rings(fx.relation_members_df(spark), fx.member_way_rings_df(spark))
+        )
     )
     out = filtered.join(stats, filtered["id"] == stats["relation_id"])
     return out.select(
@@ -307,7 +377,7 @@ def q_osm_relation_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_RELATION_AREAS = f"""
-WITH dim AS ({_DIM_SQL}),
+WITH RECURSIVE dim AS ({_DIM_SQL}),
 {_relation_stats_sql()},
 {_matched_sql("rdedup", prefix="r_")}
 SELECT d.id, m.n_outer, m.n_inner, m.is_valid, m.invalid_reason,
@@ -348,7 +418,7 @@ def q_osm_mp_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_MP_CENTROIDS = f"""
-WITH w AS ({fx.ways_values_sql()}),
+WITH RECURSIVE w AS ({fx.ways_values_sql()}),
 dim AS ({_DIM_SQL}),
 {_matched_sql("w")},
 {_relation_stats_sql()},

@@ -144,8 +144,9 @@ def test_relation_pipeline_end_to_end(spark):
         SETTINGS,
     )
     ids = {r.id for r in pr.select("id").collect()}
-    # valid + cascade-kept only: donut, small-hole, two-outer(v2), collide
-    assert ids == {500, 501, 502, 100}
+    # valid + cascade-kept: donut, small-hole, two-outer(v2), collide,
+    # and the STITCHED donut 507 (outer arrives as two open halves)
+    assert ids == {500, 501, 502, 100, 507}
     quar = {
         r.id: r.invalid_reason
         for r in quarantined_relations(
@@ -154,7 +155,7 @@ def test_relation_pipeline_end_to_end(spark):
             fx.member_way_rings_df(spark),
         ).collect()
     }
-    assert quar == {503: "missing_member", 504: "open_ring"}
+    assert quar == {503: "missing_member", 504: "open_ring", 508: "open_ring"}
     # unified centroid stream: donut converts (net <= 20000 only with
     # holes subtracted), small-hole stays a polygon
     pw = poi_ways(fx.ways_df(spark), fx.taginfo_df(spark), SETTINGS)
@@ -165,6 +166,8 @@ def test_relation_pipeline_end_to_end(spark):
     # the deliberate orig_id collision: way 100 and relation 100 both land
     # on the same output id, distinguishable only by area_src
     assert (36_000_000_100, "way") in rows and (36_000_000_100, "relation") in rows
+    # stitched donut also converts (net ~18585 m2 after stitch + hole)
+    assert (36_000_000_000 + 507, "relation") in rows
 
 
 def test_relation_wkb_from_polys(spark):
@@ -192,3 +195,54 @@ def test_relation_wkb_from_polys(spark):
     assert n_rings(out[500]) == (1, 2)   # donut: 1 poly, outer+hole
     assert n_rings(out[502]) == (2, 2)   # two outers, no holes
     assert n_rings(out[100]) == (1, 1)
+
+
+def test_stitching_multi_cycle_and_failures(spark):
+    """Four open segments forming TWO disjoint rings stitch into two
+    outer cycles; a leftover odd segment or a degree-3 endpoint
+    quarantines the group instead of mis-assembling."""
+    from osm_poi_database_maker_spark.areas import stitch_member_rings
+
+    def seg(rel, mid, role, pts):
+        return (rel, mid, role, 0, [{"lon": x, "lat": y} for x, y in pts], True, False)
+
+    rows = [
+        # relation 1: ring A = unit square from two halves (one reversed),
+        # ring B = triangle from two halves
+        seg(1, 10, "outer", [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0)]),
+        seg(1, 11, "outer", [(0.0, 0.0), (0.0, 1.0), (1.0, 1.0)]),
+        seg(1, 12, "outer", [(5.0, 5.0), (6.0, 5.0)]),
+        seg(1, 13, "outer", [(6.0, 5.0), (5.5, 6.0), (5.0, 5.0)]),
+        # relation 2: degree-3 endpoint (three segments meet) -> fail
+        seg(2, 20, "outer", [(0.0, 0.0), (1.0, 0.0)]),
+        seg(2, 21, "outer", [(1.0, 0.0), (1.0, 1.0), (0.0, 0.0)]),
+        seg(2, 22, "outer", [(1.0, 0.0), (2.0, 2.0), (0.0, 0.0)]),
+    ]
+    mr = spark.createDataFrame(
+        rows,
+        "relation_id long, member_id long, role string, sequence_id int, "
+        "ring array<struct<lon: double, lat: double>>, found boolean, ring_ok boolean",
+    )
+    out = stitch_member_rings(mr).collect()
+    by_rel = {}
+    for r in out:
+        by_rel.setdefault(r.relation_id, []).append(r)
+    r1 = sorted(by_rel[1], key=lambda r: r.member_id)
+    assert [r.ring_ok for r in r1] == [True, True]
+    assert [r.member_id for r in r1] == [10, 12]  # min member id per cycle
+    # ring A is the closed unit square (5 points), ring B the triangle (4)
+    assert [len(r.ring) for r in r1] == [5, 4]
+    assert r1[0].ring[0] == r1[0].ring[-1]
+    assert len(by_rel[2]) == 1 and not by_rel[2][0].ring_ok
+
+
+def test_stitched_polys_structural(spark):
+    """relation_polys over STITCHED rings: the split-outer donut 507
+    builds one polygon with outer + hole, hole wound CW."""
+    from osm_poi_database_maker_spark.areas import stitch_member_rings
+
+    polys = {
+        r.relation_id: r.polys
+        for r in relation_polys(stitch_member_rings(_mrings(spark))).collect()
+    }
+    assert len(polys[507]) == 1 and len(polys[507][0]) == 2

@@ -112,3 +112,53 @@ def test_analyze_tables_records_stats(spark):
         spark.table("orders")._jdf.queryExecution().optimizedPlan().stats().rowCount().toString()
     )
     assert est != "None"
+
+
+def test_taginfo_rest_fetch_roundtrip(spark, tmp_path):
+    """Mocked-HTTP TagInfo fetch (reference filter.py:235-247): the
+    query contract (rp=100, count_ways desc), the in_wiki / ';' client
+    filters, the cache-or-fetch behavior (filter.py:281-299), and the
+    round trip cache -> tags.json -> build_toi_dim equal to the
+    fixture-built osm_toi_dim."""
+    from urllib.parse import parse_qs, urlparse
+
+    from osm_poi_database_maker_spark import osm_fixtures as fx
+    from osm_poi_database_maker_spark.io import fetch_taginfo_cache
+    from osm_poi_database_maker_spark.pipeline import toi_dim_from_cache
+    from osm_poi_database_maker_spark.queries.osm import SETTINGS, q_osm_toi_dim
+
+    calls = []
+
+    def fake_get(url):
+        calls.append(url)
+        q = parse_qs(urlparse(url).query)
+        assert q["rp"] == ["100"] and q["sortname"] == ["count_ways"]
+        assert q["sortorder"] == ["desc"] and q["page"] == ["1"]
+        key = q["key"][0]
+        rows = sorted(
+            (r for r in fx.TAGINFO if r[0] == key), key=lambda r: (-r[2], r[1])
+        )
+        # the API serves the top-100 RAW (in_wiki filtering is client-side)
+        return {
+            "data": [
+                {"value": v, "count": c, "in_wiki": w} for (_, v, c, w) in rows[:100]
+            ]
+        }
+
+    path = str(tmp_path / "tags.json")
+    cache = fetch_taginfo_cache(
+        ("amenity", "shop", "tourism"), path, http_get=fake_get, now_iso="2026-08-13T10:00"
+    )
+    assert len(calls) == 3
+    assert cache["retrieval_date"] == "2026-08-13T10:00"
+    # client-side filters applied at retrieval: no ';' values, no
+    # in_wiki=false values anywhere in the cache
+    vals = {v for kv in cache["data"].values() for v in kv}
+    assert "bar;pub" not in vals and "nowiki" not in vals
+    # cache hit: no further HTTP calls
+    again = fetch_taginfo_cache(("amenity",), path, http_get=fake_get)
+    assert again == cache and len(calls) == 3
+    # round trip equals the fixture-built dimension exactly
+    got = sorted(map(tuple, toi_dim_from_cache(spark, path, SETTINGS).collect()))
+    want = sorted(map(tuple, q_osm_toi_dim(spark, "x").collect()))
+    assert got == want

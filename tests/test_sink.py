@@ -145,3 +145,108 @@ def test_osm_bridge_requires_osmium():
 
     with pytest.raises(ImportError, match="pyosmium is required"):
         pbf_to_parquet("/nonexistent.pbf", "/tmp/out")
+
+
+def _parse_hstore(s: str) -> dict:
+    """A real hstore input-grammar parser (the quoted-element subset
+    PostgreSQL accepts: '"k" => "v"' items, comma-separated, backslash
+    escapes inside quotes, arbitrary whitespace between tokens) — the
+    adversarial check that render_copy_rows output would survive an
+    actual `COPY ... (tags hstore)` ingest (reference filter.py:44-57)."""
+    out, i, n = {}, 0, len(s)
+
+    def skip_ws(i):
+        while i < n and s[i] in " \t":
+            i += 1
+        return i
+
+    def quoted(i):
+        assert s[i] == '"', f"expected quote at {i}: {s[i:]}"
+        i += 1
+        buf = []
+        while True:
+            c = s[i]
+            if c == "\\":
+                assert s[i + 1] in ('"', "\\"), "invalid escape"
+                buf.append(s[i + 1])
+                i += 2
+            elif c == '"':
+                return "".join(buf), i + 1
+            else:
+                buf.append(c)
+                i += 1
+
+    while i < n:
+        i = skip_ws(i)
+        k, i = quoted(i)
+        i = skip_ws(i)
+        assert s[i : i + 2] == "=>", f"expected => at {i}"
+        i = skip_ws(i + 2)
+        v, i = quoted(i)
+        assert k not in out, "duplicate hstore key"
+        out[k] = v
+        i = skip_ws(i)
+        if i < n:
+            assert s[i] == ","
+            i += 1
+    return out
+
+
+def _copy_unescape(field: str):
+    """COPY text-format field decoder (the server's side of FORMAT text)."""
+    if field == "\\N":
+        return None
+    out, i = [], 0
+    esc = {"t": "\t", "n": "\n", "r": "\r", "\\": "\\"}
+    while i < len(field):
+        if field[i] == "\\":
+            out.append(esc[field[i + 1]])
+            i += 2
+        else:
+            out.append(field[i])
+            i += 1
+    return "".join(out)
+
+
+def test_hstore_copy_adversarial_roundtrip(spark):
+    """COPY line -> COPY unescape -> hstore grammar parse must recover
+    the original tag map exactly (modulo the reference sanitizer's
+    control-char -> space normalization, filter.py:92-100), for tag
+    maps full of grammar metacharacters."""
+    from osm_poi_database_maker_spark.ops.tags import hstore_literal
+    from osm_poi_database_maker_spark.sink import render_copy_rows
+
+    cases = [
+        {"a\\b": 'c"d', "plain": "v"},
+        {"k,1": "v=>2", "=>": ","},
+        {"tab\there": "nl\nthere", "cr\rkey": "ok"},
+        {'"quoted"': "\\\\double", "back\\": '\\"mix'},
+        {"": "empty key", "empty val": ""},
+        {"ünïcode": "✓", "emoji": "\U0001f600"},
+    ]
+    df = spark.createDataFrame(
+        [(i, m) for i, m in enumerate(cases)], "id long, tags map<string,string>"
+    )
+    rendered = df.select(
+        "id",
+        hstore_literal(F.col("tags")).alias("tags_hstore"),
+        F.lit(None).cast("string").alias("geom"),
+    )
+    lines = {
+        int(line.split("\t", 1)[0]): line
+        for line in (
+            r.line
+            for r in render_copy_rows(rendered, ("id", "tags_hstore", "geom")).collect()
+        )
+    }
+    for i, tags in enumerate(cases):
+        fields = lines[i].split("\t")
+        assert len(fields) == 3 and _copy_unescape(fields[2]) is None
+        got = _parse_hstore(_copy_unescape(fields[1]))
+        import re
+
+        want = {
+            re.sub("[\n\r\t]", " ", k): re.sub("[\n\r\t]", " ", v)
+            for k, v in tags.items()
+        }
+        assert got == want, f"case {i}: {got} != {want}"
