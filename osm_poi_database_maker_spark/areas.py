@@ -103,10 +103,28 @@ def stitch_member_rings(mrings: DataFrame) -> DataFrame:
     emitted ring starts with that member's stored first point; the
     stitched ring reports the smallest participating member id. Scale:
     state is one relation's members (bounded ~10⁴ in OSM); the groupBy
-    shuffles each relation's segments once on (relation_id, role)."""
+    shuffles each relation's segments once on relation_id — roles are
+    separated INSIDE the group so the downstream per-relation stats
+    aggregation reuses this exchange instead of re-shuffling."""
     import pandas as pd
 
     def _stitch(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat(
+            [_stitch_role(g) for _, g in pdf.groupby("role", sort=True)],
+            ignore_index=True,
+        )[
+            [
+                "relation_id",
+                "member_id",
+                "role",
+                "sequence_id",
+                "ring",
+                "found",
+                "ring_ok",
+            ]
+        ]
+
+    def _stitch_role(pdf: pd.DataFrame) -> pd.DataFrame:
         keep = pdf[pdf["ring_ok"] | ~pdf["found"]]
         open_segs = pdf[pdf["found"] & ~pdf["ring_ok"]]
         out = [keep]
@@ -169,21 +187,9 @@ def stitch_member_rings(mrings: DataFrame) -> DataFrame:
                     }
                 ]
             out.append(pd.DataFrame(rows))
-        return pd.concat(out, ignore_index=True)[
-            [
-                "relation_id",
-                "member_id",
-                "role",
-                "sequence_id",
-                "ring",
-                "found",
-                "ring_ok",
-            ]
-        ]
+        return pd.concat(out, ignore_index=True)
 
-    return mrings.groupBy("relation_id", "role").applyInPandas(
-        _stitch, schema=_MRINGS_SCHEMA
-    )
+    return mrings.groupBy("relation_id").applyInPandas(_stitch, schema=_MRINGS_SCHEMA)
 
 
 def relation_area_stats(mrings: DataFrame) -> DataFrame:

@@ -44,10 +44,13 @@ _VERIFY_FIRST = [
     "stream_dedup_watermark",
     "stream_static_join",
     "stream_stream_attribution",
-    # tier 1: new in round 2 (multipolygon/relation semantics + O4 knob)
+    # tier 1: new in round 2 (multipolygon/relation semantics, O4 knob,
+    # sequence packing, PII scrub)
     "osm_relation_areas",
     "osm_mp_centroids",
     "osm_poi_nodes_noname",
+    "doc_pack_sequences",
+    "doc_pii_scrub",
     # tier 2: changed in round 2
     "orders_pk_audit",
     "doc_tfidf_top_terms",

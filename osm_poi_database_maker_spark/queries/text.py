@@ -452,6 +452,136 @@ FROM starts
 """
 
 
+# --- sequence packing (training-batch assembly) -----------------------------
+
+PACK_CTX = 2048  # context-window token budget
+PACK_SHARDS = 8  # independent packer shards — the scale knob
+
+
+def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-boundary sequence packing — the concat-and-chunk batch
+    assembly used to build training examples: documents are laid end to
+    end in deterministic (shard, doc_id) order and cut every PACK_CTX
+    tokens; each doc reports the pack it starts in and its offset.
+
+    Scale shape: a GLOBAL running sum would serialize on one partition,
+    so docs are first split into PACK_SHARDS deterministic shards
+    (doc_id mod — any stable key works) and each shard packs
+    independently: the window's cumulative sum runs per shard, giving
+    shard-count-way parallelism at any corpus size (raise PACK_SHARDS
+    with the cluster; packs are only ever addressed as (shard,
+    pack_id)). This trades exactly one partial pack of waste per shard
+    for linear scalability — the standard distributed-packing design."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.coalesce(
+        F.regexp_count(F.col("text"), F.lit("[A-Za-z0-9]+")), F.lit(0)
+    ).cast("long")
+    base = d.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        n.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = base.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return out.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "cum_before",
+        F.floor(F.col("cum_before") / PACK_CTX).alias("pack_id"),
+        (F.col("cum_before") % PACK_CTX).alias("pack_offset"),
+    )
+
+
+ORACLE_PACK = f"""
+WITH base AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+         CAST(coalesce(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 0) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+  FROM base
+)
+SELECT doc_id, shard, n_tokens, cum_before,
+       cum_before // {PACK_CTX} AS pack_id,
+       cum_before % {PACK_CTX} AS pack_offset
+FROM c
+"""
+
+
+# --- PII scrubbing ----------------------------------------------------------
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_PII_IPV4 = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+_PII_IDNUM = "[0-9]{9,}"
+
+
+def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents — emails, IPv4 addresses and long
+    id-like digit runs are counted and replaced with typed placeholder
+    tokens, the standard scrub step before training-data release.
+
+    The fixture corpus carries no PII, so the query PLANTS a
+    deterministic contact line per doc (both engines synthesize the
+    identical text) — making every counter and the scrubbed-text hash a
+    real differential check, not a vacuous zero. Patterns stick to the
+    regex subset with identical semantics in Java regex and RE2 (no
+    backrefs, no lookaround, bracketed literal dots). Pure expressions:
+    count + three regexp_replace passes, no shuffle at all."""
+    d = load_table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 ref 9"),
+        F.lpad((F.col("doc_id") % 100000000).cast("string"), 8, "0"),
+    )
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(planted, _PII_EMAIL, "<EMAIL>"), _PII_IPV4, "<IP>"
+        ),
+        _PII_IDNUM,
+        "<ID>",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(planted, F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(planted, F.lit(_PII_IPV4)).cast("long").alias("n_ips"),
+        F.regexp_count(planted, F.lit(_PII_IDNUM)).cast("long").alias("n_idnums"),
+        F.sha2(scrub, 256).alias("scrubbed_sha"),
+    )
+
+
+ORACLE_PII = f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.7 ref 9'
+              || lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0') AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_PII_IPV4}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(t, '{_PII_IDNUM}')) AS BIGINT) AS n_idnums,
+       sha256(regexp_replace(regexp_replace(regexp_replace(
+           t, '{_PII_EMAIL}', '<EMAIL>', 'g'), '{_PII_IPV4}', '<IP>', 'g'),
+           '{_PII_IDNUM}', '<ID>', 'g')) AS scrubbed_sha
+FROM planted
+"""
+
+
 QUERIES = {
     "doc_token_stats": q_doc_token_stats,
     "doc_quality_score": q_doc_quality_score,
@@ -462,6 +592,8 @@ QUERIES = {
     "doc_chunk_windows": q_doc_chunk_windows,
     "doc_repetition_stats": q_doc_repetition_stats,
     "doc_stratified_sample": q_doc_stratified_sample,
+    "doc_pack_sequences": q_doc_pack_sequences,
+    "doc_pii_scrub": q_doc_pii_scrub,
 }
 
 ORACLES = {
@@ -474,4 +606,6 @@ ORACLES = {
     "doc_chunk_windows": ORACLE_CHUNKS,
     "doc_repetition_stats": ORACLE_REPETITION,
     "doc_stratified_sample": ORACLE_STRATIFIED,
+    "doc_pack_sequences": ORACLE_PACK,
+    "doc_pii_scrub": ORACLE_PII,
 }

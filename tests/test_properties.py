@@ -9,6 +9,7 @@ import pandas as pd
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
+from conftest import SF_SMOKE
 from osm_poi_database_maker_spark.geo import wkb_point_hex, wkb_polygon_hex
 from osm_poi_database_maker_spark.ops.tags import hstore_literal
 
@@ -112,3 +113,36 @@ def test_wkb_polygon_roundtrip(pts):
     for (x, y), (dx, dy) in zip([(p["lon"], p["lat"]) for p in ring], decoded):
         assert struct.pack("<d", dx) == struct.pack("<d", x)
         assert struct.pack("<d", dy) == struct.pack("<d", y)
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing invariants: offsets stay inside the context window, packs
+    are monotone within a shard, and cum_before is consistent with the
+    running sum of earlier docs in the shard."""
+    from osm_poi_database_maker_spark.queries.text import PACK_CTX, q_doc_pack_sequences
+
+    rows = q_doc_pack_sequences(spark, SF_SMOKE).collect()
+    assert rows
+    by_shard = {}
+    for r in rows:
+        assert 0 <= r.pack_offset < PACK_CTX
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r.doc_id)
+        cum = 0
+        last_pack = 0
+        for r in shard_rows:
+            assert r.cum_before == cum
+            assert r.pack_id >= last_pack
+            cum += r.n_tokens
+            last_pack = r.pack_id
+
+
+def test_pii_scrub_plants_and_counts(spark):
+    from osm_poi_database_maker_spark.queries.text import q_doc_pii_scrub
+
+    rows = q_doc_pii_scrub(spark, SF_SMOKE).collect()
+    assert rows
+    # every planted doc carries exactly one email, one ip, one id run
+    assert all(r.n_emails == 1 and r.n_ips == 1 and r.n_idnums == 1 for r in rows)
+    assert all(len(r.scrubbed_sha) == 64 for r in rows)
