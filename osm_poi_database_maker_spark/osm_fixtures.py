@@ -440,3 +440,104 @@ def taginfo_values_sql() -> str:
         "SELECT * FROM (VALUES\n  " + ",\n  ".join(rows) + "\n) AS t(key, value, "
         '"count", in_wiki)'
     )
+
+
+# --------------------------------------------------------------------------
+# PBF wire-format fixture (O1): entities fed to pbf.encode_pbf, with the
+# oracle side rendered as precomputed literals. Edge cases: unsorted ids
+# (negative deltas), negative coordinates, empty tags, unicode tags, a
+# closed-ring way, relation members of all three types.
+# --------------------------------------------------------------------------
+
+def _ms(t: _dt.datetime) -> int:
+    return int(t.replace(tzinfo=_dt.timezone.utc).timestamp() * 1000)
+
+
+def _pbf_node(i, v, u, t, c, tags, lon, lat):
+    return {
+        "id": i, "version": v, "user_id": u, "tstamp_ms": _ms(t),
+        "changeset_id": c, "tags": tags, "lon": lon, "lat": lat,
+    }
+
+
+PBF_NODES: list[dict] = [
+    _pbf_node(1010, 1, 11, _ts(0), 501, {"amenity": "cafe", "name": "Café Ünïcode"}, 5.1234567, 52.0000001),
+    _pbf_node(1003, 2, 11, _ts(1), 501, {}, -73.9897001, 40.7484405),
+    _pbf_node(1001, 1, 12, _ts(2), 502, {"shop": "bakery", "name": "Bakkerij"}, 5.2, 52.1),
+    _pbf_node(1007, 3, 12, _ts(3), 502, {"highway": "bus_stop"}, -0.1275, 51.5072),
+    _pbf_node(1002, 1, 13, _ts(4), 503, {"natural": "tree"}, 151.2093, -33.8688),
+    _pbf_node(1005, 2, 13, _ts(5), 503, {"amenity": "bench", "backrest": "yes"}, 5.3, 52.3),
+    _pbf_node(1004, 1, 14, _ts(6), 504, {}, 5.4, 52.4),
+    _pbf_node(1006, 1, 14, _ts(7), 504, {"name": "Ω point", "tourism": "viewpoint"}, 5.5, 52.5),
+]
+
+PBF_WAYS: list[dict] = [
+    {"id": 2001, "version": 1, "user_id": 21, "tstamp_ms": _ms(_ts(10)),
+     "changeset_id": 601, "tags": {"building": "yes", "name": "Hal"},
+     "refs": [1010, 1003, 1001, 1010]},
+    {"id": 2002, "version": 2, "user_id": 21, "tstamp_ms": _ms(_ts(11)),
+     "changeset_id": 601, "tags": {"highway": "residential"},
+     "refs": [1002, 1004, 1005, 1006, 1007]},
+    {"id": 2003, "version": 1, "user_id": 22, "tstamp_ms": _ms(_ts(12)),
+     "changeset_id": 602, "tags": {}, "refs": [1001, 1002]},
+]
+
+PBF_RELATIONS: list[dict] = [
+    {"id": 3001, "version": 1, "user_id": 31, "tstamp_ms": _ms(_ts(20)),
+     "changeset_id": 701, "tags": {"type": "multipolygon", "landuse": "forest"},
+     "members": [("way", 2001, "outer"), ("way", 2002, "inner"),
+                 ("node", 1010, "admin_centre")]},
+    {"id": 3002, "version": 4, "user_id": 31, "tstamp_ms": _ms(_ts(21)),
+     "changeset_id": 701, "tags": {"type": "route"},
+     "members": [("way", 2002, ""), ("relation", 3001, "subarea")]},
+]
+
+
+def _pbf_tags_sig(tags: dict[str, str]) -> str:
+    return "; ".join(sorted(f"{k}={v}" for k, v in tags.items()))
+
+
+def _pbf_ts_str(ms: int) -> str:
+    return _dt.datetime.fromtimestamp(ms / 1000, _dt.timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
+
+
+def pbf_scan_values_sql() -> str:
+    """Oracle literals for the osm_pbf_scan query: the same entities the
+    encoder writes, rendered to the query's output columns in Python."""
+    rows = []
+    for n in PBF_NODES:
+        rows.append(
+            f"('node', {n['id']}, {n['version']}, {n['user_id']}, "
+            f"{_sql_str(_pbf_ts_str(n['tstamp_ms']))}, {n['changeset_id']}, "
+            f"{_sql_str(_pbf_tags_sig(n['tags']))}, "
+            f"{_sql_dbl(round(n['lon'], 7))}, {_sql_dbl(round(n['lat'], 7))}, "
+            f"0, 0, '')"
+        )
+    for w in PBF_WAYS:
+        rows.append(
+            f"('way', {w['id']}, {w['version']}, {w['user_id']}, "
+            f"{_sql_str(_pbf_ts_str(w['tstamp_ms']))}, {w['changeset_id']}, "
+            f"{_sql_str(_pbf_tags_sig(w['tags']))}, "
+            f"CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+            f"{len(w['refs'])}, {sum(w['refs'])}, '')"
+        )
+    for r in PBF_RELATIONS:
+        sig = ",".join(f"{t}:{i}:{ro}" for (t, i, ro) in r["members"])
+        rows.append(
+            f"('relation', {r['id']}, {r['version']}, {r['user_id']}, "
+            f"{_sql_str(_pbf_ts_str(r['tstamp_ms']))}, {r['changeset_id']}, "
+            f"{_sql_str(_pbf_tags_sig(r['tags']))}, "
+            f"CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+            f"0, 0, {_sql_str(sig)})"
+        )
+    return (
+        "SELECT osm_type, CAST(id AS BIGINT) AS id, CAST(version AS INT) AS version, "
+        "CAST(user_id AS INT) AS user_id, tstamp_str, CAST(changeset_id AS BIGINT) AS changeset_id, "
+        "tags_sig, lon_r, lat_r, CAST(n_refs AS BIGINT) AS n_refs, "
+        "CAST(refs_sum AS BIGINT) AS refs_sum, members_sig "
+        "FROM (VALUES\n  " + ",\n  ".join(rows) + "\n) AS t(osm_type, id, version, "
+        "user_id, tstamp_str, changeset_id, tags_sig, lon_r, lat_r, n_refs, "
+        "refs_sum, members_sig)"
+    )

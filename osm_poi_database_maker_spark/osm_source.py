@@ -10,9 +10,11 @@ the file level), land partitioned Parquet, then all filtering/joining is
 distributed Spark.
 
 pyosmium is an optional dependency — this module imports lazily and
-raises a clear error when it's absent (it is not installed in the test
-container; the bridge logic below the osmium boundary is covered by
-fixtures instead).
+raises a clear error when it's absent. :mod:`.pbf` is the native,
+always-available path: a pure-Python PBF wire-format codec whose decode
+distributes over executors (blob-parallel), fully tested in this
+container; prefer it unless osmium's geometry assembly (areas from
+relations) is specifically needed.
 """
 
 from __future__ import annotations

@@ -51,6 +51,7 @@ _VERIFY_FIRST = [
     "osm_poi_nodes_noname",
     "doc_pack_sequences",
     "doc_pii_scrub",
+    "osm_pbf_scan",
     # tier 2: changed in round 2
     "orders_pk_audit",
     "doc_tfidf_top_terms",

@@ -525,7 +525,76 @@ WHERE lon >= {_BBOX[0]} AND lon <= {_BBOX[2]} AND lat >= {_BBOX[1]} AND lat <= {
 """
 
 
+# --- O1: native PBF wire-format scan ---------------------------------------
+
+
+def q_osm_pbf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end O1: encode the fixture entities to REAL .osm.pbf bytes
+    (zlib blobs, DenseNodes delta columns, string tables — pbf.encode_pbf),
+    then scan them back with the distributed reader (pbf.read_pbf: blob
+    index on the driver, per-blob decode fanned out via mapInPandas).
+    The oracle embeds the same entities as literals, so every decoded
+    field — delta-coded ids, 100-nanodegree coords, string-table tags,
+    relation member triples — is differentially verified.
+
+    block_size=5 forces the fixture across 5 OSMData blobs so the reader
+    exercises real multi-blob parallelism, exactly the planet-file shape
+    (reference ingests the same format via pyosmium, filter.py:260)."""
+    import os
+    import tempfile
+
+    from .. import pbf
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"ospdms_pbf_fixture_{os.getpid()}.osm.pbf"
+    )
+    if not os.path.exists(path):
+        pbf.encode_pbf(
+            path,
+            nodes=fx.PBF_NODES,
+            ways=fx.PBF_WAYS,
+            relations=fx.PBF_RELATIONS,
+            block_size=5,
+        )
+    df = pbf.read_pbf(spark, path)
+    is_way = F.col("osm_type") == "way"
+    is_rel = F.col("osm_type") == "relation"
+    tags_sig = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries("tags"), lambda e: F.concat(e.key, F.lit("="), e.value)
+            )
+        ),
+        "; ",
+    )
+    members_sig = F.expr(
+        "array_join(transform(member_types, (t, i) -> "
+        "concat(t, ':', cast(member_ids[i] as string), ':', member_roles[i])), ',')"
+    )
+    return df.select(
+        "osm_type",
+        "id",
+        "version",
+        "user_id",
+        F.date_format("tstamp", "yyyy-MM-dd HH:mm:ss").alias("tstamp_str"),
+        "changeset_id",
+        tags_sig.alias("tags_sig"),
+        F.when(~is_way & ~is_rel, F.round("lon", 7)).alias("lon_r"),
+        F.when(~is_way & ~is_rel, F.round("lat", 7)).alias("lat_r"),
+        F.when(is_way, F.size("refs")).otherwise(F.lit(0)).cast("long").alias("n_refs"),
+        F.when(is_way, F.aggregate("refs", F.lit(0).cast("long"), lambda a, x: a + x))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("refs_sum"),
+        F.when(is_rel, members_sig).otherwise(F.lit("")).alias("members_sig"),
+    )
+
+
+ORACLE_PBF_SCAN = fx.pbf_scan_values_sql()
+
+
 QUERIES = {
+    "osm_pbf_scan": q_osm_pbf_scan,
     "osm_toi_dim": q_osm_toi_dim,
     "osm_poi_nodes": q_osm_poi_nodes,
     "osm_poi_nodes_noname": q_osm_poi_nodes_noname,
@@ -537,6 +606,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "osm_pbf_scan": ORACLE_PBF_SCAN,
     "osm_toi_dim": ORACLE_TOI_DIM,
     "osm_poi_nodes": ORACLE_POI_NODES,
     "osm_poi_nodes_noname": ORACLE_POI_NODES_NONAME,
