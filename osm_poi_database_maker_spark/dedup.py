@@ -321,6 +321,9 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("label").alias("nbr_min"))
         )
+        # the changed flag rides along in the same join that computes the
+        # new label, so the convergence probe is a filter over the
+        # materialized checkpoint instead of a third join per round
         new_labels = (
             labels.join(nbr, "doc_id", "left")
             .select(
@@ -328,17 +331,12 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                 F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias(
                     "label"
                 ),
+                (F.col("nbr_min") < F.col("label")).alias("__chg"),
             )
             .localCheckpoint(eager=True)  # cut the growing lineage per round
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__chg")).limit(1).count()
+        labels = new_labels.drop("__chg")
         if changed == 0:
             break
     else:

@@ -13,9 +13,29 @@ keep the driver's order-insensitive value-hash stable across engines:
 
 from __future__ import annotations
 
-from . import core, dedup, events, multimodal, osm, similarity, streaming_queries, text
+from . import (
+    core,
+    curation,
+    dedup,
+    events,
+    multimodal,
+    osm,
+    similarity,
+    streaming_queries,
+    text,
+)
 
-_MODULES = (core, events, text, dedup, similarity, osm, multimodal, streaming_queries)
+_MODULES = (
+    core,
+    events,
+    text,
+    curation,
+    dedup,
+    similarity,
+    osm,
+    multimodal,
+    streaming_queries,
+)
 
 # Driver-coverage policy. The per-round correctness gate records the FIRST
 # 50 registry entries in order (observed cap — CORRECTNESS_r01 stopped at
@@ -52,7 +72,10 @@ _VERIFY_FIRST = [
     "doc_pack_sequences",
     "doc_pii_scrub",
     "osm_pbf_scan",
+    "doc_decontaminate",
+    "doc_mixture_sample",
     # tier 2: changed in round 2
+    "doc_stratified_sample",
     "orders_pk_audit",
     "doc_tfidf_top_terms",
     "doc_ngram_jaccard_pairs",
@@ -60,7 +83,17 @@ _VERIFY_FIRST = [
 ]
 
 # tier 3 cohort order: non-core modules first, core last.
-_COHORT_MODULES = (events, text, dedup, similarity, osm, multimodal, streaming_queries, core)
+_COHORT_MODULES = (
+    events,
+    text,
+    curation,
+    dedup,
+    similarity,
+    osm,
+    multimodal,
+    streaming_queries,
+    core,
+)
 
 _ALL = {}
 ORACLES = {}

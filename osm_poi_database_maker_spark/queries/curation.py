@@ -1,0 +1,222 @@
+"""Training-data curation operators: benchmark decontamination and
+mixture-weighted sampling (engine [ext] — LLM-pipeline surface beyond the
+reference's own operators).
+
+Decontamination is the n-gram-overlap eval-set scrub every serious
+training pipeline runs (the GPT-3/Llama "13-gram overlap" style check,
+scaled down to 5-gram for the synthetic fixture vocabulary); mixture
+sampling turns per-source target weights into deterministic keep
+fractions — the "data mixture" step of corpus assembly.
+
+Scale notes (100 TB): the eval corpus is a benchmark suite — tiny
+relative to the training corpus — so its distinct-shingle universe
+arrives at the join as the small side and AQE broadcasts it; the training
+side is exploded once, joined on an 8-byte shingle hash, and aggregated
+by doc_id with map-side partial aggregation. Nothing driver-side, no
+collect, no all-pairs anywhere. Mixture sampling reduces the corpus to
+one tiny per-source row set (|sources| rows), broadcasts it back, and
+keeps docs with a portable Lehmer hash — the sample is a pure scan filter
+once the rates are known, stable across runs, engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+# ---------------------------------------------------------------------------
+# decontamination
+
+_SHINGLE_W = 5  # 5-word shingles: discriminative on the fixture vocabulary
+_EVAL_MOD, _EVAL_REM = 10, 7  # held-out eval slice: doc_id % 10 == 7
+_CONTAM_FRAC = 0.5  # flag docs with >= half their shingles in the eval set
+
+
+def _shingle_hashes(d: DataFrame) -> DataFrame:
+    """(doc_id, h) — distinct ``_SHINGLE_W``-word shingles per doc, as
+    64-bit hashes (8-byte join/shuffle keys instead of ~30-byte strings;
+    collision odds are negligible at any realistic shingle cardinality).
+    """
+    # barrier: materialize the token array behind a shuffle so
+    # CollapseProject can't inline split() into every element_at
+    # reference (W re-splits per shingle position) — same trap as
+    # q_doc_ngram_jaccard_pairs.
+    tok = d.select("doc_id", F.split(F.col("text"), " +").alias("t")).repartition(
+        "doc_id"
+    )
+    t = F.col("t")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (_SHINGLE_W - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + k) for k in range(_SHINGLE_W)]
+            ),
+        )
+    )
+    return (
+        tok.filter(F.size(t) >= _SHINGLE_W)
+        .select("doc_id", F.explode(shingles).alias("s"))
+        .select("doc_id", F.xxhash64("s").alias("h"))
+    )
+
+
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: for every training doc that shares at
+    least one 5-word shingle with the held-out eval slice
+    (``doc_id % 10 == 7``), report how much of its shingle set the eval
+    corpus covers, and flag it contaminated at >= 50% coverage.
+
+    One explode of the corpus; the eval side collapses to a distinct
+    shingle-hash set (small — it's a benchmark suite) that AQE broadcasts
+    into a left join; one groupBy(doc_id) computes set size and hit count
+    together, map-side partial first.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingle_hashes(d)
+    is_eval = (F.col("doc_id") % _EVAL_MOD) == _EVAL_REM
+    ev = sh.filter(is_eval).select("h").distinct().withColumn("hit", F.lit(1))
+    tr = sh.filter(~is_eval)
+    return (
+        tr.join(ev, "h", "left")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_sh"), F.count("hit").alias("n_hit"))
+        .filter(F.col("n_hit") > 0)
+        .select(
+            "doc_id",
+            "n_sh",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_sh"), 4).alias("overlap_frac"),
+            (F.col("n_hit") / F.col("n_sh") >= F.lit(_CONTAM_FRAC)).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+_SHINGLE_CAT = " || ' ' || ".join(f"t[i + {k + 1}]" for k in range(_SHINGLE_W))
+ORACLE_DECONTAM = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, ' +') AS t FROM documents
+  WHERE len(string_split_regex(text, ' +')) >= {_SHINGLE_W}
+),
+sh AS (
+  SELECT DISTINCT doc_id, {_SHINGLE_CAT} AS s
+  FROM (SELECT doc_id, t, unnest(range(len(t) - {_SHINGLE_W - 1})) AS i FROM toks)
+),
+ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % {_EVAL_MOD} = {_EVAL_REM}),
+agg AS (
+  SELECT tr.doc_id,
+         CAST(count(*) AS BIGINT) AS n_sh,
+         CAST(count(ev.s) AS BIGINT) AS n_hit
+  FROM (SELECT * FROM sh WHERE doc_id % {_EVAL_MOD} <> {_EVAL_REM}) tr
+  LEFT JOIN ev ON tr.s = ev.s
+  GROUP BY 1
+)
+SELECT doc_id, n_sh, n_hit,
+       round(CAST(n_hit AS DOUBLE) / n_sh, 4) AS overlap_frac,
+       (CAST(n_hit AS DOUBLE) / n_sh >= {_CONTAM_FRAC}) AS contaminated
+FROM agg
+WHERE n_hit > 0
+"""
+
+# ---------------------------------------------------------------------------
+# mixture-weighted sampling
+
+_MIX_BOOST = {"src0": 4.0, "src1": 2.0, "src2": 2.0}  # others weight 1.0
+_MIX_TOTAL_FRAC = 0.4  # target overall sample size = 40% of the corpus
+_LEHMER_A = 48271
+_LEHMER_M = (1 << 31) - 1
+
+
+def q_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weighted deterministic sampling: per-source target weights
+    (boosted sources get proportionally more of the sample budget) become
+    per-source keep fractions ``min(1, (w_s / W) * (f * N) / n_s)``, and
+    the keep decision is a portable Lehmer hash of the doc id — the data
+    mixture step of training-corpus assembly, reproducible bit-for-bit
+    across engines.
+
+    The corpus collapses to |sources| rows (count + weight), one 1-row
+    total is cross-joined in (no driver-side ``.count()`` scan), and the
+    resulting rate table is broadcast back onto the fact scan — provably
+    tiny, so the explicit broadcast is safe; the sample itself is then a
+    non-shuffling filter.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = F.lit(1.0)
+    for src, boost in sorted(_MIX_BOOST.items()):
+        w = F.when(F.col("source") == src, F.lit(boost)).otherwise(w)
+    counts = d.groupBy("source").agg(F.count("*").alias("n_s")).withColumn("w", w)
+    tot = counts.agg(
+        F.sum("n_s").alias("n_total"), F.sum("w").alias("w_sum")
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            F.col("w")
+            / F.col("w_sum")
+            * F.lit(_MIX_TOTAL_FRAC)
+            * F.col("n_total")
+            / F.col("n_s"),
+        ).alias("rate"),
+    )
+    # two multiplicative steps: one step leaves small sequential ids in
+    # [0, id*A/M] — far below any realistic rate — the second wraps mod M
+    # and is uniform (max product M*A ≈ 1e14, int64-safe)
+    u1 = (F.col("doc_id") % F.lit(_LEHMER_M)) * F.lit(_LEHMER_A) % F.lit(_LEHMER_M)
+    u = (u1 * F.lit(_LEHMER_A) % F.lit(_LEHMER_M)) / F.lit(float(_LEHMER_M))
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(u < F.col("rate"))
+        .select(
+            "doc_id",
+            "source",
+            F.round(F.col("rate"), 6).alias("rate"),
+            F.round(u, 6).alias("sample_u"),
+        )
+    )
+
+
+_W_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN source = '{src}' THEN CAST({boost} AS DOUBLE)"
+        for src, boost in sorted(_MIX_BOOST.items())
+    )
+    + " ELSE CAST(1.0 AS DOUBLE) END"
+)
+_U_SQL = (
+    f"((((doc_id % {_LEHMER_M}) * {_LEHMER_A}) % {_LEHMER_M})"
+    f" * {_LEHMER_A} % {_LEHMER_M}) / {_LEHMER_M}.0"
+)
+ORACLE_MIXTURE = f"""
+WITH counts AS (
+  SELECT source, count(*) AS n_s, {_W_CASE} AS w
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT sum(n_s) AS n_total, sum(w) AS w_sum FROM counts),
+rates AS (
+  SELECT source,
+         least(CAST(1.0 AS DOUBLE),
+               w / w_sum * CAST({_MIX_TOTAL_FRAC} AS DOUBLE) * n_total / n_s
+         ) AS rate
+  FROM counts, tot
+)
+SELECT d.doc_id, d.source, round(r.rate, 6) AS rate, round({_U_SQL}, 6) AS sample_u
+FROM documents d JOIN rates r USING (source)
+WHERE {_U_SQL} < r.rate
+"""
+
+
+QUERIES = {
+    "doc_decontaminate": q_doc_decontaminate,
+    "doc_mixture_sample": q_doc_mixture_sample,
+}
+
+ORACLES = {
+    "doc_decontaminate": ORACLE_DECONTAM,
+    "doc_mixture_sample": ORACLE_MIXTURE,
+}

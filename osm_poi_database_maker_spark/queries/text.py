@@ -362,24 +362,27 @@ GROUP BY doc_id
 
 
 _SAMPLE_FRACS = {"en": 0.5, "de": 0.3, "es": 0.3, "fr": 0.3, "zh": 0.2}
-# Lehmer/MINSTD: h = (id mod m)·a mod m with m = 2³¹−1, a = 48271.
-# (id mod m) ≤ 2.1e9 and ×48271 ≤ 1.04e14 — comfortably inside int64 for
-# ANY 64-bit id, unlike a raw Knuth multiply which overflows at id≈3.5e9.
+# Two Lehmer/MINSTD steps: h = ((id mod m)·a mod m)·a mod m with
+# m = 2³¹−1, a = 48271. Intermediates ≤ m·a ≈ 1.04e14 — comfortably
+# inside int64 for ANY 64-bit id, unlike a raw Knuth multiply which
+# overflows at id≈3.5e9. Two steps matter: after one step a small
+# sequential id maps to id·a/m ≈ id·2.2e-5, so every id below ~10⁴ would
+# fall under any realistic keep fraction (the "sample" would keep
+# everything); the second multiply wraps mod m and is uniform.
 _LEHMER_A = 48271
 _LEHMER_M = (1 << 31) - 1
 
 
 def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling — per-language keep fractions
-    for training-mix curation. The keep decision is a Lehmer (MINSTD)
-    hash of the doc id: portable int64-safe integer arithmetic the
-    oracle reproduces exactly (unlike rand() or engine-specific hashes),
-    so the sample is stable across runs, engines, and partitionings; the
-    plan is a pure scan filter with no shuffle."""
+    for training-mix curation. The keep decision is a two-step Lehmer
+    (MINSTD) hash of the doc id: portable int64-safe integer arithmetic
+    the oracle reproduces exactly (unlike rand() or engine-specific
+    hashes), so the sample is stable across runs, engines, and
+    partitionings; the plan is a pure scan filter with no shuffle."""
     d = load_table(spark, sf_dir, "documents")
-    u = (
-        (F.col("doc_id") % F.lit(_LEHMER_M)) * F.lit(_LEHMER_A) % F.lit(_LEHMER_M)
-    ) / F.lit(float(_LEHMER_M))
+    u1 = (F.col("doc_id") % F.lit(_LEHMER_M)) * F.lit(_LEHMER_A) % F.lit(_LEHMER_M)
+    u = (u1 * F.lit(_LEHMER_A) % F.lit(_LEHMER_M)) / F.lit(float(_LEHMER_M))
     frac = F.lit(None).cast("double")
     for lang, p in sorted(_SAMPLE_FRACS.items()):
         frac = F.when(F.col("lang") == lang, F.lit(p)).otherwise(frac)
@@ -392,7 +395,10 @@ def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FRAC_CASE = " ".join(
     f"WHEN lang = '{lang}' THEN {p}" for lang, p in sorted(_SAMPLE_FRACS.items())
 )
-_U_SQL = f"(((doc_id % {_LEHMER_M}) * {_LEHMER_A}) % {_LEHMER_M}) / {_LEHMER_M}.0"
+_U_SQL = (
+    f"((((doc_id % {_LEHMER_M}) * {_LEHMER_A}) % {_LEHMER_M})"
+    f" * {_LEHMER_A} % {_LEHMER_M}) / {_LEHMER_M}.0"
+)
 ORACLE_STRATIFIED = f"""
 SELECT doc_id, lang,
        round({_U_SQL}, 6) AS sample_u

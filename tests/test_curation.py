@@ -1,0 +1,119 @@
+"""Curation operators: decontamination and mixture-weighted sampling.
+
+Semantics checks on planted fixtures (the DuckDB oracle equivalence is
+covered by tools/check.py / the driver gate)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def _patched_docs(monkeypatch, docs):
+    from osm_poi_database_maker_spark.queries import curation as C
+
+    monkeypatch.setattr(C, "load_table", lambda spark_, sf_, name_: docs)
+
+
+def test_decontaminate_planted_copy(spark, monkeypatch):
+    """A verbatim copy of an eval doc (doc_id % 10 == 7) is flagged
+    contaminated with full overlap; an unrelated doc never appears; eval
+    docs themselves are excluded from the report."""
+    from osm_poi_database_maker_spark.queries.curation import q_doc_decontaminate
+
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (7, eval_text, "en", "src0", len(eval_text)),  # eval slice
+            (21, eval_text, "en", "src1", len(eval_text)),  # planted copy
+            (22, "one two three four five six seven eight nine ten", "en", "src1", 49),
+            (23, "tiny", "en", "src1", 4),  # shorter than the shingle width
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    _patched_docs(monkeypatch, docs)
+    got = {r.doc_id: r for r in q_doc_decontaminate(spark, "x").collect()}
+    assert set(got) == {21}
+    r = got[21]
+    assert r.n_hit == r.n_sh and r.overlap_frac == 1.0 and r.contaminated
+
+
+def test_decontaminate_partial_overlap(spark, monkeypatch):
+    """A doc sharing only a sub-threshold fraction of shingles is
+    reported but not flagged."""
+    from osm_poi_database_maker_spark.queries.curation import q_doc_decontaminate
+
+    # doc 31 shares exactly one 5-gram window with the eval doc, then
+    # diverges into unique vocabulary: overlap_frac < 0.5
+    shared = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            (17, shared + " zeta eta theta", "en", "src0", 10),
+            (31, shared + " uno dos tres cuatro cinco seis siete ocho", "en", "src1", 10),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    _patched_docs(monkeypatch, docs)
+    got = {r.doc_id: r for r in q_doc_decontaminate(spark, "x").collect()}
+    assert set(got) == {31}
+    assert got[31].n_hit == 1 and not got[31].contaminated
+
+
+def test_decontaminate_sf_smoke(spark):
+    """On the real fixture: output never contains eval docs, fractions
+    are in (0, 1], and the contaminated flag matches the threshold."""
+    from osm_poi_database_maker_spark.queries.curation import (
+        _CONTAM_FRAC,
+        _EVAL_MOD,
+        _EVAL_REM,
+        q_doc_decontaminate,
+    )
+
+    rows = q_doc_decontaminate(spark, SF_SMOKE).collect()
+    assert rows, "fixture contains planted dups; expect some overlap"
+    for r in rows:
+        assert r.doc_id % _EVAL_MOD != _EVAL_REM
+        assert 0 < r.n_hit <= r.n_sh
+        assert r.contaminated == (r.n_hit / r.n_sh >= _CONTAM_FRAC)
+
+
+def test_mixture_sample_rates(spark):
+    """Boosted sources sample at a proportionally higher rate; every rate
+    is in (0, 1]; the keep decision matches the reported rate exactly
+    (deterministic hash, so re-running yields the identical sample)."""
+    from osm_poi_database_maker_spark.queries.curation import (
+        _MIX_BOOST,
+        q_doc_mixture_sample,
+    )
+
+    rows = q_doc_mixture_sample(spark, SF_SMOKE).collect()
+    assert rows
+    rate_by_src = {}
+    for r in rows:
+        assert 0.0 < r.rate <= 1.0
+        assert 0.0 <= r.sample_u < r.rate or r.sample_u == pytest.approx(r.rate, abs=1e-6)
+        rate_by_src.setdefault(r.source, r.rate)
+    boosted = [v for s, v in rate_by_src.items() if s in _MIX_BOOST]
+    plain = [v for s, v in rate_by_src.items() if s not in _MIX_BOOST]
+    # src0 (weight 4) must out-rate every unboosted source unless capped at 1
+    if boosted and plain:
+        assert max(boosted) > min(plain) or max(boosted) == 1.0
+
+    again = q_doc_mixture_sample(spark, SF_SMOKE).collect()
+    assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in rows)
+
+
+def test_mixture_sample_respects_budget(spark):
+    """The realized sample size is close to the 40% target budget (exact
+    equality is impossible — per-source rounding and the rate cap — but
+    the deterministic hash keeps it within a few percent)."""
+    from osm_poi_database_maker_spark.queries.curation import (
+        _MIX_TOTAL_FRAC,
+        q_doc_mixture_sample,
+    )
+    from osm_poi_database_maker_spark.io import load_table
+
+    n_total = load_table(spark, SF_SMOKE, "documents").count()
+    n_sample = q_doc_mixture_sample(spark, SF_SMOKE).count()
+    assert abs(n_sample / n_total - _MIX_TOTAL_FRAC) < 0.1
