@@ -74,6 +74,8 @@ _VERIFY_FIRST = [
     "osm_pbf_scan",
     "doc_decontaminate",
     "doc_mixture_sample",
+    "doc_shuffle_shards",
+    "emb_int8_quantize",
     # tier 2: changed in round 2
     "doc_stratified_sample",
     "orders_pk_audit",

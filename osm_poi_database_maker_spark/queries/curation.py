@@ -211,12 +211,138 @@ WHERE {_U_SQL} < r.rate
 """
 
 
+# ---------------------------------------------------------------------------
+# deterministic global shuffle into training shards
+
+_N_SHARDS = 16
+
+
+def q_doc_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training export: every doc gets a
+    shard (hash mod ``_N_SHARDS``) and a position within its shard
+    (ordered by the hash, ties by id) — the reproducible
+    shuffle-then-shard step before writing training files, stable across
+    runs, engines and input partitionings.
+
+    One shuffle on the shard key; the within-shard ordering is exactly
+    the per-file writer order a `repartition(shard).sortWithinPartitions`
+    export would use. At real scale ``_N_SHARDS`` is sized to the target
+    file count (thousands), so per-shard sorts stay bounded; the window
+    here mirrors that layout in a driver-checkable form.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = (
+        (F.col("doc_id") % F.lit(_LEHMER_M))
+        * F.lit(_LEHMER_A)
+        % F.lit(_LEHMER_M)
+        * F.lit(_LEHMER_A)
+        % F.lit(_LEHMER_M)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        d.select("doc_id", h.alias("h"))
+        .withColumn("shard", (F.col("h") % _N_SHARDS).cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+_H_SQL = f"(((doc_id % {_LEHMER_M}) * {_LEHMER_A}) % {_LEHMER_M} * {_LEHMER_A} % {_LEHMER_M})"
+ORACLE_SHARDS = f"""
+SELECT doc_id,
+       CAST({_H_SQL} % {_N_SHARDS} AS INT) AS shard,
+       CAST(row_number() OVER (
+           PARTITION BY {_H_SQL} % {_N_SHARDS}
+           ORDER BY {_H_SQL}, doc_id
+       ) AS INT) AS pos
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# embedding int8 quantization
+
+_Q_LEVELS = 127  # symmetric int8
+
+
+def q_emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization audit: scale =
+    max(|x|)/127, q_i = floor(x_i/scale + 0.5), reported as per-vector
+    checksums (sum, sum-of-squares, saturation count) — the compression
+    step before shipping embeddings to an ANN index or training store.
+    floor(x+0.5) instead of round() because banker's vs away-from-zero
+    half-rounding differs across engines; floor is bit-identical.
+
+    posexplode + a vec_id window + one aggregation: the explode, the
+    max-|x| window, and the final groupBy all share a single vec_id
+    exchange, JVM-side end to end (no interpreted higher-order
+    functions, no Python). Zero vectors quantize to all-zero (guard, not
+    NULL poison).
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    )
+    e = e.withColumn("v", F.col("v").cast("double"))
+    w = Window.partitionBy("vec_id")
+    scale = (F.max(F.abs(F.col("v"))).over(w) / F.lit(float(_Q_LEVELS))).alias("scale")
+    q = F.when(F.col("scale") == 0.0, F.lit(0.0)).otherwise(
+        F.floor(F.col("v") / F.col("scale") + F.lit(0.5))
+    )
+    return (
+        e.withColumn("scale", scale)
+        .withColumn("q", q.cast("long"))
+        .groupBy("vec_id")
+        .agg(
+            F.round(F.max("scale"), 9).alias("scale"),
+            F.sum("q").alias("q_sum"),
+            F.sum(F.col("q") * F.col("q")).alias("q_l2"),
+            F.sum(
+                (F.abs(F.col("q")) >= _Q_LEVELS).cast("long")
+            ).alias("n_saturated"),
+        )
+    )
+
+
+ORACLE_QUANTIZE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+scaled AS (
+  SELECT vec_id, v,
+         max(abs(v)) OVER (PARTITION BY vec_id) / {float(_Q_LEVELS)} AS scale
+  FROM e
+),
+q AS (
+  SELECT vec_id, scale,
+         CAST(CASE WHEN scale = 0 THEN 0
+              ELSE floor(v / scale + 0.5) END AS BIGINT) AS q
+  FROM scaled
+)
+SELECT vec_id,
+       round(max(scale), 9) AS scale,
+       CAST(sum(q) AS BIGINT) AS q_sum,
+       CAST(sum(q * q) AS BIGINT) AS q_l2,
+       CAST(sum(CASE WHEN abs(q) >= {_Q_LEVELS} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_saturated
+FROM q
+GROUP BY vec_id
+"""
+
+
 QUERIES = {
     "doc_decontaminate": q_doc_decontaminate,
     "doc_mixture_sample": q_doc_mixture_sample,
+    "doc_shuffle_shards": q_doc_shuffle_shards,
+    "emb_int8_quantize": q_emb_int8_quantize,
 }
 
 ORACLES = {
     "doc_decontaminate": ORACLE_DECONTAM,
     "doc_mixture_sample": ORACLE_MIXTURE,
+    "doc_shuffle_shards": ORACLE_SHARDS,
+    "emb_int8_quantize": ORACLE_QUANTIZE,
 }

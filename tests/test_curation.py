@@ -117,3 +117,61 @@ def test_mixture_sample_respects_budget(spark):
     n_total = load_table(spark, SF_SMOKE, "documents").count()
     n_sample = q_doc_mixture_sample(spark, SF_SMOKE).count()
     assert abs(n_sample / n_total - _MIX_TOTAL_FRAC) < 0.1
+
+
+def test_shuffle_shards_partition(spark):
+    """Every doc lands in exactly one shard; positions are 1..n_shard
+    contiguous; re-running yields the identical assignment."""
+    from osm_poi_database_maker_spark.queries.curation import (
+        _N_SHARDS,
+        q_doc_shuffle_shards,
+    )
+
+    rows = q_doc_shuffle_shards(spark, SF_SMOKE).collect()
+    assert len({r.doc_id for r in rows}) == len(rows)
+    by_shard = {}
+    for r in rows:
+        assert 0 <= r.shard < _N_SHARDS
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # shards are reasonably balanced under the mixing hash
+    sizes = [len(v) for v in by_shard.values()]
+    assert max(sizes) < 3 * (len(rows) // _N_SHARDS + 1)
+    again = q_doc_shuffle_shards(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_int8_quantize_bounds(spark):
+    """Quantized checksums respect int8 bounds: q_l2 <= dim * 127^2, the
+    max-|x| element saturates to exactly +-127 (so n_saturated >= 1 for
+    any nonzero vector), and scale is nonnegative."""
+    from osm_poi_database_maker_spark.queries.curation import (
+        _Q_LEVELS,
+        q_emb_int8_quantize,
+    )
+    from osm_poi_database_maker_spark.io import load_table
+
+    dim = len(load_table(spark, SF_SMOKE, "embeddings").first().embedding)
+    rows = q_emb_int8_quantize(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.scale >= 0.0
+        assert r.q_l2 <= dim * _Q_LEVELS * _Q_LEVELS
+        if r.scale > 0:
+            assert r.n_saturated >= 1
+
+
+def test_int8_quantize_zero_vector(spark, monkeypatch):
+    """An all-zero vector quantizes to all-zero checksums, not NULLs."""
+    from osm_poi_database_maker_spark.queries import curation as C
+    from osm_poi_database_maker_spark.queries.curation import q_emb_int8_quantize
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0], 0), (2, [0.5, -1.0, 0.25], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    monkeypatch.setattr(C, "load_table", lambda spark_, sf_, name_: emb)
+    got = {r.vec_id: r for r in q_emb_int8_quantize(spark, "x").collect()}
+    assert got[1].scale == 0.0 and got[1].q_sum == 0 and got[1].q_l2 == 0
+    assert got[2].n_saturated == 1  # the -1.0 element hits -127
