@@ -76,6 +76,8 @@ _VERIFY_FIRST = [
     "doc_mixture_sample",
     "doc_shuffle_shards",
     "emb_int8_quantize",
+    "events_incident_windows",
+    "doc_curation_pipeline",
     # tier 2: changed in round 2
     "doc_stratified_sample",
     "orders_pk_audit",

@@ -333,11 +333,129 @@ GROUP BY vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# the composed pipeline: every curation stage end to end
+
+_MIN_TOKENS = 10
+
+
+def q_doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline as ONE composed query — exact dedup →
+    quality floor → eval-set decontamination → mixture-weighted sampling
+    → shard assignment — proving the stages compose into a single
+    Catalyst plan (one logical DAG, shared scans where possible) instead
+    of five materialization round-trips.
+
+    Stage scale shapes (each audited in its standalone query): dedup is
+    a hash-key window, decontamination a broadcast anti-join of a tiny
+    contaminated-id set, the mixture rates collapse to |sources| rows
+    computed over the SURVIVING corpus (so the realized mixture is what
+    a user asked for, not pre-filter proportions), and the shard is a
+    hash — only the final per-shard position needs the one shard
+    exchange.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    # 1. exact dedup: keep the lowest doc_id per verbatim text
+    w_dup = Window.partitionBy("text_hash").orderBy("doc_id")
+    base = (
+        d.withColumn("text_hash", F.sha2("text", 256))
+        .withColumn("rn", F.row_number().over(w_dup))
+        .filter(F.col("rn") == 1)
+        # 2. quality floor: at least _MIN_TOKENS whitespace tokens
+        .withColumn("n_tokens", F.size(F.split(F.col("text"), " +")))
+        .filter(F.col("n_tokens") >= _MIN_TOKENS)
+        .select("doc_id", "source", "lang", "text")
+    )
+    # 3. decontamination: drop the eval slice itself plus anything the
+    # standalone operator would flag contaminated
+    contaminated = q_doc_decontaminate(spark, sf_dir).filter(
+        F.col("contaminated")
+    ).select("doc_id")
+    is_eval = (F.col("doc_id") % _EVAL_MOD) == _EVAL_REM
+    clean = base.filter(~is_eval).join(F.broadcast(contaminated), "doc_id", "left_anti")
+    # 4. mixture sampling with rates over the SURVIVING corpus
+    w = F.lit(1.0)
+    for src, boost in sorted(_MIX_BOOST.items()):
+        w = F.when(F.col("source") == src, F.lit(boost)).otherwise(w)
+    counts = clean.groupBy("source").agg(F.count("*").alias("n_s")).withColumn("w", w)
+    tot = counts.agg(F.sum("n_s").alias("n_total"), F.sum("w").alias("w_sum"))
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            F.col("w")
+            / F.col("w_sum")
+            * F.lit(_MIX_TOTAL_FRAC)
+            * F.col("n_total")
+            / F.col("n_s"),
+        ).alias("rate"),
+    )
+    u1 = (F.col("doc_id") % F.lit(_LEHMER_M)) * F.lit(_LEHMER_A) % F.lit(_LEHMER_M)
+    h = u1 * F.lit(_LEHMER_A) % F.lit(_LEHMER_M)
+    u = h / F.lit(float(_LEHMER_M))
+    sampled = clean.join(F.broadcast(rates), "source").filter(u < F.col("rate"))
+    # 5. shard assignment + within-shard order
+    w_pos = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        sampled.select("doc_id", "source", "lang", h.alias("h"))
+        .withColumn("shard", (F.col("h") % _N_SHARDS).cast("int"))
+        .withColumn("pos", F.row_number().over(w_pos))
+        .select("doc_id", "source", "lang", "shard", "pos")
+    )
+
+
+ORACLE_PIPELINE = f"""
+WITH base AS (
+  SELECT doc_id, source, lang, text
+  FROM (
+    SELECT doc_id, source, lang, text,
+           row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn,
+           len(string_split_regex(text, ' +')) AS n_tokens
+    FROM documents
+  )
+  WHERE rn = 1 AND n_tokens >= {_MIN_TOKENS}
+),
+contaminated AS (
+  SELECT doc_id FROM ({ORACLE_DECONTAM}) WHERE contaminated
+),
+clean AS (
+  SELECT * FROM base
+  WHERE doc_id % {_EVAL_MOD} <> {_EVAL_REM}
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+counts AS (
+  SELECT source, count(*) AS n_s, {_W_CASE} AS w FROM clean GROUP BY 1
+),
+tot AS (SELECT sum(n_s) AS n_total, sum(w) AS w_sum FROM counts),
+rates AS (
+  SELECT source,
+         least(CAST(1.0 AS DOUBLE),
+               w / w_sum * CAST({_MIX_TOTAL_FRAC} AS DOUBLE) * n_total / n_s
+         ) AS rate
+  FROM counts, tot
+),
+sampled AS (
+  SELECT c.doc_id, c.source, c.lang, {_H_SQL} AS h
+  FROM clean c JOIN rates r USING (source)
+  WHERE {_U_SQL} < r.rate
+)
+SELECT doc_id, source, lang,
+       CAST(h % {_N_SHARDS} AS INT) AS shard,
+       CAST(row_number() OVER (
+           PARTITION BY h % {_N_SHARDS} ORDER BY h, doc_id
+       ) AS INT) AS pos
+FROM sampled
+"""
+
+
 QUERIES = {
     "doc_decontaminate": q_doc_decontaminate,
     "doc_mixture_sample": q_doc_mixture_sample,
     "doc_shuffle_shards": q_doc_shuffle_shards,
     "emb_int8_quantize": q_emb_int8_quantize,
+    "doc_curation_pipeline": q_doc_curation_pipeline,
 }
 
 ORACLES = {
@@ -345,4 +463,5 @@ ORACLES = {
     "doc_mixture_sample": ORACLE_MIXTURE,
     "doc_shuffle_shards": ORACLE_SHARDS,
     "emb_int8_quantize": ORACLE_QUANTIZE,
+    "doc_curation_pipeline": ORACLE_PIPELINE,
 }

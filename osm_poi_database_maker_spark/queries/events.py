@@ -421,7 +421,75 @@ def q_events_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INCIDENT_WINDOW_US = 5 * 60 * 1_000_000  # error event opens a 5-minute window
+
+
+def q_events_incident_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: every error event opens a 5-minute incident
+    window; count the events of ANY user that fall inside each window.
+
+    Spark has no native range join — a naive `a.ts BETWEEN b.t0 AND b.t1`
+    is a BroadcastNestedLoopJoin (quadratic work at scale). The
+    scale-correct formulation buckets time by the window length W: an
+    interval of length W overlaps at most 2 buckets, so each error emits
+    its window into 2 coarse buckets, events map to exactly 1, and the
+    join becomes a bucket equi-join (shuffle-hash/broadcast, AQE's
+    choice) followed by the exact range filter. Fan-out is bounded at 2×
+    per incident regardless of data volume — the standard interval-join
+    decomposition (same trick Spark's own stream-stream time-interval
+    join applies internally).
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("us"), "user_id", "event_type"
+    )
+    w = F.lit(_INCIDENT_WINDOW_US)
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("us").alias("t0"),
+        (F.col("us") + w).alias("t1"),
+    )
+    # each window spans bucket(t0) and bucket(t0)+1 (len == bucket width)
+    windows = errors.withColumn(
+        "bucket", F.explode(F.array((F.col("t0") / w).cast("long"),
+                                    (F.col("t0") / w).cast("long") + 1))
+    )
+    hits = e.withColumn("bucket", (F.col("us") / w).cast("long")).join(
+        windows, "bucket"
+    ).filter((F.col("us") >= F.col("t0")) & (F.col("us") <= F.col("t1")))
+    return (
+        hits.groupBy("incident_id", "t0")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias("n_errors"),
+        )
+        .select(
+            "incident_id",
+            F.col("t0").alias("t0_us"),
+            "n_events",
+            "n_users",
+            "n_errors",
+        )
+    )
+
+
+ORACLE_INCIDENTS = f"""
+SELECT i.event_id AS incident_id,
+       epoch_us(i.ts) AS t0_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_errors
+FROM (SELECT * FROM events WHERE event_type = 'error') i
+JOIN events e
+  ON epoch_us(e.ts) >= epoch_us(i.ts)
+ AND epoch_us(e.ts) <= epoch_us(i.ts) + {_INCIDENT_WINDOW_US}
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "events_incident_windows": q_events_incident_windows,
     "events_toi_pipeline": q_events_toi_pipeline,
     "events_tag_explode": q_events_tag_explode,
     "events_exclude_superset": q_events_exclude_superset,
@@ -436,6 +504,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_incident_windows": ORACLE_INCIDENTS,
     "events_toi_pipeline": ORACLE_TOI,
     "events_tag_explode": ORACLE_EXPLODE,
     "events_exclude_superset": ORACLE_EXCLUDE,

@@ -175,3 +175,68 @@ def test_int8_quantize_zero_vector(spark, monkeypatch):
     got = {r.vec_id: r for r in q_emb_int8_quantize(spark, "x").collect()}
     assert got[1].scale == 0.0 and got[1].q_sum == 0 and got[1].q_l2 == 0
     assert got[2].n_saturated == 1  # the -1.0 element hits -127
+
+
+def test_incident_windows_boundaries(spark, monkeypatch):
+    """Planted timeline: events inside the 5-minute window (including
+    both boundary instants and events in the NEXT time bucket) are
+    counted; events outside are not — the bucket decomposition must not
+    lose cross-bucket hits."""
+    from datetime import datetime, timedelta
+
+    from osm_poi_database_maker_spark.queries import events as E
+    from osm_poi_database_maker_spark.queries.events import (
+        _INCIDENT_WINDOW_US,
+        q_events_incident_windows,
+    )
+
+    t0 = datetime(2024, 1, 1, 0, 4, 30)  # 4.5 min: window straddles buckets
+    wlen = timedelta(microseconds=_INCIDENT_WINDOW_US)
+    rows = [
+        (1, t0, 10, "error", 1.0, None),  # the incident itself
+        (2, t0 + timedelta(seconds=1), 11, "click", 1.0, None),  # same bucket
+        (3, t0 + timedelta(minutes=4), 12, "view", 1.0, None),  # next bucket
+        (4, t0 + wlen, 13, "click", 1.0, None),  # exact upper boundary: in
+        (5, t0 + wlen + timedelta(microseconds=1), 14, "click", 1.0, None),  # out
+        (6, t0 - timedelta(microseconds=1), 15, "click", 1.0, None),  # before: out
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(E, "load_table", lambda spark_, sf_, name_: ev)
+    got = {r.incident_id: r for r in q_events_incident_windows(spark, "x").collect()}
+    assert set(got) == {1}
+    assert got[1].n_events == 4  # ids 1,2,3,4
+    assert got[1].n_users == 4 and got[1].n_errors == 1
+
+
+def test_curation_pipeline_invariants(spark):
+    """End-to-end pipeline output: no eval docs, no duplicate texts, no
+    contaminated docs, valid shard/pos, and strictly fewer docs than the
+    corpus (something was filtered and sampled)."""
+    from osm_poi_database_maker_spark.io import load_table
+    from osm_poi_database_maker_spark.queries.curation import (
+        _EVAL_MOD,
+        _EVAL_REM,
+        _N_SHARDS,
+        q_doc_curation_pipeline,
+        q_doc_decontaminate,
+    )
+
+    rows = q_doc_curation_pipeline(spark, SF_SMOKE).collect()
+    assert rows
+    n_corpus = load_table(spark, SF_SMOKE, "documents").count()
+    assert len(rows) < n_corpus
+    contaminated = {
+        r.doc_id
+        for r in q_doc_decontaminate(spark, SF_SMOKE).collect()
+        if r.contaminated
+    }
+    ids = [r.doc_id for r in rows]
+    assert len(set(ids)) == len(ids)
+    for r in rows:
+        assert r.doc_id % _EVAL_MOD != _EVAL_REM
+        assert r.doc_id not in contaminated
+        assert 0 <= r.shard < _N_SHARDS and r.pos >= 1
