@@ -1,0 +1,235 @@
+"""Distributed OSM XML (``.osm``) source — the second wire format osmium
+feeds the reference (filter.py:260 `osmium.apply` accepts .osm XML as well
+as .osm.pbf); same unified entity schema as :mod:`.pbf`.
+
+Scale design — splittable XML without a driver-side parse:
+the driver only computes byte-range chunks (O(1) — file size / chunk
+size); each executor task seeks into its range and applies the classic
+splittable-text-input boundary rule: parse exactly the top-level elements
+that *start* inside your range, scanning past the range end to finish the
+last one. OSM XML makes this sound because top-level element names
+(``node``/``way``/``relation``) never nest inside each other — a child is
+always ``tag``/``nd``/``member`` — so an opening ``<node`` match is
+unambiguous and the element ends at the head's ``/>`` or at the first
+``</node>``. No shuffle anywhere; the scan is embarrassingly parallel
+like the PBF blob reader. (PBF remains the preferred planet format — XML
+is ~8× the bytes — but history dumps and extracts still ship as .osm.)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from datetime import datetime, timezone
+from typing import Any, Iterator
+from xml.etree import ElementTree
+
+from .pbf import PBF_ENTITY_DDL, _COLS, _base_row
+
+_TOP_RE = re.compile(rb"<(node|way|relation)[\s/>]")
+_READ_STEP = 1 << 16  # grow window in 64 KiB steps past the range end
+
+
+def _parse_ts_ms(ts: str | None) -> int | None:
+    if not ts:
+        return None
+    return int(
+        datetime.fromisoformat(ts.replace("Z", "+00:00"))
+        .astimezone(timezone.utc)
+        .timestamp()
+        * 1000
+    )
+
+
+def _element_to_row(name: str, elem: ElementTree.Element) -> dict[str, Any]:
+    a = elem.attrib
+    row = _base_row(name)
+    row["id"] = int(a["id"])
+    row["version"] = int(a["version"]) if "version" in a else None
+    row["user_id"] = int(a["uid"]) if "uid" in a else None
+    row["tstamp_ms"] = _parse_ts_ms(a.get("timestamp"))
+    row["changeset_id"] = int(a["changeset"]) if "changeset" in a else None
+    row["tags"] = {t.attrib["k"]: t.attrib["v"] for t in elem.iter("tag")}
+    if name == "node":
+        row["lon"] = float(a["lon"]) if "lon" in a else None
+        row["lat"] = float(a["lat"]) if "lat" in a else None
+    elif name == "way":
+        row["refs"] = [int(nd.attrib["ref"]) for nd in elem.iter("nd")]
+    else:
+        members = [
+            (m.attrib["type"], int(m.attrib["ref"]), m.attrib.get("role", ""))
+            for m in elem.iter("member")
+        ]
+        row["member_types"] = [m[0] for m in members]
+        row["member_ids"] = [m[1] for m in members]
+        row["member_roles"] = [m[2] for m in members]
+    return row
+
+
+def parse_xml_range(path: str, start: int, end: int) -> Iterator[dict[str, Any]]:
+    """Yield entity rows for every top-level element that STARTS in
+    [start, end); the last one may be completed by reading past ``end``.
+    """
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        f.seek(start)
+        buf = f.read(min(end - start + _READ_STEP, size - start))
+
+        def extend() -> bool:
+            nonlocal buf
+            more = f.read(_READ_STEP)
+            if not more:
+                return False
+            buf += more
+            return True
+
+        pos = 0  # offset within buf; absolute = start + pos
+        while True:
+            m = _TOP_RE.search(buf, pos)
+            while m is None and start + len(buf) < min(end + 1, size):
+                if not extend():
+                    break
+                m = _TOP_RE.search(buf, pos)
+            if m is None or start + m.start() >= end:
+                return
+            name = m.group(1).decode()
+            # end of the opening tag's head
+            head_end = buf.find(b">", m.start())
+            while head_end < 0:
+                if not extend():
+                    raise ValueError(f"unterminated <{name}> at byte {start + m.start()}")
+                head_end = buf.find(b">", m.start())
+            if buf[head_end - 1 : head_end] == b"/":
+                elem_end = head_end + 1
+            else:
+                close = b"</" + m.group(1) + b">"
+                elem_end = buf.find(close, head_end)
+                while elem_end < 0:
+                    if not extend():
+                        raise ValueError(
+                            f"missing {close.decode()} for element at byte "
+                            f"{start + m.start()}"
+                        )
+                    elem_end = buf.find(close, head_end)
+                elem_end += len(close)
+            snippet = buf[m.start() : elem_end]
+            yield _element_to_row(name, ElementTree.fromstring(snippet))
+            pos = elem_end
+
+
+def read_osm_xml(spark, path: str, chunk_bytes: int | None = None):
+    """Distributed OSM XML scan → the unified entity DataFrame
+    (:data:`~.pbf.PBF_ENTITY_DDL`, identical to :func:`~.pbf.read_pbf`).
+
+    The driver ships only (path, start, end) byte ranges; element
+    parsing happens on executors via mapInPandas. ``chunk_bytes``
+    defaults to an even split across the session's parallelism (floor
+    64 KiB) — pass a small value in tests to force elements across
+    chunk boundaries.
+    """
+    import pandas as pd
+
+    size = os.path.getsize(path)
+    if chunk_bytes is None:
+        par = max(1, spark.sparkContext.defaultParallelism)
+        chunk_bytes = max(_READ_STEP, -(-size // par))
+    ranges = [
+        (path, off, min(off + chunk_bytes, size))
+        for off in range(0, size, chunk_bytes)
+    ] or [(path, 0, 0)]
+    idx = spark.createDataFrame(ranges, "path string, start long, end long")
+    idx = idx.repartition(len(ranges))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows: list[dict[str, Any]] = []
+            for pth, s, e in zip(pdf["path"], pdf["start"], pdf["end"]):
+                rows.extend(parse_xml_range(pth, int(s), int(e)))
+            out = pd.DataFrame.from_records(rows, columns=["tstamp_ms", *_COLS])
+            out["tstamp"] = pd.to_datetime(out["tstamp_ms"], unit="ms")
+            yield out[_COLS]
+
+    return idx.mapInPandas(decode, schema=PBF_ENTITY_DDL)
+
+
+# ---------------------------------------------------------------------------
+# fixture writer (driver-side; tests + differential checks vs the PBF codec)
+# ---------------------------------------------------------------------------
+
+
+def _esc(s: str) -> str:
+    return (
+        s.replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+        .replace('"', "&quot;")
+    )
+
+
+def _fmt_ts(ms: int | None) -> str | None:
+    if ms is None:
+        return None
+    return (
+        datetime.fromtimestamp(ms / 1000, tz=timezone.utc).strftime(
+            "%Y-%m-%dT%H:%M:%SZ"
+        )
+    )
+
+
+def _common_attrs(e: dict[str, Any]) -> str:
+    out = f'id="{e["id"]}"'
+    if e.get("version") is not None:
+        out += f' version="{e["version"]}"'
+    ts = _fmt_ts(e.get("tstamp_ms"))
+    if ts:
+        out += f' timestamp="{ts}"'
+    if e.get("changeset_id") is not None:
+        out += f' changeset="{e["changeset_id"]}"'
+    if e.get("user_id") is not None:
+        out += f' uid="{e["user_id"]}"'
+    return out
+
+
+def write_osm_xml(
+    path: str,
+    nodes: list[dict[str, Any]] = (),
+    ways: list[dict[str, Any]] = (),
+    relations: list[dict[str, Any]] = (),
+) -> None:
+    """Write entities (the :func:`~.pbf.encode_pbf` input shape) as a
+    .osm XML file — fixture generation and PBF↔XML differential tests."""
+
+    def tag_lines(e: dict[str, Any]) -> list[str]:
+        return [
+            f'    <tag k="{_esc(k)}" v="{_esc(v)}"/>'
+            for k, v in e.get("tags", {}).items()
+        ]
+
+    lines = ['<?xml version="1.0" encoding="UTF-8"?>', '<osm version="0.6">']
+    for n in nodes:
+        attrs = _common_attrs(n)
+        if n.get("lat") is not None:
+            attrs += f' lat="{n["lat"]!r}" lon="{n["lon"]!r}"'
+        body = tag_lines(n)
+        if body:
+            lines += [f"  <node {attrs}>", *body, "  </node>"]
+        else:
+            lines.append(f"  <node {attrs}/>")
+    for w in ways:
+        lines.append(f"  <way {_common_attrs(w)}>")
+        lines += [f'    <nd ref="{r}"/>' for r in w.get("refs", [])]
+        lines += tag_lines(w)
+        lines.append("  </way>")
+    for r in relations:
+        lines.append(f"  <relation {_common_attrs(r)}>")
+        lines += [
+            f'    <member type="{t}" ref="{i}" role="{_esc(role)}"/>'
+            for t, i, role in r.get("members", [])
+        ]
+        lines += tag_lines(r)
+        lines.append("  </relation>")
+    lines.append("</osm>")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")

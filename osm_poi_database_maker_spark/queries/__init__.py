@@ -78,6 +78,7 @@ _VERIFY_FIRST = [
     "emb_int8_quantize",
     "events_incident_windows",
     "doc_curation_pipeline",
+    "osm_xml_scan",
     # tier 2: changed in round 2
     "doc_stratified_sample",
     "orders_pk_audit",

@@ -557,6 +557,40 @@ def q_osm_pbf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             block_size=5,
         )
     df = pbf.read_pbf(spark, path)
+    return _entity_scan_projection(df)
+
+
+def q_osm_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1's second wire format: the same fixture entities serialized as
+    .osm XML and scanned back with the splittable byte-range reader
+    (osm_xml.read_osm_xml — boundary rule: parse elements that START in
+    your range, finish the last past the end). chunk_bytes=256 forces
+    every element across chunk boundaries, so the differential check
+    (same oracle literals as osm_pbf_scan) verifies the split logic, the
+    entity/attribute parse, and XML escaping end to end."""
+    import os
+    import tempfile
+
+    from .. import osm_xml
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"ospdms_xml_fixture_{os.getpid()}.osm"
+    )
+    if not os.path.exists(path):
+        osm_xml.write_osm_xml(
+            path,
+            nodes=fx.PBF_NODES,
+            ways=fx.PBF_WAYS,
+            relations=fx.PBF_RELATIONS,
+        )
+    df = osm_xml.read_osm_xml(spark, path, chunk_bytes=256)
+    return _entity_scan_projection(df)
+
+
+def _entity_scan_projection(df: DataFrame) -> DataFrame:
+    """Driver-hashable projection of the unified entity stream (shared by
+    the PBF and XML scans — both differentially verified against the
+    same oracle literals)."""
     is_way = F.col("osm_type") == "way"
     is_rel = F.col("osm_type") == "relation"
     tags_sig = F.array_join(
@@ -595,6 +629,7 @@ ORACLE_PBF_SCAN = fx.pbf_scan_values_sql()
 
 QUERIES = {
     "osm_pbf_scan": q_osm_pbf_scan,
+    "osm_xml_scan": q_osm_xml_scan,
     "osm_toi_dim": q_osm_toi_dim,
     "osm_poi_nodes": q_osm_poi_nodes,
     "osm_poi_nodes_noname": q_osm_poi_nodes_noname,
@@ -607,6 +642,7 @@ QUERIES = {
 
 ORACLES = {
     "osm_pbf_scan": ORACLE_PBF_SCAN,
+    "osm_xml_scan": ORACLE_PBF_SCAN,
     "osm_toi_dim": ORACLE_TOI_DIM,
     "osm_poi_nodes": ORACLE_POI_NODES,
     "osm_poi_nodes_noname": ORACLE_POI_NODES_NONAME,

@@ -1,0 +1,117 @@
+"""OSM XML source: splittable byte-range reader vs the PBF codec.
+
+The differential contract: the same entities serialized to .osm XML and
+to .osm.pbf must decode to identical DataFrames through their respective
+distributed readers, at every chunk size (boundary rule: a task parses
+exactly the elements that start in its range)."""
+
+from __future__ import annotations
+
+import pytest
+
+from osm_poi_database_maker_spark import osm_fixtures as fx
+from osm_poi_database_maker_spark import osm_xml, pbf
+
+
+def _collect_sorted(df):
+    rows = [
+        (
+            r.osm_type,
+            r.id,
+            r.version,
+            r.user_id,
+            r.tstamp,
+            r.changeset_id,
+            tuple(sorted((r.tags or {}).items())),
+            None if r.lon is None else round(r.lon, 7),
+            None if r.lat is None else round(r.lat, 7),
+            tuple(r.refs or []),
+            tuple(r.member_ids or []),
+            tuple(r.member_types or []),
+            tuple(r.member_roles or []),
+        )
+        for r in df.collect()
+    ]
+    return sorted(rows)
+
+
+@pytest.fixture(scope="module")
+def xml_path(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("osmxml") / "fixture.osm")
+    osm_xml.write_osm_xml(
+        p, nodes=fx.PBF_NODES, ways=fx.PBF_WAYS, relations=fx.PBF_RELATIONS
+    )
+    return p
+
+
+def test_xml_matches_pbf(spark, xml_path, tmp_path):
+    pbf_path = str(tmp_path / "fixture.osm.pbf")
+    pbf.encode_pbf(
+        pbf_path,
+        nodes=fx.PBF_NODES,
+        ways=fx.PBF_WAYS,
+        relations=fx.PBF_RELATIONS,
+        block_size=5,
+    )
+    assert _collect_sorted(osm_xml.read_osm_xml(spark, xml_path)) == _collect_sorted(
+        pbf.read_pbf(spark, pbf_path)
+    )
+
+
+@pytest.mark.parametrize("chunk", [64, 256, 1 << 20])
+def test_xml_chunk_invariance(spark, xml_path, chunk):
+    """Every chunk size yields the same entities exactly once — elements
+    split across chunk boundaries are neither lost nor duplicated."""
+    got = _collect_sorted(osm_xml.read_osm_xml(spark, xml_path, chunk_bytes=chunk))
+    assert len(got) == len(fx.PBF_NODES) + len(fx.PBF_WAYS) + len(fx.PBF_RELATIONS)
+    ids = [(r[0], r[1]) for r in got]
+    assert len(set(ids)) == len(ids)
+
+
+def test_xml_escaping_roundtrip(spark, tmp_path):
+    """Entities / unicode / quotes in tag keys, values and roles survive
+    write → split read."""
+    p = str(tmp_path / "esc.osm")
+    nodes = [
+        {
+            "id": 1,
+            "version": 1,
+            "user_id": 9,
+            "tstamp_ms": 1_700_000_000_000,
+            "changeset_id": 5,
+            "tags": {"na<me": 'A & B "quoted" <tag>', "Ω": "päth"},
+            "lon": 1.5,
+            "lat": -2.5,
+        }
+    ]
+    rels = [
+        {
+            "id": 2,
+            "version": 1,
+            "user_id": 9,
+            "tstamp_ms": 1_700_000_000_000,
+            "changeset_id": 5,
+            "tags": {},
+            "members": [("node", 1, 'r&"role')],
+        }
+    ]
+    osm_xml.write_osm_xml(p, nodes=nodes, relations=rels)
+    rows = {r.id: r for r in osm_xml.read_osm_xml(spark, p, chunk_bytes=48).collect()}
+    assert rows[1].tags == {"na<me": 'A & B "quoted" <tag>', "Ω": "päth"}
+    assert rows[2].member_roles == ['r&"role']
+
+
+def test_xml_range_boundary_rule(xml_path):
+    """parse_xml_range yields each element exactly once across an
+    arbitrary partition of the file into ranges."""
+    import os
+
+    size = os.path.getsize(xml_path)
+    step = 100
+    ids = []
+    for s in range(0, size, step):
+        ids += [
+            (r["osm_type"], r["id"])
+            for r in osm_xml.parse_xml_range(xml_path, s, min(s + step, size))
+        ]
+    assert len(ids) == len(set(ids)) == 13
