@@ -97,22 +97,20 @@ def q_doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # semi-join, and both self-join sides all reuse this one exchange
         .repartition("h")
     )
-    # one df aggregation feeds both bounds; the h-partitioned exchange
-    # above is reused by this groupBy and by both self-join sides
-    dfs = sh.groupBy("h").agg(F.count("*").alias("df"))
+    # one df aggregation feeds both bounds through a SINGLE inner join
+    # that carries df along (the h-partitioned exchange above is reused
+    # by the groupBy, the join, and both self-join sides):
     # upper bound: hot (stopword-like) shingles are dropped from the
     # UNIVERSE — both the join and the per-doc sizes — bounding the
     # quadratic self-join at df² ≤ NGRAM_DF_CAP² rows per shingle
-    capped = sh.join(
-        dfs.filter(F.col("df") <= NGRAM_DF_CAP).select("h"), "h", "left_semi"
-    )
+    dfs = sh.groupBy("h").agg(F.count("*").alias("df"))
+    capped = sh.join(dfs.filter(F.col("df") <= NGRAM_DF_CAP), "h")
     sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     # lower bound: singleton shingles (the vast majority) can never
     # produce a pair — prune them before the self-join; doesn't change
-    # the result, shrinks the join input by ~10x
-    nonsingleton = capped.join(
-        dfs.filter(F.col("df") >= 2).select("h"), "h", "left_semi"
-    )
+    # the result, shrinks the join input by ~10x. df rides the capped
+    # join, so this is a filter, not a second join.
+    nonsingleton = capped.filter(F.col("df") >= 2).select("doc_id", "h")
     a = nonsingleton.alias("a")
     b = nonsingleton.alias("b")
     pairs = (
