@@ -159,12 +159,29 @@ def read_osm_xml(spark, path: str, chunk_bytes: int | None = None):
 # ---------------------------------------------------------------------------
 
 
+# XML 1.0 cannot represent most C0 controls AT ALL (not even as character
+# references); real OSM data never contains them (the API rejects them),
+# so the writer replaces any with U+FFFD rather than emitting a file no
+# parser will accept
+_XML_INVALID = re.compile(
+    "[\x00-\x08\x0b\x0c\x0e-\x1f\ud800-\udfff￾￿]"
+)
+
+
 def _esc(s: str) -> str:
+    # tab/newline/CR as character references: a literal newline inside an
+    # attribute is VALID XML but parsers normalize it to a space
+    # (attribute-value normalization), which would silently corrupt the
+    # round-trip
     return (
-        s.replace("&", "&amp;")
+        _XML_INVALID.sub("�", s)
+        .replace("&", "&amp;")
         .replace("<", "&lt;")
         .replace(">", "&gt;")
         .replace('"', "&quot;")
+        .replace("\t", "&#9;")
+        .replace("\n", "&#10;")
+        .replace("\r", "&#13;")
     )
 
 

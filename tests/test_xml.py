@@ -115,3 +115,54 @@ def test_xml_range_boundary_rule(xml_path):
             for r in osm_xml.parse_xml_range(xml_path, s, min(s + step, size))
         ]
     assert len(ids) == len(set(ids)) == 13
+
+
+def test_xml_fuzz_roundtrip(tmp_path):
+    """Property fuzz: arbitrary unicode tag keys/values (incl. XML
+    metacharacters and whitespace controls) survive write → range-parse
+    byte-for-byte, at a chunk size that splits inside elements."""
+    from hypothesis import given, settings, strategies as st
+
+    # XML 1.0's legal character domain: C0 controls other than \t\n\r are
+    # unrepresentable in the format (the writer replaces them with U+FFFD)
+    txt = st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs",),
+            blacklist_characters="".join(
+                chr(c) for c in range(0x20) if c not in (0x9, 0xA, 0xD)
+            ),
+            min_codepoint=1,
+            max_codepoint=0x2FFF,
+        ),
+        min_size=0,
+        max_size=20,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(tags=st.dictionaries(txt.filter(bool), txt, min_size=0, max_size=5))
+    def run(tags):
+        import os
+
+        p = str(tmp_path / f"fuzz_{os.getpid()}.osm")
+        nodes = [
+            {
+                "id": 1,
+                "version": 1,
+                "user_id": 2,
+                "tstamp_ms": 1_700_000_000_000,
+                "changeset_id": 3,
+                "tags": tags,
+                "lon": 4.5,
+                "lat": 5.5,
+            }
+        ]
+        osm_xml.write_osm_xml(p, nodes=nodes)
+        size = os.path.getsize(p)
+        rows = []
+        step = 37  # prime, guarantees splits inside the element
+        for s in range(0, size, step):
+            rows += list(osm_xml.parse_xml_range(p, s, min(s + step, size)))
+        assert len(rows) == 1
+        assert rows[0]["tags"] == tags
+
+    run()
