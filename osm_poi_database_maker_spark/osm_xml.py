@@ -24,7 +24,7 @@ from datetime import datetime, timezone
 from typing import Any, Iterator
 from xml.etree import ElementTree
 
-from .pbf import PBF_ENTITY_DDL, _COLS, _base_row
+from .pbf import PBF_ENTITY_DDL, _COLS, _base_row, resolve_osm_paths
 
 _TOP_RE = re.compile(rb"<(node|way|relation)[\s/>]")
 _READ_STEP = 1 << 16  # grow window in 64 KiB steps past the range end
@@ -117,9 +117,10 @@ def parse_xml_range(path: str, start: int, end: int) -> Iterator[dict[str, Any]]
             pos = elem_end
 
 
-def read_osm_xml(spark, path: str, chunk_bytes: int | None = None):
+def read_osm_xml(spark, path, chunk_bytes: int | None = None):
     """Distributed OSM XML scan → the unified entity DataFrame
     (:data:`~.pbf.PBF_ENTITY_DDL`, identical to :func:`~.pbf.read_pbf`).
+    ``path`` may be one file, a directory, a glob, or a list.
 
     The driver ships only (path, start, end) byte ranges; element
     parsing happens on executors via mapInPandas. ``chunk_bytes``
@@ -129,14 +130,16 @@ def read_osm_xml(spark, path: str, chunk_bytes: int | None = None):
     """
     import pandas as pd
 
-    size = os.path.getsize(path)
+    paths = resolve_osm_paths(path, suffixes=(".osm", ".xml"))
+    total = sum(os.path.getsize(p) for p in paths)
     if chunk_bytes is None:
         par = max(1, spark.sparkContext.defaultParallelism)
-        chunk_bytes = max(_READ_STEP, -(-size // par))
+        chunk_bytes = max(_READ_STEP, -(-total // par))
     ranges = [
-        (path, off, min(off + chunk_bytes, size))
-        for off in range(0, size, chunk_bytes)
-    ] or [(path, 0, 0)]
+        (p, off, min(off + chunk_bytes, os.path.getsize(p)))
+        for p in paths
+        for off in range(0, os.path.getsize(p), chunk_bytes)
+    ] or [(paths[0] if paths else path, 0, 0)]
     idx = spark.createDataFrame(ranges, "path string, start long, end long")
     idx = idx.repartition(len(ranges))
 

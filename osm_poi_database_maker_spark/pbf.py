@@ -627,23 +627,50 @@ PBF_ENTITY_DDL = (
 _COLS = [f.split()[0] for f in PBF_ENTITY_DDL.split(", ")]
 
 
-def read_pbf(spark, path: str, blobs_per_task: int | None = None):
+def resolve_osm_paths(path, suffixes=(".pbf",)) -> list[str]:
+    """Expand a path spec — single file, directory, glob, or explicit
+    list — into a sorted file list (extract sets ship as many files)."""
+    import glob as _glob
+
+    if isinstance(path, (list, tuple)):
+        out: list[str] = []
+        for p in path:
+            out.extend(resolve_osm_paths(p, suffixes))
+        return sorted(dict.fromkeys(out))
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(tuple(suffixes))
+        )
+    if any(ch in path for ch in "*?["):
+        return sorted(_glob.glob(path))
+    return [path]
+
+
+def read_pbf(spark, path, blobs_per_task: int | None = None):
     """Distributed PBF scan: blob index on the driver, blob decode on
     executors. Returns the unified entity DataFrame (PBF_ENTITY_DDL).
+    ``path`` may be one file, a directory, a glob, or a list (extract
+    sets ship as many .pbf files; the index concatenates them).
 
-    Scale shape: the index is O(#blobs) driver work and the shuffle-free
-    decode is embarrassingly parallel — `repartition` only redistributes
-    the tiny (path, offset, size) triples, never blob bytes. Filters on
-    osm_type/tags applied by the caller run Spark-side after Arrow
-    conversion; at 100 TB you'd persist this scan once as partitioned
-    parquet (exactly the reference's load-once-into-Postgres shape,
-    filter.py:260) rather than re-decoding per query.
+    Scale shape: the index is O(#blobs) driver work — header seeks only,
+    no payload reads (for 10⁵+-file layouts, lift the same per-file
+    indexing into a first mapInPandas pass over the path list) — and the
+    shuffle-free decode is embarrassingly parallel — `repartition` only
+    redistributes the tiny (path, offset, size) triples, never blob
+    bytes. Filters on osm_type/tags applied by the caller run Spark-side
+    after Arrow conversion; at 100 TB you'd persist this scan once as
+    partitioned parquet (exactly the reference's
+    load-once-into-Postgres shape, filter.py:260) rather than
+    re-decoding per query.
     """
     import pandas as pd
 
     index = [
-        (path, off, size)
-        for (btype, off, size) in scan_blob_index(path)
+        (p, off, size)
+        for p in resolve_osm_paths(path)
+        for (btype, off, size) in scan_blob_index(p)
         if btype == "OSMData"
     ]
     n_tasks = max(

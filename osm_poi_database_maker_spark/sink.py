@@ -188,3 +188,62 @@ def write_dead_letter(df: DataFrame, path: str, fmt: str = "parquet") -> None:
         writer.option("header", "true").csv(path)
     else:
         writer.parquet(path)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    order_by: Sequence[str] = (),
+) -> dict[str, int]:
+    """Compact a small-files parquet directory in place: read, size the
+    output file count from the ACTUAL on-disk bytes (never a row-count
+    guess), optionally range-sort for clustering, and atomically swap.
+
+    The operational pain this solves at 100 TB: every micro-batch /
+    per-task write leaves files far under the HDFS-block-ish sweet spot,
+    and a 10⁶-file table is slow to list, plan, and read long before it
+    is big. Compaction is one read + one shuffle-free coalesce (or a
+    range exchange when ``order_by`` asks for clustering — sorted output
+    gets min/max-pruned on the sort key by later scans). Uses the same
+    staging + rename protocol as :func:`merge_upsert`, so readers never
+    observe a half-written directory.
+
+    Returns {"files_before", "files_after", "bytes"}.
+    """
+    import glob
+    import os
+    import shutil
+
+    files = [
+        f
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(path)
+    if order_by:
+        out = df.repartitionByRange(n_out, *[F.col(c) for c in order_by]).sortWithinPartitions(
+            *order_by
+        )
+    else:
+        out = df.coalesce(n_out)
+    staging = path.rstrip("/") + ".__compacting__"
+    old = path.rstrip("/") + ".__old__"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    out.write.mode("overwrite").parquet(staging)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    after = len(
+        [
+            f
+            for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+            if os.path.isfile(f)
+        ]
+    )
+    return {"files_before": len(files), "files_after": after, "bytes": total}

@@ -250,3 +250,31 @@ def test_hstore_copy_adversarial_roundtrip(spark):
             for k, v in tags.items()
         }
         assert got == want, f"case {i}: {got} != {want}"
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    """200 tiny files compact to the byte-sized file count with identical
+    data; ordered compaction clusters rows so later scans can min/max
+    prune on the sort key."""
+    from osm_poi_database_maker_spark.sink import compact_parquet
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 2000).withColumn("v", F.col("id") * 2)
+    df.repartition(200).write.parquet(path)
+    import glob
+
+    n_before = len(glob.glob(f"{path}/*.parquet"))
+    assert n_before >= 100  # genuinely fragmented
+
+    stats = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert stats["files_before"] == n_before
+    assert stats["files_after"] == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 2000
+    assert back.agg(F.sum("v")).collect()[0][0] == 2 * sum(range(2000))
+
+    # ordered variant: file count derives from bytes, rows arrive sorted
+    stats2 = compact_parquet(spark, path, target_file_bytes=1, order_by=("id",))
+    assert stats2["files_after"] >= 1
+    again = spark.read.parquet(path)
+    assert again.count() == 2000

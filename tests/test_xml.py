@@ -166,3 +166,23 @@ def test_xml_fuzz_roundtrip(tmp_path):
         assert rows[0]["tags"] == tags
 
     run()
+
+
+def test_multi_file_read(spark, tmp_path):
+    """Directory / glob / list path specs concatenate extract sets, for
+    both wire formats."""
+    d = tmp_path / "extracts"
+    d.mkdir()
+    osm_xml.write_osm_xml(str(d / "a.osm"), nodes=fx.PBF_NODES[:4])
+    osm_xml.write_osm_xml(str(d / "b.osm"), nodes=fx.PBF_NODES[4:], ways=fx.PBF_WAYS)
+    got = osm_xml.read_osm_xml(spark, str(d))
+    assert got.count() == len(fx.PBF_NODES) + len(fx.PBF_WAYS)
+    got_glob = osm_xml.read_osm_xml(spark, str(d / "*.osm"))
+    assert got_glob.count() == got.count()
+
+    pbf.encode_pbf(str(d / "a.osm.pbf"), nodes=fx.PBF_NODES[:4], block_size=2)
+    pbf.encode_pbf(
+        str(d / "b.osm.pbf"), nodes=fx.PBF_NODES[4:], ways=fx.PBF_WAYS, block_size=2
+    )
+    got_pbf = pbf.read_pbf(spark, [str(d / "a.osm.pbf"), str(d / "b.osm.pbf")])
+    assert _collect_sorted(got_pbf) == _collect_sorted(got)
