@@ -79,6 +79,8 @@ _VERIFY_FIRST = [
     "events_incident_windows",
     "doc_curation_pipeline",
     "osm_xml_scan",
+    "doc_bigram_logprob",
+    "emb_label_centroids",
     # tier 2: changed in round 2
     "doc_stratified_sample",
     "orders_pk_audit",

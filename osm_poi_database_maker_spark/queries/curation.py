@@ -334,6 +334,64 @@ GROUP BY vec_id
 
 
 # ---------------------------------------------------------------------------
+# per-label centroid distances (embedding-space outlier audit)
+
+
+def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids and the spread around them —
+    the outlier/mislabel audit of a labeled embedding store (vectors far
+    from their own label's centroid are label noise candidates).
+
+    posexplode → a (label, pos) mean (|labels|·dim rows — tiny by
+    construction, broadcast back) → per-vector distance → per-label
+    spread stats. The vectors are never shuffled: the only wide exchange
+    is the explode's own (label,pos) aggregation; the distance join is a
+    broadcast and the two remaining aggregates flow through one vec_id
+    partitioning.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    e = e.withColumn("v", F.col("v").cast("double"))
+    cent = e.groupBy("label", "pos").agg(F.avg("v").alias("c"))
+    dist = (
+        e.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.sqrt(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c")))).alias("d"))
+    )
+    return (
+        dist.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("d"), 4).alias("avg_dist"),
+            F.round(F.max("d"), 4).alias("max_dist"),
+        )
+    )
+
+
+ORACLE_LABEL_CENTROIDS = """
+WITH e AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+cent AS (SELECT label, pos, avg(v) AS c FROM e GROUP BY 1, 2),
+dist AS (
+  SELECT e.vec_id, e.label, sqrt(sum((e.v - cent.c) * (e.v - cent.c))) AS d
+  FROM e JOIN cent ON e.label = cent.label AND e.pos = cent.pos
+  GROUP BY 1, 2
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(d), 4) AS avg_dist,
+       round(max(d), 4) AS max_dist
+FROM dist
+GROUP BY label
+"""
+
+
+# ---------------------------------------------------------------------------
 # the composed pipeline: every curation stage end to end
 
 _MIN_TOKENS = 10
@@ -455,6 +513,7 @@ QUERIES = {
     "doc_mixture_sample": q_doc_mixture_sample,
     "doc_shuffle_shards": q_doc_shuffle_shards,
     "emb_int8_quantize": q_emb_int8_quantize,
+    "emb_label_centroids": q_emb_label_centroids,
     "doc_curation_pipeline": q_doc_curation_pipeline,
 }
 
@@ -463,5 +522,6 @@ ORACLES = {
     "doc_mixture_sample": ORACLE_MIXTURE,
     "doc_shuffle_shards": ORACLE_SHARDS,
     "emb_int8_quantize": ORACLE_QUANTIZE,
+    "emb_label_centroids": ORACLE_LABEL_CENTROIDS,
     "doc_curation_pipeline": ORACLE_PIPELINE,
 }

@@ -588,8 +588,77 @@ FROM planted
 """
 
 
+def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality proxy: per-doc mean bigram log-probability
+    under a corpus-trained bigram model — the KenLM-perplexity-filter
+    shape of a curation pipeline (here self-trained on the corpus;
+    production points the count tables at a trusted reference corpus).
+    Low mean log-prob = surprising text (gibberish, boilerplate soup,
+    wrong-language fragments).
+
+    One explode of the token stream feeds three aggregations —
+    C(w1,w2), C(w1), and the per-doc average — all equi-joins on token
+    hashes; the count tables are |vocab|-sized (AQE broadcasts when they
+    fit, shuffle-joins when a real vocabulary doesn't). No Python in
+    the plan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.split(F.col("text"), " +").alias("t")).repartition(
+        "doc_id"
+    )
+    t = F.col("t")
+    bigrams = tok.filter(F.size(t) >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.struct(
+                    F.element_at(t, i).alias("w1"),
+                    F.element_at(t, i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c_bg = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c_w1 = bigrams.groupBy("w1").agg(F.count("*").alias("c1"))
+    scored = (
+        bigrams.join(c_bg, ["w1", "w2"])
+        .join(c_w1, "w1")
+        .withColumn("ll", F.log(F.col("c12") / F.col("c1")))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("ll"), 4).alias("avg_logprob"),
+        )
+    )
+
+
+ORACLE_BIGRAM_LL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, ' +') AS t FROM documents
+  WHERE len(string_split_regex(text, ' +')) >= 2
+),
+bigrams AS (
+  SELECT doc_id, t[i + 1] AS w1, t[i + 2] AS w2
+  FROM (SELECT doc_id, t, unnest(range(len(t) - 1)) AS i FROM toks)
+),
+c_bg AS (SELECT w1, w2, count(*) AS c12 FROM bigrams GROUP BY 1, 2),
+c_w1 AS (SELECT w1, count(*) AS c1 FROM bigrams GROUP BY 1)
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln(CAST(c12 AS DOUBLE) / c1)), 4) AS avg_logprob
+FROM bigrams b
+JOIN c_bg USING (w1, w2)
+JOIN c_w1 USING (w1)
+GROUP BY b.doc_id
+"""
+
+
 QUERIES = {
     "doc_token_stats": q_doc_token_stats,
+    "doc_bigram_logprob": q_doc_bigram_logprob,
     "doc_quality_score": q_doc_quality_score,
     "doc_lang_id": q_doc_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -604,6 +673,7 @@ QUERIES = {
 
 ORACLES = {
     "doc_token_stats": ORACLE_TOKEN_STATS,
+    "doc_bigram_logprob": ORACLE_BIGRAM_LL,
     "doc_quality_score": ORACLE_QUALITY,
     "doc_lang_id": ORACLE_LANG_ID,
     "doc_fingerprint": ORACLE_FINGERPRINT,

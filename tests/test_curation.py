@@ -240,3 +240,47 @@ def test_curation_pipeline_invariants(spark):
         assert r.doc_id % _EVAL_MOD != _EVAL_REM
         assert r.doc_id not in contaminated
         assert 0 <= r.shard < _N_SHARDS and r.pos >= 1
+
+
+def test_bigram_logprob_semantics(spark, monkeypatch):
+    """A doc made of one repeated bigram scores log(1)=0 (fully
+    predictable); a doc whose continuations split 50/50 scores log(0.5);
+    single-token docs don't appear."""
+    from osm_poi_database_maker_spark.queries import text as T
+    from osm_poi_database_maker_spark.queries.text import q_doc_bigram_logprob
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b a b", "en", "s", 0),  # bigrams ab,ba only
+            (2, "solo", "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(T, "load_table", lambda spark_, sf_, name_: docs)
+    got = {r.doc_id: r for r in q_doc_bigram_logprob(spark, "x").collect()}
+    assert set(got) == {1}
+    # C(a,b)=4, C(a)=4 -> P=1; C(b,a)=3, C(b)=3 -> P=1; avg log = 0
+    assert got[1].avg_logprob == 0.0 and got[1].n_bigrams == 7
+
+
+def test_label_centroid_single_label(spark, monkeypatch):
+    """Two symmetric vectors around a centroid: each sits at the same
+    distance, so avg == max; a lone vector IS its centroid (dist 0)."""
+    from osm_poi_database_maker_spark.queries import curation as C
+    from osm_poi_database_maker_spark.queries.curation import q_emb_label_centroids
+
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0], 7),
+            (2, [2.0, 2.0], 7),
+            (3, [5.0, 5.0], 9),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    monkeypatch.setattr(C, "load_table", lambda spark_, sf_, name_: emb)
+    got = {r.label: r for r in q_emb_label_centroids(spark, "x").collect()}
+    import math
+
+    assert got[7].n_vecs == 2
+    assert got[7].avg_dist == got[7].max_dist == round(math.sqrt(2), 4)
+    assert got[9].n_vecs == 1 and got[9].avg_dist == 0.0
