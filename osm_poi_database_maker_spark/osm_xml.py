@@ -26,7 +26,8 @@ from xml.etree import ElementTree
 
 from .pbf import PBF_ENTITY_DDL, _COLS, _base_row, resolve_osm_paths
 
-_TOP_RE = re.compile(rb"<(node|way|relation)[\s/>]")
+_TOP_RE = re.compile(rb"<(node|way|relation)[\s/>]|<!--")
+_COMMENT_END = b"-->"
 _READ_STEP = 1 << 16  # grow window in 64 KiB steps past the range end
 
 
@@ -66,12 +67,72 @@ def _element_to_row(name: str, elem: ElementTree.Element) -> dict[str, Any]:
     return row
 
 
+def _tag_head_end(buf: bytes, tag_start: int) -> int:
+    """Offset just past the '>' closing an opening tag's head, honoring
+    quoted attribute values (a raw '>' inside quotes is legal XML and
+    must not terminate the head). Returns -1 if the head is incomplete
+    in ``buf``."""
+    i = tag_start
+    n = len(buf)
+    while i < n:
+        c = buf[i]
+        if c in (0x22, 0x27):  # " or '
+            j = buf.find(bytes((c,)), i + 1)
+            if j < 0:
+                return -1
+            i = j + 1
+            continue
+        if c == 0x3E:  # >
+            return i + 1
+        i += 1
+    return -1
+
+
+_COMMENT_START = b"<!--"
+_MAX_COMMENT_LOOKBACK = 1 << 20  # sound for comments up to 1 MiB
+
+
+def _starts_inside_comment(f, start: int) -> bool:
+    """Was byte ``start`` inside a comment? Decidable by a bounded
+    BACKWARD scan because well-formed XML guarantees (a) a literal
+    ``<!--`` can only be a comment start — ``<`` must be escaped in
+    attribute values and text — and (b) ``--`` is forbidden inside
+    comments, so ``-->`` always terminates one. The last marker before
+    ``start`` therefore decides: ``<!--`` ⇒ inside, ``-->``/none ⇒
+    outside."""
+    lo = max(0, start - _MAX_COMMENT_LOOKBACK)
+    pos = start
+    # seed with the 3 bytes at/after start: a marker STRADDLING the
+    # boundary (e.g. "<!--" at start-2) must still be found, and a byte
+    # inside the marker itself counts as inside/outside accordingly
+    f.seek(start)
+    tail = f.read(3)
+    while pos > lo:
+        step = min(_READ_STEP, pos - lo)
+        f.seek(pos - step)
+        block = f.read(step) + tail
+        i_open = block.rfind(_COMMENT_START)
+        i_close = block.rfind(_COMMENT_END)
+        if i_open >= 0 or i_close >= 0:
+            return i_open > i_close
+        pos -= step
+        tail = block[:3]  # marker may straddle the block boundary
+    return False
+
+
 def parse_xml_range(path: str, start: int, end: int) -> Iterator[dict[str, Any]]:
     """Yield entity rows for every top-level element that STARTS in
     [start, end); the last one may be completed by reading past ``end``.
+
+    Comments never yield phantom entities (an editor's
+    ``<!-- <node .../> -->`` is skipped): comments starting in-range are
+    consumed inline, and a range that OPENS inside a comment first skips
+    to the comment's close — sound per :func:`_starts_inside_comment`
+    for comments up to ``_MAX_COMMENT_LOOKBACK``.
     """
     size = os.path.getsize(path)
     with open(path, "rb") as f:
+        in_comment = start > 0 and _starts_inside_comment(f, start)
         f.seek(start)
         buf = f.read(min(end - start + _READ_STEP, size - start))
 
@@ -84,6 +145,13 @@ def parse_xml_range(path: str, start: int, end: int) -> Iterator[dict[str, Any]]
             return True
 
         pos = 0  # offset within buf; absolute = start + pos
+        if in_comment:  # skip to the enclosing comment's close
+            c_end = buf.find(_COMMENT_END)
+            while c_end < 0:
+                if not extend():
+                    return  # comment runs to EOF — nothing in range
+                c_end = buf.find(_COMMENT_END)
+            pos = c_end + len(_COMMENT_END)
         while True:
             m = _TOP_RE.search(buf, pos)
             while m is None and start + len(buf) < min(end + 1, size):
@@ -92,15 +160,26 @@ def parse_xml_range(path: str, start: int, end: int) -> Iterator[dict[str, Any]]
                 m = _TOP_RE.search(buf, pos)
             if m is None or start + m.start() >= end:
                 return
+            if m.group(1) is None:  # a comment start — skip to its close
+                c_end = buf.find(_COMMENT_END, m.end())
+                while c_end < 0:
+                    if not extend():
+                        raise ValueError(
+                            f"unterminated comment at byte {start + m.start()}"
+                        )
+                    c_end = buf.find(_COMMENT_END, m.end())
+                pos = c_end + len(_COMMENT_END)
+                continue
             name = m.group(1).decode()
-            # end of the opening tag's head
-            head_end = buf.find(b">", m.start())
+            # end of the opening tag's head (quote-aware: '>' inside an
+            # attribute value does not close the head)
+            head_end = _tag_head_end(buf, m.start())
             while head_end < 0:
                 if not extend():
                     raise ValueError(f"unterminated <{name}> at byte {start + m.start()}")
-                head_end = buf.find(b">", m.start())
-            if buf[head_end - 1 : head_end] == b"/":
-                elem_end = head_end + 1
+                head_end = _tag_head_end(buf, m.start())
+            if buf[head_end - 2 : head_end - 1] == b"/":
+                elem_end = head_end
             else:
                 close = b"</" + m.group(1) + b">"
                 elem_end = buf.find(close, head_end)
@@ -132,6 +211,8 @@ def read_osm_xml(spark, path, chunk_bytes: int | None = None):
 
     paths = resolve_osm_paths(path, suffixes=(".osm", ".xml"))
     total = sum(os.path.getsize(p) for p in paths)
+    if total == 0:  # no files matched (or all empty): an empty scan
+        return spark.createDataFrame([], PBF_ENTITY_DDL)
     if chunk_bytes is None:
         par = max(1, spark.sparkContext.defaultParallelism)
         chunk_bytes = max(_READ_STEP, -(-total // par))
@@ -139,7 +220,7 @@ def read_osm_xml(spark, path, chunk_bytes: int | None = None):
         (p, off, min(off + chunk_bytes, os.path.getsize(p)))
         for p in paths
         for off in range(0, os.path.getsize(p), chunk_bytes)
-    ] or [(paths[0] if paths else path, 0, 0)]
+    ]
     idx = spark.createDataFrame(ranges, "path string, start long, end long")
     idx = idx.repartition(len(ranges))
 
@@ -230,7 +311,9 @@ def write_osm_xml(
     lines = ['<?xml version="1.0" encoding="UTF-8"?>', '<osm version="0.6">']
     for n in nodes:
         attrs = _common_attrs(n)
-        if n.get("lat") is not None:
+        # both or neither: a half-set coordinate pair would serialize as
+        # lon="None" and crash the read-back
+        if n.get("lat") is not None and n.get("lon") is not None:
             attrs += f' lat="{n["lat"]!r}" lon="{n["lon"]!r}"'
         body = tag_lines(n)
         if body:

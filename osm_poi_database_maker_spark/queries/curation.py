@@ -126,8 +126,48 @@ WHERE n_hit > 0
 
 _MIX_BOOST = {"src0": 4.0, "src1": 2.0, "src2": 2.0}  # others weight 1.0
 _MIX_TOTAL_FRAC = 0.4  # target overall sample size = 40% of the corpus
-_LEHMER_A = 48271
-_LEHMER_M = (1 << 31) - 1
+# the portable id-hash constants live beside the stratified sampler
+from .text import _LEHMER_A, _LEHMER_M  # noqa: E402
+
+
+def _lehmer_h(col: F.Column = None):
+    """Two-step Lehmer mix of an id column → integer in [0, M). One step
+    leaves small sequential ids in [0, id*A/M] — far below any realistic
+    keep fraction — the second wraps mod M and is uniform (max product
+    M*A ≈ 1e14, int64-safe). The single definition all curation ops
+    share; the SQL twin is :data:`_H_SQL` / :data:`_U_SQL`."""
+    c = F.col("doc_id") if col is None else col
+    return (c % F.lit(_LEHMER_M)) * F.lit(_LEHMER_A) % F.lit(_LEHMER_M) * F.lit(
+        _LEHMER_A
+    ) % F.lit(_LEHMER_M)
+
+
+def _lehmer_u(col: F.Column = None):
+    return _lehmer_h(col) / F.lit(float(_LEHMER_M))
+
+
+def _mixture_rates(d: DataFrame) -> DataFrame:
+    """(source, rate) — per-source keep fractions
+    ``min(1, (w_s / W) * (f * N) / n_s)`` computed over ``d``: the corpus
+    collapses to |sources| rows, one 1-row total cross-joins in (no
+    driver-side ``.count()`` scan). Shared by the standalone sampler and
+    the composed pipeline so their semantics cannot drift apart."""
+    w = F.lit(1.0)
+    for src, boost in sorted(_MIX_BOOST.items()):
+        w = F.when(F.col("source") == src, F.lit(boost)).otherwise(w)
+    counts = d.groupBy("source").agg(F.count("*").alias("n_s")).withColumn("w", w)
+    tot = counts.agg(F.sum("n_s").alias("n_total"), F.sum("w").alias("w_sum"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            F.col("w")
+            / F.col("w_sum")
+            * F.lit(_MIX_TOTAL_FRAC)
+            * F.col("n_total")
+            / F.col("n_s"),
+        ).alias("rate"),
+    )
 
 
 def q_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -145,29 +185,8 @@ def q_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-shuffling filter.
     """
     d = load_table(spark, sf_dir, "documents")
-    w = F.lit(1.0)
-    for src, boost in sorted(_MIX_BOOST.items()):
-        w = F.when(F.col("source") == src, F.lit(boost)).otherwise(w)
-    counts = d.groupBy("source").agg(F.count("*").alias("n_s")).withColumn("w", w)
-    tot = counts.agg(
-        F.sum("n_s").alias("n_total"), F.sum("w").alias("w_sum")
-    )
-    rates = counts.crossJoin(F.broadcast(tot)).select(
-        "source",
-        F.least(
-            F.lit(1.0),
-            F.col("w")
-            / F.col("w_sum")
-            * F.lit(_MIX_TOTAL_FRAC)
-            * F.col("n_total")
-            / F.col("n_s"),
-        ).alias("rate"),
-    )
-    # two multiplicative steps: one step leaves small sequential ids in
-    # [0, id*A/M] — far below any realistic rate — the second wraps mod M
-    # and is uniform (max product M*A ≈ 1e14, int64-safe)
-    u1 = (F.col("doc_id") % F.lit(_LEHMER_M)) * F.lit(_LEHMER_A) % F.lit(_LEHMER_M)
-    u = (u1 * F.lit(_LEHMER_A) % F.lit(_LEHMER_M)) / F.lit(float(_LEHMER_M))
+    rates = _mixture_rates(d)
+    u = _lehmer_u()
     return (
         d.join(F.broadcast(rates), "source")
         .filter(u < F.col("rate"))
@@ -231,13 +250,7 @@ def q_doc_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     here mirrors that layout in a driver-checkable form.
     """
     d = load_table(spark, sf_dir, "documents")
-    h = (
-        (F.col("doc_id") % F.lit(_LEHMER_M))
-        * F.lit(_LEHMER_A)
-        % F.lit(_LEHMER_M)
-        * F.lit(_LEHMER_A)
-        % F.lit(_LEHMER_M)
-    )
+    h = _lehmer_h()
     from pyspark.sql import Window
 
     w = Window.partitionBy("shard").orderBy("h", "doc_id")
@@ -433,26 +446,12 @@ def q_doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
     is_eval = (F.col("doc_id") % _EVAL_MOD) == _EVAL_REM
     clean = base.filter(~is_eval).join(F.broadcast(contaminated), "doc_id", "left_anti")
-    # 4. mixture sampling with rates over the SURVIVING corpus
-    w = F.lit(1.0)
-    for src, boost in sorted(_MIX_BOOST.items()):
-        w = F.when(F.col("source") == src, F.lit(boost)).otherwise(w)
-    counts = clean.groupBy("source").agg(F.count("*").alias("n_s")).withColumn("w", w)
-    tot = counts.agg(F.sum("n_s").alias("n_total"), F.sum("w").alias("w_sum"))
-    rates = counts.crossJoin(F.broadcast(tot)).select(
-        "source",
-        F.least(
-            F.lit(1.0),
-            F.col("w")
-            / F.col("w_sum")
-            * F.lit(_MIX_TOTAL_FRAC)
-            * F.col("n_total")
-            / F.col("n_s"),
-        ).alias("rate"),
-    )
-    u1 = (F.col("doc_id") % F.lit(_LEHMER_M)) * F.lit(_LEHMER_A) % F.lit(_LEHMER_M)
-    h = u1 * F.lit(_LEHMER_A) % F.lit(_LEHMER_M)
-    u = h / F.lit(float(_LEHMER_M))
+    # 4. mixture sampling with rates over the SURVIVING corpus — the
+    # same _mixture_rates/_lehmer_u the standalone sampler uses, so the
+    # composed pipeline cannot drift from the operator it composes
+    rates = _mixture_rates(clean)
+    h = _lehmer_h()
+    u = _lehmer_u()
     sampled = clean.join(F.broadcast(rates), "source").filter(u < F.col("rate"))
     # 5. shard assignment + within-shard order
     w_pos = Window.partitionBy("shard").orderBy("h", "doc_id")

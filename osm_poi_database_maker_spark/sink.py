@@ -205,9 +205,16 @@ def compact_parquet(
     and a 10⁶-file table is slow to list, plan, and read long before it
     is big. Compaction is one read + one shuffle-free coalesce (or a
     range exchange when ``order_by`` asks for clustering — sorted output
-    gets min/max-pruned on the sort key by later scans). Uses the same
-    staging + rename protocol as :func:`merge_upsert`, so readers never
-    observe a half-written directory.
+    gets min/max-pruned on the sort key by later scans).
+    Hive-partitioned layouts (``key=value`` directories) are detected
+    from the on-disk paths and preserved via ``partitionBy`` — the swap
+    never silently flattens a partitioned table.
+
+    Same staging + rename protocol as :func:`merge_upsert`: a NEW reader
+    between the two renames (or after a crash in that window) sees a
+    missing/stale directory — in-flight Spark jobs that already listed
+    files are unaffected. Run it from the single writer that owns the
+    table, as any in-place rewrite.
 
     Returns {"files_before", "files_after", "bytes"}.
     """
@@ -222,6 +229,13 @@ def compact_parquet(
     ]
     total = sum(os.path.getsize(f) for f in files)
     n_out = max(1, -(-total // target_file_bytes))
+    # hive-partition columns, in directory order, from any file's path
+    part_cols: list[str] = []
+    if files:
+        rel = os.path.relpath(files[0], path)
+        part_cols = [
+            seg.split("=", 1)[0] for seg in rel.split(os.sep)[:-1] if "=" in seg
+        ]
     df = spark.read.parquet(path)
     if order_by:
         out = df.repartitionByRange(n_out, *[F.col(c) for c in order_by]).sortWithinPartitions(
@@ -233,7 +247,10 @@ def compact_parquet(
     old = path.rstrip("/") + ".__old__"
     if os.path.exists(staging):
         shutil.rmtree(staging)
-    out.write.mode("overwrite").parquet(staging)
+    writer = out.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(staging)
     if os.path.exists(old):
         shutil.rmtree(old)
     os.rename(path, old)

@@ -278,3 +278,27 @@ def test_compact_parquet_small_files(spark, tmp_path):
     assert stats2["files_after"] >= 1
     again = spark.read.parquet(path)
     assert again.count() == 2000
+
+
+def test_compact_preserves_hive_partitions(spark, tmp_path):
+    """Compacting a partitionBy layout keeps the key=value directories
+    (and their pruning) instead of silently flattening the table."""
+    import glob
+
+    from osm_poi_database_maker_spark.sink import compact_parquet
+
+    path = str(tmp_path / "parts")
+    df = spark.range(0, 400).withColumn("bucket", (F.col("id") % 4).cast("int"))
+    df.repartition(40).write.partitionBy("bucket").parquet(path)
+    before_dirs = sorted(
+        p.split("/")[-1] for p in glob.glob(f"{path}/bucket=*")
+    )
+    assert len(before_dirs) == 4
+
+    compact_parquet(spark, path, target_file_bytes=1 << 30)
+    after_dirs = sorted(p.split("/")[-1] for p in glob.glob(f"{path}/bucket=*"))
+    assert after_dirs == before_dirs
+    back = spark.read.parquet(path)
+    assert back.count() == 400
+    assert set(back.columns) == {"id", "bucket"}
+    assert back.filter(F.col("bucket") == 2).count() == 100

@@ -186,3 +186,54 @@ def test_multi_file_read(spark, tmp_path):
     )
     got_pbf = pbf.read_pbf(spark, [str(d / "a.osm.pbf"), str(d / "b.osm.pbf")])
     assert _collect_sorted(got_pbf) == _collect_sorted(got)
+
+
+def test_xml_external_writer_quirks(spark, tmp_path):
+    """Files from OTHER writers: raw '>' inside attribute values (legal
+    XML 1.0), comments containing element-lookalikes, and an empty
+    directory scan."""
+    p = str(tmp_path / "ext.osm")
+    with open(p, "w", encoding="utf-8") as f:
+        f.write(
+            '<?xml version="1.0"?>\n<osm>\n'
+            '  <!-- editor header: <node id="99" lat="0" lon="0"/> -->\n'
+            '  <node id="1" version="1" lat="1.0" lon="2.0" user="a>b"/>\n'
+            '  <node id="2" version="1" lat="3.0" lon="4.0">\n'
+            '    <tag k="note" v="5 > 4 and -->-ish text"/>\n'
+            "  </node>\n"
+            "</osm>\n"
+        )
+    for chunk in (32, 1 << 20):
+        rows = {
+            r.id: r
+            for r in osm_xml.read_osm_xml(spark, p, chunk_bytes=chunk).collect()
+        }
+        assert set(rows) == {1, 2}, f"chunk={chunk}"
+        assert rows[2].tags == {"note": "5 > 4 and -->-ish text"}
+
+    empty = tmp_path / "none"
+    empty.mkdir()
+    assert osm_xml.read_osm_xml(spark, str(empty)).count() == 0
+
+
+def test_write_half_coordinates(spark, tmp_path):
+    """A node with only one coordinate set serializes with NO coordinate
+    attributes (never lon=\"None\") and reads back as coordinate-less."""
+    p = str(tmp_path / "half.osm")
+    osm_xml.write_osm_xml(
+        p,
+        nodes=[
+            {
+                "id": 1,
+                "version": 1,
+                "user_id": 1,
+                "tstamp_ms": 0,
+                "changeset_id": 1,
+                "tags": {},
+                "lat": 1.0,
+                "lon": None,
+            }
+        ],
+    )
+    r = osm_xml.read_osm_xml(spark, p).collect()[0]
+    assert r.lat is None and r.lon is None
