@@ -607,23 +607,33 @@ def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id"
     )
     t = F.col("t")
-    bigrams = tok.filter(F.size(t) >= 2).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(t) - 1),
-                lambda i: F.struct(
-                    F.element_at(t, i).alias("w1"),
-                    F.element_at(t, i + 1).alias("w2"),
-                ),
-            )
-        ).alias("bg"),
-    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    c_bg = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    c_w1 = bigrams.groupBy("w1").agg(F.count("*").alias("c1"))
+    bigrams = (
+        tok.filter(F.size(t) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - 1),
+                    lambda i: F.struct(
+                        F.element_at(t, i).alias("w1"),
+                        F.element_at(t, i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("bg"),
+        )
+        # join/shuffle on 8-byte hashes, never the token strings (the
+        # doc_ngram_jaccard trick; collision odds ~1e-9 at vocab scale)
+        .select(
+            "doc_id",
+            F.xxhash64("bg.w1", "bg.w2").alias("h12"),
+            F.xxhash64("bg.w1").alias("h1"),
+        )
+    )
+    c_bg = bigrams.groupBy("h12").agg(F.count("*").alias("c12"))
+    c_w1 = bigrams.groupBy("h1").agg(F.count("*").alias("c1"))
     scored = (
-        bigrams.join(c_bg, ["w1", "w2"])
-        .join(c_w1, "w1")
+        bigrams.join(c_bg, "h12")
+        .join(c_w1, "h1")
         .withColumn("ll", F.log(F.col("c12") / F.col("c1")))
     )
     return (
