@@ -66,18 +66,20 @@ def wkb_polygon_hex(rings: pd.Series) -> pd.Series:
 
     Layout: 01 | 03000000 | nrings=1 | npoints | (f8 lon, f8 lat)*.
     NULL/undersized/unclosed rings yield NULL (quarantine contract).
+    The coordinate payload — all but 13 bytes of the output — is packed
+    as one numpy buffer per ring (`.tobytes()`), not per-point struct
+    calls; the per-ring loop remains (rings are ragged), matching the
+    vectorization level of :func:`wkb_point_hex`.
     """
     import struct
 
     def enc(ring):
         if ring is None or len(ring) < 4:
             return None
-        pts = [(p["lon"], p["lat"]) for p in ring]
-        if pts[0] != pts[-1]:
+        arr = np.array([(p["lon"], p["lat"]) for p in ring], dtype="<f8")
+        if arr[0, 0] != arr[-1, 0] or arr[0, 1] != arr[-1, 1]:
             return None
-        head = struct.pack("<BII I", 1, 3, 1, len(pts))
-        body = b"".join(struct.pack("<dd", x, y) for x, y in pts)
-        return (head + body).hex()
+        return (struct.pack("<BII I", 1, 3, 1, len(arr)) + arr.tobytes()).hex()
 
     return rings.apply(enc)
 
