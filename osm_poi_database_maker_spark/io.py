@@ -34,14 +34,44 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to a plain TIMESTAMP whose
+    instant equals the stored wall-clock time read as UTC — independent
+    of the session time zone AND of how the fixture generation encoded
+    the column. Seen encodings across driver generations:
+
+    - parquet TIMESTAMP(NANOS): Spark rejects it outright; with
+      ``nanosAsLong`` it surfaces as ``bigint`` nanos → truncate to
+      micros (the same truncation DuckDB applies on read);
+    - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): surfaces as
+      TIMESTAMP_NTZ → wall-time arithmetic from the NTZ epoch (a plain
+      CAST would shift by the session zone offset);
+    - parquet TIMESTAMP(MICROS, adjusted): already TIMESTAMP.
+
+    DuckDB reads all three as naive timestamps, so its ``epoch_us(ts)``
+    is wall-as-UTC micros — exactly what ``unix_micros`` yields after
+    this normalization.
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if dt == "timestamp_ntz":
+        return df.withColumn(
+            "ts",
+            F.expr(
+                "timestamp_micros(timestampdiff("
+                "MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
+            ),
+        )
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # The events fixture stores ts as parquet TIMESTAMP(NANOS), which the
-    # Spark reader rejects outright; read it as raw nanos and truncate to
-    # microsecond timestamps (same truncation DuckDB applies on read).
+    # nanosAsLong keeps legacy TIMESTAMP(NANOS) fixtures readable at all
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        df = normalize_events_ts(df)
     return df
 
 

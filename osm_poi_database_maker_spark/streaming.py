@@ -28,24 +28,30 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-#: events fixture schema as stored (ts is TIMESTAMP(NANOS) in the parquet
-#: footer, surfaced as raw nanos via nanosAsLong — converted on read).
-EVENTS_RAW_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, value double, props string"
-)
-
-
 def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
     """File-source stream over the events fixture with the same ts
-    normalization as the batch loader (io.load_table)."""
+    normalization as the batch loader (io.load_table).
+
+    The stream source requires an explicit schema; a hardcoded one is a
+    silent-corruption hazard because the fixture's ts encoding has
+    changed across driver generations (TIMESTAMP(NANOS) → NTZ micros —
+    declaring ``ts long`` against an NTZ file reads raw micros and a
+    nanos→micros division then compresses the timeline 1000×). Probe the
+    actual footer schema with a driver-side batch read instead, and
+    reuse io.normalize_events_ts for the conversion.
+    """
+    from .io import normalize_events_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).format("parquet")
+    # footer-only read: .schema touches no row data
+    file_schema = spark.read.parquet(f"{sf_dir}/events*.parquet").schema
+    reader = spark.readStream.schema(file_schema).format("parquet")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     # glob, not the bare file path: the file stream source requires a
     # directory basePath and resolves globs against it
     df = reader.load(f"{sf_dir}/events*.parquet")
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_events_ts(df)
 
 
 def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "10 minutes") -> DataFrame:
