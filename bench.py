@@ -41,30 +41,42 @@ def main() -> None:
     # excluded here to keep the headline metric a query-engine number
     qs = {k: v for k, v in entrymod.queries().items() if not k.startswith("stream_")}
 
-    # warmup: session + parquet footer caches
-    next(iter(qs.values()))(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # warmup: session + parquet footer caches (best-effort)
+    try:
+        next(iter(qs.values()))(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    except Exception:  # noqa: BLE001 - the timed loop will record the error
+        pass
 
+    # One failing query must not zero out the whole round's bench evidence:
+    # record it under "errors" and keep timing everything else.
     samples: dict[str, list[float]] = {name: [] for name in qs}
+    errors: dict[str, str] = {}
     for _ in range(n_runs):
         for name, fn in qs.items():
+            if name in errors:
+                continue
             t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = str(exc).split("\n")[0][:300]
+                samples.pop(name, None)
+                continue
             samples[name].append(time.time() - t0)
 
     timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "runs_per_query": n_runs,
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "runs_per_query": n_runs,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,194 @@
+"""User-behavior analytics over the events stream: funnel conversion,
+cohort retention, and user-value deciles (engine [ext] — the product
+analytics any event pipeline runs beside the reference's ETL surface;
+same event-time semantics as the temporal operators in events.py).
+
+Scale notes (100 TB): every operator here aggregates on ``user_id`` (or
+a day-granular derivative), so each is one shuffle on a high-cardinality
+evenly-distributed key with map-side partial aggregation. The funnel
+chains three per-user aggregates joined on user_id — Catalyst reuses the
+hash partitioning across the joins, so the fact table is shuffled once
+per stage filter, never all-pairs. The decile query's single-partition
+window runs over the PRE-AGGREGATED per-user rows (one row per user),
+not the fact table; ntile over users is the textbook case where the
+aggregate, not the raw stream, crosses the window boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+# ---------------------------------------------------------------------------
+# funnel: view -> click -> purchase, strictly ordered per user
+
+_FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion: a user 'reaches' stage k when an event
+    of stage k's type occurs STRICTLY AFTER the user's stage-(k-1)
+    reaching event (first-touch semantics: each stage anchors at its
+    earliest qualifying event). Returns one row per stage with the count
+    of users who reached it.
+
+    Plan: three per-user conditional min-aggregates, each a map-side
+    partial agg + one shuffle on user_id; the stage joins are user_id
+    equi-joins that reuse the same hash partitioning (zero extra
+    exchanges under ENSURE_REQUIREMENTS reuse). No windows over the raw
+    fact stream, no collect.
+    """
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    v = (
+        e.filter(F.col("event_type") == _FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == _FUNNEL_STAGES[1])
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == _FUNNEL_STAGES[2])
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    rows = [
+        v.agg(F.count("*").alias("n_users")).withColumn("stage", F.lit("1_view")),
+        c.agg(F.count("*").alias("n_users")).withColumn("stage", F.lit("2_click")),
+        p.agg(F.count("*").alias("n_users")).withColumn("stage", F.lit("3_purchase")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.select("stage", "n_users")
+
+
+ORACLE_FUNNEL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS c_ts
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+  GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS p_ts
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+  GROUP BY 1
+)
+SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+UNION ALL
+SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
+UNION ALL
+SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
+# cohort retention
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention matrix: users grouped by their first-active
+    day (the cohort); for each cohort × day-offset, how many of its users
+    were active that day.
+
+    Plan: one distinct over (user, day) — the fact stream's only
+    full-width shuffle — then a per-user min-day aggregate and a user_id
+    equi-join that reuses the partitioning, then the small final
+    aggregate. Day granularity bounds the state: rows ≤ users ×
+    active-days regardless of raw event volume.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    active = e.distinct()
+    cohort = active.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        active.join(cohort, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+ORACLE_RETENTION = """
+WITH active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+cohort AS (SELECT user_id, min(day) AS cohort_day FROM active GROUP BY 1)
+SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(a.day - c.cohort_day AS INTEGER) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM active a JOIN cohort c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# user-value deciles
+
+def q_events_user_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users bucketed into spend deciles (ntile over per-user totals,
+    ties broken by user_id), with per-decile user count and value stats.
+
+    The single-partition ntile window is over one-row-per-user
+    aggregates (150 rows at fixture scale, |users| generally), never the
+    raw events — the decile boundary computation is inherently global,
+    so the right design is: shuffle-agg to per-user totals first, then
+    the tiny global window."""
+    e = load_table(spark, sf_dir, "events")
+    totals = e.groupBy("user_id").agg(F.sum("value").alias("total_value"))
+    w = Window.orderBy(F.desc("total_value"), F.asc("user_id"))
+    return (
+        totals.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.round(F.sum("total_value"), 2).alias("sum_value"),
+            F.round(F.min("total_value"), 2).alias("min_value"),
+            F.round(F.max("total_value"), 2).alias("max_value"),
+        )
+    )
+
+
+ORACLE_DECILES = """
+WITH totals AS (
+  SELECT user_id, sum(value) AS total_value FROM events GROUP BY 1
+),
+t AS (
+  SELECT total_value,
+         ntile(10) OVER (ORDER BY total_value DESC, user_id ASC) AS decile
+  FROM totals
+)
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(sum(total_value), 2) AS sum_value,
+       round(min(total_value), 2) AS min_value,
+       round(max(total_value), 2) AS max_value
+FROM t
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
+    "events_user_deciles": q_events_user_deciles,
+}
+
+ORACLES = {
+    "events_funnel": ORACLE_FUNNEL,
+    "events_retention": ORACLE_RETENTION,
+    "events_user_deciles": ORACLE_DECILES,
+}

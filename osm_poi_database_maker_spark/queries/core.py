@@ -541,8 +541,94 @@ LIMIT 25
 """
 
 
+# --- unpivot (wide → long reshape) -----------------------------------------
+
+_UNPIVOT_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def q_lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape via the relational UNPIVOT operator, then a
+    grouped aggregate per (returnflag, measure) — the melt step feature
+    stores and metric pipelines run constantly.
+
+    Plan: unpivot is a pure projection (Expand node — each input row
+    emits |measures| rows, no shuffle, stays inside whole-stage
+    codegen); the only exchange is the final small-key aggregate, and
+    partial aggregation collapses the 4× row expansion map-side."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.unpivot(
+            ["l_returnflag"], list(_UNPIVOT_MEASURES), "measure", "val"
+        )
+        .groupBy("l_returnflag", "measure")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("val"), 2).alias("sum_val"),
+            F.round(F.avg("val"), 4).alias("avg_val"),
+        )
+    )
+
+
+ORACLE_UNPIVOT = f"""
+WITH long AS (
+  SELECT l_returnflag, measure, val
+  FROM (SELECT l_returnflag, {", ".join(_UNPIVOT_MEASURES)} FROM lineitem)
+  UNPIVOT (val FOR measure IN ({", ".join(_UNPIVOT_MEASURES)}))
+)
+SELECT l_returnflag, measure,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(val), 2) AS sum_val,
+       round(avg(val), 4) AS avg_val
+FROM long GROUP BY 1, 2
+"""
+
+
+# --- lateral join (correlated per-row top-k subquery) ----------------------
+
+def q_nation_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation top-2 suppliers by account balance via a LATERAL
+    correlated subquery (SQL:1999 lateral derived table, Spark 3.2+).
+
+    Catalyst decorrelates the per-row ORDER BY..LIMIT subquery into a
+    WindowGroupLimit (partial per-partition top-k BEFORE the shuffle,
+    then final top-k) plus a broadcast join with the 25-row nation dim —
+    verified in PLANS.md; the naive interpretation (re-run the subquery
+    per outer row) never executes. Ties broken by name for determinism.
+    """
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("__lat_nation")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("__lat_supplier")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.s_name, round(t.s_acctbal, 2) AS s_acctbal
+        FROM __lat_nation n
+        JOIN LATERAL (
+          SELECT s_name, s_acctbal
+          FROM __lat_supplier s
+          WHERE s.s_nationkey = n.n_nationkey
+          ORDER BY s_acctbal DESC, s_name ASC
+          LIMIT 2
+        ) t
+        """
+    )
+
+
+ORACLE_LATERAL = """
+SELECT n.n_name, t.s_name, round(t.s_acctbal, 2) AS s_acctbal
+FROM nation n
+JOIN LATERAL (
+  SELECT s_name, s_acctbal
+  FROM supplier s
+  WHERE s.s_nationkey = n.n_nationkey
+  ORDER BY s_acctbal DESC, s_name ASC
+  LIMIT 2
+) t ON TRUE
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
+    "lineitem_unpivot": q_lineitem_unpivot,
+    "nation_lateral_topk": q_nation_lateral_topk,
     "revenue_by_nation": q_revenue_by_nation,
     "top_orders_per_customer": q_top_orders_per_customer,
     "customers_with_urgent_orders": q_customers_with_urgent_orders,
@@ -562,6 +648,8 @@ QUERIES = {
 
 ORACLES = {
     "pricing_summary": ORACLE_PRICING,
+    "lineitem_unpivot": ORACLE_UNPIVOT,
+    "nation_lateral_topk": ORACLE_LATERAL,
     "revenue_by_nation": ORACLE_REVENUE,
     "top_orders_per_customer": ORACLE_TOP_ORDERS,
     "customers_with_urgent_orders": ORACLE_SEMI,

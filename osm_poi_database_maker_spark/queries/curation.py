@@ -507,8 +507,94 @@ FROM sampled
 """
 
 
+# ---------------------------------------------------------------------------
+# exact-substring contamination depth (longest verbatim run)
+
+_RUN_W = 4  # window width in tokens; a streak of k windows = k+W-1 verbatim tokens
+
+
+def q_doc_longest_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring contamination depth: for each training doc sharing
+    any verbatim ``_RUN_W``-token window with the eval slice (``doc_id %
+    10 == 7``), the number of matched windows and the LONGEST verbatim
+    token run (maximal streak of consecutive matched positions — the
+    "N contiguous tokens of an eval benchmark appear verbatim" check
+    that shingle-overlap fractions can't express).
+
+    Plan: one positional explode of the corpus into (doc_id, pos,
+    window-hash); the eval side collapses to a distinct-hash set that
+    AQE broadcasts into a semi-join; streak detection is the classic
+    gaps-and-islands window (pos − row_number) over matched positions
+    only — a shuffle of the MATCHED subset on doc_id, not the corpus.
+    Join keys are 8-byte xxhash64 of the window text (the oracle joins
+    on the strings themselves; same result modulo ~1e-9 collision odds).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.split(F.col("text"), " +").alias("t")).repartition(
+        "doc_id"
+    )
+    t = F.col("t")
+    windows = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (_RUN_W - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(t, i + k) for k in range(_RUN_W)]),
+    )
+    win = (
+        tok.filter(F.size(t) >= _RUN_W)
+        .select("doc_id", F.posexplode(windows).alias("pos", "s"))
+        .select("doc_id", "pos", F.xxhash64("s").alias("h"))
+    )
+    is_eval = (F.col("doc_id") % _EVAL_MOD) == _EVAL_REM
+    ev = win.filter(is_eval).select("h").distinct()
+    matched = win.filter(~is_eval).join(ev, "h", "left_semi")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    streaks = (
+        matched.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(F.count("*").alias("streak"))
+    )
+    return streaks.groupBy("doc_id").agg(
+        F.sum("streak").alias("n_hit_windows"),
+        (F.max("streak") + F.lit(_RUN_W - 1)).alias("longest_run_tokens"),
+    )
+
+
+_RUN_CAT = " || ' ' || ".join(f"t[i + {k + 1}]" for k in range(_RUN_W))
+ORACLE_LONGEST_OVERLAP = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, ' +') AS t FROM documents
+  WHERE len(string_split_regex(text, ' +')) >= {_RUN_W}
+),
+win AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS pos, {_RUN_CAT} AS s
+  FROM (SELECT doc_id, t, unnest(range(len(t) - {_RUN_W - 1})) AS i FROM toks)
+),
+ev AS (SELECT DISTINCT s FROM win WHERE doc_id % {_EVAL_MOD} = {_EVAL_REM}),
+matched AS (
+  SELECT w.doc_id, w.pos FROM win w
+  WHERE w.doc_id % {_EVAL_MOD} <> {_EVAL_REM} AND w.s IN (SELECT s FROM ev)
+),
+streaks AS (
+  SELECT doc_id, grp, count(*) AS streak
+  FROM (
+    SELECT doc_id, pos,
+           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM matched
+  )
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(streak) AS BIGINT) AS n_hit_windows,
+       CAST(max(streak) + {_RUN_W - 1} AS BIGINT) AS longest_run_tokens
+FROM streaks
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "doc_decontaminate": q_doc_decontaminate,
+    "doc_longest_eval_overlap": q_doc_longest_eval_overlap,
     "doc_mixture_sample": q_doc_mixture_sample,
     "doc_shuffle_shards": q_doc_shuffle_shards,
     "emb_int8_quantize": q_emb_int8_quantize,
@@ -518,6 +604,7 @@ QUERIES = {
 
 ORACLES = {
     "doc_decontaminate": ORACLE_DECONTAM,
+    "doc_longest_eval_overlap": ORACLE_LONGEST_OVERLAP,
     "doc_mixture_sample": ORACLE_MIXTURE,
     "doc_shuffle_shards": ORACLE_SHARDS,
     "emb_int8_quantize": ORACLE_QUANTIZE,

@@ -214,16 +214,55 @@ GROUP BY node
 """
 
 
+def q_doc_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION applied to the corpus: per source, how many
+    docs survive near-dup removal (cluster representatives + docs in no
+    cluster) — the end-to-end answer a curation pipeline acts on, closing
+    the pairs → clusters → keep-set chain.
+
+    Plan: the cluster labels are pair-derived and tiny relative to the
+    corpus, so the keep-flag attaches via a broadcast LEFT join (docs
+    without a label survive by definition); the corpus itself flows
+    scan → join → small-key aggregate with no extra shuffle."""
+    clusters = q_doc_dedup_clusters(spark, sf_dir).select("doc_id", "keep")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    keep = F.coalesce(F.col("keep"), F.lit(True))
+    return (
+        d.join(F.broadcast(clusters), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(keep.cast("long")).alias("n_survivors"),
+            F.sum((~keep).cast("long")).alias("n_removed"),
+        )
+    )
+
+
+ORACLE_SURVIVORS = f"""
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN coalesce(c.keep, TRUE) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_survivors,
+       CAST(sum(CASE WHEN coalesce(c.keep, TRUE) THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_removed
+FROM documents d
+LEFT JOIN ({ORACLE_CLUSTERS}) c ON d.doc_id = c.doc_id
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_ngram_jaccard_pairs": q_doc_ngram_jaccard_pairs,
     "doc_minhash_pairs": q_doc_minhash_pairs,
     "doc_simhash_pairs": q_doc_simhash_pairs,
     "doc_dedup_clusters": q_doc_dedup_clusters,
+    "doc_dedup_survivors": q_doc_dedup_survivors,
 }
 
 ORACLES = {
     "doc_exact_dedup": ORACLE_EXACT,
     "doc_ngram_jaccard_pairs": ORACLE_NGRAM,
     "doc_dedup_clusters": ORACLE_CLUSTERS,
+    "doc_dedup_survivors": ORACLE_SURVIVORS,
 }

@@ -151,8 +151,108 @@ WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {NEARDUP_THRESHOLD}
 """
 
 
+def q_emb_norm_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm distribution (quartiles + count) — the vector
+    sanity audit before indexing (collapsed or exploding norms signal a
+    broken encoder run).
+
+    The norm is a per-row array fold (no explode, no shuffle of vector
+    payloads); exact interpolated percentiles aggregate over the scalar
+    norm column only — per label, one shuffle of (label, norm) pairs.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    return (
+        e.select("label", norm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.expr("percentile(nrm, 0.25)"), 4).alias("q25"),
+            F.round(F.expr("percentile(nrm, 0.5)"), 4).alias("q50"),
+            F.round(F.expr("percentile(nrm, 0.75)"), 4).alias("q75"),
+        )
+    )
+
+
+ORACLE_NORM_QUANTILES = """
+WITH n AS (
+  SELECT label,
+         sqrt(list_aggregate(
+           list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+           'sum')) AS nrm
+  FROM embeddings
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(quantile_cont(nrm, 0.25), 4) AS q25,
+       round(quantile_cont(nrm, 0.5), 4) AS q50,
+       round(quantile_cont(nrm, 0.75), 4) AS q75
+FROM n
+GROUP BY label
+"""
+
+
+def q_emb_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label centroids (label_a <
+    label_b) — the cluster-separation audit: labels whose centroids sit
+    close are candidates for merging or relabeling.
+
+    The corpus collapses to |labels|·dim rows in the centroid aggregate
+    (posexplode + (label,pos) mean); everything after operates on that
+    tiny table (self-join on pos, |labels|² pairs) — at 100 TB only the
+    one explode-aggregate sees the data."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    cent = e.withColumn("v", F.col("v").cast("double")).groupBy(
+        "label", "pos"
+    ).agg(F.avg("v").alias("c"))
+    a = cent.select(
+        F.col("label").alias("label_a"), "pos", F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "pos", F.col("c").alias("cb")
+    )
+    return (
+        a.join(b, "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            (
+                F.sum(F.col("ca") * F.col("cb"))
+                / (
+                    F.sqrt(F.sum(F.col("ca") * F.col("ca")))
+                    * F.sqrt(F.sum(F.col("cb") * F.col("cb")))
+                )
+            ).alias("cos_raw")
+        )
+        .select(
+            "label_a", "label_b", F.round("cos_raw", 4).alias("centroid_cosine")
+        )
+    )
+
+
+ORACLE_CENTROID_DIST = """
+WITH e AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+cent AS (SELECT label, pos, avg(v) AS c FROM e GROUP BY 1, 2)
+SELECT a.label AS label_a, b.label AS label_b,
+       round(sum(a.c * b.c) /
+             (sqrt(sum(a.c * a.c)) * sqrt(sum(b.c * b.c))), 4)
+         AS centroid_cosine
+FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "emb_cosine_topk": q_emb_cosine_topk,
+    "emb_norm_quantiles": q_emb_norm_quantiles,
+    "emb_centroid_distances": q_emb_centroid_distances,
     "emb_ann_topk": q_emb_ann_topk,
     "emb_ivf_topk": q_emb_ivf_topk,
     "emb_cosine_neardup_pairs": q_emb_cosine_neardup_pairs,
@@ -160,5 +260,7 @@ QUERIES = {
 
 ORACLES = {
     "emb_cosine_topk": ORACLE_COSINE,
+    "emb_norm_quantiles": ORACLE_NORM_QUANTILES,
+    "emb_centroid_distances": ORACLE_CENTROID_DIST,
     "emb_cosine_neardup_pairs": ORACLE_NEARDUP,
 }

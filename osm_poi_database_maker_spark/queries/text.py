@@ -666,8 +666,81 @@ GROUP BY b.doc_id
 """
 
 
+_PMI_MIN_COUNT = 5
+_PMI_TOP_K = 50
+
+
+def q_doc_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-50 bigrams by pointwise mutual information
+    (min count 5) — the phrase-detection pass (word2vec-style "new_york"
+    merging) of a text pipeline. PMI = ln(c12·N / (c1·c2)) with
+    bigram-position marginals so probabilities sum to 1.
+
+    Plan: one explode of the corpus, three counts over it (bigram table
+    + two vocab-sized marginals AQE broadcasts), the corpus total as a
+    1-row aggregate cross-joined into the plan (never a driver-side
+    count — the TF-IDF lesson), and a TakeOrderedAndProject top-k. The
+    rank key is the raw ratio, not ln(ratio): pure IEEE multiply/divide
+    is bit-identical across engines while libm ln is not, so ordering
+    ties resolve identically everywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.split(F.col("text"), " +").alias("t")).repartition(32)
+    t = F.col("t")
+    bigrams = tok.filter(F.size(t) >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.struct(
+                    F.element_at(t, i).alias("w1"),
+                    F.element_at(t, i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    c_bg = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c_1 = bigrams.groupBy("w1").agg(F.count("*").alias("c1"))
+    c_2 = bigrams.groupBy("w2").agg(F.count("*").alias("c2"))
+    n = bigrams.agg(F.count("*").alias("n"))
+    ratio = (F.col("c12").cast("double") * F.col("n")) / (
+        F.col("c1").cast("double") * F.col("c2")
+    )
+    return (
+        c_bg.filter(F.col("c12") >= _PMI_MIN_COUNT)
+        .join(c_1, "w1")
+        .join(c_2, "w2")
+        .crossJoin(F.broadcast(n))
+        .withColumn("_r", ratio)
+        .orderBy(F.desc("_r"), F.asc("w1"), F.asc("w2"))
+        .limit(_PMI_TOP_K)
+        .select("w1", "w2", "c12", F.round(F.log("_r"), 4).alias("pmi"))
+    )
+
+
+ORACLE_PMI = f"""
+WITH toks AS (
+  SELECT string_split_regex(text, ' +') AS t FROM documents
+  WHERE len(string_split_regex(text, ' +')) >= 2
+),
+bigrams AS (
+  SELECT t[i + 1] AS w1, t[i + 2] AS w2
+  FROM (SELECT t, unnest(range(len(t) - 1)) AS i FROM toks)
+),
+c_bg AS (SELECT w1, w2, count(*) AS c12 FROM bigrams GROUP BY 1, 2),
+c_1 AS (SELECT w1, count(*) AS c1 FROM bigrams GROUP BY 1),
+c_2 AS (SELECT w2, count(*) AS c2 FROM bigrams GROUP BY 1),
+n AS (SELECT count(*) AS n FROM bigrams)
+SELECT w1, w2, c12,
+       round(ln((CAST(c12 AS DOUBLE) * n) / (CAST(c1 AS DOUBLE) * c2)), 4) AS pmi
+FROM c_bg JOIN c_1 USING (w1) JOIN c_2 USING (w2), n
+WHERE c12 >= {_PMI_MIN_COUNT}
+ORDER BY (CAST(c12 AS DOUBLE) * n) / (CAST(c1 AS DOUBLE) * c2) DESC, w1 ASC, w2 ASC
+LIMIT {_PMI_TOP_K}
+"""
+
+
 QUERIES = {
     "doc_token_stats": q_doc_token_stats,
+    "doc_bigram_pmi": q_doc_bigram_pmi,
     "doc_bigram_logprob": q_doc_bigram_logprob,
     "doc_quality_score": q_doc_quality_score,
     "doc_lang_id": q_doc_lang_id,
@@ -683,6 +756,7 @@ QUERIES = {
 
 ORACLES = {
     "doc_token_stats": ORACLE_TOKEN_STATS,
+    "doc_bigram_pmi": ORACLE_PMI,
     "doc_bigram_logprob": ORACLE_BIGRAM_LL,
     "doc_quality_score": ORACLE_QUALITY,
     "doc_lang_id": ORACLE_LANG_ID,

@@ -1,0 +1,113 @@
+"""Behavior analytics: funnel / retention / deciles semantics on planted
+fixtures (oracle equivalence is covered by tools/check.py / the driver
+gate) plus invariants on the real smoke fixture."""
+
+from __future__ import annotations
+
+import datetime
+
+from tests.conftest import SF_SMOKE
+
+
+def _patched_events(monkeypatch, events):
+    from osm_poi_database_maker_spark.queries import behavior as B
+
+    monkeypatch.setattr(B, "load_table", lambda spark_, sf_, name_: events)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+_T0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _t(minutes: int) -> datetime.datetime:
+    return _T0 + datetime.timedelta(minutes=minutes)
+
+
+def test_funnel_strict_ordering(spark, monkeypatch):
+    """A click BEFORE the first view never converts; stage anchors are
+    first-touch (the earliest qualifying event per stage)."""
+    from osm_poi_database_maker_spark.queries.behavior import q_events_funnel
+
+    rows = [
+        # user 1: view(10) -> click(20) -> purchase(30): full funnel
+        (1, _t(10), 1, "view", 1.0),
+        (2, _t(20), 1, "click", 1.0),
+        (3, _t(30), 1, "purchase", 1.0),
+        # user 2: click(5) precedes the only view(10); purchase(30) has
+        # no qualifying click -> reaches stage 1 only
+        (4, _t(5), 2, "click", 1.0),
+        (5, _t(10), 2, "view", 1.0),
+        (6, _t(30), 2, "purchase", 1.0),
+        # user 3: view -> click, no purchase
+        (7, _t(0), 3, "view", 1.0),
+        (8, _t(1), 3, "click", 1.0),
+        # user 4: purchase only — never enters the funnel
+        (9, _t(0), 4, "purchase", 1.0),
+    ]
+    _patched_events(monkeypatch, _ev(spark, rows))
+    got = {r.stage: r.n_users for r in q_events_funnel(spark, "x").collect()}
+    assert got == {"1_view": 3, "2_click": 2, "3_purchase": 1}
+
+
+def test_funnel_monotone_on_smoke(spark):
+    from osm_poi_database_maker_spark.queries.behavior import q_events_funnel
+
+    got = {r.stage: r.n_users for r in q_events_funnel(spark, SF_SMOKE).collect()}
+    assert got["1_view"] >= got["2_click"] >= got["3_purchase"] > 0
+
+
+def test_retention_cohorts(spark, monkeypatch):
+    """Cohort day is each user's first active day; same-day re-activity
+    counts once; offsets are day-granular."""
+    from osm_poi_database_maker_spark.queries.behavior import q_events_retention
+
+    rows = [
+        # user 1: first active Jan 1 (twice — dedup to one), again Jan 3
+        (1, _t(0), 1, "view", 1.0),
+        (2, _t(60), 1, "click", 1.0),
+        (3, _t(2 * 24 * 60), 1, "view", 1.0),
+        # user 2: first active Jan 2
+        (4, _t(24 * 60), 2, "view", 1.0),
+    ]
+    _patched_events(monkeypatch, _ev(spark, rows))
+    got = {
+        (r.cohort_day, r.day_offset): r.n_users
+        for r in q_events_retention(spark, "x").collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-02", 0): 1,
+    }
+
+
+def test_retention_offset_zero_covers_all_users(spark):
+    from pyspark.sql import functions as F
+
+    from osm_poi_database_maker_spark.io import load_table
+    from osm_poi_database_maker_spark.queries.behavior import q_events_retention
+
+    df = q_events_retention(spark, SF_SMOKE)
+    day0 = df.filter(F.col("day_offset") == 0).agg(F.sum("n_users")).collect()[0][0]
+    n_users = load_table(spark, SF_SMOKE, "events").select("user_id").distinct().count()
+    assert day0 == n_users
+
+
+def test_deciles_partition_users(spark):
+    from pyspark.sql import functions as F
+
+    from osm_poi_database_maker_spark.io import load_table
+    from osm_poi_database_maker_spark.queries.behavior import q_events_user_deciles
+
+    rows = q_events_user_deciles(spark, SF_SMOKE).collect()
+    assert sorted(r.decile for r in rows) == list(range(1, 11))
+    n_users = load_table(spark, SF_SMOKE, "events").select("user_id").distinct().count()
+    assert sum(r.n_users for r in rows) == n_users
+    # decile 1 holds the top spenders: its minimum dominates decile 2's max
+    by_d = {r.decile: r for r in rows}
+    assert by_d[1].min_value >= by_d[2].max_value

@@ -284,3 +284,42 @@ def test_label_centroid_single_label(spark, monkeypatch):
     assert got[7].n_vecs == 2
     assert got[7].avg_dist == got[7].max_dist == round(math.sqrt(2), 4)
     assert got[9].n_vecs == 1 and got[9].avg_dist == 0.0
+
+
+def test_longest_eval_overlap_streak(spark, monkeypatch):
+    """A training doc embedding a verbatim 7-token run of an eval doc
+    reports the full run length via the window-streak, not just the hit
+    count; a doc with two disjoint short runs reports the longer one."""
+    from osm_poi_database_maker_spark.queries.curation import (
+        _RUN_W,
+        q_doc_longest_eval_overlap,
+    )
+
+    eval_text = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens
+    docs = spark.createDataFrame(
+        [
+            (7, eval_text, "en", "src0", 1),  # eval slice
+            # 21: the eval run verbatim inside unrelated context
+            (21, "xx yy " + eval_text + " zz ww", "en", "src1", 1),
+            # 22: two disjoint 4-token matches (streak 1 each)
+            (
+                22,
+                "alpha beta gamma delta uno dos tres cuatro delta epsilon zeta eta",
+                "en",
+                "src1",
+                1,
+            ),
+            (23, "unrelated words only here nothing shared at all", "en", "src1", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    from osm_poi_database_maker_spark.queries import curation as C
+
+    monkeypatch.setattr(C, "load_table", lambda spark_, sf_, name_: docs)
+    got = {r.doc_id: r for r in q_doc_longest_eval_overlap(spark, "x").collect()}
+    assert set(got) == {21, 22}
+    # 7-token run = 4 consecutive windows of width 4
+    assert got[21].longest_run_tokens == 7
+    assert got[21].n_hit_windows == 7 - _RUN_W + 1
+    assert got[22].longest_run_tokens == _RUN_W
+    assert got[22].n_hit_windows == 2

@@ -143,3 +143,26 @@ def test_ngram_jaccard_hot_shingle_cap(spark, tmp_path):
         for r in q_doc_ngram_jaccard_pairs(spark, str(tmp_path)).collect()
     }
     assert got == {(100, 101): 0.6667}
+
+
+def test_dedup_survivors_consistent_with_clusters(spark):
+    """Per-source totals reconcile with the corpus and the cluster
+    decisions: every doc is counted once, survivors+removed==docs, and
+    the removed total equals the number of non-representative cluster
+    members."""
+    from pyspark.sql import functions as F
+
+    from osm_poi_database_maker_spark.io import load_table
+    from osm_poi_database_maker_spark.queries.dedup import (
+        q_doc_dedup_clusters,
+        q_doc_dedup_survivors,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = q_doc_dedup_survivors(spark, SF_SMOKE).collect()
+    d = load_table(spark, SF_SMOKE, "documents")
+    assert sum(r.n_docs for r in rows) == d.count()
+    assert all(r.n_survivors + r.n_removed == r.n_docs for r in rows)
+    n_removed = sum(r.n_removed for r in rows)
+    clusters = q_doc_dedup_clusters(spark, SF_SMOKE)
+    assert n_removed == clusters.filter(~F.col("keep")).count()

@@ -162,3 +162,31 @@ def test_taginfo_rest_fetch_roundtrip(spark, tmp_path):
     got = sorted(map(tuple, toi_dim_from_cache(spark, path, SETTINGS).collect()))
     want = sorted(map(tuple, q_osm_toi_dim(spark, "x").collect()))
     assert got == want
+
+
+def test_bigram_pmi_planted_collocation(spark, monkeypatch):
+    """A bigram that always co-occurs scores higher PMI than one diluted
+    across contexts; counts below the min-count floor are excluded."""
+    from osm_poi_database_maker_spark.queries import text as T
+    from osm_poi_database_maker_spark.queries.text import (
+        _PMI_MIN_COUNT,
+        q_doc_bigram_pmi,
+    )
+
+    # "new york" appears 5x and "new" never precedes anything else;
+    # "the cat" appears 5x but "the" also precedes "dog" 5x
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["new york"] * 5), "en", "s", 1),
+            (2, " ".join(["the cat"] * 5), "en", "s", 1),
+            (3, " ".join(["the dog"] * 5), "en", "s", 1),
+            (4, "rare pair", "en", "s", 1),  # count 1 < floor
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(T, "load_table", lambda spark_, sf_, name_: docs)
+    got = {(r.w1, r.w2): r for r in q_doc_bigram_pmi(spark, "x").collect()}
+    assert ("rare", "pair") not in got
+    assert ("new", "york") in got and ("the", "cat") in got
+    assert got[("new", "york")].pmi > got[("the", "cat")].pmi
+    assert all(r.c12 >= _PMI_MIN_COUNT for r in got.values())
