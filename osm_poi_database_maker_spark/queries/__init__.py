@@ -65,6 +65,7 @@ _VERIFY_FIRST = [
     "nation_lateral_topk",
     "doc_bigram_pmi",
     "doc_longest_eval_overlap",
+    "doc_weighted_sample",
     "doc_dedup_survivors",
     "emb_norm_quantiles",
     "emb_centroid_distances",

@@ -41,10 +41,14 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact stream, no collect.
     """
     e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    # v and c are |users|-row aggregates consumed by 2-3 union branches;
+    # lazy localCheckpoint pins each so the stage-filter scan + aggregate
+    # runs once, not once per downstream branch
     v = (
         e.filter(F.col("event_type") == _FUNNEL_STAGES[0])
         .groupBy("user_id")
         .agg(F.min("ts").alias("v_ts"))
+        .localCheckpoint(eager=False)
     )
     c = (
         e.filter(F.col("event_type") == _FUNNEL_STAGES[1])
@@ -52,6 +56,7 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("v_ts"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("c_ts"))
+        .localCheckpoint(eager=False)
     )
     p = (
         e.filter(F.col("event_type") == _FUNNEL_STAGES[2])

@@ -592,9 +592,70 @@ GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis–Spirakis)
+
+_WS_TOP_K = 25
+
+
+def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement: per source, the top-25 docs
+    by the Efraimidis–Spirakis key ln(u)/w (equivalent to ranking by
+    u^(1/w)) with weight w = ln(1 + n_chars) — the "sample K docs per
+    source, longer docs proportionally likelier" primitive of corpus
+    assembly, deterministic across engines because u comes from the
+    shared Lehmer hash of doc_id, not a RNG.
+
+    Plan: a pure scan projection plus one per-source top-k window —
+    Spark plans the rank filter as WindowGroupLimit, so each partition
+    forwards only its local top-25 into the shuffle regardless of corpus
+    size. u is offset by +0.5/M to stay strictly inside (0,1) (doc_id 0
+    hashes to 0; ln(0) would produce -inf)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    u = (_lehmer_h() + F.lit(0.5)) / F.lit(float(_LEHMER_M))
+    key = F.log(u) / F.log(F.lit(1.0) + F.col("n_chars"))
+    w = Window.partitionBy("source").orderBy(F.desc("es_key_raw"), F.asc("doc_id"))
+    return (
+        d.select("source", "doc_id", "n_chars", key.alias("es_key_raw"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _WS_TOP_K)
+        .select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.round("es_key_raw", 6).alias("es_key"),
+            "rk",
+        )
+    )
+
+
+_WS_U_SQL = (
+    f"(((((doc_id % {_LEHMER_M}) * {_LEHMER_A}) % {_LEHMER_M})"
+    f" * {_LEHMER_A} % {_LEHMER_M}) + 0.5) / {_LEHMER_M}.0"
+)
+ORACLE_WEIGHTED_SAMPLE = f"""
+WITH s AS (
+  SELECT source, doc_id, n_chars,
+         ln({_WS_U_SQL}) / ln(1.0 + n_chars) AS es_key_raw
+  FROM documents
+),
+r AS (
+  SELECT source, doc_id, n_chars, es_key_raw,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY es_key_raw DESC, doc_id ASC) AS rk
+  FROM s
+)
+SELECT source, doc_id, n_chars, round(es_key_raw, 6) AS es_key, rk
+FROM r WHERE rk <= {_WS_TOP_K}
+"""
+
+
 QUERIES = {
     "doc_decontaminate": q_doc_decontaminate,
     "doc_longest_eval_overlap": q_doc_longest_eval_overlap,
+    "doc_weighted_sample": q_doc_weighted_sample,
     "doc_mixture_sample": q_doc_mixture_sample,
     "doc_shuffle_shards": q_doc_shuffle_shards,
     "emb_int8_quantize": q_emb_int8_quantize,
@@ -605,6 +666,7 @@ QUERIES = {
 ORACLES = {
     "doc_decontaminate": ORACLE_DECONTAM,
     "doc_longest_eval_overlap": ORACLE_LONGEST_OVERLAP,
+    "doc_weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "doc_mixture_sample": ORACLE_MIXTURE,
     "doc_shuffle_shards": ORACLE_SHARDS,
     "emb_int8_quantize": ORACLE_QUANTIZE,

@@ -676,10 +676,11 @@ def q_doc_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     merging) of a text pipeline. PMI = ln(c12·N / (c1·c2)) with
     bigram-position marginals so probabilities sum to 1.
 
-    Plan: one explode of the corpus, three counts over it (bigram table
-    + two vocab-sized marginals AQE broadcasts), the corpus total as a
+    Plan: ONE explode of the corpus into one (w1,w2) count aggregate;
+    both marginals and the corpus total derive from that (vocab²-sized)
+    count table, never from a second pass over the data — the total is a
     1-row aggregate cross-joined into the plan (never a driver-side
-    count — the TF-IDF lesson), and a TakeOrderedAndProject top-k. The
+    count — the TF-IDF lesson). Top-k is TakeOrderedAndProject. The
     rank key is the raw ratio, not ln(ratio): pure IEEE multiply/divide
     is bit-identical across engines while libm ln is not, so ordering
     ties resolve identically everywhere."""
@@ -698,9 +699,9 @@ def q_doc_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bg")
     ).select("bg.w1", "bg.w2")
     c_bg = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    c_1 = bigrams.groupBy("w1").agg(F.count("*").alias("c1"))
-    c_2 = bigrams.groupBy("w2").agg(F.count("*").alias("c2"))
-    n = bigrams.agg(F.count("*").alias("n"))
+    c_1 = c_bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    c_2 = c_bg.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    n = c_bg.agg(F.sum("c12").alias("n"))
     ratio = (F.col("c12").cast("double") * F.col("n")) / (
         F.col("c1").cast("double") * F.col("c2")
     )

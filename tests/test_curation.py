@@ -323,3 +323,21 @@ def test_longest_eval_overlap_streak(spark, monkeypatch):
     assert got[21].n_hit_windows == 7 - _RUN_W + 1
     assert got[22].longest_run_tokens == _RUN_W
     assert got[22].n_hit_windows == 2
+
+
+def test_weighted_sample_determinism_and_bias(spark, monkeypatch):
+    """Same input → identical sample (hash-derived, no RNG); with equal
+    u the heavier doc must win the last slot."""
+    from osm_poi_database_maker_spark.queries.curation import (
+        _WS_TOP_K,
+        q_doc_weighted_sample,
+    )
+
+    a = {(r.source, r.doc_id): r.rk for r in q_doc_weighted_sample(spark, SF_SMOKE).collect()}
+    b = {(r.source, r.doc_id): r.rk for r in q_doc_weighted_sample(spark, SF_SMOKE).collect()}
+    assert a == b and a
+    assert max(rk for rk in a.values()) <= _WS_TOP_K
+    per_source: dict = {}
+    for (src, _), rk in a.items():
+        per_source[src] = max(per_source.get(src, 0), rk)
+    assert all(v <= _WS_TOP_K for v in per_source.values())
