@@ -67,6 +67,7 @@ _VERIFY_FIRST = [
     "doc_longest_eval_overlap",
     "doc_weighted_sample",
     "doc_dedup_survivors",
+    "doc_graph_pagerank",
     "emb_norm_quantiles",
     "emb_centroid_distances",
     # tier 2: red in CORRECTNESS_r02 (events-ts encoding), fixed this round

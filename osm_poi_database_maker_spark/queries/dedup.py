@@ -251,6 +251,96 @@ GROUP BY 1
 """
 
 
+_PR_DAMPING = 0.85
+_PR_ITERS = 3
+
+
+def q_doc_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup similarity graph (fixed 3 iterations,
+    damping 0.85) — centrality picks the canonical representative of a
+    dup neighborhood better than min-id when clusters are star-shaped
+    (the hub that everything resembles scores highest).
+
+    The distributed-iterative shape beside dedup_clusters' converge-loop:
+    each iteration is one edges⨝ranks equi-join shuffled on the source
+    id + one groupBy(dst) — per-iteration cost is |E| shuffle rows, and
+    the iteration count is FIXED, so the whole thing is one static
+    Catalyst DAG (3 unrolled joins) that the oracle mirrors with 3
+    unrolled CTEs; no driver-side convergence probe. The per-iteration
+    ``localCheckpoint`` of the |V|-row rank vector keeps lineage flat
+    (dedup_clusters' scale discipline). N arrives as a 1-row aggregate
+    cross join, never a driver count.
+    """
+    pairs = q_doc_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t"))
+        .unionByName(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("t")))
+        .localCheckpoint(eager=False)
+    )
+    nodes = edges.select(F.col("s").alias("id")).distinct()
+    deg = edges.groupBy(F.col("s").alias("id")).agg(F.count("*").alias("deg"))
+    n = nodes.agg(F.count("*").alias("n"))
+    pr = nodes.crossJoin(F.broadcast(n)).select(
+        "id", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(pr.withColumnRenamed("id", "s"), "s")
+            .join(deg.withColumnRenamed("id", "s"), "s")
+            .groupBy(F.col("t").alias("id"))
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("contrib"))
+        )
+        pr = (
+            nodes.crossJoin(F.broadcast(n))
+            .join(contrib, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - _PR_DAMPING) / F.col("n")
+                    + F.lit(_PR_DAMPING) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pr.select(F.col("id").alias("doc_id"), F.round("pr", 6).alias("pagerank"))
+
+
+def _pr_iter_sql(k: int) -> str:
+    prev = f"it{k - 1}"
+    return f"""
+contrib{k} AS (
+  SELECT e.t AS id, sum(p.pr / d.deg) AS contrib
+  FROM edges e
+  JOIN {prev} p ON p.id = e.s
+  JOIN deg d ON d.id = e.s
+  GROUP BY 1
+),
+it{k} AS (
+  SELECT v.id,
+         (1.0 - {_PR_DAMPING}) / n.n
+           + {_PR_DAMPING} * coalesce(c.contrib, 0.0) AS pr
+  FROM nodes v
+  CROSS JOIN n
+  LEFT JOIN contrib{k} c ON c.id = v.id
+)"""
+
+
+ORACLE_PAGERANK = f"""
+WITH pairs AS ({ORACLE_NGRAM}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS t FROM pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS t FROM pairs
+),
+nodes AS (SELECT DISTINCT s AS id FROM edges),
+deg AS (SELECT s AS id, count(*) AS deg FROM edges GROUP BY 1),
+n AS (SELECT count(*) AS n FROM nodes),
+it0 AS (SELECT id, 1.0 / n.n AS pr FROM nodes CROSS JOIN n),
+{",".join(_pr_iter_sql(k) for k in range(1, _PR_ITERS + 1))}
+SELECT id AS doc_id, round(pr, 6) AS pagerank FROM it{_PR_ITERS}
+"""
+
+
 QUERIES = {
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_ngram_jaccard_pairs": q_doc_ngram_jaccard_pairs,
@@ -258,6 +348,7 @@ QUERIES = {
     "doc_simhash_pairs": q_doc_simhash_pairs,
     "doc_dedup_clusters": q_doc_dedup_clusters,
     "doc_dedup_survivors": q_doc_dedup_survivors,
+    "doc_graph_pagerank": q_doc_graph_pagerank,
 }
 
 ORACLES = {
@@ -265,4 +356,5 @@ ORACLES = {
     "doc_ngram_jaccard_pairs": ORACLE_NGRAM,
     "doc_dedup_clusters": ORACLE_CLUSTERS,
     "doc_dedup_survivors": ORACLE_SURVIVORS,
+    "doc_graph_pagerank": ORACLE_PAGERANK,
 }

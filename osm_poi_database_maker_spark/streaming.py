@@ -137,6 +137,97 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+_SESSION_STATE_SCHEMA = "start_us long, last_us long, n long, total double"
+_SESSION_OUT_SCHEMA = (
+    "user_id long, session_start_us long, n_events long, sum_value double"
+)
+
+
+def _session_timeout_fn(gap_us: int):
+    """Builder for the per-group state function: sessions are merged
+    within ``gap_us``; a session CLOSES (emits) either when a
+    strictly-later event arrives past the gap, or when the event-time
+    watermark passes last_ts + gap (the timeout path — this is the state
+    eviction that keeps per-user memory bounded forever on an unbounded
+    stream)."""
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            start, last, n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start_us": [start],
+                    "n_events": [n],
+                    "sum_value": [round(total, 2)],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs)).sort_values("us")
+        closed = []
+        start, last, n, total = state.get if state.exists else (None, None, 0, 0.0)
+        for us, val in zip(rows["us"], rows["value"]):
+            us = int(us)
+            if start is None:
+                start, last, n, total = us, us, 1, float(val)
+            elif us - last < gap_us:
+                last, n, total = us, n + 1, total + float(val)
+            else:
+                closed.append((start, n, total))
+                start, last, n, total = us, us, 1, float(val)
+        state.update((start, last, n, total))
+        # event-time timeout: fire when the watermark passes the gap
+        # horizon of the still-open session (timestamp in millis). A very
+        # late straggler could put last+gap behind the watermark already —
+        # Spark rejects a timeout in the past, so clamp just above it
+        # (the session then times out at the next watermark advance).
+        timeout_ms = (last + gap_us) // 1000
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(timeout_ms, wm_ms + 1))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed),
+                    "session_start_us": [c[0] for c in closed],
+                    "n_events": [c[1] for c in closed],
+                    "sum_value": [round(c[2], 2) for c in closed],
+                }
+            )
+
+    return update
+
+
+def stateful_session_timeout(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Custom sessionization with EVENT-TIME TIMEOUT state eviction
+    (applyInPandasWithState + GroupStateTimeout.EventTimeTimeout) — the
+    semantics ``session_window`` can't express: a session emits the
+    moment the watermark proves it can no longer grow, and its state is
+    REMOVED then, so per-user memory is bounded by the watermark horizon
+    regardless of stream length. Batch parity: every emitted session
+    equals one of the batch ``session_window`` rows (tests assert the
+    subset relation; the final still-open session per user stays in
+    state by design)."""
+    import re
+
+    m = re.match(r"(\d+)\s*minutes?", gap)
+    gap_us = int(m.group(1)) * 60 * 1_000_000
+    return (
+        events.withWatermark("ts", watermark)
+        .select("user_id", F.unix_micros("ts").alias("us"), "value", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_timeout_fn(gap_us),
+            outputStructType=_SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def static_enriched_counts(events: DataFrame, dim: DataFrame) -> DataFrame:
     """Stream-static join: the streaming fact is enriched against a
     batch-built dimension (the reference's TOI-dim probe, O6, on a

@@ -166,3 +166,23 @@ def test_dedup_survivors_consistent_with_clusters(spark):
     n_removed = sum(r.n_removed for r in rows)
     clusters = q_doc_dedup_clusters(spark, SF_SMOKE)
     assert n_removed == clusters.filter(~F.col("keep")).count()
+
+
+def test_pagerank_star_graph(spark, monkeypatch):
+    """On a star (1 hub, 3 leaves) the hub outranks the leaves; total
+    mass stays 1 (the graph has no dangling nodes by construction)."""
+    from pyspark.sql import functions as F
+
+    from osm_poi_database_maker_spark.queries import dedup as D
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "doc_a long, doc_b long"
+    ).withColumn("jaccard", F.lit(1.0))
+    monkeypatch.setattr(
+        D, "q_doc_ngram_jaccard_pairs", lambda spark_, sf_: pairs
+    )
+    got = {r.doc_id: r.pagerank for r in D.q_doc_graph_pagerank(spark, "x").collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1] > max(got[2], got[3], got[4])
+    assert got[2] == got[3] == got[4]
+    assert abs(sum(got.values()) - 1.0) < 1e-4

@@ -170,3 +170,73 @@ def test_foreach_batch_sink(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == load_table(spark, SF_SMOKE, "events").count()
     assert "_batch_id" in back.columns
+
+
+def test_stateful_session_timeout_matches_batch_subset(spark, tmp_path):
+    """Sessions closed by event-time timeout must each equal a batch
+    session_window row; multi-batch replay (one file per trigger) drives
+    the watermark forward so most sessions close before end-of-stream."""
+    from pyspark.sql import functions as F
+
+    # split the smoke events into 4 time-ordered files so availableNow
+    # produces several micro-batches and a genuinely advancing watermark
+    src = load_table(spark, SF_SMOKE, "events").orderBy("ts")
+    n = src.count()
+    rows = src.collect()
+    data_dir = tmp_path / "ev"
+    data_dir.mkdir()
+    chunk = (n + 3) // 4
+    for i in range(4):
+        part = rows[i * chunk:(i + 1) * chunk]
+        if part:
+            spark.createDataFrame(part, src.schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(data_dir / f"f{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{data_dir}/f*.parquet")
+    )
+    out = S.stateful_session_timeout(stream, gap="30 minutes", watermark="1 minutes")
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(out, name, "append")
+    got = spark.table(name).collect()
+    assert got, "expected some sessions to close via timeout"
+
+    batch = (
+        src.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    expected = {
+        (r.user_id, r.session_start_us): (r.n_events, r.sum_value)
+        for r in batch.collect()
+    }
+    for r in got:
+        key = (r.user_id, r.session_start_us)
+        assert key in expected, f"emitted session not in batch result: {r}"
+        assert expected[key] == (r.n_events, r.sum_value), (r, expected[key])
+    # no session may be emitted twice (exactly-once close)
+    keys = [(r.user_id, r.session_start_us) for r in got]
+    assert len(keys) == len(set(keys))
+
+
+def test_foreach_batch_sink_checkpoint_restart(spark, tmp_path):
+    """Restarting a completed foreachBatch stream with the same
+    checkpoint must process nothing new — the exactly-once contract a
+    production backfill relies on."""
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    for _ in range(2):
+        q = S.foreach_batch_parquet_sink(
+            S.stream_events(spark, SF_SMOKE), out_dir, ckpt
+        ).start()
+        assert q.awaitTermination(120)
+    n_src = load_table(spark, SF_SMOKE, "events").count()
+    n_out = spark.read.parquet(out_dir).count()
+    assert n_out == n_src
