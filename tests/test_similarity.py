@@ -119,3 +119,23 @@ def test_multimodal_decode_stub_gate(spark):
     feats = extract_image_features(documents_as_image_table(d), decode_stub=False)
     with pytest.raises(Exception, match="NotImplementedError|real image decode"):
         feats.collect()
+
+
+def test_pcm_frame_energy_exact(spark):
+    """Hand-computed PCM16: negative samples square correctly, the odd
+    trailing byte and the incomplete final frame are dropped."""
+    import struct
+
+    from osm_poi_database_maker_spark.multimodal import pcm_frame_energy
+
+    samples = [1000, -1000, 32767, -32768] * 4  # one full 16-sample frame
+    tail = [5, 6, 7]  # 3 extra samples: not a full frame
+    payload = struct.pack(f"<{len(samples) + len(tail)}h", *(samples + tail))
+    payload += b"\x7f"  # odd trailing byte
+    df = spark.createDataFrame([(1, bytearray(payload)), (2, bytearray(b"\x01\x02"))],
+                               "doc_id long, payload binary")
+    got = {(r.doc_id, r.frame_idx): r.sum_sq
+           for r in pcm_frame_energy(df, 16).collect()}
+    expected = sum(v * v for v in samples)
+    # doc 2 has 1 sample -> zero full frames -> absent
+    assert got == {(1, 0): expected}
