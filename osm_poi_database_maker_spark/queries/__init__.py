@@ -61,6 +61,8 @@ _VERIFY_FIRST = [
     "events_funnel",
     "events_retention",
     "events_user_deciles",
+    "events_hourly_anomaly",
+    "doc_length_histogram",
     "lineitem_unpivot",
     "nation_lateral_topk",
     "doc_bigram_pmi",

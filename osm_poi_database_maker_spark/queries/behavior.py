@@ -186,14 +186,94 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# time-series anomaly detection
+
+_ANOM_LOOKBACK = 24  # trailing hours forming the baseline
+_ANOM_Z = 2.0
+
+
+def q_events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly-volume anomaly detection per event type: z-score of each
+    hour's event count against the trailing 24 fully-preceding hours
+    (rows frame, so the current hour never leaks into its own baseline);
+    report hours with |z| ≥ 2 once the baseline is fully warmed up.
+
+    Plan: the raw stream collapses to the (type, hour) count series
+    first — the time-series window then runs over ≤ types × hours rows,
+    partitioned by type. This is the aggregate-then-window rule again:
+    the anomaly sweep never sees raw events, so a 1000× event-volume
+    increase changes only the first aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("h")
+        ).agg(F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-_ANOM_LOOKBACK, -1)
+    )
+    scored = hourly.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp(F.col("n").cast("double")).over(w).alias("sd"),
+        F.count("n").over(w).alias("n_base"),
+    )
+    return (
+        scored.filter(
+            (F.col("n_base") == _ANOM_LOOKBACK)
+            & (F.col("sd") > 0)
+            & (F.abs((F.col("n") - F.col("mu")) / F.col("sd")) >= _ANOM_Z)
+        )
+        .select(
+            "event_type",
+            "hour",
+            "n",
+            F.round("mu", 4).alias("mu"),
+            F.round((F.col("n") - F.col("mu")) / F.col("sd"), 4).alias("z"),
+        )
+    )
+
+
+ORACLE_HOURLY_ANOMALY = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, h, n,
+         avg(n) OVER w AS mu,
+         stddev_samp(CAST(n AS DOUBLE)) OVER w AS sd,
+         count(n) OVER w AS n_base
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN {_ANOM_LOOKBACK} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type,
+       strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+       CAST(n AS BIGINT) AS n,
+       round(mu, 4) AS mu,
+       round((n - mu) / sd, 4) AS z
+FROM scored
+WHERE n_base = {_ANOM_LOOKBACK} AND sd > 0
+  AND abs((n - mu) / sd) >= {_ANOM_Z}
+"""
+
+
 QUERIES = {
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
     "events_user_deciles": q_events_user_deciles,
+    "events_hourly_anomaly": q_events_hourly_anomaly,
 }
 
 ORACLES = {
     "events_funnel": ORACLE_FUNNEL,
     "events_retention": ORACLE_RETENTION,
     "events_user_deciles": ORACLE_DECILES,
+    "events_hourly_anomaly": ORACLE_HOURLY_ANOMALY,
 }

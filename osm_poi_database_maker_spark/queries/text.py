@@ -739,8 +739,61 @@ LIMIT {_PMI_TOP_K}
 """
 
 
+_HIST_BUCKETS = 12
+_HIST_LO, _HIST_HI = 2.0, 9.0  # ln(n_chars) range covered by the buckets
+
+
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-scale document-length histogram per source (width_bucket over
+    ln(n_chars)) — the length-distribution audit run before choosing
+    packing/chunking parameters. Pure scan + small-key aggregate; the
+    bucket id is a closed-form expression, so the histogram needs no
+    sort and no global pass (contrast equi-depth histograms, which are
+    the percentile query's job)."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.width_bucket(
+        F.log(F.greatest(F.col("n_chars").cast("double"), F.lit(1.0))),
+        F.lit(_HIST_LO),
+        F.lit(_HIST_HI),
+        F.lit(_HIST_BUCKETS),
+    )
+    return (
+        d.groupBy("source", bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+# DuckDB has no width_bucket; mirror the PostgreSQL formula Spark
+# implements: floor((v-lo) / ((hi-lo)/nb)) + 1, clamped to 0 / nb+1
+_WB_SQL = (
+    f"CASE WHEN x < {_HIST_LO} THEN 0 "
+    f"WHEN x >= {_HIST_HI} THEN {_HIST_BUCKETS + 1} "
+    f"ELSE CAST(floor((x - {_HIST_LO}) / "
+    f"(({_HIST_HI} - {_HIST_LO}) / {_HIST_BUCKETS})) AS BIGINT) + 1 END"
+)
+ORACLE_LENGTH_HIST = f"""
+WITH v AS (
+  SELECT source, n_chars,
+         ln(greatest(CAST(n_chars AS DOUBLE), 1.0)) AS x
+  FROM documents
+)
+SELECT source,
+       {_WB_SQL} AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM v
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "doc_token_stats": q_doc_token_stats,
+    "doc_length_histogram": q_doc_length_histogram,
     "doc_bigram_pmi": q_doc_bigram_pmi,
     "doc_bigram_logprob": q_doc_bigram_logprob,
     "doc_quality_score": q_doc_quality_score,
@@ -757,6 +810,7 @@ QUERIES = {
 
 ORACLES = {
     "doc_token_stats": ORACLE_TOKEN_STATS,
+    "doc_length_histogram": ORACLE_LENGTH_HIST,
     "doc_bigram_pmi": ORACLE_PMI,
     "doc_bigram_logprob": ORACLE_BIGRAM_LL,
     "doc_quality_score": ORACLE_QUALITY,

@@ -111,3 +111,24 @@ def test_deciles_partition_users(spark):
     # decile 1 holds the top spenders: its minimum dominates decile 2's max
     by_d = {r.decile: r for r in rows}
     assert by_d[1].min_value >= by_d[2].max_value
+
+
+def test_hourly_anomaly_planted_spike(spark, monkeypatch):
+    """A flat 10-events/hour series with one 100-event spike after the
+    24h warm-up flags exactly that hour... unless the baseline is flat
+    (sd == 0 rows are excluded) — so the planted series carries a gentle
+    alternation to keep sd > 0."""
+    from osm_poi_database_maker_spark.queries.behavior import q_events_hourly_anomaly
+
+    rows = []
+    eid = 0
+    for h in range(30):
+        # alternate 9/11 so the trailing stddev is never zero
+        n = 100 if h == 27 else (9 if h % 2 == 0 else 11)
+        for k in range(n):
+            rows.append((eid, _t(h * 60 + (k % 60)), 1, "view", 1.0))
+            eid += 1
+    _patched_events(monkeypatch, _ev(spark, rows))
+    got = q_events_hourly_anomaly(spark, "x").collect()
+    assert [r.hour for r in got] == ["2024-01-02 03:00:00"]
+    assert got[0].n == 100 and got[0].z > 2
