@@ -195,20 +195,38 @@ _ANOM_Z = 2.0
 
 def q_events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly-volume anomaly detection per event type: z-score of each
-    hour's event count against the trailing 24 fully-preceding hours
-    (rows frame, so the current hour never leaks into its own baseline);
-    report hours with |z| ≥ 2 once the baseline is fully warmed up.
+    hour's event count against the trailing 24 CALENDAR hours (the hour
+    grid is densified with zero-count rows between each type's first and
+    last active hour — so sparse series get a truthful baseline and a
+    total-outage hour, the most anomalous condition of all, is itself
+    flaggable); the rows frame excludes the current hour from its own
+    baseline, and rows are reported at |z| ≥ 2 once the 24h baseline is
+    fully warmed up.
 
     Plan: the raw stream collapses to the (type, hour) count series
-    first — the time-series window then runs over ≤ types × hours rows,
-    partitioned by type. This is the aggregate-then-window rule again:
-    the anomaly sweep never sees raw events, so a 1000× event-volume
-    increase changes only the first aggregate."""
+    first; the zero-fill joins a generated per-type hour grid (|types| ×
+    hours rows) against that series, and the time-series window runs
+    over the dense series, partitioned by type. The aggregate-then-
+    window rule again: the anomaly sweep never sees raw events, so a
+    1000× event-volume increase changes only the first aggregate."""
     e = load_table(spark, sf_dir, "events")
-    hourly = (
+    counts = (
         e.groupBy(
             "event_type", F.date_trunc("hour", "ts").alias("h")
         ).agg(F.count("*").alias("n"))
+    )
+    grid = (
+        counts.groupBy("event_type")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    hourly = grid.join(counts, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("n", F.lit(0)).alias("n")
     )
     w = (
         Window.partitionBy("event_type")
@@ -240,9 +258,18 @@ def q_events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_HOURLY_ANOMALY = f"""
-WITH hourly AS (
+WITH counts AS (
   SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
   FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+  FROM (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM counts GROUP BY 1)
+),
+hourly AS (
+  SELECT g.event_type, g.h, coalesce(c.n, 0) AS n
+  FROM grid g LEFT JOIN counts c
+    ON c.event_type = g.event_type AND c.h = g.h
 ),
 scored AS (
   SELECT event_type, h, n,

@@ -521,11 +521,14 @@ def q_doc_longest_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "N contiguous tokens of an eval benchmark appear verbatim" check
     that shingle-overlap fractions can't express).
 
-    Plan: one positional explode of the corpus into (doc_id, pos,
-    window-hash); the eval side collapses to a distinct-hash set that
-    AQE broadcasts into a semi-join; streak detection is the classic
-    gaps-and-islands window (pos − row_number) over matched positions
-    only — a shuffle of the MATCHED subset on doc_id, not the corpus.
+    Plan: Catalyst pushes the eval/train split below the explode into
+    two DISJOINT pushed-predicate scans (~10% + ~90% of the corpus), so
+    the positional explode work totals one corpus pass split across the
+    two branches — cheaper than one shared scan + exchange would be;
+    the eval side collapses to a distinct-hash set that AQE broadcasts
+    into a semi-join; streak detection is the classic gaps-and-islands
+    window (pos − row_number) over matched positions only — a shuffle
+    of the MATCHED subset on doc_id, not the corpus.
     Join keys are 8-byte xxhash64 of the window text (the oracle joins
     on the strings themselves; same result modulo ~1e-9 collision odds).
     """
@@ -610,13 +613,22 @@ def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark plans the rank filter as WindowGroupLimit, so each partition
     forwards only its local top-25 into the shuffle regardless of corpus
     size. u is offset by +0.5/M to stay strictly inside (0,1) (doc_id 0
-    hashes to 0; ln(0) would produce -inf)."""
+    hashes to 0; ln(0) would produce -inf).
+
+    Cross-engine hazard, mitigated: the key is ln-derived and libm ln is
+    not bit-identical across engines (the PMI query's lesson), so the
+    rank ORDER is taken on the key ROUNDED to 12 decimals with doc_id as
+    the tie-break — a last-ulp divergence (~1e-16) collapses into the
+    same rounded value on both engines instead of flipping the rank-25
+    cutoff."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
     u = (_lehmer_h() + F.lit(0.5)) / F.lit(float(_LEHMER_M))
     key = F.log(u) / F.log(F.lit(1.0) + F.col("n_chars"))
-    w = Window.partitionBy("source").orderBy(F.desc("es_key_raw"), F.asc("doc_id"))
+    w = Window.partitionBy("source").orderBy(
+        F.desc(F.round(F.col("es_key_raw"), 12)), F.asc("doc_id")
+    )
     return (
         d.select("source", "doc_id", "n_chars", key.alias("es_key_raw"))
         .withColumn("rk", F.row_number().over(w))
@@ -631,10 +643,7 @@ def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_WS_U_SQL = (
-    f"(((((doc_id % {_LEHMER_M}) * {_LEHMER_A}) % {_LEHMER_M})"
-    f" * {_LEHMER_A} % {_LEHMER_M}) + 0.5) / {_LEHMER_M}.0"
-)
+_WS_U_SQL = f"(({_H_SQL} + 0.5) / {_LEHMER_M}.0)"
 ORACLE_WEIGHTED_SAMPLE = f"""
 WITH s AS (
   SELECT source, doc_id, n_chars,
@@ -644,7 +653,7 @@ WITH s AS (
 r AS (
   SELECT source, doc_id, n_chars, es_key_raw,
          row_number() OVER (PARTITION BY source
-                            ORDER BY es_key_raw DESC, doc_id ASC) AS rk
+                            ORDER BY round(es_key_raw, 12) DESC, doc_id ASC) AS rk
   FROM s
 )
 SELECT source, doc_id, n_chars, round(es_key_raw, 6) AS es_key, rk

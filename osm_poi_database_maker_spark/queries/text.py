@@ -698,7 +698,15 @@ def q_doc_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg")
     ).select("bg.w1", "bg.w2")
-    c_bg = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    # pin the count table: four consumers (marginals, total, main) must
+    # never be able to re-run the corpus explode if exchange reuse does
+    # not fire (AQE re-planning) — the lazy checkpoint enforces what the
+    # docstring promises
+    c_bg = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .localCheckpoint(eager=False)
+    )
     c_1 = c_bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
     c_2 = c_bg.groupBy("w2").agg(F.sum("c12").alias("c2"))
     n = c_bg.agg(F.sum("c12").alias("n"))

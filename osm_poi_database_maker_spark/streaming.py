@@ -40,11 +40,22 @@ def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int |
     actual footer schema with a driver-side batch read instead, and
     reuse io.normalize_events_ts for the conversion.
     """
+    import glob
+
     from .io import normalize_events_ts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # footer-only read: .schema touches no row data
-    file_schema = spark.read.parquet(f"{sf_dir}/events*.parquet").schema
+    if glob.glob(f"{sf_dir}/events*.parquet"):
+        # footer-only read: .schema touches no row data
+        file_schema = spark.read.parquet(f"{sf_dir}/events*.parquet").schema
+    else:
+        # empty landing directory (files arrive after the stream starts):
+        # no footer to probe, so declare the current fixture generation's
+        # schema (TIMESTAMP_NTZ micros) — normalize_events_ts handles it
+        file_schema = (
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string"
+        )
     reader = spark.readStream.schema(file_schema).format("parquet")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -172,7 +183,14 @@ def _session_timeout_fn(gap_us: int):
             if start is None:
                 start, last, n, total = us, us, 1, float(val)
             elif us - last < gap_us:
-                last, n, total = us, n + 1, total + float(val)
+                # merge; a late-but-within-watermark event from an earlier
+                # batch may precede the open session — extend BACKWARD
+                # with min/max, never regress `last` (a regressed horizon
+                # would close the session prematurely and emit a start
+                # that matches no batch session_window row)
+                start = min(start, us)
+                last = max(last, us)
+                n, total = n + 1, total + float(val)
             else:
                 closed.append((start, n, total))
                 start, last, n, total = us, us, 1, float(val)
@@ -212,8 +230,13 @@ def stateful_session_timeout(
     state by design)."""
     import re
 
-    m = re.match(r"(\d+)\s*minutes?", gap)
-    gap_us = int(m.group(1)) * 60 * 1_000_000
+    m = re.fullmatch(r"\s*(\d+)\s*(second|minute|hour)s?\s*", gap)
+    if not m:
+        raise ValueError(
+            f"unsupported gap {gap!r}: use '<N> seconds|minutes|hours'"
+        )
+    unit_us = {"second": 1, "minute": 60, "hour": 3600}[m.group(2)] * 1_000_000
+    gap_us = int(m.group(1)) * unit_us
     return (
         events.withWatermark("ts", watermark)
         .select("user_id", F.unix_micros("ts").alias("us"), "value", "ts")

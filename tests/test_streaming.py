@@ -240,3 +240,48 @@ def test_foreach_batch_sink_checkpoint_restart(spark, tmp_path):
     n_src = load_table(spark, SF_SMOKE, "events").count()
     n_out = spark.read.parquet(out_dir).count()
     assert n_out == n_src
+
+
+def test_session_timeout_late_event_extends_backward(spark, tmp_path):
+    """A late-but-within-watermark event that precedes the open session
+    must extend it backward (min start) without regressing the timeout
+    horizon (max last): the emitted session equals the batch
+    session_window row over the same data."""
+    import datetime
+    import os
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def _mk(path, rows, mtime):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        for root, _, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    m = lambda mins: t0 + datetime.timedelta(minutes=mins)  # noqa: E731
+    d = str(tmp_path / "late")
+    _mk(f"{d}/f1.parquet", [(1, m(100), 1, "view", 1.0, "{}")], 1_700_000_000)
+    # batch 2: late event at t=95 (watermark after batch 1 = 90) plus a
+    # far-future event to advance the watermark and time the session out
+    _mk(
+        f"{d}/f2.parquet",
+        [(2, m(95), 1, "view", 2.0, "{}"), (3, m(200), 1, "view", 4.0, "{}")],
+        1_700_000_100,
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{d}/f*.parquet")
+    )
+    out = S.stateful_session_timeout(stream, gap="30 minutes", watermark="10 minutes")
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(out, name, "append")
+    got = spark.table(name).collect()
+    closed = {(r.session_start_us, r.n_events, r.sum_value) for r in got}
+    want_start = int(m(95).replace(tzinfo=datetime.timezone.utc).timestamp()) * 1_000_000
+    assert (want_start, 2, 3.0) in closed, got
