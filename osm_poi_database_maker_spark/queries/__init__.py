@@ -62,6 +62,8 @@ _VERIFY_FIRST = [
     "events_retention",
     "events_user_deciles",
     "events_hourly_anomaly",
+    "events_running_totals",
+    "events_rfm_segments",
     "doc_length_histogram",
     "lineitem_unpivot",
     "nation_lateral_topk",

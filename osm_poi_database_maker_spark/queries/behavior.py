@@ -291,11 +291,145 @@ WHERE n_base = {_ANOM_LOOKBACK} AND sd > 0
 """
 
 
+# ---------------------------------------------------------------------------
+# running (cumulative) aggregates
+
+def q_events_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type running totals over the daily value series: cumulative
+    sum and cumulative event count (ROWS UNBOUNDED PRECEDING), plus each
+    day's share of its type's final total — the burn-up curve behind
+    every cumulative dashboard.
+
+    Aggregate-then-window: the running frame scans the (type, day)
+    aggregate series (≤ types × days rows), never raw events; the final
+    total arrives from the same partition via an unbounded-both-ways
+    frame, not a second aggregation pass."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return daily.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.sum("n").over(w_run).alias("cum_events"),
+        F.round(F.sum("v").over(w_run), 2).alias("cum_value"),
+        F.round(F.sum("v").over(w_run) / F.sum("v").over(w_all), 4).alias(
+            "frac_of_total"
+        ),
+    )
+
+
+ORACLE_RUNNING = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n, sum(value) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       strftime(day, '%Y-%m-%d') AS day,
+       CAST(sum(n) OVER w AS BIGINT) AS cum_events,
+       round(sum(v) OVER w, 2) AS cum_value,
+       round(sum(v) OVER w / sum(v) OVER (PARTITION BY event_type), 4)
+         AS frac_of_total
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation
+
+_RFM_REF = "2024-02-01 00:00:00"  # scoring reference point (end of fixture)
+
+
+def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation over purchase events: recency (days before the
+    reference date), frequency (purchase count) and monetary (value
+    sum) per user, each scored into quartiles (ntile, deterministic
+    tie-breaks), then aggregated per (r,f,m) segment — the classic
+    marketing cut.
+
+    One shuffle to the per-user aggregate; the three ntile windows run
+    over |users| rows and share one global sort partition each (the
+    aggregate-first rule); the segment rollup is a tiny final groupBy.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.datediff(
+            F.lit(_RFM_REF).cast("timestamp"), F.max("ts")
+        ).alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("value"), 2).alias("monetary"),
+    )
+    scored = per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy(F.asc("recency_days"), F.asc("user_id")))
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("user_id")))
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary"), F.asc("user_id")))
+        .alias("m_score"),
+    )
+    # sum, not avg: the per-user monetary values carry exactly 2
+    # decimals, so their sum has no third decimal and round(..., 2) can
+    # never land on a half-way point — avg (sum/k) can produce x.xx5 and
+    # then Spark's half-up vs DuckDB's half-even rounding disagree
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_users"),
+        F.round(F.sum("monetary"), 2).alias("total_monetary"),
+        F.min("user_id").alias("min_user_id"),
+    )
+
+
+ORACLE_RFM = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(TIMESTAMP '{_RFM_REF}' AS DATE) - CAST(max(ts) AS DATE)
+           AS recency_days,
+         count(*) AS frequency,
+         round(sum(value), 2) AS monetary
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+),
+scored AS (
+  SELECT user_id, recency_days, frequency, monetary,
+         ntile(4) OVER (ORDER BY recency_days ASC, user_id ASC) AS r_score,
+         ntile(4) OVER (ORDER BY frequency DESC, user_id ASC) AS f_score,
+         ntile(4) OVER (ORDER BY monetary DESC, user_id ASC) AS m_score
+  FROM per_user
+)
+SELECT r_score, f_score, m_score,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(sum(monetary), 2) AS total_monetary,
+       min(user_id) AS min_user_id
+FROM scored
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
     "events_user_deciles": q_events_user_deciles,
     "events_hourly_anomaly": q_events_hourly_anomaly,
+    "events_running_totals": q_events_running_totals,
+    "events_rfm_segments": q_events_rfm_segments,
 }
 
 ORACLES = {
@@ -303,4 +437,6 @@ ORACLES = {
     "events_retention": ORACLE_RETENTION,
     "events_user_deciles": ORACLE_DECILES,
     "events_hourly_anomaly": ORACLE_HOURLY_ANOMALY,
+    "events_running_totals": ORACLE_RUNNING,
+    "events_rfm_segments": ORACLE_RFM,
 }

@@ -132,3 +132,36 @@ def test_hourly_anomaly_planted_spike(spark, monkeypatch):
     got = q_events_hourly_anomaly(spark, "x").collect()
     assert [r.hour for r in got] == ["2024-01-02 03:00:00"]
     assert got[0].n == 100 and got[0].z > 2
+
+
+def test_running_totals_monotone(spark):
+    from osm_poi_database_maker_spark.queries.behavior import q_events_running_totals
+
+    rows = q_events_running_totals(spark, SF_SMOKE).collect()
+    by_type: dict = {}
+    for r in sorted(rows, key=lambda r: (r.event_type, r.day)):
+        prev = by_type.get(r.event_type)
+        if prev is not None:
+            assert r.cum_events >= prev.cum_events
+            assert r.cum_value >= prev.cum_value - 1e-9
+        by_type[r.event_type] = r
+    # the last day of each type reaches 100% of its total
+    assert all(abs(v.frac_of_total - 1.0) < 1e-9 for v in by_type.values())
+
+
+def test_rfm_segments_cover_all_purchasers(spark):
+    from pyspark.sql import functions as F
+
+    from osm_poi_database_maker_spark.io import load_table
+    from osm_poi_database_maker_spark.queries.behavior import q_events_rfm_segments
+
+    rows = q_events_rfm_segments(spark, SF_SMOKE).collect()
+    n_purchasers = (
+        load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_users for r in rows) == n_purchasers
+    assert all(1 <= r.r_score <= 4 and 1 <= r.f_score <= 4 and 1 <= r.m_score <= 4 for r in rows)
