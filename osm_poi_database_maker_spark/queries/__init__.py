@@ -64,6 +64,7 @@ _VERIFY_FIRST = [
     "events_hourly_anomaly",
     "events_running_totals",
     "events_rfm_segments",
+    "events_markov_transitions",
     "doc_length_histogram",
     "lineitem_unpivot",
     "nation_lateral_topk",
@@ -74,6 +75,7 @@ _VERIFY_FIRST = [
     "doc_graph_pagerank",
     "emb_norm_quantiles",
     "emb_centroid_distances",
+    "emb_kmeans_iterations",
     "mm_audio_energy",
     # tier 2: red in CORRECTNESS_r02 (events-ts encoding), fixed this round
     "events_incident_windows",

@@ -423,8 +423,64 @@ GROUP BY 1, 2, 3
 """
 
 
+# ---------------------------------------------------------------------------
+# event-sequence transition matrix
+
+def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next = b | current = a), with counts — the
+    sequence-model view of user behavior (what follows what), the input
+    to next-event prediction and anomalous-flow detection.
+
+    One shuffle on user_id for the lag window (event_id breaks
+    timestamp ties deterministically), then a tiny (|types|²) aggregate;
+    the row-normalizing total rides the same aggregate via a partition
+    window, not a second pass."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    w_from = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_from), 4).alias("p"),
+    )
+
+
+ORACLE_MARKOV = """
+WITH seq AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_type,
+         event_type AS to_type
+  FROM events
+),
+pairs AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM seq WHERE from_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 4) AS p
+FROM pairs
+"""
+
+
 QUERIES = {
     "events_funnel": q_events_funnel,
+    "events_markov_transitions": q_events_markov_transitions,
     "events_retention": q_events_retention,
     "events_user_deciles": q_events_user_deciles,
     "events_hourly_anomaly": q_events_hourly_anomaly,
@@ -434,6 +490,7 @@ QUERIES = {
 
 ORACLES = {
     "events_funnel": ORACLE_FUNNEL,
+    "events_markov_transitions": ORACLE_MARKOV,
     "events_retention": ORACLE_RETENTION,
     "events_user_deciles": ORACLE_DECILES,
     "events_hourly_anomaly": ORACLE_HOURLY_ANOMALY,

