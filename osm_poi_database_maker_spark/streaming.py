@@ -182,12 +182,21 @@ def _session_timeout_fn(gap_us: int):
             us = int(us)
             if start is None:
                 start, last, n, total = us, us, 1, float(val)
+            elif us < start - gap_us:
+                # a late event MORE than gap before the open session's
+                # earliest member: it belongs to an earlier session, never
+                # this one. The delay<=gap construction constraint means
+                # any event that could still merge with it is below the
+                # watermark, so it is complete — emit it directly.
+                closed.append((us, 1, float(val)))
             elif us - last < gap_us:
                 # merge; a late-but-within-watermark event from an earlier
                 # batch may precede the open session — extend BACKWARD
                 # with min/max, never regress `last` (a regressed horizon
                 # would close the session prematurely and emit a start
-                # that matches no batch session_window row)
+                # that matches no batch session_window row). The
+                # delay<=gap constraint guarantees such an event chains
+                # to the session exactly as batch session_window would.
                 start = min(start, us)
                 last = max(last, us)
                 n, total = n + 1, total + float(val)
@@ -230,13 +239,26 @@ def stateful_session_timeout(
     state by design)."""
     import re
 
-    m = re.fullmatch(r"\s*(\d+)\s*(second|minute|hour)s?\s*", gap)
-    if not m:
+    def _dur_us(s: str, what: str) -> int:
+        m = re.fullmatch(r"\s*(\d+)\s*(second|minute|hour)s?\s*", s)
+        if not m:
+            raise ValueError(
+                f"unsupported {what} {s!r}: use '<N> seconds|minutes|hours'"
+            )
+        unit = {"second": 1, "minute": 60, "hour": 3600}[m.group(2)]
+        return int(m.group(1)) * unit * 1_000_000
+
+    gap_us = _dur_us(gap, "gap")
+    # batch-parity precondition: with delay <= gap, any
+    # late-but-above-watermark event is guaranteed to chain to the open
+    # session exactly as batch session_window would (us >= wm >= last -
+    # delay >= last - gap). A delay larger than the gap would let a late
+    # event merge across a genuine session boundary.
+    if _dur_us(watermark, "watermark") > gap_us:
         raise ValueError(
-            f"unsupported gap {gap!r}: use '<N> seconds|minutes|hours'"
+            f"watermark delay {watermark!r} must not exceed gap {gap!r}: "
+            "a late event could otherwise span a batch session boundary"
         )
-    unit_us = {"second": 1, "minute": 60, "hour": 3600}[m.group(2)] * 1_000_000
-    gap_us = int(m.group(1)) * unit_us
     return (
         events.withWatermark("ts", watermark)
         .select("user_id", F.unix_micros("ts").alias("us"), "value", "ts")

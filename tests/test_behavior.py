@@ -165,3 +165,15 @@ def test_rfm_segments_cover_all_purchasers(spark):
     )
     assert sum(r.n_users for r in rows) == n_purchasers
     assert all(1 <= r.r_score <= 4 and 1 <= r.f_score <= 4 and 1 <= r.m_score <= 4 for r in rows)
+
+
+def test_markov_rows_normalize(spark):
+    from osm_poi_database_maker_spark.queries.behavior import q_events_markov_transitions
+
+    rows = q_events_markov_transitions(spark, SF_SMOKE).collect()
+    by_from: dict = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, []).append(r.p)
+        assert r.n > 0 and 0 < r.p <= 1
+    for ps in by_from.values():
+        assert abs(sum(ps) - 1.0) < 0.01  # rounded to 4 decimals per cell

@@ -146,3 +146,29 @@ def test_pii_scrub_plants_and_counts(spark):
     # every planted doc carries exactly one email, one ip, one id run
     assert all(r.n_emails == 1 and r.n_ips == 1 and r.n_idnums == 1 for r in rows)
     assert all(len(r.scrubbed_sha) == 64 for r in rows)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.binary(min_size=0, max_size=200),
+    st.integers(min_value=1, max_value=8),
+)
+def test_pcm_energy_matches_pure_python(spark, payload, frame_samples):
+    """pcm_frame_energy == a struct-module reference for arbitrary bytes
+    (sign handling, odd tails, incomplete frames)."""
+    from osm_poi_database_maker_spark.multimodal import pcm_frame_energy
+
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    got = {
+        (r.doc_id, r.frame_idx): r.sum_sq
+        for r in pcm_frame_energy(df, frame_samples).collect()
+    }
+    n_samples = len(payload) // 2
+    vals = [
+        struct.unpack_from("<h", payload, 2 * i)[0] for i in range(n_samples)
+    ]
+    want = {}
+    for f in range(n_samples // frame_samples):
+        chunk = vals[f * frame_samples:(f + 1) * frame_samples]
+        want[(1, f)] = sum(v * v for v in chunk)
+    assert got == want

@@ -159,7 +159,9 @@ def test_kmeans_separates_planted_blobs(spark, monkeypatch):
     # centroid to each blob only if assignment splits — with both seeds
     # in blob A, all of blob B joins the nearer seed and drags it across
     assert sum(r.n_vecs for r in got.values()) == 20
-    # every blob-B vector ends in a single cluster, separate from blob A
-    # (verify via min_vec_id: one cluster owns id 0, the other owns 10..)
+    # every blob-B vector ends in its own cluster, separate from blob A:
+    # one cluster's earliest member is id 0 (blob A), the other's is id
+    # 10 (the first blob-B id) — and the split is exactly 10/10
     mins = sorted(r.min_vec_id for r in got.values())
-    assert mins[0] == 0 and len(got) == 2
+    assert mins == [0, 10]
+    assert sorted(r.n_vecs for r in got.values()) == [10, 10]
