@@ -151,7 +151,12 @@ def q_events_user_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates (150 rows at fixture scale, |users| generally), never the
     raw events — the decile boundary computation is inherently global,
     so the right design is: shuffle-agg to per-user totals first, then
-    the tiny global window."""
+    the tiny global window. Honest bound: this holds while |users| fits
+    one task's sort (≲10⁸ rows); for billions of users switch the
+    assignment to exact-percentile boundary thresholds (distributed
+    `percentile` + a broadcast range join) and accept ntile's
+    equal-quota tie handling drifting to threshold semantics — same
+    applies to the RFM scorer below."""
     e = load_table(spark, sf_dir, "events")
     totals = e.groupBy("user_id").agg(F.sum("value").alias("total_value"))
     w = Window.orderBy(F.desc("total_value"), F.asc("user_id"))
