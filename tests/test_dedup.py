@@ -181,6 +181,7 @@ def test_pagerank_star_graph(spark, monkeypatch):
     monkeypatch.setattr(
         D, "q_doc_ngram_jaccard_pairs", lambda spark_, sf_: pairs
     )
+    D._PAIRS_CACHE.clear()  # the memo must not serve a previous fixture
     got = {r.doc_id: r.pagerank for r in D.q_doc_graph_pagerank(spark, "x").collect()}
     assert set(got) == {1, 2, 3, 4}
     assert got[1] > max(got[2], got[3], got[4])
