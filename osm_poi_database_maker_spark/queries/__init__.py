@@ -110,6 +110,11 @@ _VERIFY_FIRST = [
     "shipping_priority",
     "order_value_percentiles",
     "brand_returnflag_pivot",
+    # --- the 50-entry window ends here (19 tier-1 + 10 tier-2 + 21
+    # tier-3). The four names below are tier-3 overflow: also stale
+    # (r01-only evidence) but lowest risk (stable TPC-H, unchanged since
+    # round 1) — they carry over to the FRONT of the next round's
+    # rotation.
     "customer_value_ranks",
     "order_grouping_sets",
     "orders_above_customer_avg",

@@ -159,7 +159,9 @@ def q_events_user_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     applies to the RFM scorer below."""
     e = load_table(spark, sf_dir, "events")
     totals = e.groupBy("user_id").agg(F.sum("value").alias("total_value"))
-    w = Window.orderBy(F.desc("total_value"), F.asc("user_id"))
+    # rank on the ROUNDED total: aggregation-order fp noise (~1 ulp)
+    # between engines must not flip a decile boundary
+    w = Window.orderBy(F.desc(F.round("total_value", 6)), F.asc("user_id"))
     return (
         totals.withColumn("decile", F.ntile(10).over(w))
         .groupBy("decile")
@@ -178,7 +180,8 @@ WITH totals AS (
 ),
 t AS (
   SELECT total_value,
-         ntile(10) OVER (ORDER BY total_value DESC, user_id ASC) AS decile
+         ntile(10) OVER (ORDER BY round(total_value, 6) DESC, user_id ASC)
+           AS decile
   FROM totals
 )
 SELECT decile,

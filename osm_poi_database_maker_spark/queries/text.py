@@ -685,7 +685,11 @@ def q_doc_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bit-identical across engines while libm ln is not, so ordering
     ties resolve identically everywhere."""
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select(F.split(F.col("text"), " +").alias("t")).repartition(32)
+    # spread rows before the explode (a small parquet file scans as one
+    # partition); sized to the cluster, same rationale as dedup.py
+    tok = d.select(F.split(F.col("text"), " +").alias("t")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     t = F.col("t")
     bigrams = tok.filter(F.size(t) >= 2).select(
         F.explode(

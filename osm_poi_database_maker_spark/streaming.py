@@ -182,7 +182,10 @@ def _session_timeout_fn(gap_us: int):
             us = int(us)
             if start is None:
                 start, last, n, total = us, us, 1, float(val)
-            elif us < start - gap_us:
+            elif us <= start - gap_us:
+                # <=, not <: batch session_window splits at gap >= the
+                # threshold, so an event EXACTLY gap before `start` is a
+                # separate session there too.
                 # a late event MORE than gap before the open session's
                 # earliest member: it belongs to an earlier session, never
                 # this one. The delay<=gap construction constraint means

@@ -182,7 +182,14 @@ def test_pagerank_star_graph(spark, monkeypatch):
         D, "q_doc_ngram_jaccard_pairs", lambda spark_, sf_: pairs
     )
     D._PAIRS_CACHE.clear()  # the memo must not serve a previous fixture
-    got = {r.doc_id: r.pagerank for r in D.q_doc_graph_pagerank(spark, "x").collect()}
+    try:
+        got = {
+            r.doc_id: r.pagerank
+            for r in D.q_doc_graph_pagerank(spark, "x").collect()
+        }
+    finally:
+        # and the patched star graph must not leak to later tests either
+        D._PAIRS_CACHE.clear()
     assert set(got) == {1, 2, 3, 4}
     assert got[1] > max(got[2], got[3], got[4])
     assert got[2] == got[3] == got[4]
