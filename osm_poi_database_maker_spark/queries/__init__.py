@@ -66,8 +66,10 @@ _VERIFY_FIRST = [
     "events_rfm_segments",
     "events_markov_transitions",
     "doc_length_histogram",
+    "doc_zipf_fit",
     "lineitem_unpivot",
     "nation_lateral_topk",
+    "basket_part_affinity",
     "doc_bigram_pmi",
     "doc_longest_eval_overlap",
     "doc_weighted_sample",
@@ -108,13 +110,13 @@ _VERIFY_FIRST = [
     "order_rollup",
     "order_priority_cube",
     "shipping_priority",
-    "order_value_percentiles",
-    "brand_returnflag_pivot",
-    # --- the 50-entry window ends here (19 tier-1 + 10 tier-2 + 21
-    # tier-3). The four names below are tier-3 overflow: also stale
+    # --- the 50-entry window ends here (21 tier-1 + 10 tier-2 + 19
+    # tier-3). The names below are tier-3 overflow: also stale
     # (r01-only evidence) but lowest risk (stable TPC-H, unchanged since
     # round 1) — they carry over to the FRONT of the next round's
     # rotation.
+    "order_value_percentiles",
+    "brand_returnflag_pivot",
     "customer_value_ranks",
     "order_grouping_sets",
     "orders_above_customer_avg",

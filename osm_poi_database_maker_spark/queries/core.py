@@ -625,8 +625,85 @@ JOIN LATERAL (
 """
 
 
+# --- market-basket affinity ------------------------------------------------
+
+_BASKET_MIN_PAIRS = 3
+_BASKET_TOP_K = 20
+
+
+def q_basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket analysis: top-20 part pairs by lift (co-order count
+    × total orders / product of individual order counts, min 3
+    co-orders) — the association-rule primitive behind recommenders.
+
+    The within-order self-join fans out quadratically in BASKET size,
+    not data size (a few items per order ⇒ tens of pairs), so the pair
+    table is ~|orders|·k² rows shuffled on fixed-width part-id pairs;
+    marginals and the order total derive from the deduplicated
+    (order, part) table, and the top-k ranks on the raw lift ratio (pure
+    IEEE arithmetic, cross-engine-stable) with pair-id tie-breaks."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_orders = li.select("o").distinct().agg(F.count("*").alias("n_orders"))
+    part_n = li.groupBy("p").agg(F.count("*").alias("n_p"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(
+            F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b")
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= _BASKET_MIN_PAIRS)
+    )
+    na = part_n.select(F.col("p").alias("part_a"), F.col("n_p").alias("n_a"))
+    nb = part_n.select(F.col("p").alias("part_b"), F.col("n_p").alias("n_b"))
+    lift = (F.col("n_ab").cast("double") * F.col("n_orders")) / (
+        F.col("n_a").cast("double") * F.col("n_b")
+    )
+    return (
+        pairs.join(na, "part_a")
+        .join(nb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .withColumn("_lift", lift)
+        .orderBy(F.desc("_lift"), F.asc("part_a"), F.asc("part_b"))
+        .limit(_BASKET_TOP_K)
+        .select(
+            "part_a", "part_b", "n_ab", F.round("_lift", 4).alias("lift")
+        )
+    )
+
+
+ORACLE_BASKET = f"""
+WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+n AS (SELECT count(DISTINCT o) AS n_orders FROM li),
+part_n AS (SELECT p, count(*) AS n_p FROM li GROUP BY 1),
+pairs AS (
+  SELECT a.p AS part_a, b.p AS part_b, count(*) AS n_ab
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2
+  HAVING count(*) >= {_BASKET_MIN_PAIRS}
+)
+SELECT part_a, part_b, n_ab,
+       round((CAST(n_ab AS DOUBLE) * n_orders) /
+             (CAST(na.n_p AS DOUBLE) * nb.n_p), 4) AS lift
+FROM pairs
+JOIN part_n na ON na.p = part_a
+JOIN part_n nb ON nb.p = part_b
+CROSS JOIN n
+ORDER BY (CAST(n_ab AS DOUBLE) * n_orders) /
+         (CAST(na.n_p AS DOUBLE) * nb.n_p) DESC,
+         part_a ASC, part_b ASC
+LIMIT {_BASKET_TOP_K}
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
+    "basket_part_affinity": q_basket_part_affinity,
     "lineitem_unpivot": q_lineitem_unpivot,
     "nation_lateral_topk": q_nation_lateral_topk,
     "revenue_by_nation": q_revenue_by_nation,
@@ -648,6 +725,7 @@ QUERIES = {
 
 ORACLES = {
     "pricing_summary": ORACLE_PRICING,
+    "basket_part_affinity": ORACLE_BASKET,
     "lineitem_unpivot": ORACLE_UNPIVOT,
     "nation_lateral_topk": ORACLE_LATERAL,
     "revenue_by_nation": ORACLE_REVENUE,

@@ -803,8 +803,65 @@ GROUP BY 1, 2
 """
 
 
+def q_doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS of ln(frequency)
+    on ln(rank) via the SQL-standard ``regr_slope`` / ``regr_intercept``
+    / ``regr_r2`` aggregates — the distribution sanity check (natural
+    text slopes near −1; synthetic or templated corpora deviate hard).
+
+    Distributed linear regression as ONE aggregate: the corpus collapses
+    to vocab-sized (token, freq) rows, the rank window runs over the
+    vocabulary (freq desc, token asc tie-break — deterministic), and the
+    regr_* family reduces map-side like any other aggregate. Output
+    rounded to 6; nothing ranks on the regression outputs, so
+    aggregation-order fp noise is absorbed by the rounding."""
+    d = load_table(spark, sf_dir, "documents")
+    freqs = (
+        d.select(F.explode(F.split(F.col("text"), " +")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+    )
+    from pyspark.sql import Window
+
+    ranked = freqs.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("tok")))
+    )
+    return ranked.agg(
+        F.count("*").alias("n_types"),
+        F.sum("freq").alias("n_tokens"),
+        F.round(F.expr("regr_slope(ln(freq), ln(rank))"), 6).alias("zipf_slope"),
+        F.round(F.expr("regr_intercept(ln(freq), ln(rank))"), 6).alias(
+            "zipf_intercept"
+        ),
+        F.round(F.expr("regr_r2(ln(freq), ln(rank))"), 6).alias("zipf_r2"),
+    )
+
+
+ORACLE_ZIPF = """
+WITH freqs AS (
+  SELECT tok, count(*) AS freq
+  FROM (SELECT unnest(string_split_regex(text, ' +')) AS tok FROM documents)
+  WHERE tok <> ''
+  GROUP BY 1
+),
+ranked AS (
+  SELECT freq,
+         row_number() OVER (ORDER BY freq DESC, tok ASC) AS rank
+  FROM freqs
+)
+SELECT CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(freq) AS BIGINT) AS n_tokens,
+       round(regr_slope(ln(freq), ln(rank)), 6) AS zipf_slope,
+       round(regr_intercept(ln(freq), ln(rank)), 6) AS zipf_intercept,
+       round(regr_r2(ln(freq), ln(rank)), 6) AS zipf_r2
+FROM ranked
+"""
+
+
 QUERIES = {
     "doc_token_stats": q_doc_token_stats,
+    "doc_zipf_fit": q_doc_zipf_fit,
     "doc_length_histogram": q_doc_length_histogram,
     "doc_bigram_pmi": q_doc_bigram_pmi,
     "doc_bigram_logprob": q_doc_bigram_logprob,
@@ -822,6 +879,7 @@ QUERIES = {
 
 ORACLES = {
     "doc_token_stats": ORACLE_TOKEN_STATS,
+    "doc_zipf_fit": ORACLE_ZIPF,
     "doc_length_histogram": ORACLE_LENGTH_HIST,
     "doc_bigram_pmi": ORACLE_PMI,
     "doc_bigram_logprob": ORACLE_BIGRAM_LL,

@@ -190,3 +190,23 @@ def test_bigram_pmi_planted_collocation(spark, monkeypatch):
     assert ("new", "york") in got and ("the", "cat") in got
     assert got[("new", "york")].pmi > got[("the", "cat")].pmi
     assert all(r.c12 >= _PMI_MIN_COUNT for r in got.values())
+
+
+def test_zipf_fit_on_planted_powerlaw(spark, monkeypatch):
+    """A corpus built so token k appears floor(100/k) times fits a slope
+    near -1 with high r2 (the Zipf shape the operator exists to detect)."""
+    from osm_poi_database_maker_spark.queries import text as T
+    from osm_poi_database_maker_spark.queries.text import q_doc_zipf_fit
+
+    words = []
+    for k in range(1, 21):
+        words += [f"w{k:02d}"] * (100 // k)
+    docs = spark.createDataFrame(
+        [(1, " ".join(words), "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(T, "load_table", lambda spark_, sf_, name_: docs)
+    r = q_doc_zipf_fit(spark, "x").collect()[0]
+    assert r.n_types == 20 and r.n_tokens == sum(100 // k for k in range(1, 21))
+    assert -1.2 < r.zipf_slope < -0.8
+    assert r.zipf_r2 > 0.95
