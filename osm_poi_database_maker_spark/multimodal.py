@@ -190,3 +190,47 @@ def pcm_frame_energy(
             )
 
     return audio.mapInPandas(batches, AUDIO_ENERGY_SCHEMA)
+
+
+PAYLOAD_STATS_SCHEMA = (
+    "doc_id long, n_bytes long, byte_sum long, min_byte int, max_byte int"
+)
+
+
+def payload_stats_arrow(images: DataFrame) -> DataFrame:
+    """Payload byte statistics via ``mapInArrow`` — the Arrow-NATIVE
+    batch path (RecordBatch in, RecordBatch out, no pandas
+    materialization): for multi-MB binary payloads this avoids the
+    pandas object-array copy that mapInPandas pays, which is the right
+    default for pure byte-level kernels. All outputs are exact integers,
+    so the stage is bit-reproducible at any batch size or partitioning.
+    """
+    import pyarrow as pa
+
+    def batches(it):
+        import numpy as np
+
+        for rb in it:
+            doc_ids = rb.column("doc_id").to_numpy(zero_copy_only=False)
+            payloads = rb.column("payload").to_pylist()
+            n_bytes, byte_sum, mn, mx = [], [], [], []
+            for b in payloads:
+                arr = np.frombuffer(b or b"", dtype=np.uint8)
+                n_bytes.append(len(arr))
+                byte_sum.append(int(arr.sum(dtype=np.int64)))
+                mn.append(int(arr.min()) if len(arr) else None)
+                mx.append(int(arr.max()) if len(arr) else None)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(doc_ids, pa.int64()),
+                    pa.array(n_bytes, pa.int64()),
+                    pa.array(byte_sum, pa.int64()),
+                    pa.array(mn, pa.int32()),
+                    pa.array(mx, pa.int32()),
+                ],
+                names=["doc_id", "n_bytes", "byte_sum", "min_byte", "max_byte"],
+            )
+
+    return images.select("doc_id", "payload").mapInArrow(
+        batches, PAYLOAD_STATS_SCHEMA
+    )

@@ -79,6 +79,7 @@ _VERIFY_FIRST = [
     "emb_centroid_distances",
     "emb_kmeans_iterations",
     "mm_audio_energy",
+    "mm_payload_stats",
     # tier 2: red in CORRECTNESS_r02 (events-ts encoding), fixed this round
     "events_incident_windows",
     "events_hourly_window",
@@ -109,12 +110,12 @@ _VERIFY_FIRST = [
     "nation_set_ops",
     "order_rollup",
     "order_priority_cube",
-    "shipping_priority",
-    # --- the 50-entry window ends here (21 tier-1 + 10 tier-2 + 19
+    # --- the 50-entry window ends here (22 tier-1 + 10 tier-2 + 18
     # tier-3). The names below are tier-3 overflow: also stale
     # (r01-only evidence) but lowest risk (stable TPC-H, unchanged since
     # round 1) — they carry over to the FRONT of the next round's
     # rotation.
+    "shipping_priority",
     "order_value_percentiles",
     "brand_returnflag_pivot",
     "customer_value_ranks",

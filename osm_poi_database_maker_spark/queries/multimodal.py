@@ -192,11 +192,46 @@ GROUP BY doc_id
 """
 
 
+def q_mm_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte statistics over binary payloads through the Arrow-NATIVE
+    batch path (mapInArrow — RecordBatch in/out, no pandas copy), with
+    an exact-integer core (length, sum, min, max of the raw bytes).
+    ASCII-restricted on both sides so the oracle's character codes equal
+    the engine's payload bytes (the audio-energy precedent)."""
+    from ..multimodal import documents_as_image_table, payload_stats_arrow
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.octet_length(F.encode("text", "UTF-8")) == F.length("text")
+    )
+    return payload_stats_arrow(documents_as_image_table(d))
+
+
+ORACLE_PAYLOAD_STATS = """
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  WHERE octet_length(encode(text)) = length(text)
+),
+codes AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+                        c -> ascii(c)) AS cs
+  FROM d
+)
+SELECT doc_id,
+       CAST(len(cs) AS BIGINT) AS n_bytes,
+       CAST(coalesce(list_sum(cs), 0) AS BIGINT) AS byte_sum,
+       CAST(list_min(cs) AS INTEGER) AS min_byte,
+       CAST(list_max(cs) AS INTEGER) AS max_byte
+FROM codes
+"""
+
+
 QUERIES = {
     "mm_image_features": q_mm_image_features,
     "mm_frame_sample": q_mm_frame_sample,
     "mm_resize": q_mm_resize,
     "mm_audio_energy": q_mm_audio_energy,
+    "mm_payload_stats": q_mm_payload_stats,
 }
 
 ORACLES = {
@@ -204,4 +239,5 @@ ORACLES = {
     "mm_frame_sample": ORACLE_FRAME_SAMPLE,
     "mm_resize": ORACLE_RESIZE,
     "mm_audio_energy": ORACLE_AUDIO_ENERGY,
+    "mm_payload_stats": ORACLE_PAYLOAD_STATS,
 }
