@@ -70,6 +70,7 @@ _VERIFY_FIRST = [
     "lineitem_unpivot",
     "nation_lateral_topk",
     "basket_part_affinity",
+    "orders_mom_growth",
     "doc_bigram_pmi",
     "doc_longest_eval_overlap",
     "doc_weighted_sample",
@@ -109,12 +110,12 @@ _VERIFY_FIRST = [
     "customers_without_orders",
     "nation_set_ops",
     "order_rollup",
-    "order_priority_cube",
-    # --- the 50-entry window ends here (22 tier-1 + 10 tier-2 + 18
+    # --- the 50-entry window ends here (23 tier-1 + 10 tier-2 + 17
     # tier-3). The names below are tier-3 overflow: also stale
     # (r01-only evidence) but lowest risk (stable TPC-H, unchanged since
     # round 1) — they carry over to the FRONT of the next round's
     # rotation.
+    "order_priority_cube",
     "shipping_priority",
     "order_value_percentiles",
     "brand_returnflag_pivot",

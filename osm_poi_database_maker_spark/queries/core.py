@@ -625,6 +625,49 @@ JOIN LATERAL (
 """
 
 
+# --- period-over-period growth ---------------------------------------------
+
+def q_orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: monthly order count + revenue
+    with the relative change vs the previous month (lag over the monthly
+    series) — the period-over-period reporting staple.
+
+    Aggregate-then-window: the lag runs over the |months| aggregate
+    series (a single tiny partition by construction), never the orders
+    fact; growth is null for the first month by definition."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum("o_totalprice").alias("rev"),
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("rev").over(w)
+    return monthly.select(
+        "month",
+        "n_orders",
+        F.round("rev", 2).alias("revenue"),
+        F.round((F.col("rev") - prev) / prev, 4).alias("mom_growth"),
+    )
+
+
+ORACLE_MOM = """
+WITH monthly AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         count(*) AS n_orders,
+         sum(o_totalprice) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT month,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       round(rev, 2) AS revenue,
+       round((rev - lag(rev) OVER (ORDER BY month))
+             / lag(rev) OVER (ORDER BY month), 4) AS mom_growth
+FROM monthly
+"""
+
+
 # --- market-basket affinity ------------------------------------------------
 
 _BASKET_MIN_PAIRS = 3
@@ -703,6 +746,7 @@ LIMIT {_BASKET_TOP_K}
 
 QUERIES = {
     "pricing_summary": q_pricing_summary,
+    "orders_mom_growth": q_orders_mom_growth,
     "basket_part_affinity": q_basket_part_affinity,
     "lineitem_unpivot": q_lineitem_unpivot,
     "nation_lateral_topk": q_nation_lateral_topk,
@@ -725,6 +769,7 @@ QUERIES = {
 
 ORACLES = {
     "pricing_summary": ORACLE_PRICING,
+    "orders_mom_growth": ORACLE_MOM,
     "basket_part_affinity": ORACLE_BASKET,
     "lineitem_unpivot": ORACLE_UNPIVOT,
     "nation_lateral_topk": ORACLE_LATERAL,
