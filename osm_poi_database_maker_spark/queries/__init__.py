@@ -67,6 +67,7 @@ _VERIFY_FIRST = [
     "events_markov_transitions",
     "doc_length_histogram",
     "doc_zipf_fit",
+    "doc_hapax_ratio",
     "lineitem_unpivot",
     "nation_lateral_topk",
     "basket_part_affinity",
@@ -109,12 +110,12 @@ _VERIFY_FIRST = [
     "customers_with_urgent_orders",
     "customers_without_orders",
     "nation_set_ops",
-    "order_rollup",
-    # --- the 50-entry window ends here (23 tier-1 + 10 tier-2 + 17
+    # --- the 50-entry window ends here (24 tier-1 + 10 tier-2 + 16
     # tier-3). The names below are tier-3 overflow: also stale
     # (r01-only evidence) but lowest risk (stable TPC-H, unchanged since
     # round 1) — they carry over to the FRONT of the next round's
     # rotation.
+    "order_rollup",
     "order_priority_cube",
     "shipping_priority",
     "order_value_percentiles",

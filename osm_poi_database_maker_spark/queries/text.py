@@ -814,7 +814,10 @@ def q_doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary (freq desc, token asc tie-break — deterministic), and the
     regr_* family reduces map-side like any other aggregate. Output
     rounded to 6; nothing ranks on the regression outputs, so
-    aggregation-order fp noise is absorbed by the rounding."""
+    aggregation-order fp noise is absorbed by the rounding. Honest
+    bound: the global rank is a single-task sort over |vocab| rows —
+    fine through ~10⁸ types; a web-scale open vocabulary would swap in
+    a two-pass rank (per-partition sort + offset by partition counts)."""
     d = load_table(spark, sf_dir, "documents")
     freqs = (
         d.select(F.explode(F.split(F.col("text"), " +")).alias("tok"))
@@ -859,9 +862,58 @@ FROM ranked
 """
 
 
+def q_doc_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary richness per source: type/token ratio and the hapax-
+    legomena share (types occurring exactly once / all types) — template
+    or boilerplate-heavy sources show low hapax ratios, natural prose
+    high ones; a standard corpus-diversity audit.
+
+    Two chained aggregates, both shuffling only (source, token-hash) /
+    (source) keys: per-(source, token) counts (map-side partial first),
+    then the per-source rollup — the raw text never reaches the second
+    aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    tok_counts = (
+        d.select("source", F.explode(F.split(F.col("text"), " +")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    return tok_counts.groupBy("source").agg(
+        F.count("*").alias("n_types"),
+        F.sum("c").alias("n_tokens"),
+        F.sum((F.col("c") == 1).cast("long")).alias("n_hapax"),
+        F.round(F.count("*") / F.sum("c"), 6).alias("type_token_ratio"),
+        F.round(
+            F.sum((F.col("c") == 1).cast("long")) / F.count("*"), 6
+        ).alias("hapax_ratio"),
+    )
+
+
+ORACLE_HAPAX = """
+WITH tc AS (
+  SELECT source, tok, count(*) AS c
+  FROM (SELECT source, unnest(string_split_regex(text, ' +')) AS tok
+        FROM documents)
+  WHERE tok <> ''
+  GROUP BY 1, 2
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS type_token_ratio,
+       round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS hapax_ratio
+FROM tc
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "doc_token_stats": q_doc_token_stats,
     "doc_zipf_fit": q_doc_zipf_fit,
+    "doc_hapax_ratio": q_doc_hapax_ratio,
     "doc_length_histogram": q_doc_length_histogram,
     "doc_bigram_pmi": q_doc_bigram_pmi,
     "doc_bigram_logprob": q_doc_bigram_logprob,
@@ -880,6 +932,7 @@ QUERIES = {
 ORACLES = {
     "doc_token_stats": ORACLE_TOKEN_STATS,
     "doc_zipf_fit": ORACLE_ZIPF,
+    "doc_hapax_ratio": ORACLE_HAPAX,
     "doc_length_histogram": ORACLE_LENGTH_HIST,
     "doc_bigram_pmi": ORACLE_PMI,
     "doc_bigram_logprob": ORACLE_BIGRAM_LL,
