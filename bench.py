@@ -66,16 +66,26 @@ def main() -> None:
 
     timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
     total = round(sum(timings.values()), 3)
+    # Key order matters downstream: the driver's record keeps only the
+    # LAST ~2000 chars of this line, so the headline keys (value, errors,
+    # slowest) go AFTER the large queries dict or they get truncated away.
     out = {
         "metric": "total_query_runtime",
-        "value": total,
         "unit": "sec",
         "queries": timings,
+        "slowest": dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+        ),
         "sf": sf,
         "runs_per_query": n_runs,
+        "n_queries": len(timings),
+        "value": total,
     }
     if errors:
+        # A crashed query shrinks the total silently — flag the run as
+        # partial so totals are only compared between identical query sets.
         out["errors"] = errors
+        out["partial"] = True
     print(json.dumps(out))
 
 

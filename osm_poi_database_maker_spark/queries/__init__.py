@@ -45,76 +45,29 @@ _MODULES = (
 # verification priority, rotated every round so the union of rounds covers
 # the whole registry:
 #
-#   tier 1 — queries with no driver correctness row yet (new this round);
-#   tier 2 — queries whose implementation or oracle changed this round and
-#            need a fresh driver row (round 3: the ten queries the r02 gate
-#            flagged red via the events-ts encoding change, all fixed);
-#   tier 3 — queries whose only driver evidence is ≥2 rounds old
-#            (r02 skipped them under the cap — refresh their rows);
-#   tier 4 — green in the latest round, unchanged; they fill the remaining
+#   tier 1 — queries new this round, or whose implementation/oracle
+#            changed this round, so they need a fresh driver row;
+#   tier 2 — queries whose only driver evidence is ≥2 rounds old, stalest
+#            first (testdata regenerates between rounds, so old rows decay);
+#   tier 3 — green in the latest round, unchanged; they fill the remaining
 #            window slots in cohort order and overflow past the cap.
 #
 # Every registered query keeps a pytest + tools/check.py local gate
 # regardless of window position.
 _VERIFY_FIRST = [
-    # tier 1: new in round 3
-    "events_funnel",
-    "events_retention",
+    # tier 1: implementation or oracle changed in round 4 —
+    # deciles/RFM moved from global ntile to distributed percentile
+    # thresholds, anomaly thresholds on rounded z, ANN queries grew a
+    # recall_vs_exact column, basket affinity grew the skew cap.
     "events_user_deciles",
-    "events_hourly_anomaly",
-    "events_running_totals",
     "events_rfm_segments",
-    "events_markov_transitions",
-    "doc_length_histogram",
-    "doc_zipf_fit",
-    "doc_hapax_ratio",
-    "lineitem_unpivot",
-    "nation_lateral_topk",
-    "basket_part_affinity",
-    "orders_mom_growth",
-    "doc_bigram_pmi",
-    "doc_longest_eval_overlap",
-    "doc_weighted_sample",
-    "doc_dedup_survivors",
-    "doc_graph_pagerank",
-    "emb_norm_quantiles",
-    "emb_centroid_distances",
-    "emb_kmeans_iterations",
-    "mm_audio_energy",
-    "mm_payload_stats",
-    # tier 2: red in CORRECTNESS_r02 (events-ts encoding), fixed this round
-    "events_incident_windows",
-    "events_hourly_window",
-    "events_sliding_window",
-    "events_session_windows",
-    "events_asof_join",
-    "events_gap_stats",
-    "stream_hourly_window",
-    "stream_sliding_window",
-    "stream_session_windows",
-    "stream_stream_attribution",
-    # tier 3: last driver row is CORRECTNESS_r01 (r02 capped them out)
-    "doc_simhash_pairs",
-    "doc_dedup_clusters",
-    "emb_cosine_topk",
+    "events_hourly_anomaly",
     "emb_ann_topk",
-    "emb_cosine_neardup_pairs",
-    "osm_toi_dim",
-    "osm_poi_nodes",
-    "osm_way_assembly",
-    "osm_ways_centroids",
-    "osm_spatial_bbox",
-    "pricing_summary",
-    "revenue_by_nation",
-    "top_orders_per_customer",
-    "customers_with_urgent_orders",
-    "customers_without_orders",
-    "nation_set_ops",
-    # --- the 50-entry window ends here (24 tier-1 + 10 tier-2 + 16
-    # tier-3). The names below are tier-3 overflow: also stale
-    # (r01-only evidence) but lowest risk (stable TPC-H, unchanged since
-    # round 1) — they carry over to the FRONT of the next round's
-    # rotation.
+    "emb_ivf_topk",
+    "basket_part_affinity",
+    # tier 2a: last driver row is CORRECTNESS_r01 (three rounds stale;
+    # re-verified locally each round, but the driver row is the hard
+    # signal).
     "order_rollup",
     "order_priority_cube",
     "shipping_priority",
@@ -124,6 +77,51 @@ _VERIFY_FIRST = [
     "order_grouping_sets",
     "orders_above_customer_avg",
     "top_suppliers_by_revenue",
+    # tier 2b: last driver row is CORRECTNESS_r02 (two rounds stale),
+    # in r02 cohort order.
+    "orders_pk_audit",
+    "events_toi_pipeline",
+    "events_tag_explode",
+    "events_exclude_superset",
+    "events_hstore_projection",
+    "events_sketch_stats",
+    "events_time_rollup",
+    "doc_token_stats",
+    "doc_quality_score",
+    "doc_lang_id",
+    "doc_fingerprint",
+    "doc_token_regex",
+    "doc_tfidf_top_terms",
+    "doc_chunk_windows",
+    "doc_repetition_stats",
+    "doc_stratified_sample",
+    "doc_exact_dedup",
+    "doc_ngram_jaccard_pairs",
+    "doc_minhash_pairs",
+    "doc_pack_sequences",
+    "doc_pii_scrub",
+    "doc_decontaminate",
+    "doc_mixture_sample",
+    "doc_shuffle_shards",
+    "doc_curation_pipeline",
+    "doc_bigram_logprob",
+    "emb_int8_quantize",
+    "emb_label_centroids",
+    "osm_relation_areas",
+    "osm_mp_centroids",
+    "osm_poi_nodes_noname",
+    "osm_pbf_scan",
+    "osm_xml_scan",
+    "stream_stateful_user_totals",
+    "stream_dedup_watermark",
+    # --- the 50-entry window ends here (6 tier-1 + 9 tier-2a + 35
+    # tier-2b). Below: tier-2b overflow (r02 evidence, lowest risk —
+    # heavily pytest-gated, unchanged since r2) — they go to the FRONT
+    # of round 5's rotation.
+    "stream_static_join",
+    "mm_image_features",
+    "mm_frame_sample",
+    "mm_resize",
 ]
 
 # tier 4 cohort order: non-core modules first, core last.

@@ -149,6 +149,22 @@ def test_running_totals_monotone(spark):
     assert all(abs(v.frac_of_total - 1.0) < 1e-9 for v in by_type.values())
 
 
+def test_deciles_rfm_plans_have_no_window(spark):
+    """The round-3 verdict's one remaining scale-killer was a global-sort
+    ntile Window (all per-user rows in ONE task) in the decile/RFM
+    scorers. The percentile-threshold rewrite must keep their physical
+    plans Window-free: boundaries come from a distributed 1-row
+    aggregate, assignment from a broadcast join + array expression."""
+    from osm_poi_database_maker_spark.queries.behavior import (
+        q_events_rfm_segments,
+        q_events_user_deciles,
+    )
+
+    for q in (q_events_user_deciles, q_events_rfm_segments):
+        plan = q(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, q.__name__
+
+
 def test_rfm_segments_cover_all_purchasers(spark):
     from pyspark.sql import functions as F
 
