@@ -130,6 +130,7 @@ def ivf_topk(
     k: int = 10,
     n_cells: int = 16,
     n_probe: int = 4,
+    n_assign: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -137,10 +138,16 @@ def ivf_topk(
     ``n_cells`` centroid cells, probe each query's ``n_probe`` nearest
     cells, exact-rerank the candidates.
 
+    ``n_assign`` > 1 indexes each collection vector in its ``n_assign``
+    nearest cells (standard IVF redundancy / spill assignment): storage
+    and scan grow by that factor, but recall rises sharply on corpora
+    whose neighbors straddle cell boundaries — near-uniform vectors,
+    ANN's worst case, need it; well-clustered real embeddings don't.
+
     Scale path: cell assignment is one numpy matmul per Arrow batch; the
     candidate join is an equi join on the cell id against a broadcast
-    query batch, scanning ~n_probe/n_cells of the collection per query.
-    In a production lakehouse the collection is written
+    query batch, scanning ~n_assign·n_probe/n_cells of the collection
+    per query. In a production lakehouse the collection is written
     ``partitionBy(cell)`` so a query batch becomes a partition-pruned
     scan (the Spark analogue of an IVF inverted list)."""
     cents = train_ivf_centroids(collection, n_cells, id_col=id_col, vec_col=vec_col)
@@ -154,30 +161,43 @@ def ivf_topk(
             .withColumn("cosine", F.lit(None).cast("double"))
             .withColumn("rk", F.lit(None).cast("int"))
         )
-    nearest_cell = nearest_cell_udf(cents)
 
-    @pandas_udf("array<int>")
-    def probe_cells(vecs: pd.Series) -> pd.Series:
-        m = np.array(vecs.tolist(), dtype=np.float64)
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
-        order = np.argsort(-(m @ cents.T), axis=1)[:, :n_probe].astype(np.int32)
-        return pd.Series(list(order))
+    def topcells_udf(n_top: int):
+        @pandas_udf("array<int>")
+        def topcells(vecs: pd.Series) -> pd.Series:
+            m = np.array(vecs.tolist(), dtype=np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            order = np.argsort(-(m @ cents.T), axis=1)[:, :n_top].astype(np.int32)
+            return pd.Series(list(order))
 
+        return topcells
+
+    if n_assign == 1:
+        # single assignment shares THE cell rule with the at-rest layout
+        # writer (layout.write_embeddings_by_cell) via nearest_cell_udf
+        cell_col = nearest_cell_udf(cents)(F.col(vec_col)).alias("cell")
+    else:
+        cell_col = F.explode(
+            topcells_udf(n_assign)(F.col(vec_col))
+        ).alias("cell")
     c = collection.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        nearest_cell(F.col(vec_col)).alias("cell"),
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), cell_col
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+        F.explode(topcells_udf(n_probe)(F.col(vec_col))).alias("cell"),
     )
-    scored = (
-        c.join(F.broadcast(q), "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
+    cand = c.join(F.broadcast(q), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
     )
+    if n_assign > 1:
+        # multi-assignment can surface the same (query, neighbor) pair
+        # from several probed cells — dedup before the rank window (with
+        # single assignment each neighbor lives in exactly one cell, so
+        # the extra exchange is skipped)
+        cand = cand.dropDuplicates(["query_id", "neighbor_id"])
+    scored = cand.withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
     w = Window.partitionBy("query_id").orderBy(F.desc(F.round("cosine", 6)), F.asc("neighbor_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))

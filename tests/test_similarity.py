@@ -46,6 +46,24 @@ def test_ivf_recall_vs_exact(spark):
     assert recall >= 0.5, f"IVF recall too low: {recall}"
 
 
+def test_registry_ann_queries_carry_recall_column(spark):
+    """The driver's rows-only gate for emb_ann_topk / emb_ivf_topk can't
+    hash-compare (engine-side hash families), so the queries embed their
+    own semantic audit: every emitted row carries recall_vs_exact — the
+    per-query overlap with the oracle-checked exact top-k."""
+    from osm_poi_database_maker_spark.queries.similarity import (
+        q_emb_ann_topk,
+        q_emb_ivf_topk,
+    )
+
+    for q, floor in ((q_emb_ann_topk, 0.95), (q_emb_ivf_topk, 0.95)):
+        rows = q(spark, SF_SMOKE).collect()
+        assert rows, q.__name__
+        assert all(0.0 <= r.recall_vs_exact <= 1.0 for r in rows)
+        mean_recall = sum(r.recall_vs_exact for r in rows) / len(rows)
+        assert mean_recall >= floor, f"{q.__name__}: {mean_recall}"
+
+
 def test_cosine_neardup_pairs_symmetric_blocks(spark):
     from osm_poi_database_maker_spark.similarity import cosine_neardup_pairs
 
