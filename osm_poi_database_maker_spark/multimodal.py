@@ -173,7 +173,10 @@ def pcm_frame_energy(
             out_idx: list = []
             out_ss: list = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload)
+                # NULL payload rows (possible in a general audio table,
+                # not the text fixture) contribute zero frames instead of
+                # a TypeError — same null stance as payload_stats_arrow
+                b = bytes(payload or b"")
                 v = np.frombuffer(b[: (len(b) // 2) * 2], dtype="<i2").astype(
                     np.int64
                 )

@@ -185,16 +185,39 @@ def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Three downstream operators (clusters, survivors, pagerank) consume the
 # same near-dup pair set; memoize its lazily-checkpointed form per
-# (Spark application, sf_dir) so a session running several of them — the
-# driver gate, bench, a real pipeline — computes the pair generator once.
-# Results are identical with or without the cache (same DataFrame), and
-# q_doc_ngram_jaccard_pairs itself stays un-memoized so its own bench
-# line keeps measuring the raw operator.
-_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+# (Spark application, sf_dir, fixture mtime) so a session running several
+# of them — the driver gate, bench, a real pipeline — computes the pair
+# generator once. Results are identical with or without the cache (same
+# DataFrame), and q_doc_ngram_jaccard_pairs itself stays un-memoized so
+# its own bench line keeps measuring the raw operator. The mtime token
+# guards a long-lived session whose fixture dir gets REWRITTEN: the key
+# changes, so stale lazily-checkpointed pairs can't be served.
+_PAIRS_CACHE: dict[tuple[str, str, float], DataFrame] = {}
+
+
+def _documents_mtime(sf_dir: str) -> float:
+    """Newest mtime under the documents fixture (file or directory-of-
+    parts) — cheap (one or a few stat calls) and changes whenever the
+    fixture is regenerated."""
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        newest = os.path.getmtime(path)
+        if os.path.isdir(path):
+            for entry in os.scandir(path):
+                newest = max(newest, entry.stat().st_mtime)
+        return newest
+    except OSError:
+        return -1.0
 
 
 def _ngram_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _documents_mtime(sf_dir),
+    )
     df = _PAIRS_CACHE.get(key)
     if df is None:
         df = q_doc_ngram_jaccard_pairs(spark, sf_dir).localCheckpoint(eager=False)

@@ -177,6 +177,12 @@ def _session_timeout_fn(gap_us: int):
             return
         rows = pd.concat(list(pdfs)).sort_values("us")
         closed = []
+        # open accumulator for DIRECT-EMIT late events (see below): two
+        # such events within gap of each other must merge into one
+        # session before emitting (batch session_window would merge
+        # them) — they arrive in ascending us order, so consecutive
+        # chaining is exactly batch sessionization over that subset
+        late = None  # (l_start, l_last, l_n, l_total)
         start, last, n, total = state.get if state.exists else (None, None, 0, 0.0)
         for us, val in zip(rows["us"], rows["value"]):
             us = int(us)
@@ -190,8 +196,14 @@ def _session_timeout_fn(gap_us: int):
                 # earliest member: it belongs to an earlier session, never
                 # this one. The delay<=gap construction constraint means
                 # any event that could still merge with it is below the
-                # watermark, so it is complete — emit it directly.
-                closed.append((us, 1, float(val)))
+                # watermark, so it is complete — emit it (chained against
+                # any directly-preceding late event it merges with).
+                if late is not None and us - late[1] < gap_us:
+                    late = (late[0], us, late[2] + 1, late[3] + float(val))
+                else:
+                    if late is not None:
+                        closed.append((late[0], late[2], late[3]))
+                    late = (us, us, 1, float(val))
             elif us - last < gap_us:
                 # merge; a late-but-within-watermark event from an earlier
                 # batch may precede the open session — extend BACKWARD
@@ -206,6 +218,8 @@ def _session_timeout_fn(gap_us: int):
             else:
                 closed.append((start, n, total))
                 start, last, n, total = us, us, 1, float(val)
+        if late is not None:
+            closed.append((late[0], late[2], late[3]))
         state.update((start, last, n, total))
         # event-time timeout: fire when the watermark passes the gap
         # horizon of the still-open session (timestamp in millis). A very

@@ -194,3 +194,33 @@ def test_pagerank_star_graph(spark, monkeypatch):
     assert got[1] > max(got[2], got[3], got[4])
     assert got[2] == got[3] == got[4]
     assert abs(sum(got.values()) - 1.0) < 1e-4
+
+
+def test_pairs_cache_invalidated_by_fixture_rewrite(spark, tmp_path):
+    """_PAIRS_CACHE keys on the documents fixture's mtime: rewriting the
+    fixture dir within one Spark application must produce a fresh pair
+    set, not a stale lazily-checkpointed one."""
+    import os
+    import shutil
+
+    from osm_poi_database_maker_spark.queries import dedup as D
+    from tests.conftest import SF_SMOKE
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    shutil.copytree(
+        os.path.join(SF_SMOKE, "documents.parquet"),
+        os.path.join(sf, "documents.parquet"),
+    ) if os.path.isdir(os.path.join(SF_SMOKE, "documents.parquet")) else shutil.copy(
+        os.path.join(SF_SMOKE, "documents.parquet"),
+        os.path.join(sf, "documents.parquet"),
+    )
+    D._ngram_pairs_cached(spark, sf)
+    n_before = len(D._PAIRS_CACHE)
+    # same dir, untouched -> cache hit
+    D._ngram_pairs_cached(spark, sf)
+    assert len(D._PAIRS_CACHE) == n_before
+    # rewrite (mtime bump) -> new key, fresh pairs
+    os.utime(os.path.join(sf, "documents.parquet"))
+    D._ngram_pairs_cached(spark, sf)
+    assert len(D._PAIRS_CACHE) == n_before + 1

@@ -150,12 +150,15 @@ def test_pcm_frame_energy_exact(spark):
     tail = [5, 6, 7]  # 3 extra samples: not a full frame
     payload = struct.pack(f"<{len(samples) + len(tail)}h", *(samples + tail))
     payload += b"\x7f"  # odd trailing byte
-    df = spark.createDataFrame([(1, bytearray(payload)), (2, bytearray(b"\x01\x02"))],
-                               "doc_id long, payload binary")
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b"\x01\x02")), (3, None)],
+        "doc_id long, payload binary",
+    )
     got = {(r.doc_id, r.frame_idx): r.sum_sq
            for r in pcm_frame_energy(df, 16).collect()}
     expected = sum(v * v for v in samples)
-    # doc 2 has 1 sample -> zero full frames -> absent
+    # doc 2 has 1 sample -> zero full frames -> absent; doc 3's NULL
+    # payload contributes zero frames instead of crashing
     assert got == {(1, 0): expected}
 
 

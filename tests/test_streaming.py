@@ -285,3 +285,61 @@ def test_session_timeout_late_event_extends_backward(spark, tmp_path):
     closed = {(r.session_start_us, r.n_events, r.sum_value) for r in got}
     want_start = int(m(95).replace(tzinfo=datetime.timezone.utc).timestamp()) * 1_000_000
     assert (want_start, 2, 3.0) in closed, got
+
+
+def test_session_timeout_merges_consecutive_direct_emit_lates():
+    """Two direct-emit late events (both more than gap before the open
+    session's start) that are within gap of EACH OTHER must merge into
+    one emitted session — batch session_window would merge them.
+    Drives the state function directly with a fake GroupState."""
+    import pandas as pd
+
+    from osm_poi_database_maker_spark.streaming import _session_timeout_fn
+
+    class FakeState:
+        def __init__(self, tup):
+            self._t = tup
+            self.hasTimedOut = False
+            self.exists = tup is not None
+
+        @property
+        def get(self):
+            return self._t
+
+        def update(self, tup):
+            self._t = tup
+
+        def remove(self):
+            self._t, self.exists = None, False
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_ms = ms
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+    gap = 30 * 60 * 1_000_000  # 30 min in us
+    s0 = 100 * gap  # open session start
+    state = FakeState((s0, s0, 3, 5.0))
+    # both more than gap before s0; 10us apart -> one merged session
+    us1, us2 = s0 - 2 * gap, s0 - 2 * gap + 10
+    fn = _session_timeout_fn(gap)
+    batch = pd.DataFrame({"us": [us1, us2], "value": [1.0, 2.0]})
+    out = pd.concat(list(fn((7,), iter([batch]), state)))
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (
+        row.session_start_us == us1
+        and row.n_events == 2
+        and row.sum_value == 3.0
+    )
+    # the open session is untouched
+    assert state.get == (s0, s0, 3, 5.0)
+
+    # control: two lates separated by >= gap stay separate sessions
+    state2 = FakeState((s0, s0, 3, 5.0))
+    batch2 = pd.DataFrame(
+        {"us": [s0 - 3 * gap, s0 - 2 * gap + 10], "value": [1.0, 2.0]}
+    )
+    out2 = pd.concat(list(fn((7,), iter([batch2]), state2)))
+    assert len(out2) == 2 and list(out2.n_events) == [1, 1]
