@@ -61,6 +61,27 @@ def wkb_point_hex(lon: pd.Series, lat: pd.Series) -> pd.Series:
 
 
 @pandas_udf(T.StringType())
+def wkb_linestring_hex(points: pd.Series) -> pd.Series:
+    """array<struct<lon,lat>> → hex WKB LINESTRING, little-endian.
+
+    Layout: 01 | 02000000 | npoints | (f8 lon, f8 lat)*. The geometry the
+    reference's ways table stores in its ``linestring`` column
+    (filter.py:43, the per-table geom column switch). NULL input or
+    fewer than 2 points yields NULL (O7 quarantine contract). Coordinate
+    payload packs as one numpy buffer per row, like the sibling codecs.
+    """
+    import struct
+
+    def enc(pts):
+        if pts is None or len(pts) < 2:
+            return None
+        arr = np.array([(p["lon"], p["lat"]) for p in pts], dtype="<f8")
+        return (struct.pack("<BII", 1, 2, len(arr)) + arr.tobytes()).hex()
+
+    return points.apply(enc)
+
+
+@pandas_udf(T.StringType())
 def wkb_polygon_hex(rings: pd.Series) -> pd.Series:
     """array<struct<lon,lat>> (single closed outer ring) → hex WKB POLYGON.
 

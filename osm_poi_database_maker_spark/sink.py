@@ -30,6 +30,23 @@ from pyspark.sql import functions as F
 #: the geometry column is ``geom`` for nodes and ``linestring`` for ways
 #: (filter.py:43).
 NODE_COPY_COLUMNS = ("id", "version", "user_id", "tstamp", "changeset_id", "tags_hstore", "geom")
+#: the ways table carries the same fields but stores its geometry in a
+#: ``linestring`` column — the DataFrame side keeps the neutral ``geom``
+#: name and the switch happens in the COPY column list (copy_statement).
+WAY_COPY_COLUMNS = NODE_COPY_COLUMNS
+
+
+def copy_statement(
+    table: str,
+    columns: Sequence[str] = NODE_COPY_COLUMNS,
+    geom_column: str = "geom",
+) -> str:
+    """The exact ``COPY`` SQL the bulk loader issues — factored out of
+    :func:`write_copy_postgres` so the per-table geometry column switch
+    (``geom`` for nodes, ``linestring`` for ways — reference
+    filter.py:43) is golden-testable without a live server."""
+    target_cols = [geom_column if c == "geom" else c for c in columns]
+    return f"COPY {table} ({', '.join(target_cols)}) FROM STDIN WITH (FORMAT text)"
 
 
 def copy_escape(c: Column) -> Column:
@@ -67,8 +84,7 @@ def write_copy_postgres(
     its rows — aggregate throughput scales with partitions until Postgres
     is the bottleneck; `df.repartition(n)` controls the fan-in.
     """
-    target_cols = [geom_column if c == "geom" else c for c in columns]
-    col_list = ", ".join(target_cols)
+    stmt = copy_statement(table, columns, geom_column)
     lines = render_copy_rows(df, columns)
 
     def _write_partition(rows: Iterator) -> None:
@@ -87,9 +103,7 @@ def write_copy_postgres(
                 n += 1
             if n:
                 buf.seek(0)
-                cur.copy_expert(
-                    f"COPY {table} ({col_list}) FROM STDIN WITH (FORMAT text)", buf
-                )
+                cur.copy_expert(stmt, buf)
             conn.commit()
         finally:
             conn.close()

@@ -302,3 +302,67 @@ def test_compact_preserves_hive_partitions(spark, tmp_path):
     assert back.count() == 400
     assert set(back.columns) == {"id", "bucket"}
     assert back.filter(F.col("bucket") == 2).count() == 100
+
+
+def test_ways_copy_linestring_golden(spark):
+    """The ways-table COPY path end-to-end (reference filter.py:43's
+    per-table geometry column switch): the issued COPY statement names
+    `linestring` where the nodes statement names `geom`, the rendered
+    lines' geometry field is valid WKB LINESTRING hex that decodes back
+    to the fixture ring, and the hstore field survives the grammar
+    re-parse — the same adversarial bar the nodes path passes."""
+    import struct
+
+    from osm_poi_database_maker_spark.geo import wkb_linestring_hex
+    from osm_poi_database_maker_spark.ops.tags import hstore_literal
+    from osm_poi_database_maker_spark.sink import (
+        NODE_COPY_COLUMNS,
+        WAY_COPY_COLUMNS,
+        copy_statement,
+    )
+
+    # the statement switch, golden
+    assert copy_statement("nodes", NODE_COPY_COLUMNS) == (
+        "COPY nodes (id, version, user_id, tstamp, changeset_id, "
+        "tags_hstore, geom) FROM STDIN WITH (FORMAT text)"
+    )
+    assert copy_statement(
+        "ways", WAY_COPY_COLUMNS, geom_column="linestring"
+    ) == (
+        "COPY ways (id, version, user_id, tstamp, changeset_id, "
+        "tags_hstore, linestring) FROM STDIN WITH (FORMAT text)"
+    )
+
+    ways = fx.ways_df(spark)
+    rendered = ways.select(
+        "id",
+        "version",
+        "user_id",
+        F.date_format("tstamp", "yyyy-MM-dd HH:mm:ss").alias("tstamp"),
+        "changeset_id",
+        hstore_literal(F.col("tags")).alias("tags_hstore"),
+        wkb_linestring_hex(F.col("ring")).alias("geom"),
+    )
+    lines = {
+        line.split("\t")[0]: line
+        for line in (
+            r.line for r in render_copy_rows(rendered, WAY_COPY_COLUMNS).collect()
+        )
+    }
+    fixture = {w[0]: w for w in fx.WAYS if w[6]}
+    assert set(map(str, fixture)) <= set(lines)
+    w100 = lines["100"].split("\t")
+    assert len(w100) == 7
+    assert w100[:5] == ["100", "1", "201", "2023-05-01 10:30:00", "9101"]
+    # hstore grammar re-parse (ways side of the adversarial bar)
+    assert _parse_hstore(_copy_unescape(w100[5])) == fixture[100][5]
+    # WKB LINESTRING decode: 01 | 02000000 | npts | lon/lat f8 pairs
+    blob = bytes.fromhex(w100[6])
+    endian, gtype, npts = blob[0], *struct.unpack_from("<II", blob, 1)
+    assert (endian, gtype) == (1, 2)
+    pts = [
+        struct.unpack_from("<dd", blob, 9 + 16 * i) for i in range(npts)
+    ]
+    assert pts == fixture[100][6]
+    # rings are closed squares: 5 points, first == last
+    assert npts == 5 and pts[0] == pts[-1]
