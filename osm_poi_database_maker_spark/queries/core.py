@@ -672,6 +672,12 @@ FROM monthly
 
 _BASKET_MIN_PAIRS = 3
 _BASKET_TOP_K = 20
+#: skew guard: one pathological basket must not go quadratic — every
+#: order keeps at most this many (lowest-part-id, deterministic in both
+#: engines) items, bounding the self-join fan-out at CAP²/2 pairs per
+#: order. TPC-H baskets hold ≤7 items and real baskets 10²s, so the cap
+#: never bites normal data; it exists for the one bad order at 100 TB.
+_BASKET_ITEM_CAP = 64
 
 
 def q_basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -684,11 +690,20 @@ def q_basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is ~|orders|·k² rows shuffled on fixed-width part-id pairs;
     marginals and the order total derive from the deduplicated
     (order, part) table, and the top-k ranks on the raw lift ratio (pure
-    IEEE arithmetic, cross-engine-stable) with pair-id tie-breaks."""
+    IEEE arithmetic, cross-engine-stable) with pair-id tie-breaks.
+    A per-order item cap (_BASKET_ITEM_CAP, mirrored in the oracle)
+    bounds the worst basket's fan-out; the cap keeps the lowest part ids
+    so both engines drop the identical rows."""
+    from pyspark.sql import Window
+
+    w_cap = Window.partitionBy("o").orderBy("p")
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
+        .withColumn("rk", F.row_number().over(w_cap))
+        .filter(F.col("rk") <= _BASKET_ITEM_CAP)
+        .drop("rk")
         .localCheckpoint(eager=False)
     )
     n_orders = li.select("o").distinct().agg(F.count("*").alias("n_orders"))
@@ -721,7 +736,12 @@ def q_basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_BASKET = f"""
-WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+WITH li AS (
+  SELECT o, p FROM (
+    SELECT o, p, row_number() OVER (PARTITION BY o ORDER BY p) AS rk
+    FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
+  ) WHERE rk <= {_BASKET_ITEM_CAP}
+),
 n AS (SELECT count(DISTINCT o) AS n_orders FROM li),
 part_n AS (SELECT p, count(*) AS n_p FROM li GROUP BY 1),
 pairs AS (

@@ -57,3 +57,28 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_basket_affinity_hot_order_capped(spark, monkeypatch):
+    """One pathological 200-item basket must not go quadratic: the
+    per-order item cap keeps the lowest _BASKET_ITEM_CAP part ids, so
+    the hot order contributes C(cap,2) pairs, not C(200,2) — and normal
+    baskets are untouched."""
+    from osm_poi_database_maker_spark.queries import core as C
+
+    rows = [(1, p) for p in range(200)]  # hot order: 200 distinct parts
+    rows += [(o, p) for o in (2, 3, 4) for p in (500, 501)]  # normal pairs
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    monkeypatch.setattr(C, "load_table", lambda s, d, n: li)
+    monkeypatch.setattr(C, "_BASKET_MIN_PAIRS", 1)
+    monkeypatch.setattr(C, "_BASKET_TOP_K", 10**6)  # observe the full pair set
+
+    out = C.q_basket_part_affinity(spark, "x").collect()
+    # the normal baskets are untouched by the cap
+    assert any(r.part_a == 500 and r.part_b == 501 and r.n_ab == 3 for r in out)
+    # the hot basket contributes C(cap,2) pairs among the cap lowest part
+    # ids — not C(200,2) = 19900
+    cap = C._BASKET_ITEM_CAP
+    hot_pairs = [r for r in out if r.part_b < 500]
+    assert len(hot_pairs) == cap * (cap - 1) // 2
+    assert all(r.part_a < cap and r.part_b < cap for r in hot_pairs)
