@@ -406,18 +406,38 @@ def q_events_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates — the 100 TB form of distinct counting and
     quantiles: approx_count_distinct (HyperLogLog++, fixed ~KB state,
     mergeable map-side) and approx_percentile (t-digest). Rows-only
-    driver check (sketch estimates are engine-specific);
-    tests/test_entry.py asserts the estimates land within tolerance of
-    the exact values."""
+    driver check (sketch estimates are engine-specific) — so, like the
+    ANN queries' recall column, each row carries its own audit: the
+    EXACT distinct count and median computed beside the sketches, plus
+    the sketch's relative/absolute error. The exact columns are the
+    fixture-scale self-check; at 100 TB they are exactly what the
+    sketches exist to avoid and would be dropped or sampled.
+    tests/test_entry.py asserts the errors land within tolerance."""
     e = load_table(spark, sf_dir, "events")
-    return (
-        e.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-            F.round(F.expr("approx_percentile(value, 0.5)"), 2).alias("p50_value"),
-            F.round(F.expr("approx_percentile(value, 0.95)"), 2).alias("p95_value"),
-            F.count("*").alias("n_events"),
-        )
+    out = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.round(F.expr("approx_percentile(value, 0.5)"), 2).alias("p50_value"),
+        F.round(F.expr("percentile(value, 0.5)"), 2).alias("p50_exact"),
+        F.round(F.expr("approx_percentile(value, 0.95)"), 2).alias("p95_value"),
+        F.count("*").alias("n_events"),
+    )
+    return out.select(
+        "event_type",
+        "approx_users",
+        "exact_users",
+        F.round(
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users"),
+            4,
+        ).alias("users_rel_err"),
+        "p50_value",
+        "p50_exact",
+        F.round(F.abs(F.col("p50_value") - F.col("p50_exact")), 2).alias(
+            "p50_abs_err"
+        ),
+        "p95_value",
+        "n_events",
     )
 
 

@@ -43,6 +43,10 @@ def test_sketch_stats_within_tolerance(spark):
         x = exact[t]
         assert abs(a.approx_users - x.users) / max(x.users, 1) < 0.1
         assert abs(a.p50_value - x.p50) / max(abs(x.p50), 1e-9) < 0.1
+        # the query's own in-band audit columns agree with the
+        # independently computed exact values
+        assert a.exact_users == x.users
+        assert a.users_rel_err < 0.1 and a.p50_abs_err <= abs(0.1 * x.p50) + 0.01
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))
