@@ -55,7 +55,14 @@ _MODULES = (
 # Every registered query keeps a pytest + tools/check.py local gate
 # regardless of window position.
 _VERIFY_FIRST = [
-    # tier 1: implementation or oracle changed in round 4 —
+    # tier 1a: NEW in round 4 — no driver row exists yet.
+    "emb_knn_graph",
+    "emb_semdedup",
+    "doc_dup_ngram_fraction",
+    "events_path_trigrams",
+    "nation_volume_shipping",
+    "orders_scd2_intervals",
+    # tier 1b: implementation or oracle changed in round 4 —
     # deciles/RFM moved from global ntile to distributed percentile
     # thresholds, anomaly thresholds on rounded z, ANN queries grew a
     # recall_vs_exact column, basket affinity grew the skew cap.
@@ -108,16 +115,16 @@ _VERIFY_FIRST = [
     "emb_int8_quantize",
     "emb_label_centroids",
     "osm_relation_areas",
+    # --- the 50-entry window ends here (6 tier-1a + 6 tier-1b +
+    # 9 tier-2a + 29 tier-2b). Below: overflow — r3-green or heavily
+    # pytest-gated entries displaced by the round-4 newcomers; they go
+    # to the FRONT of round 5's rotation.
     "osm_mp_centroids",
     "osm_poi_nodes_noname",
     "osm_pbf_scan",
     "osm_xml_scan",
     "stream_stateful_user_totals",
     "stream_dedup_watermark",
-    # --- the 50-entry window ends here (6 tier-1 + 9 tier-2a + 35
-    # tier-2b). Below: tier-2b overflow (r02 evidence, lowest risk —
-    # heavily pytest-gated, unchanged since r2) — they go to the FRONT
-    # of round 5's rotation.
     "stream_static_join",
     "mm_image_features",
     "mm_frame_sample",

@@ -549,8 +549,71 @@ FROM pairs
 """
 
 
+_PATH_TOP_K = 20
+
+
+def q_events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K most frequent 3-step behavioral paths (event-type trigrams
+    over each user's time-ordered event sequence) — the sequence-mining
+    view behind "what do users do right before purchasing?" questions,
+    and the n-gram companion to the first-order Markov matrix.
+
+    One shuffle on user_id for the two lag windows (event_id breaks
+    timestamp ties deterministically, same convention as the Markov
+    query), then a tiny (≤|types|³) hash aggregate and a global top-K —
+    Spark plans TakeOrderedAndProject, so nothing beyond the trigram
+    counts ever reaches the driver side of the sort. Ties rank
+    lexicographically on the three steps so the emitted set is
+    deterministic across engines."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        e.select(
+            F.lag("event_type", 2).over(w).alias("step1"),
+            F.lag("event_type", 1).over(w).alias("step2"),
+            F.col("event_type").alias("step3"),
+        )
+        .filter(F.col("step1").isNotNull())
+        .groupBy("step1", "step2", "step3")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        tri.orderBy(F.desc("n"), "step1", "step2", "step3")
+        .limit(_PATH_TOP_K)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("n"), "step1", "step2", "step3")
+            ),
+        )
+    )
+
+
+ORACLE_PATH_TRIGRAMS = f"""
+WITH seq AS (
+  SELECT lag(event_type, 2) OVER w AS step1,
+         lag(event_type, 1) OVER w AS step2,
+         event_type AS step3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+tri AS (
+  SELECT step1, step2, step3, count(*) AS n
+  FROM seq WHERE step1 IS NOT NULL
+  GROUP BY 1, 2, 3
+)
+SELECT step1, step2, step3, CAST(n AS BIGINT) AS n,
+       CAST(row_number() OVER (ORDER BY n DESC, step1, step2, step3) AS INT)
+         AS rk
+FROM tri
+ORDER BY n DESC, step1, step2, step3
+LIMIT {_PATH_TOP_K}
+"""
+
+
 QUERIES = {
     "events_funnel": q_events_funnel,
+    "events_path_trigrams": q_events_path_trigrams,
     "events_markov_transitions": q_events_markov_transitions,
     "events_retention": q_events_retention,
     "events_user_deciles": q_events_user_deciles,
@@ -561,6 +624,7 @@ QUERIES = {
 
 ORACLES = {
     "events_funnel": ORACLE_FUNNEL,
+    "events_path_trigrams": ORACLE_PATH_TRIGRAMS,
     "events_markov_transitions": ORACLE_MARKOV,
     "events_retention": ORACLE_RETENTION,
     "events_user_deciles": ORACLE_DECILES,

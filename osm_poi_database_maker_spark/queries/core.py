@@ -105,6 +105,116 @@ GROUP BY r_name, n_name
 """
 
 
+def q_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped volume-shipping: revenue flowing between every
+    ordered (supplier nation → customer nation) pair per ship year —
+    the deepest join tree in the registry (lineitem ⨝ supplier ⨝ orders
+    ⨝ customer ⨝ nation ×2, the two nation dims under distinct aliases).
+
+    Both nation joins broadcast (25 rows); supplier and orders join via
+    shuffle on the fact's own keys, so the fact table is exchanged once
+    per join key and the post-join aggregate is a tiny
+    (|nations|²·|years|) hash agg."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        # exact money arithmetic: price and discount both carry 2
+        # decimals, so price·(1-disc) in 1e-4 currency units is an exact
+        # int64 — the group sum is identical across engines by
+        # construction (double sums here landed on half-cent boundaries
+        # and flipped the last rounded digit between engines)
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                    * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+                )
+                / F.lit(10000.0)
+            ).alias("volume"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+ORACLE_VOLUME_SHIPPING = """
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS ship_year,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
+         AS volume,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+def q_orders_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 interval builder: each
+    customer's order stream becomes a validity-interval history —
+    effective_from = the order's date, effective_to = the next order's
+    date (NULL while current), plus the running order sequence — the
+    standard warehouse pattern for reconstructing "what was the latest
+    state as of T" without a separate CDC system.
+
+    One shuffle on o_custkey for the lead/row_number windows (bounded
+    per customer, never global); o_orderkey breaks same-day ties
+    deterministically. Timestamps leave as formatted strings per the
+    registry's hashing convention."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.row_number().over(w).alias("version_seq"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("effective_from"),
+        F.date_format(nxt, "yyyy-MM-dd").alias("effective_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+        F.round("o_totalprice", 2).alias("totalprice"),
+    )
+
+
+ORACLE_SCD2 = """
+SELECT o_custkey AS custkey,
+       o_orderkey AS orderkey,
+       CAST(row_number() OVER w AS INT) AS version_seq,
+       strftime(o_orderdate, '%Y-%m-%d') AS effective_from,
+       strftime(lead(o_orderdate) OVER w, '%Y-%m-%d') AS effective_to,
+       CASE WHEN lead(o_orderdate) OVER w IS NULL THEN 1 ELSE 0 END
+         AS is_current,
+       round(o_totalprice, 2) AS totalprice
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
 # --- window top-k per group (reference O14's top-100-per-key) --------------
 
 def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -771,6 +881,8 @@ QUERIES = {
     "lineitem_unpivot": q_lineitem_unpivot,
     "nation_lateral_topk": q_nation_lateral_topk,
     "revenue_by_nation": q_revenue_by_nation,
+    "nation_volume_shipping": q_nation_volume_shipping,
+    "orders_scd2_intervals": q_orders_scd2_intervals,
     "top_orders_per_customer": q_top_orders_per_customer,
     "customers_with_urgent_orders": q_customers_with_urgent_orders,
     "customers_without_orders": q_customers_without_orders,
@@ -794,6 +906,8 @@ ORACLES = {
     "lineitem_unpivot": ORACLE_UNPIVOT,
     "nation_lateral_topk": ORACLE_LATERAL,
     "revenue_by_nation": ORACLE_REVENUE,
+    "nation_volume_shipping": ORACLE_VOLUME_SHIPPING,
+    "orders_scd2_intervals": ORACLE_SCD2,
     "top_orders_per_customer": ORACLE_TOP_ORDERS,
     "customers_with_urgent_orders": ORACLE_SEMI,
     "customers_without_orders": ORACLE_ANTI,

@@ -412,16 +412,28 @@ def q_events_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sketch's relative/absolute error. The exact columns are the
     fixture-scale self-check; at 100 TB they are exactly what the
     sketches exist to avoid and would be dropped or sampled.
-    tests/test_entry.py asserts the errors land within tolerance."""
+    tests/test_entry.py asserts the errors land within tolerance.
+
+    Plan note: the exact distinct count runs as its own two-step
+    aggregate (pre-distinct on (type,user) then count) joined back on
+    the 5-row group key — mixing a DISTINCT aggregate into the same
+    agg as the t-digest sketches forces Spark through an Expand +
+    object-aggregate fallback that benched 14× slower at sf0.1."""
     e = load_table(spark, sf_dir, "events")
-    out = e.groupBy("event_type").agg(
+    sk = e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
         F.round(F.expr("approx_percentile(value, 0.5)"), 2).alias("p50_value"),
         F.round(F.expr("percentile(value, 0.5)"), 2).alias("p50_exact"),
         F.round(F.expr("approx_percentile(value, 0.95)"), 2).alias("p95_value"),
         F.count("*").alias("n_events"),
     )
+    exact = (
+        e.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("exact_users"))
+    )
+    out = sk.join(exact, "event_type")
     return out.select(
         "event_type",
         "approx_users",

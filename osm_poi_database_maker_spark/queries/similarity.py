@@ -304,22 +304,14 @@ _KM_K = 8
 _KM_ITERS = 2
 
 
-def q_emb_kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed Lloyd's k-means, 2 fixed iterations (K=8, centroids
-    seeded from the K lowest vec_ids) — the fully-distributed clustering
-    path beside the IVF index's bounded driver-side training: every
-    step (assignment, centroid update) is a join + aggregate over the
-    exploded vector table, so it scales with the data, not the driver.
-
-    Per iteration: assignment joins the (vec,pos,v) table against the
-    broadcast |K|·dim centroid table on pos and min-reduces distance per
-    (vec, centroid); argmin ranks on the distance ROUNDED to 9 decimals
-    with centroid-id tie-break (aggregation-order fp noise ~1e-13 can't
-    flip it); the update re-aggregates member vectors per (cid, pos) and
-    pins the new |K|·dim table with a lazy checkpoint. The iteration
-    count is FIXED so both engines run the identical unrolled dataflow
-    (the convergence-loop pattern lives in dedup_clusters).
-    """
+def _kmeans_final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared Lloyd's-iterations core: returns the final per-vector
+    assignment ``(vec_id, cid, d2)`` after ``_KM_ITERS`` fixed iterations
+    (K=_KM_K, centroids seeded from the K lowest vec_ids). Consumed by
+    both the k-means audit query and the SemDeDup operator, so the
+    cluster geometry both see is identical by construction (and matches
+    the unrolled oracle CTEs byte-for-byte in ranking semantics:
+    distances rounded to 9 decimals, centroid-id tie-break)."""
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -356,7 +348,26 @@ def q_emb_kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.avg("v").alias("c"))
             .localCheckpoint(eager=False)
         )
-    final = _assign(cent)
+    return _assign(cent).select("vec_id", "cid", "d2")
+
+
+def q_emb_kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means, 2 fixed iterations (K=8, centroids
+    seeded from the K lowest vec_ids) — the fully-distributed clustering
+    path beside the IVF index's bounded driver-side training: every
+    step (assignment, centroid update) is a join + aggregate over the
+    exploded vector table, so it scales with the data, not the driver.
+
+    Per iteration: assignment joins the (vec,pos,v) table against the
+    broadcast |K|·dim centroid table on pos and min-reduces distance per
+    (vec, centroid); argmin ranks on the distance ROUNDED to 9 decimals
+    with centroid-id tie-break (aggregation-order fp noise ~1e-13 can't
+    flip it); the update re-aggregates member vectors per (cid, pos) and
+    pins the new |K|·dim table with a lazy checkpoint. The iteration
+    count is FIXED so both engines run the identical unrolled dataflow
+    (the convergence-loop pattern lives in dedup_clusters).
+    """
+    final = _kmeans_final_assignment(spark, sf_dir)
     return final.groupBy(F.col("cid").alias("cluster_id")).agg(
         F.count("*").alias("n_vecs"),
         F.round(F.avg("d2"), 4).alias("avg_dist2"),
@@ -385,8 +396,10 @@ cent{k} AS (
 )"""
 
 
-ORACLE_KMEANS = f"""
-WITH el AS (
+# the unrolled-iteration CTE chain ending in fin(vec_id, cid, d2) — shared
+# by the k-means audit oracle and the SemDeDup oracle, mirroring the
+# shared _kmeans_final_assignment on the Spark side
+_KM_CTES = f"""el AS (
   SELECT vec_id,
          generate_subscripts(embedding, 1) - 1 AS pos,
          CAST(unnest(embedding) AS DOUBLE) AS v
@@ -408,7 +421,11 @@ fin AS (
       GROUP BY 1, 2
     ) d
   ) WHERE rk = 1
-)
+)"""
+
+
+ORACLE_KMEANS = f"""
+WITH {_KM_CTES}
 SELECT cid AS cluster_id,
        CAST(count(*) AS BIGINT) AS n_vecs,
        round(avg(d2), 4) AS avg_dist2,
@@ -418,8 +435,122 @@ GROUP BY 1
 """
 
 
+_KNN_K = 3
+
+
+def q_emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN graph (k=3) over the whole collection — every vector's
+    3 most cosine-similar neighbors, the input graph for mutual-kNN
+    clustering and graph-based dedup. Unlike emb_cosine_topk (small
+    query batch, broadcast), this is all-to-all: the blocked-matmul
+    local-top-k reduction in similarity.knn_graph keeps the candidate
+    volume at n·B·k rows regardless of pair density. Ranked on cosine
+    rounded to 6 with neighbor-id tie-break in both engines."""
+    from ..similarity import knn_graph
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return knn_graph(e, k=_KNN_K)
+
+
+ORACLE_KNN_GRAPH = f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(a.v, b.v) AS cos
+  FROM emb a JOIN emb b ON a.vec_id <> b.vec_id
+)
+SELECT vec_id, neighbor_id, round(cos, 4) AS cosine, CAST(rk AS INT) AS rk
+FROM (
+  SELECT vec_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rk
+  FROM scored
+)
+WHERE rk <= {_KNN_K}
+"""
+
+
+_SEMDEDUP_TAU = 0.3
+
+
+def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by k-means
+    clustering followed by WITHIN-CLUSTER cosine near-dup removal — the
+    embedding-space analogue of MinHash dedup, standard in LLM
+    training-data curation. A vector is dropped when a lower-id vector
+    in the same cluster has cosine ≥ τ with it (deterministic keep-min
+    rule, mirroring doc_exact_dedup's survivor convention). Emits one
+    row per vector: cluster id + drop decision.
+
+    Scale shape: clustering reuses the fully-distributed Lloyd's core
+    (fixed iterations, broadcast |K|·dim centroids); the quadratic
+    cosine stage is confined within clusters — exactly why SemDeDup
+    clusters first — and runs as ONE numpy matmul per cluster inside
+    applyInPandas (an expression-tree pair join over the same cells
+    benched 4× slower), bounded by the cell-size cap chosen at indexing
+    time; the exchange is a single hash partition on cid. Cosines
+    threshold on the value rounded to 4 decimals (away from zero, both
+    engines), so the drop set is identical across engines."""
+    import numpy as np
+    import pandas as pd
+
+    asg = _kmeans_final_assignment(spark, sf_dir).select("vec_id", "cid")
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def dedup_cluster(key, pdf):
+        # one Arrow batch per cluster: the pairwise stage is a single
+        # numpy matmul over the cell (the cell-size cap bounds it), with
+        # the same away-from-zero 4-decimal rounding as F.round/DuckDB
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.array(pdf["embedding"].to_numpy()[order].tolist(), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        raw = m @ m.T
+        cos4 = np.sign(raw) * np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4
+        near = np.tril(cos4 >= _SEMDEDUP_TAU, k=-1)  # [j, i<j] with id asc
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster_id": np.full(len(ids), key[0], dtype=np.int64),
+                "dropped": near.any(axis=1).astype(np.int32),
+            }
+        )
+
+    return (
+        asg.join(e, "vec_id")
+        .groupBy("cid")
+        .applyInPandas(dedup_cluster, "vec_id long, cluster_id long, dropped int")
+    )
+
+
+ORACLE_SEMDEDUP = f"""
+WITH {_KM_CTES},
+emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+pairs AS (
+  SELECT b.vec_id AS drop_id
+  FROM fin a JOIN fin b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN emb ea ON ea.vec_id = a.vec_id
+  JOIN emb eb ON eb.vec_id = b.vec_id
+  WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= {_SEMDEDUP_TAU}
+)
+SELECT f.vec_id, f.cid AS cluster_id,
+       CASE WHEN d.drop_id IS NULL THEN 0 ELSE 1 END AS dropped
+FROM fin f
+LEFT JOIN (SELECT DISTINCT drop_id FROM pairs) d ON d.drop_id = f.vec_id
+"""
+
+
 QUERIES = {
     "emb_cosine_topk": q_emb_cosine_topk,
+    "emb_knn_graph": q_emb_knn_graph,
+    "emb_semdedup": q_emb_semdedup,
     "emb_kmeans_iterations": q_emb_kmeans_iterations,
     "emb_norm_quantiles": q_emb_norm_quantiles,
     "emb_centroid_distances": q_emb_centroid_distances,
@@ -430,6 +561,8 @@ QUERIES = {
 
 ORACLES = {
     "emb_cosine_topk": ORACLE_COSINE,
+    "emb_knn_graph": ORACLE_KNN_GRAPH,
+    "emb_semdedup": ORACLE_SEMDEDUP,
     "emb_kmeans_iterations": ORACLE_KMEANS,
     "emb_norm_quantiles": ORACLE_NORM_QUANTILES,
     "emb_centroid_distances": ORACLE_CENTROID_DIST,

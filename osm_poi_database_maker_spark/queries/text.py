@@ -910,8 +910,126 @@ GROUP BY 1
 """
 
 
+_DUP_N = 3  # n-gram width for the duplicate-coverage signal
+
+
+def q_doc_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicate n-gram coverage: per document, the fraction
+    of tokens covered by at least one trigram that occurs ≥2× WITHIN the
+    document — the "fraction of characters in duplicate n-grams" filter
+    from the Gopher/MassiveText quality rules, the strongest
+    template/boilerplate signal after `doc_repetition_stats`'s
+    token-level ratios.
+
+    Coverage is an exact interval union (each duplicate trigram
+    occurrence covers positions [p, p+2]): classic gaps-and-islands —
+    per-doc running max of interval ends marks island starts, a running
+    sum numbers the islands, and per-island extents sum to the covered
+    token count. All windows partition on doc_id (bounded by document
+    length, never global) and all arithmetic is integer, so the result
+    hashes identically across engines. Plan: one explode + per-doc
+    windows + two hash aggregates — one doc_id shuffle reused
+    throughout."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " +")).alias("pos", "tok")
+    )
+    w_seq = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        toks.withColumn("t2", F.lead("tok", 1).over(w_seq))
+        .withColumn("t3", F.lead("tok", 2).over(w_seq))
+        .filter(F.col("t3").isNotNull())
+        .select(
+            "doc_id", "pos", F.concat_ws(" ", "tok", "t2", "t3").alias("gram")
+        )
+    )
+    dup_occ = (
+        grams.withColumn(
+            "n_occ", F.count("*").over(Window.partitionBy("doc_id", "gram"))
+        )
+        .filter(F.col("n_occ") >= 2)
+        .select("doc_id", F.col("pos").alias("s"), (F.col("pos") + _DUP_N - 1).alias("e"))
+    )
+    w_isl = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(w_isl.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (
+        dup_occ.withColumn(
+            "new_isl",
+            F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1).otherwise(0),
+        )
+        .withColumn(
+            "isl",
+            F.sum("new_isl").over(w_isl.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "isl")
+        .agg((F.max("e") - F.min("s") + 1).alias("covered"))
+        .groupBy("doc_id")
+        .agg(F.sum("covered").alias("dup_tokens"))
+    )
+    totals = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    return totals.join(islands, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"),
+        F.round(
+            F.coalesce(F.col("dup_tokens"), F.lit(0)) / F.col("n_tokens"), 4
+        ).alias("dup_fraction"),
+    )
+
+
+ORACLE_DUP_NGRAM = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(text, ' +')) AS tok,
+         generate_subscripts(string_split_regex(text, ' +'), 1) - 1 AS pos
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, pos,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS gram
+  FROM toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(tok, 2) OVER w IS NOT NULL
+),
+dup_occ AS (
+  SELECT doc_id, pos AS s, pos + {_DUP_N - 1} AS e
+  FROM grams
+  QUALIFY count(*) OVER (PARTITION BY doc_id, gram) >= 2
+),
+isl AS (
+  SELECT doc_id, s, e,
+         sum(CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM (
+    SELECT doc_id, s, e,
+           max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prev_max_e
+    FROM dup_occ
+  )
+),
+cov AS (
+  SELECT doc_id, sum(covered) AS dup_tokens
+  FROM (
+    SELECT doc_id, isl, max(e) - min(s) + 1 AS covered
+    FROM isl GROUP BY 1, 2
+  )
+  GROUP BY 1
+),
+totals AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY 1)
+SELECT t.doc_id,
+       CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       round(coalesce(c.dup_tokens, 0) / CAST(t.n_tokens AS DOUBLE), 4)
+         AS dup_fraction
+FROM totals t LEFT JOIN cov c ON c.doc_id = t.doc_id
+"""
+
+
 QUERIES = {
     "doc_token_stats": q_doc_token_stats,
+    "doc_dup_ngram_fraction": q_doc_dup_ngram_fraction,
     "doc_zipf_fit": q_doc_zipf_fit,
     "doc_hapax_ratio": q_doc_hapax_ratio,
     "doc_length_histogram": q_doc_length_histogram,
@@ -931,6 +1049,7 @@ QUERIES = {
 
 ORACLES = {
     "doc_token_stats": ORACLE_TOKEN_STATS,
+    "doc_dup_ngram_fraction": ORACLE_DUP_NGRAM,
     "doc_zipf_fit": ORACLE_ZIPF,
     "doc_hapax_ratio": ORACLE_HAPAX,
     "doc_length_histogram": ORACLE_LENGTH_HIST,

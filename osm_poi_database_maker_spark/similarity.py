@@ -278,6 +278,114 @@ def cosine_neardup_pairs(
     )
 
 
+def knn_graph(
+    collection: DataFrame,
+    k: int = 3,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact k-nearest-neighbor graph: for EVERY vector, its k most
+    cosine-similar other vectors — the all-to-all sibling of
+    :func:`cosine_topk` (whose query side is a small batch) and the
+    input graph for semantic clustering / mutual-kNN community ops.
+
+    Same blocked-matmul decomposition as :func:`cosine_neardup_pairs`
+    (ids hash into ``n_blocks``, each of the (B²+B)/2 block pairs is one
+    ``applyInPandas`` numpy matmul), but instead of thresholding, each
+    block pair emits a LOCAL top-k per row on either side, ranked on the
+    cosine rounded to 6 decimals (half away from zero, matching
+    ``F.round``) with neighbor-id tie-break — the identical key the
+    global per-id window uses, so every global winner survives its local
+    block and the reduction is exact. Candidate volume entering the
+    final window is ≤ n·B·k rows, independent of pair density; the
+    shuffle replication factor B is the inherent cost of an exact
+    quadratic scan — for corpora beyond it, :func:`ann_topk` per vector
+    is the scale path.
+    """
+    spark = collection.sparkSession
+    e = collection.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    block_pairs = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
+    bp = spark.createDataFrame(block_pairs, "bi int, bj int")
+    left = e.join(F.broadcast(bp), e.blk == bp.bi).select(
+        "bi", "bj", F.lit("a").alias("side"), "id", "vec"
+    )
+    right = e.join(
+        F.broadcast(bp.filter(F.col("bi") != F.col("bj"))), e.blk == bp.bj
+    ).select("bi", "bj", F.lit("b").alias("side"), "id", "vec")
+
+    def local_topk(key, pdf):
+        bi, bj = key
+        a = pdf[pdf["side"] == "a"]
+        b = a if bi == bj else pdf[pdf["side"] == "b"]
+        empty = pd.DataFrame({"id": [], "neighbor_id": [], "cos6": [], "cos_raw": []}).astype(
+            {"id": "int64", "neighbor_id": "int64", "cos6": "float64", "cos_raw": "float64"}
+        )
+        if len(a) == 0 or len(b) == 0:
+            return empty
+        out = []
+
+        def emit(qids, qm, cids, cm, exclude_self):
+            # candidate columns pre-sorted by id asc, so a stable argsort
+            # of the negated rounded cosine yields id-asc tie-breaks
+            order = np.argsort(cids, kind="stable")
+            cids_s, cm_s = cids[order], cm[order]
+            raw = qm @ cm_s.T
+            cos6 = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
+            if exclude_self:
+                cos6 = np.where(qids[:, None] == cids_s[None, :], -np.inf, cos6)
+            sel = np.argsort(-cos6, axis=1, kind="stable")[:, :k]
+            rows = np.repeat(np.arange(len(qids)), sel.shape[1])
+            cols = sel.ravel()
+            keep = np.isfinite(cos6[rows, cols])
+            out.append(
+                pd.DataFrame(
+                    {
+                        "id": qids[rows][keep],
+                        "neighbor_id": cids_s[cols][keep],
+                        "cos6": cos6[rows, cols][keep],
+                        "cos_raw": raw[rows, cols][keep],
+                    }
+                )
+            )
+
+        ma = np.array(a["vec"].tolist(), dtype=np.float64)
+        ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+        ida = a["id"].to_numpy()
+        if bi == bj:
+            emit(ida, ma, ida, ma, exclude_self=True)
+        else:
+            mb = np.array(b["vec"].tolist(), dtype=np.float64)
+            mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+            idb = b["id"].to_numpy()
+            emit(ida, ma, idb, mb, exclude_self=False)
+            emit(idb, mb, ida, ma, exclude_self=False)
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    cand = (
+        left.unionByName(right)
+        .groupBy("bi", "bj")
+        .applyInPandas(
+            local_topk, "id long, neighbor_id long, cos6 double, cos_raw double"
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cos6"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("id").alias(id_col),
+            "neighbor_id",
+            F.round("cos_raw", 4).alias("cosine"),
+            "rk",
+        )
+    )
+
+
 def _planes(n_tables: int, n_bits: int, dim: int, seed: int = 42) -> list[list[list[float]]]:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((n_tables, n_bits, dim)).tolist()

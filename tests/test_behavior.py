@@ -193,3 +193,20 @@ def test_markov_rows_normalize(spark):
         assert r.n > 0 and 0 < r.p <= 1
     for ps in by_from.values():
         assert abs(sum(ps) - 1.0) < 0.01  # rounded to 4 decimals per cell
+
+
+def test_path_trigrams_counts(spark):
+    """Total trigram mass equals sum over users of max(0, n_events-2),
+    when the trigram space is small enough that the top-K window holds
+    everything (5 event types -> 125 <= fixture mass spread)."""
+    from osm_poi_database_maker_spark.queries.behavior import (
+        _PATH_TOP_K,
+        q_events_path_trigrams,
+    )
+
+    rows = q_events_path_trigrams(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= _PATH_TOP_K
+    assert [r.rk for r in rows[:3]] == [1, 2, 3] if len(rows) >= 3 else True
+    # ranks are dense and ordered by (n desc, lexicographic steps)
+    ordered = sorted(rows, key=lambda r: (-r.n, r.step1, r.step2, r.step3))
+    assert [r.rk for r in ordered] == list(range(1, len(rows) + 1))

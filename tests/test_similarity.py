@@ -186,3 +186,79 @@ def test_kmeans_separates_planted_blobs(spark, monkeypatch):
     mins = sorted(r.min_vec_id for r in got.values())
     assert mins == [0, 10]
     assert sorted(r.n_vecs for r in got.values()) == [10, 10]
+
+
+def test_knn_graph_matches_bruteforce(spark):
+    """The blocked local-top-k reduction is exact: every (vec, rank)
+    edge equals the brute-force per-vector top-k computed with the
+    oracle's ranking key (cosine rounded to 6, neighbor-id tie-break)."""
+    import numpy as np
+
+    from osm_poi_database_maker_spark.similarity import knn_graph
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    rows = e.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    m = np.array([r.embedding for r in rows], dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    raw = m @ m.T
+    cos6 = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
+    order = np.argsort(ids)
+    expected = set()
+    for qi in range(len(ids)):
+        cands = [
+            (-cos6[qi, ci], ids[ci])
+            for ci in order
+            if ids[ci] != ids[qi]
+        ]
+        cands.sort()
+        for rk, (_, nbr) in enumerate(cands[:3], start=1):
+            expected.add((ids[qi], nbr, rk))
+    got = {
+        (r.vec_id, r.neighbor_id, r.rk)
+        for r in knn_graph(e, k=3, n_blocks=4).collect()
+    }
+    assert got == expected
+
+
+def test_knn_graph_block_count_invariance(spark):
+    """Exactness means the result cannot depend on the block layout."""
+    from osm_poi_database_maker_spark.similarity import knn_graph
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    a = {(r.vec_id, r.neighbor_id, r.rk) for r in knn_graph(e, k=2, n_blocks=2).collect()}
+    b = {(r.vec_id, r.neighbor_id, r.rk) for r in knn_graph(e, k=2, n_blocks=7).collect()}
+    assert a == b
+
+
+def test_semdedup_drop_rule(spark):
+    """Every dropped vector has a lower-id same-cluster partner with
+    cosine >= tau; every kept vector has none — verified independently
+    with numpy over the collected assignment."""
+    import numpy as np
+
+    from osm_poi_database_maker_spark.queries import similarity as S2
+
+    out = S2.q_emb_semdedup(spark, SF_SMOKE).collect()
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, SF_SMOKE, "embeddings").collect()
+    }
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    n_dropped = 0
+    for members in by_cluster.values():
+        members.sort(key=lambda r: r.vec_id)
+        for i, r in enumerate(members):
+            has_partner = False
+            for other in members[:i]:
+                a, b = emb[r.vec_id], emb[other.vec_id]
+                c = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+                c = np.sign(c) * np.floor(abs(c) * 1e4 + 0.5) / 1e4
+                if c >= S2._SEMDEDUP_TAU:
+                    has_partner = True
+                    break
+            assert bool(r.dropped) == has_partner, r
+            n_dropped += r.dropped
+    assert len(out) == len(emb)

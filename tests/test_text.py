@@ -1,0 +1,39 @@
+"""Text-analysis operator semantics on planted documents (oracle
+equivalence is covered by tools/check.py / the driver gate)."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE
+
+
+def test_dup_ngram_fraction_planted(spark, monkeypatch):
+    """Interval-union semantics: disjoint duplicate trigrams sum their
+    extents, overlapping occurrences merge, clean docs report zero."""
+    from osm_poi_database_maker_spark.queries import text as T
+
+    docs = spark.createDataFrame(
+        [
+            # 'a b c' at positions 0 and 3: coverage [0,2] + [3,5] = 6 of 8
+            (1, "a b c a b c d e", "en", "s", 15),
+            # no repeated trigram
+            (2, "v w x y z", "en", "s", 9),
+            # 'a a a' at 0 and 1: union [0,3] = all 4 tokens
+            (3, "a a a a", "en", "s", 7),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(T, "load_table", lambda spark_, sf_, name_: docs)
+    got = {r.doc_id: r for r in T.q_doc_dup_ngram_fraction(spark, "x").collect()}
+    assert (got[1].n_tokens, got[1].dup_tokens, got[1].dup_fraction) == (8, 6, 0.75)
+    assert (got[2].n_tokens, got[2].dup_tokens, got[2].dup_fraction) == (5, 0, 0.0)
+    assert (got[3].n_tokens, got[3].dup_tokens, got[3].dup_fraction) == (4, 4, 1.0)
+
+
+def test_dup_ngram_fraction_bounds(spark):
+    from osm_poi_database_maker_spark.queries.text import q_doc_dup_ngram_fraction
+
+    rows = q_doc_dup_ngram_fraction(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.dup_tokens <= r.n_tokens
+        assert 0.0 <= r.dup_fraction <= 1.0
