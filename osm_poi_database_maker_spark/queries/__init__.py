@@ -56,6 +56,8 @@ _MODULES = (
 # regardless of window position.
 _VERIFY_FIRST = [
     # tier 1a: NEW in round 4 — no driver row exists yet.
+    "doc_bpe_merges",
+    "doc_source_overlap_matrix",
     "emb_knn_graph",
     "emb_semdedup",
     "doc_dup_ngram_fraction",
@@ -113,12 +115,12 @@ _VERIFY_FIRST = [
     "doc_curation_pipeline",
     "doc_bigram_logprob",
     "emb_int8_quantize",
-    "emb_label_centroids",
-    "osm_relation_areas",
-    # --- the 50-entry window ends here (6 tier-1a + 6 tier-1b +
-    # 9 tier-2a + 29 tier-2b). Below: overflow — r3-green or heavily
+    # --- the 50-entry window ends here (8 tier-1a + 6 tier-1b +
+    # 9 tier-2a + 27 tier-2b). Below: overflow — r3-green or heavily
     # pytest-gated entries displaced by the round-4 newcomers; they go
     # to the FRONT of round 5's rotation.
+    "emb_label_centroids",
+    "osm_relation_areas",
     "osm_mp_centroids",
     "osm_poi_nodes_noname",
     "osm_pbf_scan",

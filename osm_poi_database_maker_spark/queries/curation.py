@@ -661,8 +661,113 @@ FROM r WHERE rk <= {_WS_TOP_K}
 """
 
 
+_OVL_SRC_CAP = 10  # shingles spanning more sources than this are boilerplate
+
+
+def q_doc_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how
+    many distinct 3-word shingles they share, plus the overlap
+    coefficient shared/min(|A|,|B|) — the corpus-level audit that
+    catches one crawl slice republishing another before any doc-level
+    dedup runs (the source-pair sibling of doc_decontaminate's
+    eval-universe scrub).
+
+    Same skeleton and scale guards as doc_ngram_jaccard_pairs: the
+    corpus collapses to the distinct (source, shingle) table, the
+    self-join runs on the shingle's 8-byte hash over a universe capped
+    at _OVL_SRC_CAP sources per shingle (a shingle in most sources is
+    template noise and would dominate the join for zero signal), and
+    singleton shingles are pruned before the join. Per-source sizes
+    come from the capped universe so the coefficient is a true set
+    overlap of the sets actually joined. Output is |sources|² rows —
+    constant, whatever the corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    tok_df = d.select(
+        "source", F.split(F.col("text"), " +").alias("t")
+    ).repartition("source")
+    t = F.col("t")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
+        ),
+    )
+    ssh = (
+        tok_df.filter(F.size(t) >= 3)
+        .select("source", F.explode(shingles).alias("shingle"))
+        .select("source", F.xxhash64("shingle").alias("h"))
+        .distinct()
+        .repartition("h")
+    )
+    dfs = ssh.groupBy("h").agg(F.count("*").alias("n_src"))
+    capped = ssh.join(dfs.filter(F.col("n_src") <= _OVL_SRC_CAP), "h")
+    sizes = capped.groupBy("source").agg(F.count("*").alias("n_sh"))
+    joinable = capped.filter(F.col("n_src") >= 2).select("source", "h")
+    a = joinable.alias("a")
+    b = joinable.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count("*").alias("shared_shingles"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_shingles",
+            F.round(
+                F.col("shared_shingles") / F.least(F.col("n_a"), F.col("n_b")), 4
+            ).alias("overlap_coef"),
+        )
+    )
+
+
+ORACLE_SOURCE_OVERLAP = f"""
+WITH toks AS (
+  SELECT source, string_split_regex(text, ' +') AS t FROM documents
+  WHERE len(string_split_regex(text, ' +')) >= 3
+),
+ssh AS (
+  SELECT DISTINCT source, shingle FROM (
+    SELECT source, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS shingle
+    FROM (SELECT source, t, unnest(range(len(t) - 2)) AS i FROM toks)
+  )
+),
+dfs AS (SELECT shingle, count(*) AS n_src FROM ssh GROUP BY 1),
+capped AS (
+  SELECT s.source, s.shingle, dfs.n_src FROM ssh s
+  JOIN dfs ON dfs.shingle = s.shingle AND dfs.n_src <= {_OVL_SRC_CAP}
+),
+sizes AS (SELECT source, count(*) AS n_sh FROM capped GROUP BY 1),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared_shingles
+  FROM capped a JOIN capped b
+    ON a.shingle = b.shingle AND a.source < b.source
+  WHERE a.n_src >= 2
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, shared_shingles,
+       round(CAST(shared_shingles AS DOUBLE) / least(sa.n_sh, sb.n_sh), 4)
+         AS overlap_coef
+FROM pairs
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+"""
+
+
 QUERIES = {
     "doc_decontaminate": q_doc_decontaminate,
+    "doc_source_overlap_matrix": q_doc_source_overlap_matrix,
     "doc_longest_eval_overlap": q_doc_longest_eval_overlap,
     "doc_weighted_sample": q_doc_weighted_sample,
     "doc_mixture_sample": q_doc_mixture_sample,
@@ -674,6 +779,7 @@ QUERIES = {
 
 ORACLES = {
     "doc_decontaminate": ORACLE_DECONTAM,
+    "doc_source_overlap_matrix": ORACLE_SOURCE_OVERLAP,
     "doc_longest_eval_overlap": ORACLE_LONGEST_OVERLAP,
     "doc_weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "doc_mixture_sample": ORACLE_MIXTURE,

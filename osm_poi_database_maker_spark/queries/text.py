@@ -910,6 +910,112 @@ GROUP BY 1
 """
 
 
+_BPE_STEPS = 3
+
+
+def q_doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training, first 3 merge steps: the
+    corpus-scale half of byte-pair encoding — count adjacent symbol
+    pairs weighted by word frequency, merge the most frequent pair
+    everywhere, recount — as pure DataFrame ops (no Python in the loop).
+
+    The symbol sequence is a delimited string (' a  b  c ', every symbol
+    space-wrapped), so applying a merge is a literal string replace:
+    ' x  y ' → ' xy '. Both engines' replace() scans left-to-right
+    without rescanning replaced output, which IS greedy BPE pairing
+    ('aaaa' + merge a+a → two 'aa' symbols, not three overlapping), so
+    the unrolled DuckDB oracle reproduces the merge table exactly; ties
+    rank lexicographically on the pair. Scale shape per step: pair
+    counting is explode + map-side-partial agg over the DISTINCT-word
+    table (vocabulary-sized, ≪ corpus — the corpus is touched once to
+    build it); the winning pair is a 1-row broadcast cross join; merge
+    application is a scan projection. The fixed step count keeps the
+    dataflow identical across engines (convergence looping lives in
+    dedup_clusters)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.col("text"), " +")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+    )
+    cur = words.select(
+        "w", "f", F.regexp_replace("w", "(.)", " $1 ").alias("seq")
+    ).localCheckpoint(eager=False)
+    bests = []
+    for step in range(1, _BPE_STEPS + 1):
+        arr = F.split(F.trim(F.col("seq")), "  ")
+        n = F.size(arr)
+        pairs = (
+            cur.select(
+                "f",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(arr, 1, n - 1).alias("x"),
+                        F.slice(arr, 2, n - 1).alias("y"),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+            .agg(F.sum("f").alias("pair_count"))
+        )
+        best = (
+            pairs.orderBy(F.desc("pair_count"), "x", "y")
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        bests.append(best.select(F.lit(step).alias("rk"), "x", "y", "pair_count"))
+        pat = F.concat(F.lit(" "), F.col("x"), F.lit("  "), F.col("y"), F.lit(" "))
+        rep = F.concat(F.lit(" "), F.col("x"), F.col("y"), F.lit(" "))
+        cur = (
+            cur.crossJoin(F.broadcast(best.select("x", "y")))
+            .select("w", "f", F.replace(F.col("seq"), pat, rep).alias("seq"))
+            .localCheckpoint(eager=False)
+        )
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out.select(
+        "rk", "x", "y", F.concat("x", "y").alias("merged"), "pair_count"
+    )
+
+
+def _bpe_iter_sql(k: int) -> str:
+    return f"""
+pairs{k} AS (
+  SELECT p[1] AS x, p[2] AS y, sum(f) AS pair_count FROM (
+    SELECT f, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p
+    FROM (SELECT f, string_split(trim(seq{k - 1}), '  ') AS l FROM seq{k - 1})
+  ) GROUP BY 1, 2
+),
+best{k} AS (
+  SELECT x, y, pair_count FROM pairs{k}
+  ORDER BY pair_count DESC, x, y LIMIT 1
+),
+seq{k} AS (
+  SELECT w, f,
+         replace(seq{k - 1}, ' ' || x || '  ' || y || ' ',
+                 ' ' || x || y || ' ') AS seq{k}
+  FROM seq{k - 1} CROSS JOIN best{k}
+)"""
+
+
+ORACLE_BPE = f"""
+WITH words AS (
+  SELECT tok AS w, count(*) AS f
+  FROM (SELECT unnest(string_split_regex(text, ' +')) AS tok FROM documents)
+  GROUP BY 1
+),
+seq0 AS (
+  SELECT w, f, regexp_replace(w, '(.)', ' \\1 ', 'g') AS seq0 FROM words
+),
+{",".join(_bpe_iter_sql(k) for k in range(1, _BPE_STEPS + 1))}
+{" UNION ALL ".join(
+    f"SELECT {k} AS rk, x, y, x || y AS merged, CAST(pair_count AS BIGINT) AS pair_count FROM best{k}"
+    for k in range(1, _BPE_STEPS + 1)
+)}
+"""
+
+
 _DUP_N = 3  # n-gram width for the duplicate-coverage signal
 
 
@@ -1030,6 +1136,7 @@ FROM totals t LEFT JOIN cov c ON c.doc_id = t.doc_id
 QUERIES = {
     "doc_token_stats": q_doc_token_stats,
     "doc_dup_ngram_fraction": q_doc_dup_ngram_fraction,
+    "doc_bpe_merges": q_doc_bpe_merges,
     "doc_zipf_fit": q_doc_zipf_fit,
     "doc_hapax_ratio": q_doc_hapax_ratio,
     "doc_length_histogram": q_doc_length_histogram,
@@ -1050,6 +1157,7 @@ QUERIES = {
 ORACLES = {
     "doc_token_stats": ORACLE_TOKEN_STATS,
     "doc_dup_ngram_fraction": ORACLE_DUP_NGRAM,
+    "doc_bpe_merges": ORACLE_BPE,
     "doc_zipf_fit": ORACLE_ZIPF,
     "doc_hapax_ratio": ORACLE_HAPAX,
     "doc_length_histogram": ORACLE_LENGTH_HIST,

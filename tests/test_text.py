@@ -37,3 +37,28 @@ def test_dup_ngram_fraction_bounds(spark):
     for r in rows:
         assert 0 <= r.dup_tokens <= r.n_tokens
         assert 0.0 <= r.dup_fraction <= 1.0
+
+
+def test_bpe_merges_planted(spark, monkeypatch):
+    """Greedy merge semantics on a corpus designed to exercise them:
+    'abab' pairs (a,b) twice per occurrence but (b,a) only once, and the
+    second round merges the new 'ab' symbol with itself."""
+    from osm_poi_database_maker_spark.queries import text as T
+
+    docs = spark.createDataFrame(
+        # 'abab' x3 and 'ab' x1:
+        #   step 1: (a,b) count 2*3+1 = 7 beats (b,a) count 3 -> merge 'ab'
+        #   step 2: words are now [ab,ab] x3 and [ab] -> (ab,ab) count 3
+        #   step 3: words are [abab] x3, [ab] -> no pairs... so plant 'cd'
+        [
+            (1, "abab abab abab ab cdcd", "en", "s", 22),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(T, "load_table", lambda spark_, sf_, name_: docs)
+    got = {r.rk: (r.x, r.y, r.merged, r.pair_count) for r in
+           T.q_doc_bpe_merges(spark, "x").collect()}
+    assert got[1] == ("a", "b", "ab", 7)
+    assert got[2] == ("ab", "ab", "abab", 3)
+    # after merging abab, remaining pairs: (c,d) x2 in 'cdcd', (d,c) x1
+    assert got[3] == ("c", "d", "cd", 2)
