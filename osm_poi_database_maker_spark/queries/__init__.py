@@ -57,9 +57,11 @@ _MODULES = (
 _VERIFY_FIRST = [
     # tier 1a: NEW in round 4 — no driver row exists yet.
     "doc_bpe_merges",
+    "doc_quality_filter_verdict",
     "doc_source_overlap_matrix",
     "emb_knn_graph",
     "emb_semdedup",
+    "emb_pq_codes",
     "doc_dup_ngram_fraction",
     "events_path_trigrams",
     "nation_volume_shipping",
@@ -113,12 +115,12 @@ _VERIFY_FIRST = [
     "doc_mixture_sample",
     "doc_shuffle_shards",
     "doc_curation_pipeline",
-    "doc_bigram_logprob",
-    "emb_int8_quantize",
-    # --- the 50-entry window ends here (8 tier-1a + 6 tier-1b +
-    # 9 tier-2a + 27 tier-2b). Below: overflow — r3-green or heavily
+    # --- the 50-entry window ends here (10 tier-1a + 6 tier-1b +
+    # 9 tier-2a + 25 tier-2b). Below: overflow — r3-green or heavily
     # pytest-gated entries displaced by the round-4 newcomers; they go
     # to the FRONT of round 5's rotation.
+    "doc_bigram_logprob",
+    "emb_int8_quantize",
     "emb_label_centroids",
     "osm_relation_areas",
     "osm_mp_centroids",

@@ -547,10 +547,129 @@ LEFT JOIN (SELECT DISTINCT drop_id FROM pairs) d ON d.drop_id = f.vec_id
 """
 
 
+_PQ_M = 2  # subspaces
+_PQ_K = 4  # codes per subspace
+_PQ_SUBDIM = 32  # DIM / _PQ_M
+
+
+def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: split each vector into M=2 subspaces, train
+    a K=4 codebook per subspace (one Lloyd iteration, seeds = the K
+    lowest vec_ids' sub-vectors), and emit each vector's code word plus
+    its reconstruction error — the memory-side companion to the IVF
+    index (PQ compresses the vectors IVF's inverted lists point at;
+    int8 quantization in curation.py is the cheaper linear variant).
+
+    All M codebooks train in ONE dataflow: the exploded (vec, subspace,
+    pos, v) table joins a broadcast (subspace, code, pos, c) centroid
+    table, distances min-reduce per (vec, subspace, code), and the
+    argmin ranks on the distance rounded to 9 decimals with code-id
+    tie-break — the k-means core's conventions, so the unrolled oracle
+    reproduces code assignment exactly. Per-subspace codes pivot to
+    columns via a conditional aggregate (M is a compile-time constant).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    el = (
+        e.select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+        .select(
+            "vec_id",
+            (F.col("pos") / _PQ_SUBDIM).cast("int").alias("s"),
+            (F.col("pos") % _PQ_SUBDIM).alias("posw"),
+            F.col("v").cast("double").alias("v"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    init = (
+        e.orderBy("vec_id").limit(_PQ_K).select(F.col("vec_id").alias("cid"))
+    )
+    cent = el.join(F.broadcast(init), el.vec_id == init.cid).select(
+        "s", "cid", "posw", F.col("v").alias("c")
+    )
+
+    def _assign(centroids):
+        d2 = (
+            el.join(F.broadcast(centroids), ["s", "posw"])
+            .groupBy("vec_id", "s", "cid")
+            .agg(
+                F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias(
+                    "d2"
+                )
+            )
+        )
+        w = Window.partitionBy("vec_id", "s").orderBy(
+            F.asc(F.round("d2", 9)), F.asc("cid")
+        )
+        return d2.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+
+    assign = _assign(cent).select("vec_id", "s", "cid")
+    cent = (
+        el.join(assign, ["vec_id", "s"])
+        .groupBy("s", "cid", "posw")
+        .agg(F.avg("v").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    final = _assign(cent)
+    return final.groupBy("vec_id").agg(
+        F.min(F.when(F.col("s") == 0, F.col("cid"))).alias("code_s0"),
+        F.min(F.when(F.col("s") == 1, F.col("cid"))).alias("code_s1"),
+        F.round(F.sum("d2") / F.lit(DIM_TOTAL), 6).alias("recon_mse"),
+    )
+
+
+DIM_TOTAL = _PQ_M * _PQ_SUBDIM
+
+
+def _pq_assign_sql(cent: str, alias: str) -> str:
+    return f"""
+{alias} AS (
+  SELECT vec_id, s, cid, d2 FROM (
+    SELECT d.vec_id, d.s, d.cid, d.d2,
+           row_number() OVER (PARTITION BY d.vec_id, d.s
+                              ORDER BY round(d.d2, 9) ASC, d.cid ASC) AS rk
+    FROM (
+      SELECT e.vec_id, e.s, c.cid, sum((e.v - c.c) * (e.v - c.c)) AS d2
+      FROM el e JOIN {cent} c ON c.s = e.s AND c.posw = e.posw
+      GROUP BY 1, 2, 3
+    ) d
+  ) WHERE rk = 1
+)"""
+
+
+ORACLE_PQ = f"""
+WITH el AS (
+  SELECT vec_id,
+         -- floor, not CAST: DuckDB CAST(double AS INT) rounds to nearest
+         CAST(floor((generate_subscripts(embedding, 1) - 1) / {_PQ_SUBDIM}.0) AS INT) AS s,
+         (generate_subscripts(embedding, 1) - 1) % {_PQ_SUBDIM} AS posw,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+init AS (SELECT vec_id AS cid FROM embeddings ORDER BY vec_id LIMIT {_PQ_K}),
+cent0 AS (
+  SELECT e.s, i.cid, e.posw, e.v AS c
+  FROM el e JOIN init i ON i.cid = e.vec_id
+),
+{_pq_assign_sql("cent0", "a1")},
+cent1 AS (
+  SELECT a.s, a.cid, e.posw, avg(e.v) AS c
+  FROM el e JOIN a1 a ON a.vec_id = e.vec_id AND a.s = e.s
+  GROUP BY 1, 2, 3
+),
+{_pq_assign_sql("cent1", "fin")}
+SELECT vec_id,
+       min(CASE WHEN s = 0 THEN cid END) AS code_s0,
+       min(CASE WHEN s = 1 THEN cid END) AS code_s1,
+       round(sum(d2) / {DIM_TOTAL}, 6) AS recon_mse
+FROM fin
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_knn_graph": q_emb_knn_graph,
     "emb_semdedup": q_emb_semdedup,
+    "emb_pq_codes": q_emb_pq_codes,
     "emb_kmeans_iterations": q_emb_kmeans_iterations,
     "emb_norm_quantiles": q_emb_norm_quantiles,
     "emb_centroid_distances": q_emb_centroid_distances,
@@ -563,6 +682,7 @@ ORACLES = {
     "emb_cosine_topk": ORACLE_COSINE,
     "emb_knn_graph": ORACLE_KNN_GRAPH,
     "emb_semdedup": ORACLE_SEMDEDUP,
+    "emb_pq_codes": ORACLE_PQ,
     "emb_kmeans_iterations": ORACLE_KMEANS,
     "emb_norm_quantiles": ORACLE_NORM_QUANTILES,
     "emb_centroid_distances": ORACLE_CENTROID_DIST,

@@ -1133,9 +1133,90 @@ FROM totals t LEFT JOIN cov c ON c.doc_id = t.doc_id
 """
 
 
+# Gopher/MassiveText-style rule thresholds, tuned so each rule actually
+# fires on a few percent of the fixture (quantiles measured at sf0.01)
+_QF_MIN_TOKENS = 25
+_QF_MIN_DISTINCT = 0.35
+_QF_MAX_TOP_TOKEN = 0.14
+_QF_MAX_DUP_FRAC = 0.05
+_QF_MIN_STOPWORD = 0.01
+
+
+def q_doc_quality_filter_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed quality-filter DECISION: every document against the
+    full Gopher-style rulebook — minimum length, token diversity,
+    top-token dominance, duplicate-trigram coverage, stopword presence —
+    with the failed-rule list in a deterministic order and a final
+    keep/drop verdict. This is the operator a training pipeline actually
+    materializes (the per-signal queries are its observability views).
+
+    Composes the registered signal queries (repetition stats, duplicate
+    n-gram coverage, quality score) by doc_id equi-joins — Catalyst
+    plans the three signal aggregates over two scans of the corpus and
+    reuses the doc_id partitioning across the joins; every threshold
+    compares a value already rounded to 4 decimals in BOTH engines, so
+    the verdict bit is portable."""
+    rep = q_doc_repetition_stats(spark, sf_dir)
+    dup = q_doc_dup_ngram_fraction(spark, sf_dir).select(
+        "doc_id", "dup_fraction"
+    )
+    qual = q_doc_quality_score(spark, sf_dir).select(
+        "doc_id", "stopword_ratio"
+    )
+    j = rep.join(dup, "doc_id").join(qual, "doc_id")
+    rules = [
+        ("too_short", F.col("n_tokens") < _QF_MIN_TOKENS),
+        ("low_diversity", F.col("distinct_ratio") < _QF_MIN_DISTINCT),
+        ("top_token_heavy", F.col("top_token_fraction") > _QF_MAX_TOP_TOKEN),
+        ("dup_ngrams", F.col("dup_fraction") > _QF_MAX_DUP_FRAC),
+        ("no_stopwords", F.col("stopword_ratio") < _QF_MIN_STOPWORD),
+    ]
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(code)) for code, cond in rules]
+    )
+    keep = F.lit(True)
+    for _, cond in rules:
+        keep = keep & ~cond
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        "distinct_ratio",
+        "top_token_fraction",
+        "dup_fraction",
+        "stopword_ratio",
+        keep.cast("int").alias("keep"),
+        reasons.alias("reasons"),
+    )
+
+
+ORACLE_QUALITY_FILTER = f"""
+WITH rep AS ({ORACLE_REPETITION}),
+dupn AS ({ORACLE_DUP_NGRAM}),
+qual AS ({ORACLE_QUALITY})
+SELECT r.doc_id, r.n_tokens, r.distinct_ratio, r.top_token_fraction,
+       d.dup_fraction, q.stopword_ratio,
+       CAST(NOT (r.n_tokens < {_QF_MIN_TOKENS}
+              OR r.distinct_ratio < {_QF_MIN_DISTINCT}
+              OR r.top_token_fraction > {_QF_MAX_TOP_TOKEN}
+              OR d.dup_fraction > {_QF_MAX_DUP_FRAC}
+              OR q.stopword_ratio < {_QF_MIN_STOPWORD}) AS INT) AS keep,
+       concat_ws(',',
+         CASE WHEN r.n_tokens < {_QF_MIN_TOKENS} THEN 'too_short' END,
+         CASE WHEN r.distinct_ratio < {_QF_MIN_DISTINCT} THEN 'low_diversity' END,
+         CASE WHEN r.top_token_fraction > {_QF_MAX_TOP_TOKEN} THEN 'top_token_heavy' END,
+         CASE WHEN d.dup_fraction > {_QF_MAX_DUP_FRAC} THEN 'dup_ngrams' END,
+         CASE WHEN q.stopword_ratio < {_QF_MIN_STOPWORD} THEN 'no_stopwords' END
+       ) AS reasons
+FROM rep r
+JOIN dupn d ON d.doc_id = r.doc_id
+JOIN qual q ON q.doc_id = r.doc_id
+"""
+
+
 QUERIES = {
     "doc_token_stats": q_doc_token_stats,
     "doc_dup_ngram_fraction": q_doc_dup_ngram_fraction,
+    "doc_quality_filter_verdict": q_doc_quality_filter_verdict,
     "doc_bpe_merges": q_doc_bpe_merges,
     "doc_zipf_fit": q_doc_zipf_fit,
     "doc_hapax_ratio": q_doc_hapax_ratio,
@@ -1157,6 +1238,7 @@ QUERIES = {
 ORACLES = {
     "doc_token_stats": ORACLE_TOKEN_STATS,
     "doc_dup_ngram_fraction": ORACLE_DUP_NGRAM,
+    "doc_quality_filter_verdict": ORACLE_QUALITY_FILTER,
     "doc_bpe_merges": ORACLE_BPE,
     "doc_zipf_fit": ORACLE_ZIPF,
     "doc_hapax_ratio": ORACLE_HAPAX,

@@ -49,6 +49,13 @@ def get_spark(app_name: str = "osm_poi_database_maker_spark") -> SparkSession:
         # actual runtime sizes on top
         .config("spark.sql.cbo.enabled", "true")
         .config("spark.sql.cbo.joinReorder.enabled", "true")
+        # runtime row-level filtering: inject a bloom filter built from a
+        # selective join's build side into the probe-side scan — at
+        # 100 TB this prunes most of a fact scan joined against a
+        # filtered dim before the shuffle (tests/test_bloom.py pins the
+        # injection; thresholds are Spark defaults, so tiny local
+        # fixtures skip it and big cluster inputs get it automatically)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
