@@ -1151,11 +1151,13 @@ def q_doc_quality_filter_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes (the per-signal queries are its observability views).
 
     Composes the registered signal queries (repetition stats, duplicate
-    n-gram coverage, quality score) by doc_id equi-joins — Catalyst
-    plans the three signal aggregates over two scans of the corpus and
-    reuses the doc_id partitioning across the joins; every threshold
-    compares a value already rounded to 4 decimals in BOTH engines, so
-    the verdict bit is portable."""
+    n-gram coverage, quality score) by doc_id equi-joins — one pruned
+    column scan per signal, doc_id partitioning reused across the
+    joins; a fused single-scan variant would save two scans at the cost
+    of decoupling the verdict from its observability views, the wrong
+    trade for an audit operator. Every threshold compares a value
+    already rounded to 4 decimals in BOTH engines, so the verdict bit
+    is portable."""
     rep = q_doc_repetition_stats(spark, sf_dir)
     dup = q_doc_dup_ngram_fraction(spark, sf_dir).select(
         "doc_id", "dup_fraction"
