@@ -62,6 +62,7 @@ _VERIFY_FIRST = [
     "emb_knn_graph",
     "emb_semdedup",
     "emb_pq_codes",
+    "emb_ivf_pq_topk",
     "doc_dup_ngram_fraction",
     "events_path_trigrams",
     "nation_volume_shipping",
@@ -114,11 +115,11 @@ _VERIFY_FIRST = [
     "doc_decontaminate",
     "doc_mixture_sample",
     "doc_shuffle_shards",
-    "doc_curation_pipeline",
-    # --- the 50-entry window ends here (10 tier-1a + 6 tier-1b +
-    # 9 tier-2a + 25 tier-2b). Below: overflow — r3-green or heavily
+    # --- the 50-entry window ends here (11 tier-1a + 6 tier-1b +
+    # 9 tier-2a + 24 tier-2b). Below: overflow — r3-green or heavily
     # pytest-gated entries displaced by the round-4 newcomers; they go
     # to the FRONT of round 5's rotation.
+    "doc_curation_pipeline",
     "doc_bigram_logprob",
     "emb_int8_quantize",
     "emb_label_centroids",

@@ -176,6 +176,29 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-k (rows-only: codebooks are engine-side).
+    The FAISS-style composed index — IVF cells prune candidates, PQ
+    codes (ADC table lookups, no raw vectors) rank them, exact cosine
+    reranks only the k·rerank PQ shortlist. Carries the same per-query
+    ``recall_vs_exact`` audit column as the ANN/IVF queries.
+
+    m_sub=16 (4-dim subspaces) / 32 codes / rerank 16 because the
+    near-uniform fixture is PQ's worst case (no low-dim structure to
+    quantize); real embedding corpora hit the same recall with the
+    coarser m_sub=8 and smaller shortlists."""
+    from ..similarity import cosine_topk, ivf_pq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    return _with_recall_vs_exact(
+        ivf_pq_topk(
+            e, q, k=TOP_K, n_probe=8, n_assign=2, m_sub=16, n_codes=32, rerank=16
+        ),
+        cosine_topk(e, q, k=TOP_K),
+    )
+
+
 NEARDUP_THRESHOLD = 0.4
 
 
@@ -674,6 +697,7 @@ QUERIES = {
     "emb_norm_quantiles": q_emb_norm_quantiles,
     "emb_centroid_distances": q_emb_centroid_distances,
     "emb_ann_topk": q_emb_ann_topk,
+    "emb_ivf_pq_topk": q_emb_ivf_pq_topk,
     "emb_ivf_topk": q_emb_ivf_topk,
     "emb_cosine_neardup_pairs": q_emb_cosine_neardup_pairs,
 }

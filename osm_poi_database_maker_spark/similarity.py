@@ -206,6 +206,194 @@ def ivf_topk(
     )
 
 
+def train_pq_codebooks(
+    collection: DataFrame,
+    m_sub: int = 4,
+    n_codes: int = 16,
+    sample_size: int = 2048,
+    n_iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 43,
+) -> np.ndarray:
+    """Product-quantization codebooks, (m_sub, n_codes, subdim): Lloyd's
+    per subspace over the same seeded-hash TakeOrdered sample rule as
+    :func:`train_ivf_centroids` (bounded driver-side training, unbiased
+    under id/content correlation, deterministic)."""
+    rows = (
+        collection.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("id"), F.lit(seed)), F.col("id"))
+        .limit(sample_size)
+        .collect()
+    )
+    if not rows:
+        return np.zeros((0, 0, 0))
+    m = np.array([r.v for r in rows], dtype=np.float64)
+    subdim = m.shape[1] // m_sub
+    rng = np.random.RandomState(seed)
+    books = np.zeros((m_sub, n_codes, subdim))
+    for s in range(m_sub):
+        sub = m[:, s * subdim : (s + 1) * subdim]
+        cents = sub[rng.choice(len(sub), size=min(n_codes, len(sub)), replace=False)]
+        for _ in range(n_iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cents)):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[s, : len(cents)] = cents
+    return books
+
+
+def pq_codes_udf(books: np.ndarray):
+    """Pandas UDF: vector → its per-subspace code word (array<int>,
+    length m_sub) — nearest codebook entry by L2 per subspace."""
+    m_sub, _, subdim = books.shape
+
+    @pandas_udf("array<int>")
+    def codes(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        out = np.zeros((len(m), m_sub), dtype=np.int32)
+        for s in range(m_sub):
+            sub = m[:, s * subdim : (s + 1) * subdim]
+            d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+            out[:, s] = d2.argmin(axis=1).astype(np.int32)
+        return pd.Series(list(out))
+
+    return codes
+
+
+def ivf_pq_topk(
+    collection: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_assign: int = 1,
+    m_sub: int = 4,
+    n_codes: int = 16,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the FAISS-style composed index as
+    DataFrame ops: IVF cells prune WHICH vectors are candidates, PQ
+    codes score them WITHOUT touching the raw vectors, and only the
+    ``k·rerank`` PQ-best candidates per query are joined back to the
+    collection for exact-cosine reranking.
+
+    The asymmetric-distance (ADC) step is pure JVM expression work: each
+    query broadcasts its flattened per-subspace dot-product table and
+    the candidate's approximate cosine is m_sub ``element_at`` lookups
+    (dot(q, reconstruction) = Σ_s table[s·K + code_s]; the
+    reconstruction norm comes from a constant per-code norm table since
+    subspaces are coordinate-disjoint). At 100 TB the collection carries
+    (cell, codes) — ~m_sub bytes per vector — through the candidate
+    stage; raw vectors are fetched for ≤ k·rerank rows per query, which
+    is exactly why PQ exists. Non-residual PQ (codes quantize the raw
+    vector, not the cell residual): one shared codebook, the standard
+    shallow-cell variant."""
+    cents = train_ivf_centroids(
+        collection, n_cells, id_col=id_col, vec_col=vec_col
+    )
+    books = train_pq_codebooks(
+        collection, m_sub=m_sub, n_codes=n_codes, id_col=id_col, vec_col=vec_col
+    )
+    flat_norm2 = [float((books[s, c] ** 2).sum()) for s in range(m_sub) for c in range(n_codes)]
+    norm2_lit = F.array(*[F.lit(x) for x in flat_norm2])
+
+    def topcells_udf(n_top: int):
+        @pandas_udf("array<int>")
+        def topcells(vecs: pd.Series) -> pd.Series:
+            m = np.array(vecs.tolist(), dtype=np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            order = np.argsort(-(m @ cents.T), axis=1)[:, :n_top].astype(np.int32)
+            return pd.Series(list(order))
+
+        return topcells
+
+    @pandas_udf("array<double>")
+    def adc_table(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        subdim = books.shape[2]
+        tabs = np.concatenate(
+            [m[:, s * subdim : (s + 1) * subdim] @ books[s].T for s in range(m_sub)],
+            axis=1,
+        )  # (n, m_sub * n_codes)
+        return pd.Series(list(tabs))
+
+    if n_assign == 1:
+        cell_col = nearest_cell_udf(cents)(F.col(vec_col)).alias("cell")
+    else:
+        cell_col = F.explode(topcells_udf(n_assign)(F.col(vec_col))).alias("cell")
+    c = collection.select(
+        F.col(id_col).alias("neighbor_id"),
+        cell_col,
+        pq_codes_udf(books)(F.col(vec_col)).alias("codes"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(topcells_udf(n_probe)(F.col(vec_col))).alias("cell"),
+        adc_table(F.col(vec_col)).alias("qtab"),
+        norm(F.col(vec_col)).alias("q_norm"),
+    )
+    cand = c.join(F.broadcast(q), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    if n_assign > 1:
+        cand = cand.dropDuplicates(["query_id", "neighbor_id"])
+    adc_dot = sum(
+        [
+            F.element_at(
+                F.col("qtab"),
+                F.lit(s * n_codes) + F.element_at(F.col("codes"), s + 1) + 1,
+            )
+            for s in range(m_sub)
+        ],
+        F.lit(0.0),
+    )
+    recon_norm2 = sum(
+        [
+            F.element_at(
+                norm2_lit,
+                F.lit(s * n_codes) + F.element_at(F.col("codes"), s + 1) + 1,
+            )
+            for s in range(m_sub)
+        ],
+        F.lit(0.0),
+    )
+    approx = adc_dot / (F.col("q_norm") * F.sqrt(recon_norm2))
+    w_pq = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(approx, 6)), F.asc("neighbor_id")
+    )
+    shortlist = (
+        cand.withColumn("pq_rk", F.row_number().over(w_pq))
+        .filter(F.col("pq_rk") <= k * rerank)
+        .select("query_id", "neighbor_id", "q_norm")
+    )
+    # exact rerank: raw vectors fetched ONLY for the shortlist
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    cv = collection.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        shortlist.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cosine", 6)), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rk")
+    )
+
+
 def cosine_neardup_pairs(
     collection: DataFrame,
     threshold: float = 0.4,

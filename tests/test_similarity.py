@@ -262,3 +262,22 @@ def test_semdedup_drop_rule(spark):
             assert bool(r.dropped) == has_partner, r
             n_dropped += r.dropped
     assert len(out) == len(emb)
+
+
+def test_ivf_pq_recall_vs_exact(spark):
+    """The composed IVF-PQ index recovers most exact neighbors despite
+    the uniform fixture being PQ's worst case; exact-rerank means every
+    reported cosine is a true cosine."""
+    from osm_poi_database_maker_spark.similarity import cosine_topk, ivf_pq_topk
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id): r.cosine
+             for r in cosine_topk(e, q, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id): r.cosine
+              for r in ivf_pq_topk(e, q, k=5, n_probe=8, n_assign=2,
+                                   m_sub=16, n_codes=32, rerank=16).collect()}
+    recall = len(exact.keys() & approx.keys()) / len(exact)
+    assert recall >= 0.8, f"IVF-PQ recall too low: {recall}"
+    for pair in exact.keys() & approx.keys():
+        assert abs(exact[pair] - approx[pair]) < 1e-9  # true cosines, reranked

@@ -62,3 +62,37 @@ def test_bpe_merges_planted(spark, monkeypatch):
     assert got[2] == ("ab", "ab", "abab", 3)
     # after merging abab, remaining pairs: (c,d) x2 in 'cdcd', (d,c) x1
     assert got[3] == ("c", "d", "cd", 2)
+
+
+def test_dup_ngram_fraction_vs_bruteforce(spark, monkeypatch):
+    """Differential check against an independent per-doc brute force:
+    30 seeded random token streams from a 4-token alphabet (dense
+    trigram repeats, heavy interval overlap)."""
+    import random
+
+    from osm_poi_database_maker_spark.queries import text as T
+
+    rng = random.Random(42)
+    docs, expected = [], {}
+    for doc_id in range(30):
+        n = rng.randint(3, 40)
+        toks = [rng.choice("abcd") for _ in range(n)]
+        grams = {}
+        for i in range(n - 2):
+            grams.setdefault(tuple(toks[i : i + 3]), []).append(i)
+        covered = set()
+        for positions in grams.values():
+            if len(positions) >= 2:
+                for p in positions:
+                    covered.update(range(p, p + 3))
+        docs.append((doc_id, " ".join(toks), "en", "s", len(toks)))
+        expected[doc_id] = (n, len(covered), round(len(covered) / n, 4))
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(T, "load_table", lambda spark_, sf_, name_: df)
+    got = {
+        r.doc_id: (r.n_tokens, r.dup_tokens, r.dup_fraction)
+        for r in T.q_doc_dup_ngram_fraction(spark, "x").collect()
+    }
+    assert got == expected
