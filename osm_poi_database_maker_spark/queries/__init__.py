@@ -57,6 +57,7 @@ _MODULES = (
 _VERIFY_FIRST = [
     # tier 1a: NEW in round 4 — no driver row exists yet.
     "doc_bpe_merges",
+    "doc_bpe_encode",
     "doc_quality_filter_verdict",
     "doc_source_overlap_matrix",
     "emb_knn_graph",
@@ -114,11 +115,11 @@ _VERIFY_FIRST = [
     "doc_pii_scrub",
     "doc_decontaminate",
     "doc_mixture_sample",
-    "doc_shuffle_shards",
-    # --- the 50-entry window ends here (11 tier-1a + 6 tier-1b +
-    # 9 tier-2a + 24 tier-2b). Below: overflow — r3-green or heavily
+    # --- the 50-entry window ends here (12 tier-1a + 6 tier-1b +
+    # 9 tier-2a + 23 tier-2b). Below: overflow — r3-green or heavily
     # pytest-gated entries displaced by the round-4 newcomers; they go
     # to the FRONT of round 5's rotation.
+    "doc_shuffle_shards",
     "doc_curation_pipeline",
     "doc_bigram_logprob",
     "emb_int8_quantize",

@@ -932,6 +932,20 @@ def q_doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     application is a scan projection. The fixed step count keeps the
     dataflow identical across engines (convergence looping lives in
     dedup_clusters)."""
+    _, bests = _bpe_train(spark, sf_dir)
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out.select(
+        "rk", "x", "y", F.concat("x", "y").alias("merged"), "pair_count"
+    )
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Shared BPE training core: returns (final word table with merged
+    symbol sequences, list of per-step best-pair DataFrames). Consumed
+    by the merge-table query and the encoder so the learned merges and
+    their application cannot drift apart."""
     d = load_table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.split(F.col("text"), " +")).alias("w"))
@@ -971,11 +985,41 @@ def q_doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("w", "f", F.replace(F.col("seq"), pat, rep).alias("seq"))
             .localCheckpoint(eager=False)
         )
-    out = bests[0]
-    for b in bests[1:]:
-        out = out.unionByName(b)
-    return out.select(
-        "rk", "x", "y", F.concat("x", "y").alias("merged"), "pair_count"
+    return cur, bests
+
+
+def q_doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The encode half of BPE: apply the learned merge table to every
+    document and report its token count, character symbol count,
+    post-merge symbol count, and the compression ratio the 3 merges buy
+    — the metric a tokenizer-training pipeline tracks per corpus slice.
+
+    Application is a broadcast join of the corpus token stream against
+    the (vocabulary-sized) word → merged-sequence table from the shared
+    training core; symbols-per-word is a size(split) projection, and
+    the per-doc rollup is one map-side-partial aggregate. The oracle
+    replays the identical unrolled merge CTEs, so the learned merges
+    and their application verify together end-to-end."""
+    _ = spark  # session comes in via the shared core
+    encoded, _bests = _bpe_train(spark, sf_dir)
+    vocab = encoded.select(
+        "w", F.size(F.split(F.trim(F.col("seq")), "  ")).alias("n_sym")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " +")).alias("w")
+    )
+    return (
+        toks.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.length("w")).alias("n_char_symbols"),
+            F.sum("n_sym").alias("n_bpe_symbols"),
+            F.round(F.sum(F.length("w")) / F.sum("n_sym"), 4).alias(
+                "compression"
+            ),
+        )
     )
 
 
@@ -1013,6 +1057,33 @@ seq0 AS (
     f"SELECT {k} AS rk, x, y, x || y AS merged, CAST(pair_count AS BIGINT) AS pair_count FROM best{k}"
     for k in range(1, _BPE_STEPS + 1)
 )}
+"""
+
+
+ORACLE_BPE_ENCODE = f"""
+WITH words AS (
+  SELECT tok AS w, count(*) AS f
+  FROM (SELECT unnest(string_split_regex(text, ' +')) AS tok FROM documents)
+  GROUP BY 1
+),
+seq0 AS (
+  SELECT w, f, regexp_replace(w, '(.)', ' \\1 ', 'g') AS seq0 FROM words
+),
+{",".join(_bpe_iter_sql(k) for k in range(1, _BPE_STEPS + 1))},
+vocab AS (
+  SELECT w, len(string_split(trim(seq{_BPE_STEPS}), '  ')) AS n_sym
+  FROM seq{_BPE_STEPS}
+),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(text, ' +')) AS w FROM documents
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(length(w)) AS BIGINT) AS n_char_symbols,
+       CAST(sum(n_sym) AS BIGINT) AS n_bpe_symbols,
+       round(sum(length(w)) / CAST(sum(n_sym) AS DOUBLE), 4) AS compression
+FROM toks JOIN vocab USING (w)
+GROUP BY 1
 """
 
 
@@ -1220,6 +1291,7 @@ QUERIES = {
     "doc_dup_ngram_fraction": q_doc_dup_ngram_fraction,
     "doc_quality_filter_verdict": q_doc_quality_filter_verdict,
     "doc_bpe_merges": q_doc_bpe_merges,
+    "doc_bpe_encode": q_doc_bpe_encode,
     "doc_zipf_fit": q_doc_zipf_fit,
     "doc_hapax_ratio": q_doc_hapax_ratio,
     "doc_length_histogram": q_doc_length_histogram,
@@ -1242,6 +1314,7 @@ ORACLES = {
     "doc_dup_ngram_fraction": ORACLE_DUP_NGRAM,
     "doc_quality_filter_verdict": ORACLE_QUALITY_FILTER,
     "doc_bpe_merges": ORACLE_BPE,
+    "doc_bpe_encode": ORACLE_BPE_ENCODE,
     "doc_zipf_fit": ORACLE_ZIPF,
     "doc_hapax_ratio": ORACLE_HAPAX,
     "doc_length_histogram": ORACLE_LENGTH_HIST,
