@@ -123,15 +123,22 @@ def _with_recall_vs_exact(approx: DataFrame, exact: DataFrame) -> DataFrame:
         .groupBy("query_id")
         .agg(F.count("*").alias("n_hits"))
     )
+    # denominator = the per-query EXACT set size, not the constant k: a
+    # query with fewer than k true neighbors (tiny collection) must
+    # still read 1.0 when fully recovered
+    n_exact = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
     return (
         approx.join(F.broadcast(hits), "query_id", "left")
+        .join(F.broadcast(n_exact), "query_id", "left")
         .withColumn(
             "recall_vs_exact",
             F.round(
-                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(TOP_K), 4
+                F.coalesce(F.col("n_hits"), F.lit(0))
+                / F.greatest(F.coalesce(F.col("n_exact"), F.lit(0)), F.lit(1)),
+                4,
             ),
         )
-        .drop("n_hits")
+        .drop("n_hits", "n_exact")
     )
 
 

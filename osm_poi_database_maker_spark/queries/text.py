@@ -941,11 +941,36 @@ def q_doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (applicationId, sf_dir, documents mtime) → (final word table, bests);
+# same lifecycle discipline as dedup._PAIRS_CACHE: the merge-table query
+# and the encoder both consume the 3-step training dataflow, and without
+# memoization every gate run executes it twice. Entries with an
+# unreadable fixture mtime (monkeypatched tests) are never cached.
+_BPE_CACHE: dict = {}
+
+
 def _bpe_train(spark: SparkSession, sf_dir: str):
     """Shared BPE training core: returns (final word table with merged
     symbol sequences, list of per-step best-pair DataFrames). Consumed
     by the merge-table query and the encoder so the learned merges and
-    their application cannot drift apart."""
+    their application cannot drift apart; memoized per (application,
+    fixture dir, fixture mtime)."""
+    import os
+
+    try:
+        mtime = os.path.getmtime(os.path.join(sf_dir, "documents.parquet"))
+    except OSError:
+        mtime = None
+    key = (spark.sparkContext.applicationId, sf_dir, mtime)
+    if mtime is not None and key in _BPE_CACHE:
+        return _BPE_CACHE[key]
+    out = _bpe_train_impl(spark, sf_dir)
+    if mtime is not None:
+        _BPE_CACHE[key] = out
+    return out
+
+
+def _bpe_train_impl(spark: SparkSession, sf_dir: str):
     d = load_table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.split(F.col("text"), " +")).alias("w"))
@@ -1000,7 +1025,6 @@ def q_doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-doc rollup is one map-side-partial aggregate. The oracle
     replays the identical unrolled merge CTEs, so the learned merges
     and their application verify together end-to-end."""
-    _ = spark  # session comes in via the shared core
     encoded, _bests = _bpe_train(spark, sf_dir)
     vocab = encoded.select(
         "w", F.size(F.split(F.trim(F.col("seq")), "  ")).alias("n_sym")

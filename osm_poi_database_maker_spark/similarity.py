@@ -124,6 +124,61 @@ def nearest_cell_udf(cents: np.ndarray):
     return nearest_cell
 
 
+def topcells_udf(cents: np.ndarray, n_top: int):
+    """Pandas UDF: vector → its ``n_top`` nearest IVF cells (array<int>)
+    — THE single probe/spill-assignment rule, shared by :func:`ivf_topk`
+    and :func:`ivf_pq_topk` so the two indexes can never probe
+    differently."""
+
+    @pandas_udf("array<int>")
+    def topcells(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        order = np.argsort(-(m @ cents.T), axis=1)[:, :n_top].astype(np.int32)
+        return pd.Series(list(order))
+
+    return topcells
+
+
+def _empty_topk_result(
+    collection: DataFrame, queries: DataFrame, id_col: str
+) -> DataFrame:
+    """Empty result with the SAME schema the non-empty top-k paths
+    produce (id columns inherit the caller's id_col type)."""
+    q0 = queries.select(F.col(id_col).alias("query_id")).limit(0)
+    c0 = collection.select(F.col(id_col).alias("neighbor_id")).limit(0)
+    return (
+        q0.crossJoin(c0)
+        .withColumn("cosine", F.lit(None).cast("double"))
+        .withColumn("rk", F.lit(None).cast("int"))
+    )
+
+
+def _blocked_sides(collection: DataFrame, n_blocks: int, id_col: str, vec_col: str):
+    """Shared scaffolding of the exact blocked similarity operators
+    (:func:`cosine_neardup_pairs`, :func:`knn_graph`): ids hash into
+    ``n_blocks`` blocks, each of the (B²+B)/2 block pairs becomes one
+    applyInPandas group. Returns the unioned side-'a'/'b' row set —
+    diagonal pairs (bi == bj) reuse the side-'a' rows in the scorer, so
+    only off-diagonal pairs get a 'b' copy (saves a full shuffled copy
+    of the collection, the widest rows in the plan)."""
+    spark = collection.sparkSession
+    e = collection.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    block_pairs = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
+    bp = spark.createDataFrame(block_pairs, "bi int, bj int")
+    left = e.join(F.broadcast(bp), e.blk == bp.bi).select(
+        "bi", "bj", F.lit("a").alias("side"), "id", "vec"
+    )
+    right = e.join(
+        F.broadcast(bp.filter(F.col("bi") != F.col("bj"))), e.blk == bp.bj
+    ).select("bi", "bj", F.lit("b").alias("side"), "id", "vec")
+    return left.unionByName(right)
+
+
 def ivf_topk(
     collection: DataFrame,
     queries: DataFrame,
@@ -152,25 +207,7 @@ def ivf_topk(
     scan (the Spark analogue of an IVF inverted list)."""
     cents = train_ivf_centroids(collection, n_cells, id_col=id_col, vec_col=vec_col)
     if cents.size == 0:
-        # empty result with the SAME schema the non-empty path produces
-        # (id columns inherit the caller's id_col type)
-        q0 = queries.select(F.col(id_col).alias("query_id")).limit(0)
-        c0 = collection.select(F.col(id_col).alias("neighbor_id")).limit(0)
-        return (
-            q0.crossJoin(c0)
-            .withColumn("cosine", F.lit(None).cast("double"))
-            .withColumn("rk", F.lit(None).cast("int"))
-        )
-
-    def topcells_udf(n_top: int):
-        @pandas_udf("array<int>")
-        def topcells(vecs: pd.Series) -> pd.Series:
-            m = np.array(vecs.tolist(), dtype=np.float64)
-            m /= np.linalg.norm(m, axis=1, keepdims=True)
-            order = np.argsort(-(m @ cents.T), axis=1)[:, :n_top].astype(np.int32)
-            return pd.Series(list(order))
-
-        return topcells
+        return _empty_topk_result(collection, queries, id_col)
 
     if n_assign == 1:
         # single assignment shares THE cell rule with the at-rest layout
@@ -178,7 +215,7 @@ def ivf_topk(
         cell_col = nearest_cell_udf(cents)(F.col(vec_col)).alias("cell")
     else:
         cell_col = F.explode(
-            topcells_udf(n_assign)(F.col(vec_col))
+            topcells_udf(cents, n_assign)(F.col(vec_col))
         ).alias("cell")
     c = collection.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), cell_col
@@ -186,7 +223,7 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        F.explode(topcells_udf(n_probe)(F.col(vec_col))).alias("cell"),
+        F.explode(topcells_udf(cents, n_probe)(F.col(vec_col))).alias("cell"),
     )
     cand = c.join(F.broadcast(q), "cell").filter(
         F.col("neighbor_id") != F.col("query_id")
@@ -231,10 +268,14 @@ def train_pq_codebooks(
     m = np.array([r.v for r in rows], dtype=np.float64)
     subdim = m.shape[1] // m_sub
     rng = np.random.RandomState(seed)
-    books = np.zeros((m_sub, n_codes, subdim))
+    # a sample smaller than n_codes trains fewer codes — the book is
+    # trimmed, never zero-padded (phantom all-zero centroids would win
+    # assignments near the origin and carry a zero reconstruction norm)
+    k_eff = min(n_codes, len(m))
+    books = np.zeros((m_sub, k_eff, subdim))
     for s in range(m_sub):
         sub = m[:, s * subdim : (s + 1) * subdim]
-        cents = sub[rng.choice(len(sub), size=min(n_codes, len(sub)), replace=False)]
+        cents = sub[rng.choice(len(sub), size=k_eff, replace=False)]
         for _ in range(n_iters):
             d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)
@@ -242,7 +283,7 @@ def train_pq_codebooks(
                 members = sub[assign == c]
                 if len(members):
                     cents[c] = members.mean(axis=0)
-        books[s, : len(cents)] = cents
+        books[s] = cents
     return books
 
 
@@ -300,18 +341,13 @@ def ivf_pq_topk(
     books = train_pq_codebooks(
         collection, m_sub=m_sub, n_codes=n_codes, id_col=id_col, vec_col=vec_col
     )
-    flat_norm2 = [float((books[s, c] ** 2).sum()) for s in range(m_sub) for c in range(n_codes)]
+    if cents.size == 0 or books.size == 0:
+        return _empty_topk_result(collection, queries, id_col)
+    k_codes = books.shape[1]  # may be < n_codes on a tiny sample
+    flat_norm2 = [
+        float((books[s, c] ** 2).sum()) for s in range(m_sub) for c in range(k_codes)
+    ]
     norm2_lit = F.array(*[F.lit(x) for x in flat_norm2])
-
-    def topcells_udf(n_top: int):
-        @pandas_udf("array<int>")
-        def topcells(vecs: pd.Series) -> pd.Series:
-            m = np.array(vecs.tolist(), dtype=np.float64)
-            m /= np.linalg.norm(m, axis=1, keepdims=True)
-            order = np.argsort(-(m @ cents.T), axis=1)[:, :n_top].astype(np.int32)
-            return pd.Series(list(order))
-
-        return topcells
 
     @pandas_udf("array<double>")
     def adc_table(vecs: pd.Series) -> pd.Series:
@@ -326,7 +362,7 @@ def ivf_pq_topk(
     if n_assign == 1:
         cell_col = nearest_cell_udf(cents)(F.col(vec_col)).alias("cell")
     else:
-        cell_col = F.explode(topcells_udf(n_assign)(F.col(vec_col))).alias("cell")
+        cell_col = F.explode(topcells_udf(cents, n_assign)(F.col(vec_col))).alias("cell")
     c = collection.select(
         F.col(id_col).alias("neighbor_id"),
         cell_col,
@@ -334,7 +370,7 @@ def ivf_pq_topk(
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.explode(topcells_udf(n_probe)(F.col(vec_col))).alias("cell"),
+        F.explode(topcells_udf(cents, n_probe)(F.col(vec_col))).alias("cell"),
         adc_table(F.col(vec_col)).alias("qtab"),
         norm(F.col(vec_col)).alias("q_norm"),
     )
@@ -347,7 +383,7 @@ def ivf_pq_topk(
         [
             F.element_at(
                 F.col("qtab"),
-                F.lit(s * n_codes) + F.element_at(F.col("codes"), s + 1) + 1,
+                F.lit(s * k_codes) + F.element_at(F.col("codes"), s + 1) + 1,
             )
             for s in range(m_sub)
         ],
@@ -357,7 +393,7 @@ def ivf_pq_topk(
         [
             F.element_at(
                 norm2_lit,
-                F.lit(s * n_codes) + F.element_at(F.col("codes"), s + 1) + 1,
+                F.lit(s * k_codes) + F.element_at(F.col("codes"), s + 1) + 1,
             )
             for s in range(m_sub)
         ],
@@ -370,7 +406,7 @@ def ivf_pq_topk(
     shortlist = (
         cand.withColumn("pq_rk", F.row_number().over(w_pq))
         .filter(F.col("pq_rk") <= k * rerank)
-        .select("query_id", "neighbor_id", "q_norm")
+        .select("query_id", "neighbor_id")
     )
     # exact rerank: raw vectors fetched ONLY for the shortlist
     qv = queries.select(
@@ -413,23 +449,7 @@ def cosine_neardup_pairs(
     where exact O(n²) is infeasible, use :func:`ann_topk` (LSH) or
     MinHash instead.
     """
-    spark = collection.sparkSession
-    e = collection.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
-    )
-    block_pairs = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
-    bp = spark.createDataFrame(block_pairs, "bi int, bj int")
-    left = e.join(F.broadcast(bp), e.blk == bp.bi).select(
-        "bi", "bj", F.lit("a").alias("side"), "id", "vec"
-    )
-    # diagonal pairs (bi == bj) reuse the side-'a' rows in the scorer, so
-    # only off-diagonal pairs need a 'b' copy — saves a full shuffled
-    # copy of the collection (the widest rows in the plan)
-    right = e.join(
-        F.broadcast(bp.filter(F.col("bi") != F.col("bj"))), e.blk == bp.bj
-    ).select("bi", "bj", F.lit("b").alias("side"), "id", "vec")
+    sides = _blocked_sides(collection, n_blocks, id_col, vec_col)
 
     def score_block_pair(key, pdf):
         bi, bj = key
@@ -459,10 +479,8 @@ def cosine_neardup_pairs(
             lo, hi, c = lo[keep], hi[keep], c[keep]
         return pd.DataFrame({"doc_a": lo, "doc_b": hi, "cosine": c})
 
-    return (
-        left.unionByName(right)
-        .groupBy("bi", "bj")
-        .applyInPandas(score_block_pair, "doc_a long, doc_b long, cosine double")
+    return sides.groupBy("bi", "bj").applyInPandas(
+        score_block_pair, "doc_a long, doc_b long, cosine double"
     )
 
 
@@ -491,20 +509,7 @@ def knn_graph(
     quadratic scan — for corpora beyond it, :func:`ann_topk` per vector
     is the scale path.
     """
-    spark = collection.sparkSession
-    e = collection.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
-    )
-    block_pairs = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
-    bp = spark.createDataFrame(block_pairs, "bi int, bj int")
-    left = e.join(F.broadcast(bp), e.blk == bp.bi).select(
-        "bi", "bj", F.lit("a").alias("side"), "id", "vec"
-    )
-    right = e.join(
-        F.broadcast(bp.filter(F.col("bi") != F.col("bj"))), e.blk == bp.bj
-    ).select("bi", "bj", F.lit("b").alias("side"), "id", "vec")
+    sides = _blocked_sides(collection, n_blocks, id_col, vec_col)
 
     def local_topk(key, pdf):
         bi, bj = key
@@ -554,12 +559,8 @@ def knn_graph(
             emit(idb, mb, ida, ma, exclude_self=False)
         return pd.concat(out, ignore_index=True) if out else empty
 
-    cand = (
-        left.unionByName(right)
-        .groupBy("bi", "bj")
-        .applyInPandas(
-            local_topk, "id long, neighbor_id long, cos6 double, cos_raw double"
-        )
+    cand = sides.groupBy("bi", "bj").applyInPandas(
+        local_topk, "id long, neighbor_id long, cos6 double, cos_raw double"
     )
     w = Window.partitionBy("id").orderBy(F.desc("cos6"), F.asc("neighbor_id"))
     return (

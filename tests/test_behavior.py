@@ -206,7 +206,7 @@ def test_path_trigrams_counts(spark):
 
     rows = q_events_path_trigrams(spark, SF_SMOKE).collect()
     assert 0 < len(rows) <= _PATH_TOP_K
-    assert [r.rk for r in rows[:3]] == [1, 2, 3] if len(rows) >= 3 else True
-    # ranks are dense and ordered by (n desc, lexicographic steps)
+    # ranks are dense and ordered by (n desc, lexicographic steps) —
+    # asserted on a re-sort, since collect() order is a plan detail
     ordered = sorted(rows, key=lambda r: (-r.n, r.step1, r.step2, r.step3))
     assert [r.rk for r in ordered] == list(range(1, len(rows) + 1))
