@@ -35,10 +35,14 @@ sys.path.insert(0, REPO)
 
 DEFAULT_QUERIES = [
     "doc_bpe_merges",
+    "doc_bpe_encode",
     "doc_dup_ngram_fraction",
+    "doc_quality_filter_verdict",
     "doc_source_overlap_matrix",
     "emb_knn_graph",
     "emb_semdedup",
+    "emb_pq_codes",
+    "emb_ivf_pq_topk",
     "events_path_trigrams",
     "nation_volume_shipping",
     "orders_scd2_intervals",
