@@ -21,6 +21,7 @@ from . import (
     events,
     multimodal,
     osm,
+    profiling,
     similarity,
     streaming_queries,
     text,
@@ -36,6 +37,7 @@ _MODULES = (
     similarity,
     osm,
     multimodal,
+    profiling,
     streaming_queries,
 )
 
@@ -56,6 +58,15 @@ _MODULES = (
 # regardless of window position.
 _VERIFY_FIRST = [
     # tier 1a: NEW in round 4 — no driver row exists yet.
+    "doc_bm25_topk",
+    "doc_graph_triangles",
+    "doc_incremental_dedup",
+    "orders_column_profile",
+    "lineitem_price_outliers_mad",
+    "events_k_anonymity",
+    "customer_name_linkage",
+    "emb_centroid_drift",
+    "events_user_lifecycle",
     "doc_bpe_merges",
     "doc_bpe_encode",
     "doc_quality_filter_verdict",
@@ -106,6 +117,10 @@ _VERIFY_FIRST = [
     "doc_token_regex",
     "doc_tfidf_top_terms",
     "doc_chunk_windows",
+    # --- the 50-entry window ends here (21 tier-1a + 6 tier-1b +
+    # 9 tier-2a + 14 tier-2b). Below: overflow — r3-green or heavily
+    # pytest-gated entries displaced by the round-4 newcomers; they go
+    # to the FRONT of round 5's rotation.
     "doc_repetition_stats",
     "doc_stratified_sample",
     "doc_exact_dedup",
@@ -115,10 +130,6 @@ _VERIFY_FIRST = [
     "doc_pii_scrub",
     "doc_decontaminate",
     "doc_mixture_sample",
-    # --- the 50-entry window ends here (12 tier-1a + 6 tier-1b +
-    # 9 tier-2a + 23 tier-2b). Below: overflow — r3-green or heavily
-    # pytest-gated entries displaced by the round-4 newcomers; they go
-    # to the FRONT of round 5's rotation.
     "doc_shuffle_shards",
     "doc_curation_pipeline",
     "doc_bigram_logprob",
@@ -145,6 +156,7 @@ _COHORT_MODULES = (
     curation,
     dedup,
     similarity,
+    profiling,
     osm,
     multimodal,
     streaming_queries,
@@ -159,6 +171,7 @@ for _m in _MODULES:
 
 _missing = [n for n in _VERIFY_FIRST if n not in _ALL]
 assert not _missing, f"_VERIFY_FIRST names unknown queries: {_missing}"
+assert len(set(_VERIFY_FIRST)) == len(_VERIFY_FIRST), "_VERIFY_FIRST has duplicates"
 
 QUERIES = {n: _ALL[n] for n in _VERIFY_FIRST}
 for _m in _COHORT_MODULES:

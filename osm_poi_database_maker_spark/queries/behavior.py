@@ -611,8 +611,77 @@ LIMIT {_PATH_TOP_K}
 """
 
 
+_LIFECYCLE_GAP_DAYS = 7
+
+
+def q_events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: per active day, how many users are NEW (first
+    activity ever), RETAINED (previous activity within 7 days), or
+    RESURRECTED (returning after a >7-day gap) — the standard
+    new/retained/resurrected decomposition of a daily-active count.
+
+    Plan: distinct (user, day) activity (one user-keyed exchange), a
+    per-user lag window over the SAME partitioning (no second shuffle —
+    the aggregate's exchange is reused by the window), then a day-keyed
+    aggregate of the classifications. Per-user partitions are bounded by
+    |days|, never event volume, so the window is safe at any user count;
+    the final aggregate emits one row per day."""
+    e = load_table(spark, sf_dir, "events")
+    act = e.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    prev = F.lag("day").over(w)
+    status = (
+        F.when(prev.isNull(), F.lit("new"))
+        .when(F.datediff(F.col("day"), prev) <= _LIFECYCLE_GAP_DAYS, F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+    )
+    return (
+        act.withColumn("status", status)
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").alias("n_active"),
+            F.sum((F.col("status") == "new").cast("long")).alias("n_new"),
+            F.sum((F.col("status") == "retained").cast("long")).alias("n_retained"),
+            F.sum((F.col("status") == "resurrected").cast("long")).alias(
+                "n_resurrected"
+            ),
+        )
+    )
+
+
+ORACLE_LIFECYCLE = f"""
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+lagged AS (
+  SELECT user_id, day,
+         lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev
+  FROM act
+),
+classified AS (
+  SELECT day,
+         CASE WHEN prev IS NULL THEN 'new'
+              WHEN day - prev <= {_LIFECYCLE_GAP_DAYS} THEN 'retained'
+              ELSE 'resurrected' END AS status
+  FROM lagged
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       count(*) AS n_active,
+       CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_retained,
+       CAST(sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_resurrected
+FROM classified
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "events_funnel": q_events_funnel,
+    "events_user_lifecycle": q_events_user_lifecycle,
     "events_path_trigrams": q_events_path_trigrams,
     "events_markov_transitions": q_events_markov_transitions,
     "events_retention": q_events_retention,
@@ -624,6 +693,7 @@ QUERIES = {
 
 ORACLES = {
     "events_funnel": ORACLE_FUNNEL,
+    "events_user_lifecycle": ORACLE_LIFECYCLE,
     "events_path_trigrams": ORACLE_PATH_TRIGRAMS,
     "events_markov_transitions": ORACLE_MARKOV,
     "events_retention": ORACLE_RETENTION,

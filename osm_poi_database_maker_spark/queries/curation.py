@@ -765,8 +765,117 @@ JOIN sizes sb ON sb.source = source_b
 """
 
 
+_DRIFT_MOD = 10
+_DRIFT_REF_LT = 8  # vec_id % 10 < 8 → reference batch, else current
+
+
+def q_emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding distribution drift between a REFERENCE batch and a
+    CURRENT batch (deterministic vec_id split stands in for the two
+    snapshots): per label, cosine similarity and L2 distance between the
+    two batch centroids plus both batch sizes — the monitor a training
+    pipeline alarms on before a new data drop shifts the feature space.
+
+    Plan: one posexplode feeds a (label, split, pos) mean — the only
+    wide exchange, and its output is |labels|·2·dim rows regardless of
+    corpus size; the ref/cur centroid join and the per-label reduction
+    are over that tiny table. Batch counts come from an un-exploded
+    |labels|·2-row aggregate. Vectors themselves are never shuffled, so
+    the operator costs one scan + one explode-aggregate at any scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    split = F.when(
+        (F.col("vec_id") % _DRIFT_MOD) < _DRIFT_REF_LT, F.lit("ref")
+    ).otherwise(F.lit("cur"))
+    e = emb.select(
+        "vec_id", "label", split.alias("split"), F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    cent = e.groupBy("label", "split", "pos").agg(F.avg("v").alias("c"))
+    ref = cent.filter(F.col("split") == "ref").select(
+        "label", "pos", F.col("c").alias("cr")
+    )
+    cur = cent.filter(F.col("split") == "cur").select(
+        "label", "pos", F.col("c").alias("cc")
+    )
+    per_label = (
+        ref.join(cur, ["label", "pos"])
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("cr") * F.col("cc")).alias("dot"),
+            F.sqrt(F.sum(F.col("cr") * F.col("cr"))).alias("nr"),
+            F.sqrt(F.sum(F.col("cc") * F.col("cc"))).alias("nc"),
+            F.sqrt(
+                F.sum((F.col("cr") - F.col("cc")) * (F.col("cr") - F.col("cc")))
+            ).alias("l2"),
+        )
+    )
+    counts = (
+        emb.groupBy("label")
+        .agg(
+            F.sum(((F.col("vec_id") % _DRIFT_MOD) < _DRIFT_REF_LT).cast("long")).alias(
+                "n_ref"
+            ),
+            F.sum(((F.col("vec_id") % _DRIFT_MOD) >= _DRIFT_REF_LT).cast("long")).alias(
+                "n_cur"
+            ),
+        )
+    )
+    return per_label.join(counts, "label").select(
+        "label",
+        "n_ref",
+        "n_cur",
+        F.round(
+            F.when(
+                (F.col("nr") > 0) & (F.col("nc") > 0),
+                F.col("dot") / (F.col("nr") * F.col("nc")),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("centroid_cosine"),
+        F.round("l2", 4).alias("centroid_l2"),
+    )
+
+
+ORACLE_CENTROID_DRIFT = f"""
+WITH e AS (
+  SELECT vec_id, label,
+         CASE WHEN vec_id % {_DRIFT_MOD} < {_DRIFT_REF_LT}
+              THEN 'ref' ELSE 'cur' END AS split,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+cent AS (SELECT label, split, pos, avg(v) AS c FROM e GROUP BY 1, 2, 3),
+per_label AS (
+  SELECT r.label,
+         sum(r.c * c2.c) AS dot,
+         sqrt(sum(r.c * r.c)) AS nr,
+         sqrt(sum(c2.c * c2.c)) AS nc,
+         sqrt(sum((r.c - c2.c) * (r.c - c2.c))) AS l2
+  FROM cent r
+  JOIN cent c2 ON c2.label = r.label AND c2.pos = r.pos AND c2.split = 'cur'
+  WHERE r.split = 'ref'
+  GROUP BY 1
+),
+counts AS (
+  SELECT label,
+         CAST(sum(CASE WHEN vec_id % {_DRIFT_MOD} < {_DRIFT_REF_LT}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(sum(CASE WHEN vec_id % {_DRIFT_MOD} >= {_DRIFT_REF_LT}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+  FROM embeddings GROUP BY 1
+)
+SELECT p.label, c.n_ref, c.n_cur,
+       round(CASE WHEN p.nr > 0 AND p.nc > 0
+                  THEN p.dot / (p.nr * p.nc) ELSE 0.0 END, 4)
+         AS centroid_cosine,
+       round(p.l2, 4) AS centroid_l2
+FROM per_label p
+JOIN counts c ON c.label = p.label
+"""
+
+
 QUERIES = {
     "doc_decontaminate": q_doc_decontaminate,
+    "emb_centroid_drift": q_emb_centroid_drift,
     "doc_source_overlap_matrix": q_doc_source_overlap_matrix,
     "doc_longest_eval_overlap": q_doc_longest_eval_overlap,
     "doc_weighted_sample": q_doc_weighted_sample,
@@ -779,6 +888,7 @@ QUERIES = {
 
 ORACLES = {
     "doc_decontaminate": ORACLE_DECONTAM,
+    "emb_centroid_drift": ORACLE_CENTROID_DRIFT,
     "doc_source_overlap_matrix": ORACLE_SOURCE_OVERLAP,
     "doc_longest_eval_overlap": ORACLE_LONGEST_OVERLAP,
     "doc_weighted_sample": ORACLE_WEIGHTED_SAMPLE,

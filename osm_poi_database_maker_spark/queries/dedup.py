@@ -383,6 +383,222 @@ SELECT id AS doc_id, round(pr, 6) AS pagerank FROM it{_PR_ITERS}
 """
 
 
+def q_doc_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup similarity graph: triangle count,
+    wedge (open-triad) count, and global clustering coefficient — the
+    graph-shape diagnostic that distinguishes tight dup CLIQUES (high
+    clustering → safe to keep one representative) from chain-shaped
+    drift (low clustering → transitive closure over-merges).
+
+    Plan: triangles enumerate via two equi-joins over the oriented edge
+    list (a<b<c ordering counts each exactly once) — shuffle keys are
+    vertex ids, so worst-stage size is bounded by the hottest vertex's
+    degree d (≤ d² candidate wedges), which the pair generator already
+    caps via its shingle df-cap; wedges are a per-vertex degree
+    aggregate (Σ deg·(deg−1)/2). Output is one row. The oracle mirrors
+    the same pair set through the shared ORACLE_NGRAM CTE."""
+    pairs = _ngram_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
+    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = pairs.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    und = e1.select(F.col("a").alias("v")).unionAll(e1.select(F.col("b").alias("v")))
+    wedges = (
+        und.groupBy("v")
+        .agg(F.count("*").alias("deg"))
+        .agg(
+            F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("n_wedges")
+        )
+    )
+    n_edges = pairs.agg(F.count("*").alias("n_edges"))
+    return (
+        n_edges.crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(wedges))
+        .select(
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.round(
+                F.when(
+                    F.col("n_wedges") > 0,
+                    3.0 * F.col("n_triangles") / F.col("n_wedges"),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("global_clustering"),
+        )
+    )
+
+
+ORACLE_TRIANGLES = f"""
+WITH pairs AS ({ORACLE_NGRAM}),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e2.a = e1.b
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+deg AS (
+  SELECT v, count(*) AS deg FROM (
+    SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges
+  ) GROUP BY 1
+),
+wedges AS (SELECT CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges FROM deg),
+ne AS (SELECT count(*) AS n_edges FROM edges)
+SELECT ne.n_edges, tri.n_triangles, wedges.n_wedges,
+       round(CASE WHEN wedges.n_wedges > 0
+                  THEN 3.0 * tri.n_triangles / wedges.n_wedges
+                  ELSE 0.0 END, 4) AS global_clustering
+FROM ne CROSS JOIN tri CROSS JOIN wedges
+"""
+
+
+_INCR_HIST_MOD = 10  # doc_id % 10 < 8 → historical corpus, else incoming
+_INCR_HIST_LT = 8
+_INCR_OVERLAP_MAX = 0.8
+
+
+def q_doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: admit an INCOMING batch against a HISTORICAL
+    corpus (deterministic doc_id split stands in for the two snapshots)
+    — the shape a continuously-ingesting training pipeline actually
+    runs, where yesterday's corpus never re-shuffles against itself.
+
+    Two signals per incoming doc: exact duplicate (content hash seen in
+    history) and shingle containment (fraction of the doc's distinct
+    3-gram hashes present ANYWHERE in history). Admit = not exact dup
+    and containment < 0.8.
+
+    Plan: history collapses to two DISTINCT sets — content hashes and
+    shingle hashes — so each incoming row/shingle joins at most one
+    history row: NO quadratic term anywhere (unlike pairwise near-dup,
+    containment-vs-set needs no df cap). Both joins shuffle on fixed-
+    width 8/32-byte hashes; at 100 TB the history sets are the natural
+    persisted state (bucketed by hash), and each daily batch joins
+    against them bucket-aligned with zero history re-shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    is_hist = (F.col("doc_id") % _INCR_HIST_MOD) < _INCR_HIST_LT
+    hist = d.filter(is_hist)
+    inc = d.filter(~is_hist)
+
+    hist_sha = hist.select(F.sha2("text", 256).alias("text_hash")).distinct()
+    inc_sha = inc.select("doc_id", F.sha2("text", 256).alias("text_hash"))
+    exact = inc_sha.join(
+        hist_sha.withColumn("exact_dup", F.lit(1)), "text_hash", "left"
+    ).select("doc_id", F.coalesce("exact_dup", F.lit(0)).alias("exact_dup"))
+
+    def shingle_hashes(df: DataFrame) -> DataFrame:
+        # barrier: materialize the token array behind a shuffle, else
+        # CollapseProject inlines split() into every element_at reference
+        # (3 re-splits per shingle position — the same trap
+        # q_doc_ngram_jaccard_pairs documents; dropping the barrier here
+        # measured ~6x slower at sf0.1)
+        tok = df.select(
+            "doc_id", F.split(F.col("text"), " +").alias("t")
+        ).repartition("doc_id")
+        t = F.col("t")
+        sh = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 2),
+                lambda i: F.xxhash64(
+                    F.concat_ws(
+                        " ",
+                        F.element_at(t, i),
+                        F.element_at(t, i + 1),
+                        F.element_at(t, i + 2),
+                    )
+                ),
+            )
+        )
+        return tok.filter(F.size(t) >= 3).select(
+            "doc_id", F.explode(sh).alias("h")
+        )
+
+    hist_sh = shingle_hashes(hist).select("h").distinct()
+    overlap = (
+        shingle_hashes(inc)
+        .join(hist_sh.withColumn("hit", F.lit(1)), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.round(F.col("n_hits") / F.col("n_shingles"), 4).alias("hist_overlap"),
+        )
+    )
+    joined = (
+        inc.select("doc_id")
+        .join(exact, "doc_id")
+        .join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            "exact_dup",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("hist_overlap", F.lit(0.0)).alias("hist_overlap"),
+        )
+    )
+    admit = (F.col("exact_dup") == 0) & (F.col("hist_overlap") < _INCR_OVERLAP_MAX)
+    return joined.withColumn("admit", admit.cast("int"))
+
+
+ORACLE_INCREMENTAL = f"""
+WITH hist AS (
+  SELECT * FROM documents WHERE doc_id % {_INCR_HIST_MOD} < {_INCR_HIST_LT}
+),
+inc AS (
+  SELECT * FROM documents WHERE doc_id % {_INCR_HIST_MOD} >= {_INCR_HIST_LT}
+),
+hist_sha AS (SELECT DISTINCT sha256(text) AS text_hash FROM hist),
+exact AS (
+  SELECT i.doc_id,
+         CASE WHEN h.text_hash IS NULL THEN 0 ELSE 1 END AS exact_dup
+  FROM (SELECT doc_id, sha256(text) AS text_hash FROM inc) i
+  LEFT JOIN hist_sha h ON h.text_hash = i.text_hash
+),
+hist_sh AS (
+  SELECT DISTINCT t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS shingle
+  FROM (
+    SELECT t, unnest(range(len(t) - 2)) AS i
+    FROM (SELECT string_split_regex(text, ' +') AS t FROM hist)
+    WHERE len(t) >= 3
+  )
+),
+inc_sh AS (
+  SELECT DISTINCT doc_id, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS shingle
+  FROM (
+    SELECT doc_id, t, unnest(range(len(t) - 2)) AS i
+    FROM (SELECT doc_id, string_split_regex(text, ' +') AS t FROM inc)
+    WHERE len(t) >= 3
+  )
+),
+overlap AS (
+  SELECT i.doc_id,
+         count(*) AS n_shingles,
+         sum(CASE WHEN h.shingle IS NULL THEN 0 ELSE 1 END) AS n_hits
+  FROM inc_sh i
+  LEFT JOIN hist_sh h ON h.shingle = i.shingle
+  GROUP BY 1
+)
+SELECT i.doc_id, e.exact_dup,
+       CAST(coalesce(o.n_shingles, 0) AS BIGINT) AS n_shingles,
+       coalesce(round(CAST(o.n_hits AS DOUBLE) / o.n_shingles, 4), 0.0)
+         AS hist_overlap,
+       CAST(e.exact_dup = 0
+            AND coalesce(round(CAST(o.n_hits AS DOUBLE) / o.n_shingles, 4), 0.0)
+                < {_INCR_OVERLAP_MAX} AS INT) AS admit
+FROM inc i
+JOIN exact e ON e.doc_id = i.doc_id
+LEFT JOIN overlap o ON o.doc_id = i.doc_id
+"""
+
+
 QUERIES = {
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_ngram_jaccard_pairs": q_doc_ngram_jaccard_pairs,
@@ -391,9 +607,13 @@ QUERIES = {
     "doc_dedup_clusters": q_doc_dedup_clusters,
     "doc_dedup_survivors": q_doc_dedup_survivors,
     "doc_graph_pagerank": q_doc_graph_pagerank,
+    "doc_graph_triangles": q_doc_graph_triangles,
+    "doc_incremental_dedup": q_doc_incremental_dedup,
 }
 
 ORACLES = {
+    "doc_graph_triangles": ORACLE_TRIANGLES,
+    "doc_incremental_dedup": ORACLE_INCREMENTAL,
     "doc_exact_dedup": ORACLE_EXACT,
     "doc_ngram_jaccard_pairs": ORACLE_NGRAM,
     "doc_dedup_clusters": ORACLE_CLUSTERS,

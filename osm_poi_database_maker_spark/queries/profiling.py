@@ -1,0 +1,285 @@
+"""Data-quality / governance operators (engine [ext]).
+
+Column profiling, robust outlier detection, k-anonymity auditing, and
+blocked entity resolution — the "trust the data before you train on it"
+layer of a large-scale pipeline. Every query is a pure DataFrame plan
+(no Python in the hot path) with a DuckDB oracle twin.
+
+Scale notes per query live in each docstring; the common theme: profiles
+and audits are single-pass aggregations (one shuffle on the group key or
+an expand+aggregate), outlier scoring is two 1-row aggregates broadcast
+back over the scan, and linkage is a blocked self-join whose block key
+bounds the quadratic term.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+# ---------------------------------------------------------------------------
+# Column profiling
+
+
+_PROFILE_COLS = (
+    # (column, is_numeric) — numeric min/max render through DECIMAL(18,2)
+    # so both engines print identical strings.
+    ("o_orderkey", True),
+    ("o_custkey", True),
+    ("o_totalprice", True),
+    ("o_orderstatus", False),
+    ("o_orderpriority", False),
+    ("o_orderdate", False),
+)
+
+
+def q_orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profile of ``orders``: per column, null count,
+    exact distinct count, and min/max rendered as strings — the data-
+    contract check run before a table enters a training mixture.
+
+    Plan: ONE aggregation computes every metric (Spark plans the multiple
+    ``count(DISTINCT ...)`` via Expand + two-phase hash aggregate — rows
+    are replicated ×|columns| map-side, but the shuffle carries only
+    partial aggregates, never raw rows, so this scales as one pass over
+    the table); the wide 1-row result is then unpivoted driver-free with
+    ``stack``. At 100 TB the expand factor is the knob: profile column
+    batches of ~8 per pass, or swap exact distinct for HLL
+    (``approx_count_distinct``) — noted here, exact kept for oracle
+    parity.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("n_rows")]
+    for c, numeric in _PROFILE_COLS:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+        aggs.append(F.countDistinct(c).alias(f"{c}__nd"))
+        if numeric:
+            render_min = F.round(F.min(c), 2).cast("decimal(18,2)").cast("string")
+            render_max = F.round(F.max(c), 2).cast("decimal(18,2)").cast("string")
+        else:
+            render_min = F.min(c).cast("string")
+            render_max = F.max(c).cast("string")
+        aggs.append(render_min.alias(f"{c}__min"))
+        aggs.append(render_max.alias(f"{c}__max"))
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__nd, {c}__min, {c}__max" for c, _ in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(col_name, n_nulls, n_distinct, min_repr, max_repr)",
+        "n_rows",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_repr", "max_repr")
+
+
+def _profile_oracle_branch(col: str, numeric: bool) -> str:
+    if numeric:
+        mn = f"CAST(CAST(round(min({col}), 2) AS DECIMAL(18,2)) AS VARCHAR)"
+        mx = f"CAST(CAST(round(max({col}), 2) AS DECIMAL(18,2)) AS VARCHAR)"
+    else:
+        mn, mx = f"CAST(min({col}) AS VARCHAR)", f"CAST(max({col}) AS VARCHAR)"
+    return f"""
+  SELECT '{col}' AS col_name,
+         count(*) AS n_rows,
+         CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         count(DISTINCT {col}) AS n_distinct,
+         {mn} AS min_repr,
+         {mx} AS max_repr
+  FROM orders"""
+
+
+ORACLE_COLUMN_PROFILE = "\nUNION ALL\n".join(
+    _profile_oracle_branch(c, n) for c, n in _PROFILE_COLS
+)
+
+
+# ---------------------------------------------------------------------------
+# Robust (MAD) outlier scoring
+
+
+_MAD_K = 1.4826  # consistency constant: MAD → sigma under normality
+_MAD_TOPK = 20
+
+
+def q_lineitem_price_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 ``l_extendedprice`` rows by robust z-score
+    |x − median| / (1.4826·MAD) — median/MAD outlier scoring is the
+    standard heavy-tail-safe alternative to mean/stddev (one extreme
+    value cannot drag its own threshold).
+
+    Plan: two sequential 1-row aggregates (median, then MAD of residuals
+    against the broadcast median), each attached back to the scan via a
+    broadcast cross join — the repo's scalar-join pattern; the final
+    top-k is TakeOrderedAndProject (per-partition partial top-k, k-row
+    driver merge), never a global sort. Exact ``percentile`` is kept for
+    oracle parity; the 100 TB swap is ``approx_percentile`` (mergeable
+    t-digest), changing two expressions. Ties at the boundary break on
+    (orderkey, linenumber), so the emitted set is deterministic.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    med = li.agg(F.percentile("l_extendedprice", 0.5).alias("med"))
+    with_med = li.crossJoin(F.broadcast(med))
+    mad = with_med.agg(
+        F.percentile(F.abs(F.col("l_extendedprice") - F.col("med")), 0.5).alias("mad")
+    )
+    scored = with_med.crossJoin(F.broadcast(mad)).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 2).alias("price"),
+        # mad=0 (constant column) would divide by zero with engine-specific
+        # NULL/Inf semantics — degrade to z=0 identically in both engines
+        F.round(
+            F.when(
+                F.col("mad") > 0,
+                F.abs(F.col("l_extendedprice") - F.col("med")) / (_MAD_K * F.col("mad")),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("robust_z"),
+    )
+    return scored.orderBy(
+        F.desc("robust_z"), "l_orderkey", "l_linenumber"
+    ).limit(_MAD_TOPK)
+
+
+ORACLE_MAD_OUTLIERS = f"""
+WITH med AS (SELECT median(l_extendedprice) AS med FROM lineitem),
+mad AS (
+  SELECT median(abs(l_extendedprice - med.med)) AS mad
+  FROM lineitem CROSS JOIN med
+)
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice, 2) AS price,
+       round(CASE WHEN mad.mad > 0
+                  THEN abs(l_extendedprice - med.med) / ({_MAD_K} * mad.mad)
+                  ELSE 0.0 END, 4) AS robust_z
+FROM lineitem CROSS JOIN med CROSS JOIN mad
+ORDER BY robust_z DESC, l_orderkey, l_linenumber
+LIMIT {_MAD_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit
+
+
+_K_ANON = 5
+
+
+def q_events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier (event_type, hour):
+    groups observed with fewer than k=5 distinct users are
+    re-identification risks a privacy-preserving release would have to
+    suppress or generalize. Emits the at-risk groups with their row and
+    user counts.
+
+    Plan: one groupBy on the QI (count + exact count-distinct of the
+    user id — a two-phase aggregate whose shuffle key is the QI), then a
+    post-aggregation filter; nothing touches the driver. At 100 TB the
+    QI aggregate is the same single shuffle; if |QI groups| itself
+    explodes, the at-risk filter pushes into the final aggregate stage,
+    so only risky groups survive to output.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "event_type", F.date_format("ts", "yyyy-MM-dd HH").alias("hour")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .filter(F.col("n_users") < _K_ANON)
+    )
+
+
+ORACLE_K_ANONYMITY = f"""
+SELECT event_type,
+       strftime(ts, '%Y-%m-%d %H') AS hour,
+       count(*) AS n_rows,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+HAVING count(DISTINCT user_id) < {_K_ANON}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Blocked entity resolution
+
+
+_LINK_MAX_DIST = 2
+
+
+def q_customer_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked entity resolution over customer names: within each
+    (nation, market segment) block, count candidate pairs whose
+    Levenshtein edit distance is ≤ 2, reported per (nation, distance) —
+    the blocking + pairwise-compare + decision shape of record linkage.
+
+    Plan: the self-join equi-matches on the BLOCK key, so the quadratic
+    term is bounded by the largest block, not the table (blocking is the
+    standard ER recall/cost trade — cross-block matches are out of scope
+    by design). ``levenshtein`` is a JVM builtin inside codegen; the
+    (custkey_a < custkey_b) predicate keeps each pair once. At 100 TB
+    the block key gets finer (name length + prefix + phonetic bucket, a
+    pure column change) and a hot block is split by salting — the
+    aggregate output stays |blocks|×3 rows either way. The nation name
+    attaches via a broadcast join of the 25-row dim.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    a, b = c.alias("a"), c.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        F.col("a.c_nationkey").alias("nationkey"),
+        F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("dist"),
+    ).filter(F.col("dist") <= _LINK_MAX_DIST)
+    return (
+        pairs.groupBy("nationkey", "dist")
+        .agg(F.count("*").alias("n_pairs"))
+        .join(F.broadcast(n), F.col("nationkey") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nation"), "dist", "n_pairs")
+    )
+
+
+ORACLE_NAME_LINKAGE = f"""
+SELECT n.n_name AS nation, p.dist, p.n_pairs
+FROM (
+  SELECT a.c_nationkey AS nationkey,
+         levenshtein(a.c_name, b.c_name) AS dist,
+         count(*) AS n_pairs
+  FROM customer a
+  JOIN customer b
+    ON a.c_nationkey = b.c_nationkey
+   AND a.c_mktsegment = b.c_mktsegment
+   AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= {_LINK_MAX_DIST}
+  GROUP BY 1, 2
+) p
+JOIN nation n ON n.n_nationkey = p.nationkey
+"""
+
+
+QUERIES = {
+    "orders_column_profile": q_orders_column_profile,
+    "lineitem_price_outliers_mad": q_lineitem_price_outliers_mad,
+    "events_k_anonymity": q_events_k_anonymity,
+    "customer_name_linkage": q_customer_name_linkage,
+}
+
+ORACLES = {
+    "orders_column_profile": ORACLE_COLUMN_PROFILE,
+    "lineitem_price_outliers_mad": ORACLE_MAD_OUTLIERS,
+    "events_k_anonymity": ORACLE_K_ANONYMITY,
+    "customer_name_linkage": ORACLE_NAME_LINKAGE,
+}

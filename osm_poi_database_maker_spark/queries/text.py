@@ -1310,8 +1310,132 @@ JOIN qual q ON q.doc_id = r.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# BM25 retrieval
+
+_BM25_QUERIES = (
+    (1, ("spark", "join", "stream")),
+    (2, ("hash", "merge", "sort")),
+    (3, ("customer", "order", "query")),
+)
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+
+
+def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval for a fixed query set — the lexical
+    retrieval operator of a dedup/decontamination/RAG pipeline (Okapi
+    BM25, k1=1.2, b=0.75).
+
+    Plan: one pass tokenizes and KEEPS ONLY query-term postings (the
+    ``isin`` filter on the exploded term sits before the tf aggregate,
+    so the posting-list shuffle carries query-term rows only — at 100 TB
+    this is the classic "score against a small query batch" shape, never
+    a full inverted index); df comes from a term-level aggregate of the
+    same pruned postings (tiny: ≤|query terms| rows, broadcast), N and
+    avgdl from a 1-row corpus aggregate broadcast via cross join, and
+    the query set itself is a broadcast literal dim. Per-term
+    contributions round to 7 decimals before the per-(query,doc) sum
+    (which rounds to 4) so partial-sum order can't flip low bits; ties
+    rank on doc_id. Building a PERSISTED inverted index instead (for
+    many-query workloads) is a partitionBy(term) layout of the same
+    postings DataFrame — the layout module's pattern.
+    """
+    terms = sorted({t for _, ts in _BM25_QUERIES for t in ts})
+    qdim = spark.createDataFrame(
+        [(qid, t) for qid, ts in _BM25_QUERIES for t in ts], "qid INT, term STRING"
+    )
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.col("text"), " +").alias("t")
+    ).select("doc_id", F.size("t").cast("double").alias("dl"), F.explode("t").alias("term"))
+    corpus = d.select(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(F.size(F.split(F.col("text"), " +"))).alias("avgdl"),
+    )
+    postings = (
+        toks.filter(F.col("term").isin(*terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfreq = postings.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (_BM25_K1 + 1)) / (
+        F.col("tf")
+        + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        postings.join(F.broadcast(qdim), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn("contrib", F.round(idf * tf_part, 7))
+        .groupBy("qid", "doc_id")
+        .agg(F.round(F.sum("contrib"), 4).alias("bm25"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("bm25"), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _BM25_TOPK)
+        .select("qid", "rk", "doc_id", "bm25")
+    )
+
+
+def _bm25_query_values() -> str:
+    return ", ".join(
+        f"({qid}, '{t}')" for qid, ts in _BM25_QUERIES for t in ts
+    )
+
+
+ORACLE_BM25 = f"""
+WITH qterms(qid, term) AS (VALUES {_bm25_query_values()}),
+toks AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(text, ' +')) AS DOUBLE) AS dl,
+         unnest(string_split_regex(text, ' +')) AS term
+  FROM documents
+),
+corpus AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         avg(len(string_split_regex(text, ' +'))) AS avgdl
+  FROM documents
+),
+postings AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, any_value(dl) AS dl
+  FROM toks
+  WHERE term IN (SELECT term FROM qterms)
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM postings GROUP BY 1),
+scored AS (
+  SELECT q.qid, p.doc_id,
+         round(sum(round(
+           ln(1.0 + (c.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * (p.tf * ({_BM25_K1} + 1))
+             / (p.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * p.dl / c.avgdl)),
+         7)), 4) AS bm25
+  FROM postings p
+  JOIN qterms q ON q.term = p.term
+  JOIN dfreq f ON f.term = p.term
+  CROSS JOIN corpus c
+  GROUP BY 1, 2
+)
+SELECT qid, rk, doc_id, bm25 FROM (
+  SELECT qid, doc_id, bm25,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS INT)
+           AS rk
+  FROM scored
+)
+WHERE rk <= {_BM25_TOPK}
+"""
+
+
 QUERIES = {
     "doc_token_stats": q_doc_token_stats,
+    "doc_bm25_topk": q_doc_bm25_topk,
     "doc_dup_ngram_fraction": q_doc_dup_ngram_fraction,
     "doc_quality_filter_verdict": q_doc_quality_filter_verdict,
     "doc_bpe_merges": q_doc_bpe_merges,
@@ -1335,6 +1459,7 @@ QUERIES = {
 
 ORACLES = {
     "doc_token_stats": ORACLE_TOKEN_STATS,
+    "doc_bm25_topk": ORACLE_BM25,
     "doc_dup_ngram_fraction": ORACLE_DUP_NGRAM,
     "doc_quality_filter_verdict": ORACLE_QUALITY_FILTER,
     "doc_bpe_merges": ORACLE_BPE,

@@ -210,3 +210,37 @@ def test_path_trigrams_counts(spark):
     # asserted on a re-sort, since collect() order is a plan detail
     ordered = sorted(rows, key=lambda r: (-r.n, r.step1, r.step2, r.step3))
     assert [r.rk for r in ordered] == list(range(1, len(rows) + 1))
+
+
+def test_user_lifecycle_planted(spark, monkeypatch):
+    """new/retained/resurrected classification on a hand-built timeline:
+    gap <= 7 days retains, > 7 resurrects, first day is new, and repeat
+    events within one day count the user once."""
+    import datetime
+
+    from osm_poi_database_maker_spark.queries import behavior as B
+
+    def ts(day, hour=9):
+        return datetime.datetime(2024, 1, day, hour)
+
+    rows = [
+        # user 1: days 1, 3 (retained), 20 (resurrected)
+        (1, ts(1), 1, "view", 1.0, "{}"),
+        (2, ts(1, 12), 1, "view", 1.0, "{}"),   # same-day repeat
+        (3, ts(3), 1, "view", 1.0, "{}"),
+        (4, ts(20), 1, "view", 1.0, "{}"),
+        # user 2: day 3 only (new)
+        (5, ts(3), 2, "view", 1.0, "{}"),
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(B, "load_table", lambda s, sf, n: e)
+    got = {r.day: r for r in B.q_events_user_lifecycle(spark, "x").collect()}
+    assert (got["2024-01-01"].n_new, got["2024-01-01"].n_active) == (1, 1)
+    d3 = got["2024-01-03"]
+    assert (d3.n_new, d3.n_retained, d3.n_resurrected, d3.n_active) == (1, 1, 0, 2)
+    d20 = got["2024-01-20"]
+    assert (d20.n_new, d20.n_retained, d20.n_resurrected) == (0, 0, 1)

@@ -341,3 +341,26 @@ def test_weighted_sample_determinism_and_bias(spark, monkeypatch):
     for (src, _), rk in a.items():
         per_source[src] = max(per_source.get(src, 0), rk)
     assert all(v <= _WS_TOP_K for v in per_source.values())
+
+
+def test_centroid_drift_identical_batches(spark, monkeypatch):
+    """Identical ref/cur distributions -> cosine 1, L2 0; a planted
+    shifted current batch lowers cosine and raises L2."""
+    from osm_poi_database_maker_spark.queries import curation as C
+
+    # label 0: ref (ids 0..7) and cur (ids 8,9) share the same constant
+    # vector -> drift zero. label 1: cur is orthogonal to ref.
+    rows = []
+    for i in range(10):
+        rows.append((i, [1.0, 0.0], 0))
+    for i in range(10, 20):
+        vec = [0.0, 1.0] if i % 10 >= 8 else [1.0, 0.0]
+        rows.append((i, vec, 1))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    monkeypatch.setattr(C, "load_table", lambda s, sf, n: e)
+    got = {r.label: r for r in C.q_emb_centroid_drift(spark, "x").collect()}
+    assert (got[0].n_ref, got[0].n_cur) == (8, 2)
+    assert got[0].centroid_cosine == 1.0
+    assert got[0].centroid_l2 == 0.0
+    assert got[1].centroid_cosine == 0.0
+    assert abs(got[1].centroid_l2 - round(2 ** 0.5, 4)) < 1e-9
