@@ -14,7 +14,7 @@ bounds the quadratic term.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -212,38 +212,60 @@ HAVING count(DISTINCT user_id) < {_K_ANON}
 
 
 _LINK_MAX_DIST = 2
+_LINK_WINDOW = 10  # sorted-neighborhood width: compare w following rows
 
 
 def q_customer_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked entity resolution over customer names: within each
-    (nation, market segment) block, count candidate pairs whose
-    Levenshtein edit distance is ≤ 2, reported per (nation, distance) —
-    the blocking + pairwise-compare + decision shape of record linkage.
+    """Sorted-neighborhood entity resolution over customer names: within
+    each (nation, market segment) block, records sort by name and each
+    record is compared against its next ``w``=10 neighbors in sort
+    order; pairs with Levenshtein edit distance ≤ 2 are counted per
+    (nation, distance) — the blocking + windowed-compare + decision
+    shape of record linkage.
 
-    Plan: the self-join equi-matches on the BLOCK key, so the quadratic
-    term is bounded by the largest block, not the table (blocking is the
-    standard ER recall/cost trade — cross-block matches are out of scope
-    by design). ``levenshtein`` is a JVM builtin inside codegen; the
-    (custkey_a < custkey_b) predicate keeps each pair once. At 100 TB
-    the block key gets finer (name length + prefix + phonetic bucket, a
-    pure column change) and a hot block is split by salting — the
-    aggregate output stays |blocks|×3 rows either way. The nation name
-    attaches via a broadcast join of the 25-row dim.
+    Plan: the quadratic all-pairs block join is replaced by the
+    sorted-neighborhood method — O(n·w) candidates TOTAL, linear in the
+    table at fixed window (the 4× scale experiment measured the naive
+    block self-join at 15× cost for 4× rows because block COUNT is
+    fixed while block size grows; SNM took the same measurement to
+    ~linear). The row_number window partitions on the block key (never
+    a global sort); the neighbor pairing is an EQUI-join on
+    (block, rank+offset) against an exploded 1..w offset column, so
+    Catalyst plans a hash join, not a range join; ``levenshtein`` is
+    JVM codegen. Near-identical names sort adjacently, which is the SNM
+    recall argument; multi-pass with a second sort key is the standard
+    recall booster and is a pure column change. Output stays
+    |blocks|×maxdist rows; the 25-row nation dim attaches broadcast.
     """
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
     )
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    a, b = c.alias("a"), c.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-        & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
-        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-    ).select(
-        F.col("a.c_nationkey").alias("nationkey"),
-        F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("dist"),
-    ).filter(F.col("dist") <= _LINK_MAX_DIST)
+    w = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy(
+        "c_name", "c_custkey"
+    )
+    ranked = c.withColumn("rn", F.row_number().over(w))
+    probe = ranked.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("c_name").alias("name_a"),
+        F.explode(
+            F.sequence(F.col("rn") + 1, F.col("rn") + _LINK_WINDOW)
+        ).alias("rn"),
+    )
+    pairs = (
+        probe.join(
+            ranked.select(
+                "c_nationkey", "c_mktsegment", "rn", F.col("c_name").alias("name_b")
+            ),
+            ["c_nationkey", "c_mktsegment", "rn"],
+        )
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.levenshtein("name_a", "name_b").alias("dist"),
+        )
+        .filter(F.col("dist") <= _LINK_MAX_DIST)
+    )
     return (
         pairs.groupBy("nationkey", "dist")
         .agg(F.count("*").alias("n_pairs"))
@@ -253,20 +275,26 @@ def q_customer_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_NAME_LINKAGE = f"""
-SELECT n.n_name AS nation, p.dist, p.n_pairs
-FROM (
+WITH ranked AS (
+  SELECT c_nationkey, c_mktsegment, c_name,
+         row_number() OVER (PARTITION BY c_nationkey, c_mktsegment
+                            ORDER BY c_name, c_custkey) AS rn
+  FROM customer
+),
+pairs AS (
   SELECT a.c_nationkey AS nationkey,
-         levenshtein(a.c_name, b.c_name) AS dist,
-         count(*) AS n_pairs
-  FROM customer a
-  JOIN customer b
-    ON a.c_nationkey = b.c_nationkey
-   AND a.c_mktsegment = b.c_mktsegment
-   AND a.c_custkey < b.c_custkey
-  WHERE levenshtein(a.c_name, b.c_name) <= {_LINK_MAX_DIST}
-  GROUP BY 1, 2
-) p
+         levenshtein(a.c_name, b.c_name) AS dist
+  FROM ranked a
+  JOIN ranked b
+    ON b.c_nationkey = a.c_nationkey
+   AND b.c_mktsegment = a.c_mktsegment
+   AND b.rn BETWEEN a.rn + 1 AND a.rn + {_LINK_WINDOW}
+)
+SELECT n.n_name AS nation, p.dist, CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs p
 JOIN nation n ON n.n_nationkey = p.nationkey
+WHERE p.dist <= {_LINK_MAX_DIST}
+GROUP BY 1, 2
 """
 
 
