@@ -620,25 +620,38 @@ def q_events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     RESURRECTED (returning after a >7-day gap) — the standard
     new/retained/resurrected decomposition of a daily-active count.
 
-    Plan: distinct (user, day) activity (one user-keyed exchange), a
-    per-user lag window over the SAME partitioning (no second shuffle —
-    the aggregate's exchange is reused by the window), then a day-keyed
-    aggregate of the classifications. Per-user partitions are bounded by
-    |days|, never event volume, so the window is safe at any user count;
-    the final aggregate emits one row per day."""
+    Plan: ONE user-keyed exchange builds each user's sorted distinct
+    activity-day array (collect_set → array_sort — dedup and "lag" in
+    the same aggregation), the new/retained/resurrected classification
+    is an array-side transform over consecutive elements (pure codegen,
+    no Window operator at all), then a day-keyed aggregate of the
+    exploded classifications. A naive distinct + lag-window formulation
+    costs TWO user exchanges (distinct hashes on (user, day), the
+    window on user alone) — this shape halves that, and the per-user
+    array is bounded by |days|, never event volume."""
     e = load_table(spark, sf_dir, "events")
-    act = e.select(
-        "user_id", F.to_date("ts").alias("day")
-    ).distinct()
-    w = Window.partitionBy("user_id").orderBy("day")
-    prev = F.lag("day").over(w)
-    status = (
-        F.when(prev.isNull(), F.lit("new"))
-        .when(F.datediff(F.col("day"), prev) <= _LIFECYCLE_GAP_DAYS, F.lit("retained"))
-        .otherwise(F.lit("resurrected"))
+    per_user = (
+        e.select("user_id", F.to_date("ts").alias("day"))
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_set("day")).alias("days"))
+    )
+    ds = F.col("days")
+    statuses = F.transform(
+        ds,
+        lambda d, i: F.struct(
+            d.alias("day"),
+            F.when(i == F.lit(0), F.lit("new"))
+            .when(
+                F.datediff(d, F.element_at(ds, i)) <= _LIFECYCLE_GAP_DAYS,
+                F.lit("retained"),
+            )
+            .otherwise(F.lit("resurrected"))
+            .alias("status"),
+        ),
     )
     return (
-        act.withColumn("status", status)
+        per_user.select(F.explode(statuses).alias("s"))
+        .select(F.col("s.day").alias("day"), F.col("s.status").alias("status"))
         .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
         .agg(
             F.count("*").alias("n_active"),

@@ -221,3 +221,48 @@ def test_profiling_fixture_smoke(spark):
     assert len(mad) == P._MAD_TOPK
     link = P.q_customer_name_linkage(spark, SF_SMOKE).collect()
     assert all(r.dist <= P._LINK_MAX_DIST for r in link)
+
+
+def test_new_operator_plan_shapes(spark):
+    """Plan-shape guards for the round-4 operators: no cartesian
+    products, no row-at-a-time Python UDFs, and the specific shuffle
+    discipline each docstring claims."""
+    from osm_poi_database_maker_spark.queries.behavior import q_events_user_lifecycle
+    from osm_poi_database_maker_spark.queries.curation import q_emb_centroid_drift
+    from osm_poi_database_maker_spark.queries.dedup import q_doc_incremental_dedup
+    from osm_poi_database_maker_spark.queries.profiling import (
+        q_customer_name_linkage,
+        q_events_k_anonymity,
+        q_lineitem_price_outliers_mad,
+        q_orders_column_profile,
+    )
+    from osm_poi_database_maker_spark.queries.text import q_doc_bm25_topk
+
+    queries = [
+        q_doc_bm25_topk,
+        q_doc_incremental_dedup,
+        q_orders_column_profile,
+        q_lineitem_price_outliers_mad,
+        q_events_k_anonymity,
+        q_customer_name_linkage,
+        q_emb_centroid_drift,
+        q_events_user_lifecycle,
+    ]
+    plans = {}
+    for q in queries:
+        plan = q(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BatchEvalPython" not in plan, q.__name__
+        plans[q.__name__] = plan
+
+    # MAD outliers: top-k must be TakeOrderedAndProject, never a global Sort
+    assert "TakeOrderedAndProject" in plans["q_lineitem_price_outliers_mad"]
+    # linkage ranks WITHIN blocks — no empty-partitionBy (global) window;
+    # Spark logs global windows as 'Window [... ORDER BY ...]' with no
+    # partition spec; assert the window carries the block keys instead
+    assert "c_nationkey" in plans["q_customer_name_linkage"]
+    # lifecycle: the lag window must reuse the distinct's user partitioning
+    # (exactly one user_id hash exchange in the plan)
+    assert plans["q_events_user_lifecycle"].count(
+        "hashpartitioning(user_id"
+    ) == 1, plans["q_events_user_lifecycle"]
