@@ -525,6 +525,94 @@ WHERE lon >= {_BBOX[0]} AND lon <= {_BBOX[2]} AND lat >= {_BBOX[1]} AND lat <= {
 """
 
 
+_NEIGHBOR_KM = 3.0
+_EARTH_KM = geo.EARTH_RADIUS_M / 1000.0
+
+
+def q_osm_node_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spatial distance join: pairs of nodes within 3 km by
+    great-circle (haversine) distance — the duplicate-POI candidate
+    detector (two benches 50 m apart are one bench), and the join-shaped
+    extension of the O19 bucketing layer.
+
+    Plan: each node probes with its 3×3 neighbor-cell array
+    (``spatial.neighbor_cells``; cell edge ≥ radius makes the cover
+    complete), candidates pair via an EQUI-join on cell id — never an
+    all-pairs cross join — and the exact haversine trims the residue.
+    Each unordered pair is found exactly once (the build side carries
+    one cell, the probe array is distinct, id_a < id_b picks one
+    direction). At planet scale both sides are one cell-keyed exchange,
+    candidate volume is bounded by points-per-cell² per cell (the
+    spatial analogue of the shingle df-cap), and hot cells (city
+    centers) split by salting the build side. The distance rounds to 4
+    decimals (0.1 m) in BOTH engines before the threshold compare, so
+    libm ulp differences can't flip a boundary row."""
+    from ..spatial import grid_cell, neighbor_cells
+
+    nodes = fx.nodes_df(spark).filter(
+        F.col("lon").isNotNull() & F.col("lat").isNotNull() & F.col("geom_valid")
+    )
+    build = nodes.select(
+        F.col("id").alias("id_b"),
+        F.col("lon").alias("lon_b"),
+        F.col("lat").alias("lat_b"),
+        grid_cell(F.col("lon"), F.col("lat")).alias("cell"),
+    )
+    probe = nodes.select(
+        F.col("id").alias("id_a"),
+        F.col("lon").alias("lon_a"),
+        F.col("lat").alias("lat_a"),
+        F.explode(neighbor_cells(F.col("lon"), F.col("lat"))).alias("cell"),
+    )
+    rlat_a, rlat_b = F.radians("lat_a"), F.radians("lat_b")
+    dlat = (rlat_b - rlat_a) / 2
+    dlon = (F.radians("lon_b") - F.radians("lon_a")) / 2
+    h = F.sin(dlat) * F.sin(dlat) + F.cos(rlat_a) * F.cos(rlat_b) * F.sin(dlon) * F.sin(dlon)
+    dist_km = F.round(F.lit(2 * _EARTH_KM) * F.asin(F.sqrt(h)), 4)
+    return (
+        probe.join(build, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist_km", dist_km)
+        .filter(F.col("dist_km") <= _NEIGHBOR_KM)
+        .select("id_a", "id_b", "dist_km")
+    )
+
+
+ORACLE_NEIGHBOR_PAIRS = f"""
+WITH raw AS ({fx.nodes_values_sql()}),
+pts AS (
+  SELECT id, lon, lat,
+         greatest(0, least({_N_GRID - 1}, CAST(floor((lon + 180.0) / 360.0 * {_N_GRID}) AS BIGINT))) AS ix,
+         greatest(0, least({_N_GRID - 1}, CAST(floor((lat + 90.0) / 180.0 * {_N_GRID}) AS BIGINT))) AS iy
+  FROM raw
+  WHERE lon IS NOT NULL AND lat IS NOT NULL AND geom_valid
+),
+build AS (SELECT id AS id_b, lon AS lon_b, lat AS lat_b, ix * {_N_GRID} + iy AS cell FROM pts),
+probe AS (
+  SELECT DISTINCT p.id AS id_a, p.lon AS lon_a, p.lat AS lat_a,
+         (p.ix + dx.d) * {_N_GRID} + (p.iy + dy.d) AS cell
+  FROM pts p
+  CROSS JOIN (VALUES (-1), (0), (1)) AS dx(d)
+  CROSS JOIN (VALUES (-1), (0), (1)) AS dy(d)
+  WHERE p.ix + dx.d BETWEEN 0 AND {_N_GRID - 1}
+    AND p.iy + dy.d BETWEEN 0 AND {_N_GRID - 1}
+),
+cand AS (
+  SELECT id_a, id_b,
+         round(2 * {_EARTH_KM!r} * asin(sqrt(
+           sin((radians(lat_b) - radians(lat_a)) / 2)
+             * sin((radians(lat_b) - radians(lat_a)) / 2)
+           + cos(radians(lat_a)) * cos(radians(lat_b))
+             * sin((radians(lon_b) - radians(lon_a)) / 2)
+             * sin((radians(lon_b) - radians(lon_a)) / 2)
+         )), 4) AS dist_km
+  FROM probe JOIN build USING (cell)
+  WHERE id_a < id_b
+)
+SELECT id_a, id_b, dist_km FROM cand WHERE dist_km <= {_NEIGHBOR_KM}
+"""
+
+
 # --- O1: native PBF wire-format scan ---------------------------------------
 
 
@@ -638,6 +726,7 @@ QUERIES = {
     "osm_relation_areas": q_osm_relation_areas,
     "osm_mp_centroids": q_osm_mp_centroids,
     "osm_spatial_bbox": q_osm_spatial_bbox,
+    "osm_node_neighbor_pairs": q_osm_node_neighbor_pairs,
 }
 
 ORACLES = {
@@ -651,4 +740,5 @@ ORACLES = {
     "osm_relation_areas": ORACLE_RELATION_AREAS,
     "osm_mp_centroids": ORACLE_MP_CENTROIDS,
     "osm_spatial_bbox": ORACLE_SPATIAL_BBOX,
+    "osm_node_neighbor_pairs": ORACLE_NEIGHBOR_PAIRS,
 }

@@ -61,6 +61,28 @@ def cells_for_bbox(
     return [ix * n + iy for ix in range(x0, x1 + 1) for iy in range(y0, y1 + 1)]
 
 
+def neighbor_cells(lon: Column, lat: Column, res: int = GRID_RES) -> Column:
+    """The 3×3 neighborhood of a point's grid cell as a distinct cell-id
+    array — the probe side of a grid-bucketed distance join. Correctness
+    contract: if the cell edge length is ≥ the join radius, every
+    within-radius partner lies in one of these 9 cells, so the equi-join
+    on cell id is a complete candidate cover (pick ``res`` accordingly;
+    at GRID_RES=12 the equatorial edge is ~10 km). Edge cells clamp —
+    out-of-range neighbors drop out via NULL + filter."""
+    n = 1 << res
+    ix = _quantize(lon, 180.0, 360.0, n)
+    iy = _quantize(lat, 90.0, 180.0, n)
+    cells = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            jx, jy = ix + dx, iy + dy
+            valid = (jx >= 0) & (jx < n) & (jy >= 0) & (jy < n)
+            cells.append(F.when(valid, jx * n + jy))
+    return F.array_distinct(
+        F.filter(F.array(*cells), lambda c: c.isNotNull())
+    )
+
+
 def zorder_key(lon: Column, lat: Column, bits: int = 16) -> Column:
     """Morton (Z-order) interleave of the quantized coordinates — a
     1-D sort key whose ordering keeps 2-D neighbors close, so parquet
