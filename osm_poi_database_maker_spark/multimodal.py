@@ -195,6 +195,116 @@ def pcm_frame_energy(
     return audio.mapInPandas(batches, AUDIO_ENERGY_SCHEMA)
 
 
+AHASH_GRID = 8  # 8x8 downsample -> 64-bit hash
+AHASH_SCHEMA = "doc_id long, ahash long"
+AHASH_BANDS = 8  # 8 bands x 8 bits: pigeonhole-complete for hamming <= 7
+AHASH_MAX_HAMMING = 6
+
+
+def image_ahash(images: DataFrame, grid: int = AHASH_GRID) -> DataFrame:
+    """Perceptual average-hash per image: downsample the grayscale
+    raster to grid×grid block means, threshold each block at the global
+    mean → one bit per block, packed into a 64-bit signature. The
+    decode stub interprets the raw payload bytes as a 1-D grayscale
+    raster (a real image decoder plugs in at the marked point and
+    yields the 2-D pixel array; everything after it is identical).
+    numpy-vectorized inside mapInPandas Arrow batches; empty payloads
+    drop out. The hash is exact integer arithmetic end to end, so the
+    stage is bit-reproducible at any batch size or partitioning."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        n_cells = grid * grid
+        for pdf in it:
+            ids: list = []
+            hashes: list = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload or b"")
+                if not b:
+                    continue
+                # DECODE PLUG-POINT: real pipeline decodes to a 2-D
+                # grayscale array here; the stub reads raw bytes as the
+                # raster, which keeps every downstream step real
+                arr = np.frombuffer(b, dtype=np.uint8).astype(np.float64)
+                cells = np.array_split(arr, n_cells)
+                means = np.array(
+                    [c.mean() if len(c) else 0.0 for c in cells]
+                )
+                bits = means > means.mean()
+                h = 0
+                for bit in bits:
+                    h = (h << 1) | int(bit)
+                if h >= 1 << 63:  # two's-complement into int64
+                    h -= 1 << 64
+                ids.append(doc_id)
+                hashes.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "ahash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return images.select("doc_id", "payload").mapInPandas(batches, AHASH_SCHEMA)
+
+
+def ahash_near_dups(
+    images: DataFrame,
+    max_hamming: int = AHASH_MAX_HAMMING,
+    bands: int = AHASH_BANDS,
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: aHash signatures, banded
+    LSH candidate generation, exact Hamming verify — image dedup for a
+    multimodal training corpus (the visual twin of SimHash text dedup).
+
+    The 64-bit hash splits into ``bands`` equal bands; candidates must
+    agree on ≥1 band — pigeonhole-complete for hamming < bands, so
+    bands=8 guarantees recall at the ≤6 threshold. The band join is an
+    equi-join on (band_idx, band_value) — 8 rows of ~10 B per image,
+    never all-pairs — then `bit_count(xor)` verifies exactly and
+    ``distinct`` collapses pairs that matched in several bands. At
+    scale this is the SimHash plan: shuffle bounded by band-bucket
+    occupancy, hot buckets (e.g. monochrome images all hashing 0)
+    capped the same way."""
+    sig = image_ahash(images)
+    width = 64 // bands
+    mask = (1 << width) - 1
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned("ahash", i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", "ahash", F.explode(band_arr).alias("b")
+    ).select("doc_id", "ahash", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.ahash").bitwiseXOR(F.col("b.ahash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return cand
+
+
 PAYLOAD_STATS_SCHEMA = (
     "doc_id long, n_bytes long, byte_sum long, min_byte int, max_byte int"
 )

@@ -68,6 +68,7 @@ _VERIFY_FIRST = [
     "emb_centroid_drift",
     "events_user_lifecycle",
     "osm_node_neighbor_pairs",
+    "mm_ahash_pairs",
     "doc_bpe_merges",
     "doc_bpe_encode",
     "doc_quality_filter_verdict",
@@ -116,11 +117,11 @@ _VERIFY_FIRST = [
     "doc_lang_id",
     "doc_fingerprint",
     "doc_token_regex",
-    "doc_tfidf_top_terms",
-    # --- the 50-entry window ends here (22 tier-1a + 6 tier-1b +
-    # 9 tier-2a + 13 tier-2b). Below: overflow — r3-green or heavily
+    # --- the 50-entry window ends here (23 tier-1a + 6 tier-1b +
+    # 9 tier-2a + 12 tier-2b). Below: overflow — r3-green or heavily
     # pytest-gated entries displaced by the round-4 newcomers; they go
     # to the FRONT of round 5's rotation.
+    "doc_tfidf_top_terms",
     "doc_chunk_windows",
     "doc_repetition_stats",
     "doc_stratified_sample",

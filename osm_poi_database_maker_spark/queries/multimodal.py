@@ -226,8 +226,23 @@ FROM codes
 """
 
 
+def q_mm_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (aHash) near-duplicate image pairs — image dedup
+    for a multimodal training corpus: 64-bit average-hash signatures,
+    8×8-bit banded LSH candidates (pigeonhole-complete at the Hamming ≤6
+    threshold), exact bit_count verify. Rows-only check (the numpy-side
+    hash isn't SQL-portable); semantics gated by planted near-identical
+    payload tests, and the fixture's planted text near-dups surface here
+    as image pairs because the stub decode reads payload bytes."""
+    from ..multimodal import ahash_near_dups, documents_as_image_table
+
+    d = load_table(spark, sf_dir, "documents")
+    return ahash_near_dups(documents_as_image_table(d))
+
+
 QUERIES = {
     "mm_image_features": q_mm_image_features,
+    "mm_ahash_pairs": q_mm_ahash_pairs,
     "mm_frame_sample": q_mm_frame_sample,
     "mm_resize": q_mm_resize,
     "mm_audio_energy": q_mm_audio_energy,

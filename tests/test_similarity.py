@@ -281,3 +281,68 @@ def test_ivf_pq_recall_vs_exact(spark):
     assert recall >= 0.8, f"IVF-PQ recall too low: {recall}"
     for pair in exact.keys() & approx.keys():
         assert abs(exact[pair] - approx[pair]) < 1e-9  # true cosines, reranked
+
+
+def test_ahash_near_dups_planted(spark):
+    """Perceptual-hash dedup semantics: a one-byte-perturbed payload
+    pairs with its original at small Hamming distance, an unrelated
+    payload pairs with neither, and identical payloads pair at 0."""
+    from pyspark.sql import functions as F
+
+    from osm_poi_database_maker_spark.multimodal import (
+        ahash_near_dups,
+        image_ahash,
+    )
+
+    base = bytes(range(200)) * 3
+    perturbed = bytearray(base)
+    perturbed[100] = 255                      # one block's mean moves a bit
+    unrelated = bytes(reversed(base)) + b"\xff" * 300
+    rows = [
+        (1, base),
+        (2, bytes(perturbed)),
+        (3, unrelated),
+        (4, base),                            # identical twin of 1
+        (5, None),                            # NULL payload drops out
+    ]
+    imgs = spark.createDataFrame(rows, "doc_id long, payload binary")
+    sig = {r.doc_id: r.ahash for r in image_ahash(imgs).collect()}
+    assert 5 not in sig
+    assert sig[1] == sig[4]
+    got = {(r.doc_a, r.doc_b): r.hamming for r in ahash_near_dups(imgs).collect()}
+    assert got[(1, 4)] == 0
+    assert (1, 2) in got and got[(1, 2)] <= 6
+    assert all(3 not in pair for pair in got)
+
+
+def test_ahash_band_recall_guarantee(spark):
+    """Pigeonhole completeness: any pair at Hamming <= 6 must share at
+    least one of the 8 bands — verified by comparing the banded join's
+    pair set against a brute-force Hamming scan of the signatures."""
+    import itertools
+
+    from osm_poi_database_maker_spark.multimodal import (
+        ahash_near_dups,
+        image_ahash,
+    )
+
+    # seeded byte payloads with heavy shared structure -> near hashes
+    import random
+
+    rng = random.Random(7)
+    base = [rng.randrange(256) for _ in range(512)]
+    rows = []
+    for i in range(30):
+        mutated = list(base)
+        for _ in range(rng.randrange(0, 60)):
+            mutated[rng.randrange(512)] = rng.randrange(256)
+        rows.append((i, bytes(mutated)))
+    imgs = spark.createDataFrame(rows, "doc_id long, payload binary")
+    sig = {r.doc_id: r.ahash for r in image_ahash(imgs).collect()}
+    expect = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sig), 2)
+        if bin((sig[a] ^ sig[b]) & ((1 << 64) - 1)).count("1") <= 6
+    }
+    got = {(r.doc_a, r.doc_b) for r in ahash_near_dups(imgs).collect()}
+    assert got == expect
