@@ -227,14 +227,22 @@ def image_ahash(images: DataFrame, grid: int = AHASH_GRID) -> DataFrame:
                 # grayscale array here; the stub reads raw bytes as the
                 # raster, which keeps every downstream step real
                 arr = np.frombuffer(b, dtype=np.uint8).astype(np.float64)
-                cells = np.array_split(arr, n_cells)
-                means = np.array(
-                    [c.mean() if len(c) else 0.0 for c in cells]
-                )
+                if len(arr) >= n_cells:
+                    # vectorized block means at np.array_split's exact
+                    # boundaries (reduceat beats 64 split views ~10x)
+                    base, rem = divmod(len(arr), n_cells)
+                    i = np.arange(n_cells)
+                    starts = i * base + np.minimum(i, rem)
+                    sums = np.add.reduceat(arr, starts)
+                    counts = np.diff(np.append(starts, len(arr)))
+                    means = sums / counts
+                else:  # degenerate tiny payload: keep split semantics
+                    means = np.array(
+                        [c.mean() if len(c) else 0.0 for c in np.array_split(arr, n_cells)]
+                    )
                 bits = means > means.mean()
-                h = 0
-                for bit in bits:
-                    h = (h << 1) | int(bit)
+                # first block -> MSB, same ordering as a shift-or loop
+                h = int.from_bytes(np.packbits(bits).tobytes(), "big")
                 if h >= 1 << 63:  # two's-complement into int64
                     h -= 1 << 64
                 ids.append(doc_id)
@@ -267,7 +275,9 @@ def ahash_near_dups(
     scale this is the SimHash plan: shuffle bounded by band-bucket
     occupancy, hot buckets (e.g. monochrome images all hashing 0)
     capped the same way."""
-    sig = image_ahash(images)
+    # one signature pass shared by both self-join sides (and tiny: 16 B
+    # per image), instead of running the mapInPandas hash stage twice
+    sig = image_ahash(images).localCheckpoint(eager=False)
     width = 64 // bands
     mask = (1 << width) - 1
     band_arr = F.array(
