@@ -873,8 +873,51 @@ JOIN counts c ON c.label = p.label
 """
 
 
+_SPLIT_TRAIN = 0.8
+_SPLIT_VAL = 0.9  # train < 0.8 <= val < 0.9 <= test
+
+
+def q_doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment (80/10/10) from the
+    shared portable Lehmer id-hash — every training pipeline's first
+    partitioning decision, reproducible bit-for-bit across engines,
+    reruns, and cluster sizes (no randomness, no state: membership is a
+    pure function of doc_id, so late-arriving docs can't reshuffle
+    earlier assignments).
+
+    Plan: a non-shuffling scan filter — one projection over the corpus;
+    the split audit (per source × split counts for leakage review) is
+    the natural follow-up aggregate and stays one small shuffle. The
+    same hash drives the stratified/mixture samplers, so sample and
+    split compose consistently."""
+    d = load_table(spark, sf_dir, "documents")
+    u = _lehmer_u()
+    split = (
+        F.when(u < _SPLIT_TRAIN, F.lit("train"))
+        .when(u < _SPLIT_VAL, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        F.round(u, 6).alias("split_u"),
+        split.alias("split"),
+    )
+
+
+ORACLE_SPLIT_ASSIGN = f"""
+SELECT doc_id, source,
+       round({_U_SQL}, 6) AS split_u,
+       CASE WHEN {_U_SQL} < {_SPLIT_TRAIN} THEN 'train'
+            WHEN {_U_SQL} < {_SPLIT_VAL} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
 QUERIES = {
     "doc_decontaminate": q_doc_decontaminate,
+    "doc_split_assign": q_doc_split_assign,
     "emb_centroid_drift": q_emb_centroid_drift,
     "doc_source_overlap_matrix": q_doc_source_overlap_matrix,
     "doc_longest_eval_overlap": q_doc_longest_eval_overlap,
@@ -888,6 +931,7 @@ QUERIES = {
 
 ORACLES = {
     "doc_decontaminate": ORACLE_DECONTAM,
+    "doc_split_assign": ORACLE_SPLIT_ASSIGN,
     "emb_centroid_drift": ORACLE_CENTROID_DRIFT,
     "doc_source_overlap_matrix": ORACLE_SOURCE_OVERLAP,
     "doc_longest_eval_overlap": ORACLE_LONGEST_OVERLAP,

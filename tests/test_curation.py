@@ -364,3 +364,21 @@ def test_centroid_drift_identical_batches(spark, monkeypatch):
     assert got[0].centroid_l2 == 0.0
     assert got[1].centroid_cosine == 0.0
     assert abs(got[1].centroid_l2 - round(2 ** 0.5, 4)) < 1e-9
+
+
+def test_split_assign_invariants(spark):
+    """Splits are exhaustive, disjoint, deterministic across calls, and
+    roughly 80/10/10 on the smoke fixture."""
+    from osm_poi_database_maker_spark.queries.curation import q_doc_split_assign
+    from tests.conftest import SF_SMOKE
+
+    a = {r.doc_id: r.split for r in q_doc_split_assign(spark, SF_SMOKE).collect()}
+    b = {r.doc_id: r.split for r in q_doc_split_assign(spark, SF_SMOKE).collect()}
+    assert a == b and a
+    from collections import Counter
+
+    c = Counter(a.values())
+    n = sum(c.values())
+    assert set(c) <= {"train", "val", "test"}
+    assert 0.6 <= c["train"] / n <= 0.95
+    assert c["val"] > 0 and c["test"] > 0
