@@ -210,7 +210,12 @@ def image_ahash(images: DataFrame, grid: int = AHASH_GRID) -> DataFrame:
     yields the 2-D pixel array; everything after it is identical).
     numpy-vectorized inside mapInPandas Arrow batches; empty payloads
     drop out. The hash is exact integer arithmetic end to end, so the
-    stage is bit-reproducible at any batch size or partitioning."""
+    stage is bit-reproducible at any batch size or partitioning.
+
+    Only 64-bit signatures are supported (grid² must be 64): the
+    two's-complement fold and the int64 output schema are 64-bit."""
+    if grid * grid != 64:
+        raise ValueError(f"image_ahash requires grid*grid == 64, got {grid}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -261,6 +266,7 @@ def ahash_near_dups(
     images: DataFrame,
     max_hamming: int = AHASH_MAX_HAMMING,
     bands: int = AHASH_BANDS,
+    max_bucket: int = 200,
 ) -> DataFrame:
     """Perceptual near-duplicate image pairs: aHash signatures, banded
     LSH candidate generation, exact Hamming verify — image dedup for a
@@ -273,8 +279,11 @@ def ahash_near_dups(
     never all-pairs — then `bit_count(xor)` verifies exactly and
     ``distinct`` collapses pairs that matched in several bands. At
     scale this is the SimHash plan: shuffle bounded by band-bucket
-    occupancy, hot buckets (e.g. monochrome images all hashing 0)
-    capped the same way."""
+    occupancy, and hot buckets (e.g. monochrome images all hashing 0)
+    are capped at ``max_bucket`` members before the self-join — the
+    same guard the MinHash/SimHash operators use, bounding the worst
+    bucket's contribution at max_bucket² candidate rows."""
+    from pyspark.sql import Window
     # one signature pass shared by both self-join sides (and tiny: 16 B
     # per image), instead of running the mapInPandas hash stage twice
     sig = image_ahash(images).localCheckpoint(eager=False)
@@ -294,6 +303,8 @@ def ahash_near_dups(
     banded = sig.select(
         "doc_id", "ahash", F.explode(band_arr).alias("b")
     ).select("doc_id", "ahash", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    w_rank = F.row_number().over(Window.partitionBy("band", "val").orderBy("doc_id"))
+    banded = banded.withColumn("__r", w_rank).filter(F.col("__r") <= max_bucket).drop("__r")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

@@ -819,15 +819,22 @@ def q_emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return per_label.join(counts, "label").select(
+    # anchor on counts (one row per label in the CORPUS) and left-join
+    # the two-sided centroid stats: a label present in only one batch —
+    # the loudest drift signal (vanished or brand-new) — still emits a
+    # row, with NULL cosine/l2 marking "no comparison possible"
+    return counts.join(per_label, "label", "left").select(
         "label",
         "n_ref",
         "n_cur",
         F.round(
             F.when(
-                (F.col("nr") > 0) & (F.col("nc") > 0),
-                F.col("dot") / (F.col("nr") * F.col("nc")),
-            ).otherwise(F.lit(0.0)),
+                F.col("nr").isNotNull() & F.col("nc").isNotNull(),
+                F.when(
+                    (F.col("nr") > 0) & (F.col("nc") > 0),
+                    F.col("dot") / (F.col("nr") * F.col("nc")),
+                ).otherwise(F.lit(0.0)),
+            ),
             4,
         ).alias("centroid_cosine"),
         F.round("l2", 4).alias("centroid_l2"),
@@ -863,13 +870,14 @@ counts AS (
                        THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
   FROM embeddings GROUP BY 1
 )
-SELECT p.label, c.n_ref, c.n_cur,
-       round(CASE WHEN p.nr > 0 AND p.nc > 0
-                  THEN p.dot / (p.nr * p.nc) ELSE 0.0 END, 4)
+SELECT c.label, c.n_ref, c.n_cur,
+       round(CASE WHEN p.label IS NULL THEN NULL
+                  WHEN p.nr > 0 AND p.nc > 0 THEN p.dot / (p.nr * p.nc)
+                  ELSE 0.0 END, 4)
          AS centroid_cosine,
        round(p.l2, 4) AS centroid_l2
-FROM per_label p
-JOIN counts c ON c.label = p.label
+FROM counts c
+LEFT JOIN per_label p ON p.label = c.label
 """
 
 

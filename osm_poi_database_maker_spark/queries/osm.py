@@ -528,6 +528,9 @@ WHERE lon >= {_BBOX[0]} AND lon <= {_BBOX[2]} AND lat >= {_BBOX[1]} AND lat <= {
 _NEIGHBOR_KM = 3.0
 _EARTH_KM = geo.EARTH_RADIUS_M / 1000.0
 
+from ..spatial import KM_PER_DEG as _KM_PER_DEG  # noqa: E402
+from ..spatial import MAX_LON_REACH as _MAX_LON_REACH  # noqa: E402
+
 
 def q_osm_node_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed spatial distance join: pairs of nodes within 3 km by
@@ -535,10 +538,15 @@ def q_osm_node_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     detector (two benches 50 m apart are one bench), and the join-shaped
     extension of the O19 bucketing layer.
 
-    Plan: each node probes with its 3×3 neighbor-cell array
-    (``spatial.neighbor_cells``; cell edge ≥ radius makes the cover
-    complete), candidates pair via an EQUI-join on cell id — never an
-    all-pairs cross join — and the exact haversine trims the residue.
+    Plan: each node probes with its radius-aware neighbor-cell array
+    (``spatial.neighbor_cells(radius_km=...)``: ±1 lat ring — a lat
+    cell edge is ~4.9 km ≥ the radius at any latitude — and a
+    longitude reach that widens by 1/cos(lat), so the cover stays
+    complete at high latitudes where lon cells shrink below the
+    radius; capped at MAX_LON_REACH with the polar-cap and ±180°-seam
+    residuals documented in spatial.py), candidates pair via an
+    EQUI-join on cell id — never an all-pairs cross join — and the
+    exact haversine trims the residue.
     Each unordered pair is found exactly once (the build side carries
     one cell, the probe array is distinct, id_a < id_b picks one
     direction). At planet scale both sides are one cell-keyed exchange,
@@ -562,7 +570,9 @@ def q_osm_node_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("id_a"),
         F.col("lon").alias("lon_a"),
         F.col("lat").alias("lat_a"),
-        F.explode(neighbor_cells(F.col("lon"), F.col("lat"))).alias("cell"),
+        F.explode(
+            neighbor_cells(F.col("lon"), F.col("lat"), radius_km=_NEIGHBOR_KM)
+        ).alias("cell"),
     )
     rlat_a, rlat_b = F.radians("lat_a"), F.radians("lat_b")
     dlat = (rlat_b - rlat_a) / 2
@@ -583,7 +593,11 @@ WITH raw AS ({fx.nodes_values_sql()}),
 pts AS (
   SELECT id, lon, lat,
          greatest(0, least({_N_GRID - 1}, CAST(floor((lon + 180.0) / 360.0 * {_N_GRID}) AS BIGINT))) AS ix,
-         greatest(0, least({_N_GRID - 1}, CAST(floor((lat + 90.0) / 180.0 * {_N_GRID}) AS BIGINT))) AS iy
+         greatest(0, least({_N_GRID - 1}, CAST(floor((lat + 90.0) / 180.0 * {_N_GRID}) AS BIGINT))) AS iy,
+         -- radius-aware longitude reach, mirroring spatial.neighbor_cells
+         CAST(least({_MAX_LON_REACH}, greatest(1, ceil(
+           {_NEIGHBOR_KM} / ({360.0 / _N_GRID * _KM_PER_DEG!r} * cos(radians(lat)))
+         ))) AS INT) AS reach
   FROM raw
   WHERE lon IS NOT NULL AND lat IS NOT NULL AND geom_valid
 ),
@@ -592,8 +606,8 @@ probe AS (
   SELECT DISTINCT p.id AS id_a, p.lon AS lon_a, p.lat AS lat_a,
          (p.ix + dx.d) * {_N_GRID} + (p.iy + dy.d) AS cell
   FROM pts p
-  CROSS JOIN (VALUES (-1), (0), (1)) AS dx(d)
   CROSS JOIN (VALUES (-1), (0), (1)) AS dy(d)
+  CROSS JOIN LATERAL (SELECT unnest(range(-p.reach, p.reach + 1)) AS d) AS dx
   WHERE p.ix + dx.d BETWEEN 0 AND {_N_GRID - 1}
     AND p.iy + dy.d BETWEEN 0 AND {_N_GRID - 1}
 ),

@@ -118,8 +118,12 @@ def q_lineitem_price_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame
     t-digest), changing two expressions. Ties at the boundary break on
     (orderkey, linenumber), so the emitted set is deterministic.
     """
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_extendedprice"
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        # three consumers (median, MAD, final scoring) share one
+        # projected scan instead of re-reading the parquet three times
+        .localCheckpoint(eager=False)
     )
     med = li.agg(F.percentile("l_extendedprice", 0.5).alias("med"))
     with_med = li.crossJoin(F.broadcast(med))

@@ -61,25 +61,82 @@ def cells_for_bbox(
     return [ix * n + iy for ix in range(x0, x1 + 1) for iy in range(y0, y1 + 1)]
 
 
-def neighbor_cells(lon: Column, lat: Column, res: int = GRID_RES) -> Column:
-    """The 3×3 neighborhood of a point's grid cell as a distinct cell-id
-    array — the probe side of a grid-bucketed distance join. Correctness
-    contract: if the cell edge length is ≥ the join radius, every
-    within-radius partner lies in one of these 9 cells, so the equi-join
-    on cell id is a complete candidate cover (pick ``res`` accordingly;
-    at GRID_RES=12 the equatorial edge is ~10 km). Edge cells clamp —
-    out-of-range neighbors drop out via NULL + filter."""
+#: great-circle km per degree of latitude (2πR/360 with geo's radius) —
+#: keep the literal in sync with any oracle that mirrors the reach math
+KM_PER_DEG = 111.19505197490699  # = 2*pi*geo.EARTH_RADIUS_M/360/1000
+#: cap on the dynamic longitude reach: within ~0.03° of a pole cos(lat)→0
+#: and the required lon cover explodes; points in the top/bottom cell row
+#: beyond this cap (and pairs straddling the ±180° seam, which this
+#: non-wrapping grid never covers) are the documented residual.
+MAX_LON_REACH = 64
+
+
+def neighbor_cells(
+    lon: Column, lat: Column, res: int = GRID_RES, radius_km: float | None = None
+) -> Column:
+    """Neighborhood of a point's grid cell as a distinct cell-id array —
+    the probe side of a grid-bucketed distance join.
+
+    With ``radius_km=None``: the plain 3×3 ring, complete whenever the
+    local cell edge is ≥ the join radius. With ``radius_km`` given, the
+    LONGITUDE reach widens per row by 1/cos(lat) — a lon cell's metric
+    width shrinks toward the poles (at 80°N a GRID_RES=12 cell is
+    ~1.7 km wide, so a 3 km join needs ±2 lon cells), and the fixed
+    3×3 ring would silently miss within-radius pairs above ~72°. The
+    latitude reach stays ±1 because a lat cell edge is latitude-
+    independent (callers must keep radius ≤ that edge; ~4.9 km at
+    res 12). Reach is capped at ``MAX_LON_REACH`` (polar-cap residual
+    documented above). Edge cells clamp — out-of-range neighbors drop
+    out via NULL + filter; the grid does not wrap at ±180°."""
     n = 1 << res
     ix = _quantize(lon, 180.0, 360.0, n)
     iy = _quantize(lat, 90.0, 180.0, n)
-    cells = []
-    for dx in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            jx, jy = ix + dx, iy + dy
-            valid = (jx >= 0) & (jx < n) & (jy >= 0) & (jy < n)
-            cells.append(F.when(valid, jx * n + jy))
+    if radius_km is None:
+        cells = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                jx, jy = ix + dx, iy + dy
+                valid = (jx >= 0) & (jx < n) & (jy >= 0) & (jy < n)
+                cells.append(F.when(valid, jx * n + jy))
+        return F.array_distinct(
+            F.filter(F.array(*cells), lambda c: c.isNotNull())
+        )
+    cell_deg = 360.0 / n
+    lat_edge_km = (180.0 / n) * KM_PER_DEG
+    if radius_km > lat_edge_km:
+        raise ValueError(
+            f"radius {radius_km} km exceeds the lat cell edge "
+            f"{lat_edge_km:.2f} km at res={res}; lower the radius or res"
+        )
+    reach = (
+        F.least(
+            F.lit(MAX_LON_REACH),
+            F.greatest(
+                F.lit(1),
+                F.ceil(
+                    F.lit(radius_km)
+                    / (F.lit(cell_deg * KM_PER_DEG) * F.cos(F.radians(lat)))
+                ),
+            ),
+        )
+        .cast("int")
+    )
+    rows = []
+    for dy in (-1, 0, 1):
+        jy = iy + dy
+        rows.append(
+            F.when(
+                (jy >= 0) & (jy < n),
+                F.transform(
+                    F.sequence(-reach, reach),
+                    lambda dx: F.when(
+                        ((ix + dx) >= 0) & ((ix + dx) < n), (ix + dx) * n + jy
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
+        )
     return F.array_distinct(
-        F.filter(F.array(*cells), lambda c: c.isNotNull())
+        F.filter(F.flatten(F.array(*rows)), lambda c: c.isNotNull())
     )
 
 

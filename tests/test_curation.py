@@ -382,3 +382,26 @@ def test_split_assign_invariants(spark):
     assert set(c) <= {"train", "val", "test"}
     assert 0.6 <= c["train"] / n <= 0.95
     assert c["val"] > 0 and c["test"] > 0
+
+
+def test_centroid_drift_one_sided_label(spark, monkeypatch):
+    """A label present in only one batch (vanished or brand-new) must
+    still emit a row — NULL cosine/l2, real counts — not silently
+    disappear from the drift report."""
+    from osm_poi_database_maker_spark.queries import curation as C
+
+    rows = (
+        [(i, [1.0, 0.0], 0) for i in range(10)]        # label 0: both sides
+        + [(10 + i, [0.5, 0.5], 1) for i in range(8)]  # label 1: ids 10..17,
+                                                        # all % 10 < 8 -> ref-only
+        + [(28, [0.1, 0.9], 2), (29, [0.1, 0.9], 2)]   # label 2: cur-only
+    )
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    monkeypatch.setattr(C, "load_table", lambda s, sf, n: e)
+    got = {r.label: r for r in C.q_emb_centroid_drift(spark, "x").collect()}
+    assert set(got) == {0, 1, 2}
+    assert (got[1].n_ref, got[1].n_cur) == (8, 0)
+    assert got[1].centroid_cosine is None and got[1].centroid_l2 is None
+    assert (got[2].n_ref, got[2].n_cur) == (0, 2)
+    assert got[2].centroid_cosine is None
+    assert got[0].centroid_cosine == 1.0

@@ -257,10 +257,10 @@ def test_new_operator_plan_shapes(spark):
 
     # MAD outliers: top-k must be TakeOrderedAndProject, never a global Sort
     assert "TakeOrderedAndProject" in plans["q_lineitem_price_outliers_mad"]
-    # linkage ranks WITHIN blocks — no empty-partitionBy (global) window;
-    # Spark logs global windows as 'Window [... ORDER BY ...]' with no
-    # partition spec; assert the window carries the block keys instead
-    assert "c_nationkey" in plans["q_customer_name_linkage"]
+    # linkage ranks WITHIN blocks — the Window operator's partition spec
+    # must carry the block key (a bare "c_nationkey" substring check
+    # would be vacuous: the scan's column list always contains it)
+    assert "windowspecdefinition(c_nationkey" in plans["q_customer_name_linkage"]
     # lifecycle: the lag window must reuse the distinct's user partitioning
     # (exactly one user_id hash exchange in the plan)
     assert plans["q_events_user_lifecycle"].count(

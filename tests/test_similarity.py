@@ -346,3 +346,28 @@ def test_ahash_band_recall_guarantee(spark):
     }
     got = {(r.doc_a, r.doc_b) for r in ahash_near_dups(imgs).collect()}
     assert got == expect
+
+
+def test_ahash_grid_validation_and_bucket_cap(spark):
+    """grid sizes other than 8x8 are rejected (int64 schema); a hot
+    band bucket (many identical payloads) is capped before the
+    self-join, bounding candidates instead of going quadratic."""
+    import pytest as _pytest
+
+    from osm_poi_database_maker_spark.multimodal import (
+        ahash_near_dups,
+        image_ahash,
+    )
+
+    with _pytest.raises(ValueError, match="grid"):
+        image_ahash(spark.createDataFrame([], "doc_id long, payload binary"), grid=16)
+
+    same = bytes(range(256)) * 2
+    imgs = spark.createDataFrame(
+        [(i, same) for i in range(12)], "doc_id long, payload binary"
+    )
+    capped = ahash_near_dups(imgs, max_bucket=5).collect()
+    uncapped = ahash_near_dups(imgs).collect()
+    # cap at 5 members per bucket -> at most C(5,2)=10 pairs survive
+    assert 0 < len(capped) <= 10
+    assert len(uncapped) == 12 * 11 // 2

@@ -121,3 +121,40 @@ def test_neighbor_cells_cover_and_distance_join(spark):
     assert (16, 100) in got                    # out-of-order ids pair too
     assert all(r.dist_km <= 3.0 for r in rows)
     assert all(r.id_a < r.id_b for r in rows)
+
+
+def test_neighbor_cells_high_latitude_reach(spark):
+    """At 80N a GRID_RES=12 lon cell is ~1.7 km wide, so a 3 km radius
+    needs a wider-than-3x3 lon reach; the radius-aware cover must find
+    within-radius partners that the fixed ring would miss."""
+    from pyspark.sql import functions as F
+
+    from osm_poi_database_maker_spark.spatial import grid_cell, neighbor_cells
+
+    # at lat 80 a lon cell is ~1.70 km wide; 0.085 sits at the right
+    # edge of cell 2048 and 0.176 at the left edge of cell 2050 —
+    # TWO cells apart yet only ~1.76 km of real distance
+    pts = spark.createDataFrame(
+        [(1, 0.085, 80.0), (2, 0.176, 80.0)], "id long, lon double, lat double"
+    )
+    cells = {r.id: r.c for r in pts.select(
+        "id", grid_cell(F.col("lon"), F.col("lat")).alias("c")).collect()}
+    fixed = {r.id: r.ns for r in pts.select(
+        "id", neighbor_cells(F.col("lon"), F.col("lat")).alias("ns")).collect()}
+    aware = {r.id: r.ns for r in pts.select(
+        "id",
+        neighbor_cells(F.col("lon"), F.col("lat"), radius_km=3.0).alias("ns"),
+    ).collect()}
+    # the fixed 3x3 ring misses the partner; the radius-aware one covers it
+    assert cells[2] not in fixed[1]
+    assert cells[2] in aware[1] and cells[1] in aware[2]
+
+
+def test_neighbor_cells_radius_too_large_rejected(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from osm_poi_database_maker_spark.spatial import neighbor_cells
+
+    with _pytest.raises(ValueError, match="lat cell edge"):
+        neighbor_cells(F.col("lon"), F.col("lat"), radius_km=50.0)
