@@ -278,3 +278,84 @@ def compact_parquet(
         ]
     )
     return {"files_before": len(files), "files_after": after, "bytes": total}
+
+
+def purge_keys(
+    spark,
+    path: str,
+    keys: DataFrame,
+    key: str = "user_id",
+) -> dict[str, int]:
+    """Right-to-be-forgotten purge: delete every row whose ``key`` is in
+    ``keys`` from a hive-partitioned parquet table, rewriting ONLY the
+    partitions that actually contain a match — untouched partitions'
+    files are never opened for write, so a deletion batch against a
+    1000-partition table costs proportional to the partitions it hits,
+    not the table.
+
+    Protocol per affected partition directory: anti-join against the
+    (broadcast, deletion-batch-sized) key set, write to a staging dir,
+    atomic local rename swap (merge_upsert's crash contract: a stray
+    .__old__/.__staging__ to clean up, never a missing partition). A
+    partition left empty by the purge is removed outright. The
+    affected-partition discovery is one column-pruned scan of (key,
+    partition columns) semi-joined to the key set — Catalyst reads just
+    those columns from the footers.
+
+    LOCAL-filesystem rename semantics, single-writer assumption, and
+    the "fact-sized tables should use a transactional format" note all
+    carry over from merge_upsert. Returns
+    {"partitions_total", "partitions_rewritten", "rows_deleted"}.
+    """
+    import glob
+    import os
+    import shutil
+
+    part_dirs = sorted(
+        d
+        for d in glob.glob(os.path.join(path, "*"))
+        if os.path.isdir(d) and "=" in os.path.basename(d)
+    )
+    if not part_dirs:
+        raise ValueError(f"{path} is not a hive-partitioned table")
+    part_col = os.path.basename(part_dirs[0]).split("=", 1)[0]
+
+    keyset = F.broadcast(keys.select(F.col(key)).distinct())
+    table = spark.read.parquet(path)
+    affected = {
+        str(r[0])
+        for r in table.select(key, part_col)
+        .join(keyset, key, "left_semi")
+        .select(part_col)
+        .distinct()
+        .collect()
+    }
+    rewritten = 0
+    deleted = 0
+    for d in part_dirs:
+        value = os.path.basename(d).split("=", 1)[1]
+        if value not in affected:
+            continue
+        part = spark.read.parquet(d)
+        kept = part.join(keyset, key, "left_anti")
+        n_before = part.count()
+        n_after = kept.count()
+        staging = d + ".__staging__"
+        old = d + ".__old__"
+        for stray in (staging, old):
+            if os.path.exists(stray):
+                shutil.rmtree(stray)
+        if n_after:
+            kept.write.mode("overwrite").parquet(staging)
+            os.rename(d, old)
+            os.rename(staging, d)
+            shutil.rmtree(old)
+        else:
+            shutil.rmtree(d)
+        rewritten += 1
+        deleted += n_before - n_after
+    return {
+        "partitions_total": len(part_dirs),
+        "partitions_rewritten": rewritten,
+        "rows_deleted": deleted,
+    }

@@ -366,3 +366,44 @@ def test_ways_copy_linestring_golden(spark):
     assert pts == fixture[100][6]
     # rings are closed squares: 5 points, first == last
     assert npts == 5 and pts[0] == pts[-1]
+
+
+def test_purge_keys_partition_pruned(spark, tmp_path):
+    """GDPR purge rewrites only the partitions containing a match:
+    untouched partition files keep their exact paths, matched rows are
+    gone, an emptied partition is removed, and a rerun is a no-op."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from osm_poi_database_maker_spark.sink import purge_keys
+
+    path = str(tmp_path / "events_table")
+    rows = [
+        # day 1: users 1, 2; day 2: user 2 only; day 3: user 3 only
+        (1, "d1", 10.0), (2, "d1", 11.0),
+        (2, "d2", 12.0),
+        (3, "d3", 13.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, day string, value double")
+    df.write.partitionBy("day").parquet(path)
+    day3_files = sorted(glob.glob(os.path.join(path, "day=d3", "*.parquet")))
+    day3_stats = [(f, os.path.getmtime(f)) for f in day3_files]
+
+    tombstones = spark.createDataFrame([(2,)], "user_id long")
+    stats = purge_keys(spark, path, tombstones, key="user_id")
+    assert stats == {
+        "partitions_total": 3,
+        "partitions_rewritten": 2,
+        "rows_deleted": 2,
+    }
+    back = spark.read.parquet(path)
+    assert sorted(r.user_id for r in back.collect()) == [1, 3]
+    # day=d2 held only user 2 -> the partition is gone entirely
+    assert not os.path.exists(os.path.join(path, "day=d2"))
+    # day=d3 was never touched: same files, same mtimes
+    assert [(f, os.path.getmtime(f)) for f in day3_files] == day3_stats
+
+    rerun = purge_keys(spark, path, tombstones, key="user_id")
+    assert rerun["partitions_rewritten"] == 0 and rerun["rows_deleted"] == 0
