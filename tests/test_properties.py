@@ -172,3 +172,73 @@ def test_pcm_energy_matches_pure_python(spark, payload, frame_samples):
         chunk = vals[f * frame_samples:(f + 1) * frame_samples]
         want[(1, f)] = sum(v * v for v in chunk)
     assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.binary(min_size=0, max_size=400), min_size=1, max_size=8
+    )
+)
+def test_ahash_matches_pure_python(spark, payloads):
+    """image_ahash's vectorized reduceat path must equal an independent
+    pure-Python re-derivation (np.array_split boundaries, mean
+    threshold, MSB-first packing) for arbitrary byte payloads."""
+    from osm_poi_database_maker_spark.multimodal import image_ahash
+
+    def expected(b: bytes) -> int | None:
+        if not b:
+            return None
+        import numpy as np
+
+        arr = np.frombuffer(b, dtype=np.uint8).astype(np.float64)
+        cells = np.array_split(arr, 64)
+        means = [c.mean() if len(c) else 0.0 for c in cells]
+        thresh = sum(means) / 64.0
+        h = 0
+        for m in means:
+            h = (h << 1) | int(m > thresh)
+        return h - (1 << 64) if h >= 1 << 63 else h
+
+    rows = [(i, p) for i, p in enumerate(payloads)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r.ahash for r in image_ahash(df).collect()}
+    want = {i: expected(p) for i, p in rows if p}
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.data())
+def test_incremental_dedup_containment_bounds(spark, data):
+    """hist_overlap is always in [0,1]; an incoming doc whose text IS a
+    history doc has exact_dup=1; admit is exactly the documented
+    predicate over the emitted columns."""
+    from osm_poi_database_maker_spark.queries import dedup as D
+
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    texts = data.draw(
+        st.lists(
+            st.lists(st.sampled_from(vocab), min_size=3, max_size=12).map(
+                " ".join
+            ),
+            min_size=4,
+            max_size=10,
+        )
+    )
+    rows = [(i if i % 2 == 0 else i * 10 + 8, t, "en", "s", 1)
+            for i, t in enumerate(texts)]
+    # ensure at least one exact cross-split duplicate
+    rows.append((9998, rows[0][1], "en", "s", 1))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import unittest.mock as mock
+
+    with mock.patch.object(D, "load_table", lambda s, sf, n: docs):
+        out = D.q_doc_incremental_dedup(spark, "x").collect()
+    assert out
+    for r in out:
+        assert 0.0 <= r.hist_overlap <= 1.0
+        assert r.admit == int(r.exact_dup == 0 and r.hist_overlap < 0.8)
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[9998].exact_dup == 1 and by_id[9998].admit == 0
