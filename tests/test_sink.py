@@ -407,3 +407,40 @@ def test_purge_keys_partition_pruned(spark, tmp_path):
 
     rerun = purge_keys(spark, path, tombstones, key="user_id")
     assert rerun["partitions_rewritten"] == 0 and rerun["rows_deleted"] == 0
+
+
+def test_table_maintenance_lifecycle(spark, tmp_path):
+    """The sink ops compose into the real maintenance loop: ingest
+    (partitioned write) -> merge_upsert corrections -> purge_keys
+    deletion batch -> compact_parquet, with row-level state exact at
+    every step."""
+    from pyspark.sql import functions as F
+
+    from osm_poi_database_maker_spark.sink import (
+        compact_parquet,
+        merge_upsert,
+        purge_keys,
+    )
+
+    # merge_upsert rewrites whole tables (dimension-sized contract), so
+    # run it on the unpartitioned staging table first, then lay out
+    dim = str(tmp_path / "dim")
+    base = spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "b"), (3, 1, "c")], "id long, version int, v string"
+    )
+    merge_upsert(spark, dim, base, key="id", version_cols=("version",))
+    fix = spark.createDataFrame([(2, 2, "B")], "id long, version int, v string")
+    merge_upsert(spark, dim, fix, key="id", version_cols=("version",))
+    merged = spark.read.parquet(dim)
+    assert {(r.id, r.v) for r in merged.collect()} == {(1, "a"), (2, "B"), (3, "c")}
+
+    fact = str(tmp_path / "fact")
+    merged.withColumn("day", F.concat(F.lit("d"), F.col("id") % 2)).write.partitionBy(
+        "day"
+    ).parquet(fact)
+    stats = purge_keys(spark, fact, spark.createDataFrame([(2,)], "id long"), key="id")
+    assert stats["rows_deleted"] == 1
+    out = compact_parquet(spark, fact, target_file_bytes=1 << 30)
+    assert out["files_after"] <= out["files_before"]
+    final = spark.read.parquet(fact)
+    assert {r.id for r in final.collect()} == {1, 3}
