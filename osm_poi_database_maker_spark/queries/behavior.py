@@ -692,9 +692,67 @@ GROUP BY 1
 """
 
 
+_WAU_DAYS = 7
+
+
+def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users, trailing-7-day weekly actives, and the
+    DAU/WAU stickiness ratio per observed activity day — the
+    engagement headline of a product analytics stack, and the
+    trailing-window COUNT-DISTINCT shape (naively a per-day self-join
+    over the window).
+
+    Plan: no self-join and no range join — each distinct (user, day)
+    activity row contributes to exactly the 7 target days it can affect
+    (a bounded map-side explode of day+0..6), so WAU is ONE aggregate
+    over ≤7× the activity rows with a fixed-width (day, user) key; DAU
+    is the same aggregate at offset 0, and both reuse one user-day
+    dedup. Output days are restricted to observed activity days, so
+    the two aggregates join 1:1. At 100 TB the explode factor stays 7
+    regardless of volume — this is the linear-scan formulation of a
+    sliding distinct window."""
+    e = load_table(spark, sf_dir, "events")
+    act = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    dau = act.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    contrib = act.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_WAU_DAYS - 1))
+        ).alias("off"),
+        F.col("day"),
+    ).select("user_id", F.date_add("day", F.col("off")).alias("day"))
+    wau = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 4).alias("stickiness"),
+        )
+    )
+
+
+ORACLE_DAU_WAU = f"""
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM act GROUP BY 1),
+contrib AS (
+  SELECT user_id, day + CAST(off AS INT) AS day
+  FROM act CROSS JOIN (SELECT unnest(range({_WAU_DAYS})) AS off)
+),
+wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM contrib GROUP BY 1)
+SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau,
+       round(CAST(d.dau AS DOUBLE) / w.wau, 4) AS stickiness
+FROM dau d JOIN wau w ON w.day = d.day
+"""
+
+
 QUERIES = {
     "events_funnel": q_events_funnel,
     "events_user_lifecycle": q_events_user_lifecycle,
+    "events_dau_wau": q_events_dau_wau,
     "events_path_trigrams": q_events_path_trigrams,
     "events_markov_transitions": q_events_markov_transitions,
     "events_retention": q_events_retention,
@@ -707,6 +765,7 @@ QUERIES = {
 ORACLES = {
     "events_funnel": ORACLE_FUNNEL,
     "events_user_lifecycle": ORACLE_LIFECYCLE,
+    "events_dau_wau": ORACLE_DAU_WAU,
     "events_path_trigrams": ORACLE_PATH_TRIGRAMS,
     "events_markov_transitions": ORACLE_MARKOV,
     "events_retention": ORACLE_RETENTION,

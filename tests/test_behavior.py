@@ -244,3 +244,35 @@ def test_user_lifecycle_planted(spark, monkeypatch):
     assert (d3.n_new, d3.n_retained, d3.n_resurrected, d3.n_active) == (1, 1, 0, 2)
     d20 = got["2024-01-20"]
     assert (d20.n_new, d20.n_retained, d20.n_resurrected) == (0, 0, 1)
+
+
+def test_dau_wau_planted(spark, monkeypatch):
+    """WAU at day D counts distinct users active in [D-6, D]; DAU/WAU
+    stickiness is exact; same-day repeats count once."""
+    import datetime
+
+    from osm_poi_database_maker_spark.queries import behavior as B
+
+    def ts(day):
+        return datetime.datetime(2024, 1, day, 9)
+
+    rows = [
+        (1, ts(1), 1, "view", 1.0, "{}"),
+        (2, ts(1), 2, "view", 1.0, "{}"),
+        (3, ts(5), 1, "view", 1.0, "{}"),   # user 1 again within 7d
+        (4, ts(5), 1, "view", 2.0, "{}"),   # same-day repeat
+        (5, ts(20), 3, "view", 1.0, "{}"),  # isolated late day
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(B, "load_table", lambda s, sf, n: e)
+    got = {r.day: r for r in B.q_events_dau_wau(spark, "x").collect()}
+    assert set(got) == {"2024-01-01", "2024-01-05", "2024-01-20"}
+    assert (got["2024-01-01"].dau, got["2024-01-01"].wau) == (2, 2)
+    # day 5 window [Dec 30..Jan 5]: users {1, 2}; dau = {1}
+    assert (got["2024-01-05"].dau, got["2024-01-05"].wau) == (1, 2)
+    assert got["2024-01-05"].stickiness == 0.5
+    assert (got["2024-01-20"].dau, got["2024-01-20"].wau) == (1, 1)
