@@ -64,10 +64,16 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"unknown query names: {sorted(unknown)}")
+        return 2
     failures = []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -111,7 +117,7 @@ def main() -> int:
             failures.append(name)
         else:
             print(f"ok   {name}: {len(s_rows)} rows match ({time.time()-t0:.1f}s)")
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} pass")
+    print(f"\n{n_run - len(failures)}/{n_run} pass")
     return 1 if failures else 0
 
 
