@@ -595,8 +595,10 @@ pts AS (
          greatest(0, least({_N_GRID - 1}, CAST(floor((lon + 180.0) / 360.0 * {_N_GRID}) AS BIGINT))) AS ix,
          greatest(0, least({_N_GRID - 1}, CAST(floor((lat + 90.0) / 180.0 * {_N_GRID}) AS BIGINT))) AS iy,
          -- radius-aware longitude reach, mirroring spatial.neighbor_cells
+         -- (worst cos within the radius: partner may sit pole-ward)
          CAST(least({_MAX_LON_REACH}, greatest(1, ceil(
-           {_NEIGHBOR_KM} / ({360.0 / _N_GRID * _KM_PER_DEG!r} * cos(radians(lat)))
+           {_NEIGHBOR_KM} / ({360.0 / _N_GRID * _KM_PER_DEG!r}
+             * cos(radians(least(89.99, abs(lat) + {_NEIGHBOR_KM / _KM_PER_DEG!r}))))
          ))) AS INT) AS reach
   FROM raw
   WHERE lon IS NOT NULL AND lat IS NOT NULL AND geom_valid

@@ -158,10 +158,14 @@ def merge_upsert(
     never a missing table. Object-store targets need a transactional
     table format instead."""
     import os
-    import shutil
 
     from pyspark.sql.window import Window
 
+    target = target_path.rstrip("/")
+    # roll an interrupted previous swap forward/back BEFORE the exists
+    # probe: a crash that left target renamed to .__old__ must not make
+    # this run treat the table as absent and silently drop history
+    _recover_swap(target)
     exists = os.path.exists(target_path)
     if exists:
         # read/union failures (corrupt target, schema drift) must RAISE —
@@ -178,16 +182,11 @@ def merge_upsert(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__src")
     )
-    staging = target_path.rstrip("/") + ".staging"
-    old = target_path.rstrip("/") + ".old"
-    latest.write.mode("overwrite").parquet(staging)
+    latest.write.mode("overwrite").parquet(target + _STAGING_SUFFIX)
     if exists:
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        os.rename(target_path, old)
-    os.rename(staging, target_path)
-    if exists:
-        shutil.rmtree(old)
+        _atomic_swap(target)
+    else:
+        os.rename(target + _STAGING_SUFFIX, target)
 
 
 def write_dead_letter(df: DataFrame, path: str, fmt: str = "parquet") -> None:
@@ -257,19 +256,13 @@ def compact_parquet(
         )
     else:
         out = df.coalesce(n_out)
-    staging = path.rstrip("/") + ".__compacting__"
-    old = path.rstrip("/") + ".__old__"
-    if os.path.exists(staging):
-        shutil.rmtree(staging)
+    target = path.rstrip("/")
+    _recover_swap(target)
     writer = out.write.mode("overwrite")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
-    writer.parquet(staging)
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    os.rename(path, old)
-    os.rename(staging, path)
-    shutil.rmtree(old)
+    writer.parquet(target + _STAGING_SUFFIX)
+    _atomic_swap(target)
     after = len(
         [
             f
@@ -278,6 +271,47 @@ def compact_parquet(
         ]
     )
     return {"files_before": len(files), "files_after": after, "bytes": total}
+
+
+_STAGING_SUFFIX = ".__staging__"
+_OLD_SUFFIX = ".__old__"
+
+
+def _recover_swap(target: str) -> None:
+    """Crash recovery for the staging/old rename swap around ``target``:
+    roll an interrupted swap forward or back so the target directory is
+    always present-and-consistent before new work starts.
+
+    * ``.__old__`` present, target missing → crash BETWEEN the renames:
+      roll back (rename old → target).
+    * ``.__old__`` and target both present → crash after the swap,
+      before cleanup: drop the old copy.
+    * ``.__staging__`` present → incomplete write: drop it.
+    """
+    import os
+    import shutil
+
+    staging, old = target + _STAGING_SUFFIX, target + _OLD_SUFFIX
+    if os.path.exists(old):
+        if os.path.exists(target):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, target)
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+
+
+def _atomic_swap(target: str) -> None:
+    """Swap ``target.__staging__`` into place: target → .__old__,
+    staging → target, drop .__old__. Callers write staging first and
+    run :func:`_recover_swap` before starting."""
+    import os
+    import shutil
+
+    staging, old = target + _STAGING_SUFFIX, target + _OLD_SUFFIX
+    os.rename(target, old)
+    os.rename(staging, target)
+    shutil.rmtree(old)
 
 
 def purge_keys(
@@ -293,14 +327,20 @@ def purge_keys(
     1000-partition table costs proportional to the partitions it hits,
     not the table.
 
-    Protocol per affected partition directory: anti-join against the
-    (broadcast, deletion-batch-sized) key set, write to a staging dir,
-    atomic local rename swap (merge_upsert's crash contract: a stray
-    .__old__/.__staging__ to clean up, never a missing partition). A
-    partition left empty by the purge is removed outright. The
-    affected-partition discovery is one column-pruned scan of (key,
-    partition columns) semi-joined to the key set — Catalyst reads just
-    those columns from the footers.
+    Per partition DIRECTORY (never via Spark's decoded partition
+    values — type inference, URL-escaping, and NULL partitions all make
+    decoded values fail to round-trip to directory names, which would
+    silently skip matching partitions): one key-column semi-join count
+    decides whether the partition is affected (clean partitions cost a
+    single pruned key-column scan and are never opened for write);
+    affected partitions anti-join against the broadcast key set into a
+    staging dir and swap atomically. A crash mid-swap is rolled forward
+    or back by :func:`_recover_swap` on the next run, so the partition
+    is never left missing. A partition left empty by the purge is
+    removed outright. Multi-level partition layouts are rejected (the
+    per-directory rewrite would flatten nested levels); single-level
+    covers the engine's own layouts, and deeper trees belong in a
+    transactional table format anyway.
 
     LOCAL-filesystem rename semantics, single-writer assumption, and
     the "fact-sized tables should use a transactional format" note all
@@ -311,49 +351,54 @@ def purge_keys(
     import os
     import shutil
 
+    # recover interrupted swaps FIRST: a partition renamed to .__old__
+    # mid-crash is invisible to the partition glob until rolled back
+    for stray in glob.glob(os.path.join(path, "*")):
+        for suffix in (_OLD_SUFFIX, _STAGING_SUFFIX):
+            if stray.endswith(suffix):
+                _recover_swap(stray[: -len(suffix)])
     part_dirs = sorted(
         d
         for d in glob.glob(os.path.join(path, "*"))
-        if os.path.isdir(d) and "=" in os.path.basename(d)
+        if os.path.isdir(d)
+        and "=" in os.path.basename(d)
+        and not os.path.basename(d).endswith((_STAGING_SUFFIX, _OLD_SUFFIX))
     )
     if not part_dirs:
         raise ValueError(f"{path} is not a hive-partitioned table")
-    part_col = os.path.basename(part_dirs[0]).split("=", 1)[0]
+    for d in part_dirs:
+        nested = [
+            sub
+            for sub in glob.glob(os.path.join(d, "*"))
+            if os.path.isdir(sub) and "=" in os.path.basename(sub)
+        ]
+        if nested:
+            raise ValueError(
+                f"{path} is multi-level partitioned ({os.path.basename(d)}/"
+                f"{os.path.basename(nested[0])}); purge_keys supports one "
+                "level — use a transactional table format for deeper trees"
+            )
 
     keyset = F.broadcast(keys.select(F.col(key)).distinct())
-    table = spark.read.parquet(path)
-    affected = {
-        str(r[0])
-        for r in table.select(key, part_col)
-        .join(keyset, key, "left_semi")
-        .select(part_col)
-        .distinct()
-        .collect()
-    }
     rewritten = 0
     deleted = 0
     for d in part_dirs:
-        value = os.path.basename(d).split("=", 1)[1]
-        if value not in affected:
-            continue
         part = spark.read.parquet(d)
-        kept = part.join(keyset, key, "left_anti")
-        n_before = part.count()
-        n_after = kept.count()
-        staging = d + ".__staging__"
-        old = d + ".__old__"
-        for stray in (staging, old):
-            if os.path.exists(stray):
-                shutil.rmtree(stray)
+        # pruned key-column scan; the ONLY cost on clean partitions
+        n_match = part.join(keyset, key, "left_semi").count()
+        if n_match == 0:
+            continue
+        # plain parquet count() answers from footer metadata — no scan
+        n_after = part.count() - n_match
         if n_after:
-            kept.write.mode("overwrite").parquet(staging)
-            os.rename(d, old)
-            os.rename(staging, d)
-            shutil.rmtree(old)
+            part.join(keyset, key, "left_anti").write.mode("overwrite").parquet(
+                d + _STAGING_SUFFIX
+            )
+            _atomic_swap(d)
         else:
             shutil.rmtree(d)
         rewritten += 1
-        deleted += n_before - n_after
+        deleted += n_match
     return {
         "partitions_total": len(part_dirs),
         "partitions_rewritten": rewritten,

@@ -108,6 +108,15 @@ def neighbor_cells(
             f"radius {radius_km} km exceeds the lat cell edge "
             f"{lat_edge_km:.2f} km at res={res}; lower the radius or res"
         )
+    # the partner may sit up to radius_km pole-ward of the probe, where
+    # lon cells are NARROWER — size the reach from the worst (smallest)
+    # cos within the radius, not the probe's own latitude, or a pair
+    # near a reach boundary with the partner slightly pole-ward is one
+    # cell short of covered
+    radius_lat_deg = radius_km / KM_PER_DEG
+    # clamp below 90: cos(90°)=0 would put Infinity through ceil; at
+    # 89.99° the reach is astronomically large and MAX_LON_REACH caps it
+    worst_lat = F.least(F.lit(89.99), F.abs(lat) + F.lit(radius_lat_deg))
     reach = (
         F.least(
             F.lit(MAX_LON_REACH),
@@ -115,7 +124,7 @@ def neighbor_cells(
                 F.lit(1),
                 F.ceil(
                     F.lit(radius_km)
-                    / (F.lit(cell_deg * KM_PER_DEG) * F.cos(F.radians(lat)))
+                    / (F.lit(cell_deg * KM_PER_DEG) * F.cos(F.radians(worst_lat)))
                 ),
             ),
         )

@@ -193,8 +193,11 @@ def test_ahash_matches_pure_python(spark, payloads):
 
         arr = np.frombuffer(b, dtype=np.uint8).astype(np.float64)
         cells = np.array_split(arr, 64)
-        means = [c.mean() if len(c) else 0.0 for c in cells]
-        thresh = sum(means) / 64.0
+        # np.mean over the means, mirroring production's pairwise
+        # reduction — a sequential Python sum can differ in the last
+        # ulp and flip a threshold-straddling bit
+        means = np.array([c.mean() if len(c) else 0.0 for c in cells])
+        thresh = means.mean()
         h = 0
         for m in means:
             h = (h << 1) | int(m > thresh)

@@ -444,3 +444,70 @@ def test_table_maintenance_lifecycle(spark, tmp_path):
     assert out["files_after"] <= out["files_before"]
     final = spark.read.parquet(fact)
     assert {r.id for r in final.collect()} == {1, 3}
+
+
+def test_purge_keys_non_roundtrip_partition_values(spark, tmp_path):
+    """Partition values that don't round-trip through Spark's partition
+    decoding (string '01' inferred as int 1) must still purge — the
+    per-directory decision never compares decoded values to dir names."""
+    import os
+
+    from osm_poi_database_maker_spark.sink import purge_keys
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "01", 1.0), (2, "01", 2.0), (2, "02", 3.0), (3, "3000000000000", 4.0)],
+        "user_id long, day string, value double",
+    ).write.partitionBy("day").parquet(path)
+    stats = purge_keys(spark, path, spark.createDataFrame([(2,)], "user_id long"))
+    assert stats["rows_deleted"] == 2
+    assert stats["partitions_rewritten"] == 2
+    assert not os.path.exists(os.path.join(path, "day=02"))
+    left = spark.read.parquet(path)
+    assert sorted(r.user_id for r in left.collect()) == [1, 3]
+
+
+def test_purge_keys_crash_recovery_and_stray_dirs(spark, tmp_path):
+    """A simulated crash between the two swap renames (partition dir
+    moved to .__old__, staging not yet renamed) is rolled back on the
+    next run; stray dirs are never counted as partitions."""
+    import os
+    import shutil
+
+    from osm_poi_database_maker_spark.sink import purge_keys
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "d1", 1.0), (2, "d1", 2.0), (9, "d2", 3.0)],
+        "user_id long, day string, value double",
+    ).write.partitionBy("day").parquet(path)
+    d1 = os.path.join(path, "day=d1")
+    # simulate: staging written, target renamed away, then crash
+    shutil.copytree(d1, d1 + ".__staging__")
+    os.rename(d1, d1 + ".__old__")
+    assert not os.path.exists(d1)
+
+    stats = purge_keys(spark, path, spark.createDataFrame([(2,)], "user_id long"))
+    # recovery restored day=d1 before purging, then the purge ran
+    assert stats == {
+        "partitions_total": 2,
+        "partitions_rewritten": 1,
+        "rows_deleted": 1,
+    }
+    assert os.path.exists(d1)
+    assert not os.path.exists(d1 + ".__old__")
+    assert not os.path.exists(d1 + ".__staging__")
+    assert sorted(r.user_id for r in spark.read.parquet(path).collect()) == [1, 9]
+
+
+def test_purge_keys_rejects_multilevel(spark, tmp_path):
+    import pytest as _pytest
+
+    from osm_poi_database_maker_spark.sink import purge_keys
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "d1", 10, 1.0)], "user_id long, day string, hour int, value double"
+    ).write.partitionBy("day", "hour").parquet(path)
+    with _pytest.raises(ValueError, match="multi-level"):
+        purge_keys(spark, path, spark.createDataFrame([(1,)], "user_id long"))
