@@ -749,10 +749,88 @@ FROM dau d JOIN wau w ON w.day = d.day
 """
 
 
+_ATTR_WINDOW_DAYS = 7
+_ATTR_TARGET = "purchase"
+
+
+def q_events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch linear attribution: each purchase's value is credited
+    equally across the user's non-purchase touches in the preceding 7
+    days; reported per touch event type (total credit, touches
+    credited, purchases reached) — the batch twin of the streaming
+    attribution join and the revenue-accounting view funnels don't give.
+
+    Plan: ONE equi-join on user_id with the time-window predicate as a
+    residual filter (per-user candidate volume is bounded by a user's
+    own 7-day activity, never cross-user), a per-purchase window count
+    on the SAME user partitioning to split the credit, then a tiny
+    per-type aggregate. Purchases with no prior touch drop out (no
+    credit to assign). Credit sums round to 4 decimals in both engines;
+    at 100 TB the join inherits the bucketed interval-join
+    decomposition (events.py's incident-windows pattern) if user
+    activity windows ever stop fitting the residual-filter shape."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == _ATTR_TARGET).select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    touches = e.filter(F.col("event_type") != _ATTR_TARGET).select(
+        "user_id",
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("t_ts"),
+    )
+    joined = purchases.join(touches, "user_id").filter(
+        (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {_ATTR_WINDOW_DAYS} DAYS"))
+    )
+    w = Window.partitionBy("p_id")
+    credited = joined.withColumn("n_touches", F.count("*").over(w)).withColumn(
+        "credit", F.col("p_value") / F.col("n_touches")
+    )
+    return credited.groupBy("touch_type").agg(
+        F.round(F.sum("credit"), 4).alias("total_credit"),
+        F.count("*").alias("n_touches"),
+        F.countDistinct("p_id").alias("n_purchases"),
+    )
+
+
+ORACLE_ATTRIBUTION = f"""
+WITH purchases AS (
+  SELECT event_id AS p_id, user_id, ts AS p_ts, value AS p_value
+  FROM events WHERE event_type = '{_ATTR_TARGET}'
+),
+touches AS (
+  SELECT user_id, event_type AS touch_type, ts AS t_ts
+  FROM events WHERE event_type <> '{_ATTR_TARGET}'
+),
+joined AS (
+  SELECT p.p_id, p.p_value, t.touch_type
+  FROM purchases p
+  JOIN touches t ON t.user_id = p.user_id
+   AND t.t_ts < p.p_ts
+   AND t.t_ts >= p.p_ts - INTERVAL {_ATTR_WINDOW_DAYS} DAY
+),
+credited AS (
+  SELECT touch_type, p_id,
+         p_value / (count(*) OVER (PARTITION BY p_id)) AS credit
+  FROM joined
+)
+SELECT touch_type,
+       round(sum(credit), 4) AS total_credit,
+       count(*) AS n_touches,
+       count(DISTINCT p_id) AS n_purchases
+FROM credited
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "events_funnel": q_events_funnel,
     "events_user_lifecycle": q_events_user_lifecycle,
     "events_dau_wau": q_events_dau_wau,
+    "events_linear_attribution": q_events_linear_attribution,
     "events_path_trigrams": q_events_path_trigrams,
     "events_markov_transitions": q_events_markov_transitions,
     "events_retention": q_events_retention,
@@ -766,6 +844,7 @@ ORACLES = {
     "events_funnel": ORACLE_FUNNEL,
     "events_user_lifecycle": ORACLE_LIFECYCLE,
     "events_dau_wau": ORACLE_DAU_WAU,
+    "events_linear_attribution": ORACLE_ATTRIBUTION,
     "events_path_trigrams": ORACLE_PATH_TRIGRAMS,
     "events_markov_transitions": ORACLE_MARKOV,
     "events_retention": ORACLE_RETENTION,

@@ -276,3 +276,39 @@ def test_dau_wau_planted(spark, monkeypatch):
     assert (got["2024-01-05"].dau, got["2024-01-05"].wau) == (1, 2)
     assert got["2024-01-05"].stickiness == 0.5
     assert (got["2024-01-20"].dau, got["2024-01-20"].wau) == (1, 1)
+
+
+def test_linear_attribution_planted(spark, monkeypatch):
+    """Credit splits equally across in-window touches; out-of-window and
+    post-purchase touches get nothing; touchless purchases drop out."""
+    import datetime
+
+    from osm_poi_database_maker_spark.queries import behavior as B
+
+    def ts(day, hour=9):
+        return datetime.datetime(2024, 1, day, hour)
+
+    rows = [
+        # user 1: view(d1) + click(d2) then purchase(d3, 90.0)
+        (1, ts(1), 1, "view", 1.0, "{}"),
+        (2, ts(2), 1, "click", 1.0, "{}"),
+        (3, ts(3), 1, "purchase", 90.0, "{}"),
+        # after-purchase touch: no credit
+        (4, ts(4), 1, "view", 1.0, "{}"),
+        # user 2: touch 10 days before purchase -> out of 7d window
+        (5, ts(1), 2, "view", 1.0, "{}"),
+        (6, ts(11), 2, "purchase", 50.0, "{}"),
+        # user 3: purchase with no touches at all
+        (7, ts(5), 3, "purchase", 70.0, "{}"),
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(B, "load_table", lambda s, sf, n: e)
+    got = {r.touch_type: r for r in B.q_events_linear_attribution(spark, "x").collect()}
+    assert set(got) == {"view", "click"}
+    assert got["view"].total_credit == 45.0
+    assert got["click"].total_credit == 45.0
+    assert (got["view"].n_touches, got["view"].n_purchases) == (1, 1)
