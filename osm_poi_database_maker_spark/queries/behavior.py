@@ -826,11 +826,88 @@ GROUP BY 1
 """
 
 
+def q_events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users cohorted by first-activity
+    day, purchase revenue bucketed into weeks-since-cohort, reported as
+    the CUMULATIVE revenue per cohort user at each week — the money
+    companion to count-based cohort retention (is week-4 LTV still
+    paying for acquisition?).
+
+    Plan: one user-keyed aggregate finds each user's cohort day
+    (reused by the revenue join on the same partitioning), a
+    (cohort, week) aggregate collapses purchases, and the running sum
+    is a window over the tiny aggregated table partitioned by cohort —
+    |cohorts|×|weeks| rows, so the window never sees raw events.
+    Cohort sizes join broadcast. Money sums round at the output
+    boundary only."""
+    e = load_table(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    sizes = first.groupBy("cohort_day").agg(F.countDistinct("user_id").alias("n_users"))
+    purchases = e.filter(F.col("event_type") == _ATTR_TARGET).select(
+        "user_id", F.to_date("ts").alias("day"), "value"
+    )
+    weekly = (
+        purchases.join(first, "user_id")
+        .withColumn(
+            "week_since",
+            F.floor(F.datediff("day", "cohort_day") / 7.0).cast("int"),
+        )
+        .groupBy("cohort_day", "week_since")
+        .agg(F.sum("value").alias("rev"))
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("week_since")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        weekly.withColumn("cum_rev", F.sum("rev").over(w))
+        .join(F.broadcast(sizes), "cohort_day")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "week_since",
+            "n_users",
+            F.round(F.col("cum_rev") / F.col("n_users"), 4).alias("ltv_per_user"),
+        )
+    )
+
+
+ORACLE_COHORT_LTV = f"""
+WITH first AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY 1
+),
+sizes AS (
+  SELECT cohort_day, count(DISTINCT user_id) AS n_users FROM first GROUP BY 1
+),
+weekly AS (
+  SELECT f.cohort_day,
+         CAST(floor(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) / 7.0) AS INT)
+           AS week_since,
+         sum(e.value) AS rev
+  FROM events e
+  JOIN first f ON f.user_id = e.user_id
+  WHERE e.event_type = '{_ATTR_TARGET}'
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT cohort_day, week_since,
+         sum(rev) OVER (PARTITION BY cohort_day ORDER BY week_since
+                        ROWS UNBOUNDED PRECEDING) AS cum_rev
+  FROM weekly
+)
+SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+       c.week_since, s.n_users,
+       round(c.cum_rev / s.n_users, 4) AS ltv_per_user
+FROM cum c JOIN sizes s ON s.cohort_day = c.cohort_day
+"""
+
+
 QUERIES = {
     "events_funnel": q_events_funnel,
     "events_user_lifecycle": q_events_user_lifecycle,
     "events_dau_wau": q_events_dau_wau,
     "events_linear_attribution": q_events_linear_attribution,
+    "events_cohort_ltv": q_events_cohort_ltv,
     "events_path_trigrams": q_events_path_trigrams,
     "events_markov_transitions": q_events_markov_transitions,
     "events_retention": q_events_retention,
@@ -845,6 +922,7 @@ ORACLES = {
     "events_user_lifecycle": ORACLE_LIFECYCLE,
     "events_dau_wau": ORACLE_DAU_WAU,
     "events_linear_attribution": ORACLE_ATTRIBUTION,
+    "events_cohort_ltv": ORACLE_COHORT_LTV,
     "events_path_trigrams": ORACLE_PATH_TRIGRAMS,
     "events_markov_transitions": ORACLE_MARKOV,
     "events_retention": ORACLE_RETENTION,

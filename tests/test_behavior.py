@@ -312,3 +312,36 @@ def test_linear_attribution_planted(spark, monkeypatch):
     assert got["view"].total_credit == 45.0
     assert got["click"].total_credit == 45.0
     assert (got["view"].n_touches, got["view"].n_purchases) == (1, 1)
+
+
+def test_cohort_ltv_planted(spark, monkeypatch):
+    """LTV accumulates per cohort week; divides by cohort size (all
+    cohort users, not just purchasers); week binning is floor(days/7)."""
+    import datetime
+
+    from osm_poi_database_maker_spark.queries import behavior as B
+
+    def ts(day):
+        return datetime.datetime(2024, 1, day, 9)
+
+    rows = [
+        # cohort 2024-01-01: users 1 (buys) and 2 (never buys)
+        (1, ts(1), 1, "view", 1.0, "{}"),
+        (2, ts(1), 2, "view", 1.0, "{}"),
+        (3, ts(3), 1, "purchase", 10.0, "{}"),   # day 2 -> week 0
+        (4, ts(9), 1, "purchase", 30.0, "{}"),   # day 8 -> week 1
+        # cohort 2024-01-02: user 3
+        (5, ts(2), 3, "purchase", 100.0, "{}"),  # week 0 (self-cohorting)
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(B, "load_table", lambda s, sf, n: e)
+    got = {(r.cohort_day, r.week_since): r for r in B.q_events_cohort_ltv(spark, "x").collect()}
+    a0 = got[("2024-01-01", 0)]
+    a1 = got[("2024-01-01", 1)]
+    assert (a0.n_users, a0.ltv_per_user) == (2, 5.0)     # 10 / 2 users
+    assert a1.ltv_per_user == 20.0                       # (10+30) / 2
+    assert got[("2024-01-02", 0)].ltv_per_user == 100.0
