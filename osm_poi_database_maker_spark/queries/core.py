@@ -894,7 +894,51 @@ LIMIT {_BASKET_TOP_K}
 """
 
 
+def q_lineitem_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand discount elasticity of demand: OLS slope of quantity on
+    discount (plus fit quality and volume) via the SQL-standard
+    ``regr_*`` aggregates — does discounting move units for this brand,
+    and is the relationship real or noise?
+
+    Distributed regression as ONE aggregate: the 25-row part dim
+    attaches broadcast, then regr_slope/regr_r2 reduce map-side like
+    any sum — one brand-keyed exchange of partial moment tuples, never
+    raw rows. Outputs round to 4 (the regression inputs are
+    exact-decimal parquet values; partial-sum order noise sits ~1e-10
+    below the rounding grain). The zipf-fit query is the same family
+    over a windowed input; this one regresses raw fact rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.expr("regr_slope(l_quantity, l_discount)"), 4).alias(
+                "qty_discount_slope"
+            ),
+            F.round(F.expr("regr_r2(l_quantity, l_discount)"), 4).alias("fit_r2"),
+        )
+    )
+
+
+ORACLE_ELASTICITY = """
+SELECT p.p_brand,
+       count(*) AS n_lineitems,
+       round(avg(l.l_quantity), 4) AS avg_qty,
+       round(regr_slope(l.l_quantity, l.l_discount), 4) AS qty_discount_slope,
+       round(regr_r2(l.l_quantity, l.l_discount), 4) AS fit_r2
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY 1
+"""
+
+
 QUERIES = {
+    "lineitem_discount_elasticity": q_lineitem_discount_elasticity,
     "pricing_summary": q_pricing_summary,
     "orders_mom_growth": q_orders_mom_growth,
     "basket_part_affinity": q_basket_part_affinity,
@@ -920,6 +964,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "lineitem_discount_elasticity": ORACLE_ELASTICITY,
     "pricing_summary": ORACLE_PRICING,
     "orders_mom_growth": ORACLE_MOM,
     "basket_part_affinity": ORACLE_BASKET,

@@ -210,3 +210,24 @@ def test_zipf_fit_on_planted_powerlaw(spark, monkeypatch):
     assert r.n_types == 20 and r.n_tokens == sum(100 // k for k in range(1, 21))
     assert -1.2 < r.zipf_slope < -0.8
     assert r.zipf_r2 > 0.95
+
+
+def test_discount_elasticity_planted(spark, monkeypatch):
+    """regr_slope recovers a planted exact linear relationship and its
+    perfect fit; a flat brand reports slope 0."""
+    from osm_poi_database_maker_spark.queries import core as C
+
+    # brand A: quantity = 10 + 100*discount exactly; brand B: constant
+    li_rows = [(1, 10.0 + 100.0 * d, d) for d in (0.0, 0.02, 0.04, 0.06)] + [
+        (2, 7.0, d) for d in (0.0, 0.05, 0.1)
+    ]
+    li = spark.createDataFrame(li_rows, "l_partkey long, l_quantity double, l_discount double")
+    part = spark.createDataFrame([(1, "BrandA"), (2, "BrandB")], "p_partkey long, p_brand string")
+    monkeypatch.setattr(
+        C, "load_table",
+        lambda s, sf, n: li if n == "lineitem" else part,
+    )
+    got = {r.p_brand: r for r in C.q_lineitem_discount_elasticity(spark, "x").collect()}
+    assert got["BrandA"].qty_discount_slope == 100.0
+    assert got["BrandA"].fit_r2 == 1.0
+    assert got["BrandB"].qty_discount_slope == 0.0
