@@ -902,12 +902,86 @@ FROM cum c JOIN sizes s ON s.cohort_day = c.cohort_day
 """
 
 
+def q_events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: latency from each user's FIRST view
+    to their first subsequent purchase — the funnel's missing "how
+    long" axis (conversion counts say nothing about a 40-day lag).
+    Emits viewer/converter counts, the conversion rate, and exact
+    latency quartiles in hours.
+
+    Plan: two user-keyed aggregates (first view; first purchase AFTER
+    that view — the conditional min rides the same join) and one 1-row
+    reduction; latencies are integer seconds via ``timestampdiff`` (a
+    pure timestamp difference — no epoch conversion, so session
+    timezone can never skew either engine), and the exact percentiles
+    aggregate over |converters| scalar values. 100 TB swap:
+    approx_percentile, one expression per quartile."""
+    e = load_table(spark, sf_dir, "events")
+    first_view = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    conv = (
+        e.filter(F.col("event_type") == _ATTR_TARGET)
+        .join(first_view, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"), F.first("v_ts").alias("v_ts"))
+        .withColumn("lat_s", F.expr("timestampdiff(SECOND, v_ts, p_ts)"))
+    )
+    n_viewers = first_view.agg(F.count("*").alias("n_viewers"))
+    return (
+        conv.agg(
+            F.count("*").alias("n_converted"),
+            F.round(F.expr("percentile(lat_s, 0.25)") / 3600.0, 4).alias("q25_hours"),
+            F.round(F.expr("percentile(lat_s, 0.5)") / 3600.0, 4).alias("q50_hours"),
+            F.round(F.expr("percentile(lat_s, 0.75)") / 3600.0, 4).alias("q75_hours"),
+        )
+        .crossJoin(F.broadcast(n_viewers))
+        .select(
+            "n_viewers",
+            "n_converted",
+            F.round(F.col("n_converted") / F.col("n_viewers"), 4).alias("cvr"),
+            "q25_hours",
+            "q50_hours",
+            "q75_hours",
+        )
+    )
+
+
+ORACLE_TIME_TO_CONVERT = f"""
+WITH first_view AS (
+  SELECT user_id, min(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+conv AS (
+  SELECT e.user_id,
+         date_diff('second', f.v_ts, min(e.ts)) AS lat_s
+  FROM events e
+  JOIN first_view f ON f.user_id = e.user_id
+  WHERE e.event_type = '{_ATTR_TARGET}' AND e.ts > f.v_ts
+  GROUP BY e.user_id, f.v_ts
+),
+nv AS (SELECT count(*) AS n_viewers FROM first_view)
+SELECT nv.n_viewers,
+       count(*) AS n_converted,
+       round(CAST(count(*) AS DOUBLE) / nv.n_viewers, 4) AS cvr,
+       round(quantile_cont(lat_s, 0.25) / 3600.0, 4) AS q25_hours,
+       round(quantile_cont(lat_s, 0.5) / 3600.0, 4) AS q50_hours,
+       round(quantile_cont(lat_s, 0.75) / 3600.0, 4) AS q75_hours
+FROM conv CROSS JOIN nv
+GROUP BY nv.n_viewers
+"""
+
+
 QUERIES = {
     "events_funnel": q_events_funnel,
     "events_user_lifecycle": q_events_user_lifecycle,
     "events_dau_wau": q_events_dau_wau,
     "events_linear_attribution": q_events_linear_attribution,
     "events_cohort_ltv": q_events_cohort_ltv,
+    "events_time_to_convert": q_events_time_to_convert,
     "events_path_trigrams": q_events_path_trigrams,
     "events_markov_transitions": q_events_markov_transitions,
     "events_retention": q_events_retention,
@@ -923,6 +997,7 @@ ORACLES = {
     "events_dau_wau": ORACLE_DAU_WAU,
     "events_linear_attribution": ORACLE_ATTRIBUTION,
     "events_cohort_ltv": ORACLE_COHORT_LTV,
+    "events_time_to_convert": ORACLE_TIME_TO_CONVERT,
     "events_path_trigrams": ORACLE_PATH_TRIGRAMS,
     "events_markov_transitions": ORACLE_MARKOV,
     "events_retention": ORACLE_RETENTION,

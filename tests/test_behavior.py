@@ -345,3 +345,39 @@ def test_cohort_ltv_planted(spark, monkeypatch):
     assert (a0.n_users, a0.ltv_per_user) == (2, 5.0)     # 10 / 2 users
     assert a1.ltv_per_user == 20.0                       # (10+30) / 2
     assert got[("2024-01-02", 0)].ltv_per_user == 100.0
+
+
+def test_time_to_convert_planted(spark, monkeypatch):
+    """Latency measures first view -> first SUBSEQUENT purchase;
+    pre-view purchases don't count as conversion; never-viewers are
+    excluded from the denominator."""
+    import datetime
+
+    from osm_poi_database_maker_spark.queries import behavior as B
+
+    def ts(day, hour=0):
+        return datetime.datetime(2024, 1, day, hour)
+
+    rows = [
+        # user 1: view d1 00:00 -> purchase d1 06:00 (6h) and a later one
+        (1, ts(1, 0), 1, "view", 1.0, "{}"),
+        (2, ts(1, 6), 1, "purchase", 9.0, "{}"),
+        (3, ts(3, 0), 1, "purchase", 9.0, "{}"),
+        # user 2: purchase BEFORE any view -> not converted
+        (4, ts(1, 0), 2, "purchase", 5.0, "{}"),
+        (5, ts(2, 0), 2, "view", 1.0, "{}"),
+        # user 3: views, never buys
+        (6, ts(1, 0), 3, "view", 1.0, "{}"),
+        # user 4: buys without ever viewing -> not a viewer at all
+        (7, ts(1, 0), 4, "purchase", 5.0, "{}"),
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(B, "load_table", lambda s, sf, n: e)
+    r = B.q_events_time_to_convert(spark, "x").collect()[0]
+    assert (r.n_viewers, r.n_converted) == (3, 1)
+    assert r.cvr == round(1 / 3, 4)
+    assert r.q25_hours == r.q50_hours == r.q75_hours == 6.0
