@@ -842,7 +842,8 @@ def q_events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary only."""
     e = load_table(spark, sf_dir, "events")
     first = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
-    sizes = first.groupBy("cohort_day").agg(F.countDistinct("user_id").alias("n_users"))
+    # `first` is one row per user already — plain count, no distinct state
+    sizes = first.groupBy("cohort_day").agg(F.count("*").alias("n_users"))
     purchases = e.filter(F.col("event_type") == _ATTR_TARGET).select(
         "user_id", F.to_date("ts").alias("day"), "value"
     )
@@ -877,7 +878,7 @@ WITH first AS (
   SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY 1
 ),
 sizes AS (
-  SELECT cohort_day, count(DISTINCT user_id) AS n_users FROM first GROUP BY 1
+  SELECT cohort_day, count(*) AS n_users FROM first GROUP BY 1
 ),
 weekly AS (
   SELECT f.cohort_day,
@@ -911,11 +912,13 @@ def q_events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: two user-keyed aggregates (first view; first purchase AFTER
     that view — the conditional min rides the same join) and one 1-row
-    reduction; latencies are integer seconds via ``timestampdiff`` (a
-    pure timestamp difference — no epoch conversion, so session
-    timezone can never skew either engine), and the exact percentiles
-    aggregate over |converters| scalar values. 100 TB swap:
-    approx_percentile, one expression per quartile."""
+    reduction; latencies are EXACT integer microseconds (unix_micros /
+    epoch_us, the events.py convention — second-granularity functions
+    disagree between engines on sub-second components: Spark's
+    timestampdiff floors the elapsed duration, DuckDB's date_diff
+    counts boundary crossings), and the exact percentiles aggregate
+    over |converters| scalar values. 100 TB swap: approx_percentile,
+    one expression per quartile."""
     e = load_table(spark, sf_dir, "events")
     first_view = (
         e.filter(F.col("event_type") == "view")
@@ -928,21 +931,36 @@ def q_events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("v_ts"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("p_ts"), F.first("v_ts").alias("v_ts"))
-        .withColumn("lat_s", F.expr("timestampdiff(SECOND, v_ts, p_ts)"))
+        .withColumn(
+            "lat_us", F.unix_micros("p_ts") - F.unix_micros("v_ts")
+        )
     )
+    us_per_hour = 3600.0 * 1_000_000
     n_viewers = first_view.agg(F.count("*").alias("n_viewers"))
     return (
         conv.agg(
             F.count("*").alias("n_converted"),
-            F.round(F.expr("percentile(lat_s, 0.25)") / 3600.0, 4).alias("q25_hours"),
-            F.round(F.expr("percentile(lat_s, 0.5)") / 3600.0, 4).alias("q50_hours"),
-            F.round(F.expr("percentile(lat_s, 0.75)") / 3600.0, 4).alias("q75_hours"),
+            F.round(F.expr("percentile(lat_us, 0.25)") / us_per_hour, 4).alias(
+                "q25_hours"
+            ),
+            F.round(F.expr("percentile(lat_us, 0.5)") / us_per_hour, 4).alias(
+                "q50_hours"
+            ),
+            F.round(F.expr("percentile(lat_us, 0.75)") / us_per_hour, 4).alias(
+                "q75_hours"
+            ),
         )
         .crossJoin(F.broadcast(n_viewers))
         .select(
             "n_viewers",
             "n_converted",
-            F.round(F.col("n_converted") / F.col("n_viewers"), 4).alias("cvr"),
+            F.round(
+                F.when(
+                    F.col("n_viewers") > 0,
+                    F.col("n_converted") / F.col("n_viewers"),
+                ),
+                4,
+            ).alias("cvr"),
             "q25_hours",
             "q50_hours",
             "q75_hours",
@@ -957,21 +975,27 @@ WITH first_view AS (
 ),
 conv AS (
   SELECT e.user_id,
-         date_diff('second', f.v_ts, min(e.ts)) AS lat_s
+         epoch_us(min(e.ts)) - epoch_us(f.v_ts) AS lat_us
   FROM events e
   JOIN first_view f ON f.user_id = e.user_id
   WHERE e.event_type = '{_ATTR_TARGET}' AND e.ts > f.v_ts
   GROUP BY e.user_id, f.v_ts
 ),
+-- no GROUP BY: one row even when nobody converts (Spark's global
+-- aggregate likewise always yields one row)
+agg AS (
+  SELECT count(*) AS n_converted,
+         round(quantile_cont(lat_us, 0.25) / 3600000000.0, 4) AS q25_hours,
+         round(quantile_cont(lat_us, 0.5) / 3600000000.0, 4) AS q50_hours,
+         round(quantile_cont(lat_us, 0.75) / 3600000000.0, 4) AS q75_hours
+  FROM conv
+),
 nv AS (SELECT count(*) AS n_viewers FROM first_view)
-SELECT nv.n_viewers,
-       count(*) AS n_converted,
-       round(CAST(count(*) AS DOUBLE) / nv.n_viewers, 4) AS cvr,
-       round(quantile_cont(lat_s, 0.25) / 3600.0, 4) AS q25_hours,
-       round(quantile_cont(lat_s, 0.5) / 3600.0, 4) AS q50_hours,
-       round(quantile_cont(lat_s, 0.75) / 3600.0, 4) AS q75_hours
-FROM conv CROSS JOIN nv
-GROUP BY nv.n_viewers
+SELECT nv.n_viewers, agg.n_converted,
+       round(CASE WHEN nv.n_viewers > 0
+                  THEN CAST(agg.n_converted AS DOUBLE) / nv.n_viewers END, 4) AS cvr,
+       agg.q25_hours, agg.q50_hours, agg.q75_hours
+FROM agg CROSS JOIN nv
 """
 
 

@@ -900,10 +900,12 @@ def q_lineitem_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFram
     ``regr_*`` aggregates — does discounting move units for this brand,
     and is the relationship real or noise?
 
-    Distributed regression as ONE aggregate: the 25-row part dim
-    attaches broadcast, then regr_slope/regr_r2 reduce map-side like
-    any sum — one brand-keyed exchange of partial moment tuples, never
-    raw rows. Outputs round to 4 (the regression inputs are
+    Distributed regression as ONE aggregate: the part dim (2 columns,
+    ~0.2M rows per SF unit — broadcastable at test scale; at 100 TB it
+    exceeds the threshold and AQE/shuffle-joins it on partkey, or the
+    brand rides a denormalized lineitem column) attaches to the fact,
+    then regr_slope/regr_r2 reduce map-side like any sum — one
+    brand-keyed exchange of partial moment tuples, never raw rows. Outputs round to 4 (the regression inputs are
     exact-decimal parquet values; partial-sum order noise sits ~1e-10
     below the rounding grain). The zipf-fit query is the same family
     over a windowed input; this one regresses raw fact rows."""
