@@ -75,6 +75,7 @@ _VERIFY_FIRST = [
     "events_cohort_ltv",
     "lineitem_discount_elasticity",
     "events_time_to_convert",
+    "orders_backlog_aging",
     "doc_bpe_merges",
     "doc_bpe_encode",
     "doc_quality_filter_verdict",
@@ -116,11 +117,11 @@ _VERIFY_FIRST = [
     "events_tag_explode",
     "events_exclude_superset",
     "events_hstore_projection",
-    "events_sketch_stats",
-    # --- the 50-entry window ends here (29 tier-1a + 6 tier-1b +
-    # 9 tier-2a + 6 tier-2b). Below: overflow — r3-green or heavily
+    # --- the 50-entry window ends here (30 tier-1a + 6 tier-1b +
+    # 9 tier-2a + 5 tier-2b). Below: overflow — r3-green or heavily
     # pytest-gated entries displaced by the round-4 newcomers; they go
     # to the FRONT of round 5's rotation.
+    "events_sketch_stats",
     "events_time_rollup",
     "doc_token_stats",
     "doc_quality_score",

@@ -939,8 +939,82 @@ GROUP BY 1
 """
 
 
+_BACKLOG_LOOKBACK_DAYS = 90
+_BACKLOG_BUCKET_DAYS = 30
+
+
+def q_orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging: as of a data-derived cutoff (90 days
+    before the newest order date — never wall-clock, so results are
+    reproducible), orders placed on or before the cutoff that still had
+    an unshipped line item, bucketed by 30-day age — the operations
+    view behind "how old is our unshipped backlog and how much money
+    is stuck in it".
+
+    Plan: the cutoff is a 1-row aggregate broadcast via cross join (the
+    repo's scalar pattern); "still open" is a LEFT SEMI join against
+    unshipped line items (existence only — no row duplication, no
+    correlated subquery at runtime: Catalyst decorrelates the EXISTS to
+    this same semi join); the aging bucket is pure arithmetic and the
+    output aggregate is ≤ a handful of buckets. One orderkey-keyed
+    exchange end to end."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cutoff = o.agg(
+        F.date_sub(F.max("o_orderdate"), _BACKLOG_LOOKBACK_DAYS).alias("cutoff")
+    )
+    with_cut = o.crossJoin(F.broadcast(cutoff)).filter(
+        F.col("o_orderdate") <= F.col("cutoff")
+    )
+    open_items = li.crossJoin(F.broadcast(cutoff)).filter(
+        F.col("l_shipdate") > F.col("cutoff")
+    )
+    open_orders = with_cut.join(
+        open_items.select(F.col("l_orderkey").alias("o_orderkey")),
+        "o_orderkey",
+        "left_semi",
+    )
+    bucket = F.floor(
+        F.datediff(F.col("cutoff"), F.col("o_orderdate")) / _BACKLOG_BUCKET_DAYS
+    ).cast("int")
+    return (
+        open_orders.withColumn("age_bucket", bucket)
+        .groupBy("age_bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("backlog_value"),
+        )
+    )
+
+
+ORACLE_BACKLOG = f"""
+WITH cut AS (
+  SELECT max(o_orderdate) - INTERVAL {_BACKLOG_LOOKBACK_DAYS} DAY AS cutoff
+  FROM orders
+),
+open_orders AS (
+  SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice, cut.cutoff
+  FROM orders o CROSS JOIN cut
+  WHERE o.o_orderdate <= cut.cutoff
+    AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > cut.cutoff
+    )
+)
+SELECT CAST(floor(date_diff('day', o_orderdate, CAST(cutoff AS DATE))
+            / {_BACKLOG_BUCKET_DAYS}.0) AS INT) AS age_bucket,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS backlog_value
+FROM open_orders
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "lineitem_discount_elasticity": q_lineitem_discount_elasticity,
+    "orders_backlog_aging": q_orders_backlog_aging,
     "pricing_summary": q_pricing_summary,
     "orders_mom_growth": q_orders_mom_growth,
     "basket_part_affinity": q_basket_part_affinity,
@@ -967,6 +1041,7 @@ QUERIES = {
 
 ORACLES = {
     "lineitem_discount_elasticity": ORACLE_ELASTICITY,
+    "orders_backlog_aging": ORACLE_BACKLOG,
     "pricing_summary": ORACLE_PRICING,
     "orders_mom_growth": ORACLE_MOM,
     "basket_part_affinity": ORACLE_BASKET,

@@ -231,3 +231,43 @@ def test_discount_elasticity_planted(spark, monkeypatch):
     assert got["BrandA"].qty_discount_slope == 100.0
     assert got["BrandA"].fit_r2 == 1.0
     assert got["BrandB"].qty_discount_slope == 0.0
+
+
+def test_backlog_aging_planted(spark, monkeypatch):
+    """Only orders with an unshipped line at the cutoff count; fully
+    shipped orders drop out; age buckets floor at 30-day widths."""
+    import datetime
+
+    from osm_poi_database_maker_spark.queries import core as C
+
+    def d(s):
+        return datetime.date.fromisoformat(s)
+
+    # newest order 2024-07-01 -> cutoff 2024-04-02
+    orders = spark.createDataFrame(
+        [
+            (1, d("2024-04-01"), 100.0),   # age 1d  -> bucket 0, open
+            (2, d("2024-02-01"), 200.0),   # age 61d -> bucket 2, open
+            (3, d("2024-03-01"), 400.0),   # shipped before cutoff: closed
+            (4, d("2024-07-01"), 800.0),   # after cutoff: not in backlog
+        ],
+        "o_orderkey long, o_orderdate date, o_totalprice double",
+    )
+    li = spark.createDataFrame(
+        [
+            (1, d("2024-05-01")),   # ships after cutoff -> open
+            (2, d("2024-04-03")),   # after cutoff -> open
+            (2, d("2024-03-01")),   # one shipped line doesn't close it
+            (3, d("2024-03-15")),   # all lines shipped by cutoff
+            (4, d("2024-07-02")),
+        ],
+        "l_orderkey long, l_shipdate date",
+    )
+    monkeypatch.setattr(
+        C, "load_table",
+        lambda s, sf, n: orders if n == "orders" else li,
+    )
+    got = {r.age_bucket: r for r in C.q_orders_backlog_aging(spark, "x").collect()}
+    assert set(got) == {0, 2}
+    assert (got[0].n_orders, got[0].backlog_value) == (1, 100.0)
+    assert (got[2].n_orders, got[2].backlog_value) == (1, 200.0)
