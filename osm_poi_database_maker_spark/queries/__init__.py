@@ -88,6 +88,11 @@ _VERIFY_FIRST = [
     "events_path_trigrams",
     "nation_volume_shipping",
     "orders_scd2_intervals",
+    "part_promo_share",
+    "small_qty_revenue",
+    "large_volume_customers",
+    "disjunctive_revenue",
+    "idle_customer_balance",
     # tier 1b: implementation or oracle changed in round 4 —
     # deciles/RFM moved from global ntile to distributed percentile
     # thresholds, anomaly thresholds on rounded z, ANN queries grew a
@@ -110,17 +115,16 @@ _VERIFY_FIRST = [
     "order_grouping_sets",
     "orders_above_customer_avg",
     "top_suppliers_by_revenue",
-    # tier 2b: last driver row is CORRECTNESS_r02 (two rounds stale),
-    # in r02 cohort order.
+    # --- the 50-entry window ends here (35 tier-1a + 6 tier-1b +
+    # 9 tier-2a). Below: overflow — first the 5 r02-evidence entries
+    # (their rows are exactly two rounds old, within the staleness
+    # contract; they lead round 5's rotation), then r3-green or heavily
+    # pytest-gated entries displaced by the round-4 newcomers.
     "orders_pk_audit",
     "events_toi_pipeline",
     "events_tag_explode",
     "events_exclude_superset",
     "events_hstore_projection",
-    # --- the 50-entry window ends here (30 tier-1a + 6 tier-1b +
-    # 9 tier-2a + 5 tier-2b). Below: overflow — r3-green or heavily
-    # pytest-gated entries displaced by the round-4 newcomers; they go
-    # to the FRONT of round 5's rotation.
     "events_sketch_stats",
     "events_time_rollup",
     "doc_token_stats",

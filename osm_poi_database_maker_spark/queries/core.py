@@ -1012,8 +1012,305 @@ GROUP BY 1
 """
 
 
+# --- promotion revenue share (TPC-H Q14 shape) -----------------------------
+
+def q_part_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion revenue share per ship month (TPC-H Q14 shape; reference
+    capability: O6 broadcast dim join + O2 conditional aggregation).
+
+    Plan: part is a broadcast dim (no shuffle of the fact), the promo/total
+    split is a conditional aggregate inside one hash aggregate keyed on the
+    ~84 distinct months — map-side partials reduce the exchange to a few
+    hundred rows regardless of fact size. At 100 TB nothing changes: the
+    only exchange carries (month → two partial sums).
+    """
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.round(F.sum(promo_rev), 2).alias("promo_revenue"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.round(100.0 * F.sum(promo_rev) / F.sum(rev), 4).alias("promo_share_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+ORACLE_PROMO_SHARE = """
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       round(sum(CASE WHEN p_type = 'PROMO'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2)
+         AS promo_revenue,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+       round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+                   / sum(l_extendedprice * (1 - l_discount)), 4)
+         AS promo_share_pct,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
+# --- small-quantity order revenue (TPC-H Q17 decorrelation shape) ----------
+
+_SMALL_QTY_BRAND = "Brand#13"
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue locked in below-half-average-quantity orders of one brand
+    (TPC-H Q17 shape). The textbook correlated scalar subquery
+    (``l_quantity < 0.5 * avg(l_quantity) per part``) is expressed
+    decorrelated by hand: one per-part aggregate over the brand's line
+    items, joined back to the same rows.
+
+    Plan: the brand's part keys are a broadcast filter (LEFT SEMI via the
+    broadcast inner join on p_partkey); the per-part threshold aggregate
+    and the join back share one l_partkey exchange (AQE reuses it); output
+    is a 1-row aggregate. The threshold is rounded to 6 dp in both engines
+    so aggregation-order fp noise cannot flip a boundary row. At 100 TB
+    the only data-sized exchange is the brand-filtered fact keyed on
+    partkey — the unfiltered fact is never shuffled.
+    """
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == _SMALL_QTY_BRAND)
+        .select("p_partkey")
+    )
+    brand_items = l.join(
+        F.broadcast(p), l.l_partkey == p.p_partkey, "left_semi"
+    )
+    thresholds = brand_items.groupBy("l_partkey").agg(
+        F.round(0.5 * F.avg("l_quantity"), 6).alias("half_avg_qty")
+    )
+    small = brand_items.join(thresholds, "l_partkey").filter(
+        F.col("l_quantity") < F.col("half_avg_qty")
+    )
+    return small.agg(
+        F.count("*").alias("n_small_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("small_qty_revenue"),
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+    )
+
+
+ORACLE_SMALL_QTY = f"""
+WITH brand_items AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = '{_SMALL_QTY_BRAND}')
+),
+thresholds AS (
+  SELECT l_partkey, round(0.5 * avg(l_quantity), 6) AS half_avg_qty
+  FROM brand_items GROUP BY 1
+)
+SELECT count(*) AS n_small_items,
+       round(sum(l_extendedprice), 2) AS small_qty_revenue,
+       round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM brand_items JOIN thresholds USING (l_partkey)
+WHERE l_quantity < half_avg_qty
+"""
+
+
+# --- large-volume customers (TPC-H Q18 shape) ------------------------------
+
+_LARGE_VOLUME_QTY = 300
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers behind orders whose total line quantity exceeds 300
+    (TPC-H Q18 shape: HAVING-filtered aggregate driving a join back to
+    the enclosing tables).
+
+    Plan: the per-order quantity rollup is one map-side-partial exchange
+    on l_orderkey; the HAVING filter leaves a tiny survivor set (≈1% of
+    orders), which is **broadcast** into orders and then customer — the
+    two big tables are never shuffled for the join. At 100 TB the
+    survivor set grows with |orders| × P(qty>300) which stays small and
+    bounded; if it ever exceeded the broadcast threshold AQE falls back
+    to a shuffle join on the same plan.
+    """
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > _LARGE_VOLUME_QTY)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.round(F.col("o_totalprice"), 2).alias("total_price"),
+            "total_qty",
+        )
+    )
+
+
+ORACLE_LARGE_VOLUME = f"""
+WITH big AS (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > {_LARGE_VOLUME_QTY}
+)
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       round(o_totalprice, 2) AS total_price,
+       total_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# --- disjunctive-predicate revenue (TPC-H Q19 shape) -----------------------
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue matched by an OR of three (brand, size-range,
+    quantity-range) conjunctions (TPC-H Q19 shape — the disjunctive
+    pushdown stress test).
+
+    Plan: part is a broadcast dim; Catalyst factors the common
+    ``p_size >= 1`` / quantity bounds and pushes the p_brand/p_size
+    disjunction to the part scan (3 brands ∪ size ranges prune row
+    groups), while the quantity bounds push to the fact scan. The final
+    aggregate is a 1-row reduce — no keyed exchange at all.
+    """
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "disc_revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+ORACLE_DISJUNCTIVE = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS disc_revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# --- idle high-balance customers (TPC-H Q22 shape) -------------------------
+
+_IDLE_WINDOW_DAYS = 365
+
+
+def q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation count and balance of above-average-balance customers
+    with no order in the final year of the order span (TPC-H Q22 shape:
+    scalar AVG subquery + NOT EXISTS anti-join; the cutoff is
+    data-derived like orders_backlog_aging, never wall-clock).
+
+    Plan: both scalar subqueries (global positive-balance average, max
+    order date) are 1-row aggregates broadcast via cross join — the
+    repo's scalar pattern; the NOT EXISTS decorrelates to a LEFT ANTI
+    join against recent-order customer keys (distinct-projected, so the
+    anti build side is ≤ |customers|); nation is a broadcast dim. One
+    custkey exchange end to end; at 100 TB the anti join's right side is
+    the only data-sized input and it shrinks to distinct custkeys.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    cutoff = o.agg(
+        F.date_sub(F.max("o_orderdate"), _IDLE_WINDOW_DAYS).alias("cutoff")
+    )
+    recent = (
+        o.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("o_orderdate") > F.col("cutoff"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, "c_custkey", "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_idle_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("idle_balance"),
+        )
+    )
+
+
+ORACLE_IDLE_BALANCE = f"""
+WITH cut AS (
+  SELECT max(o_orderdate) - INTERVAL {_IDLE_WINDOW_DAYS} DAY AS cutoff FROM orders
+),
+avg_bal AS (
+  SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+)
+SELECT n_name,
+       count(*) AS n_idle_customers,
+       round(sum(c_acctbal), 2) AS idle_balance
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+CROSS JOIN avg_bal
+WHERE c_acctbal > a
+  AND NOT EXISTS (
+    SELECT 1 FROM orders CROSS JOIN cut
+    WHERE o_custkey = c_custkey AND o_orderdate > cutoff
+  )
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "lineitem_discount_elasticity": q_lineitem_discount_elasticity,
+    "part_promo_share": q_part_promo_share,
+    "small_qty_revenue": q_small_qty_revenue,
+    "large_volume_customers": q_large_volume_customers,
+    "disjunctive_revenue": q_disjunctive_revenue,
+    "idle_customer_balance": q_idle_customer_balance,
     "orders_backlog_aging": q_orders_backlog_aging,
     "pricing_summary": q_pricing_summary,
     "orders_mom_growth": q_orders_mom_growth,
@@ -1041,6 +1338,11 @@ QUERIES = {
 
 ORACLES = {
     "lineitem_discount_elasticity": ORACLE_ELASTICITY,
+    "part_promo_share": ORACLE_PROMO_SHARE,
+    "small_qty_revenue": ORACLE_SMALL_QTY,
+    "large_volume_customers": ORACLE_LARGE_VOLUME,
+    "disjunctive_revenue": ORACLE_DISJUNCTIVE,
+    "idle_customer_balance": ORACLE_IDLE_BALANCE,
     "orders_backlog_aging": ORACLE_BACKLOG,
     "pricing_summary": ORACLE_PRICING,
     "orders_mom_growth": ORACLE_MOM,

@@ -271,3 +271,137 @@ def test_backlog_aging_planted(spark, monkeypatch):
     assert set(got) == {0, 2}
     assert (got[0].n_orders, got[0].backlog_value) == (1, 100.0)
     assert (got[2].n_orders, got[2].backlog_value) == (1, 200.0)
+
+
+def test_promo_share_planted(spark, monkeypatch):
+    """Promo share is exactly promo_rev/total_rev per month; a month with
+    no promo items reports 0."""
+    import datetime
+
+    from osm_poi_database_maker_spark.queries import core as C
+
+    t = datetime.datetime.fromisoformat
+    li = spark.createDataFrame(
+        [
+            (1, t("2024-01-05"), 100.0, 0.0),   # promo
+            (2, t("2024-01-20"), 300.0, 0.0),   # standard
+            (2, t("2024-02-10"), 50.0, 0.0),    # standard only
+        ],
+        "l_partkey long, l_shipdate timestamp, l_extendedprice double, l_discount double",
+    )
+    part = spark.createDataFrame(
+        [(1, "PROMO"), (2, "STANDARD")], "p_partkey long, p_type string"
+    )
+    monkeypatch.setattr(
+        C, "load_table", lambda s, sf, n: li if n == "lineitem" else part
+    )
+    got = {r.ship_month: r for r in C.q_part_promo_share(spark, "x").collect()}
+    assert got["2024-01"].promo_share_pct == 25.0
+    assert got["2024-01"].total_revenue == 400.0
+    assert got["2024-02"].promo_share_pct == 0.0
+
+
+def test_small_qty_revenue_planted(spark, monkeypatch):
+    """Only the target brand's below-half-average lines count; other
+    brands never enter the threshold aggregate."""
+    from osm_poi_database_maker_spark.queries import core as C
+
+    # brand part 1: quantities 1, 10, 10, 10 -> avg 7.75, half 3.875
+    li = spark.createDataFrame(
+        [(1, 1.0, 11.0), (1, 10.0, 20.0), (1, 10.0, 30.0), (1, 10.0, 40.0),
+         (2, 1.0, 999.0)],
+        "l_partkey long, l_quantity double, l_extendedprice double",
+    )
+    part = spark.createDataFrame(
+        [(1, C._SMALL_QTY_BRAND), (2, "Brand#99")], "p_partkey long, p_brand string"
+    )
+    monkeypatch.setattr(
+        C, "load_table", lambda s, sf, n: li if n == "lineitem" else part
+    )
+    r = C.q_small_qty_revenue(spark, "x").collect()[0]
+    assert r.n_small_items == 1
+    assert r.small_qty_revenue == 11.0
+    assert r.avg_yearly == round(11.0 / 7.0, 2)
+
+
+def test_large_volume_customers_planted(spark, monkeypatch):
+    """Orders straddling the 300-quantity threshold: 301 in, 300 out."""
+    import datetime
+
+    from osm_poi_database_maker_spark.queries import core as C
+
+    t = datetime.datetime.fromisoformat
+    li = spark.createDataFrame(
+        [(1, 301.0), (2, 150.0), (2, 150.0)],
+        "l_orderkey long, l_quantity double",
+    )
+    orders = spark.createDataFrame(
+        [(1, 7, t("2024-01-01"), 1000.0), (2, 8, t("2024-02-01"), 2000.0)],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    cust = spark.createDataFrame(
+        [(7, "Alice"), (8, "Bob")], "c_custkey long, c_name string"
+    )
+    monkeypatch.setattr(
+        C, "load_table",
+        lambda s, sf, n: {"lineitem": li, "orders": orders, "customer": cust}[n],
+    )
+    got = C.q_large_volume_customers(spark, "x").collect()
+    assert len(got) == 1
+    assert (got[0].c_name, got[0].o_orderkey, got[0].total_qty) == ("Alice", 1, 301.0)
+    assert got[0].order_date == "2024-01-01"
+
+
+def test_disjunctive_revenue_planted(spark, monkeypatch):
+    """Each OR arm admits its own (brand, size, quantity) conjunction;
+    a row failing all three arms contributes nothing."""
+    from osm_poi_database_maker_spark.queries import core as C
+
+    li = spark.createDataFrame(
+        [(1, 5.0, 100.0, 0.0),    # arm 1: Brand#1 size 3 qty 5
+         (2, 15.0, 200.0, 0.5),   # arm 2: Brand#13 size 8 qty 15
+         (3, 25.0, 400.0, 0.0),   # arm 3: Brand#23 size 12 qty 25
+         (1, 40.0, 999.0, 0.0)],  # qty outside every arm
+        "l_partkey long, l_quantity double, l_extendedprice double, l_discount double",
+    )
+    part = spark.createDataFrame(
+        [(1, "Brand#1", 3), (2, "Brand#13", 8), (3, "Brand#23", 12)],
+        "p_partkey long, p_brand string, p_size int",
+    )
+    monkeypatch.setattr(
+        C, "load_table", lambda s, sf, n: li if n == "lineitem" else part
+    )
+    r = C.q_disjunctive_revenue(spark, "x").collect()[0]
+    assert r.n_items == 3
+    assert r.disc_revenue == 100.0 + 100.0 + 400.0
+
+
+def test_idle_customer_balance_planted(spark, monkeypatch):
+    """Above-average balance + no order after the data-derived cutoff;
+    negative balances are excluded from the average."""
+    import datetime
+
+    from osm_poi_database_maker_spark.queries import core as C
+
+    t = datetime.datetime.fromisoformat
+    # positive balances 100, 300 -> avg 200; customer 3's -50 excluded
+    cust = spark.createDataFrame(
+        [(1, 0, 100.0), (2, 0, 300.0), (3, 0, -50.0), (4, 1, 300.0)],
+        "c_custkey long, c_nationkey int, c_acctbal double",
+    )
+    # newest order 2024-12-31 -> cutoff 2023-12-31; cust 2 ordered after it
+    orders = spark.createDataFrame(
+        [(2, t("2024-12-31")), (4, t("2023-06-01"))],
+        "o_custkey long, o_orderdate timestamp",
+    )
+    nation = spark.createDataFrame(
+        [(0, "ALPHA"), (1, "BETA")], "n_nationkey int, n_name string"
+    )
+    monkeypatch.setattr(
+        C, "load_table",
+        lambda s, sf, n: {"customer": cust, "orders": orders, "nation": nation}[n],
+    )
+    got = {r.n_name: r for r in C.q_idle_customer_balance(spark, "x").collect()}
+    # cust 2 has a recent order (excluded); cust 1 below avg; cust 4 idle
+    assert set(got) == {"BETA"}
+    assert (got["BETA"].n_idle_customers, got["BETA"].idle_balance) == (1, 300.0)
