@@ -1070,13 +1070,15 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     decorrelated by hand: one per-part aggregate over the brand's line
     items, joined back to the same rows.
 
-    Plan: the brand's part keys are a broadcast filter (LEFT SEMI via the
-    broadcast inner join on p_partkey); the per-part threshold aggregate
-    and the join back share one l_partkey exchange (AQE reuses it); output
-    is a 1-row aggregate. The threshold is rounded to 6 dp in both engines
-    so aggregation-order fp noise cannot flip a boundary row. At 100 TB
-    the only data-sized exchange is the brand-filtered fact keyed on
-    partkey — the unfiltered fact is never shuffled.
+    Plan (see PLANS.md): the brand's part keys are a BROADCAST LEFT SEMI
+    filter on both arms; the per-part thresholds (|one brand's parts|
+    rows — tiny at any SF) aggregate through one partkey exchange and
+    are then THEMSELVES broadcast into the join-back, so the fact side
+    is never shuffled at all — the cost is a second brand-filtered scan,
+    which predicate pushdown + the session's runtime bloom-filter join
+    pruning keep proportional to one brand's rows. Output is a 1-row
+    aggregate. The threshold is rounded to 6 dp in both engines so
+    aggregation-order fp noise cannot flip a boundary row.
     """
     l = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
