@@ -901,9 +901,12 @@ def q_lineitem_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFram
     and is the relationship real or noise?
 
     Distributed regression as ONE aggregate: the part dim (2 columns,
-    ~0.2M rows per SF unit — broadcastable at test scale; at 100 TB it
-    exceeds the threshold and AQE/shuffle-joins it on partkey, or the
-    brand rides a denormalized lineitem column) attaches to the fact,
+    ~0.2M rows per SF unit) attaches to the fact with NO broadcast
+    hint — a hint is honored unconditionally and would OOM at 100 TB
+    where the dim exceeds executor memory; size-based planning
+    broadcasts it at every tested SF (it sits far under
+    autoBroadcastJoinThreshold) and shuffle-joins it on partkey at
+    scale (or the brand rides a denormalized lineitem column),
     then regr_slope/regr_r2 reduce map-side like any sum — one
     brand-keyed exchange of partial moment tuples, never raw rows. Outputs round to 4 (the regression inputs are
     exact-decimal parquet values; partial-sum order noise sits ~1e-10
@@ -914,7 +917,7 @@ def q_lineitem_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFram
     )
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n_lineitems"),
@@ -1134,11 +1137,15 @@ def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the per-order quantity rollup is one map-side-partial exchange
     on l_orderkey; the HAVING filter leaves a tiny survivor set (≈1% of
-    orders), which is **broadcast** into orders and then customer — the
-    two big tables are never shuffled for the join. At 100 TB the
-    survivor set grows with |orders| × P(qty>300) which stays small and
-    bounded; if it ever exceeded the broadcast threshold AQE falls back
-    to a shuffle join on the same plan.
+    orders) that joins into orders and then customer. No explicit
+    broadcast hint: a hint is honored unconditionally and would OOM if
+    the survivor set ever outgrew executor memory, whereas size-based
+    planning keeps both joins broadcast at every tested SF (statically
+    it picks the small orders projection; with runtime stats AQE reads
+    the ACTUAL post-HAVING size and broadcasts the survivors) and
+    degrades to a shuffle join on the same plan when nothing fits. The
+    HAVING compares the ROUNDED per-order sum in both engines
+    (boundary-rounding convention).
     """
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     o = load_table(spark, sf_dir, "orders").select(
@@ -1151,7 +1158,7 @@ def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_qty") > _LARGE_VOLUME_QTY)
     )
     return (
-        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        o.join(big, o.o_orderkey == big.l_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_name",
@@ -1167,7 +1174,9 @@ def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_LARGE_VOLUME = f"""
 WITH big AS (
   SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
-  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > {_LARGE_VOLUME_QTY}
+  -- round BEFORE the threshold compare, exactly like the Spark side
+  -- filters the rounded total_qty (repo boundary-rounding convention)
+  FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity), 2) > {_LARGE_VOLUME_QTY}
 )
 SELECT c_name, c_custkey, o_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS order_date,

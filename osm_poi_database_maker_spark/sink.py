@@ -153,10 +153,14 @@ def merge_upsert(
     dimension-sized tables; fact-sized targets should partition (layout
     module) and rewrite only the partitions the updates touch, or use a
     table format with transactional merge (Delta/Iceberg). The swap is
-    LOCAL-filesystem only (os.rename): target→.old, staging→target,
-    drop .old — a crash can leave a stray .old/.staging to clean up but
-    never a missing table. Object-store targets need a transactional
-    table format instead."""
+    LOCAL-filesystem only (os.rename): target→.__old__,
+    staging→target, drop .__old__ — and :func:`_recover_swap` runs
+    before the exists-probe, so a crash at any point in that sequence
+    (including one left by an older build using the legacy
+    .staging/.old/.__compacting__ names) is rolled forward or back
+    automatically; the target is never treated as absent while a
+    renamed-away copy still exists. Object-store targets need a
+    transactional table format instead."""
     import os
 
     from pyspark.sql.window import Window
@@ -275,6 +279,14 @@ def compact_parquet(
 
 _STAGING_SUFFIX = ".__staging__"
 _OLD_SUFFIX = ".__old__"
+# Suffixes used by earlier builds of this protocol. A crash under OLD code
+# can leave e.g. `target.old` with `target` missing; if recovery only knew
+# the current names, the next merge_upsert would treat the table as absent
+# and silently rebuild it from updates alone — the exact history loss the
+# swap protocol exists to prevent. Probe them forever: they cost one stat
+# each and make upgrades crash-safe across protocol renames.
+_LEGACY_OLD_SUFFIXES = (".old",)
+_LEGACY_STAGING_SUFFIXES = (".staging", ".__compacting__")
 
 
 def _recover_swap(target: str) -> None:
@@ -282,23 +294,27 @@ def _recover_swap(target: str) -> None:
     roll an interrupted swap forward or back so the target directory is
     always present-and-consistent before new work starts.
 
-    * ``.__old__`` present, target missing → crash BETWEEN the renames:
-      roll back (rename old → target).
-    * ``.__old__`` and target both present → crash after the swap,
-      before cleanup: drop the old copy.
-    * ``.__staging__`` present → incomplete write: drop it.
+    * an old-copy suffix (``.__old__``, legacy ``.old``) present, target
+      missing → crash BETWEEN the renames: roll back (rename old → target).
+    * old copy and target both present → crash after the swap, before
+      cleanup: drop the old copy.
+    * a staging suffix (``.__staging__``, legacy ``.staging`` /
+      ``.__compacting__``) present → incomplete write: drop it.
     """
     import os
     import shutil
 
-    staging, old = target + _STAGING_SUFFIX, target + _OLD_SUFFIX
-    if os.path.exists(old):
-        if os.path.exists(target):
-            shutil.rmtree(old)
-        else:
-            os.rename(old, target)
-    if os.path.exists(staging):
-        shutil.rmtree(staging)
+    for old_sfx in (_OLD_SUFFIX, *_LEGACY_OLD_SUFFIXES):
+        old = target + old_sfx
+        if os.path.exists(old):
+            if os.path.exists(target):
+                shutil.rmtree(old)
+            else:
+                os.rename(old, target)
+    for stg_sfx in (_STAGING_SUFFIX, *_LEGACY_STAGING_SUFFIXES):
+        staging = target + stg_sfx
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
 
 
 def _atomic_swap(target: str) -> None:
@@ -354,7 +370,12 @@ def purge_keys(
     # recover interrupted swaps FIRST: a partition renamed to .__old__
     # mid-crash is invisible to the partition glob until rolled back
     for stray in glob.glob(os.path.join(path, "*")):
-        for suffix in (_OLD_SUFFIX, _STAGING_SUFFIX):
+        for suffix in (
+            _OLD_SUFFIX,
+            _STAGING_SUFFIX,
+            *_LEGACY_OLD_SUFFIXES,
+            *_LEGACY_STAGING_SUFFIXES,
+        ):
             if stray.endswith(suffix):
                 _recover_swap(stray[: -len(suffix)])
     part_dirs = sorted(

@@ -140,6 +140,33 @@ def test_merge_upsert_keeps_latest_version(spark, tmp_path):
     assert spark.read.parquet(path).count() == 3  # table untouched
 
 
+def test_merge_upsert_recovers_legacy_protocol_remnants(spark, tmp_path):
+    """A crash under an OLDER build's swap protocol (.staging/.old,
+    compaction's .__compacting__) must be rolled forward/back too — in
+    particular `target.old` present with `target` missing is a crashed
+    swap mid-rename, NOT an absent table; treating it as absent would
+    rebuild from updates alone and silently drop history."""
+    import os
+
+    from osm_poi_database_maker_spark.sink import merge_upsert
+
+    schema = "id long, version int, tstamp string, payload string"
+    path = str(tmp_path / "target")
+    history = spark.createDataFrame([(1, 1, "2024-01-01", "a")], schema)
+    merge_upsert(spark, path, history)
+    # simulate the legacy crash window: target renamed away, plus stray
+    # legacy staging dirs from interrupted write and compaction
+    os.rename(path, path + ".old")
+    for stray in (".staging", ".__compacting__"):
+        spark.createDataFrame([(9, 9, "x", "junk")], schema).write.parquet(path + stray)
+    updates = spark.createDataFrame([(2, 1, "2024-02-01", "b")], schema)
+    merge_upsert(spark, path, updates)
+    rows = {r.id: r.payload for r in spark.read.parquet(path).collect()}
+    assert rows == {1: "a", 2: "b"}  # history survived the legacy crash
+    for stray in (".old", ".staging", ".__compacting__"):
+        assert not os.path.exists(path + stray)
+
+
 def test_osm_bridge_requires_osmium():
     from osm_poi_database_maker_spark.osm_source import pbf_to_parquet
 
