@@ -330,17 +330,30 @@ GROUP BY 1, 2
 """
 
 
-_KM_K = 8
+_KM_K_MIN = 8
+_KM_TARGET_CELL = 512  # K = max(_KM_K_MIN, ceil(n / _KM_TARGET_CELL))
 _KM_ITERS = 2
+
+
+def _km_k(n: int) -> int:
+    """K scales with the collection (SemDeDup's own prescription:
+    K ≈ n / target_cell_size, floored at ``_KM_K_MIN``), so average cell
+    size — the unit the within-cluster quadratic stage works on — stays
+    ~constant as the corpus grows instead of growing as n/K with fixed
+    K. At the tested SFs (n ≤ 2000) the floor binds and K = 8, which
+    keeps the oracle CTE chain identical across fixtures; the oracle's
+    init CTE computes the SAME formula from its own count(*), so the two
+    engines always agree on K whatever the fixture size."""
+    return max(_KM_K_MIN, -(-n // _KM_TARGET_CELL))
 
 
 def _kmeans_final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared Lloyd's-iterations core: returns the final per-vector
     assignment ``(vec_id, cid, d2)`` after ``_KM_ITERS`` fixed iterations
-    (K=_KM_K, centroids seeded from the K lowest vec_ids). Consumed by
-    both the k-means audit query and the SemDeDup operator, so the
-    cluster geometry both see is identical by construction (and matches
-    the unrolled oracle CTEs byte-for-byte in ranking semantics:
+    (K from :func:`_km_k`, centroids seeded from the K lowest vec_ids).
+    Consumed by both the k-means audit query and the SemDeDup operator,
+    so the cluster geometry both see is identical by construction (and
+    matches the unrolled oracle CTEs byte-for-byte in ranking semantics:
     distances rounded to 9 decimals, centroid-id tie-break)."""
     from pyspark.sql import Window
 
@@ -350,7 +363,7 @@ def _kmeans_final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("v", F.col("v").cast("double")).localCheckpoint(eager=False)
     init = (
         e.orderBy("vec_id")
-        .limit(_KM_K)
+        .limit(_km_k(e.count()))
         .select(F.col("vec_id").alias("cid"))
     )
     cent = el.join(F.broadcast(init), el.vec_id == init.cid).select(
@@ -382,8 +395,9 @@ def _kmeans_final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed Lloyd's k-means, 2 fixed iterations (K=8, centroids
-    seeded from the K lowest vec_ids) — the fully-distributed clustering
+    """Distributed Lloyd's k-means, 2 fixed iterations (K scales with
+    the collection via _km_k — max(8, ceil(n/512)) — and centroids seed
+    from the K lowest vec_ids) — the fully-distributed clustering
     path beside the IVF index's bounded driver-side training: every
     step (assignment, centroid update) is a join + aggregate over the
     exploded vector table, so it scales with the data, not the driver.
@@ -435,7 +449,16 @@ _KM_CTES = f"""el AS (
          CAST(unnest(embedding) AS DOUBLE) AS v
   FROM embeddings
 ),
-init AS (SELECT vec_id AS cid FROM embeddings ORDER BY vec_id LIMIT {_KM_K}),
+init AS (  -- K = max({_KM_K_MIN}, ceil(n/{_KM_TARGET_CELL})), mirroring _km_k(n)
+  SELECT vec_id AS cid FROM (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY vec_id) AS rn,
+           greatest({_KM_K_MIN},
+                    CAST(ceil(count(*) OVER () / {_KM_TARGET_CELL}.0) AS BIGINT)
+           ) AS kk
+    FROM embeddings
+  ) WHERE rn <= kk
+),
 cent0 AS (
   SELECT i.cid, e.pos, e.v AS c FROM el e JOIN init i ON i.cid = e.vec_id
 ),
@@ -504,6 +527,13 @@ WHERE rk <= {_KNN_K}
 
 
 _SEMDEDUP_TAU = 0.3
+# Hard per-task bound for the within-cluster pairwise stage: clusters are
+# salt-split into ceil(|cluster| / cap) hash blocks and every block PAIR
+# is one applyInPandas group, so one task never materializes more than
+# ~2·cap vectors no matter how large (or skewed) a cluster gets. K ∝ n
+# (_km_k) keeps the AVERAGE cell near _KM_TARGET_CELL; the cap is the
+# worst-case guarantee the average can't give.
+_SEMDEDUP_CELL_CAP = 1024
 
 
 def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -516,44 +546,86 @@ def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per vector: cluster id + drop decision.
 
     Scale shape: clustering reuses the fully-distributed Lloyd's core
-    (fixed iterations, broadcast |K|·dim centroids); the quadratic
-    cosine stage is confined within clusters — exactly why SemDeDup
-    clusters first — and runs as ONE numpy matmul per cluster inside
-    applyInPandas (an expression-tree pair join over the same cells
-    benched 4× slower), bounded by the cell-size cap chosen at indexing
-    time; the exchange is a single hash partition on cid. Cosines
-    threshold on the value rounded to 4 decimals (away from zero, both
-    engines), so the drop set is identical across engines."""
+    (fixed iterations, broadcast |K|·dim centroids, K ∝ n via _km_k);
+    the quadratic cosine stage is confined within clusters — exactly why
+    SemDeDup clusters first — and each cluster is further salt-split
+    into ceil(|cluster|/_SEMDEDUP_CELL_CAP) hash blocks whose block
+    PAIRS are the applyInPandas groups (the cosine_neardup_pairs
+    decomposition), so per-task memory is capped at ~2·cap vectors even
+    for a pathologically skewed cluster; each group's pairwise scores
+    are one numpy matmul (an expression-tree pair join over the same
+    cells benched 4× slower). Every within-cluster (i < j) pair lands in
+    exactly one block-pair group, so the union of per-group drop flags
+    is the exact whole-cluster drop set — at the tested SFs every
+    cluster fits one block and the plan degenerates to one group per
+    cluster, identical to the uncapped operator. Cosines threshold on
+    the value rounded to 4 decimals (away from zero, both engines), so
+    the drop set is identical across engines."""
     import numpy as np
     import pandas as pd
 
-    asg = _kmeans_final_assignment(spark, sf_dir).select("vec_id", "cid")
+    asg = (
+        _kmeans_final_assignment(spark, sf_dir)
+        .select("vec_id", "cid")
+        .localCheckpoint(eager=False)  # consumed by the pair stage AND the final join
+    )
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
-    def dedup_cluster(key, pdf):
-        # one Arrow batch per cluster: the pairwise stage is a single
-        # numpy matmul over the cell (the cell-size cap bounds it), with
-        # the same away-from-zero 4-decimal rounding as F.round/DuckDB
+    # per-cluster block count (tiny: K rows, broadcast back), then one
+    # row per (vector, block-pair-it-participates-in)
+    nb = asg.groupBy("cid").agg(
+        F.ceil(F.count("*") / F.lit(_SEMDEDUP_CELL_CAP)).cast("int").alias("nb")
+    )
+    v = (
+        asg.join(e, "vec_id")
+        .join(F.broadcast(nb), "cid")
+        .withColumn("blk", F.pmod(F.xxhash64("vec_id"), F.col("nb")).cast("int"))
+        .withColumn("other", F.explode(F.sequence(F.lit(0), F.col("nb") - 1)))
+        .withColumn("bi", F.least("blk", "other"))
+        .withColumn("bj", F.greatest("blk", "other"))
+        .select("cid", "bi", "bj", "blk", "vec_id", "embedding")
+    )
+
+    def dropped_in_block_pair(key, pdf):
+        # rows are the (≤ ~2·cap) vectors of blocks bi and bj of one
+        # cluster; emit the ids dropped by pairs SPANNING this block
+        # pair (bi==bj: within-block pairs, i<j; bi<bj: cross-block
+        # pairs, higher id dropped). Rounding: away-from-zero to 4
+        # decimals, matching F.round/DuckDB.
+        _, bi, bj = key
         ids = pdf["vec_id"].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
         m = np.array(pdf["embedding"].to_numpy()[order].tolist(), dtype=np.float64)
         m /= np.linalg.norm(m, axis=1, keepdims=True)
-        raw = m @ m.T
-        cos4 = np.sign(raw) * np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4
-        near = np.tril(cos4 >= _SEMDEDUP_TAU, k=-1)  # [j, i<j] with id asc
-        return pd.DataFrame(
-            {
-                "vec_id": ids,
-                "cluster_id": np.full(len(ids), key[0], dtype=np.int64),
-                "dropped": near.any(axis=1).astype(np.int32),
-            }
-        )
+        if bi == bj:
+            raw = m @ m.T
+            cos4 = np.sign(raw) * np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4
+            near = np.tril(cos4 >= _SEMDEDUP_TAU, k=-1)  # [j, i<j] with id asc
+            out = ids[near.any(axis=1)]
+        else:
+            blk = pdf["blk"].to_numpy()[order]
+            a, b = m[blk == bi], m[blk == bj]
+            ia, ib = ids[blk == bi], ids[blk == bj]
+            if len(ia) == 0 or len(ib) == 0:
+                out = ids[:0]
+            else:
+                raw = a @ b.T
+                cos4 = np.sign(raw) * np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4
+                ii, jj = np.nonzero(cos4 >= _SEMDEDUP_TAU)
+                out = np.unique(np.maximum(ia[ii], ib[jj]))
+        return pd.DataFrame({"vec_id": out})
 
-    return (
-        asg.join(e, "vec_id")
-        .groupBy("cid")
-        .applyInPandas(dedup_cluster, "vec_id long, cluster_id long, dropped int")
+    dropped = (
+        v.groupBy("cid", "bi", "bj")
+        .applyInPandas(dropped_in_block_pair, "vec_id long")
+        .distinct()
+        .withColumn("dropped", F.lit(1))
+    )
+    return asg.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        F.col("cid").alias("cluster_id"),
+        F.coalesce("dropped", F.lit(0)).cast("int").alias("dropped"),
     )
 
 

@@ -154,6 +154,27 @@ def _empty_topk_result(
     )
 
 
+# Target rows per hash block of the exact blocked similarity operators.
+# Block SIZE (not block count) is the scale invariant: per-task memory for
+# a block-pair matmul is ~2·target·dim·8 bytes regardless of collection
+# size. A fixed block COUNT would grow per-task memory linearly with n —
+# the unbounded-single-task failure mode at 100× data.
+_BLOCK_TARGET_ROWS = 2048
+
+
+def _derived_n_blocks(collection: DataFrame, n_blocks: int | None) -> int:
+    """Resolve the block count for a blocked self-join: honor an explicit
+    caller choice, else derive it from an actual count so the ~2048-row
+    block size stays the invariant. The count is one cheap columnar scan
+    (id column only) before a job that is quadratic anyway; task count
+    grows as (n/target)² — the inherent footprint of an exact O(n²) scan,
+    which is why the docstrings route huge corpora to ann_topk/MinHash."""
+    if n_blocks is not None:
+        return max(1, n_blocks)
+    n = collection.count()
+    return max(1, -(-n // _BLOCK_TARGET_ROWS))
+
+
 def _blocked_sides(collection: DataFrame, n_blocks: int, id_col: str, vec_col: str):
     """Shared scaffolding of the exact blocked similarity operators
     (:func:`cosine_neardup_pairs`, :func:`knn_graph`): ids hash into
@@ -433,22 +454,24 @@ def ivf_pq_topk(
 def cosine_neardup_pairs(
     collection: DataFrame,
     threshold: float = 0.4,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact all-pairs embedding near-dup: every (doc_a < doc_b) pair with
     cosine ≥ threshold.
 
-    Blocked similarity join: ids hash into ``n_blocks`` blocks; each of
-    the (B²+B)/2 block pairs becomes one ``applyInPandas`` group whose
-    pairwise scores are a single numpy matmul over the Arrow batch. Work
-    and shuffle are evenly distributed (replication factor ≈ B per row —
-    the unavoidable cost of an exact quadratic join); raise ``n_blocks``
-    so a block fits executor memory at larger collections. For corpora
-    where exact O(n²) is infeasible, use :func:`ann_topk` (LSH) or
-    MinHash instead.
+    Blocked similarity join: ids hash into B blocks; each of the (B²+B)/2
+    block pairs becomes one ``applyInPandas`` group whose pairwise scores
+    are a single numpy matmul over the Arrow batch. ``n_blocks`` defaults
+    to ``ceil(n / _BLOCK_TARGET_ROWS)`` from an actual count, so block
+    SIZE — and with it per-task memory — is the invariant as the
+    collection grows; work and shuffle stay evenly distributed
+    (replication factor ≈ B per row, the unavoidable cost of an exact
+    quadratic join). For corpora where exact O(n²) is infeasible, use
+    :func:`ann_topk` (LSH) or MinHash instead.
     """
+    n_blocks = _derived_n_blocks(collection, n_blocks)
     sides = _blocked_sides(collection, n_blocks, id_col, vec_col)
 
     def score_block_pair(key, pdf):
@@ -487,7 +510,7 @@ def cosine_neardup_pairs(
 def knn_graph(
     collection: DataFrame,
     k: int = 3,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -497,7 +520,9 @@ def knn_graph(
     input graph for semantic clustering / mutual-kNN community ops.
 
     Same blocked-matmul decomposition as :func:`cosine_neardup_pairs`
-    (ids hash into ``n_blocks``, each of the (B²+B)/2 block pairs is one
+    (ids hash into B blocks — ``n_blocks`` defaults to a count-derived
+    ``ceil(n / _BLOCK_TARGET_ROWS)`` so block size, hence per-task
+    memory, is the invariant; each of the (B²+B)/2 block pairs is one
     ``applyInPandas`` numpy matmul), but instead of thresholding, each
     block pair emits a LOCAL top-k per row on either side, ranked on the
     cosine rounded to 6 decimals (half away from zero, matching
@@ -509,6 +534,7 @@ def knn_graph(
     quadratic scan — for corpora beyond it, :func:`ann_topk` per vector
     is the scale path.
     """
+    n_blocks = _derived_n_blocks(collection, n_blocks)
     sides = _blocked_sides(collection, n_blocks, id_col, vec_col)
 
     def local_topk(key, pdf):

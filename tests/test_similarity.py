@@ -174,7 +174,7 @@ def test_kmeans_separates_planted_blobs(spark, monkeypatch):
         rows.append((10 + i, [100.0 + i * 0.01, 100.0], 1))
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
     monkeypatch.setattr(S2, "load_table", lambda spark_, sf_, name_: emb)
-    monkeypatch.setattr(S2, "_KM_K", 2)
+    monkeypatch.setattr(S2, "_km_k", lambda n: 2)
     got = {r.cluster_id: r for r in S2.q_emb_kmeans_iterations(spark, "x").collect()}
     # seeds 0 and 1 both start in blob A, but the update step pulls one
     # centroid to each blob only if assignment splits — with both seeds
@@ -262,6 +262,26 @@ def test_semdedup_drop_rule(spark):
             assert bool(r.dropped) == has_partner, r
             n_dropped += r.dropped
     assert len(out) == len(emb)
+
+
+def test_semdedup_salt_split_is_results_invariant(spark, monkeypatch):
+    """Forcing the per-task cell cap far below every cluster size makes
+    each cluster split into many block pairs; the drop set must be
+    byte-identical to the single-block run (every within-cluster i<j
+    pair lands in exactly one block-pair group)."""
+    from osm_poi_database_maker_spark.queries import similarity as S2
+
+    base = {
+        (r.vec_id, r.cluster_id, r.dropped)
+        for r in S2.q_emb_semdedup(spark, SF_SMOKE).collect()
+    }
+    monkeypatch.setattr(S2, "_SEMDEDUP_CELL_CAP", 7)
+    split = {
+        (r.vec_id, r.cluster_id, r.dropped)
+        for r in S2.q_emb_semdedup(spark, SF_SMOKE).collect()
+    }
+    assert split == base
+    assert any(d for _, _, d in base)  # the fixture actually drops some
 
 
 def test_ivf_pq_recall_vs_exact(spark):
