@@ -520,7 +520,71 @@ GROUP BY 1, 2
 """
 
 
+# --- multi-EXISTS decorrelation (TPC-H Q21 shape) ---------------------------
+
+_MULTI_EXISTS_TOP_K = 25
+
+
+def q_events_multi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stranded-error leaderboard — the TPC-H Q21 decorrelation shape
+    (two correlated subqueries, one EXISTS and one NOT EXISTS, on the
+    SAME fact as the outer block) re-expressed over events: count each
+    user's error events on days where the user ALSO clicked (EXISTS —
+    they were engaged) but did NOT purchase (NOT EXISTS — the error
+    plausibly cost a conversion); top-25 users by that count.
+
+    Decorrelated plan (what a planner must do with Q21 to survive —
+    reference analogue: PostgreSQL decorrelates the anti-join family in
+    its schema.sql-backed workloads): both subqueries share the
+    (user_id, day) correlation key, so they become ONE LEFT SEMI and ONE
+    LEFT ANTI hash join chained on the same key. The click/purchase
+    branches are event_type-pruned scans (predicate pushed to parquet);
+    at tested SFs size-based planning BROADCASTS both, so the error
+    branch reaches the final per-user count with zero shuffles; at 100 TB
+    they exceed the threshold and the chain becomes two shuffle joins
+    sharing the error side's single (user_id, day) exchange
+    (ENSURE_REQUIREMENTS reuses it). No row ever duplicates (semi/anti
+    emit at most one match per probe), no correlated re-execution.
+    Top-k is TakeOrdered with the (count desc, user asc) deterministic
+    tie-break in both engines."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.to_date("ts").alias("day")
+    )
+    err = e.filter(F.col("event_type") == "error").select("user_id", "day")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "day")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "day")
+    stranded = err.join(clicks, ["user_id", "day"], "left_semi").join(
+        purchases, ["user_id", "day"], "left_anti"
+    )
+    return (
+        stranded.groupBy("user_id")
+        .agg(F.count("*").alias("n_stranded_errors"))
+        .orderBy(F.desc("n_stranded_errors"), F.asc("user_id"))
+        .limit(_MULTI_EXISTS_TOP_K)
+    )
+
+
+# deliberately the LITERAL correlated form — DuckDB's own decorrelation
+# must agree with the hand-decorrelated Spark plan
+ORACLE_MULTI_EXISTS = f"""
+WITH e AS (SELECT user_id, event_type, CAST(ts AS DATE) AS day FROM events)
+SELECT user_id, count(*) AS n_stranded_errors
+FROM e e1
+WHERE e1.event_type = 'error'
+  AND EXISTS (SELECT 1 FROM e e2
+              WHERE e2.user_id = e1.user_id AND e2.day = e1.day
+                AND e2.event_type = 'click')
+  AND NOT EXISTS (SELECT 1 FROM e e3
+                  WHERE e3.user_id = e1.user_id AND e3.day = e1.day
+                    AND e3.event_type = 'purchase')
+GROUP BY 1
+ORDER BY 2 DESC, 1 ASC
+LIMIT {_MULTI_EXISTS_TOP_K}
+"""
+
+
 QUERIES = {
+    "events_multi_exists": q_events_multi_exists,
     "events_incident_windows": q_events_incident_windows,
     "events_toi_pipeline": q_events_toi_pipeline,
     "events_tag_explode": q_events_tag_explode,
@@ -536,6 +600,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_multi_exists": ORACLE_MULTI_EXISTS,
     "events_incident_windows": ORACLE_INCIDENTS,
     "events_toi_pipeline": ORACLE_TOI,
     "events_tag_explode": ORACLE_EXPLODE,

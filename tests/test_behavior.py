@@ -381,3 +381,37 @@ def test_time_to_convert_planted(spark, monkeypatch):
     assert (r.n_viewers, r.n_converted) == (3, 1)
     assert r.cvr == round(1 / 3, 4)
     assert r.q25_hours == r.q50_hours == r.q75_hours == 6.0
+
+
+def test_multi_exists_semi_anti_semantics(spark, monkeypatch):
+    """Q21-shape drill: an error counts iff the SAME user clicked the
+    SAME day (EXISTS) and did not purchase that day (NOT EXISTS)."""
+    import datetime as dt
+
+    from osm_poi_database_maker_spark.queries import events as E
+
+    d1 = dt.datetime(2024, 1, 1, 10, 0)
+    d2 = dt.datetime(2024, 1, 2, 10, 0)
+    rows = [
+        # user 1, day 1: two errors + click, no purchase -> both count
+        (0, d1, 1, "error", 0.0, "{}"),
+        (1, d1, 1, "error", 0.0, "{}"),
+        (2, d1, 1, "click", 0.0, "{}"),
+        # user 1, day 2: error + click BUT purchased -> excluded (anti)
+        (3, d2, 1, "error", 0.0, "{}"),
+        (4, d2, 1, "click", 0.0, "{}"),
+        (5, d2, 1, "purchase", 1.0, "{}"),
+        # user 2: error without a click that day -> excluded (semi)
+        (6, d1, 2, "error", 0.0, "{}"),
+        # user 3: click on day 1, error on day 2 -> day mismatch, excluded
+        (7, d1, 3, "click", 0.0, "{}"),
+        (8, d2, 3, "error", 0.0, "{}"),
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(E, "load_table", lambda s, sf, n: e)
+    out = {r.user_id: r.n_stranded_errors for r in E.q_events_multi_exists(spark, "x").collect()}
+    assert out == {1: 2}
