@@ -16,7 +16,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -160,6 +160,110 @@ FROM pairs
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 4) >= 0.25
+"""
+
+
+_SUBSTR_T = 8  # anchor width: report shared runs of >= T tokens
+_SUBSTR_DF_CAP = 50
+
+
+def q_doc_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring corpus dedup (the Lee et al. 2022 "Deduplicating
+    Training Data" modality): for every document pair sharing a verbatim
+    run of ≥ T=8 tokens, the length of their LONGEST shared token run
+    and how many distinct maximal runs they share. Corpus-internal (all
+    pairs), unlike doc_longest_eval_overlap's train-vs-eval direction.
+
+    The suffix-array algorithm the paper uses is a single-machine
+    construction; the distributed-exact equivalent here is anchor
+    k-grams + diagonal islands: a shared run of length R ≥ T contains
+    exactly R−T+1 consecutive anchor T-grams on one alignment diagonal
+    (ia − ib), and conversely s consecutive matching anchors imply a
+    shared run of T+s−1 tokens — so "longest shared run" = T − 1 + the
+    longest per-(pair, diagonal) island of consecutive matching anchor
+    positions, computed with joins + a gaps-and-islands window only.
+
+    Scale shape: one token-array materialization behind a doc_id
+    exchange (the CollapseProject re-split barrier, as ngram_jaccard);
+    anchors join on their 64-bit hash — an 8-byte shuffle key — with the
+    per-gram self-join fan-out bounded by the df ≤ 50 gram cap
+    (boilerplate grams carry no dedup signal; runs passing exclusively
+    through capped grams are not reported — the same deterministic
+    guard as NGRAM_DF_CAP, mirrored in the oracle). The islands window
+    partitions by (pair, diagonal) — group size is bounded by document
+    length, never corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok_df = d.select("doc_id", F.split(F.col("text"), " +").alias("t")).repartition(
+        "doc_id"
+    )
+    t = F.col("t")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - _SUBSTR_T + 1),
+        lambda i: F.xxhash64(
+            F.concat_ws(" ", *[F.element_at(t, i + k) for k in range(_SUBSTR_T)])
+        ),
+    )
+    g = (
+        tok_df.filter(F.size(t) >= _SUBSTR_T)
+        .select("doc_id", F.posexplode(grams).alias("i", "g"))
+        # partition on the join key once: the df groupBy, the cap
+        # semi-join and both self-join sides all reuse this exchange
+        .repartition("g")
+    )
+    dfs = g.groupBy("g").agg(F.countDistinct("doc_id").alias("df"))
+    capped = g.join(dfs.filter(F.col("df") <= _SUBSTR_DF_CAP).select("g"), "g")
+    a = capped.select(F.col("doc_id").alias("doc_a"), F.col("i").alias("ia"), "g")
+    b = capped.select(
+        F.col("doc_id").alias("doc_b"), F.col("i").alias("ib"), F.col("g").alias("gb")
+    )
+    m = a.join(
+        b, (F.col("doc_a") < F.col("doc_b")) & (F.col("g") == F.col("gb"))
+    ).select("doc_a", "doc_b", "ia", "ib")
+    w = Window.partitionBy("doc_a", "doc_b", F.col("ia") - F.col("ib")).orderBy("ia")
+    runs = (
+        m.withColumn("grp", F.col("ia") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", (F.col("ia") - F.col("ib")).alias("diag"), "grp")
+        .agg((F.lit(_SUBSTR_T) + F.count("*") - 1).alias("run_len"))
+    )
+    return runs.groupBy("doc_a", "doc_b").agg(
+        F.max("run_len").alias("max_run_tokens"),
+        F.count("*").alias("n_runs"),
+    )
+
+
+ORACLE_SUBSTRING = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, ' +') AS t FROM documents
+  WHERE len(string_split_regex(text, ' +')) >= {_SUBSTR_T}
+),
+grams AS (
+  SELECT doc_id, i, list_aggregate(t[i+1:i+{_SUBSTR_T}], 'string_agg', ' ') AS g
+  FROM (SELECT doc_id, t, unnest(range(len(t) - {_SUBSTR_T} + 1)) AS i FROM toks)
+),
+keep AS (
+  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY 1)
+  WHERE df <= {_SUBSTR_DF_CAP}
+),
+cg AS (SELECT gr.doc_id, gr.i, gr.g FROM grams gr JOIN keep USING (g)),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.i AS ia, b.i AS ib
+  FROM cg a JOIN cg b ON a.g = b.g AND a.doc_id < b.doc_id
+),
+isl AS (
+  SELECT doc_a, doc_b, ia - ib AS diag, ia,
+         ia - row_number() OVER (PARTITION BY doc_a, doc_b, ia - ib
+                                 ORDER BY ia) AS grp
+  FROM m
+),
+runs AS (
+  SELECT doc_a, doc_b, CAST({_SUBSTR_T} + count(*) - 1 AS BIGINT) AS run_len
+  FROM isl GROUP BY doc_a, doc_b, diag, grp
+)
+SELECT doc_a, doc_b,
+       max(run_len) AS max_run_tokens,
+       CAST(count(*) AS BIGINT) AS n_runs
+FROM runs GROUP BY 1, 2
 """
 
 
@@ -602,6 +706,7 @@ LEFT JOIN overlap o ON o.doc_id = i.doc_id
 QUERIES = {
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_ngram_jaccard_pairs": q_doc_ngram_jaccard_pairs,
+    "doc_substring_dedup": q_doc_substring_dedup,
     "doc_minhash_pairs": q_doc_minhash_pairs,
     "doc_simhash_pairs": q_doc_simhash_pairs,
     "doc_dedup_clusters": q_doc_dedup_clusters,
@@ -616,6 +721,7 @@ ORACLES = {
     "doc_incremental_dedup": ORACLE_INCREMENTAL,
     "doc_exact_dedup": ORACLE_EXACT,
     "doc_ngram_jaccard_pairs": ORACLE_NGRAM,
+    "doc_substring_dedup": ORACLE_SUBSTRING,
     "doc_dedup_clusters": ORACLE_CLUSTERS,
     "doc_dedup_survivors": ORACLE_SURVIVORS,
     "doc_graph_pagerank": ORACLE_PAGERANK,

@@ -224,3 +224,37 @@ def test_pairs_cache_invalidated_by_fixture_rewrite(spark, tmp_path):
     os.utime(os.path.join(sf, "documents.parquet"))
     D._ngram_pairs_cached(spark, sf)
     assert len(D._PAIRS_CACHE) == n_before + 1
+
+
+def test_substring_dedup_run_lengths(spark, tmp_path):
+    """Anchor+diagonal-island exactness: longest shared token run and
+    maximal-run count verified against hand-computed fixtures, including
+    a run shared at DIFFERENT positions (diagonal offset), two disjoint
+    runs in one pair, and a just-below-threshold (T-1) overlap."""
+    from osm_poi_database_maker_spark.queries.dedup import q_doc_substring_dedup
+
+    alpha = "a b c d e f g h i j"  # 10 tokens
+    rows = [
+        (1, alpha),
+        # alpha embedded at offset 2 -> run of 10 on diagonal -2
+        (2, "x y " + alpha + " z"),
+        # two disjoint 8-token runs shared with doc 1: a..h and  c..j,
+        # separated by unrelated tokens -> they sit on DIFFERENT
+        # diagonals and must count as 2 maximal runs, max = 8
+        (3, "a b c d e f g h STOP1 STOP2 c d e f g h i j"),
+        # only 7 shared tokens (< T=8) with doc 1 -> no pair at all
+        (4, "b c d e f g h QQ RR SS TT UU VV WW"),
+        (5, "totally unrelated words only here nothing shared at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r.doc_a, r.doc_b): (r.max_run_tokens, r.n_runs)
+        for r in q_doc_substring_dedup(spark, str(tmp_path)).collect()
+    }
+    assert got[(1, 2)] == (10, 1)
+    assert got[(1, 3)] == (8, 2)
+    assert (1, 4) not in got
+    assert all(5 not in pair for pair in got)
+    # docs 2 and 3 share the same runs as 1 and 3 (alpha is contiguous in 2)
+    assert got[(2, 3)] == (8, 2)
