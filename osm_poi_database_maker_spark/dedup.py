@@ -1,7 +1,10 @@
 """Near-duplicate detection at scale: MinHash+LSH and SimHash.
 
-All signature math is pure column expressions over ``xxhash64`` — no
-Python UDFs, no ML-pipeline fitting step, fully deterministic. The LSH
+All signature math is pure column expressions — no Python UDFs, no
+ML-pipeline fitting step, fully deterministic. MinHash hashes with
+``xxhash64`` (engine-native, rows-only at the driver gate); SimHash
+hashes with the portable polynomial/Lehmer family below, so its whole
+pipeline is hash-gated against the DuckDB oracle. The LSH
 banding turns O(n²) pair comparison into a shuffle on (band, bucket):
 
     shingles → 64 minhashes → B bands of R rows → bucket hash
@@ -175,28 +178,69 @@ def minhash_near_dups(
 
 
 # --------------------------------------------------------------------------
-# SimHash
+# SimHash — portable hash family
 # --------------------------------------------------------------------------
+#
+# Unlike MinHash (whose 64-wide xxhash64 signature family stays
+# engine-native and therefore rows-only at the driver gate), SimHash is
+# keyed on a PORTABLE hash family so the whole operator is expressible in
+# ANSI-ish SQL and hash-gated against the DuckDB oracle:
+#
+#   h0(token) = polynomial char-code hash, base 31, mod M = 2^31 − 1
+#   sign(token, b) = +1 iff 2·lehmer2(h0·64 + b) < M else −1,
+#     lehmer2(x) = ((x % M) · A % M) · A % M with A = 48271
+#
+# (the same Lehmer (A, M) pair the curation module's portable samplers
+# use). All intermediates stay < 2^47, so 64-bit arithmetic is exact in
+# both engines — no wraparound semantics to match. Each token is
+# char-folded ONCE; the 64 per-bit hashes are cheap long arithmetic on h0.
+_PORT_M = (1 << 31) - 1
+_PORT_A = 48271
+_PORT_BASE = 31
+
+
+def portable_token_hash(tok: Column) -> Column:
+    """Polynomial char-code hash of a string column into [0, 2^31−1) —
+    byte-identical to the DuckDB fold
+    ``list_reduce(list_prepend(0, list_transform(string_split(tok, ''),
+    c -> ascii(c))), (a, c) -> (a*31 + c) % (2^31−1))`` (verified
+    incl. the empty-string edge: both engines yield 0)."""
+    return F.aggregate(
+        F.split(tok, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * _PORT_BASE + F.ascii(c)) % _PORT_M,
+    )
+
+
+def _port_bit_sign(h0: Column, b) -> Column:
+    """±1 sign of SimHash bit ``b`` for a token's portable hash — the
+    grouping ((x % M) * A % M) * A % M is mirrored character-for-
+    character in the SQL oracle (left-assoc in both engines)."""
+    x = h0 * HASH_COUNT + b
+    g = ((x % _PORT_M) * _PORT_A % _PORT_M) * _PORT_A % _PORT_M
+    return F.when(g * 2 < _PORT_M, F.lit(1)).otherwise(F.lit(-1))
+
 
 def simhash64(text: Column) -> Column:
     """64-bit SimHash over whitespace tokens: bit b of the output is the
-    sign of Σ_tokens (±1 per token's hash bit b).
+    sign of Σ_tokens ±1, with the ±1 drawn from the portable hash family
+    above (so fingerprints match the SQL oracle's bit for bit).
 
     Single-pass formulation: one ``aggregate`` over the token hashes folds
-    a 64-wide array of per-bit sums (``zip_with`` against a constant mask
-    array), then a second fold packs the signs into one long. Each token
-    is string-hashed exactly once."""
+    a 64-wide array of per-bit sums (``zip_with`` against a constant bit-
+    index array), then a second fold packs the signs into one long. Each
+    token is char-hashed exactly once."""
     toks = F.split(text, " +")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(toks, portable_token_hash)
     masks = F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS])
+    bit_idx = F.array(*[F.lit(b).cast("long") for b in range(HASH_COUNT)])
     sums = F.aggregate(
         hashes,
         F.array_repeat(F.lit(0), HASH_COUNT),
         lambda acc, h: F.zip_with(
             acc,
-            masks,
-            lambda a, m: a
-            + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+            bit_idx,
+            lambda a, b: a + _port_bit_sign(h, b),
         ),
     )
     # positive sum → bit set; masks are disjoint so sum == bitwise OR
@@ -226,9 +270,16 @@ def simhash_near_dups(
     """SimHash near-dup pairs via 4×16-bit band LSH + Hamming verify.
 
     Two 64-bit hashes within Hamming distance 3 must agree exactly on at
-    least one of the 4 bands (pigeonhole), so banding loses nothing.
-    The 8-byte signature is cheap enough to carry through the band join
-    (unlike the MinHash array), so no verify-side rejoin is needed.
+    least one of the 4 bands (pigeonhole), so banding loses nothing as
+    candidate generation. The one semantic guard is ``max_bucket``: a
+    degenerate band bucket (> max_bucket docs agreeing on 16 bits —
+    boilerplate/empty/word-soup content) is truncated to its
+    ``max_bucket`` lowest doc_ids before pairing, the standard LSH skew
+    guard. The cap is deterministic and DOES bind on degenerate corpora
+    (the synthetic fixture collides heavily), so the SQL oracle replays
+    the identical banding + cap rather than brute force. The 8-byte
+    signature is cheap enough to carry through the band join (unlike
+    the MinHash array), so no verify-side rejoin is needed.
     """
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")).repartition(df.sparkSession.sparkContext.defaultParallelism)
     # simhash via explode + 64 plain sum-aggregates (codegen + map-side
@@ -238,13 +289,11 @@ def simhash_near_dups(
     # shift/multiply per element costs more than the narrower agg
     # buffer saves.)
     th = base.select("id", F.explode(F.split(F.col("text"), " +")).alias("tok")).select(
-        "id", F.xxhash64("tok").alias("th")
+        "id", portable_token_hash(F.col("tok")).alias("th")
     )
     bit_sums = [
-        F.sum(
-            F.when(F.col("th").bitwiseAND(F.lit(m).cast("long")) != 0, 1).otherwise(-1)
-        ).alias(f"s{b}")
-        for b, m in enumerate(_BIT_MASKS)
+        F.sum(_port_bit_sign(F.col("th"), F.lit(b).cast("long"))).alias(f"s{b}")
+        for b in range(HASH_COUNT)
     ]
     packed = sum(
         [

@@ -1,9 +1,11 @@
 """Deduplication operators over ``documents`` (engine [ext]).
 
-Exact dedup (content-hash group-pick) and n-gram Jaccard near-dup here;
-MinHash-LSH and SimHash live in :mod:`osm_poi_database_maker_spark.dedup`
-(engine module) and are surfaced as rows-only checks because their hash
-families aren't portable to the DuckDB oracle.
+Exact dedup (content-hash group-pick), n-gram Jaccard near-dup and
+exact-substring dedup here; MinHash-LSH and SimHash live in
+:mod:`osm_poi_database_maker_spark.dedup` (engine module). MinHash stays
+a rows-only check (its xxhash64 signature family isn't portable to the
+DuckDB oracle); SimHash is keyed on the portable polynomial/Lehmer
+family and fully hash-gated.
 
 Scale notes:
 * exact dedup groups on sha256(text) — a fixed-width shuffle key, never
@@ -278,13 +280,90 @@ def q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dups(d, threshold=0.3)
 
 
+_SIMHASH_MAX_BUCKET = 200
+
+
 def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs, Hamming ≤ 3 via 4×16-bit banding
-    (rows-only; see q_doc_minhash_pairs)."""
+    """SimHash near-dup pairs, Hamming ≤ 3 via 4×16-bit banding.
+
+    HASH-GATED (unlike MinHash): the token hash is the portable
+    polynomial/Lehmer family (dedup.portable_token_hash), so the oracle
+    recomputes the identical 64-bit fingerprints in SQL, replays the
+    SAME 4-band bucketing with the SAME deterministic per-bucket cap
+    (rank by doc_id, keep ≤ {cap}), and filters bit_count(xor) ≤ 3.
+    Banding itself is a lossless candidate generator for Hamming ≤ 3
+    (pigeonhole); the bucket cap is the one semantic guard — on the
+    word-soup fixture fingerprints collide heavily (~20k qualifying
+    pairs among 500 docs), so the cap genuinely binds and MUST be
+    mirrored, which the driver hash gate now verifies end to end. The
+    banded Spark plan remains the scale path: candidates come from a
+    (band, bucket) equi-join, never the oracle-style O(n²) cross
+    join."""
     from ..dedup import simhash_near_dups
 
     d = load_table(spark, sf_dir, "documents")
-    return simhash_near_dups(d)
+    return simhash_near_dups(d, max_bucket=_SIMHASH_MAX_BUCKET)
+
+
+def _simhash_oracle_sql() -> str:
+    from ..dedup import _PORT_A, _PORT_BASE, _PORT_M
+
+    M, A = _PORT_M, _PORT_A
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(text, ' +')) AS tok FROM documents
+),
+h AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(tok, ''),
+                            c -> CAST(ascii(c) AS BIGINT))),
+           (acc, c) -> (acc * {_PORT_BASE} + c) % {M}) AS h0
+  FROM toks
+),
+signs AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (((h0 * 64 + b) % {M}) * {A} % {M} * {A} % {M}) * 2 < {M}
+                  THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN (SELECT unnest(range(64)) AS b) bits
+  GROUP BY 1, 2
+),
+fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN mask ELSE CAST(0 AS BIGINT) END)
+              AS BIGINT) AS sh
+  FROM (
+    SELECT doc_id, s,
+           CASE WHEN b < 63 THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER)
+                ELSE CAST(-9223372036854775807 AS BIGINT) - 1 END AS mask
+    FROM signs
+  )
+  GROUP BY 1
+),
+banded AS (  -- same 4x16-bit banding + deterministic bucket cap as Spark
+  SELECT doc_id, sh, band, bucket,
+         row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS r
+  FROM (
+    SELECT doc_id, sh, b AS band, (sh >> CAST(b * 16 AS INTEGER)) & 65535 AS bucket
+    FROM fp CROSS JOIN (SELECT unnest(range(4)) AS b) bands
+  )
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.sh AS sha, b.sh AS shb
+  FROM (SELECT * FROM banded WHERE r <= {_SIMHASH_MAX_BUCKET}) a
+  JOIN (SELECT * FROM banded WHERE r <= {_SIMHASH_MAX_BUCKET}) b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sha, shb)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(sha, shb)) <= 3
+"""
+
+
+ORACLE_SIMHASH = _simhash_oracle_sql()
 
 
 # Three downstream operators (clusters, survivors, pagerank) consume the
@@ -722,6 +801,7 @@ ORACLES = {
     "doc_exact_dedup": ORACLE_EXACT,
     "doc_ngram_jaccard_pairs": ORACLE_NGRAM,
     "doc_substring_dedup": ORACLE_SUBSTRING,
+    "doc_simhash_pairs": ORACLE_SIMHASH,
     "doc_dedup_clusters": ORACLE_CLUSTERS,
     "doc_dedup_survivors": ORACLE_SURVIVORS,
     "doc_graph_pagerank": ORACLE_PAGERANK,

@@ -39,19 +39,37 @@ def test_minhash_finds_planted_near_dups(spark):
     assert not any(4 in p for p in pairs)  # unrelated doc never pairs
 
 
-def test_simhash_finds_planted_near_dups(spark):
-    # one mutated token out of 84: simhash must stay within the Hamming
-    # gate; an unrelated doc must stay out
-    base = " ".join(f"token{i:02d}" for i in range(80)) + " shared common words everywhere"
-    near = base.replace("token40", "mutated")
-    far = "completely different content about spark query engines and shuffles at scale"
-    df = spark.createDataFrame(
-        [(1, base), (2, base), (3, near), (4, far)], "doc_id long, text string"
-    )
-    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_near_dups(df).collect()}
-    assert pairs[(1, 2)] == 0
-    assert (1, 3) in pairs and pairs[(1, 3)] <= 3
-    assert not any(4 in p for p in pairs)
+def test_simhash_banding_matches_bruteforce(spark):
+    """The banded pipeline must return EXACTLY the brute-force pair set
+    {hamming(fp_a, fp_b) <= 3} — pigeonhole losslessness verified
+    end-to-end on planted data: identical docs (hamming 0), single-token
+    mutations (small nonzero hamming), and unrelated content (far).
+    Self-calibrating: the expected set is computed from the same
+    simhash64 fingerprints, so it stays valid under hash-family
+    changes."""
+    from pyspark.sql import functions as F
+
+    from osm_poi_database_maker_spark.dedup import simhash64
+
+    base = " ".join(f"token{i:02d}" for i in range(80)) + " shared common words"
+    rows = [(1, base), (2, base), (4, "completely different content about engines")]
+    rows += [(100 + i, base.replace(f"token{i:02d}", f"mut{i}x")) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = {
+        r.doc_id: r.sh & ((1 << 64) - 1)
+        for r in df.select("doc_id", simhash64(F.col("text")).alias("sh")).collect()
+    }
+    ids = sorted(fp)
+    expected = {
+        (a, b): bin(fp[a] ^ fp[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fp[a] ^ fp[b]).count("1") <= 3
+    }
+    got = {(r.doc_a, r.doc_b): r.hamming for r in simhash_near_dups(df).collect()}
+    assert got == expected
+    assert got[(1, 2)] == 0  # the identical pair is always in the set
+    assert not any(4 in p for p in got)  # far content never pairs
 
 
 def test_dedup_clusters_transitive(spark):
