@@ -57,69 +57,25 @@ _MODULES = (
 # Every registered query keeps a pytest + tools/check.py local gate
 # regardless of window position.
 _VERIFY_FIRST = [
-    # tier 1a: NEW in round 4 — no driver row exists yet.
-    "doc_bm25_topk",
-    "doc_graph_triangles",
-    "doc_incremental_dedup",
-    "orders_column_profile",
-    "lineitem_price_outliers_mad",
-    "events_k_anonymity",
-    "customer_name_linkage",
-    "emb_centroid_drift",
-    "events_user_lifecycle",
-    "osm_node_neighbor_pairs",
-    "mm_ahash_pairs",
-    "doc_split_assign",
-    "events_dau_wau",
-    "events_linear_attribution",
-    "events_cohort_ltv",
-    "lineitem_discount_elasticity",
-    "events_time_to_convert",
-    "orders_backlog_aging",
-    "doc_bpe_merges",
-    "doc_bpe_encode",
-    "doc_quality_filter_verdict",
-    "doc_source_overlap_matrix",
-    "emb_knn_graph",
+    # tier 1a: NEW in round 5 — no driver row exists yet.
+    "events_multi_exists",
+    "doc_substring_dedup",
+    # tier 1b: implementation or oracle changed in round 5 —
+    # simhash re-keyed onto the portable hash family and hash-gated;
+    # k-means K now count-derived (dynamic-init oracle CTE) feeding
+    # kmeans/semdedup (semdedup also salt-splits clusters over a cap);
+    # knn/neardup block counts count-derived; Q18 oracle HAVING now
+    # rounds before comparing; elasticity dropped its broadcast hint.
+    "doc_simhash_pairs",
+    "emb_kmeans_iterations",
     "emb_semdedup",
-    "emb_pq_codes",
-    "emb_ivf_pq_topk",
-    "doc_dup_ngram_fraction",
-    "events_path_trigrams",
-    "nation_volume_shipping",
-    "orders_scd2_intervals",
-    "part_promo_share",
-    "small_qty_revenue",
+    "emb_knn_graph",
+    "emb_cosine_neardup_pairs",
     "large_volume_customers",
-    "disjunctive_revenue",
-    "idle_customer_balance",
-    # tier 1b: implementation or oracle changed in round 4 —
-    # deciles/RFM moved from global ntile to distributed percentile
-    # thresholds, anomaly thresholds on rounded z, ANN queries grew a
-    # recall_vs_exact column, basket affinity grew the skew cap.
-    "events_user_deciles",
-    "events_rfm_segments",
-    "events_hourly_anomaly",
-    "emb_ann_topk",
-    "emb_ivf_topk",
-    "basket_part_affinity",
-    # tier 2a: last driver row is CORRECTNESS_r01 (three rounds stale;
-    # re-verified locally each round, but the driver row is the hard
-    # signal).
-    "order_rollup",
-    "order_priority_cube",
-    "shipping_priority",
-    "order_value_percentiles",
-    "brand_returnflag_pivot",
-    "customer_value_ranks",
-    "order_grouping_sets",
-    "orders_above_customer_avg",
-    "top_suppliers_by_revenue",
-    # --- the 50-entry window ends here (35 tier-1a + 6 tier-1b +
-    # 9 tier-2a). Below: overflow — first the 5 r02-evidence entries
-    # (their rows are exactly two rounds old, within the staleness
-    # contract; they lead round 5's rotation), then r3-green or heavily
-    # pytest-gated entries displaced by the round-4 newcomers.
+    "lineitem_discount_elasticity",
+    # tier 2: last driver row is CORRECTNESS_r02 (three rounds stale —
+    # the oldest evidence in the registry; the first five were already
+    # queued at the front of round 4's overflow).
     "orders_pk_audit",
     "events_toi_pipeline",
     "events_tag_explode",
@@ -159,6 +115,56 @@ _VERIFY_FIRST = [
     "mm_image_features",
     "mm_frame_sample",
     "mm_resize",
+    # tier 3: r03-evidence fillers for the last two window slots —
+    # revenue_by_nation (also under a bench re-measure action) and the
+    # operator-dense POI flagship.
+    "revenue_by_nation",
+    "osm_poi_nodes",
+    # --- the 50-entry window ends here (2 tier-1a + 7 tier-1b +
+    # 39 tier-2 + 2 tier-3). Below: overflow — the remaining
+    # r03-evidence cohort (their rows turn two rounds old in round 5;
+    # they lead round 6's rotation), in module-cohort order; r04-green
+    # entries append automatically after them.
+    "pricing_summary",
+    "osm_toi_dim",
+    "osm_way_assembly",
+    "osm_ways_centroids",
+    "osm_spatial_bbox",
+    "events_hourly_window",
+    "events_sliding_window",
+    "events_session_windows",
+    "events_asof_join",
+    "events_incident_windows",
+    "events_gap_stats",
+    "events_funnel",
+    "events_retention",
+    "events_running_totals",
+    "events_markov_transitions",
+    "doc_bigram_pmi",
+    "doc_length_histogram",
+    "doc_zipf_fit",
+    "doc_hapax_ratio",
+    "doc_longest_eval_overlap",
+    "doc_weighted_sample",
+    "doc_dedup_clusters",
+    "doc_dedup_survivors",
+    "doc_graph_pagerank",
+    "emb_cosine_topk",
+    "emb_norm_quantiles",
+    "emb_centroid_distances",
+    "mm_audio_energy",
+    "mm_payload_stats",
+    "nation_lateral_topk",
+    "nation_set_ops",
+    "orders_mom_growth",
+    "lineitem_unpivot",
+    "customers_with_urgent_orders",
+    "customers_without_orders",
+    "top_orders_per_customer",
+    "stream_hourly_window",
+    "stream_sliding_window",
+    "stream_session_windows",
+    "stream_stream_attribution",
 ]
 
 # tier 4 cohort order: non-core modules first, core last.
