@@ -1,10 +1,10 @@
 """Near-duplicate detection at scale: MinHash+LSH and SimHash.
 
 All signature math is pure column expressions — no Python UDFs, no
-ML-pipeline fitting step, fully deterministic. MinHash hashes with
-``xxhash64`` (engine-native, rows-only at the driver gate); SimHash
-hashes with the portable polynomial/Lehmer family below, so its whole
-pipeline is hash-gated against the DuckDB oracle. The LSH
+ML-pipeline fitting step, fully deterministic. Both families hash with
+the portable polynomial/Lehmer construction below (round 5), so both
+whole pipelines — signatures, banding, bucket caps, thresholds — are
+hash-gated against the DuckDB oracle. The LSH
 banding turns O(n²) pair comparison into a shuffle on (band, bucket):
 
     shingles → 64 minhashes → B bands of R rows → bucket hash
@@ -70,11 +70,13 @@ def word_shingles(text: Column, k: int = 3) -> Column:
 
 
 def minhash_signature(shingles: Column, n_hashes: int = HASH_COUNT) -> Column:
-    """64 independent minhashes in one pass: each shingle is string-hashed
-    once (``xxhash64(s)``), then hash_i = xxhash64(i, h) — a cheap
-    long-hash — and signature[i] = min over shingles, folded via
-    ``aggregate``+``zip_with`` so the shingle array is traversed once."""
-    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    """64 independent minhashes in one pass: each shingle is char-hashed
+    once (the portable polynomial family below), then hash_i =
+    lehmer2(h0·64 + i) — cheap long arithmetic — and signature[i] = min
+    over shingles, folded via ``aggregate``+``zip_with`` so the shingle
+    array is traversed once. Portable: the DuckDB oracle recomputes the
+    identical signatures, so MinHash output is hash-gated."""
+    hashes = F.transform(shingles, portable_token_hash)
     init = F.array_repeat(F.lit(_LONG_MAX).cast("long"), n_hashes)
     idx = F.sequence(F.lit(0), F.lit(n_hashes - 1))
     return F.aggregate(
@@ -82,7 +84,7 @@ def minhash_signature(shingles: Column, n_hashes: int = HASH_COUNT) -> Column:
         init,
         lambda acc, h: F.zip_with(
             acc,
-            F.transform(idx, lambda i: F.xxhash64(i, h)),
+            F.transform(idx, lambda i: _port_mix(h, i)),
             lambda a, b: F.least(a, b),
         ),
     )
@@ -120,6 +122,16 @@ def minhash_near_dups(
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup pairs (doc_a < doc_b, est_jaccard).
 
+    HASH-GATED (round 5): signatures use the portable polynomial/Lehmer
+    family (``portable_token_hash`` + ``_port_mix``), so the DuckDB
+    oracle recomputes identical signatures, replays the same banding
+    (string-joined band slices — Spark's bucket is the xxhash64 of that
+    string, equality classes identical) and the same deterministic
+    ``max_bucket`` cap, and applies the same est_jaccard threshold.
+    Docs with fewer than 3 tokens are excluded (no full shingle — the
+    same guard as the n-gram Jaccard operator), which also keeps the
+    shingle construction exactly mirrorable in SQL.
+
     ``max_bucket`` caps pathological buckets (e.g. near-empty docs all
     hashing together) before the within-bucket self-join.
     """
@@ -131,11 +143,13 @@ def minhash_near_dups(
     # codegen), explode + groupBy stays inside whole-stage codegen and
     # gets map-side partial aggregation — the shuffle carries 64×8 bytes
     # per doc regardless of document size
-    sh = base.select("id", F.explode(word_shingles(F.col("text"))).alias("s")).select(
-        "id", F.xxhash64("s").alias("h")
+    sh = (
+        base.filter(F.size(F.split(F.col("text"), " +")) >= 3)
+        .select("id", F.explode(word_shingles(F.col("text"))).alias("s"))
+        .select("id", portable_token_hash(F.col("s")).alias("h"))
     )
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"m{i}")
+        F.min(_port_mix(F.col("h"), F.lit(i).cast("long"))).alias(f"m{i}")
         for i in range(HASH_COUNT)
     ]
     # trailing repartition = the one exchange all four consumers (two
@@ -212,13 +226,19 @@ def portable_token_hash(tok: Column) -> Column:
     )
 
 
+def _port_mix(h0: Column, i) -> Column:
+    """i-th derived hash of a portable token/shingle hash:
+    lehmer2(h0·64 + i) ∈ [0, M). The grouping
+    ((x % M) * A % M) * A % M is mirrored character-for-character in
+    the SQL oracles (left-assoc in both engines); all intermediates
+    stay < 2^47. Shared by MinHash (signature i) and SimHash (bit i)."""
+    x = h0 * HASH_COUNT + i
+    return ((x % _PORT_M) * _PORT_A % _PORT_M) * _PORT_A % _PORT_M
+
+
 def _port_bit_sign(h0: Column, b) -> Column:
-    """±1 sign of SimHash bit ``b`` for a token's portable hash — the
-    grouping ((x % M) * A % M) * A % M is mirrored character-for-
-    character in the SQL oracle (left-assoc in both engines)."""
-    x = h0 * HASH_COUNT + b
-    g = ((x % _PORT_M) * _PORT_A % _PORT_M) * _PORT_A % _PORT_M
-    return F.when(g * 2 < _PORT_M, F.lit(1)).otherwise(F.lit(-1))
+    """±1 sign of SimHash bit ``b`` for a token's portable hash."""
+    return F.when(_port_mix(h0, b) * 2 < _PORT_M, F.lit(1)).otherwise(F.lit(-1))
 
 
 def simhash64(text: Column) -> Column:

@@ -61,12 +61,14 @@ _VERIFY_FIRST = [
     "events_multi_exists",
     "doc_substring_dedup",
     # tier 1b: implementation or oracle changed in round 5 —
-    # simhash re-keyed onto the portable hash family and hash-gated;
+    # simhash AND minhash re-keyed onto the portable hash family and
+    # hash-gated (rows-only drops to 5);
     # k-means K now count-derived (dynamic-init oracle CTE) feeding
     # kmeans/semdedup (semdedup also salt-splits clusters over a cap);
     # knn/neardup block counts count-derived; Q18 oracle HAVING now
     # rounds before comparing; elasticity dropped its broadcast hint.
     "doc_simhash_pairs",
+    "doc_minhash_pairs",
     "emb_kmeans_iterations",
     "emb_semdedup",
     "emb_knn_graph",
@@ -94,7 +96,6 @@ _VERIFY_FIRST = [
     "doc_stratified_sample",
     "doc_exact_dedup",
     "doc_ngram_jaccard_pairs",
-    "doc_minhash_pairs",
     "doc_pack_sequences",
     "doc_pii_scrub",
     "doc_decontaminate",
@@ -120,9 +121,9 @@ _VERIFY_FIRST = [
     # operator-dense POI flagship.
     "revenue_by_nation",
     "osm_poi_nodes",
-    # --- the 50-entry window ends here (2 tier-1a + 7 tier-1b +
-    # 39 tier-2 + 2 tier-3). Below: overflow — the remaining
-    # r03-evidence cohort (their rows turn two rounds old in round 5;
+    # --- the 50-entry window ends here (2 tier-1a + 8 tier-1b +
+    # 38 tier-2 + 2 tier-3). Below: overflow — the remaining
+    # r03-evidence cohort (their rows turn two rounds old in round 6;
     # they lead round 6's rotation), in module-cohort order; r04-green
     # entries append automatically after them.
     "pricing_summary",

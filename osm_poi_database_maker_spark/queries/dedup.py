@@ -2,10 +2,10 @@
 
 Exact dedup (content-hash group-pick), n-gram Jaccard near-dup and
 exact-substring dedup here; MinHash-LSH and SimHash live in
-:mod:`osm_poi_database_maker_spark.dedup` (engine module). MinHash stays
-a rows-only check (its xxhash64 signature family isn't portable to the
-DuckDB oracle); SimHash is keyed on the portable polynomial/Lehmer
-family and fully hash-gated.
+:mod:`osm_poi_database_maker_spark.dedup` (engine module). Both are
+keyed on the portable polynomial/Lehmer hash family (round 5) and
+fully hash-gated: the oracles recompute identical signatures and
+replay the banding + deterministic bucket caps.
 
 Scale notes:
 * exact dedup groups on sha256(text) — a fixed-width shuffle key, never
@@ -269,15 +269,93 @@ FROM runs GROUP BY 1, 2
 """
 
 
+_MINHASH_THRESHOLD = 0.3
+_MINHASH_MAX_BUCKET = 200
+
+
 def q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs (rows-only check: the xxhash64 hash
-    family isn't portable to the DuckDB oracle; semantics are verified by
-    tests/test_dedup.py against planted duplicates and by cross-checking
-    recall vs the oracle-checked n-gram Jaccard query)."""
+    """MinHash-LSH near-dup pairs, est_jaccard ≥ 0.3 via 16×4 banding.
+
+    HASH-GATED (round 5, previously rows-only): signatures are 64
+    Lehmer-mixed minima of the portable polynomial shingle hash, so the
+    oracle recomputes them exactly, replays the identical banding
+    (16 bands × 4 rows, band key = the comma-joined slice — Spark
+    buckets on its xxhash64, same equality classes) with the same
+    deterministic per-bucket cap, and applies the same rounded
+    est_jaccard threshold. LSH's inherent false negatives (a
+    qualifying pair with no fully-equal band) are therefore part of the
+    CONTRACT both engines compute, not a tolerance. Semantics are
+    additionally pinned by planted-duplicate tests and a recall
+    cross-check vs the exact n-gram Jaccard query."""
     from ..dedup import minhash_near_dups
 
     d = load_table(spark, sf_dir, "documents")
-    return minhash_near_dups(d, threshold=0.3)
+    return minhash_near_dups(
+        d, threshold=_MINHASH_THRESHOLD, max_bucket=_MINHASH_MAX_BUCKET
+    )
+
+
+def _minhash_oracle_sql() -> str:
+    from ..dedup import _PORT_A, _PORT_BASE, _PORT_M, HASH_COUNT
+
+    M, A = _PORT_M, _PORT_A
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, ' +') AS t FROM documents
+  WHERE len(string_split_regex(text, ' +')) >= 3
+),
+sh_all AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS shingle
+    FROM (SELECT doc_id, t, unnest(range(len(t) - 2)) AS i FROM toks)
+  )
+),
+h AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(shingle, ''),
+                            c -> CAST(ascii(c) AS BIGINT))),
+           (acc, c) -> (acc * {_PORT_BASE} + c) % {M}) AS h0
+  FROM sh_all
+),
+sig AS (  -- 64 Lehmer-mixed minima, identical to _port_mix
+  SELECT doc_id, i,
+         min(((h0 * {HASH_COUNT} + i) % {M}) * {A} % {M} * {A} % {M}) AS m
+  FROM h CROSS JOIN (SELECT unnest(range({HASH_COUNT})) AS i) idx
+  GROUP BY 1, 2
+),
+bandsig AS (  -- band key: the comma-joined 4-row slice (Spark's concat_ws)
+  SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+         string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bm
+  FROM sig GROUP BY doc_id, i // 4
+),
+capped AS (
+  SELECT doc_id, band, bm,
+         row_number() OVER (PARTITION BY band, bm ORDER BY doc_id) AS r
+  FROM bandsig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM (SELECT * FROM capped WHERE r <= {_MINHASH_MAX_BUCKET}) a
+  JOIN (SELECT * FROM capped WHERE r <= {_MINHASH_MAX_BUCKET}) b
+    ON a.band = b.band AND a.bm = b.bm AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         round(sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / {HASH_COUNT}.0, 4)
+           AS est_jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, est_jaccard FROM est
+WHERE est_jaccard >= {_MINHASH_THRESHOLD}
+"""
+
+
+ORACLE_MINHASH = _minhash_oracle_sql()
 
 
 _SIMHASH_MAX_BUCKET = 200
@@ -802,6 +880,7 @@ ORACLES = {
     "doc_ngram_jaccard_pairs": ORACLE_NGRAM,
     "doc_substring_dedup": ORACLE_SUBSTRING,
     "doc_simhash_pairs": ORACLE_SIMHASH,
+    "doc_minhash_pairs": ORACLE_MINHASH,
     "doc_dedup_clusters": ORACLE_CLUSTERS,
     "doc_dedup_survivors": ORACLE_SURVIVORS,
     "doc_graph_pagerank": ORACLE_PAGERANK,
