@@ -60,6 +60,7 @@ _VERIFY_FIRST = [
     # tier 1a: NEW in round 5 — no driver row exists yet.
     "events_multi_exists",
     "doc_substring_dedup",
+    "emb_opq_codes",
     # tier 1b: implementation or oracle changed in round 5 —
     # simhash AND minhash re-keyed onto the portable hash family and
     # hash-gated (rows-only drops to 5);
@@ -116,16 +117,15 @@ _VERIFY_FIRST = [
     "mm_image_features",
     "mm_frame_sample",
     "mm_resize",
-    # tier 3: r03-evidence fillers for the last two window slots —
-    # revenue_by_nation (also under a bench re-measure action) and the
-    # operator-dense POI flagship.
+    # tier 3: r03-evidence filler for the last window slot —
+    # revenue_by_nation (also under a bench re-measure action).
     "revenue_by_nation",
-    "osm_poi_nodes",
-    # --- the 50-entry window ends here (2 tier-1a + 8 tier-1b +
-    # 38 tier-2 + 2 tier-3). Below: overflow — the remaining
+    # --- the 50-entry window ends here (3 tier-1a + 8 tier-1b +
+    # 38 tier-2 + 1 tier-3). Below: overflow — the remaining
     # r03-evidence cohort (their rows turn two rounds old in round 6;
     # they lead round 6's rotation), in module-cohort order; r04-green
     # entries append automatically after them.
+    "osm_poi_nodes",
     "pricing_summary",
     "osm_toi_dim",
     "osm_way_assembly",

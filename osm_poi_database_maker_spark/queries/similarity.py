@@ -767,7 +767,68 @@ GROUP BY 1
 """
 
 
+_OPQ_M = 4  # subspaces
+_OPQ_K = 16  # codes per subspace
+
+
+def q_emb_opq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ — Optimized Product Quantization (Ge et al. 2013): learn an
+    orthogonal rotation that re-mixes coordinates across the M=4 PQ
+    subspaces before quantization, then emit each vector's rotated-space
+    code word, its OPQ reconstruction error, and — as an in-band audit —
+    the PLAIN PQ error of the same (M, K, sample, seed) configuration,
+    so every row carries the evidence that the rotation paid for itself
+    (err_gain ≥ 0 in aggregate; pinned by pytest).
+
+    Rows-only at the driver gate: the Procrustes step is an SVD, not
+    expressible in SQL — the same audit-column pattern as the ANN/IVF
+    family (recall_vs_exact). Scale shape: training is bounded
+    driver-side numpy over the seeded-hash TakeOrdered sample (the
+    IVF/PQ trainer rule); the dim² rotation and codebooks broadcast
+    into ONE vectorized mapInPandas pass that rotates, assigns, and
+    scores each Arrow batch — the collection streams through linearly,
+    no shuffle at all after the scan."""
+    import numpy as np
+    import pandas as pd
+
+    from ..similarity import _pq_reconstruct, train_opq, train_pq_codebooks
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    r_mat, books = train_opq(e, m_sub=_OPQ_M, n_codes=_OPQ_K)
+    pq_books = train_pq_codebooks(e, m_sub=_OPQ_M, n_codes=_OPQ_K)
+    if r_mat.size == 0:
+        return spark.createDataFrame(
+            [], "vec_id long, codes array<int>, opq_err double, pq_err double"
+        )
+    m_sub, _, subdim = books.shape
+
+    def assign(batches):
+        for pdf in batches:
+            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            xr = x @ r_mat
+            codes = np.zeros((len(x), m_sub), dtype=np.int32)
+            for s in range(m_sub):
+                sub = xr[:, s * subdim : (s + 1) * subdim]
+                d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1).astype(np.int32)
+            opq_err = ((xr - _pq_reconstruct(xr, books)) ** 2).sum(axis=1)
+            pq_err = ((x - _pq_reconstruct(x, pq_books)) ** 2).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "codes": list(codes),
+                    "opq_err": np.round(opq_err, 6),
+                    "pq_err": np.round(pq_err, 6),
+                }
+            )
+
+    return e.mapInPandas(
+        assign, "vec_id long, codes array<int>, opq_err double, pq_err double"
+    )
+
+
 QUERIES = {
+    "emb_opq_codes": q_emb_opq_codes,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_knn_graph": q_emb_knn_graph,
     "emb_semdedup": q_emb_semdedup,

@@ -287,11 +287,17 @@ def train_pq_codebooks(
     if not rows:
         return np.zeros((0, 0, 0))
     m = np.array([r.v for r in rows], dtype=np.float64)
-    subdim = m.shape[1] // m_sub
-    rng = np.random.RandomState(seed)
     # a sample smaller than n_codes trains fewer codes — the book is
     # trimmed, never zero-padded (phantom all-zero centroids would win
-    # assignments near the origin and carry a zero reconstruction norm)
+    # assignments near the origin and carry a zero reconstruction norm);
+    # _pq_lloyd's k_eff handles it
+    return _pq_lloyd(m, m_sub, n_codes, n_iters, np.random.RandomState(seed))
+
+
+def _pq_lloyd(m: np.ndarray, m_sub: int, n_codes: int, n_iters: int, rng) -> np.ndarray:
+    """Per-subspace Lloyd's over an in-memory sample — the shared inner
+    trainer of :func:`train_pq_codebooks` and :func:`train_opq`."""
+    subdim = m.shape[1] // m_sub
     k_eff = min(n_codes, len(m))
     books = np.zeros((m_sub, k_eff, subdim))
     for s in range(m_sub):
@@ -306,6 +312,71 @@ def train_pq_codebooks(
                     cents[c] = members.mean(axis=0)
         books[s] = cents
     return books
+
+
+def _pq_reconstruct(m: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Decode each row's nearest per-subspace code back to a vector —
+    the reconstruction both the OPQ Procrustes step and the recon-error
+    audits are defined against."""
+    m_sub, _, subdim = books.shape
+    out = np.zeros_like(m)
+    for s in range(m_sub):
+        sub = m[:, s * subdim : (s + 1) * subdim]
+        d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+        out[:, s * subdim : (s + 1) * subdim] = books[s][d2.argmin(axis=1)]
+    return out
+
+
+def train_opq(
+    collection: DataFrame,
+    m_sub: int = 4,
+    n_codes: int = 16,
+    sample_size: int = 2048,
+    n_iters: int = 10,
+    opq_iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 44,
+) -> tuple[np.ndarray, np.ndarray]:
+    """OPQ — Optimized Product Quantization (Ge et al., CVPR 2013,
+    non-parametric variant): learn an orthogonal rotation R that
+    re-mixes coordinates across PQ subspaces before quantization, so
+    correlated dimensions stop landing in the same subspace and the
+    codebooks spend their bits where the variance is. Returns
+    ``(R [dim×dim], books [m_sub, k, subdim])`` trained by alternating
+
+    1. PQ codebooks on the rotated sample  X·R   (Lloyd's per subspace),
+    2. the orthogonal Procrustes solve  R = U·Vᵀ  from  SVD(Xᵀ·Y)
+       where Y is the codebook reconstruction of X·R — the closed-form
+       argmin_R ‖X·R − Y‖_F over orthogonal matrices.
+
+    Scale shape: training is bounded driver-side numpy over the SAME
+    seeded-hash TakeOrdered sample rule as the IVF/PQ trainers
+    (sample_size × dim, never the collection); the learned R (dim², a
+    few KB) and books broadcast to executors, where rotation +
+    assignment are one vectorized pass per Arrow batch. Deterministic:
+    fixed seed, fixed iteration counts, LAPACK SVD on identical input.
+    """
+    rows = (
+        collection.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("id"), F.lit(seed)), F.col("id"))
+        .limit(sample_size)
+        .collect()
+    )
+    if not rows:
+        return np.zeros((0, 0)), np.zeros((0, 0, 0))
+    x = np.array([r.v for r in rows], dtype=np.float64)
+    dim = x.shape[1]
+    r_mat = np.eye(dim)
+    rng = np.random.RandomState(seed)
+    books = _pq_lloyd(x, m_sub, n_codes, n_iters, rng)
+    for _ in range(opq_iters):
+        xr = x @ r_mat
+        books = _pq_lloyd(xr, m_sub, n_codes, n_iters, np.random.RandomState(seed))
+        y = _pq_reconstruct(xr, books)
+        u, _, vt = np.linalg.svd(x.T @ y)
+        r_mat = u @ vt
+    return r_mat, books
 
 
 def pq_codes_udf(books: np.ndarray):

@@ -391,3 +391,39 @@ def test_ahash_grid_validation_and_bucket_cap(spark):
     # cap at 5 members per bucket -> at most C(5,2)=10 pairs survive
     assert 0 < len(capped) <= 10
     assert len(uncapped) == 12 * 11 // 2
+
+
+def test_opq_rotation_is_orthogonal_and_improves_on_pq(spark):
+    """The learned OPQ rotation must be orthogonal (R·Rᵀ = I — rotation,
+    not an arbitrary linear map), and quantizing in the rotated space
+    must not lose to plain PQ of the identical (M, K, sample, seed)
+    configuration in total reconstruction error — the whole point of
+    the Procrustes alternation."""
+    import numpy as np
+
+    from osm_poi_database_maker_spark.io import load_table
+    from osm_poi_database_maker_spark.queries import similarity as S2
+    from osm_poi_database_maker_spark.similarity import train_opq
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    r_mat, books = train_opq(e, m_sub=S2._OPQ_M, n_codes=S2._OPQ_K)
+    assert np.allclose(r_mat @ r_mat.T, np.eye(r_mat.shape[0]), atol=1e-9)
+    rows = S2.q_emb_opq_codes(spark, SF_SMOKE).collect()
+    assert len(rows) == e.count()
+    tot_opq = sum(r.opq_err for r in rows)
+    tot_pq = sum(r.pq_err for r in rows)
+    assert tot_opq <= tot_pq * 1.001  # rotation must pay for itself
+    assert all(len(r.codes) == S2._OPQ_M for r in rows)
+    assert all(0 <= c < S2._OPQ_K for r in rows for c in r.codes)
+
+
+def test_opq_training_is_deterministic(spark):
+    import numpy as np
+
+    from osm_poi_database_maker_spark.io import load_table
+    from osm_poi_database_maker_spark.similarity import train_opq
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    r1, b1 = train_opq(e)
+    r2, b2 = train_opq(e)
+    assert np.array_equal(r1, r2) and np.array_equal(b1, b2)
