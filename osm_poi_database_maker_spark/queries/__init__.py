@@ -61,6 +61,8 @@ _VERIFY_FIRST = [
     "events_multi_exists",
     "doc_substring_dedup",
     "emb_opq_codes",
+    "events_kmv_distinct",
+    "lineitem_hist_quantiles",
     # tier 1b: implementation or oracle changed in round 5 —
     # simhash AND minhash re-keyed onto the portable hash family and
     # hash-gated (rows-only drops to 5);
@@ -75,7 +77,6 @@ _VERIFY_FIRST = [
     "emb_knn_graph",
     "emb_cosine_neardup_pairs",
     "large_volume_customers",
-    "lineitem_discount_elasticity",
     # tier 2: last driver row is CORRECTNESS_r02 (three rounds stale —
     # the oldest evidence in the registry; the first five were already
     # queued at the front of round 4's overflow).
@@ -117,14 +118,16 @@ _VERIFY_FIRST = [
     "mm_image_features",
     "mm_frame_sample",
     "mm_resize",
-    # tier 3: r03-evidence filler for the last window slot —
-    # revenue_by_nation (also under a bench re-measure action).
-    "revenue_by_nation",
-    # --- the 50-entry window ends here (3 tier-1a + 8 tier-1b +
-    # 38 tier-2 + 1 tier-3). Below: overflow — the remaining
+    # --- the 50-entry window ends here (5 tier-1a + 7 tier-1b +
+    # 38 tier-2). lineitem_discount_elasticity's hint-removal is
+    # results-invariant (its fresh r04 row stays valid), so it waits in
+    # overflow rather than displacing a 3-round-stale entry. Below: the
+    # remaining
     # r03-evidence cohort (their rows turn two rounds old in round 6;
     # they lead round 6's rotation), in module-cohort order; r04-green
     # entries append automatically after them.
+    "lineitem_discount_elasticity",
+    "revenue_by_nation",
     "osm_poi_nodes",
     "pricing_summary",
     "osm_toi_dim",

@@ -583,8 +583,114 @@ LIMIT {_MULTI_EXISTS_TOP_K}
 """
 
 
+# --- KMV distinct sketch (portable, oracle-checked) -------------------------
+
+_KMV_K = 64
+
+
+def q_events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per event_type —
+    the PORTABLE companion to events_sketch_stats' HLL sketches: the
+    sketch is the K=64 smallest Lehmer-hash values of the distinct
+    users, the estimate is (K−1)·M / h_K, and because the hash family
+    is the repo's portable Lehmer construction the DuckDB oracle
+    recomputes the IDENTICAL sketch and estimate — a distinct sketch
+    with a cross-engine hash gate instead of a rows-only waiver. Each
+    row carries the exact distinct and the relative error as in-band
+    audit (same pattern as the ANN recall columns).
+
+    Scale shape: the min-K reduction is two bounded window passes —
+    per-(type, input partition) local top-K first (the global K minima
+    are always a subset of the union of per-partition K minima, so the
+    result is partitioning-invariant), then a global top-K over the
+    ≤ K·P survivors — never a full sort of the distinct set; the
+    sketch itself is mergeable, which is the whole point of KMV at
+    100 TB (union sketches = K smallest of the concatenation). The
+    Lehmer map is a bijection on [0, M), so distinct users never
+    collide and ordering ties are impossible."""
+    from pyspark.sql import Window
+
+    from .curation import _lehmer_h
+
+    M = (1 << 31) - 1
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    du = e.distinct().withColumn("h", _lehmer_h(F.col("user_id") * 64))
+    local = Window.partitionBy(F.col("event_type"), F.spark_partition_id()).orderBy("h")
+    survivors = du.withColumn("lrn", F.row_number().over(local)).filter(
+        F.col("lrn") <= _KMV_K
+    )
+    glob = Window.partitionBy("event_type").orderBy("h")
+    kmins = survivors.withColumn("rn", F.row_number().over(glob)).filter(
+        F.col("rn") <= _KMV_K
+    )
+    km = kmins.groupBy("event_type").agg(
+        F.count("*").alias("n_seen"), F.max("h").alias("hk")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    est = F.round(
+        F.when(F.col("n_seen") < _KMV_K, F.col("n_seen").cast("double")).otherwise(
+            F.lit(float(_KMV_K - 1)) * M / F.col("hk")
+        ),
+        4,
+    )
+    return (
+        exact.join(km, "event_type")
+        .withColumn("kmv_estimate", est)
+        .withColumn(
+            "rel_err",
+            F.round(
+                F.abs(F.col("kmv_estimate") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                4,
+            ),
+        )
+        .select("event_type", "exact_distinct", "kmv_estimate", "rel_err")
+    )
+
+
+def _kmv_oracle_sql() -> str:
+    from .text import _LEHMER_A as A, _LEHMER_M as M
+
+    return f"""
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+h AS (
+  SELECT event_type,
+         ((user_id * 64 % {M}) * {A} % {M}) * {A} % {M} AS h
+  FROM du
+),
+rk AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+),
+km AS (
+  SELECT event_type, count(*) AS n_seen, max(h) AS hk
+  FROM rk WHERE rn <= {_KMV_K} GROUP BY 1
+),
+ex AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY 1
+),
+j AS (
+  SELECT ex.event_type, ex.exact_distinct,
+         round(CASE WHEN km.n_seen < {_KMV_K} THEN CAST(km.n_seen AS DOUBLE)
+                    ELSE {float(_KMV_K - 1)} * {M} / km.hk END, 4) AS kmv_estimate
+  FROM ex JOIN km USING (event_type)
+)
+SELECT event_type, exact_distinct, kmv_estimate,
+       round(abs(kmv_estimate - exact_distinct) / exact_distinct, 4) AS rel_err
+FROM j
+"""
+
+
+ORACLE_KMV = _kmv_oracle_sql()
+
+
 QUERIES = {
     "events_multi_exists": q_events_multi_exists,
+    "events_kmv_distinct": q_events_kmv_distinct,
     "events_incident_windows": q_events_incident_windows,
     "events_toi_pipeline": q_events_toi_pipeline,
     "events_tag_explode": q_events_tag_explode,
@@ -601,6 +707,7 @@ QUERIES = {
 
 ORACLES = {
     "events_multi_exists": ORACLE_MULTI_EXISTS,
+    "events_kmv_distinct": ORACLE_KMV,
     "events_incident_windows": ORACLE_INCIDENTS,
     "events_toi_pipeline": ORACLE_TOI,
     "events_tag_explode": ORACLE_EXPLODE,

@@ -166,6 +166,111 @@ LIMIT {_MAD_TOPK}
 """
 
 
+_HIST_BINS = 1024
+_HIST_QS = (0.5, 0.9, 0.99)
+
+
+def q_lineitem_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantile estimation — the 100 TB swap the exact
+    ``percentile`` cost centers (MAD outliers, column profile) document,
+    DEMONSTRATED in-engine with a cross-engine correctness contract:
+    bucket ``l_extendedprice`` into 1024 equi-width bins (bounds data-
+    derived), invert the cumulative bin counts at q ∈ {{0.5, 0.9, 0.99}}
+    (estimate = lower edge of the first bin whose running count reaches
+    ⌈q·n⌉), and emit the exact percentile plus the absolute error as
+    in-band audit. Every arithmetic step (bin width, floor, ceil,
+    cumulative pick) is mirrored expression-for-expression in the
+    DuckDB oracle, so the ESTIMATOR itself is hash-gated — unlike
+    t-digest/HLL sketches, whose merge internals are engine-specific.
+
+    Scale shape: one pass for (min, max, n) broadcast as a 1-row scalar,
+    one map-side-combining pass for the ≤1024 bin counts (a histogram is
+    the textbook mergeable sketch — partial maps combine by addition),
+    and a window over the AGGREGATED bins (≤1024 rows — the
+    single-partition window is safe because its input is the bin table,
+    never the fact). The exact-percentile audit column is the only
+    full-sort-class operation and exists purely as the oracle-parity
+    yardstick; production drops it."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_extendedprice").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    stats = li.agg(
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+        F.count("*").alias("n"),
+        F.percentile("x", F.array(*[F.lit(q) for q in _HIST_QS])).alias("ex"),
+    )
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(_HIST_BINS))
+    binned = li.crossJoin(F.broadcast(stats)).select(
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.least(F.floor((F.col("x") - F.col("mn")) / width), F.lit(_HIST_BINS - 1)),
+        )
+        .otherwise(F.lit(0))
+        .alias("bin")
+    )
+    counts = binned.groupBy("bin").agg(F.count("*").alias("cnt"))
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = counts.withColumn("cum", F.sum("cnt").over(wcum))
+    qdf = spark.createDataFrame(
+        [(float(q), i + 1) for i, q in enumerate(_HIST_QS)], "q double, qi int"
+    )
+    picked = (
+        qdf.join(cum.crossJoin(F.broadcast(stats.select("n"))),
+                 F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("q", "qi")
+        .agg(F.min("bin").alias("binq"))
+    )
+    return (
+        picked.crossJoin(F.broadcast(stats))
+        .select(
+            "q",
+            F.round(F.col("mn") + F.col("binq") * width, 4).alias("hist_estimate"),
+            F.round(F.element_at(F.col("ex"), F.col("qi")), 4).alias("exact_pct"),
+        )
+        .withColumn(
+            "abs_err", F.round(F.abs(F.col("hist_estimate") - F.col("exact_pct")), 4)
+        )
+    )
+
+
+ORACLE_HIST_QUANTILES = f"""
+WITH s AS (
+  SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx,
+         count(*) AS n,
+         quantile_cont(l_extendedprice, {list(_HIST_QS)!r}) AS ex
+  FROM lineitem
+),
+b AS (
+  SELECT CASE WHEN s.mx > s.mn
+              THEN least(floor((l_extendedprice - s.mn)
+                               / ((s.mx - s.mn) / {float(_HIST_BINS)})),
+                         {_HIST_BINS - 1})
+              ELSE 0 END AS bin
+  FROM lineitem CROSS JOIN s
+),
+c AS (SELECT bin, count(*) AS cnt FROM b GROUP BY 1),
+cum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM c),
+qs AS (  -- CAST: DuckDB parses bare fraction literals as DECIMAL ('0.50')
+  SELECT CAST(unnest({list(_HIST_QS)!r}) AS DOUBLE) AS q,
+         unnest({list(range(1, len(_HIST_QS) + 1))!r}) AS qi
+),
+picked AS (
+  SELECT q, qi, min(bin) AS binq
+  FROM qs JOIN cum ON cum.cum >= ceil(q * (SELECT n FROM s))
+  GROUP BY 1, 2
+)
+SELECT q,
+       round(s.mn + binq * ((s.mx - s.mn) / {float(_HIST_BINS)}), 4) AS hist_estimate,
+       round(ex[qi], 4) AS exact_pct,
+       round(abs(round(s.mn + binq * ((s.mx - s.mn) / {float(_HIST_BINS)}), 4)
+                 - round(ex[qi], 4)), 4) AS abs_err
+FROM picked CROSS JOIN s
+"""
+
+
 # ---------------------------------------------------------------------------
 # k-anonymity audit
 
@@ -305,6 +410,7 @@ GROUP BY 1, 2
 QUERIES = {
     "orders_column_profile": q_orders_column_profile,
     "lineitem_price_outliers_mad": q_lineitem_price_outliers_mad,
+    "lineitem_hist_quantiles": q_lineitem_hist_quantiles,
     "events_k_anonymity": q_events_k_anonymity,
     "customer_name_linkage": q_customer_name_linkage,
 }
@@ -312,6 +418,7 @@ QUERIES = {
 ORACLES = {
     "orders_column_profile": ORACLE_COLUMN_PROFILE,
     "lineitem_price_outliers_mad": ORACLE_MAD_OUTLIERS,
+    "lineitem_hist_quantiles": ORACLE_HIST_QUANTILES,
     "events_k_anonymity": ORACLE_K_ANONYMITY,
     "customer_name_linkage": ORACLE_NAME_LINKAGE,
 }

@@ -415,3 +415,34 @@ def test_multi_exists_semi_anti_semantics(spark, monkeypatch):
     monkeypatch.setattr(E, "load_table", lambda s, sf, n: e)
     out = {r.user_id: r.n_stranded_errors for r in E.q_events_multi_exists(spark, "x").collect()}
     assert out == {1: 2}
+
+
+def test_kmv_distinct_estimator_accuracy(spark, monkeypatch):
+    """Small types (< K distinct users) fall back to the exact count;
+    a planted 500-user type exercises the (K-1)*M/h_K estimator branch
+    and must land within 30% of the truth."""
+    import datetime as dt
+
+    from osm_poi_database_maker_spark.queries import events as E
+    from tests.conftest import SF_SMOKE
+
+    smoke = E.q_events_kmv_distinct(spark, SF_SMOKE).collect()
+    assert smoke and all(r.rel_err <= 0.3 for r in smoke), smoke
+    for r in smoke:  # < K distinct at smoke SF -> exact fallback
+        if r.exact_distinct < E._KMV_K:
+            assert r.kmv_estimate == float(r.exact_distinct)
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0, 1000 + i, "view", 1.0, "{}") for i in range(500)]
+    rows += [(900 + i, t0, 5000 + i, "click", 1.0, "{}") for i in range(10)]
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(E, "load_table", lambda s_, sf_, n_: e)
+    got = {r.event_type: r for r in E.q_events_kmv_distinct(spark, "x").collect()}
+    assert got["click"].kmv_estimate == 10.0  # fallback branch
+    big = got["view"]
+    assert big.kmv_estimate != 500.0  # estimator branch actually fired
+    assert big.rel_err <= 0.3, big

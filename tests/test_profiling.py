@@ -266,3 +266,23 @@ def test_new_operator_plan_shapes(spark):
     assert plans["q_events_user_lifecycle"].count(
         "hashpartitioning(user_id"
     ) == 1, plans["q_events_user_lifecycle"]
+
+
+def test_hist_quantiles_error_bounded_by_bin_width(spark):
+    """The histogram estimate is the lower edge of the bin holding the
+    ceil(q*n)-th value, so it can never be more than ~2 bin widths from
+    the exact interpolated percentile."""
+    from osm_poi_database_maker_spark.io import load_table
+    from osm_poi_database_maker_spark.queries import profiling as P
+    from tests.conftest import SF_SMOKE
+
+    rows = P.q_lineitem_hist_quantiles(spark, SF_SMOKE).collect()
+    assert {r.q for r in rows} == set(P._HIST_QS)
+    import pyspark.sql.functions as F
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    mn, mx = li.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).first()
+    width = (mx - mn) / P._HIST_BINS
+    for r in rows:
+        assert r.abs_err <= 2 * width + 1e-9, r
+        assert mn <= r.hist_estimate <= mx
