@@ -175,6 +175,111 @@ GROUP BY 1, 2, 3
 """
 
 
+# --- national market share (TPC-H Q8 shape) ---------------------------------
+
+_MKT_REGION = "ASIA"
+_MKT_NATION = "NATION_7"
+_MKT_TYPE = "PROMO"
+
+
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (TPC-H Q8 shape — the widest join tree in
+    the registry, 7 tables): among PROMO-type parts sold to customers in
+    ASIA, NATION_7's share of yearly revenue volume — the conditional-
+    aggregate-over-a-snowflake pattern that stresses join ORDERING more
+    than any other classic.
+
+    Plan: the part filter is the most selective input, so the p_type
+    survivors broadcast into the fact FIRST (the scan never carries
+    non-PROMO line items past the first join); orders then customer
+    join on the fact's own keys (size-based planning broadcasts both at
+    every tested SF; at 100 TB they become shuffle joins on the same
+    plan); the customer-nations-in-ASIA dimension collapses to a
+    broadcast LEFT SEMI key set (nation ⨝ region prefiltered — the
+    fact never widens); supplier joins on l_suppkey and its 25-row
+    nation name broadcasts last. The final
+    aggregate is |years| rows. Money is the repo's exact integer-cent
+    arithmetic, and the share is a ratio of two exact int sums — the
+    1e4 scale factors cancel, so the divide is bit-identical across
+    engines before the round(4)."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == _MKT_TYPE)
+        .select("p_partkey")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == _MKT_REGION)
+    region_nations = n.join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    ).select("n_nationkey")
+    supp_nation = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    vol_cents = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    joined = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(region_nations),
+            c.c_nationkey == region_nations.n_nationkey,
+            "left_semi",
+        )
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("s_nkey"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(vol_cents).alias("all_cents"),
+            F.sum(
+                F.when(F.col("supp_nation") == _MKT_NATION, vol_cents).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("nat_cents"),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("nat_cents") / F.col("all_cents"), 4).alias("mkt_share"),
+            F.round(F.col("all_cents") / F.lit(10000.0), 2).alias("region_volume"),
+        )
+    )
+
+
+ORACLE_MARKET_SHARE = f"""
+WITH j AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         n2.n_name AS supp_nation,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS vol_cents
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = '{_MKT_TYPE}'
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = '{_MKT_REGION}'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+)
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = '{_MKT_NATION}' THEN vol_cents ELSE 0 END)
+             / CAST(sum(vol_cents) AS DOUBLE), 4) AS mkt_share,
+       round(sum(vol_cents) / 10000.0, 2) AS region_volume
+FROM j
+GROUP BY 1
+"""
+
+
 def q_orders_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension type-2 interval builder: each
     customer's order stream becomes a validity-interval history —
@@ -1330,6 +1435,7 @@ QUERIES = {
     "nation_lateral_topk": q_nation_lateral_topk,
     "revenue_by_nation": q_revenue_by_nation,
     "nation_volume_shipping": q_nation_volume_shipping,
+    "nation_market_share": q_nation_market_share,
     "orders_scd2_intervals": q_orders_scd2_intervals,
     "top_orders_per_customer": q_top_orders_per_customer,
     "customers_with_urgent_orders": q_customers_with_urgent_orders,
@@ -1362,6 +1468,7 @@ ORACLES = {
     "nation_lateral_topk": ORACLE_LATERAL,
     "revenue_by_nation": ORACLE_REVENUE,
     "nation_volume_shipping": ORACLE_VOLUME_SHIPPING,
+    "nation_market_share": ORACLE_MARKET_SHARE,
     "orders_scd2_intervals": ORACLE_SCD2,
     "top_orders_per_customer": ORACLE_TOP_ORDERS,
     "customers_with_urgent_orders": ORACLE_SEMI,
