@@ -64,6 +64,7 @@ _VERIFY_FIRST = [
     "events_kmv_distinct",
     "lineitem_hist_quantiles",
     "nation_market_share",
+    "events_ushape_attribution",
     # tier 1b: implementation or oracle changed in round 5 —
     # simhash AND minhash re-keyed onto the portable hash family and
     # hash-gated (rows-only drops to 5);
@@ -75,7 +76,6 @@ _VERIFY_FIRST = [
     "doc_minhash_pairs",
     "emb_kmeans_iterations",
     "emb_semdedup",
-    "emb_knn_graph",
     "large_volume_customers",
     # tier 2: last driver row is CORRECTNESS_r02 (three rounds stale —
     # the oldest evidence in the registry; the first five were already
@@ -118,10 +118,10 @@ _VERIFY_FIRST = [
     "mm_image_features",
     "mm_frame_sample",
     "mm_resize",
-    # --- the 50-entry window ends here (6 tier-1a + 6 tier-1b +
+    # --- the 50-entry window ends here (7 tier-1a + 5 tier-1b +
     # 38 tier-2). lineitem_discount_elasticity (hint removal) and
-    # emb_cosine_neardup_pairs (count-derived n_blocks) carry
-    # results-INVARIANT changes — their existing driver rows stay valid
+    # emb_knn_graph / emb_cosine_neardup_pairs (count-derived n_blocks)
+    # carry results-INVARIANT changes — their existing driver rows stay valid
     # and exactness is pinned by block-layout-invariance tests — so they
     # wait at the overflow front rather than displacing 3-round-stale
     # entries. Below: the remaining
@@ -129,6 +129,7 @@ _VERIFY_FIRST = [
     # they lead round 6's rotation), in module-cohort order; r04-green
     # entries append automatically after them.
     "lineitem_discount_elasticity",
+    "emb_knn_graph",
     "emb_cosine_neardup_pairs",
     "revenue_by_nation",
     "osm_poi_nodes",

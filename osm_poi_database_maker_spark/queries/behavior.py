@@ -826,6 +826,100 @@ GROUP BY 1
 """
 
 
+def q_events_ushape_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution — the variant
+    marketers run next to linear: 40% of each purchase's value to the
+    FIRST touch in the lookback window, 40% to the LAST, the remaining
+    20% split equally among the middles (1 touch → 100%, 2 touches →
+    50/50). Reported per touch type alongside how often the type held
+    the first/last slot — the "openers vs closers" view linear credit
+    can't show.
+
+    Plan: same single user-keyed equi-join + residual time filter as
+    linear attribution (candidates bounded per user); position comes
+    from ONE per-purchase window (row_number + count over the same
+    partitioning — one exchange on p_id serves both), ties broken on
+    (t_ts, touch event_id) so the first/last slots are deterministic in
+    both engines; final per-type aggregate is tiny. Credit shares are
+    exact binary fractions (0.4/0.5/0.2·(n−2)⁻¹ in IEEE double, same
+    literals both engines) so sums round-4 identically."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == _ATTR_TARGET).select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    touches = e.filter(F.col("event_type") != _ATTR_TARGET).select(
+        "user_id",
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("t_ts"),
+    )
+    joined = purchases.join(touches, "user_id").filter(
+        (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {_ATTR_WINDOW_DAYS} DAYS"))
+    )
+    wp = Window.partitionBy("p_id")
+    wo = Window.partitionBy("p_id").orderBy("t_ts", "t_id")
+    pos = joined.withColumn("rn", F.row_number().over(wo)).withColumn(
+        "n", F.count("*").over(wp)
+    )
+    share = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    credited = pos.withColumn("credit", F.col("p_value") * share)
+    return credited.groupBy("touch_type").agg(
+        F.round(F.sum("credit"), 4).alias("total_credit"),
+        F.sum((F.col("rn") == 1).cast("long")).alias("n_first"),
+        F.sum((F.col("rn") == F.col("n")).cast("long")).alias("n_last"),
+        F.count("*").alias("n_touches"),
+    )
+
+
+ORACLE_USHAPE = f"""
+WITH purchases AS (
+  SELECT event_id AS p_id, user_id, ts AS p_ts, value AS p_value
+  FROM events WHERE event_type = '{_ATTR_TARGET}'
+),
+touches AS (
+  SELECT user_id, event_id AS t_id, event_type AS touch_type, ts AS t_ts
+  FROM events WHERE event_type <> '{_ATTR_TARGET}'
+),
+joined AS (
+  SELECT p.p_id, p.p_value, t.touch_type, t.t_ts, t.t_id
+  FROM purchases p
+  JOIN touches t ON t.user_id = p.user_id
+   AND t.t_ts < p.p_ts
+   AND t.t_ts >= p.p_ts - INTERVAL {_ATTR_WINDOW_DAYS} DAY
+),
+pos AS (
+  SELECT p_id, p_value, touch_type,
+         row_number() OVER (PARTITION BY p_id ORDER BY t_ts, t_id) AS rn,
+         count(*) OVER (PARTITION BY p_id) AS n
+  FROM joined
+),
+credited AS (
+  SELECT touch_type, rn, n,
+         p_value * (CASE WHEN n = 1 THEN 1.0
+                         WHEN n = 2 THEN 0.5
+                         WHEN rn = 1 OR rn = n THEN 0.4
+                         ELSE 0.2 / (n - 2) END) AS credit
+  FROM pos
+)
+SELECT touch_type,
+       round(sum(credit), 4) AS total_credit,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+       CAST(sum(CASE WHEN rn = n THEN 1 ELSE 0 END) AS BIGINT) AS n_last,
+       count(*) AS n_touches
+FROM credited
+GROUP BY 1
+"""
+
+
 def q_events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort lifetime-value curves: users cohorted by first-activity
     day, purchase revenue bucketed into weeks-since-cohort, reported as
@@ -1004,6 +1098,7 @@ QUERIES = {
     "events_user_lifecycle": q_events_user_lifecycle,
     "events_dau_wau": q_events_dau_wau,
     "events_linear_attribution": q_events_linear_attribution,
+    "events_ushape_attribution": q_events_ushape_attribution,
     "events_cohort_ltv": q_events_cohort_ltv,
     "events_time_to_convert": q_events_time_to_convert,
     "events_path_trigrams": q_events_path_trigrams,
@@ -1020,6 +1115,7 @@ ORACLES = {
     "events_user_lifecycle": ORACLE_LIFECYCLE,
     "events_dau_wau": ORACLE_DAU_WAU,
     "events_linear_attribution": ORACLE_ATTRIBUTION,
+    "events_ushape_attribution": ORACLE_USHAPE,
     "events_cohort_ltv": ORACLE_COHORT_LTV,
     "events_time_to_convert": ORACLE_TIME_TO_CONVERT,
     "events_path_trigrams": ORACLE_PATH_TRIGRAMS,

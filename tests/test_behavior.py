@@ -446,3 +446,49 @@ def test_kmv_distinct_estimator_accuracy(spark, monkeypatch):
     big = got["view"]
     assert big.kmv_estimate != 500.0  # estimator branch actually fired
     assert big.rel_err <= 0.3, big
+
+
+def test_ushape_attribution_credit_split(spark, monkeypatch):
+    """Hand-computed U-shape: 1 touch -> 100%, 2 -> 50/50, 4 -> 40% to
+    first and last, 10% to each of the two middles; per-purchase credit
+    is conserved."""
+    import datetime as dt
+
+    from osm_poi_database_maker_spark.queries import behavior as B
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def m(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: 4 touches then a 10.0 purchase -> view(first) 4.0,
+        # click/error middles 1.0 each, view(last) 4.0
+        (0, m(0), 1, "view", 0.0, "{}"),
+        (1, m(1), 1, "click", 0.0, "{}"),
+        (2, m(2), 1, "error", 0.0, "{}"),
+        (3, m(3), 1, "view", 0.0, "{}"),
+        (4, m(4), 1, "purchase", 10.0, "{}"),
+        # user 2: single click then a 6.0 purchase -> click gets 6.0
+        (5, m(0), 2, "click", 0.0, "{}"),
+        (6, m(1), 2, "purchase", 6.0, "{}"),
+        # user 3: two views then a 8.0 purchase -> 4.0 each
+        (7, m(0), 3, "view", 0.0, "{}"),
+        (8, m(1), 3, "view", 0.0, "{}"),
+        (9, m(2), 3, "purchase", 8.0, "{}"),
+        # user 4: purchase with no prior touch -> drops out entirely
+        (10, m(0), 4, "purchase", 99.0, "{}"),
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(B, "load_table", lambda s_, sf_, n_: e)
+    got = {r.touch_type: r for r in B.q_events_ushape_attribution(spark, "x").collect()}
+    assert got["view"].total_credit == 4.0 + 4.0 + 4.0 + 4.0  # u1 first+last, u3 both
+    assert got["click"].total_credit == 1.0 + 6.0  # u1 middle + u2 solo
+    assert got["error"].total_credit == 1.0  # u1 middle
+    total = sum(r.total_credit for r in got.values())
+    assert total == 10.0 + 6.0 + 8.0  # conserved; no-touch purchase excluded
+    assert got["view"].n_first == 2 and got["view"].n_last == 2
