@@ -65,6 +65,7 @@ _VERIFY_FIRST = [
     "lineitem_hist_quantiles",
     "nation_market_share",
     "events_ushape_attribution",
+    "events_ohlc_bars",
     # tier 1b: implementation or oracle changed in round 5 —
     # simhash AND minhash re-keyed onto the portable hash family and
     # hash-gated (rows-only drops to 5);
@@ -85,7 +86,6 @@ _VERIFY_FIRST = [
     "events_tag_explode",
     "events_exclude_superset",
     "events_hstore_projection",
-    "events_sketch_stats",
     "events_time_rollup",
     "doc_token_stats",
     "doc_quality_score",
@@ -118,8 +118,11 @@ _VERIFY_FIRST = [
     "mm_image_features",
     "mm_frame_sample",
     "mm_resize",
-    # --- the 50-entry window ends here (7 tier-1a + 5 tier-1b +
-    # 38 tier-2). lineitem_discount_elasticity (hint removal) and
+    # --- the 50-entry window ends here (8 tier-1a + 5 tier-1b +
+    # 37 tier-2). events_sketch_stats (r02 evidence, but a rows-only
+    # entry whose driver row carries the least signal) yields its slot
+    # to the new oracled queries and leads the overflow with the other
+    # displaced entries. lineitem_discount_elasticity (hint removal) and
     # emb_knn_graph / emb_cosine_neardup_pairs (count-derived n_blocks)
     # carry results-INVARIANT changes — their existing driver rows stay valid
     # and exactness is pinned by block-layout-invariance tests — so they
@@ -128,6 +131,7 @@ _VERIFY_FIRST = [
     # r03-evidence cohort (their rows turn two rounds old in round 6;
     # they lead round 6's rotation), in module-cohort order; r04-green
     # entries append automatically after them.
+    "events_sketch_stats",
     "lineitem_discount_elasticity",
     "emb_knn_graph",
     "emb_cosine_neardup_pairs",

@@ -688,8 +688,64 @@ FROM j
 ORACLE_KMV = _kmv_oracle_sql()
 
 
+# --- OHLC bars (ordered aggregates) -----------------------------------------
+
+def q_events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type — the resample-to-bars shape every
+    metering/finance pipeline runs: open/close are the values of the
+    chronologically first/last event in the bar, high/low the extremes,
+    plus volume. Exercises the ORDERED aggregates (``min_by``/``max_by``
+    ↔ DuckDB ``arg_min``/``arg_max``) the rest of the registry reaches
+    for windows to get.
+
+    Deterministic ordering without a window: the ordering key is the
+    zero-padded string (micros ‖ event_id) — unique (event_id is), so
+    first/last are well-defined and identical across engines even on
+    equal timestamps; string comparison equals numeric order because
+    both halves are fixed-width. ONE map-side-combining aggregate per
+    (type, hour) — no per-bar window, no second exchange; min_by/max_by
+    partials merge like any min, which is why this shape beats
+    row_number at 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
+    )
+    return (
+        e.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("bar"),
+        )
+        .agg(
+            F.round(F.min_by("value", key), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", key), 2).alias("close"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("volume"),
+        )
+    )
+
+
+ORACLE_OHLC = """
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bar,
+       round(arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                            || lpad(CAST(event_id AS VARCHAR), 20, '0')), 2) AS open,
+       round(max(value), 2) AS high,
+       round(min(value), 2) AS low,
+       round(arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                            || lpad(CAST(event_id AS VARCHAR), 20, '0')), 2) AS close,
+       count(*) AS n_events,
+       round(sum(value), 2) AS volume
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "events_multi_exists": q_events_multi_exists,
+    "events_ohlc_bars": q_events_ohlc_bars,
     "events_kmv_distinct": q_events_kmv_distinct,
     "events_incident_windows": q_events_incident_windows,
     "events_toi_pipeline": q_events_toi_pipeline,
@@ -708,6 +764,7 @@ QUERIES = {
 ORACLES = {
     "events_multi_exists": ORACLE_MULTI_EXISTS,
     "events_kmv_distinct": ORACLE_KMV,
+    "events_ohlc_bars": ORACLE_OHLC,
     "events_incident_windows": ORACLE_INCIDENTS,
     "events_toi_pipeline": ORACLE_TOI,
     "events_tag_explode": ORACLE_EXPLODE,
