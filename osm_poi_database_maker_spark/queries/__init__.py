@@ -66,6 +66,7 @@ _VERIFY_FIRST = [
     "nation_market_share",
     "events_ushape_attribution",
     "events_ohlc_bars",
+    "doc_hybrid_rrf",
     # tier 1b: implementation or oracle changed in round 5 —
     # simhash AND minhash re-keyed onto the portable hash family and
     # hash-gated (rows-only drops to 5);
@@ -117,9 +118,10 @@ _VERIFY_FIRST = [
     "stream_static_join",
     "mm_image_features",
     "mm_frame_sample",
-    "mm_resize",
-    # --- the 50-entry window ends here (8 tier-1a + 5 tier-1b +
-    # 37 tier-2). events_sketch_stats (r02 evidence, but a rows-only
+    # --- the 50-entry window ends here (9 tier-1a + 5 tier-1b +
+    # 36 tier-2; mm_resize — deterministic stub-resize, densely
+    # pytest-pinned — slides to the overflow front with
+    # events_sketch_stats to make room for the new oracled queries). events_sketch_stats (r02 evidence, but a rows-only
     # entry whose driver row carries the least signal) yields its slot
     # to the new oracled queries and leads the overflow with the other
     # displaced entries. lineitem_discount_elasticity (hint removal) and
@@ -131,6 +133,7 @@ _VERIFY_FIRST = [
     # r03-evidence cohort (their rows turn two rounds old in round 6;
     # they lead round 6's rotation), in module-cohort order; r04-green
     # entries append automatically after them.
+    "mm_resize",
     "events_sketch_stats",
     "lineitem_discount_elasticity",
     "emb_knn_graph",

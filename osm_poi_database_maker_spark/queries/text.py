@@ -1433,8 +1433,181 @@ WHERE rk <= {_BM25_TOPK}
 """
 
 
+# --- hybrid retrieval: reciprocal-rank fusion --------------------------------
+
+_RRF_K = 60
+_RRF_POOL = 100  # per-source candidate pool (top-R lists, the fusion input)
+_RRF_TOPK = 25
+_RRF_TERMS = ("spark", "join", "stream")  # lexical query (BM25 qid 1)
+_RRF_QVEC_ID = 0  # dense query = this vector's embedding
+
+
+def q_doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid (dense + sparse) retrieval via reciprocal-rank fusion —
+    the standard way RAG / curation stacks combine BM25 with embedding
+    similarity: take each source's top-R list, score every pooled doc
+    Σ 1/(k + rank_source) with k=60 (Cormack et al.), keep the fused
+    top-25. Lexical side reuses the BM25 machinery (same k1/b/rounding
+    conventions as doc_bm25_topk); dense side is cosine against the
+    embedding of vec_id 0.
+
+    Scale shape — fuse top-R LISTS, never full rankings: each source's
+    pool comes from orderBy().limit(R), i.e. TakeOrderedAndProject
+    (per-partition partial top-R, R-row driver merge — no global sort,
+    no unbounded window); rank assignment then windows over the ≤R-row
+    pools only. The fusion itself is a tiny full-outer join of two
+    R-row lists. Absent-from-pool ranks contribute 0 (emitted as the
+    0 sentinel, never NULL, so cross-engine hashing is exact); RRF
+    terms are 1/(60+rank) — identical IEEE doubles both engines —
+    summed then rounded to 6."""
+    d = load_table(spark, sf_dir, "documents")
+    # lexical pool: BM25 over query-term postings (doc_bm25_topk's plan)
+    toks = d.select("doc_id", F.split(F.col("text"), " +").alias("t")).select(
+        "doc_id", F.size("t").cast("double").alias("dl"), F.explode("t").alias("term")
+    )
+    corpus = d.select(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(F.size(F.split(F.col("text"), " +"))).alias("avgdl"),
+    )
+    postings = (
+        toks.filter(F.col("term").isin(*_RRF_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfreq = postings.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (_BM25_K1 + 1)) / (
+        F.col("tf") + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    lex_scores = (
+        postings.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn("contrib", F.round(idf * tf_part, 7))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 4).alias("bm25"))
+    )
+    lex_pool = lex_scores.orderBy(F.desc("bm25"), "doc_id").limit(_RRF_POOL)
+    lex_ranked = lex_pool.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+        .alias("lex_rank"),
+    )
+    # dense pool: cosine vs the vec 0 embedding (exact brute-force top-R
+    # is the baseline; ann_topk is the documented scale path)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    qv = e.filter(F.col("doc_id") == _RRF_QVEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    el = e.crossJoin(F.broadcast(qv)).select(
+        "doc_id",
+        F.round(
+            F.aggregate(
+                F.zip_with("embedding", "qvec", lambda a, b: a.cast("double") * b.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / (
+                F.sqrt(F.aggregate(F.transform("embedding", lambda a: a.cast("double") * a.cast("double")), F.lit(0.0), lambda acc, x: acc + x))
+                * F.sqrt(F.aggregate(F.transform("qvec", lambda a: a.cast("double") * a.cast("double")), F.lit(0.0), lambda acc, x: acc + x))
+            ),
+            6,
+        ).alias("cos6"),
+    )
+    cos_pool = el.orderBy(F.desc("cos6"), "doc_id").limit(_RRF_POOL)
+    cos_ranked = cos_pool.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy(F.desc("cos6"), "doc_id")).alias("cos_rank"),
+    )
+    fused = lex_ranked.join(cos_ranked, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+        F.coalesce("cos_rank", F.lit(0)).alias("cos_rank"),
+    )
+    rrf = F.round(
+        F.when(F.col("lex_rank") > 0, F.lit(1.0) / (_RRF_K + F.col("lex_rank"))).otherwise(F.lit(0.0))
+        + F.when(F.col("cos_rank") > 0, F.lit(1.0) / (_RRF_K + F.col("cos_rank"))).otherwise(F.lit(0.0)),
+        6,
+    )
+    return (
+        fused.withColumn("rrf_score", rrf)
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(_RRF_TOPK)
+    )
+
+
+ORACLE_HYBRID_RRF = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(text, ' +')) AS DOUBLE) AS dl,
+         unnest(string_split_regex(text, ' +')) AS term
+  FROM documents
+),
+corpus AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         avg(len(string_split_regex(text, ' +'))) AS avgdl
+  FROM documents
+),
+postings AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, any_value(dl) AS dl
+  FROM toks WHERE term IN {tuple(_RRF_TERMS)!r}
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM postings GROUP BY 1),
+lex_scores AS (
+  SELECT p.doc_id,
+         round(sum(round(
+           ln(1.0 + (c.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * (p.tf * ({_BM25_K1} + 1))
+             / (p.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * p.dl / c.avgdl)),
+         7)), 4) AS bm25
+  FROM postings p JOIN dfreq f ON f.term = p.term CROSS JOIN corpus c
+  GROUP BY 1
+),
+lex_ranked AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+           AS lex_rank
+  FROM lex_scores
+  QUALIFY lex_rank <= {_RRF_POOL}
+),
+emb AS (
+  SELECT vec_id AS doc_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+qv AS (SELECT v AS qvec FROM emb WHERE doc_id = {_RRF_QVEC_ID}),
+cos AS (
+  SELECT e.doc_id, round(list_cosine_similarity(e.v, q.qvec), 6) AS cos6
+  FROM emb e CROSS JOIN qv q
+),
+cos_ranked AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY cos6 DESC, doc_id) AS INT)
+           AS cos_rank
+  FROM cos
+  QUALIFY cos_rank <= {_RRF_POOL}
+),
+fused AS (
+  SELECT coalesce(l.doc_id, c.doc_id) AS doc_id,
+         coalesce(l.lex_rank, 0) AS lex_rank,
+         coalesce(c.cos_rank, 0) AS cos_rank
+  FROM lex_ranked l FULL OUTER JOIN cos_ranked c ON l.doc_id = c.doc_id
+)
+SELECT doc_id, lex_rank, cos_rank,
+       round(CASE WHEN lex_rank > 0 THEN 1.0 / ({_RRF_K} + lex_rank) ELSE 0.0 END
+             + CASE WHEN cos_rank > 0 THEN 1.0 / ({_RRF_K} + cos_rank) ELSE 0.0 END,
+             6) AS rrf_score
+FROM fused
+ORDER BY rrf_score DESC, doc_id
+LIMIT {_RRF_TOPK}
+"""
+
+
 QUERIES = {
     "doc_token_stats": q_doc_token_stats,
+    "doc_hybrid_rrf": q_doc_hybrid_rrf,
     "doc_bm25_topk": q_doc_bm25_topk,
     "doc_dup_ngram_fraction": q_doc_dup_ngram_fraction,
     "doc_quality_filter_verdict": q_doc_quality_filter_verdict,
@@ -1458,6 +1631,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_hybrid_rrf": ORACLE_HYBRID_RRF,
     "doc_token_stats": ORACLE_TOKEN_STATS,
     "doc_bm25_topk": ORACLE_BM25,
     "doc_dup_ngram_fraction": ORACLE_DUP_NGRAM,

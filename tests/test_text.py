@@ -96,3 +96,27 @@ def test_dup_ngram_fraction_vs_bruteforce(spark, monkeypatch):
         for r in T.q_doc_dup_ngram_fraction(spark, "x").collect()
     }
     assert got == expected
+
+
+def test_hybrid_rrf_fusion_invariants(spark):
+    """RRF invariants on the smoke fixture: the dense query vector's own
+    doc holds cos_rank 1; every fused row has at least one source rank;
+    scores equal 1/(60+lex) + 1/(60+cos) with 0 meaning absent; output
+    is descending."""
+    from osm_poi_database_maker_spark.queries import text as T
+    from tests.conftest import SF_SMOKE
+
+    rows = T.q_doc_hybrid_rrf(spark, SF_SMOKE).collect()
+    assert len(rows) == T._RRF_TOPK
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[T._RRF_QVEC_ID].cos_rank == 1  # self-similarity tops dense
+    for r in rows:
+        assert r.lex_rank > 0 or r.cos_rank > 0
+        expect = (1.0 / (T._RRF_K + r.lex_rank) if r.lex_rank else 0.0) + (
+            1.0 / (T._RRF_K + r.cos_rank) if r.cos_rank else 0.0
+        )
+        assert abs(r.rrf_score - expect) < 1e-6, r
+    scores = [r.rrf_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # fusion actually drew from BOTH sources
+    assert any(r.lex_rank > 0 for r in rows) and any(r.cos_rank > 0 for r in rows)
