@@ -67,6 +67,7 @@ _VERIFY_FIRST = [
     "events_ushape_attribution",
     "events_ohlc_bars",
     "doc_hybrid_rrf",
+    "stream_ohlc_bars",
     # tier 1b: implementation or oracle changed in round 5 —
     # simhash AND minhash re-keyed onto the portable hash family and
     # hash-gated (rows-only drops to 5);
@@ -117,10 +118,10 @@ _VERIFY_FIRST = [
     "stream_dedup_watermark",
     "stream_static_join",
     "mm_image_features",
-    "mm_frame_sample",
-    # --- the 50-entry window ends here (9 tier-1a + 5 tier-1b +
-    # 36 tier-2; mm_resize — deterministic stub-resize, densely
-    # pytest-pinned — slides to the overflow front with
+    # --- the 50-entry window ends here (10 tier-1a + 5 tier-1b +
+    # 35 tier-2; mm_frame_sample / mm_resize — deterministic stub
+    # transforms, densely pytest-pinned, machinery shared with the
+    # in-window mm_image_features — slide to the overflow front with
     # events_sketch_stats to make room for the new oracled queries). events_sketch_stats (r02 evidence, but a rows-only
     # entry whose driver row carries the least signal) yields its slot
     # to the new oracled queries and leads the overflow with the other
@@ -133,6 +134,7 @@ _VERIFY_FIRST = [
     # r03-evidence cohort (their rows turn two rounds old in round 6;
     # they lead round 6's rotation), in module-cohort order; r04-green
     # entries append automatically after them.
+    "mm_frame_sample",
     "mm_resize",
     "events_sketch_stats",
     "lineitem_discount_elasticity",

@@ -14,7 +14,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 from .. import streaming as S
-from .events import ORACLE_HOURLY, ORACLE_SESSION, ORACLE_SLIDING
+from .events import ORACLE_HOURLY, ORACLE_OHLC, ORACLE_SESSION, ORACLE_SLIDING
 
 
 def _materialize(df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
@@ -36,6 +36,10 @@ def _materialize(df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
 
 def q_stream_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialize(S.windowed_counts(S.stream_events(spark, sf_dir)), spark, "complete")
+
+
+def q_stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _materialize(S.ohlc_bars(S.stream_events(spark, sf_dir)), spark, "complete")
 
 
 def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -139,6 +143,7 @@ SELECT event_id, event_type, user_id FROM events
 
 QUERIES = {
     "stream_hourly_window": q_stream_hourly_window,
+    "stream_ohlc_bars": q_stream_ohlc_bars,
     "stream_sliding_window": q_stream_sliding_window,
     "stream_session_windows": q_stream_session_windows,
     "stream_stateful_user_totals": q_stream_stateful_user_totals,
@@ -149,6 +154,7 @@ QUERIES = {
 
 ORACLES = {
     "stream_hourly_window": ORACLE_HOURLY,
+    "stream_ohlc_bars": ORACLE_OHLC,
     "stream_sliding_window": ORACLE_SLIDING,
     "stream_session_windows": ORACLE_SESSION,
     "stream_stateful_user_totals": ORACLE_STATEFUL,

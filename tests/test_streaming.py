@@ -343,3 +343,24 @@ def test_session_timeout_merges_consecutive_direct_emit_lates():
     )
     out2 = pd.concat(list(fn((7,), iter([batch2]), state2)))
     assert len(out2) == 2 and list(out2.n_events) == [1, 1]
+
+
+def test_stream_ohlc_matches_batch(spark):
+    """The watermarked streaming OHLC bars must equal the batch operator
+    row-for-row — min_by/max_by partials merge across micro-batches like
+    any min, which is exactly what this pins."""
+    from osm_poi_database_maker_spark.queries.events import q_events_ohlc_bars
+    from osm_poi_database_maker_spark.queries.streaming_queries import (
+        q_stream_ohlc_bars,
+    )
+
+    batch = {tuple(r) for r in q_events_ohlc_bars(spark, SF_SMOKE).collect()}
+    stream = {
+        tuple(r)
+        for r in q_stream_ohlc_bars(spark, SF_SMOKE)
+        .select(
+            "event_type", "bar", "open", "high", "low", "close", "n_events", "volume"
+        )
+        .collect()
+    }
+    assert stream == batch and batch
