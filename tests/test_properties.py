@@ -245,3 +245,44 @@ def test_incremental_dedup_containment_bounds(spark, data):
         assert r.admit == int(r.exact_dup == 0 and r.hist_overlap < 0.8)
     by_id = {r.doc_id: r for r in out}
     assert by_id[9998].exact_dup == 1 and by_id[9998].admit == 0
+
+
+def test_round5_plan_shapes(spark):
+    """Physical-plan contracts of the round-5 operators: decorrelation
+    becomes semi+anti hash joins (no CartesianProduct, no per-row
+    Python); RRF pools come from TakeOrderedAndProject (no global sort);
+    the Q8 snowflake keeps its semi-join region prune; substring dedup
+    joins on the 8-byte gram hash (SortMergeJoin/ShuffledHashJoin or
+    broadcast — never a nested-loop)."""
+    from tests.conftest import SF_SMOKE
+
+    from osm_poi_database_maker_spark.queries.core import q_nation_market_share
+    from osm_poi_database_maker_spark.queries.dedup import q_doc_substring_dedup
+    from osm_poi_database_maker_spark.queries.events import (
+        q_events_multi_exists,
+        q_events_ohlc_bars,
+    )
+    from osm_poi_database_maker_spark.queries.text import q_doc_hybrid_rrf
+
+    def plan_of(q):
+        return q(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+
+    p = plan_of(q_events_multi_exists)
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+
+    p = plan_of(q_doc_hybrid_rrf)
+    assert "TakeOrderedAndProject" in p  # pools AND final top-k
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+
+    p = plan_of(q_nation_market_share)
+    assert "LeftSemi" in p  # region prune is a semi-join key set
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+
+    p = plan_of(q_doc_substring_dedup)
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+
+    p = plan_of(q_events_ohlc_bars)
+    assert "Window" not in p  # one combining aggregate, no per-bar window
+    assert "min_by" in p and "max_by" in p
