@@ -195,10 +195,9 @@ def minhash_near_dups(
 # SimHash — portable hash family
 # --------------------------------------------------------------------------
 #
-# Unlike MinHash (whose 64-wide xxhash64 signature family stays
-# engine-native and therefore rows-only at the driver gate), SimHash is
-# keyed on a PORTABLE hash family so the whole operator is expressible in
-# ANSI-ish SQL and hash-gated against the DuckDB oracle:
+# Both SimHash and MinHash are keyed on this PORTABLE hash family, so
+# both whole operators are expressible in ANSI-ish SQL and hash-gated
+# against the DuckDB oracle:
 #
 #   h0(token) = polynomial char-code hash, base 31, mod M = 2^31 − 1
 #   sign(token, b) = +1 iff 2·lehmer2(h0·64 + b) < M else −1,

@@ -70,7 +70,8 @@ _VERIFY_FIRST = [
     "stream_ohlc_bars",
     # tier 1b: implementation or oracle changed in round 5 —
     # simhash AND minhash re-keyed onto the portable hash family and
-    # hash-gated (rows-only drops to 5);
+    # hash-gated (rows-only down to 6: the ANN/IVF recall-audited
+    # family, HLL sketch stats, aHash, and the new OPQ);
     # k-means K now count-derived (dynamic-init oracle CTE) feeding
     # kmeans/semdedup (semdedup also salt-splits clusters over a cap);
     # knn/neardup block counts count-derived; Q18 oracle HAVING now

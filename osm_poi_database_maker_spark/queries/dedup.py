@@ -364,7 +364,7 @@ _SIMHASH_MAX_BUCKET = 200
 def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, Hamming ≤ 3 via 4×16-bit banding.
 
-    HASH-GATED (unlike MinHash): the token hash is the portable
+    HASH-GATED (like MinHash since round 5): the token hash is the portable
     polynomial/Lehmer family (dedup.portable_token_hash), so the oracle
     recomputes the identical 64-bit fingerprints in SQL, replays the
     SAME 4-band bucketing with the SAME deterministic per-bucket cap

@@ -690,6 +690,38 @@ ORACLE_KMV = _kmv_oracle_sql()
 
 # --- OHLC bars (ordered aggregates) -----------------------------------------
 
+# lpad'd decimal strings only sort numerically for NON-NEGATIVE inputs
+# ('-' sorts below digits, and larger-magnitude negatives sort later);
+# shifting both halves by 2^62 keeps every plausible input positive
+# (micros |x| < 2^51 for any real-world date; ids assumed > -2^62) so the
+# padded concatenation is order-preserving in both engines.
+_OHLC_SHIFT = 1 << 62
+
+
+def ohlc_ordering_key() -> F.Column:
+    """THE chronological ordering key for min_by/max_by open/close —
+    single definition shared by the batch operator, the streaming twin
+    (streaming.ohlc_bars) and mirrored in ORACLE_OHLC, so the
+    batch-certifies-streaming contract can't silently diverge."""
+    return F.concat(
+        F.lpad((F.unix_micros("ts") + F.lit(_OHLC_SHIFT)).cast("string"), 20, "0"),
+        F.lpad((F.col("event_id") + F.lit(_OHLC_SHIFT)).cast("string"), 20, "0"),
+    )
+
+
+def ohlc_aggregates() -> list:
+    """The six OHLC aggregate expressions, shared batch/streaming."""
+    key = ohlc_ordering_key()
+    return [
+        F.round(F.min_by("value", key), 2).alias("open"),
+        F.round(F.max("value"), 2).alias("high"),
+        F.round(F.min("value"), 2).alias("low"),
+        F.round(F.max_by("value", key), 2).alias("close"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("volume"),
+    ]
+
+
 def q_events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC bars per event type — the resample-to-bars shape every
     metering/finance pipeline runs: open/close are the values of the
@@ -699,43 +731,31 @@ def q_events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     for windows to get.
 
     Deterministic ordering without a window: the ordering key is the
-    zero-padded string (micros ‖ event_id) — unique (event_id is), so
+    zero-padded string (2^62-shifted micros ‖ 2^62-shifted event_id) —
+    unique (event_id is) and order-preserving for any real-world input
+    incl. pre-1970 timestamps and negative ids (see _OHLC_SHIFT), so
     first/last are well-defined and identical across engines even on
-    equal timestamps; string comparison equals numeric order because
-    both halves are fixed-width. ONE map-side-combining aggregate per
-    (type, hour) — no per-bar window, no second exchange; min_by/max_by
-    partials merge like any min, which is why this shape beats
-    row_number at 100 TB."""
+    equal timestamps. ONE map-side-combining aggregate per (type, hour)
+    — no per-bar window, no second exchange; min_by/max_by partials
+    merge like any min, which is why this shape beats row_number at
+    100 TB."""
     e = load_table(spark, sf_dir, "events")
-    key = F.concat(
-        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
-        F.lpad(F.col("event_id").cast("string"), 20, "0"),
-    )
-    return (
-        e.groupBy(
-            "event_type",
-            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("bar"),
-        )
-        .agg(
-            F.round(F.min_by("value", key), 2).alias("open"),
-            F.round(F.max("value"), 2).alias("high"),
-            F.round(F.min("value"), 2).alias("low"),
-            F.round(F.max_by("value", key), 2).alias("close"),
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("volume"),
-        )
-    )
+    return e.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("bar"),
+    ).agg(*ohlc_aggregates())
 
 
-ORACLE_OHLC = """
+_OHLC_KEY_SQL = f"""lpad(CAST(epoch_us(ts) + {_OHLC_SHIFT} AS VARCHAR), 20, '0')
+                            || lpad(CAST(event_id + {_OHLC_SHIFT} AS VARCHAR), 20, '0')"""
+
+ORACLE_OHLC = f"""
 SELECT event_type,
        strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bar,
-       round(arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-                            || lpad(CAST(event_id AS VARCHAR), 20, '0')), 2) AS open,
+       round(arg_min(value, {_OHLC_KEY_SQL}), 2) AS open,
        round(max(value), 2) AS high,
        round(min(value), 2) AS low,
-       round(arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-                            || lpad(CAST(event_id AS VARCHAR), 20, '0')), 2) AS close,
+       round(arg_max(value, {_OHLC_KEY_SQL}), 2) AS close,
        count(*) AS n_events,
        round(sum(value), 2) AS volume
 FROM events

@@ -769,6 +769,7 @@ GROUP BY 1
 
 _OPQ_M = 4  # subspaces
 _OPQ_K = 16  # codes per subspace
+_OPQ_SEED = 44  # shared by the OPQ trainer AND its plain-PQ baseline
 
 
 def q_emb_opq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -794,8 +795,11 @@ def q_emb_opq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..similarity import _pq_reconstruct, train_opq, train_pq_codebooks
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    r_mat, books = train_opq(e, m_sub=_OPQ_M, n_codes=_OPQ_K)
-    pq_books = train_pq_codebooks(e, m_sub=_OPQ_M, n_codes=_OPQ_K)
+    r_mat, books = train_opq(e, m_sub=_OPQ_M, n_codes=_OPQ_K, seed=_OPQ_SEED)
+    # the plain-PQ baseline MUST share the sample/seed/init or the
+    # err_gain audit compares two different training draws, not the
+    # rotation's contribution
+    pq_books = train_pq_codebooks(e, m_sub=_OPQ_M, n_codes=_OPQ_K, seed=_OPQ_SEED)
     if r_mat.size == 0:
         return spark.createDataFrame(
             [], "vec_id long, codes array<int>, opq_err double, pq_err double"

@@ -368,14 +368,18 @@ def train_opq(
     x = np.array([r.v for r in rows], dtype=np.float64)
     dim = x.shape[1]
     r_mat = np.eye(dim)
-    rng = np.random.RandomState(seed)
-    books = _pq_lloyd(x, m_sub, n_codes, n_iters, rng)
+    if opq_iters < 1:  # degenerate request: plain PQ under identity
+        return r_mat, _pq_lloyd(x, m_sub, n_codes, n_iters, np.random.RandomState(seed))
     for _ in range(opq_iters):
         xr = x @ r_mat
         books = _pq_lloyd(xr, m_sub, n_codes, n_iters, np.random.RandomState(seed))
         y = _pq_reconstruct(xr, books)
         u, _, vt = np.linalg.svd(x.T @ y)
         r_mat = u @ vt
+    # end the alternation on a codebook step so the returned pair is
+    # consistent: books trained under the FINAL rotation, not the
+    # previous iteration's
+    books = _pq_lloyd(x @ r_mat, m_sub, n_codes, n_iters, np.random.RandomState(seed))
     return r_mat, books
 
 

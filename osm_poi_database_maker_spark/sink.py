@@ -156,11 +156,12 @@ def merge_upsert(
     LOCAL-filesystem only (os.rename): target→.__old__,
     staging→target, drop .__old__ — and :func:`_recover_swap` runs
     before the exists-probe, so a crash at any point in that sequence
-    (including one left by an older build using the legacy
-    .staging/.old/.__compacting__ names) is rolled forward or back
-    automatically; the target is never treated as absent while a
-    renamed-away copy still exists. Object-store targets need a
-    transactional table format instead."""
+    is rolled forward or back automatically; the target is never
+    treated as absent while a renamed-away copy still exists (this
+    also covers a crash left by an older build's legacy ``.old`` name,
+    recovered ROLL-FORWARD-ONLY so a user's manual ``.old`` backup
+    beside a healthy target is never touched). Object-store targets
+    need a transactional table format instead."""
     import os
 
     from pyspark.sql.window import Window
@@ -283,10 +284,14 @@ _OLD_SUFFIX = ".__old__"
 # can leave e.g. `target.old` with `target` missing; if recovery only knew
 # the current names, the next merge_upsert would treat the table as absent
 # and silently rebuild it from updates alone — the exact history loss the
-# swap protocol exists to prevent. Probe them forever: they cost one stat
-# each and make upgrades crash-safe across protocol renames.
+# swap protocol exists to prevent. BUT these names are collision-prone
+# (a user's manual `cp -r table table.old` backup is indistinguishable
+# from a crash remnant), so legacy handling is ROLL-FORWARD ONLY: a
+# legacy old-copy is renamed into place iff the target is missing (the
+# history-loss case); legacy dirs sitting beside a present target are
+# never deleted. The dunder names are collision-proof by convention and
+# keep the full recover-and-clean behavior.
 _LEGACY_OLD_SUFFIXES = (".old",)
-_LEGACY_STAGING_SUFFIXES = (".staging", ".__compacting__")
 
 
 def _recover_swap(target: str) -> None:
@@ -294,27 +299,35 @@ def _recover_swap(target: str) -> None:
     roll an interrupted swap forward or back so the target directory is
     always present-and-consistent before new work starts.
 
-    * an old-copy suffix (``.__old__``, legacy ``.old``) present, target
-      missing → crash BETWEEN the renames: roll back (rename old → target).
-    * old copy and target both present → crash after the swap, before
-      cleanup: drop the old copy.
-    * a staging suffix (``.__staging__``, legacy ``.staging`` /
-      ``.__compacting__``) present → incomplete write: drop it.
+    * ``.__old__`` present, target missing → crash BETWEEN the renames:
+      roll back (rename old → target). Same for the legacy ``.old``
+      name (an old-build crash must not read as an absent table).
+    * ``.__old__`` and target both present → crash after the swap,
+      before cleanup: drop the old copy. Legacy ``.old`` beside a
+      present target is left UNTOUCHED — it may be a user backup.
+    * ``.__staging__`` present → incomplete write: drop it. Legacy
+      staging names (``.staging`` / ``.__compacting__``) are likewise
+      left in place — they are inert, and deleting them could destroy
+      an unrelated user directory.
     """
     import os
     import shutil
 
-    for old_sfx in (_OLD_SUFFIX, *_LEGACY_OLD_SUFFIXES):
-        old = target + old_sfx
-        if os.path.exists(old):
-            if os.path.exists(target):
-                shutil.rmtree(old)
-            else:
-                os.rename(old, target)
-    for stg_sfx in (_STAGING_SUFFIX, *_LEGACY_STAGING_SUFFIXES):
-        staging = target + stg_sfx
-        if os.path.exists(staging):
-            shutil.rmtree(staging)
+    old = target + _OLD_SUFFIX
+    if os.path.exists(old):
+        if os.path.exists(target):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, target)
+    if not os.path.exists(target):
+        for old_sfx in _LEGACY_OLD_SUFFIXES:
+            legacy = target + old_sfx
+            if os.path.exists(legacy):
+                os.rename(legacy, target)
+                break
+    staging = target + _STAGING_SUFFIX
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
 
 
 def _atomic_swap(target: str) -> None:
@@ -370,12 +383,7 @@ def purge_keys(
     # recover interrupted swaps FIRST: a partition renamed to .__old__
     # mid-crash is invisible to the partition glob until rolled back
     for stray in glob.glob(os.path.join(path, "*")):
-        for suffix in (
-            _OLD_SUFFIX,
-            _STAGING_SUFFIX,
-            *_LEGACY_OLD_SUFFIXES,
-            *_LEGACY_STAGING_SUFFIXES,
-        ):
+        for suffix in (_OLD_SUFFIX, _STAGING_SUFFIX, *_LEGACY_OLD_SUFFIXES):
             if stray.endswith(suffix):
                 _recover_swap(stray[: -len(suffix)])
     part_dirs = sorted(

@@ -85,25 +85,18 @@ def ohlc_bars(
     events: DataFrame, window: str = "1 hour", watermark: str = "10 minutes"
 ) -> DataFrame:
     """Watermarked hourly OHLC bars — streaming twin of
-    queries/events.q_events_ohlc_bars (same ordering key, aggregates and
-    output shape, so the batch DuckDB oracle certifies it). min_by /
-    max_by are declarative aggregates whose partials merge like min, so
-    they run in a streaming window agg with no custom state."""
-    key = F.concat(
-        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
-        F.lpad(F.col("event_id").cast("string"), 20, "0"),
-    )
+    queries/events.q_events_ohlc_bars. The ordering key and all six
+    aggregate expressions are IMPORTED from the batch operator
+    (ohlc_ordering_key / ohlc_aggregates — single definition), so the
+    batch DuckDB oracle certifies the streaming output by construction.
+    min_by / max_by are declarative aggregates whose partials merge like
+    min, so they run in a streaming window agg with no custom state."""
+    from .queries.events import ohlc_aggregates
+
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
-        .agg(
-            F.round(F.min_by("value", key), 2).alias("open"),
-            F.round(F.max("value"), 2).alias("high"),
-            F.round(F.min("value"), 2).alias("low"),
-            F.round(F.max_by("value", key), 2).alias("close"),
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("volume"),
-        )
+        .agg(*ohlc_aggregates())
         .select(
             "event_type",
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00").alias("bar"),

@@ -141,11 +141,13 @@ def test_merge_upsert_keeps_latest_version(spark, tmp_path):
 
 
 def test_merge_upsert_recovers_legacy_protocol_remnants(spark, tmp_path):
-    """A crash under an OLDER build's swap protocol (.staging/.old,
-    compaction's .__compacting__) must be rolled forward/back too — in
-    particular `target.old` present with `target` missing is a crashed
-    swap mid-rename, NOT an absent table; treating it as absent would
-    rebuild from updates alone and silently drop history."""
+    """A crash under an OLDER build's swap protocol: `target.old` with
+    `target` missing is a crashed swap mid-rename, NOT an absent table —
+    treating it as absent would rebuild from updates alone and silently
+    drop history. Recovery is ROLL-FORWARD-ONLY for the legacy name:
+    a `.old` (or legacy staging dir) sitting beside a HEALTHY target is
+    indistinguishable from a user's manual backup and must never be
+    deleted."""
     import os
 
     from osm_poi_database_maker_spark.sink import merge_upsert
@@ -163,8 +165,17 @@ def test_merge_upsert_recovers_legacy_protocol_remnants(spark, tmp_path):
     merge_upsert(spark, path, updates)
     rows = {r.id: r.payload for r in spark.read.parquet(path).collect()}
     assert rows == {1: "a", 2: "b"}  # history survived the legacy crash
-    for stray in (".old", ".staging", ".__compacting__"):
-        assert not os.path.exists(path + stray)
+    assert not os.path.exists(path + ".old")  # rolled forward into place
+    for stray in (".staging", ".__compacting__"):
+        assert os.path.exists(path + stray)  # inert legacy dirs untouched
+
+    # conservative side: a .old backup beside a healthy target survives
+    os.rename(path + ".staging", path + ".old")  # stand-in "user backup"
+    backup_rows = spark.read.parquet(path + ".old").count()
+    merge_upsert(spark, path, spark.createDataFrame([(3, 1, "2024-03-01", "c")], schema))
+    assert os.path.exists(path + ".old")
+    assert spark.read.parquet(path + ".old").count() == backup_rows
+    assert {r.id for r in spark.read.parquet(path).collect()} == {1, 2, 3}
 
 
 def test_osm_bridge_requires_osmium():
