@@ -68,6 +68,7 @@ _VERIFY_FIRST = [
     "events_ohlc_bars",
     "doc_hybrid_rrf",
     "stream_ohlc_bars",
+    "emb_matryoshka_recall",
     # tier 1b: implementation or oracle changed in round 5 —
     # simhash AND minhash re-keyed onto the portable hash family and
     # hash-gated (rows-only down to 6: the ANN/IVF recall-audited
@@ -118,12 +119,10 @@ _VERIFY_FIRST = [
     "stream_stateful_user_totals",
     "stream_dedup_watermark",
     "stream_static_join",
-    "mm_image_features",
-    # --- the 50-entry window ends here (10 tier-1a + 5 tier-1b +
-    # 35 tier-2; mm_frame_sample / mm_resize — deterministic stub
-    # transforms, densely pytest-pinned, machinery shared with the
-    # in-window mm_image_features — slide to the overflow front with
-    # events_sketch_stats to make room for the new oracled queries). events_sketch_stats (r02 evidence, but a rows-only
+    # --- the 50-entry window ends here (11 tier-1a + 5 tier-1b +
+    # 34 tier-2; the three mm stub-transform queries — deterministic,
+    # densely pytest-pinned — and rows-only events_sketch_stats slide
+    # to the overflow front to make room for the new oracled queries). events_sketch_stats (r02 evidence, but a rows-only
     # entry whose driver row carries the least signal) yields its slot
     # to the new oracled queries and leads the overflow with the other
     # displaced entries. lineitem_discount_elasticity (hint removal) and
@@ -135,6 +134,7 @@ _VERIFY_FIRST = [
     # r03-evidence cohort (their rows turn two rounds old in round 6;
     # they lead round 6's rotation), in module-cohort order; r04-green
     # entries append automatically after them.
+    "mm_image_features",
     "mm_frame_sample",
     "mm_resize",
     "events_sketch_stats",

@@ -831,8 +831,135 @@ def q_emb_opq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MAT_DIMS = (8, 16, 32)  # truncation prefixes audited against the full dim
+_MAT_K = 5
+_MAT_QUERIES = 10  # query batch: vec_id < 10
+
+
+def q_emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit (Kusupati et al. 2022): how much of
+    the FULL-dimension exact top-5 survives when cosine runs on only the
+    first 8/16/32 coordinates — the measurement behind "can I store
+    truncated embeddings and keep my retrieval quality". One row per
+    truncation width with the mean and worst per-query recall@5 over a
+    10-query batch.
+
+    Plan: one broadcast-query exact top-k per width (the cosine_topk
+    shape — the collection is never shuffled; the per-query window ranks
+    on cosine rounded to 6 with id tie-break, the repo's deterministic
+    ranking key), the full-dim reference set is lazily checkpointed and
+    reused by every width's semi-join, and each width collapses to a
+    1-row aggregate. Entirely JVM expressions — truncation is
+    ``slice(embedding, 1, d)``, so at 100 TB each audit pass reads d/64
+    of the vector bytes after parquet column decoding."""
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def topk_pairs(d: int | None) -> DataFrame:
+        v = F.col("embedding") if d is None else F.slice("embedding", 1, d)
+        norms = e.select(
+            "vec_id",
+            v.alias("v"),
+        ).select(
+            "vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("norm")
+        )
+        q = norms.filter(F.col("vec_id") < _MAT_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("q_v"),
+            F.col("norm").alias("q_norm"),
+        )
+        scored = norms.join(
+            F.broadcast(q), F.col("vec_id") != F.col("query_id")
+        ).withColumn(
+            "cosine", _dot(F.col("q_v"), F.col("v")) / (F.col("q_norm") * F.col("norm"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc(F.round(F.col("cosine"), 6)), F.asc("vec_id")
+        )
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _MAT_K)
+            .select("query_id", "vec_id")
+        )
+
+    full = topk_pairs(None).localCheckpoint(eager=False)
+    qids = full.select("query_id").distinct()
+    per_dim = []
+    for d in _MAT_DIMS:
+        hits = (
+            full.join(topk_pairs(d), ["query_id", "vec_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count("*").alias("hits"))
+        )
+        per_q = qids.join(hits, "query_id", "left").select(
+            (F.coalesce(F.col("hits"), F.lit(0)) / F.lit(float(_MAT_K))).alias("recall")
+        )
+        per_dim.append(
+            per_q.agg(
+                F.round(F.avg("recall"), 4).alias("mean_recall"),
+                F.round(F.min("recall"), 4).alias("min_recall"),
+            ).select(F.lit(d).alias("trunc_dim"), "mean_recall", "min_recall")
+        )
+    out = per_dim[0]
+    for df in per_dim[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def _mat_topk_sql(name: str, d: int | None) -> str:
+    dot_clause = f"AND q.idx < {d}" if d is not None else ""
+    norm_clause = f"WHERE idx < {d}" if d is not None else ""
+    return f"""
+{name} AS (
+  SELECT query_id, vec_id FROM (
+    SELECT d.query_id, d.vec_id,
+           row_number() OVER (PARTITION BY d.query_id
+                              ORDER BY round(d.dot / (nq.norm * nc.norm), 6) DESC,
+                                       d.vec_id ASC) AS rk
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id, sum(q.val * c.val) AS dot
+      FROM el q JOIN el c ON q.idx = c.idx AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < {_MAT_QUERIES} {dot_clause}
+      GROUP BY 1, 2
+    ) d
+    JOIN (SELECT vec_id, sqrt(sum(val * val)) AS norm FROM el {norm_clause} GROUP BY 1) nq
+      ON nq.vec_id = d.query_id
+    JOIN (SELECT vec_id, sqrt(sum(val * val)) AS norm FROM el {norm_clause} GROUP BY 1) nc
+      ON nc.vec_id = d.vec_id
+  ) WHERE rk <= {_MAT_K}
+)"""
+
+
+def _mat_recall_sql(d: int) -> str:
+    return f"""
+SELECT {d} AS trunc_dim,
+       round(avg(recall), 4) AS mean_recall,
+       round(min(recall), 4) AS min_recall
+FROM (
+  SELECT f.query_id,
+         sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) / {float(_MAT_K)}
+           AS recall
+  FROM full_rk f
+  LEFT JOIN t{d}_rk t ON t.query_id = f.query_id AND t.vec_id = f.vec_id
+  GROUP BY 1
+)"""
+
+
+ORACLE_MATRYOSHKA = f"""
+WITH el AS (
+  SELECT vec_id,
+         CAST(unnest(embedding) AS DOUBLE) AS val,
+         unnest(range(len(embedding))) AS idx
+  FROM embeddings
+),
+{_mat_topk_sql("full_rk", None)},
+{",".join(_mat_topk_sql(f"t{d}_rk", d).lstrip() for d in _MAT_DIMS)}
+{" UNION ALL ".join(_mat_recall_sql(d) for d in _MAT_DIMS)}
+"""
+
+
 QUERIES = {
     "emb_opq_codes": q_emb_opq_codes,
+    "emb_matryoshka_recall": q_emb_matryoshka_recall,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_knn_graph": q_emb_knn_graph,
     "emb_semdedup": q_emb_semdedup,
@@ -855,4 +982,5 @@ ORACLES = {
     "emb_norm_quantiles": ORACLE_NORM_QUANTILES,
     "emb_centroid_distances": ORACLE_CENTROID_DIST,
     "emb_cosine_neardup_pairs": ORACLE_NEARDUP,
+    "emb_matryoshka_recall": ORACLE_MATRYOSHKA,
 }

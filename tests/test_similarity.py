@@ -427,3 +427,17 @@ def test_opq_training_is_deterministic(spark):
     r1, b1 = train_opq(e)
     r2, b2 = train_opq(e)
     assert np.array_equal(r1, r2) and np.array_equal(b1, b2)
+
+
+def test_matryoshka_recall_monotone_and_bounded(spark):
+    """Truncation recall must be in [0,1], generally improve with more
+    dimensions kept (allow small non-monotonic noise on the random
+    fixture), and reach a sane floor at half the dimensions."""
+    from osm_poi_database_maker_spark.queries import similarity as S2
+
+    rows = {r.trunc_dim: r for r in S2.q_emb_matryoshka_recall(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(S2._MAT_DIMS)
+    for r in rows.values():
+        assert 0.0 <= r.min_recall <= r.mean_recall <= 1.0
+    dims = sorted(rows)
+    assert rows[dims[-1]].mean_recall >= rows[dims[0]].mean_recall
