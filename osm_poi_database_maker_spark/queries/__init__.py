@@ -120,20 +120,21 @@ _VERIFY_FIRST = [
     "stream_dedup_watermark",
     "stream_static_join",
     # --- the 50-entry window ends here (11 tier-1a + 5 tier-1b +
-    # 34 tier-2; the three mm stub-transform queries — deterministic,
-    # densely pytest-pinned — and rows-only events_sketch_stats slide
-    # to the overflow front to make room for the new oracled queries). events_sketch_stats (r02 evidence, but a rows-only
-    # entry whose driver row carries the least signal) yields its slot
-    # to the new oracled queries and leads the overflow with the other
-    # displaced entries. lineitem_discount_elasticity (hint removal) and
-    # emb_knn_graph / emb_cosine_neardup_pairs (count-derived n_blocks)
-    # carry results-INVARIANT changes — their existing driver rows stay valid
-    # and exactness is pinned by block-layout-invariance tests — so they
-    # wait at the overflow front rather than displacing 3-round-stale
-    # entries. Below: the remaining
-    # r03-evidence cohort (their rows turn two rounds old in round 6;
-    # they lead round 6's rotation), in module-cohort order; r04-green
-    # entries append automatically after them.
+    # 34 tier-2). Overflow, in round-6 priority order:
+    # returned_item_revenue is new in round 5 but deliberately waits
+    # here (locally gated + pytest-planned) — displacing yet another
+    # 3-round-stale entry would trade harder evidence for it; it leads
+    # round 6's tier 1. Then the displaced r02-evidence entries (three
+    # mm stub-transform queries — deterministic, densely pytest-pinned —
+    # and rows-only events_sketch_stats, whose driver row carries the
+    # least signal); then the results-INVARIANT round-5 changes
+    # (lineitem_discount_elasticity hint removal, emb_knn_graph /
+    # emb_cosine_neardup_pairs count-derived n_blocks — existing driver
+    # rows stay valid, exactness pinned by block-layout-invariance
+    # tests); then the r03-evidence cohort (their rows turn two rounds
+    # old in round 6) in module-cohort order; r04-green entries append
+    # automatically after them.
+    "returned_item_revenue",
     "mm_image_features",
     "mm_frame_sample",
     "mm_resize",

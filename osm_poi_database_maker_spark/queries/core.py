@@ -280,6 +280,82 @@ GROUP BY 1
 """
 
 
+# --- returned-item reporting (TPC-H Q10 shape) ------------------------------
+
+_RETURNED_TOPK = 20
+
+
+def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting (TPC-H Q10 shape): the 20 customers who
+    cost the most revenue in returned line items (l_returnflag = 'R'),
+    with their nation — the who-is-returning-everything view.
+
+    Plan: the returnflag predicate pushes to the fact scan (row-group
+    pruning on the low-cardinality flag); orders/customer join on the
+    fact's own keys (size-based planning broadcasts them at tested SFs,
+    shuffle at 100 TB — no hint); the 25-row nation dim broadcasts; the
+    per-customer aggregate is one map-side-combining exchange and the
+    top-20 is TakeOrderedAndProject with the (revenue desc, custkey)
+    tie-break in both engines. Money is the exact integer-cent
+    convention, so the ranking key is identical across engines before
+    any rounding."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    vol_cents = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            (F.sum(vol_cents) / F.lit(10000.0)).alias("lost_revenue"),
+            F.count("*").alias("n_returned_items"),
+            F.round(F.first("c_acctbal"), 2).alias("acctbal"),
+        )
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(_RETURNED_TOPK)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round("lost_revenue", 2).alias("lost_revenue"),
+            "n_returned_items",
+            "acctbal",
+        )
+    )
+
+
+ORACLE_RETURNED = f"""
+SELECT c_custkey, c_name, n_name,
+       round(lost_revenue, 2) AS lost_revenue,
+       n_returned_items, acctbal
+FROM (
+  SELECT c.c_custkey, c.c_name, n.n_name,
+         sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0
+           AS lost_revenue,
+         count(*) AS n_returned_items,
+         round(any_value(c.c_acctbal), 2) AS acctbal
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY 1, 2, 3
+)
+ORDER BY lost_revenue DESC, c_custkey ASC
+LIMIT {_RETURNED_TOPK}
+"""
+
+
 def q_orders_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension type-2 interval builder: each
     customer's order stream becomes a validity-interval history —
@@ -1436,6 +1512,7 @@ QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "nation_volume_shipping": q_nation_volume_shipping,
     "nation_market_share": q_nation_market_share,
+    "returned_item_revenue": q_returned_item_revenue,
     "orders_scd2_intervals": q_orders_scd2_intervals,
     "top_orders_per_customer": q_top_orders_per_customer,
     "customers_with_urgent_orders": q_customers_with_urgent_orders,
@@ -1469,6 +1546,7 @@ ORACLES = {
     "revenue_by_nation": ORACLE_REVENUE,
     "nation_volume_shipping": ORACLE_VOLUME_SHIPPING,
     "nation_market_share": ORACLE_MARKET_SHARE,
+    "returned_item_revenue": ORACLE_RETURNED,
     "orders_scd2_intervals": ORACLE_SCD2,
     "top_orders_per_customer": ORACLE_TOP_ORDERS,
     "customers_with_urgent_orders": ORACLE_SEMI,
