@@ -297,8 +297,10 @@ def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-customer aggregate is one map-side-combining exchange and the
     top-20 is TakeOrderedAndProject with the (revenue desc, custkey)
     tie-break in both engines. Money is the exact integer-cent
-    convention, so the ranking key is identical across engines before
-    any rounding."""
+    convention, and the ranking key is the ROUNDED revenue in both
+    engines (repo boundary-rounding convention — DuckDB's outer
+    ORDER BY binds the output alias, i.e. the rounded value, so Spark
+    must rank on the rounded value too or boundary ties diverge)."""
     l = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_returnflag") == "R"
     ).select("l_orderkey", "l_extendedprice", "l_discount")
@@ -316,7 +318,10 @@ def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            (F.sum(vol_cents) / F.lit(10000.0)).alias("lost_revenue"),
+            # round BEFORE the top-k ordering: both engines rank the
+            # same 2-decimal value, so boundary ties at slot 20 break
+            # identically on c_custkey
+            F.round(F.sum(vol_cents) / F.lit(10000.0), 2).alias("lost_revenue"),
             F.count("*").alias("n_returned_items"),
             F.round(F.first("c_acctbal"), 2).alias("acctbal"),
         )
@@ -326,7 +331,7 @@ def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "c_name",
             "n_name",
-            F.round("lost_revenue", 2).alias("lost_revenue"),
+            "lost_revenue",
             "n_returned_items",
             "acctbal",
         )
@@ -334,23 +339,20 @@ def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_RETURNED = f"""
-SELECT c_custkey, c_name, n_name,
-       round(lost_revenue, 2) AS lost_revenue,
-       n_returned_items, acctbal
-FROM (
-  SELECT c.c_custkey, c.c_name, n.n_name,
-         sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-             * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0
-           AS lost_revenue,
-         count(*) AS n_returned_items,
-         round(any_value(c.c_acctbal), 2) AS acctbal
-  FROM lineitem l
-  JOIN orders o ON l.l_orderkey = o.o_orderkey
-  JOIN customer c ON o.o_custkey = c.c_custkey
-  JOIN nation n ON c.c_nationkey = n.n_nationkey
-  WHERE l.l_returnflag = 'R'
-  GROUP BY 1, 2, 3
-)
+SELECT c.c_custkey, c.c_name, n.n_name,
+       -- rounded in the aggregate so ORDER BY ranks the same 2-decimal
+       -- value Spark ranks (boundary-rounding convention)
+       round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0,
+             2) AS lost_revenue,
+       count(*) AS n_returned_items,
+       round(any_value(c.c_acctbal), 2) AS acctbal
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY 1, 2, 3
 ORDER BY lost_revenue DESC, c_custkey ASC
 LIMIT {_RETURNED_TOPK}
 """

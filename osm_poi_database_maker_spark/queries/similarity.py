@@ -30,6 +30,39 @@ def _dot(a, b):
     )
 
 
+def _cosine_topk_ranked(
+    e: DataFrame, n_query: int, k: int, d: int | None = None
+) -> DataFrame:
+    """THE exact-cosine per-query ranking — single definition of the
+    deterministic key (cosine rounded to 6, vec_id tie-break) shared by
+    q_emb_cosine_topk and every truncation width of the Matryoshka
+    audit, so the audit can never desynchronize from the baseline it
+    measures. ``d`` truncates vectors to their first d coordinates.
+    Returns (query_id, vec_id, cosine, rk ≤ k)."""
+    v = F.col("embedding") if d is None else F.slice("embedding", 1, d)
+    norms = e.select("vec_id", v.alias("v")).select(
+        "vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("norm")
+    )
+    q = norms.filter(F.col("vec_id") < n_query).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("q_v"),
+        F.col("norm").alias("q_norm"),
+    )
+    scored = norms.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).withColumn(
+        "cosine", _dot(F.col("q_v"), F.col("v")) / (F.col("q_norm") * F.col("norm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cosine"), 6)), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "cosine", "rk")
+    )
+
+
 def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: for each query vector (vec_id < 5), the 5
     nearest other vectors by cosine similarity.
@@ -40,32 +73,11 @@ def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch; for query-set ≫ broadcast threshold, switch to the LSH variant.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    norms = e.select(
-        "vec_id",
-        F.col("embedding").alias("emb"),
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
-    )
-    q = norms.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("emb").alias("q_emb"),
-        F.col("norm").alias("q_norm"),
-    )
-    pairs = norms.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-    scored = pairs.withColumn(
-        "cosine", _dot(F.col("q_emb"), F.col("emb")) / (F.col("q_norm") * F.col("norm"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc(F.round(F.col("cosine"), 6)), F.asc("vec_id")
-    )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= TOP_K)
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round("cosine", 4).alias("cosine"),
-            "rk",
-        )
+    return _cosine_topk_ranked(e, N_QUERY_VECS, TOP_K).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round("cosine", 4).alias("cosine"),
+        "rk",
     )
 
 
@@ -855,34 +867,15 @@ def q_emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
 
     def topk_pairs(d: int | None) -> DataFrame:
-        v = F.col("embedding") if d is None else F.slice("embedding", 1, d)
-        norms = e.select(
-            "vec_id",
-            v.alias("v"),
-        ).select(
-            "vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("norm")
-        )
-        q = norms.filter(F.col("vec_id") < _MAT_QUERIES).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("q_v"),
-            F.col("norm").alias("q_norm"),
-        )
-        scored = norms.join(
-            F.broadcast(q), F.col("vec_id") != F.col("query_id")
-        ).withColumn(
-            "cosine", _dot(F.col("q_v"), F.col("v")) / (F.col("q_norm") * F.col("norm"))
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.desc(F.round(F.col("cosine"), 6)), F.asc("vec_id")
-        )
-        return (
-            scored.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= _MAT_K)
-            .select("query_id", "vec_id")
+        return _cosine_topk_ranked(e, _MAT_QUERIES, _MAT_K, d).select(
+            "query_id", "vec_id"
         )
 
     full = topk_pairs(None).localCheckpoint(eager=False)
-    qids = full.select("query_id").distinct()
+    # denominator = each query's ACTUAL full-dim set size, not the
+    # constant k (the _with_recall_vs_exact convention: a query with
+    # fewer than k true neighbors still reads 1.0 when fully recovered)
+    n_full = full.groupBy("query_id").agg(F.count("*").alias("n_full"))
     per_dim = []
     for d in _MAT_DIMS:
         hits = (
@@ -890,8 +883,8 @@ def q_emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("query_id")
             .agg(F.count("*").alias("hits"))
         )
-        per_q = qids.join(hits, "query_id", "left").select(
-            (F.coalesce(F.col("hits"), F.lit(0)) / F.lit(float(_MAT_K))).alias("recall")
+        per_q = n_full.join(hits, "query_id", "left").select(
+            (F.coalesce(F.col("hits"), F.lit(0)) / F.col("n_full")).alias("recall")
         )
         per_dim.append(
             per_q.agg(
@@ -906,6 +899,10 @@ def q_emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mat_topk_sql(name: str, d: int | None) -> str:
+    # SQL twin of _cosine_topk_ranked — same el/norms/dots/rank CTE
+    # structure as ORACLE_COSINE with an optional idx < d truncation;
+    # any change to the ranking convention (round-6 key, id tie-break)
+    # must land in ORACLE_COSINE, here, and _cosine_topk_ranked together.
     dot_clause = f"AND q.idx < {d}" if d is not None else ""
     norm_clause = f"WHERE idx < {d}" if d is not None else ""
     return f"""
@@ -936,8 +933,9 @@ SELECT {d} AS trunc_dim,
        round(min(recall), 4) AS min_recall
 FROM (
   SELECT f.query_id,
-         sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) / {float(_MAT_K)}
-           AS recall
+         -- denominator = the query's ACTUAL full-dim set size
+         sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+           / CAST(count(*) AS DOUBLE) AS recall
   FROM full_rk f
   LEFT JOIN t{d}_rk t ON t.query_id = f.query_id AND t.vec_id = f.vec_id
   GROUP BY 1
