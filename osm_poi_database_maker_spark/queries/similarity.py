@@ -793,6 +793,11 @@ def q_emb_opq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     so every row carries the evidence that the rotation paid for itself
     (err_gain ≥ 0 in aggregate; pinned by pytest).
 
+    The code word is emitted as a dash-joined STRING, not array<int>:
+    the driver's canonicalizer sorts every output column pandas-side,
+    and list cells are unhashable there (r5 driver error) — scalar
+    columns only at the gate boundary.
+
     Rows-only at the driver gate: the Procrustes step is an SVD, not
     expressible in SQL — the same audit-column pattern as the ANN/IVF
     family (recall_vs_exact). Scale shape: training is bounded
@@ -814,7 +819,7 @@ def q_emb_opq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq_books = train_pq_codebooks(e, m_sub=_OPQ_M, n_codes=_OPQ_K, seed=_OPQ_SEED)
     if r_mat.size == 0:
         return spark.createDataFrame(
-            [], "vec_id long, codes array<int>, opq_err double, pq_err double"
+            [], "vec_id long, codes string, opq_err double, pq_err double"
         )
     m_sub, _, subdim = books.shape
 
@@ -832,14 +837,14 @@ def q_emb_opq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
-                    "codes": list(codes),
+                    "codes": ["-".join(map(str, row)) for row in codes],
                     "opq_err": np.round(opq_err, 6),
                     "pq_err": np.round(pq_err, 6),
                 }
             )
 
     return e.mapInPandas(
-        assign, "vec_id long, codes array<int>, opq_err double, pq_err double"
+        assign, "vec_id long, codes string, opq_err double, pq_err double"
     )
 
 

@@ -162,17 +162,26 @@ def _empty_topk_result(
 _BLOCK_TARGET_ROWS = 2048
 
 
-def _derived_n_blocks(collection: DataFrame, n_blocks: int | None) -> int:
+def _derived_n_blocks(
+    collection: DataFrame, n_blocks: int | None
+) -> tuple[DataFrame, int]:
     """Resolve the block count for a blocked self-join: honor an explicit
     caller choice, else derive it from an actual count so the ~2048-row
-    block size stays the invariant. The count is one cheap columnar scan
-    (id column only) before a job that is quadratic anyway; task count
-    grows as (n/target)² — the inherent footprint of an exact O(n²) scan,
-    which is why the docstrings route huge corpora to ann_topk/MinHash."""
+    block size stays the invariant. Returns ``(collection, n_blocks)``:
+    when the count is derived, the collection is localCheckpoint-ed FIRST
+    and the checkpointed frame returned, so (a) a derived (non-table-scan)
+    input's lineage executes once, not once for the count and again for
+    the quadratic job, and (b) the count and the job observe the same
+    snapshot — the block count (hence plan) is deterministic even over a
+    changing source (r5 advice). Callers passing an explicit ``n_blocks``
+    skip both the count and the checkpoint. Task count grows as
+    (n/target)² — the inherent footprint of an exact O(n²) scan, which is
+    why the docstrings route huge corpora to ann_topk/MinHash."""
     if n_blocks is not None:
-        return max(1, n_blocks)
+        return collection, max(1, n_blocks)
+    collection = collection.localCheckpoint(eager=False)
     n = collection.count()
-    return max(1, -(-n // _BLOCK_TARGET_ROWS))
+    return collection, max(1, -(-n // _BLOCK_TARGET_ROWS))
 
 
 def _blocked_sides(collection: DataFrame, n_blocks: int, id_col: str, vec_col: str):
@@ -546,7 +555,7 @@ def cosine_neardup_pairs(
     quadratic join). For corpora where exact O(n²) is infeasible, use
     :func:`ann_topk` (LSH) or MinHash instead.
     """
-    n_blocks = _derived_n_blocks(collection, n_blocks)
+    collection, n_blocks = _derived_n_blocks(collection, n_blocks)
     sides = _blocked_sides(collection, n_blocks, id_col, vec_col)
 
     def score_block_pair(key, pdf):
@@ -609,7 +618,7 @@ def knn_graph(
     quadratic scan — for corpora beyond it, :func:`ann_topk` per vector
     is the scale path.
     """
-    n_blocks = _derived_n_blocks(collection, n_blocks)
+    collection, n_blocks = _derived_n_blocks(collection, n_blocks)
     sides = _blocked_sides(collection, n_blocks, id_col, vec_col)
 
     def local_topk(key, pdf):

@@ -292,6 +292,13 @@ _OLD_SUFFIX = ".__old__"
 # never deleted. The dunder names are collision-proof by convention and
 # keep the full recover-and-clean behavior.
 _LEGACY_OLD_SUFFIXES = (".old",)
+# Staging names earlier builds wrote before their rename swap. Their
+# presence beside a legacy `.old` is the corroborating evidence that the
+# `.old` is a crash remnant and not a user's manual backup: the old-build
+# crash window (after `target -> target.old`, before `staging -> target`)
+# necessarily leaves the staging directory behind, whereas a deliberate
+# `rm -rf table` after a `cp -r table table.old` backup leaves no staging.
+_LEGACY_STAGING_SUFFIXES = (".staging", ".__compacting__")
 
 
 def _recover_swap(target: str) -> None:
@@ -300,8 +307,12 @@ def _recover_swap(target: str) -> None:
     always present-and-consistent before new work starts.
 
     * ``.__old__`` present, target missing → crash BETWEEN the renames:
-      roll back (rename old → target). Same for the legacy ``.old``
-      name (an old-build crash must not read as an absent table).
+      roll back (rename old → target). A legacy ``.old`` with the target
+      missing is promoted ONLY when a legacy staging remnant sits beside
+      it — the signature an old-build crash necessarily leaves — so a
+      user's manual ``cp -r table table.old`` backup is never consumed
+      after they deliberately delete the table (r5 advice). Without the
+      remnant the ``.old`` is left alone and a loud warning is logged.
     * ``.__old__`` and target both present → crash after the swap,
       before cleanup: drop the old copy. Legacy ``.old`` beside a
       present target is left UNTOUCHED — it may be a user backup.
@@ -320,10 +331,26 @@ def _recover_swap(target: str) -> None:
         else:
             os.rename(old, target)
     if not os.path.exists(target):
+        crash_evidence = any(
+            os.path.exists(target + s) for s in _LEGACY_STAGING_SUFFIXES
+        )
         for old_sfx in _LEGACY_OLD_SUFFIXES:
             legacy = target + old_sfx
             if os.path.exists(legacy):
-                os.rename(legacy, target)
+                if crash_evidence:
+                    os.rename(legacy, target)
+                else:
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "found %s with %s missing but no legacy staging "
+                        "remnant — treating it as a user backup, NOT a "
+                        "crash remnant; rename it to %s manually if it "
+                        "should be the live table",
+                        legacy,
+                        target,
+                        target,
+                    )
                 break
     staging = target + _STAGING_SUFFIX
     if os.path.exists(staging):

@@ -90,7 +90,13 @@ def ohlc_bars(
     (ohlc_ordering_key / ohlc_aggregates — single definition), so the
     batch DuckDB oracle certifies the streaming output by construction.
     min_by / max_by are declarative aggregates whose partials merge like
-    min, so they run in a streaming window agg with no custom state."""
+    min, so they run in a streaming window agg with no custom state.
+
+    The bar label is minute-precision ``HH:mm`` derived from the window
+    struct's actual start — for the default 1-hour window that renders
+    identically to the batch twin's ``date_trunc('hour') → HH:00``, and
+    for sub-hour windows (e.g. '15 minutes') each window gets its own
+    correct label instead of collapsing onto the hour (r5 advice)."""
     from .queries.events import ohlc_aggregates
 
     return (
@@ -99,7 +105,7 @@ def ohlc_bars(
         .agg(*ohlc_aggregates())
         .select(
             "event_type",
-            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00").alias("bar"),
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("bar"),
             "open",
             "high",
             "low",

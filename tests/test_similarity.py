@@ -413,8 +413,9 @@ def test_opq_rotation_is_orthogonal_and_improves_on_pq(spark):
     tot_opq = sum(r.opq_err for r in rows)
     tot_pq = sum(r.pq_err for r in rows)
     assert tot_opq <= tot_pq * 1.001  # rotation must pay for itself
-    assert all(len(r.codes) == S2._OPQ_M for r in rows)
-    assert all(0 <= c < S2._OPQ_K for r in rows for c in r.codes)
+    parsed = [[int(c) for c in r.codes.split("-")] for r in rows]
+    assert all(len(cs) == S2._OPQ_M for cs in parsed)
+    assert all(0 <= c < S2._OPQ_K for cs in parsed for c in cs)
 
 
 def test_opq_training_is_deterministic(spark):

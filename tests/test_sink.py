@@ -177,6 +177,19 @@ def test_merge_upsert_recovers_legacy_protocol_remnants(spark, tmp_path):
     assert spark.read.parquet(path + ".old").count() == backup_rows
     assert {r.id for r in spark.read.parquet(path).collect()} == {1, 2, 3}
 
+    # user deliberately deletes the table but keeps their .old backup:
+    # no legacy staging remnant → the backup must NOT be promoted and
+    # consumed by the next merge (r5 advice); the merge starts fresh.
+    import shutil
+
+    shutil.rmtree(path)
+    shutil.rmtree(path + ".__compacting__")
+    backup_rows = spark.read.parquet(path + ".old").count()
+    merge_upsert(spark, path, spark.createDataFrame([(7, 1, "2024-04-01", "g")], schema))
+    assert os.path.exists(path + ".old")  # backup preserved by name
+    assert spark.read.parquet(path + ".old").count() == backup_rows
+    assert {r.id for r in spark.read.parquet(path).collect()} == {7}
+
 
 def test_osm_bridge_requires_osmium():
     from osm_poi_database_maker_spark.osm_source import pbf_to_parquet
