@@ -1498,6 +1498,482 @@ GROUP BY 1
 """
 
 
+# --- minimum-cost supplier (TPC-H Q2 shape) --------------------------------
+
+_MINCOST_REGION = "EUROPE"
+_MINCOST_TYPE = "STANDARD"
+_MINCOST_MAX_SIZE = 15
+_MINCOST_TOPK = 100
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier per part (TPC-H Q2 shape — the classic
+    correlated scalar subquery ``cost = (SELECT min(cost) ... WHERE
+    partkey = outer.partkey)``, decorrelated into a per-part min-aggregate
+    joined back on (partkey, cost)). The fixtures have no partsupp table,
+    so the supply cost is derived from the fact: a (part, supplier)'s
+    offered cost is its cheapest observed unit price.
+
+    Unit price is exact fixed-point: floor(cents · 10⁴ / qty). The
+    quotient's distance from any integer is ≥ 1/qty ≥ 1/50, far above
+    double ulp at this magnitude, so floor is engine-portable where
+    round-half would not be. Plan: region/nation dims broadcast onto
+    supplier; the (part, cost) equi-join back is on exact integers; the
+    final top-100 ranks on the ROUNDED acctbal (boundary-rounding
+    convention) with (n_name, s_name, p_partkey) tie-breaks and runs as
+    TakeOrderedAndProject."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_type") == _MINCOST_TYPE) & (F.col("p_size") <= _MINCOST_MAX_SIZE))
+        .select("p_partkey", "p_name")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == _MINCOST_REGION)
+        .select("r_regionkey")
+    )
+    rs = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    uc_c4 = F.floor(
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * 10000
+        / F.col("l_quantity").cast("long")
+    ).cast("long")
+    offer = (
+        l.select("l_partkey", "l_suppkey", uc_c4.alias("uc_c4"))
+        .join(p, F.col("l_partkey") == p.p_partkey)
+        .join(rs, F.col("l_suppkey") == rs.s_suppkey)
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min("uc_c4").alias("cost_c4"))
+    )
+    best = offer.groupBy(F.col("p_partkey").alias("b_partkey")).agg(
+        F.min("cost_c4").alias("best_c4")
+    )
+    return (
+        offer.join(
+            best,
+            (offer.p_partkey == best.b_partkey) & (offer.cost_c4 == best.best_c4),
+        )
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round(F.col("cost_c4") / 10000.0, 2).alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(_MINCOST_TOPK)
+    )
+
+
+ORACLE_MINCOST = f"""
+WITH rs AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{_MINCOST_REGION}'
+),
+offer AS (
+  SELECT p.p_partkey, p.p_name, rs.s_suppkey, rs.s_name, rs.s_acctbal, rs.n_name,
+         min(CAST(floor(CAST(round(l.l_extendedprice * 100) AS BIGINT) * 10000
+                        / CAST(l.l_quantity AS BIGINT)) AS BIGINT)) AS cost_c4
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN rs ON l.l_suppkey = rs.s_suppkey
+  WHERE p.p_type = '{_MINCOST_TYPE}' AND p.p_size <= {_MINCOST_MAX_SIZE}
+  GROUP BY 1, 2, 3, 4, 5, 6
+),
+best AS (
+  SELECT p_partkey, min(cost_c4) AS best_c4 FROM offer GROUP BY 1
+)
+SELECT round(o.s_acctbal, 2) AS s_acctbal, o.s_name, o.n_name, o.p_partkey, o.p_name,
+       round(o.cost_c4 / 10000.0, 2) AS supply_cost
+FROM offer o
+JOIN best b ON o.p_partkey = b.p_partkey AND o.cost_c4 = b.best_c4
+ORDER BY s_acctbal DESC, o.n_name, o.s_name, o.p_partkey
+LIMIT {_MINCOST_TOPK}
+"""
+
+
+# --- product-type profit (TPC-H Q9 shape) ----------------------------------
+
+_PROFIT_NAME_PREFIX = "red "
+_PROFIT_COST_PCT = 50  # stand-in supply cost: 50% of retail price
+
+
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit by supplier nation and order year over a part-name family
+    (TPC-H Q9 shape: LIKE-filtered part dim, 5-table star join, year
+    extraction, signed profit aggregate). No partsupp in the fixtures,
+    so supply cost is the documented stand-in {_PROFIT_COST_PCT}% of
+    retail price.
+
+    Exact integer-cent×100 money: profit_c4 = price_cents·(100−disc) −
+    retail_cents·{_PROFIT_COST_PCT}·qty, summed as longs — no float
+    drift between partial-agg orders or engines. The LIKE filter prunes
+    the part dim before its join (AQE broadcasts the ~5% survivor set at
+    tested SFs); nation broadcasts; one exchange for the
+    (nation, year) aggregate."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith(_PROFIT_NAME_PREFIX))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount", "l_quantity"
+    )
+    pc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dc = F.round(F.col("l_discount") * 100).cast("long")
+    rc = F.round(F.col("p_retailprice") * 100).cast("long")
+    profit_c4 = pc * (F.lit(100) - dc) - rc * _PROFIT_COST_PCT * F.col("l_quantity").cast("long")
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit_c4) / F.lit(10000.0), 2).alias("profit"))
+        .orderBy("n_name", F.desc("o_year"))
+    )
+
+
+ORACLE_PROFIT = f"""
+SELECT n.n_name,
+       CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                 - CAST(round(p.p_retailprice * 100) AS BIGINT)
+                   * {_PROFIT_COST_PCT} * CAST(l.l_quantity AS BIGINT)) / 10000.0,
+             2) AS profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '{_PROFIT_NAME_PREFIX}%'
+GROUP BY 1, 2
+ORDER BY n_name, o_year DESC
+"""
+
+
+# --- important part stock (TPC-H Q11 shape) --------------------------------
+
+_STOCK_REGION = "ASIA"
+_STOCK_FRACTION_DEN = 1000  # keep parts with value > total / 1000
+
+
+def q_important_part_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts representing an outsized share of a region's traded value
+    (TPC-H Q11 shape: grouped value per part, HAVING value > fraction ×
+    a scalar subquery over the SAME filtered set). The fraction compare
+    is exact integer math — value_c4 · {_STOCK_FRACTION_DEN} > total_c4
+    — so no float threshold can diverge between engines.
+
+    Plan: the region's supplier set is a broadcast semi-join onto the
+    fact; per-part value is one map-side-combining exchange; the scalar
+    total re-aggregates the per-part frame (no second fact scan) and
+    broadcasts as a 1-row frame — the standard decorrelated
+    scalar-subquery shape. ``share_bp`` (basis points) is floor-division,
+    exact by the 1/total granularity argument."""
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == _STOCK_REGION)
+        .select("r_regionkey")
+    )
+    region_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol_c4 = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    per_part = (
+        l.join(F.broadcast(region_supp), l.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(vol_c4).alias("value_c4"))
+        .localCheckpoint(eager=False)
+    )
+    total = per_part.agg(F.sum("value_c4").alias("total_c4"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_c4") * _STOCK_FRACTION_DEN > F.col("total_c4"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("value_c4") / 10000.0, 2).alias("value"),
+            F.floor(F.col("value_c4") * 10000 / F.col("total_c4")).cast("long").alias("share_bp"),
+        )
+        .orderBy(F.desc("value"), "p_partkey")
+    )
+
+
+ORACLE_STOCK = f"""
+WITH region_supp AS (
+  SELECT s_suppkey
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{_STOCK_REGION}'
+),
+per_part AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS value_c4
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM region_supp)
+  GROUP BY 1
+),
+total AS (SELECT sum(value_c4) AS total_c4 FROM per_part)
+SELECT l_partkey AS p_partkey,
+       round(value_c4 / 10000.0, 2) AS value,
+       CAST(floor(value_c4 * 10000 / total_c4) AS BIGINT) AS share_bp
+FROM per_part CROSS JOIN total
+WHERE value_c4 * {_STOCK_FRACTION_DEN} > total_c4
+ORDER BY value DESC, p_partkey
+"""
+
+
+# --- shipping lag buckets (TPC-H Q12 shape) --------------------------------
+
+_URGENT_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+def q_shipping_lag_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lag distribution with per-bucket priority mix
+    (TPC-H Q12 shape: fact/dim join, CASE bucketing, conditional
+    SUM(CASE WHEN priority IN urgent ...) aggregate). The fixtures lack
+    shipmode/receipt dates, so the bucketed dimension is the lag between
+    order date and ship date — including the synthetic data's negative
+    lags ('early'), which a naive 0-based bucketing would misfile.
+
+    Day arithmetic is calendar-date boundary counting in BOTH engines
+    (Spark datediff on casts-to-date, DuckDB date_diff('day') on the
+    same) — integer-exact, unlike sub-day timestamp diffs (repo
+    convention). The urgent share is floor-division to basis points:
+    exact by the 1/n granularity argument. One fact/orders join, one
+    4-group aggregate."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lag = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    bucket = (
+        F.when(lag < 0, "early")
+        .when(lag <= 30, "fast")
+        .when(lag <= 365, "standard")
+        .otherwise("slow")
+    )
+    urgent = F.col("o_orderpriority").isin(*_URGENT_PRIORITIES).cast("long")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(bucket.alias("lag_bucket"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(urgent).alias("n_urgent"),
+            F.min(lag).alias("min_lag_days"),
+            F.max(lag).alias("max_lag_days"),
+        )
+        .select(
+            "lag_bucket",
+            "n_items",
+            "n_urgent",
+            F.floor(F.col("n_urgent") * 10000 / F.col("n_items")).cast("long").alias("urgent_bp"),
+            "min_lag_days",
+            "max_lag_days",
+        )
+        .orderBy("lag_bucket")
+    )
+
+
+ORACLE_LAG_BUCKETS = f"""
+WITH lagged AS (
+  SELECT date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS lag,
+         o.o_orderpriority
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT CASE WHEN lag < 0 THEN 'early'
+            WHEN lag <= 30 THEN 'fast'
+            WHEN lag <= 365 THEN 'standard'
+            ELSE 'slow' END AS lag_bucket,
+       count(*) AS n_items,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS n_urgent,
+       CAST(floor(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                  * 10000 / count(*)) AS BIGINT) AS urgent_bp,
+       min(lag) AS min_lag_days,
+       max(lag) AS max_lag_days
+FROM lagged
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# --- brand/type/size supplier counts (TPC-H Q16 shape) ---------------------
+
+
+def q_brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-supplier counts per (brand, type, size band), excluding a
+    complaint set via NOT IN (TPC-H Q16 shape: NOT-IN decorrelated to an
+    anti-join, COUNT(DISTINCT) over a 3-column group). The complaint
+    stand-in is suppliers with negative account balance (the fixtures
+    carry no comment text).
+
+    Size bands use explicit floor() in both engines — DuckDB's
+    double→int CAST rounds to nearest while Spark's truncates, so a bare
+    CAST((p_size-1)/10 AS INT) would silently diverge on every band
+    boundary. Plan: the excluded-supplier set is tiny → broadcast
+    anti-join on the fact; part joins on the fact's own key; one
+    count-distinct exchange (two-phase distinct aggregate)."""
+    excluded = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") != "PROMO")
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        l.join(F.broadcast(excluded), l.l_suppkey == excluded.s_suppkey, "left_anti")
+        .join(p, l.l_partkey == p.p_partkey)
+        .groupBy(
+            "p_brand",
+            "p_type",
+            F.floor((F.col("p_size") - 1) / 10).cast("int").alias("size_band"),
+        )
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "size_band")
+    )
+
+
+ORACLE_BRAND_SUPPLIERS = """
+SELECT p.p_brand, p.p_type,
+       CAST(floor((p.p_size - 1) / 10) AS INTEGER) AS size_band,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_type <> 'PROMO'
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, size_band
+"""
+
+
+# --- dominant-share suppliers (TPC-H Q20 shape) ----------------------------
+
+_EXCESS_NAME_PREFIX = "small "
+_EXCESS_YEAR = 1998  # non-empty at every fixture SF (1997 is empty at sf0.001)
+_EXCESS_REGION = "AMERICA"
+
+
+def q_excess_shipped_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who dominated a part's shipped volume (TPC-H Q20 shape:
+    nested IN-subqueries — parts by name prefix, a correlated
+    quantity-threshold against a per-part total, then a supplier
+    semi-join). A supplier qualifies on a part when its {_EXCESS_YEAR}
+    shipped quantity exceeds HALF the part's total shipped quantity that
+    year (2·qty > total as exact longs — quantities are whole numbers).
+
+    Plan: the name-prefix part set semi-joins the date-pruned fact; the
+    per-(supplier, part) aggregate is lazily checkpointed and re-aggregated
+    for the per-part totals (no second fact scan — the Q11 scalar-total
+    trick at per-part grain); the dominance filter is an equi-join on
+    partkey; region suppliers broadcast."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith(_EXCESS_NAME_PREFIX))
+        .select("p_partkey")
+    )
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(f"{_EXCESS_YEAR}-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(f"{_EXCESS_YEAR + 1}-01-01 00:00:00").cast("timestamp"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    qty_sp = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+        .localCheckpoint(eager=False)
+    )
+    tot_p = qty_sp.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    dominant = (
+        qty_sp.join(tot_p, qty_sp.l_partkey == tot_p.t_partkey)
+        .filter(F.col("qty") * 2 > F.col("total_qty"))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_dominant_parts"), F.sum("qty").alias("dominant_qty"))
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == _EXCESS_REGION)
+        .select("r_regionkey")
+    )
+    rs = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    return (
+        dominant.join(rs, dominant.l_suppkey == rs.s_suppkey)
+        .select("s_suppkey", "s_name", "n_name", "n_dominant_parts", "dominant_qty")
+        .orderBy("s_name", "s_suppkey")
+    )
+
+
+ORACLE_EXCESS = f"""
+WITH qty_sp AS (
+  SELECT l_suppkey, l_partkey, sum(CAST(l_quantity AS BIGINT)) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{_EXCESS_YEAR}-01-01'
+    AND l_shipdate < TIMESTAMP '{_EXCESS_YEAR + 1}-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '{_EXCESS_NAME_PREFIX}%')
+  GROUP BY 1, 2
+),
+tot_p AS (SELECT l_partkey, sum(qty) AS total_qty FROM qty_sp GROUP BY 1),
+dominant AS (
+  SELECT q.l_suppkey, count(*) AS n_dominant_parts, sum(q.qty) AS dominant_qty
+  FROM qty_sp q JOIN tot_p t ON q.l_partkey = t.l_partkey
+  WHERE q.qty * 2 > t.total_qty
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, n.n_name, d.n_dominant_parts, d.dominant_qty
+FROM dominant d
+JOIN supplier s ON d.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{_EXCESS_REGION}'
+ORDER BY s.s_name, s.s_suppkey
+"""
+
+
 QUERIES = {
     "lineitem_discount_elasticity": q_lineitem_discount_elasticity,
     "part_promo_share": q_part_promo_share,
@@ -1530,6 +2006,12 @@ QUERIES = {
     "order_grouping_sets": q_order_grouping_sets,
     "orders_above_customer_avg": q_orders_above_customer_avg,
     "top_suppliers_by_revenue": q_top_suppliers_by_revenue,
+    "min_cost_supplier": q_min_cost_supplier,
+    "product_type_profit": q_product_type_profit,
+    "important_part_stock": q_important_part_stock,
+    "shipping_lag_buckets": q_shipping_lag_buckets,
+    "brand_supplier_counts": q_brand_supplier_counts,
+    "excess_shipped_suppliers": q_excess_shipped_suppliers,
 }
 
 ORACLES = {
@@ -1564,4 +2046,10 @@ ORACLES = {
     "order_grouping_sets": ORACLE_GROUPING_SETS,
     "orders_above_customer_avg": ORACLE_CORRELATED,
     "top_suppliers_by_revenue": ORACLE_TOP_SUPPLIERS,
+    "min_cost_supplier": ORACLE_MINCOST,
+    "product_type_profit": ORACLE_PROFIT,
+    "important_part_stock": ORACLE_STOCK,
+    "shipping_lag_buckets": ORACLE_LAG_BUCKETS,
+    "brand_supplier_counts": ORACLE_BRAND_SUPPLIERS,
+    "excess_shipped_suppliers": ORACLE_EXCESS,
 }
