@@ -244,6 +244,199 @@ WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {NEARDUP_THRESHOLD}
 """
 
 
+# --- signed-random-projection LSH (Charikar 2002) --------------------------
+#
+# Unlike the xxhash64-plane ANN family (rows-only), this LSH is built on
+# the PORTABLE pseudo-random family: hyperplane weights are Lehmer-mixed
+# integers and vectors are fixed-point-quantized, so every projection is
+# EXACT int64 arithmetic that DuckDB reproduces bit-for-bit — the one
+# LSH in the repo whose banding, bucketing, AND candidates are fully
+# value-hash-checked by the driver oracle.
+_SRP_PLANES = 24
+_SRP_BAND_BITS = 6  # 4 bands × 6 bits → 64 buckets per band
+_SRP_BANDS = _SRP_PLANES // _SRP_BAND_BITS
+_SRP_BUCKET_CAP = 64  # deterministic per-bucket cap, replayed in the oracle
+_SRP_Q = 1_000_000  # fixed-point scale: vq = floor(v · 10⁶), exact both engines
+_SRP_W_RANGE = 2001  # weights in [-1000, 1000]
+_SRP_X_STRIDE = 4096  # plane/dim index mix: x = p·4096 + d (collision-free to d<4096)
+
+
+def _srp_weights() -> list[list[int]]:
+    """The 24×64 hyperplane matrix as plain Python ints — the SAME
+    Lehmer fold the oracle SQL computes from range(planes)×range(dim):
+    w(p,d) = lehmer2(p·4096+d) % 2001 − 1000. Deterministic, seedless,
+    and engine-free: Spark inlines the rows as array literals, DuckDB
+    re-derives them from the formula; both sides are exact integers."""
+    from ..dedup import _PORT_A, _PORT_M
+
+    w = []
+    for p in range(_SRP_PLANES):
+        row = []
+        for d in range(64):
+            x = p * _SRP_X_STRIDE + d
+            mix = ((x % _PORT_M) * _PORT_A % _PORT_M) * _PORT_A % _PORT_M
+            row.append(mix % _SRP_W_RANGE - 1000)
+        w.append(row)
+    return w
+
+
+def q_emb_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine near-dup candidates via signed-random-projection LSH
+    (Charikar's SimHash-for-vectors): 24 integer hyperplanes give each
+    vector a 24-bit sign signature; signatures band into 4×6-bit bucket
+    keys; vectors sharing a (band, bucket) become candidate pairs
+    (deterministically capped per bucket); candidates are verified by
+    exact cosine ≥ {NEARDUP_THRESHOLD}. The scale path for
+    `emb_cosine_neardup_pairs`' exact blocked O(n²) join: candidate
+    volume is Σ_buckets C(cap,2) — linear in n for fixed bucket load.
+
+    Everything up to the final cosine is EXACT integer math in both
+    engines: vectors quantize to vq = floor(v·10⁶) (float→double→floor
+    is IEEE-identical), plane weights are Lehmer-derived ints, and each
+    projection is a Σ wt·vq int64 fold — so the sign bits can never
+    diverge on an engine's float summation order, which is what makes
+    this LSH oracle-checkable when the float-plane variant is not.
+
+    Plan shape: the quantized array materializes behind one exchange
+    (CollapseProject would otherwise re-inline the transform into all 24
+    plane folds — measured 6× regression pattern); the 24 projections
+    are JVM array folds in one codegen stage; band explode produces 4
+    rows/vector; the self-join runs on (band, bucket) hash keys — a
+    bucketed join, never all-pairs; the cosine verify joins vectors back
+    by id twice and folds dot/norms JVM-side. No Python anywhere."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return _srp_pairs(e)
+
+
+def _srp_pairs(e: DataFrame) -> DataFrame:
+    """SRP-LSH candidate+verify pipeline over a (vec_id, embedding)
+    frame — separated from the sf_dir wrapper so property tests can
+    plant near-duplicate vectors."""
+    vq = F.transform(
+        F.col("embedding"), lambda v: F.floor(v.cast("double") * _SRP_Q).cast("long")
+    )
+    # repartition = optimizer barrier: materialize vq ONCE (perf-pitfalls
+    # memory: CollapseProject re-splits shared transforms)
+    qdf = e.select("vec_id", vq.alias("vq")).repartition("vec_id")
+    w = _srp_weights()
+    bits = []
+    for p in range(_SRP_PLANES):
+        wlit = F.array(*[F.lit(x).cast("long") for x in w[p]])
+        proj = F.aggregate(
+            F.zip_with(F.col("vq"), wlit, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")))
+    band_structs = []
+    for b in range(_SRP_BANDS):
+        bval = None
+        for j in range(_SRP_BAND_BITS):
+            term = bits[b * _SRP_BAND_BITS + j] * F.lit(1 << j).cast("long")
+            bval = term if bval is None else bval + term
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), bval.alias("bval"))
+        )
+    banded = qdf.select(
+        "vec_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+    capped = (
+        banded.withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("band", "bval").orderBy("vec_id")
+            ),
+        )
+        .filter(F.col("r") <= _SRP_BUCKET_CAP)
+        .select("vec_id", "band", "bval")
+        .localCheckpoint(eager=False)
+    )
+    a = capped.select(F.col("vec_id").alias("vec_a"), "band", "bval")
+    b = capped.select(F.col("vec_id").alias("vec_b"), "band", "bval")
+    cand = (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .groupBy("vec_a", "vec_b")
+        .agg(F.count("*").alias("n_bands"))
+    )
+    norms = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda v: v.cast("double")).alias("v"),
+    ).select("vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("norm"))
+    va = norms.select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("a_v"), F.col("norm").alias("a_norm")
+    )
+    vb = norms.select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("b_v"), F.col("norm").alias("b_norm")
+    )
+    cosine = _dot(F.col("a_v"), F.col("b_v")) / (F.col("a_norm") * F.col("b_norm"))
+    return (
+        cand.join(va, cand.vec_a == va.a_id)
+        .join(vb, cand.vec_b == vb.b_id)
+        .withColumn("cosine", F.round(cosine, 4))
+        .filter(F.col("cosine") >= NEARDUP_THRESHOLD)
+        .select("vec_a", "vec_b", "n_bands", "cosine")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+ORACLE_SRP = f"""
+WITH el AS (
+  SELECT vec_id,
+         CAST(floor(CAST(e.val AS DOUBLE) * {_SRP_Q}.0) AS BIGINT) AS vq,
+         CAST(e.idx AS BIGINT) AS d
+  FROM (SELECT vec_id, unnest(embedding) AS val,
+               unnest(range(len(embedding))) AS idx
+        FROM embeddings) e
+),
+planes AS (  -- w(p,d) = lehmer2(p*{_SRP_X_STRIDE}+d) % {_SRP_W_RANGE} - 1000, identical to _srp_weights()
+  SELECT p, d,
+         ((x % 2147483647) * 48271 % 2147483647 * 48271 % 2147483647)
+           % {_SRP_W_RANGE} - 1000 AS wt
+  FROM (SELECT p, d, p * {_SRP_X_STRIDE} + d AS x
+        FROM (SELECT unnest(range({_SRP_PLANES})) AS p)
+        CROSS JOIN (SELECT unnest(range(64)) AS d))
+),
+proj AS (
+  SELECT el.vec_id,
+         CAST(pl.p // {_SRP_BAND_BITS} AS INTEGER) AS band,
+         CAST(pl.p % {_SRP_BAND_BITS} AS INTEGER) AS j,
+         sum(pl.wt * el.vq) AS pr
+  FROM el JOIN planes pl ON el.d = pl.d
+  GROUP BY 1, 2, 3
+),
+bands AS (
+  SELECT vec_id, band,
+         sum(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << j)
+                  ELSE CAST(0 AS BIGINT) END) AS bval
+  FROM proj GROUP BY 1, 2
+),
+capped AS (
+  SELECT vec_id, band, bval,
+         row_number() OVER (PARTITION BY band, bval ORDER BY vec_id) AS r
+  FROM bands
+),
+cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, count(*) AS n_bands
+  FROM (SELECT * FROM capped WHERE r <= {_SRP_BUCKET_CAP}) a
+  JOIN (SELECT * FROM capped WHERE r <= {_SRP_BUCKET_CAP}) b
+    ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+SELECT c.vec_a, c.vec_b, c.n_bands,
+       round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+FROM cand c
+JOIN emb a ON c.vec_a = a.vec_id
+JOIN emb b ON c.vec_b = b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {NEARDUP_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+
 def q_emb_norm_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label L2-norm distribution (quartiles + count) — the vector
     sanity audit before indexing (collapsed or exploding norms signal a
@@ -848,6 +1041,49 @@ def q_emb_opq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA eigen-spectrum of the embedding collection: one row per
+    principal component with its eigenvalue, variance-explained share,
+    and cumulative share — the dimensionality audit behind Matryoshka
+    truncation and PQ subspace choices (how many components carry the
+    collection's variance).
+
+    Distributed part: the d×d covariance accumulates as per-batch
+    (n, Σx, XᵀX) sufficient statistics in ONE mapInPandas pass with an
+    element-wise merge — vectors are never shuffled and only d²+d+1
+    aggregated cells reach the driver (the bounded trainer-rule
+    collect). Driver part: a d×d symmetric eigendecomposition — a dense
+    O(d³) problem whose size is independent of collection size, exactly
+    like the OPQ Procrustes SVD.
+
+    Rows-only at the gate (eigensolvers aren't SQL), with the audit
+    IN-BAND: ``trace_gap`` = |Σλ − tr(cov)| on every row. The trace is
+    independently computable as plain per-dimension variances — pytest
+    pins Σλ against a Spark-aggregated Σ var(dim) — so a wrong
+    decomposition is visible in the emitted rows themselves."""
+    import numpy as np
+
+    from ..similarity import covariance_matrix
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cov, n = covariance_matrix(e)
+    schema = (
+        "component int, eigenvalue double, var_explained double, "
+        "cum_var double, trace_gap double"
+    )
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    eig = np.linalg.eigvalsh(cov)[::-1]  # descending
+    trace = float(np.trace(cov))
+    gap = round(abs(float(eig.sum()) - trace), 6)
+    rows, cum = [], 0.0
+    for comp, lam in enumerate(eig):
+        share = float(lam) / trace if trace else 0.0
+        cum += share
+        rows.append((comp, round(float(lam), 6), round(share, 6), round(cum, 6), gap))
+    return spark.createDataFrame(rows, schema)
+
+
 _MAT_DIMS = (8, 16, 32)  # truncation prefixes audited against the full dim
 _MAT_K = 5
 _MAT_QUERIES = 10  # query batch: vec_id < 10
@@ -974,6 +1210,8 @@ QUERIES = {
     "emb_ivf_pq_topk": q_emb_ivf_pq_topk,
     "emb_ivf_topk": q_emb_ivf_topk,
     "emb_cosine_neardup_pairs": q_emb_cosine_neardup_pairs,
+    "emb_srp_lsh_pairs": q_emb_srp_lsh_pairs,
+    "emb_pca_spectrum": q_emb_pca_spectrum,
 }
 
 ORACLES = {
@@ -986,4 +1224,5 @@ ORACLES = {
     "emb_centroid_distances": ORACLE_CENTROID_DIST,
     "emb_cosine_neardup_pairs": ORACLE_NEARDUP,
     "emb_matryoshka_recall": ORACLE_MATRYOSHKA,
+    "emb_srp_lsh_pairs": ORACLE_SRP,
 }

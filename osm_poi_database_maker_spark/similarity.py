@@ -273,6 +273,68 @@ def ivf_topk(
     )
 
 
+def covariance_matrix(
+    collection: DataFrame, vec_col: str = "embedding"
+) -> tuple[np.ndarray, int]:
+    """Distributed d×d covariance of a vector column, returned to the
+    driver as ``(cov, n)``.
+
+    The heavy pass is fully distributed: one ``mapInPandas`` over the
+    collection emits per-Arrow-batch sufficient statistics — count,
+    per-dim sums, and the d×d XᵀX Gram partial — flattened to
+    (kind, i, j, value) cells; an element-wise groupBy-sum merges the
+    partials. Only the d²+d+1 AGGREGATED cells cross to the driver (the
+    bounded trainer-rule collect: cost is dimensionality², independent
+    of collection size), where cov = XᵀX/n − x̄x̄ᵀ is assembled. The
+    vectors themselves are never shuffled — the sole exchange carries
+    d²-sized partials, one per input partition."""
+    cells = collection.select(F.col(vec_col).alias("v")).mapInPandas(
+        _cov_partials, "kind string, i int, j int, val double"
+    )
+    rows = (
+        cells.groupBy("kind", "i", "j").agg(F.sum("val").alias("val")).collect()
+    )
+    n = 0
+    sums: dict[int, float] = {}
+    gram: dict[tuple[int, int], float] = {}
+    for r in rows:
+        if r.kind == "n":
+            n = int(r.val)
+        elif r.kind == "s":
+            sums[r.i] = r.val
+        else:
+            gram[(r.i, r.j)] = r.val
+    if n == 0:
+        return np.zeros((0, 0)), 0
+    d = len(sums)
+    s = np.array([sums[i] for i in range(d)])
+    g = np.zeros((d, d))
+    for (i, j), v in gram.items():
+        g[i, j] = v
+    mean = s / n
+    return g / n - np.outer(mean, mean), n
+
+
+def _cov_partials(batches):
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        x = np.array(pdf["v"].tolist(), dtype=np.float64)
+        d = x.shape[1]
+        ss = x.T @ x
+        out = {"kind": ["n"], "i": [0], "j": [0], "val": [float(len(x))]}
+        out["kind"] += ["s"] * d
+        out["i"] += list(range(d))
+        out["j"] += [0] * d
+        out["val"] += x.sum(axis=0).tolist()
+        ii, jj = np.indices((d, d))
+        out["kind"] += ["g"] * (d * d)
+        out["i"] += ii.ravel().tolist()
+        out["j"] += jj.ravel().tolist()
+        out["val"] += ss.ravel().tolist()
+        yield pd.DataFrame(out)
+
+
 def train_pq_codebooks(
     collection: DataFrame,
     m_sub: int = 4,

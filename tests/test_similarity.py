@@ -442,3 +442,109 @@ def test_matryoshka_recall_monotone_and_bounded(spark):
         assert 0.0 <= r.min_recall <= r.mean_recall <= 1.0
     dims = sorted(rows)
     assert rows[dims[-1]].mean_recall >= rows[dims[0]].mean_recall
+
+
+def test_srp_lsh_pairs_planted_and_subset_of_exact(spark):
+    """SRP-LSH: (a) planted identical vectors MUST collide in every band
+    (all sign bits equal) and surface with n_bands = number of bands and
+    cosine 1.0; (b) on the fixture, every emitted pair must also appear
+    in the exact blocked near-dup join at the same threshold (LSH can
+    only MISS pairs, never invent them); (c) the pipeline is
+    deterministic across runs."""
+    from osm_poi_database_maker_spark.io import load_table
+    from osm_poi_database_maker_spark.queries import similarity as S2
+    from osm_poi_database_maker_spark.similarity import cosine_neardup_pairs
+
+    base = [0.5] * 32 + [-0.25] * 32
+    planted = spark.createDataFrame(
+        [(9001, base), (9002, base), (9003, list(reversed(base)))],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        (r.vec_a, r.vec_b): r for r in S2._srp_pairs(planted).collect()
+    }
+    assert (9001, 9002) in out
+    assert out[(9001, 9002)].n_bands == S2._SRP_BANDS
+    assert out[(9001, 9002)].cosine == 1.0
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    srp = S2.q_emb_srp_lsh_pairs(spark, SF_SMOKE).collect()
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in cosine_neardup_pairs(e, threshold=S2.NEARDUP_THRESHOLD).collect()
+    }
+    assert {(r.vec_a, r.vec_b) for r in srp} <= exact
+    assert all(1 <= r.n_bands <= S2._SRP_BANDS for r in srp)
+    assert all(r.cosine >= S2.NEARDUP_THRESHOLD for r in srp)
+    again = {(r.vec_a, r.vec_b, r.n_bands, r.cosine) for r in S2.q_emb_srp_lsh_pairs(spark, SF_SMOKE).collect()}
+    assert {(r.vec_a, r.vec_b, r.n_bands, r.cosine) for r in srp} == again
+
+
+def test_srp_weights_match_oracle_formula():
+    """The Python-inlined hyperplane matrix must equal the Lehmer fold
+    the DuckDB oracle derives from range()s — one definition, two
+    renderings."""
+    import duckdb
+
+    from osm_poi_database_maker_spark.queries import similarity as S2
+
+    w = S2._srp_weights()
+    rows = duckdb.sql(
+        f"""
+        SELECT p, d,
+               ((x % 2147483647) * 48271 % 2147483647 * 48271 % 2147483647)
+                 % {S2._SRP_W_RANGE} - 1000 AS wt
+        FROM (SELECT p, d, p * {S2._SRP_X_STRIDE} + d AS x
+              FROM (SELECT unnest(range({S2._SRP_PLANES})) AS p)
+              CROSS JOIN (SELECT unnest(range(64)) AS d))
+        """
+    ).fetchall()
+    for p, d, wt in rows:
+        assert w[p][d] == wt
+    assert all(-1000 <= x <= 1000 for row in w for x in row)
+
+
+def test_pca_spectrum_properties(spark):
+    """Eigen-spectrum invariants: descending non-negative eigenvalues
+    (PSD covariance), cumulative share reaching ~1, and the in-band
+    trace audit: Σλ must equal the independently Spark-aggregated sum of
+    per-dimension variances (population convention)."""
+    from osm_poi_database_maker_spark.io import load_table
+    from osm_poi_database_maker_spark.queries import similarity as S2
+
+    rows = sorted(
+        S2.q_emb_pca_spectrum(spark, SF_SMOKE).collect(), key=lambda r: r.component
+    )
+    assert len(rows) == 64
+    eig = [r.eigenvalue for r in rows]
+    assert all(eig[i] >= eig[i + 1] - 1e-9 for i in range(len(eig) - 1))
+    assert all(lam >= -1e-6 for lam in eig)
+    assert abs(rows[-1].cum_var - 1.0) < 1e-3
+    assert all(r.trace_gap <= 1e-4 for r in rows)
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    el = e.select(F.posexplode("embedding").alias("d", "v"))
+    trace = (
+        el.groupBy("d")
+        .agg((F.avg(F.col("v") * F.col("v")) - F.avg("v") * F.avg("v")).alias("var"))
+        .agg(F.sum("var").alias("t"))
+        .collect()[0]
+        .t
+    )
+    assert abs(sum(eig) - trace) < 1e-4
+
+
+def test_covariance_matrix_matches_numpy(spark):
+    """The distributed sufficient-statistics covariance must equal the
+    straight numpy covariance of the same rows (population, ddof=0)."""
+    import numpy as np
+
+    from osm_poi_database_maker_spark.io import load_table
+    from osm_poi_database_maker_spark.similarity import covariance_matrix
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    cov, n = covariance_matrix(e)
+    x = np.array([r.embedding for r in e.select("embedding").collect()], dtype=np.float64)
+    assert n == len(x)
+    ref = np.cov(x, rowvar=False, ddof=0)
+    assert np.allclose(cov, ref, atol=1e-9)
