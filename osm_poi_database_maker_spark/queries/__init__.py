@@ -57,93 +57,42 @@ _MODULES = (
 # Every registered query keeps a pytest + tools/check.py local gate
 # regardless of window position.
 _VERIFY_FIRST = [
-    # tier 1a: NEW in round 5 — no driver row exists yet.
-    "events_multi_exists",
-    "doc_substring_dedup",
-    "emb_opq_codes",
-    "events_kmv_distinct",
-    "lineitem_hist_quantiles",
-    "nation_market_share",
-    "events_ushape_attribution",
-    "events_ohlc_bars",
-    "doc_hybrid_rrf",
-    "stream_ohlc_bars",
-    "emb_matryoshka_recall",
-    # tier 1b: implementation or oracle changed in round 5 —
-    # simhash AND minhash re-keyed onto the portable hash family and
-    # hash-gated (rows-only down to 6: the ANN/IVF recall-audited
-    # family, HLL sketch stats, aHash, and the new OPQ);
-    # k-means K now count-derived (dynamic-init oracle CTE) feeding
-    # kmeans/semdedup (semdedup also salt-splits clusters over a cap);
-    # knn/neardup block counts count-derived; Q18 oracle HAVING now
-    # rounds before comparing; elasticity dropped its broadcast hint.
-    "doc_simhash_pairs",
-    "doc_minhash_pairs",
-    "emb_kmeans_iterations",
-    "emb_semdedup",
-    "large_volume_customers",
-    # tier 2: last driver row is CORRECTNESS_r02 (three rounds stale —
-    # the oldest evidence in the registry; the first five were already
-    # queued at the front of round 4's overflow).
-    "orders_pk_audit",
-    "events_toi_pipeline",
-    "events_tag_explode",
-    "events_exclude_superset",
-    "events_hstore_projection",
-    "events_time_rollup",
-    "doc_token_stats",
-    "doc_quality_score",
-    "doc_lang_id",
-    "doc_fingerprint",
-    "doc_token_regex",
-    "doc_tfidf_top_terms",
-    "doc_chunk_windows",
-    "doc_repetition_stats",
-    "doc_stratified_sample",
-    "doc_exact_dedup",
-    "doc_ngram_jaccard_pairs",
-    "doc_pack_sequences",
-    "doc_pii_scrub",
-    "doc_decontaminate",
-    "doc_mixture_sample",
-    "doc_shuffle_shards",
-    "doc_curation_pipeline",
-    "doc_bigram_logprob",
-    "emb_int8_quantize",
-    "emb_label_centroids",
-    "osm_relation_areas",
-    "osm_mp_centroids",
-    "osm_poi_nodes_noname",
-    "osm_pbf_scan",
-    "osm_xml_scan",
-    "stream_stateful_user_totals",
-    "stream_dedup_watermark",
-    "stream_static_join",
-    # --- the 50-entry window ends here (11 tier-1a + 5 tier-1b +
-    # 34 tier-2). Overflow, in round-6 priority order:
-    # returned_item_revenue is new in round 5 but deliberately waits
-    # here (locally gated + pytest-planned) — displacing yet another
-    # 3-round-stale entry would trade harder evidence for it; it leads
-    # round 6's tier 1. Then the displaced r02-evidence entries (three
-    # mm stub-transform queries — deterministic, densely pytest-pinned —
-    # and rows-only events_sketch_stats, whose driver row carries the
-    # least signal); then the results-INVARIANT round-5 changes
-    # (lineitem_discount_elasticity hint removal, emb_knn_graph /
-    # emb_cosine_neardup_pairs count-derived n_blocks — existing driver
-    # rows stay valid, exactness pinned by block-layout-invariance
-    # tests); then the r03-evidence cohort (their rows turn two rounds
-    # old in round 6) in module-cohort order; r04-green entries append
-    # automatically after them.
+    # tier 1a: no driver row exists yet — returned_item_revenue (new in
+    # round 5, deliberately overflowed then; leads per the r5 contract)
+    # and the eight queries new in round 6 (six classic decorrelation
+    # shapes, the oracled SRP-LSH, the PCA spectrum).
     "returned_item_revenue",
+    "min_cost_supplier",
+    "product_type_profit",
+    "important_part_stock",
+    "shipping_lag_buckets",
+    "brand_supplier_counts",
+    "excess_shipped_suppliers",
+    "emb_srp_lsh_pairs",
+    "emb_pca_spectrum",
+    # tier 1b: output changed in round 6 — emb_opq_codes now emits the
+    # code word as a dash-joined string (its r5 driver row ERRORED on
+    # the gate's pandas canonicalizer, which can't sort list cells).
+    "emb_opq_codes",
+    # tier 2a: last driver row is CORRECTNESS_r02 (four rounds stale) —
+    # the three mm stub-transform queries and rows-only
+    # events_sketch_stats yielded their r5 window slots and MUST lead
+    # now (r5 contract).
     "mm_image_features",
     "mm_frame_sample",
     "mm_resize",
     "events_sketch_stats",
+    # tier 2b: existing rows are valid but carry results-invariant r5/r6
+    # changes (elasticity hint removal; knn/neardup count-derived and
+    # now checkpointed-before-count n_blocks) or are simply the stalest
+    # core/osm evidence.
     "lineitem_discount_elasticity",
     "emb_knn_graph",
     "emb_cosine_neardup_pairs",
     "revenue_by_nation",
     "osm_poi_nodes",
+    # tier 2c: the r03-evidence cohort — rows are three rounds old this
+    # round, stalest remaining evidence; first 31 fit the window.
     "pricing_summary",
     "osm_toi_dim",
     "osm_way_assembly",
@@ -175,6 +124,11 @@ _VERIFY_FIRST = [
     "mm_payload_stats",
     "nation_lateral_topk",
     "nation_set_ops",
+    # --- the 50-entry window ends here (9 tier-1a + 1 tier-1b +
+    # 4 tier-2a + 5 tier-2b + 31 tier-2c). Overflow, in round-7
+    # priority order: the last 9 of the r03-evidence cohort (they lead
+    # round 7), then the r05-verified block (freshest evidence) in
+    # registry order; r04-green entries append by module cohort.
     "orders_mom_growth",
     "lineitem_unpivot",
     "customers_with_urgent_orders",
@@ -184,6 +138,21 @@ _VERIFY_FIRST = [
     "stream_sliding_window",
     "stream_session_windows",
     "stream_stream_attribution",
+    "events_multi_exists",
+    "doc_substring_dedup",
+    "events_kmv_distinct",
+    "lineitem_hist_quantiles",
+    "nation_market_share",
+    "events_ushape_attribution",
+    "events_ohlc_bars",
+    "doc_hybrid_rrf",
+    "stream_ohlc_bars",
+    "emb_matryoshka_recall",
+    "doc_simhash_pairs",
+    "doc_minhash_pairs",
+    "emb_kmeans_iterations",
+    "emb_semdedup",
+    "large_volume_customers",
 ]
 
 # tier 4 cohort order: non-core modules first, core last.
