@@ -255,7 +255,13 @@ WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {NEARDUP_THRESHOLD}
 _SRP_PLANES = 24
 _SRP_BAND_BITS = 6  # 4 bands × 6 bits → 64 buckets per band
 _SRP_BANDS = _SRP_PLANES // _SRP_BAND_BITS
-_SRP_BUCKET_CAP = 64  # deterministic per-bucket cap, replayed in the oracle
+# Deterministic per-bucket cap, replayed in the oracle. Fixed band width
+# means bucket LOAD grows with n, so the cap is what bounds candidate
+# volume (≤ C(cap,2)·n_buckets pairs); 32 keeps the sf0.1 verify stage
+# ~4× cheaper than 64 while no fixture bucket at the driver SFs reaches
+# it. At production scale, widen the bands (more bits) as n grows —
+# the cap is the guardrail, not the tuning knob.
+_SRP_BUCKET_CAP = 32
 _SRP_Q = 1_000_000  # fixed-point scale: vq = floor(v · 10⁶), exact both engines
 _SRP_W_RANGE = 2001  # weights in [-1000, 1000]
 _SRP_X_STRIDE = 4096  # plane/dim index mix: x = p·4096 + d (collision-free to d<4096)
@@ -312,33 +318,42 @@ def _srp_pairs(e: DataFrame) -> DataFrame:
     """SRP-LSH candidate+verify pipeline over a (vec_id, embedding)
     frame — separated from the sf_dir wrapper so property tests can
     plant near-duplicate vectors."""
+    # The whole signature stage is ONE server-side-parsed SQL expression:
+    # composing it from per-plane F.lit columns costs thousands of py4j
+    # round-trips (~8 s of driver time for 24×64 literals — measured;
+    # the actual executor work is 0.2 s), whereas a single expr() string
+    # is one parse and the 24×64 weight matrix constant-folds to a
+    # literal. Each plane's fold appears exactly ONCE inside the nested
+    # expression, so no CollapseProject re-split is possible, and the
+    # repartition barrier keeps the quantized array from being re-inlined
+    # into every plane reference.
     vq = F.transform(
         F.col("embedding"), lambda v: F.floor(v.cast("double") * _SRP_Q).cast("long")
     )
-    # repartition = optimizer barrier: materialize vq ONCE (perf-pitfalls
-    # memory: CollapseProject re-splits shared transforms)
     qdf = e.select("vec_id", vq.alias("vq")).repartition("vec_id")
-    w = _srp_weights()
-    bits = []
-    for p in range(_SRP_PLANES):
-        wlit = F.array(*[F.lit(x).cast("long") for x in w[p]])
-        proj = F.aggregate(
-            F.zip_with(F.col("vq"), wlit, lambda a, b: a * b),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
+    wmat_sql = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{x}L" for x in row) + ")" for row in _srp_weights()
         )
-        bits.append(F.when(proj >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")))
-    band_structs = []
-    for b in range(_SRP_BANDS):
-        bval = None
-        for j in range(_SRP_BAND_BITS):
-            term = bits[b * _SRP_BAND_BITS + j] * F.lit(1 << j).cast("long")
-            bval = term if bval is None else bval + term
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), bval.alias("bval"))
-        )
+        + ")"
+    )
+    band_expr = F.expr(
+        f"""
+        transform(sequence(0, {_SRP_BANDS - 1}), b -> named_struct(
+          'band', CAST(b AS INT),
+          'bval', aggregate(sequence(0, {_SRP_BAND_BITS - 1}), CAST(0 AS BIGINT),
+            (acc, j) -> acc + IF(
+              aggregate(
+                zip_with(vq,
+                         element_at({wmat_sql}, CAST(b * {_SRP_BAND_BITS} + j + 1 AS INT)),
+                         (a, w) -> a * w),
+                CAST(0 AS BIGINT), (s, v) -> s + v) >= 0,
+              shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)), CAST(0 AS BIGINT)))))
+        """
+    )
     banded = qdf.select(
-        "vec_id", F.explode(F.array(*band_structs)).alias("bb")
+        "vec_id", F.explode(band_expr).alias("bb")
     ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
     capped = (
         banded.withColumn(
