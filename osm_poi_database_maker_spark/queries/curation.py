@@ -923,8 +923,174 @@ FROM documents
 """
 
 
+# --- Bloom-filter decontamination (the 100 TB broadcast) --------------------
+
+_BLOOM_M = 1 << 16  # filter bits
+_BLOOM_K = 4  # hash functions per shingle
+
+
+def q_doc_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination through a Bloom filter — the broadcast
+    that actually scales. ``doc_decontaminate`` ships the eval corpus's
+    distinct shingle-hash SET to every probe task; at 100 TB with a
+    large benchmark suite that set is the broadcast bottleneck. The
+    Bloom filter replaces it with a FIXED-size bitset ({_BLOOM_M} bits,
+    {_BLOOM_K} Lehmer-derived bit positions per 3-word shingle): probe
+    cost is k integer hashes + k bitset lookups per shingle, and the
+    one-sided error is the safe direction for decontamination (false
+    positives over-flag, never under-flag).
+
+    Fully oracle-checked: shingle hashes are the portable char-code
+    fold and bit positions the Lehmer mix, so DuckDB rebuilds the
+    IDENTICAL bitset — the driver hash-gate covers the filter's exact
+    false-positive behavior, which every row also carries in-band
+    (n_bloom_hit ≥ n_hit by construction; n_false_pos is the audit).
+
+    Plan: one shingle explode feeds both sides; the eval bitset
+    aggregates to an m/64-word bitmask ARRAY in a single row (bit_or
+    per word, then a dense transform over the word index) that
+    BROADCASTS as a ~m/8-byte payload — the production shape; the probe
+    then tests its k bit positions INLINE per shingle row against the
+    mask (element_at + shiftright + and), so the Bloom membership test
+    is pure per-row expression work: no explode, no join, no shuffle.
+    (A first cut melted each shingle into k bit rows and counted
+    matched bits through a join+groupBy — measured 9 s at sf0.1 against
+    ~3 s for this form; the bitmask kills that shuffle entirely.) The
+    exact-membership audit join reuses the eval hash set the Bloom
+    replaces, at fixture scale where that's free."""
+    from ..dedup import _PORT_A, _PORT_M, _port_mix, portable_token_hash, word_shingles
+
+    # spread DOCS across cores BEFORE the shingle explode (the minhash
+    # rule: a small parquet file scans as one partition, and the k-gram
+    # construction is the expensive part — measured 8.4 s single-slot vs
+    # ~1 s spread at sf0.1); the explode then runs fully parallel
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sh = (
+        d.select("doc_id", F.explode(word_shingles(F.col("text"))).alias("s"))
+        .select("doc_id", portable_token_hash(F.col("s")).alias("h0"))
+        .localCheckpoint(eager=False)
+    )
+    is_eval = (F.col("doc_id") % _EVAL_MOD) == _EVAL_REM
+    ev = sh.filter(is_eval).select("h0").distinct().localCheckpoint(eager=False)
+    j_arr = F.array(*[F.lit(j) for j in range(_BLOOM_K)])
+    bitpos = _port_mix(F.col("h0"), F.col("j")) % _BLOOM_M
+    n_words = _BLOOM_M // 64
+    maskrow = (
+        ev.select("h0", F.explode(j_arr).alias("j"))
+        .select(bitpos.alias("bit"))
+        .distinct()
+        .select(
+            F.shiftright(F.col("bit"), 6).cast("int").alias("w"),
+            (F.col("bit") % 64).cast("int").alias("p"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), p))").alias("m"))
+        .agg(F.map_from_entries(F.collect_list(F.struct("w", "m"))).alias("mm"))
+        .select(
+            F.expr(
+                f"transform(sequence(0, {n_words - 1}),"
+                " i -> coalesce(element_at(mm, i), CAST(0 AS BIGINT)))"
+            ).alias("mask")
+        )
+    )
+    # all-k-bits-set membership test, inline per shingle row; the bit
+    # formula is _port_mix(h0, j) % m, re-derived inside the expr
+    bit_sql = f"(((h0 * 64 + j) % {_PORT_M}) * {_PORT_A} % {_PORT_M} * {_PORT_A} % {_PORT_M}) % {_BLOOM_M}"
+    bloom_hit = F.expr(
+        f"""
+        aggregate(sequence(0, {_BLOOM_K - 1}), true, (acc, j) -> acc AND (
+          (shiftright(element_at(mask, CAST(({bit_sql}) div 64 AS INT) + 1),
+                      CAST(({bit_sql}) % 64 AS INT)) & CAST(1 AS BIGINT))
+          = CAST(1 AS BIGINT)))
+        """
+    )
+    tr = sh.filter(~is_eval)
+    exact_hits = ev.withColumn("hit", F.lit(1))
+    return (
+        tr.join(exact_hits, "h0", "left")
+        .crossJoin(F.broadcast(maskrow))
+        .withColumn("bloom_hit", F.when(bloom_hit, F.lit(1)))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.count("bloom_hit").alias("n_bloom_hit"),
+            F.count("hit").alias("n_hit"),
+        )
+        .filter(F.col("n_bloom_hit") > 0)
+        .select(
+            "doc_id",
+            "n_sh",
+            "n_bloom_hit",
+            "n_hit",
+            (F.col("n_bloom_hit") - F.col("n_hit")).alias("n_false_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bloom_oracle_sql() -> str:
+    from ..dedup import _PORT_A as A, _PORT_BASE as BASE, _PORT_M as M
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, ' +') AS t FROM documents
+  WHERE len(string_split_regex(text, ' +')) >= 3
+),
+sh_all AS (
+  SELECT DISTINCT doc_id, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS s
+  FROM (SELECT doc_id, t, unnest(range(len(t) - 2)) AS i FROM toks)
+),
+h AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(s, ''),
+                            c -> CAST(ascii(c) AS BIGINT))),
+           (acc, c) -> (acc * {BASE} + c) % {M}) AS h0
+  FROM sh_all
+),
+ev AS (SELECT DISTINCT h0 FROM h WHERE doc_id % {_EVAL_MOD} = {_EVAL_REM}),
+jj AS (SELECT unnest(range({_BLOOM_K})) AS j),
+bits AS (
+  SELECT DISTINCT ((h0 * 64 + j) % {M}) * {A} % {M} * {A} % {M} % {_BLOOM_M} AS bit
+  FROM ev CROSS JOIN jj
+),
+tr AS (SELECT doc_id, h0 FROM h WHERE doc_id % {_EVAL_MOD} <> {_EVAL_REM}),
+bloom_hits AS (
+  SELECT p.doc_id, p.h0
+  FROM (SELECT doc_id, h0,
+               ((h0 * 64 + j) % {M}) * {A} % {M} * {A} % {M} % {_BLOOM_M} AS bit
+        FROM tr CROSS JOIN jj) p
+  JOIN bits ON p.bit = bits.bit
+  GROUP BY 1, 2
+  HAVING count(*) = {_BLOOM_K}
+),
+agg AS (
+  SELECT tr.doc_id,
+         count(*) AS n_sh,
+         CAST(sum(CASE WHEN bh.h0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hit,
+         CAST(sum(CASE WHEN ev.h0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+  FROM tr
+  LEFT JOIN ev ON tr.h0 = ev.h0
+  LEFT JOIN bloom_hits bh ON tr.doc_id = bh.doc_id AND tr.h0 = bh.h0
+  GROUP BY 1
+)
+SELECT doc_id, n_sh, n_bloom_hit, n_hit,
+       n_bloom_hit - n_hit AS n_false_pos
+FROM agg
+WHERE n_bloom_hit > 0
+ORDER BY doc_id
+"""
+
+
+ORACLE_BLOOM_DECONTAM = _bloom_oracle_sql()
+
+
 QUERIES = {
     "doc_decontaminate": q_doc_decontaminate,
+    "doc_bloom_decontaminate": q_doc_bloom_decontaminate,
     "doc_split_assign": q_doc_split_assign,
     "emb_centroid_drift": q_emb_centroid_drift,
     "doc_source_overlap_matrix": q_doc_source_overlap_matrix,
@@ -939,6 +1105,7 @@ QUERIES = {
 
 ORACLES = {
     "doc_decontaminate": ORACLE_DECONTAM,
+    "doc_bloom_decontaminate": ORACLE_BLOOM_DECONTAM,
     "doc_split_assign": ORACLE_SPLIT_ASSIGN,
     "emb_centroid_drift": ORACLE_CENTROID_DRIFT,
     "doc_source_overlap_matrix": ORACLE_SOURCE_OVERLAP,

@@ -688,6 +688,107 @@ FROM j
 ORACLE_KMV = _kmv_oracle_sql()
 
 
+# --- Count-Min Sketch heavy-hitter counts -----------------------------------
+
+_CMS_D = 4  # sketch depth (independent hash rows)
+_CMS_W = 256  # sketch width (counters per row)
+_CMS_PROBE_MAX = 25  # probe batch: user_id < 25 (covers every fixture SF)
+_CMS_SALT = 32  # decorrelates the CMS hash rows from KMV's user_id*64 use
+
+
+def q_events_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch (Cormode–Muthukrishnan) frequency estimates for a
+    probe batch of users — the third portable sketch family next to KMV
+    (distinct counts) and the HLL stats: a D×W counter grid whose row
+    hashes are the repo's Lehmer construction, so the DuckDB oracle
+    rebuilds the IDENTICAL sketch and the driver hash-checks not just
+    the estimates but the sketch's exact collision behavior. Every row
+    carries the exact count and the overcount (CMS guarantees
+    estimate ≥ exact; equality unless the user collides with others in
+    ALL D rows) as the in-band audit.
+
+    Scale shape: counts pre-aggregate per user FIRST (one map-side
+    combining exchange — adding per-user totals into cells yields the
+    same sketch as per-event increments, at |users| instead of |events|
+    explode cost); the D×W grid aggregates to ≤ D·W rows and
+    BROADCASTS to the probe join — at 100 TB the sketch is the thing
+    you ship (D·W counters), never the key universe. The sketch is
+    mergeable by cell-wise addition, which is the point of CMS in a
+    distributed setting."""
+    from .curation import _lehmer_h
+
+    e = load_table(spark, sf_dir, "events").select("user_id")
+    per_user = (
+        e.groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    d_arr = F.array(*[F.lit(d) for d in range(_CMS_D)])
+    cell = _lehmer_h(F.col("user_id") * 64 + _CMS_SALT + F.col("d")) % _CMS_W
+    cells = (
+        per_user.select("user_id", "cnt", F.explode(d_arr).alias("d"))
+        .select("d", cell.alias("cell"), "cnt")
+        .groupBy("d", "cell")
+        .agg(F.sum("cnt").alias("cell_total"))
+    )
+    probes = (
+        per_user.filter(F.col("user_id") < _CMS_PROBE_MAX)
+        .select(
+            "user_id",
+            F.col("cnt").alias("exact_count"),
+            F.explode(d_arr).alias("d"),
+        )
+        .select("user_id", "exact_count", "d", cell.alias("cell"))
+    )
+    return (
+        probes.join(F.broadcast(cells), ["d", "cell"])
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("cell_total").alias("cms_estimate"))
+        .select(
+            "user_id",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count")).alias("overcount"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _cms_oracle_sql() -> str:
+    from .text import _LEHMER_A as A, _LEHMER_M as M
+
+    return f"""
+WITH per_user AS (
+  SELECT user_id, count(*) AS cnt FROM events GROUP BY 1
+),
+dd AS (SELECT unnest(range({_CMS_D})) AS d),
+cells AS (
+  SELECT d,
+         ((user_id * 64 + {_CMS_SALT} + d) % {M}) * {A} % {M} * {A} % {M}
+           % {_CMS_W} AS cell,
+         sum(cnt) AS cell_total
+  FROM per_user CROSS JOIN dd
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT user_id, cnt AS exact_count, d,
+         ((user_id * 64 + {_CMS_SALT} + d) % {M}) * {A} % {M} * {A} % {M}
+           % {_CMS_W} AS cell
+  FROM per_user CROSS JOIN dd
+  WHERE user_id < {_CMS_PROBE_MAX}
+)
+SELECT p.user_id, p.exact_count,
+       min(c.cell_total) AS cms_estimate,
+       min(c.cell_total) - p.exact_count AS overcount
+FROM probes p JOIN cells c ON p.d = c.d AND p.cell = c.cell
+GROUP BY 1, 2
+ORDER BY user_id
+"""
+
+
+ORACLE_CMS = _cms_oracle_sql()
+
+
 # --- OHLC bars (ordered aggregates) -----------------------------------------
 
 # lpad'd decimal strings only sort numerically for NON-NEGATIVE inputs
@@ -767,6 +868,7 @@ QUERIES = {
     "events_multi_exists": q_events_multi_exists,
     "events_ohlc_bars": q_events_ohlc_bars,
     "events_kmv_distinct": q_events_kmv_distinct,
+    "events_cms_counts": q_events_cms_counts,
     "events_incident_windows": q_events_incident_windows,
     "events_toi_pipeline": q_events_toi_pipeline,
     "events_tag_explode": q_events_tag_explode,
@@ -784,6 +886,7 @@ QUERIES = {
 ORACLES = {
     "events_multi_exists": ORACLE_MULTI_EXISTS,
     "events_kmv_distinct": ORACLE_KMV,
+    "events_cms_counts": ORACLE_CMS,
     "events_ohlc_bars": ORACLE_OHLC,
     "events_incident_windows": ORACLE_INCIDENTS,
     "events_toi_pipeline": ORACLE_TOI,

@@ -492,3 +492,34 @@ def test_ushape_attribution_credit_split(spark, monkeypatch):
     total = sum(r.total_credit for r in got.values())
     assert total == 10.0 + 6.0 + 8.0  # conserved; no-touch purchase excluded
     assert got["view"].n_first == 2 and got["view"].n_last == 2
+
+
+def test_cms_counts_guarantee_and_planted_collision(spark, monkeypatch):
+    """CMS invariants: estimate >= exact on every probe (one-sided
+    error); with fewer users than any counter row can saturate, planted
+    heavy hitters read back EXACTLY (no all-rows collision among a
+    handful of keys); totals are conserved per sketch row."""
+    import datetime as dt
+
+    from osm_poi_database_maker_spark.queries import events as E
+    from tests.conftest import SF_SMOKE
+
+    smoke = E.q_events_cms_counts(spark, SF_SMOKE).collect()
+    assert smoke
+    assert all(r.cms_estimate >= r.exact_count for r in smoke)
+    assert all(r.overcount == r.cms_estimate - r.exact_count for r in smoke)
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0, i % 3, "view", 1.0, "{}") for i in range(600)]  # 3 heavy users
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(E, "load_table", lambda s_, sf_, n_: e)
+    got = {r.user_id: r for r in E.q_events_cms_counts(spark, "x").collect()}
+    assert set(got) == {0, 1, 2}
+    for u in got:
+        assert got[u].exact_count == 200
+        assert got[u].cms_estimate == 200  # 3 keys cannot collide in all 4 rows
+        assert got[u].overcount == 0

@@ -405,3 +405,25 @@ def test_centroid_drift_one_sided_label(spark, monkeypatch):
     assert (got[2].n_ref, got[2].n_cur) == (0, 2)
     assert got[2].centroid_cosine is None
     assert got[0].centroid_cosine == 1.0
+
+
+def test_bloom_decontaminate_one_sided_vs_exact(spark):
+    """Bloom decontamination must never under-flag: every doc's
+    n_bloom_hit >= n_hit (no false negatives), the flagged superset
+    contains every exact-contaminated doc, and n_false_pos is exactly
+    the difference — the in-band audit the driver hashes."""
+    from osm_poi_database_maker_spark.queries import curation as C
+    from tests.conftest import SF_SMOKE
+
+    rows = C.q_doc_bloom_decontaminate(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.n_bloom_hit >= r.n_hit
+        assert r.n_false_pos == r.n_bloom_hit - r.n_hit
+        assert 0 < r.n_bloom_hit <= r.n_sh
+    bloom_docs = {r.doc_id for r in rows}
+    exact_docs = {r.doc_id for r in C.q_doc_decontaminate(spark, SF_SMOKE).collect()}
+    # doc_decontaminate uses 5-word shingles; 3-word shingle hits are a
+    # superset of 5-word hits (any 5-gram match implies 3-gram matches),
+    # and bloom hits are a superset of its own exact hits
+    assert exact_docs <= bloom_docs
