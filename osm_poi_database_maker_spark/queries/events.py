@@ -626,6 +626,18 @@ def q_events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     km = kmins.groupBy("event_type").agg(
         F.count("*").alias("n_seen"), F.max("h").alias("hk")
     )
+    return kmv_finalize(spark, sf_dir, km)
+
+
+def kmv_finalize(spark: SparkSession, sf_dir: str, km: DataFrame) -> DataFrame:
+    """THE KMV estimate/audit finalizer — single definition of the
+    (K−1)·M/h_K estimator, the <K exact fallback, and the in-band
+    rel_err audit, shared by the batch operator and the streaming twin
+    (streaming.kmv_sketch_state → q_stream_kmv_distinct) so the
+    batch-certifies-streaming contract can't diverge. ``km`` is one row
+    per event_type with (n_seen, hk)."""
+    M = (1 << 31) - 1
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
     exact = e.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_distinct")
     )

@@ -14,7 +14,13 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 from .. import streaming as S
-from .events import ORACLE_HOURLY, ORACLE_OHLC, ORACLE_SESSION, ORACLE_SLIDING
+from .events import (
+    ORACLE_HOURLY,
+    ORACLE_KMV,
+    ORACLE_OHLC,
+    ORACLE_SESSION,
+    ORACLE_SLIDING,
+)
 
 
 def _materialize(df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
@@ -108,6 +114,30 @@ GROUP BY e.event_type
 """
 
 
+def q_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KMV distinct-count sketch (custom applyInPandasWithState
+    state: the K minimum Lehmer hashes per event_type), finalized by the
+    SAME estimator/audit code as the batch twin and checked against the
+    SAME DuckDB oracle — a hash-gated streaming sketch. Update mode
+    emits one row per touched key per micro-batch; the final sketch is
+    the emission with the largest n_seen and, among those, the smallest
+    h_K (n_seen is monotone nondecreasing and h_K monotone nonincreasing
+    once the sketch saturates, so that pair identifies the last state)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .events import kmv_finalize
+
+    out = _materialize(S.kmv_sketch_state(S.stream_events(spark, sf_dir)), spark, "update")
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_seen"), F.asc("hk"))
+    km = (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "n_seen", "hk")
+    )
+    return kmv_finalize(spark, sf_dir, km)
+
+
 def q_stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream watermarked join (purchase ← same-user click within
     2 hours): both sides are live streams; bounded time-range condition
@@ -150,6 +180,7 @@ QUERIES = {
     "stream_dedup_watermark": q_stream_dedup_watermark,
     "stream_static_join": q_stream_static_join,
     "stream_stream_attribution": q_stream_stream_attribution,
+    "stream_kmv_distinct": q_stream_kmv_distinct,
 }
 
 ORACLES = {
@@ -161,4 +192,5 @@ ORACLES = {
     "stream_dedup_watermark": ORACLE_STREAM_DEDUP,
     "stream_static_join": ORACLE_STREAM_STATIC,
     "stream_stream_attribution": ORACLE_STREAM_STREAM,
+    "stream_kmv_distinct": ORACLE_KMV,
 }

@@ -183,6 +183,64 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+_KMV_STATE_SCHEMA = "minima array<long>"
+_KMV_OUT_SCHEMA = "event_type string, n_seen long, hk long"
+_KMV_M = (1 << 31) - 1
+_KMV_A = 48271
+
+
+def _kmv_update(k: int):
+    def update(key: tuple[Any, ...], pdfs: Any, state: GroupState):
+        import numpy as np
+
+        s = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            u = pdf["user_id"].to_numpy(dtype=np.int64)
+            # identical Lehmer fold to the batch operator / ORACLE_KMV:
+            # ((u*64 % M) * A % M) * A % M — int64-exact throughout
+            h = (u * 64) % _KMV_M * _KMV_A % _KMV_M * _KMV_A % _KMV_M
+            s.update(int(x) for x in h)
+        top = sorted(s)[:k]
+        state.update((top,))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_seen": [len(top)],
+                "hk": [top[-1] if top else 0],
+            }
+        )
+
+    return update
+
+
+def kmv_sketch_state(events: DataFrame, k: int = 64) -> DataFrame:
+    """Streaming KMV distinct-count sketch per event_type — the custom-
+    state twin of queries/events.q_events_kmv_distinct. State per key is
+    the K smallest Lehmer hashes of the users seen so far (KMV's merge
+    rule: union, keep the K minima — associative and idempotent, so
+    micro-batch boundaries and duplicate users cannot change the final
+    sketch), emitted as (n_seen, h_K) on every update. The estimate and
+    exact-audit columns are attached by the shared batch finalizer
+    (events.kmv_finalize — single definition), so the batch DuckDB
+    oracle certifies the streaming output end-to-end.
+
+    Scale shape: state is K longs per event type FOREVER — the whole
+    point of KMV on an unbounded stream (exact distinct would grow with
+    the user universe); hashing is vectorized numpy over each Arrow
+    batch; keys shard across the cluster's state stores."""
+    return (
+        events.select("event_type", "user_id")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _kmv_update(k),
+            outputStructType=_KMV_OUT_SCHEMA,
+            stateStructType=_KMV_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 _SESSION_STATE_SCHEMA = "start_us long, last_us long, n long, total double"
 _SESSION_OUT_SCHEMA = (
     "user_id long, session_start_us long, n_events long, sum_value double"

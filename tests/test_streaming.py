@@ -364,3 +364,58 @@ def test_stream_ohlc_matches_batch(spark):
         .collect()
     }
     assert stream == batch and batch
+
+
+class _FakeGroupState:
+    def __init__(self):
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+        self.exists = True
+
+
+def test_stream_kmv_state_merge_is_batch_invariant():
+    """KMV's merge rule (union, keep K minima) must make micro-batch
+    boundaries invisible: feeding the same users in one update call or
+    split across two must leave identical state, and duplicate users
+    must not change it."""
+    import pandas as pd
+
+    from osm_poi_database_maker_spark import streaming as S
+
+    update = S._kmv_update(8)
+    users = list(range(40))
+
+    one = _FakeGroupState()
+    list(update(("view",), [pd.DataFrame({"user_id": users})], one))
+
+    two = _FakeGroupState()
+    list(update(("view",), [pd.DataFrame({"user_id": users[:17]})], two))
+    list(
+        update(
+            ("view",),
+            [pd.DataFrame({"user_id": users[17:] + users[:5]})],  # + dupes
+            two,
+        )
+    )
+    assert one._v == two._v
+    assert len(one._v[0]) == 8
+    assert one._v[0] == sorted(one._v[0])
+
+
+def test_stream_kmv_matches_batch_twin(spark):
+    """The streaming KMV query must equal the batch operator row-for-row
+    on the same fixture (shared finalizer + shared hash fold)."""
+    from osm_poi_database_maker_spark.queries import events as E
+    from osm_poi_database_maker_spark.queries import streaming_queries as Q
+    from tests.conftest import SF_SMOKE
+
+    batch = {tuple(r) for r in E.q_events_kmv_distinct(spark, SF_SMOKE).collect()}
+    stream = {tuple(r) for r in Q.q_stream_kmv_distinct(spark, SF_SMOKE).collect()}
+    assert batch == stream
