@@ -960,15 +960,21 @@ def q_doc_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaces, at fixture scale where that's free."""
     from ..dedup import _PORT_A, _PORT_M, _port_mix, portable_token_hash, word_shingles
 
-    # spread DOCS across cores BEFORE the shingle explode (the minhash
-    # rule: a small parquet file scans as one partition, and the k-gram
-    # construction is the expensive part — measured 8.4 s single-slot vs
-    # ~1 s spread at sf0.1); the explode then runs fully parallel
+    # two measured guards on the shingle stage: (1) spread DOCS across
+    # cores BEFORE the k-gram construction (a small parquet file scans
+    # as ONE partition — measured 8.4 s single-slot vs ~1.7 s spread at
+    # sf0.1; shuffling raw doc rows round-robin beat a post-split
+    # repartition("doc_id") barrier carrying token arrays, 1.7 s vs
+    # 2.9 s, so the split inlining is the cheaper side here); (2) docs
+    # under 3 tokens are excluded — same guard as minhash — because
+    # word_shingles would emit a SHORTER shingle for them (concat_ws
+    # skips nulls) while the oracle's range() emits none.
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
     sh = (
-        d.select("doc_id", F.explode(word_shingles(F.col("text"))).alias("s"))
+        d.filter(F.size(F.split(F.col("text"), " +")) >= 3)
+        .select("doc_id", F.explode(word_shingles(F.col("text"))).alias("s"))
         .select("doc_id", portable_token_hash(F.col("s")).alias("h0"))
         .localCheckpoint(eager=False)
     )
