@@ -286,3 +286,60 @@ def test_round5_plan_shapes(spark):
     p = plan_of(q_events_ohlc_bars)
     assert "Window" not in p  # one combining aggregate, no per-bar window
     assert "min_by" in p and "max_by" in p
+
+
+def test_round6_plan_shapes(spark):
+    """Physical-plan contracts of the round-6 operators: the Q-shape
+    decorrelations run as hash joins with broadcast dims and window-free
+    top-k; the scalar-total queries use the whitelisted 1-row broadcast
+    nested-loop, never a CartesianProduct; and every new operator stays
+    JVM-side (no BatchEvalPython anywhere — SRP-LSH, CMS, and the Bloom
+    membership test are pure expressions)."""
+    from tests.conftest import SF_SMOKE
+
+    from osm_poi_database_maker_spark.queries.core import (
+        q_brand_supplier_counts,
+        q_excess_shipped_suppliers,
+        q_important_part_stock,
+        q_min_cost_supplier,
+        q_shipping_lag_buckets,
+    )
+    from osm_poi_database_maker_spark.queries.curation import (
+        q_doc_bloom_decontaminate,
+    )
+    from osm_poi_database_maker_spark.queries.events import q_events_cms_counts
+    from osm_poi_database_maker_spark.queries.similarity import q_emb_srp_lsh_pairs
+
+    def plan_of(q):
+        return q(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+
+    for q in (
+        q_min_cost_supplier,
+        q_important_part_stock,
+        q_shipping_lag_buckets,
+        q_brand_supplier_counts,
+        q_excess_shipped_suppliers,
+        q_events_cms_counts,
+        q_emb_srp_lsh_pairs,
+        q_doc_bloom_decontaminate,
+    ):
+        p = plan_of(q)
+        assert "CartesianProduct" not in p, q.__name__
+        assert "BatchEvalPython" not in p, q.__name__
+
+    p = plan_of(q_min_cost_supplier)
+    assert "TakeOrderedAndProject" in p  # top-100, never a global sort
+    assert "BroadcastHashJoin" in p  # region/nation dims broadcast
+
+    p = plan_of(q_brand_supplier_counts)
+    assert "LeftAnti" in p  # NOT IN decorrelated, not re-scanned
+
+    p = plan_of(q_excess_shipped_suppliers)
+    # the part-prefix semi-join lives inside the localCheckpointed
+    # (supplier, part) frame's RDD lineage (invisible to this plan);
+    # what must be visible: the dominance threshold runs as a HASH join
+    # with the residual qty*2 > total condition, never a nested loop
+    assert "BroadcastHashJoin" in p or "ShuffledHashJoin" in p or "SortMergeJoin" in p
+
+    p = plan_of(q_events_cms_counts)
+    assert "BroadcastHashJoin" in p  # the sketch broadcasts to probes
