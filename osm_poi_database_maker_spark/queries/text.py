@@ -1605,8 +1605,77 @@ LIMIT {_RRF_TOPK}
 """
 
 
+# --- consecutive-repeat collapse (inline cleaning transform) ----------------
+
+
+def q_doc_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc consecutive-duplicate-token collapse — the inline
+    cleaning TRANSFORM companion to the repetition METRICS
+    (doc_repetition_stats / doc_dup_ngram_fraction measure; this one
+    rewrites): runs of the same token ("spam spam spam") keep their
+    first occurrence, the C4-style boilerplate-run cleanup. Emits the
+    per-doc before/after token accounting and a 50-char prefix of the
+    cleaned text for every doc the transform actually changed.
+
+    Spark side is a pure ARRAY expression — filter(tokens, (x, i) ->
+    i = 0 OR x ≠ get(tokens, i−1)) — one row in, one row out, no
+    explode, no window, no shuffle at all before the final (tiny)
+    output: at 100 TB this is a map-only pass, exactly what an inline
+    cleaning stage must be. (get() is the 0-based null-safe accessor, so
+    the i = 0 head needs no special case: `true OR null` is true.) The
+    oracle has no indexed array lambda, so it replays the identical
+    semantics relationally (unnest WITH ORDINALITY + lag window +
+    ordered string_agg) — same result, different idiom, which is itself
+    evidence the semantics are engine-independent."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " +")
+    kept = F.filter(
+        t, lambda x, i: (i == F.lit(0)) | (x != F.get(t, i - F.lit(1)))
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.size(t).alias("n_tokens"),
+            F.size(kept).alias("n_after"),
+            (F.size(t) - F.size(kept)).alias("n_removed"),
+            F.substring(F.concat_ws(" ", kept), 1, 50).alias("cleaned_prefix"),
+        )
+        .filter(F.col("n_removed") > 0)
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_COLLAPSE_REPEATS = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, ' +') AS t FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(t) AS w, unnest(range(len(t))) AS i FROM toks
+),
+kept AS (
+  SELECT doc_id, w, i FROM (
+    SELECT doc_id, w, i,
+           lag(w) OVER (PARTITION BY doc_id ORDER BY i) AS pw
+    FROM tok
+  ) WHERE pw IS NULL OR w <> pw
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_after,
+         substr(string_agg(w, ' ' ORDER BY i), 1, 50) AS cleaned_prefix
+  FROM kept GROUP BY 1
+),
+n AS (SELECT doc_id, len(t) AS n_tokens FROM toks)
+SELECT n.doc_id, n.n_tokens, agg.n_after,
+       n.n_tokens - agg.n_after AS n_removed, agg.cleaned_prefix
+FROM n JOIN agg ON n.doc_id = agg.doc_id
+WHERE n.n_tokens - agg.n_after > 0
+ORDER BY n.doc_id
+"""
+
+
 QUERIES = {
     "doc_token_stats": q_doc_token_stats,
+    "doc_collapse_repeats": q_doc_collapse_repeats,
     "doc_hybrid_rrf": q_doc_hybrid_rrf,
     "doc_bm25_topk": q_doc_bm25_topk,
     "doc_dup_ngram_fraction": q_doc_dup_ngram_fraction,
@@ -1632,6 +1701,7 @@ QUERIES = {
 
 ORACLES = {
     "doc_hybrid_rrf": ORACLE_HYBRID_RRF,
+    "doc_collapse_repeats": ORACLE_COLLAPSE_REPEATS,
     "doc_token_stats": ORACLE_TOKEN_STATS,
     "doc_bm25_topk": ORACLE_BM25,
     "doc_dup_ngram_fraction": ORACLE_DUP_NGRAM,

@@ -120,3 +120,26 @@ def test_hybrid_rrf_fusion_invariants(spark):
     assert scores == sorted(scores, reverse=True)
     # fusion actually drew from BOTH sources
     assert any(r.lex_rank > 0 for r in rows) and any(r.cos_rank > 0 for r in rows)
+
+
+def test_collapse_repeats_hand_computed(spark, monkeypatch):
+    """Hand-checked run collapse: only CONSECUTIVE duplicates collapse
+    (non-adjacent repeats survive), runs keep their first occurrence,
+    and unchanged docs are not emitted."""
+    from osm_poi_database_maker_spark.queries import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b c c b", "en", "s", 13),
+            (2, "x y x y", "en", "s", 7),  # no adjacent dupes -> absent
+            (3, "z z", "en", "s", 3),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(T, "load_table", lambda s_, sf_, n_: docs)
+    got = {r.doc_id: r for r in T.q_doc_collapse_repeats(spark, "x").collect()}
+    assert set(got) == {1, 3}
+    assert (got[1].n_tokens, got[1].n_after, got[1].n_removed) == (7, 4, 3)
+    assert got[1].cleaned_prefix == "a b c b"
+    assert (got[3].n_tokens, got[3].n_after) == (2, 1)
+    assert got[3].cleaned_prefix == "z"
