@@ -74,6 +74,7 @@ _VERIFY_FIRST = [
     "doc_bloom_decontaminate",
     "stream_kmv_distinct",
     "doc_collapse_repeats",
+    "osm_pbf_source_scan",
     # tier 1b: output changed in round 6 — emb_opq_codes now emits the
     # code word as a dash-joined string (its r5 driver row ERRORED on
     # the gate's pandas canonicalizer, which can't sort list cells).
@@ -123,12 +124,12 @@ _VERIFY_FIRST = [
     "doc_graph_pagerank",
     "emb_cosine_topk",
     "emb_norm_quantiles",
-    "emb_centroid_distances",
-    # --- the 50-entry window ends here (13 tier-1a + 1 tier-1b +
-    # 4 tier-2a + 5 tier-2b + 27 tier-2c). Overflow, in round-7
-    # priority order: the last 13 of the r03-evidence cohort (they lead
+    # --- the 50-entry window ends here (14 tier-1a + 1 tier-1b +
+    # 4 tier-2a + 5 tier-2b + 26 tier-2c). Overflow, in round-7
+    # priority order: the last 14 of the r03-evidence cohort (they lead
     # round 7), then the r05-verified block (freshest evidence) in
     # registry order; r04-green entries append by module cohort.
+    "emb_centroid_distances",
     "mm_audio_energy",
     "mm_payload_stats",
     "nation_lateral_topk",

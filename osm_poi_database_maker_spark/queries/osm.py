@@ -664,6 +664,37 @@ def q_osm_pbf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _entity_scan_projection(df)
 
 
+def q_osm_pbf_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 through Spark's OWN source machinery: the same fixture .pbf
+    read via the registered Python DataSource
+    (``spark.read.format("osmpbf")`` — pbf_datasource.py), checked
+    against the SAME oracle literals as q_osm_pbf_scan. One codec, two
+    plumbing paths (DataSource partitions vs index+mapInPandas), both
+    differentially verified — so neither path can drift from the wire
+    format or from each other. blobspertask=1 makes every blob its own
+    InputPartition, the maximal-parallelism planning shape."""
+    import os
+    import tempfile
+
+    from .. import pbf
+    from ..pbf_datasource import register
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"ospdms_pbf_fixture_{os.getpid()}.osm.pbf"
+    )
+    if not os.path.exists(path):
+        pbf.encode_pbf(
+            path,
+            nodes=fx.PBF_NODES,
+            ways=fx.PBF_WAYS,
+            relations=fx.PBF_RELATIONS,
+            block_size=5,
+        )
+    register(spark)
+    df = spark.read.format("osmpbf").option("blobspertask", "1").load(path)
+    return _entity_scan_projection(df)
+
+
 def q_osm_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1's second wire format: the same fixture entities serialized as
     .osm XML and scanned back with the splittable byte-range reader
@@ -733,6 +764,7 @@ ORACLE_PBF_SCAN = fx.pbf_scan_values_sql()
 
 QUERIES = {
     "osm_pbf_scan": q_osm_pbf_scan,
+    "osm_pbf_source_scan": q_osm_pbf_source_scan,
     "osm_xml_scan": q_osm_xml_scan,
     "osm_toi_dim": q_osm_toi_dim,
     "osm_poi_nodes": q_osm_poi_nodes,
@@ -747,6 +779,7 @@ QUERIES = {
 
 ORACLES = {
     "osm_pbf_scan": ORACLE_PBF_SCAN,
+    "osm_pbf_source_scan": ORACLE_PBF_SCAN,
     "osm_xml_scan": ORACLE_PBF_SCAN,
     "osm_toi_dim": ORACLE_TOI_DIM,
     "osm_poi_nodes": ORACLE_POI_NODES,
