@@ -1619,21 +1619,29 @@ def q_doc_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark side is a pure ARRAY expression — filter(tokens, (x, i) ->
     i = 0 OR x ≠ get(tokens, i−1)) — one row in, one row out, no
-    explode, no window, no shuffle at all before the final (tiny)
-    output: at 100 TB this is a map-only pass, exactly what an inline
-    cleaning stage must be. (get() is the 0-based null-safe accessor, so
-    the i = 0 head needs no special case: `true OR null` is true.) The
+    explode, no window: at 100 TB this is a map-only pass (plus the one
+    materialization exchange below), exactly what an inline cleaning
+    stage must be. (get() is the 0-based null-safe accessor, so the
+    i = 0 head needs no special case: `true OR null` is true.) The
+    token array MUST materialize behind an optimizer barrier first: the
+    lambda references the array once per ELEMENT via get(), so
+    CollapseProject would inline the split() into every reference —
+    O(tokens²) re-splits per doc, measured 10.5 s vs ~1 s at sf0.1 (the
+    repo's standing CollapseProject trap, worst instance yet). The
     oracle has no indexed array lambda, so it replays the identical
     semantics relationally (unnest WITH ORDINALITY + lag window +
     ordered string_agg) — same result, different idiom, which is itself
     evidence the semantics are engine-independent."""
     d = load_table(spark, sf_dir, "documents")
-    t = F.split(F.col("text"), " +")
+    tok = d.select(
+        "doc_id", F.split(F.col("text"), " +").alias("t")
+    ).repartition("doc_id")
+    t = F.col("t")
     kept = F.filter(
         t, lambda x, i: (i == F.lit(0)) | (x != F.get(t, i - F.lit(1)))
     )
     return (
-        d.select(
+        tok.select(
             "doc_id",
             F.size(t).alias("n_tokens"),
             F.size(kept).alias("n_after"),
