@@ -59,8 +59,10 @@ _MODULES = (
 _VERIFY_FIRST = [
     # tier 1a: no driver row exists yet — returned_item_revenue (new in
     # round 5, deliberately overflowed then; leads per the r5 contract)
-    # and the eight queries new in round 6 (six classic decorrelation
-    # shapes, the oracled SRP-LSH, the PCA spectrum).
+    # and the fifteen queries new in round 6 (six classic decorrelation
+    # shapes, the oracled SRP-LSH, the PCA spectrum, the CMS/Bloom/KMV
+    # sketches, collapse-repeats, the osmpbf DataSource scan, the Q13
+    # custdist shape, and the gapfill/LOCF densifier).
     "returned_item_revenue",
     "min_cost_supplier",
     "product_type_profit",
@@ -75,6 +77,8 @@ _VERIFY_FIRST = [
     "stream_kmv_distinct",
     "doc_collapse_repeats",
     "osm_pbf_source_scan",
+    "customer_order_distribution",
+    "events_gapfill_locf",
     # tier 1b: output changed in round 6 — emb_opq_codes now emits the
     # code word as a dash-joined string (its r5 driver row ERRORED on
     # the gate's pandas canonicalizer, which can't sort list cells).
@@ -122,13 +126,13 @@ _VERIFY_FIRST = [
     "doc_dedup_clusters",
     "doc_dedup_survivors",
     "doc_graph_pagerank",
-    "emb_cosine_topk",
-    "emb_norm_quantiles",
-    # --- the 50-entry window ends here (14 tier-1a + 1 tier-1b +
-    # 4 tier-2a + 5 tier-2b + 26 tier-2c). Overflow, in round-7
-    # priority order: the last 14 of the r03-evidence cohort (they lead
+    # --- the 50-entry window ends here (16 tier-1a + 1 tier-1b +
+    # 4 tier-2a + 5 tier-2b + 24 tier-2c). Overflow, in round-7
+    # priority order: the last 16 of the r03-evidence cohort (they lead
     # round 7), then the r05-verified block (freshest evidence) in
     # registry order; r04-green entries append by module cohort.
+    "emb_cosine_topk",
+    "emb_norm_quantiles",
     "emb_centroid_distances",
     "mm_audio_energy",
     "mm_payload_stats",

@@ -472,6 +472,48 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
 """
 
 
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape): a filtered
+    LEFT OUTER join — the predicate belongs to the JOIN condition, not
+    the WHERE clause, so customers whose only orders are excluded still
+    count with c_count = 0 — followed by a count-of-counts.
+
+    Because the filter touches only the orders side, the outer join
+    commutes with pre-aggregation: orders are filtered and reduced to
+    (custkey, count) BEFORE the join, so the shuffle carries one row
+    per active customer instead of one per order (at 100 TB that is the
+    difference between shuffling ~1.5 B order rows and ~100 M customer
+    rows). The second aggregation groups a customer-sized input by the
+    tiny c_count domain — partial aggregation collapses it map-side.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        o.filter(~F.col("o_orderpriority").like("1-%"))
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+ORACLE_CUSTDIST = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority NOT LIKE '1-%'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+"""
+
+
 # --- set operations (reference §2.2 set ops) -------------------------------
 
 def q_nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1995,6 +2037,7 @@ QUERIES = {
     "top_orders_per_customer": q_top_orders_per_customer,
     "customers_with_urgent_orders": q_customers_with_urgent_orders,
     "customers_without_orders": q_customers_without_orders,
+    "customer_order_distribution": q_customer_order_distribution,
     "nation_set_ops": q_nation_set_ops,
     "order_rollup": q_order_rollup,
     "orders_pk_audit": q_orders_pk_audit,
@@ -2035,6 +2078,7 @@ ORACLES = {
     "top_orders_per_customer": ORACLE_TOP_ORDERS,
     "customers_with_urgent_orders": ORACLE_SEMI,
     "customers_without_orders": ORACLE_ANTI,
+    "customer_order_distribution": ORACLE_CUSTDIST,
     "nation_set_ops": ORACLE_SET_OPS,
     "order_rollup": ORACLE_ROLLUP,
     "orders_pk_audit": ORACLE_PK_AUDIT,

@@ -402,6 +402,79 @@ GROUP BY user_id
 """
 
 
+def q_events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification + last-observation-carried-forward
+    (the TimescaleDB ``time_bucket_gapfill``/``locf`` hypertable shape,
+    which the reference's PostgreSQL tier would provide): per user,
+    a contiguous daily date spine from first to last active day, the
+    day's event count (0 on silent days), and the most recent observed
+    value carried forward across the gaps.
+
+    The day's closing value is ``max_by(value, event_id)`` — event_id
+    is the unique ingestion sequence, so "last" is deterministic in
+    both engines without relying on timestamp-tie luck. The spine is
+    generated ARRAY-SIDE per user (``sequence(d0, d1)`` + explode), not
+    via a driver-side calendar table or a cross join against a global
+    spine: each user only densifies its own [first, last] range, so
+    the row blow-up is bounded by user_span_days, and a 100 TB events
+    table with 1e9 users never materializes a 1e9 × global-calendar
+    cross product. Exchanges: one shuffle for the (user, day) rollup,
+    one on user_id shared by the spine aggregation, the spine↔daily
+    join, and the LOCF window (all three are user_id-keyed).
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.max_by("value", "event_id").alias("day_close"),
+        )
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .withColumn("locf_value", F.round(F.last("day_close", ignorenulls=True).over(w), 2))
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+            "locf_value",
+        )
+    )
+
+
+ORACLE_GAPFILL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         count(*) AS n, arg_max(value, event_id) AS day_close
+  FROM events GROUP BY 1, 2
+),
+spine AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                     CAST(d1 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1)
+)
+SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day,
+       coalesce(d.n, 0) AS n_events,
+       round(last_value(d.day_close IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS locf_value
+FROM spine s
+LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+"""
+
+
 def q_events_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates — the 100 TB form of distinct counting and
     quantiles: approx_count_distinct (HyperLogLog++, fixed ~KB state,
@@ -893,6 +966,7 @@ QUERIES = {
     "events_sketch_stats": q_events_sketch_stats,
     "events_time_rollup": q_events_time_rollup,
     "events_gap_stats": q_events_gap_stats,
+    "events_gapfill_locf": q_events_gapfill_locf,
 }
 
 ORACLES = {
@@ -911,4 +985,5 @@ ORACLES = {
     "events_asof_join": ORACLE_ASOF,
     "events_time_rollup": ORACLE_TIME_ROLLUP,
     "events_gap_stats": ORACLE_GAP_STATS,
+    "events_gapfill_locf": ORACLE_GAPFILL,
 }

@@ -523,3 +523,70 @@ def test_cms_counts_guarantee_and_planted_collision(spark, monkeypatch):
         assert got[u].exact_count == 200
         assert got[u].cms_estimate == 200  # 3 keys cannot collide in all 4 rows
         assert got[u].overcount == 0
+
+
+def test_gapfill_locf_densifies_and_carries(spark, monkeypatch):
+    """Silent days appear with n_events=0 and carry the last observed
+    day-close value; the day's close is the value of the MAX event_id
+    (the ingestion sequence), not an arbitrary tie-break; the spine is
+    bounded per user (no global calendar: user 2 has no Jan-1 row)."""
+    import datetime as dt
+
+    from osm_poi_database_maker_spark.queries import events as E
+
+    def t(day, h=12):
+        return dt.datetime(2024, 1, day, h, 0)
+
+    rows = [
+        # user 1: Jan 1 (two events, close = event_id 2's value), gap on
+        # Jan 2-3, Jan 4 again
+        (1, t(1, 9), 1, "view", 10.0, "{}"),
+        (2, t(1, 10), 1, "view", 20.0, "{}"),
+        (9, t(4), 1, "view", 40.0, "{}"),
+        # user 2: single day, Jan 3 only
+        (5, t(3), 2, "view", 7.0, "{}"),
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(E, "load_table", lambda s_, sf_, n_: e)
+    out = {(r.user_id, r.day): r for r in E.q_events_gapfill_locf(spark, "x").collect()}
+    assert set(out) == {
+        (1, "2024-01-01"), (1, "2024-01-02"), (1, "2024-01-03"), (1, "2024-01-04"),
+        (2, "2024-01-03"),
+    }
+    assert out[(1, "2024-01-01")].n_events == 2
+    assert out[(1, "2024-01-01")].locf_value == 20.0  # max event_id of the day
+    assert out[(1, "2024-01-02")].n_events == 0
+    assert out[(1, "2024-01-02")].locf_value == 20.0  # carried across the gap
+    assert out[(1, "2024-01-03")].locf_value == 20.0
+    assert out[(1, "2024-01-04")].locf_value == 40.0
+    assert out[(2, "2024-01-03")].n_events == 1
+
+
+def test_customer_order_distribution_counts_filtered_zero(spark, monkeypatch):
+    """Q13 semantics: the priority filter lives in the JOIN condition —
+    a customer whose only orders are urgent lands in the 0 bucket, and
+    order-less customers are counted too."""
+    from osm_poi_database_maker_spark.queries import core as C
+
+    cust = spark.createDataFrame(
+        [(1, "a", 0, 0.0, "m"), (2, "b", 0, 0.0, "m"), (3, "c", 0, 0.0, "m")],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [
+            (10, 1, "O", 1.0, "2024-01-01", "1-URGENT"),   # filtered out
+            (11, 2, "O", 1.0, "2024-01-01", "2-HIGH"),
+            (12, 2, "O", 1.0, "2024-01-02", "5-LOW"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    )
+    frames = {"customer": cust, "orders": orders}
+    monkeypatch.setattr(C, "load_table", lambda s_, sf_, n_: frames[n_])
+    got = {r.c_count: r.custdist for r in C.q_customer_order_distribution(spark, "x").collect()}
+    assert got == {0: 2, 2: 1}  # cust 1 (urgent-only) and 3 (no orders) in bucket 0
