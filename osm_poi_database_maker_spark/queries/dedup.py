@@ -50,14 +50,10 @@ GROUP BY 1
 NGRAM_DF_CAP = 50  # shingles in more docs than this are stopword-like noise
 
 
-def q_doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs by 3-word-shingle Jaccard ≥ 0.25 over the
-    df-capped shingle universe.
-
-    explode distinct shingles → drop shingles present in more than
-    ``NGRAM_DF_CAP`` docs → self-join on shingle → per-pair shared
-    count → Jaccard vs per-doc (capped-universe) shingle counts.
-    doc_a < doc_b keeps each pair once.
+def _shingle_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared core of the shingle-overlap pair queries: distinct 3-word
+    shingles per doc → df-capped universe → self-join on shingle hash →
+    (doc_a, doc_b, shared, n_a, n_b) with doc_a < doc_b.
 
     The doc-frequency cap is the scale guard: the per-shingle self-join
     is quadratic in shingle frequency, so one boilerplate trigram shared
@@ -65,8 +61,9 @@ def q_doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     worst shingle's contribution at NGRAM_DF_CAP² rows — and hot
     shingles carry no near-dup signal anyway (they're the "the of the"
     band of the distribution). Sizes are computed over the same capped
-    universe so Jaccard stays a true set similarity of the sets actually
-    joined. The cap is deterministic and mirrored in the DuckDB oracle.
+    universe so the similarity stays a true set measure of the sets
+    actually joined. The cap is deterministic and mirrored in the
+    DuckDB oracles.
     """
     d = load_table(spark, sf_dir, "documents")
     # barrier: materialize the token array behind a shuffle. Without it,
@@ -122,9 +119,15 @@ def q_doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return pairs.join(sa, "doc_a").join(sb, "doc_b")
+
+
+def q_doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by 3-word-shingle Jaccard ≥ 0.25 over the
+    df-capped shingle universe (see ``_shingle_pair_stats`` for the
+    pipeline and its scale bounds). doc_a < doc_b keeps each pair once."""
     return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        _shingle_pair_stats(spark, sf_dir)
         .withColumn(
             "jaccard",
             F.round(F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 4),
@@ -132,6 +135,83 @@ def q_doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.25)
         .select("doc_a", "doc_b", "shared", "jaccard")
     )
+
+
+CONTAINMENT_MIN = 0.5
+
+
+def q_doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional near-containment: containment(inner → outer) =
+    |shingles(inner) ∩ shingles(outer)| / |shingles(inner)| ≥ 0.5.
+
+    Jaccard under-scores a short document swallowed by a long one (the
+    union is dominated by the long side), which is exactly the quote /
+    boilerplate-wrapper / excerpt case an LLM dedup pass needs; the
+    asymmetric measure normalizes by the INNER side only. Same df-capped
+    shingle machinery as the Jaccard query, so the self-join bound is
+    unchanged; each undirected pair is expanded to its two directions
+    ARRAY-side (explode of a 2-struct literal — no second join or union
+    re-scan of the pair table) and filtered per direction.
+    """
+    stats = _shingle_pair_stats(spark, sf_dir)
+    both = F.explode(
+        F.array(
+            F.struct(
+                F.col("doc_a").alias("doc_inner"),
+                F.col("doc_b").alias("doc_outer"),
+                F.round(F.col("shared") / F.col("n_a"), 4).alias("containment"),
+            ),
+            F.struct(
+                F.col("doc_b").alias("doc_inner"),
+                F.col("doc_a").alias("doc_outer"),
+                F.round(F.col("shared") / F.col("n_b"), 4).alias("containment"),
+            ),
+        )
+    )
+    return (
+        stats.select(F.col("shared"), both.alias("d"))
+        .select("d.doc_inner", "d.doc_outer", "shared", "d.containment")
+        .filter(F.col("containment") >= CONTAINMENT_MIN)
+    )
+
+
+_SHINGLE_STATS_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, ' +') AS t FROM documents
+  WHERE len(string_split_regex(text, ' +')) >= 3
+),
+sh_all AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS shingle
+    FROM (SELECT doc_id, t, unnest(range(len(t) - 2)) AS i FROM toks)
+  )
+),
+dfs AS (SELECT shingle, count(*) AS df FROM sh_all GROUP BY 1),
+sh AS (  -- df-capped shingle universe, mirroring NGRAM_DF_CAP = 50
+  SELECT s.doc_id, s.shingle FROM sh_all s
+  JOIN dfs ON dfs.shingle = s.shingle AND dfs.df <= 50
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+"""
+
+
+ORACLE_CONTAINMENT = _SHINGLE_STATS_SQL + """
+SELECT doc_inner, doc_outer, shared, containment FROM (
+  SELECT doc_a AS doc_inner, doc_b AS doc_outer, shared,
+         round(CAST(shared AS DOUBLE) / sa.n_sh, 4) AS containment
+  FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+  UNION ALL
+  SELECT doc_b AS doc_inner, doc_a AS doc_outer, shared,
+         round(CAST(shared AS DOUBLE) / sb.n_sh, 4) AS containment
+  FROM pairs JOIN sizes sb ON sb.doc_id = doc_b
+)
+WHERE containment >= 0.5
+"""
 
 
 ORACLE_NGRAM = """
@@ -162,6 +242,103 @@ FROM pairs
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 4) >= 0.25
+"""
+
+
+_WINNOW_K = 5  # char k-gram width
+_WINNOW_W = 4  # winnowing window: one fingerprint per w consecutive k-grams
+_WINNOW_MOD = 1_000_000_007
+
+
+def q_doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS local-fingerprint
+    scheme, Schleimer/Wilkerson/Aiken SIGMOD'03): hash every 5-char
+    k-gram with the repo's portable base-31 polynomial (the same
+    char-hash convention the whole-document ``doc_fingerprint`` uses),
+    then keep the minimum hash of every window of 4 consecutive k-grams
+    and emit the distinct mins per document.
+
+    Winnowing guarantees any shared substring of length ≥ k + w − 1
+    (= 8 chars) produces at least one common fingerprint, while keeping
+    only ~2/(w+1) of all k-gram hashes — the *local* fingerprint family
+    that whole-doc hashing (exact dedup) and bag-of-shingles (Jaccard)
+    both miss, and the index a plagiarism / clone-detector joins on.
+
+    Plan: the codepoint array is materialized behind one round-robin
+    repartition (spread across slots AND a CollapseProject barrier —
+    the k-gram lambda references it 5×, and inlining would re-split the
+    text per reference); the per-position hashes then flow through ONE
+    posexplode and a doc_id-partitioned running-min window frame
+    (ROWS CURRENT..w−1 FOLLOWING) — per-doc-linear work, two exchanges
+    total, no per-window array slicing (array-side window mins would
+    re-evaluate the O(n) hash array once per window under
+    CollapseProject). Tail windows shorter than w are excluded
+    (pos ≤ max(nk − w + 1, 1)) except for docs with fewer than w
+    k-grams, which contribute their single truncated window.
+    """
+    n = spark.sparkContext.defaultParallelism
+    d = load_table(spark, sf_dir, "documents")
+    codes = F.transform(
+        F.filter(F.split(F.col("text"), ""), lambda c: c != F.lit("")),
+        lambda c: F.ascii(c).cast("long"),
+    )
+    base = (
+        d.filter(F.length("text") >= _WINNOW_K)
+        .select("doc_id", codes.alias("cs"))
+        .repartition(n)
+    )
+    cs = F.col("cs")
+    kgram_hashes = F.transform(
+        F.sequence(F.lit(1), F.size(cs) - (_WINNOW_K - 1)),
+        lambda i: (
+            F.element_at(cs, i) * 923521  # 31^4
+            + F.element_at(cs, i + 1) * 29791  # 31^3
+            + F.element_at(cs, i + 2) * 961  # 31^2
+            + F.element_at(cs, i + 3) * 31
+            + F.element_at(cs, i + 4)
+        )
+        % F.lit(_WINNOW_MOD),
+    )
+    rows = base.select(
+        "doc_id",
+        (F.size(cs) - (_WINNOW_K - 1)).alias("nk"),
+        F.posexplode(kgram_hashes).alias("pos0", "h"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos0").rowsBetween(0, _WINNOW_W - 1)
+    return (
+        rows.withColumn("fingerprint", F.min("h").over(w))
+        .filter(
+            F.col("pos0") + 1
+            <= F.greatest(F.col("nk") - (_WINNOW_W - 1), F.lit(1))
+        )
+        .select("doc_id", "fingerprint")
+        .distinct()
+    )
+
+
+ORACLE_WINNOW = """
+WITH codes AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+                        c -> ascii(c)::BIGINT) AS cs
+  FROM documents
+),
+kh AS (
+  SELECT doc_id, len(cs) - 4 AS nk,
+         unnest(list_transform(range(1, len(cs) - 3), i ->
+           {'pos': i,
+            'h': (cs[i] * 923521 + cs[i + 1] * 29791 + cs[i + 2] * 961
+                  + cs[i + 3] * 31 + cs[i + 4]) % 1000000007})) AS u
+  FROM codes
+  WHERE len(cs) >= 5
+)
+SELECT DISTINCT doc_id, fingerprint FROM (
+  SELECT doc_id, u.pos AS pos, nk,
+         min(u.h) OVER (PARTITION BY doc_id ORDER BY u.pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
+  FROM kh
+)
+WHERE pos <= greatest(nk - 3, 1)
 """
 
 
@@ -863,6 +1040,8 @@ LEFT JOIN overlap o ON o.doc_id = i.doc_id
 QUERIES = {
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_ngram_jaccard_pairs": q_doc_ngram_jaccard_pairs,
+    "doc_containment_pairs": q_doc_containment_pairs,
+    "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
     "doc_substring_dedup": q_doc_substring_dedup,
     "doc_minhash_pairs": q_doc_minhash_pairs,
     "doc_simhash_pairs": q_doc_simhash_pairs,
@@ -878,6 +1057,8 @@ ORACLES = {
     "doc_incremental_dedup": ORACLE_INCREMENTAL,
     "doc_exact_dedup": ORACLE_EXACT,
     "doc_ngram_jaccard_pairs": ORACLE_NGRAM,
+    "doc_containment_pairs": ORACLE_CONTAINMENT,
+    "doc_winnow_fingerprints": ORACLE_WINNOW,
     "doc_substring_dedup": ORACLE_SUBSTRING,
     "doc_simhash_pairs": ORACLE_SIMHASH,
     "doc_minhash_pairs": ORACLE_MINHASH,

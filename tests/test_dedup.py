@@ -276,3 +276,53 @@ def test_substring_dedup_run_lengths(spark, tmp_path):
     assert all(5 not in pair for pair in got)
     # docs 2 and 3 share the same runs as 1 and 3 (alpha is contiguous in 2)
     assert got[(2, 3)] == (8, 2)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_winnowing_guarantee_and_short_doc(spark, monkeypatch):
+    """The winnowing guarantee: any shared substring of length
+    >= k + w - 1 = 8 chars yields at least one common fingerprint.
+    A doc shorter than k + w - 1 (but >= k) still emits exactly one
+    (truncated-window) fingerprint; a doc under k chars emits none."""
+    from osm_poi_database_maker_spark.queries import dedup as D
+
+    shared = "UNCOMMON-RUN-xyz123"  # 19 chars, well past the 8-char bound
+    rows = [
+        (1, "aaaa " + shared + " bbbb", "en", "s", 0),
+        (2, "cccc dddd " + shared, "en", "s", 0),
+        (3, "zzzzz", "en", "s", 0),   # 5 chars: single truncated window
+        (4, "qq", "en", "s", 0),      # < k chars: no k-grams at all
+    ]
+    monkeypatch.setattr(D, "load_table", lambda s_, sf_, n_: _docs(spark, rows))
+    out = D.q_doc_winnow_fingerprints(spark, "x").collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] & by_doc[2], "shared 19-char run must share a fingerprint"
+    assert len(by_doc[3]) == 1
+    assert 4 not in by_doc
+    # density: winnowing keeps far fewer fingerprints than k-gram count
+    n_kgrams_1 = len(rows[0][1]) - 4
+    assert len(by_doc[1]) < n_kgrams_1 / 2
+
+
+def test_containment_is_directional(spark, monkeypatch):
+    """A short doc whose shingles all appear in a long doc scores
+    containment 1.0 inner->outer, while the reverse direction is the
+    small fraction that falls below the 0.5 threshold and is dropped."""
+    from osm_poi_database_maker_spark.queries import dedup as D
+
+    words = [f"w{i}" for i in range(40)]
+    long_text = " ".join(words)
+    short_text = " ".join(words[10:15])  # 5 words => 3 shingles, all in long
+    rows = [(1, long_text, "en", "s", 0), (2, short_text, "en", "s", 0)]
+    monkeypatch.setattr(D, "load_table", lambda s_, sf_, n_: _docs(spark, rows))
+    out = {(r.doc_inner, r.doc_outer): r for r in D.q_doc_containment_pairs(spark, "x").collect()}
+    assert set(out) == {(2, 1)}
+    assert out[(2, 1)].containment == 1.0
+    assert out[(2, 1)].shared == 3
