@@ -816,6 +816,31 @@ def q_events_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d", "cell")
         .agg(F.sum("cnt").alias("cell_total"))
     )
+    return cms_finalize(spark, sf_dir, cells, per_user=per_user)
+
+
+def cms_finalize(
+    spark: SparkSession, sf_dir: str, cells: DataFrame, per_user: DataFrame | None = None
+) -> DataFrame:
+    """THE CMS probe/audit finalizer — single definition of the probe
+    join, min-over-rows estimate, and exact/overcount audit, shared by
+    the batch operator and the streaming twin (streaming.cms_sketch_state
+    → q_stream_cms_counts) so the batch-certifies-streaming contract
+    can't diverge. ``cells`` is the sketch: (d, cell, cell_total) rows,
+    ≤ D·W of them, broadcast to the probe join. ``per_user`` lets the
+    batch caller share its checkpointed per-user rollup; the streaming
+    caller leaves it None and the exact audit is recomputed here."""
+    from .curation import _lehmer_h
+
+    if per_user is None:
+        per_user = (
+            load_table(spark, sf_dir, "events")
+            .select("user_id")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("cnt"))
+        )
+    d_arr = F.array(*[F.lit(d) for d in range(_CMS_D)])
+    cell = _lehmer_h(F.col("user_id") * 64 + _CMS_SALT + F.col("d")) % _CMS_W
     probes = (
         per_user.filter(F.col("user_id") < _CMS_PROBE_MAX)
         .select(

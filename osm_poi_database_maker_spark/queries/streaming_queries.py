@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .. import streaming as S
 from .events import (
+    ORACLE_CMS,
     ORACLE_HOURLY,
     ORACLE_KMV,
     ORACLE_OHLC,
@@ -138,6 +139,35 @@ def q_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_finalize(spark, sf_dir, km)
 
 
+def q_stream_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Count-Min Sketch (custom applyInPandasWithState state:
+    one W-counter vector per sketch row d), finalized by the SAME
+    probe/estimate/audit code as the batch twin (events.cms_finalize)
+    and checked against the SAME DuckDB oracle — the second hash-gated
+    streaming sketch next to KMV. Update mode emits the full counter
+    row per micro-batch stamped with n_seen (strictly monotone per d);
+    the final grid is each row's emission with the largest n_seen."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .events import _CMS_D, _CMS_SALT, _CMS_W, cms_finalize
+
+    out = _materialize(
+        S.cms_sketch_state(
+            S.stream_events(spark, sf_dir), d=_CMS_D, w=_CMS_W, salt=_CMS_SALT
+        ),
+        spark,
+        "update",
+    )
+    w = Window.partitionBy("d", "cell").orderBy(F.desc("n_seen"))
+    cells = (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("d", "cell", "cell_total")
+    )
+    return cms_finalize(spark, sf_dir, cells)
+
+
 def q_stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream watermarked join (purchase ← same-user click within
     2 hours): both sides are live streams; bounded time-range condition
@@ -181,6 +211,7 @@ QUERIES = {
     "stream_static_join": q_stream_static_join,
     "stream_stream_attribution": q_stream_stream_attribution,
     "stream_kmv_distinct": q_stream_kmv_distinct,
+    "stream_cms_counts": q_stream_cms_counts,
 }
 
 ORACLES = {
@@ -193,4 +224,5 @@ ORACLES = {
     "stream_static_join": ORACLE_STREAM_STATIC,
     "stream_stream_attribution": ORACLE_STREAM_STREAM,
     "stream_kmv_distinct": ORACLE_KMV,
+    "stream_cms_counts": ORACLE_CMS,
 }

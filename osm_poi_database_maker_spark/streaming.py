@@ -241,6 +241,71 @@ def kmv_sketch_state(events: DataFrame, k: int = 64) -> DataFrame:
     )
 
 
+_CMS_STATE_SCHEMA = "counters array<long>, n_seen long"
+_CMS_OUT_SCHEMA = "d long, cell long, cell_total long, n_seen long"
+
+
+def _cms_update(w: int, salt: int):
+    def update(key: tuple[Any, ...], pdfs: Any, state: GroupState):
+        import numpy as np
+
+        d = int(key[0])
+        if state.exists:
+            counters_list, n_seen = state.get
+            counters = np.asarray(counters_list, dtype=np.int64)
+        else:
+            counters, n_seen = np.zeros(w, dtype=np.int64), 0
+        for pdf in pdfs:
+            u = pdf["user_id"].to_numpy(dtype=np.int64)
+            # identical Lehmer fold to queries.curation._lehmer_h /
+            # ORACLE_CMS: ((u*64 + salt + d) % M) * A % M * A % M, then
+            # mod the sketch width — int64-exact throughout
+            h = (u * 64 + salt + d) % _KMV_M * _KMV_A % _KMV_M * _KMV_A % _KMV_M % w
+            np.add.at(counters, h, 1)
+            n_seen += len(u)
+        state.update((counters.tolist(), n_seen))
+        yield pd.DataFrame(
+            {
+                "d": np.full(w, d, dtype=np.int64),
+                "cell": np.arange(w, dtype=np.int64),
+                "cell_total": counters,
+                "n_seen": np.full(w, n_seen, dtype=np.int64),
+            }
+        )
+
+    return update
+
+
+def cms_sketch_state(events: DataFrame, d: int = 4, w: int = 256, salt: int = 32) -> DataFrame:
+    """Streaming Count-Min Sketch — the custom-state twin of
+    queries/events.q_events_cms_counts. Grouping key is the sketch ROW
+    index d (each event fans out to all D rows map-side), so state is
+    one W-counter vector per row — D·W longs TOTAL, forever, no matter
+    how many events or distinct users the stream carries; that fixed
+    footprint is the reason to run CMS instead of an exact per-key
+    count on an unbounded stream. Increments are vectorized
+    ``np.add.at`` over each Arrow batch; per-event increments commute,
+    so micro-batch boundaries cannot change the final grid. Every
+    update emits the full row of W counters stamped with the events-
+    processed count n_seen (strictly monotone per row), letting the
+    caller select the final grid; the probe/estimate/audit columns are
+    attached by the shared batch finalizer (events.cms_finalize —
+    single definition), so the batch DuckDB oracle certifies the
+    streaming output end-to-end."""
+    d_lits = F.array(*[F.lit(i).cast("long") for i in range(d)])
+    return (
+        events.select(F.explode(d_lits).alias("d"), "user_id")
+        .groupBy("d")
+        .applyInPandasWithState(
+            _cms_update(w, salt),
+            outputStructType=_CMS_OUT_SCHEMA,
+            stateStructType=_CMS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 _SESSION_STATE_SCHEMA = "start_us long, last_us long, n long, total double"
 _SESSION_OUT_SCHEMA = (
     "user_id long, session_start_us long, n_events long, sum_value double"

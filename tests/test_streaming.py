@@ -419,3 +419,38 @@ def test_stream_kmv_matches_batch_twin(spark):
     batch = {tuple(r) for r in E.q_events_kmv_distinct(spark, SF_SMOKE).collect()}
     stream = {tuple(r) for r in Q.q_stream_kmv_distinct(spark, SF_SMOKE).collect()}
     assert batch == stream
+
+
+def test_stream_cms_state_merge_is_batch_invariant():
+    """CMS increments commute: one update call vs a split across two
+    (with the second re-counting some users) must leave the same total
+    mass, and the counter vector is the exact per-cell histogram."""
+    import pandas as pd
+
+    from osm_poi_database_maker_spark import streaming as S
+
+    update = S._cms_update(16, 32)
+    users = list(range(40))
+
+    one = _FakeGroupState()
+    list(update((2,), [pd.DataFrame({"user_id": users + users[:7]})], one))
+
+    two = _FakeGroupState()
+    list(update((2,), [pd.DataFrame({"user_id": users[:25]})], two))
+    list(update((2,), [pd.DataFrame({"user_id": users[25:] + users[:7]})], two))
+
+    assert one._v[0] == two._v[0]  # identical counter vectors
+    assert one._v[1] == two._v[1] == 47  # n_seen = total increments
+    assert sum(one._v[0]) == 47
+
+
+def test_stream_cms_matches_batch_twin(spark):
+    """The streaming CMS query must equal the batch operator row-for-row
+    on the same fixture (shared finalizer + shared Lehmer cell hash)."""
+    from osm_poi_database_maker_spark.queries import events as E
+    from osm_poi_database_maker_spark.queries import streaming_queries as Q
+    from tests.conftest import SF_SMOKE
+
+    batch = {tuple(r) for r in E.q_events_cms_counts(spark, SF_SMOKE).collect()}
+    stream = {tuple(r) for r in Q.q_stream_cms_counts(spark, SF_SMOKE).collect()}
+    assert batch == stream
