@@ -514,6 +514,53 @@ GROUP BY c_count
 """
 
 
+def q_customer_referral_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE surface: full ancestor closure of a referral
+    forest — (node, ancestor, dist) for every customer and every
+    customer upstream in their referral chain, the SQL-completeness
+    item (``WITH RECURSIVE``) Spark lacks natively.
+
+    The fixtures carry no referrer column, so the parent edge is
+    DERIVED with the repo's portable Lehmer mix: referrer(c) =
+    lehmer(c) mod c, strictly below c, so the graph is acyclic by
+    construction and chains terminate at key 0 (which has no edge).
+    Expected depth of such a uniform random recursive forest is
+    ~ln(n) (max ~e·ln n), irregular per node — the closure genuinely
+    traverses, it is not closed-form.
+
+    Spark side: ops.recursion.ancestor_closure pointer doubling —
+    ceil(log2(depth)) self-join rounds, each one shuffle + distinct,
+    vs the oracle's O(depth) sequential recursive-CTE passes; at a
+    1e9-customer scale that is ~5 shuffles instead of ~30."""
+    from ..ops.recursion import ancestor_closure
+    from .curation import _lehmer_h
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("node")
+    )
+    edges = c.filter(F.col("node") >= 1).select(
+        "node", (_lehmer_h(F.col("node")) % F.col("node")).alias("anc")
+    )
+    return ancestor_closure(edges)
+
+
+ORACLE_REFERRAL_CLOSURE = """
+WITH RECURSIVE e AS (
+  SELECT c_custkey AS node,
+         ((c_custkey % 2147483647) * 48271 % 2147483647 * 48271 % 2147483647)
+           % c_custkey AS anc
+  FROM customer WHERE c_custkey >= 1
+),
+anc AS (
+  SELECT node, anc AS ancestor, CAST(1 AS BIGINT) AS dist FROM e
+  UNION ALL
+  SELECT a.node, e.anc, a.dist + 1
+  FROM anc a JOIN e ON e.node = a.ancestor
+)
+SELECT node, ancestor, dist FROM anc
+"""
+
+
 # --- set operations (reference §2.2 set ops) -------------------------------
 
 def q_nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2038,6 +2085,7 @@ QUERIES = {
     "customers_with_urgent_orders": q_customers_with_urgent_orders,
     "customers_without_orders": q_customers_without_orders,
     "customer_order_distribution": q_customer_order_distribution,
+    "customer_referral_closure": q_customer_referral_closure,
     "nation_set_ops": q_nation_set_ops,
     "order_rollup": q_order_rollup,
     "orders_pk_audit": q_orders_pk_audit,
@@ -2079,6 +2127,7 @@ ORACLES = {
     "customers_with_urgent_orders": ORACLE_SEMI,
     "customers_without_orders": ORACLE_ANTI,
     "customer_order_distribution": ORACLE_CUSTDIST,
+    "customer_referral_closure": ORACLE_REFERRAL_CLOSURE,
     "nation_set_ops": ORACLE_SET_OPS,
     "order_rollup": ORACLE_ROLLUP,
     "orders_pk_audit": ORACLE_PK_AUDIT,

@@ -405,3 +405,34 @@ def test_idle_customer_balance_planted(spark, monkeypatch):
     # cust 2 has a recent order (excluded); cust 1 below avg; cust 4 idle
     assert set(got) == {"BETA"}
     assert (got["BETA"].n_idle_customers, got["BETA"].idle_balance) == (1, 300.0)
+
+
+def test_ancestor_closure_exact_paths(spark):
+    """A planted forest yields exactly the linear-recursion row set:
+    every (node, ancestor, dist) triple, across doubling split points."""
+    from osm_poi_database_maker_spark.ops.recursion import ancestor_closure
+
+    # chain 9 -> 7 -> 4 -> 1 -> 0 plus a side branch 8 -> 4
+    edges = spark.createDataFrame(
+        [(9, 7), (7, 4), (4, 1), (1, 0), (8, 4)], "node long, anc long"
+    )
+    got = {(r.node, r.ancestor, r.dist) for r in ancestor_closure(edges).collect()}
+    want = {
+        (9, 7, 1), (9, 4, 2), (9, 1, 3), (9, 0, 4),
+        (7, 4, 1), (7, 1, 2), (7, 0, 3),
+        (4, 1, 1), (4, 0, 2),
+        (1, 0, 1),
+        (8, 4, 1), (8, 1, 2), (8, 0, 3),
+    }
+    assert got == want
+
+
+def test_ancestor_closure_cycle_raises(spark):
+    """A cycle can never converge; the rounds guard must trip."""
+    import pytest
+
+    from osm_poi_database_maker_spark.ops.recursion import ancestor_closure
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "node long, anc long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        ancestor_closure(edges, max_rounds=3)
