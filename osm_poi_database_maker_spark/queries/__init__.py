@@ -59,12 +59,12 @@ _MODULES = (
 _VERIFY_FIRST = [
     # tier 1a: no driver row exists yet — returned_item_revenue (new in
     # round 5, deliberately overflowed then; leads per the r5 contract)
-    # and the nineteen queries new in round 6 (six classic decorrelation
+    # and the twenty queries new in round 6 (six classic decorrelation
     # shapes, the oracled SRP-LSH, the PCA spectrum, the CMS/Bloom/KMV
     # sketches, collapse-repeats, the osmpbf DataSource scan, the Q13
     # custdist shape, the gapfill/LOCF densifier, winnowing fingerprints,
-    # directional containment pairs, the streaming CMS twin, and the
-    # pointer-doubling referral closure).
+    # directional containment pairs, the streaming CMS twin, the
+    # pointer-doubling referral closure, and the ranked-window sweep).
     "returned_item_revenue",
     "min_cost_supplier",
     "product_type_profit",
@@ -85,6 +85,7 @@ _VERIFY_FIRST = [
     "doc_containment_pairs",
     "stream_cms_counts",
     "customer_referral_closure",
+    "order_window_zoo",
     # tier 1b: output changed in round 6 — emb_opq_codes now emits the
     # code word as a dash-joined string (its r5 driver row ERRORED on
     # the gate's pandas canonicalizer, which can't sort list cells).
@@ -127,12 +128,12 @@ _VERIFY_FIRST = [
     "doc_length_histogram",
     "doc_zipf_fit",
     "doc_hapax_ratio",
-    "doc_longest_eval_overlap",
-    # --- the 50-entry window ends here (20 tier-1a + 1 tier-1b +
-    # 4 tier-2a + 5 tier-2b + 20 tier-2c). Overflow, in round-7
-    # priority order: the last 20 of the r03-evidence cohort (they lead
+    # --- the 50-entry window ends here (21 tier-1a + 1 tier-1b +
+    # 4 tier-2a + 5 tier-2b + 19 tier-2c). Overflow, in round-7
+    # priority order: the last 21 of the r03-evidence cohort (they lead
     # round 7), then the r05-verified block (freshest evidence) in
     # registry order; r04-green entries append by module cohort.
+    "doc_longest_eval_overlap",
     "doc_weighted_sample",
     "doc_dedup_clusters",
     "doc_dedup_survivors",

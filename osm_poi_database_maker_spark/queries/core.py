@@ -514,6 +514,50 @@ GROUP BY c_count
 """
 
 
+def q_order_window_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completeness sweep of the remaining ranked-window functions the
+    registry didn't yet exercise — ntile, percent_rank, cume_dist,
+    nth_value — in one pass over orders. The ordering key
+    (o_totalprice, o_orderkey) is a total order, so every function is
+    deterministic (cume_dist without the tie-break would hash-diverge).
+    nth_value uses an explicit unbounded-unbounded frame in BOTH
+    engines: the default running frame yields NULL before position 2.
+
+    Scale note: all four functions share ONE window spec → one shuffle
+    + one sort, a single Window node in the plan. The partition key
+    (o_orderpriority, 5 values) caps window parallelism at 5 tasks —
+    fine for a demo sweep; a production ranking over a low-cardinality
+    key would pre-bucket by a salt and merge ranks, or rank within
+    (priority, month) composite keys."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round("o_totalprice", 2).alias("price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_key"),
+    )
+
+
+ORACLE_WINDOW_ZOO = """
+SELECT o_orderkey, o_orderpriority,
+       round(o_totalprice, 2) AS price,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       nth_value(o_orderkey, 2) OVER (
+         PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS second_key
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
 def q_customer_referral_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive-CTE surface: full ancestor closure of a referral
     forest — (node, ancestor, dist) for every customer and every
@@ -2086,6 +2130,7 @@ QUERIES = {
     "customers_without_orders": q_customers_without_orders,
     "customer_order_distribution": q_customer_order_distribution,
     "customer_referral_closure": q_customer_referral_closure,
+    "order_window_zoo": q_order_window_zoo,
     "nation_set_ops": q_nation_set_ops,
     "order_rollup": q_order_rollup,
     "orders_pk_audit": q_orders_pk_audit,
@@ -2128,6 +2173,7 @@ ORACLES = {
     "customers_without_orders": ORACLE_ANTI,
     "customer_order_distribution": ORACLE_CUSTDIST,
     "customer_referral_closure": ORACLE_REFERRAL_CLOSURE,
+    "order_window_zoo": ORACLE_WINDOW_ZOO,
     "nation_set_ops": ORACLE_SET_OPS,
     "order_rollup": ORACLE_ROLLUP,
     "orders_pk_audit": ORACLE_PK_AUDIT,

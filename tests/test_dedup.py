@@ -278,7 +278,7 @@ def test_substring_dedup_run_lengths(spark, tmp_path):
     assert got[(2, 3)] == (8, 2)
 
 
-def _docs(spark, rows):
+def _doc_rows(spark, rows):
     return spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     )
@@ -298,7 +298,7 @@ def test_winnowing_guarantee_and_short_doc(spark, monkeypatch):
         (3, "zzzzz", "en", "s", 0),   # 5 chars: single truncated window
         (4, "qq", "en", "s", 0),      # < k chars: no k-grams at all
     ]
-    monkeypatch.setattr(D, "load_table", lambda s_, sf_, n_: _docs(spark, rows))
+    monkeypatch.setattr(D, "load_table", lambda s_, sf_, n_: _doc_rows(spark, rows))
     out = D.q_doc_winnow_fingerprints(spark, "x").collect()
     by_doc: dict = {}
     for r in out:
@@ -321,7 +321,7 @@ def test_containment_is_directional(spark, monkeypatch):
     long_text = " ".join(words)
     short_text = " ".join(words[10:15])  # 5 words => 3 shingles, all in long
     rows = [(1, long_text, "en", "s", 0), (2, short_text, "en", "s", 0)]
-    monkeypatch.setattr(D, "load_table", lambda s_, sf_, n_: _docs(spark, rows))
+    monkeypatch.setattr(D, "load_table", lambda s_, sf_, n_: _doc_rows(spark, rows))
     out = {(r.doc_inner, r.doc_outer): r for r in D.q_doc_containment_pairs(spark, "x").collect()}
     assert set(out) == {(2, 1)}
     assert out[(2, 1)].containment == 1.0
