@@ -343,3 +343,55 @@ def test_round6_plan_shapes(spark):
 
     p = plan_of(q_events_cms_counts)
     assert "BroadcastHashJoin" in p  # the sketch broadcasts to probes
+
+
+def test_round6b_plan_shapes(spark):
+    """Physical-plan contracts of the round-6 continuation operators.
+
+    winnow: the codepoint array must stay materialized behind its
+    round-robin exchange (the CollapseProject re-split trap) and the
+    window mins must flow through ONE Generate + one doc_id window —
+    no Python, no cartesian. custdist: the orders side pre-aggregates
+    BEFORE the outer join. gapfill: exactly one Window (the LOCF
+    carry) and no cartesian spine blow-up. zoo: the four ranked
+    functions share ONE Window node. containment: directions expand
+    via Generate, not a self-union re-join."""
+    from tests.conftest import SF_SMOKE
+
+    from osm_poi_database_maker_spark.queries.core import (
+        q_customer_order_distribution,
+        q_order_window_zoo,
+    )
+    from osm_poi_database_maker_spark.queries.dedup import (
+        q_doc_containment_pairs,
+        q_doc_winnow_fingerprints,
+    )
+    from osm_poi_database_maker_spark.queries.events import q_events_gapfill_locf
+
+    def plan_of(q):
+        return q(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+
+    for q in (
+        q_doc_winnow_fingerprints,
+        q_doc_containment_pairs,
+        q_customer_order_distribution,
+        q_events_gapfill_locf,
+        q_order_window_zoo,
+    ):
+        p = plan_of(q)
+        assert "CartesianProduct" not in p, q.__name__
+        assert "BatchEvalPython" not in p, q.__name__
+
+    p = plan_of(q_doc_winnow_fingerprints)
+    assert "RoundRobinPartitioning" in p  # the barrier exchange survives
+    assert p.count("Generate") == 1  # one posexplode, no array re-eval
+    assert p.count("split(") <= 1  # the re-split trap stays dead
+
+    p = plan_of(q_order_window_zoo)
+    assert p.count("Window") == 1  # all four functions share one spec
+
+    p = plan_of(q_events_gapfill_locf)
+    assert p.count("Window") == 1  # only the LOCF carry
+
+    p = plan_of(q_doc_containment_pairs)
+    assert "Generate" in p  # array-side direction expansion
