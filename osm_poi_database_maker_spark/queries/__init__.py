@@ -8,7 +8,13 @@ keep the driver's order-insensitive value-hash stable across engines:
 * round double aggregates (``F.round(...)`` / ``round(...)``) so
   partial-aggregation order can't flip low bits;
 * cast timestamps to formatted strings at the output boundary;
-* break every top-k / row_number tie with a deterministic key.
+* break every top-k / row_number tie with a deterministic key;
+* NEVER let an oracle emit HUGEINT: DuckDB types integer ``sum()`` as
+  HUGEINT (int128), which the driver's pandas-side canonicalizer
+  (``.df()``) renders as float64 — ``15.0`` hash-mismatches Spark's
+  ``15``. Wrap every integer sum, and anything derived from one
+  (``min(sum(..))``, differences), in ``CAST(... AS BIGINT)``;
+  ``tools/check.py`` now rejects HUGEINT output columns outright.
 """
 
 from __future__ import annotations

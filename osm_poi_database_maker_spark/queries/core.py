@@ -1950,7 +1950,8 @@ SELECT CASE WHEN lag < 0 THEN 'early'
             WHEN lag <= 365 THEN 'standard'
             ELSE 'slow' END AS lag_bucket,
        count(*) AS n_items,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS n_urgent,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_urgent,
        CAST(floor(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
                   * 10000 / count(*)) AS BIGINT) AS urgent_bp,
        min(lag) AS min_lag_days,
@@ -2092,7 +2093,8 @@ WITH qty_sp AS (
 ),
 tot_p AS (SELECT l_partkey, sum(qty) AS total_qty FROM qty_sp GROUP BY 1),
 dominant AS (
-  SELECT q.l_suppkey, count(*) AS n_dominant_parts, sum(q.qty) AS dominant_qty
+  SELECT q.l_suppkey, count(*) AS n_dominant_parts,
+         CAST(sum(q.qty) AS BIGINT) AS dominant_qty
   FROM qty_sp q JOIN tot_p t ON q.l_partkey = t.l_partkey
   WHERE q.qty * 2 > t.total_qty
   GROUP BY 1

@@ -876,7 +876,7 @@ cells AS (
   SELECT d,
          ((user_id * 64 + {_CMS_SALT} + d) % {M}) * {A} % {M} * {A} % {M}
            % {_CMS_W} AS cell,
-         sum(cnt) AS cell_total
+         CAST(sum(cnt) AS BIGINT) AS cell_total
   FROM per_user CROSS JOIN dd
   GROUP BY 1, 2
 ),
@@ -888,8 +888,8 @@ probes AS (
   WHERE user_id < {_CMS_PROBE_MAX}
 )
 SELECT p.user_id, p.exact_count,
-       min(c.cell_total) AS cms_estimate,
-       min(c.cell_total) - p.exact_count AS overcount
+       CAST(min(c.cell_total) AS BIGINT) AS cms_estimate,
+       CAST(min(c.cell_total) - p.exact_count AS BIGINT) AS overcount
 FROM probes p JOIN cells c ON p.d = c.d AND p.cell = c.cell
 GROUP BY 1, 2
 ORDER BY user_id

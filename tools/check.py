@@ -87,8 +87,27 @@ def main() -> int:
             print(f"ok   {name}: rows-only ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
-            rel = con.execute(oracles[name])
-            d_cols = [d[0] for d in rel.description]
+            rel = con.sql(oracles[name])
+            d_cols = list(rel.columns)
+            # Driver parity: the driver canonicalizes DuckDB results
+            # pandas-side (`.df()`), where HUGEINT (int128 — DuckDB's type
+            # for integer sum()) degrades to float64 and hashes as `15.0`
+            # against Spark's `15`. fetchall() hides this (Python ints), so
+            # reject HUGEINT outputs outright — oracles must CAST integer
+            # sums (and anything derived from one) to BIGINT.
+            huge = [
+                c
+                for c, t in zip(d_cols, rel.types)
+                if str(t).upper() in ("HUGEINT", "UHUGEINT")
+            ]
+            if huge:
+                print(
+                    f"FAIL {name}: oracle emits HUGEINT column(s) {huge} — "
+                    "the driver's pandas canonicalizer renders HUGEINT as "
+                    "float64; CAST(... AS BIGINT) in the oracle SQL"
+                )
+                failures.append(name)
+                continue
             d_rows = rel.fetchall()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {exc}")
