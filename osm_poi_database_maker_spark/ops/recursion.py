@@ -30,8 +30,11 @@ def ancestor_closure(edges: DataFrame, max_rounds: int = 12) -> DataFrame:
     x.ancestor = y.node join composes all splits and ``distinct``
     collapses them — in a functional graph (node, ancestor) pairs are
     unique per dist, so no min() is needed). ``max_rounds = 12`` covers
-    depth 4096; each round eagerly checkpoints to cut the doubling
-    lineage and make the convergence count a cheap scan.
+    depth 4096: detecting convergence costs one extra no-change round,
+    so the loop runs ``max_rounds + 1`` iterations — depth 2^max_rounds
+    completes its closure on round max_rounds and the +1 round proves
+    it. Each round eagerly checkpoints to cut the doubling lineage and
+    make the convergence count a cheap scan.
     """
     closure = (
         edges.select(
@@ -43,7 +46,7 @@ def ancestor_closure(edges: DataFrame, max_rounds: int = 12) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n_prev = closure.count()
-    for _ in range(max_rounds):
+    for _ in range(max_rounds + 1):
         x, y = closure.alias("x"), closure.alias("y")
         doubled = x.join(y, F.col("x.ancestor") == F.col("y.node")).select(
             F.col("x.node").alias("node"),

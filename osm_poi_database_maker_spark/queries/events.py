@@ -687,7 +687,14 @@ def q_events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     M = (1 << 31) - 1
     e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
-    du = e.distinct().withColumn("h", _lehmer_h(F.col("user_id") * 64))
+    # pmod-normalize the id into [0, M) BEFORE the *64 widen: a negative
+    # or >2^57 id would otherwise make Spark's sign-of-dividend `%` (and
+    # int64 wrap) diverge from the numpy fold in the streaming twin
+    # (streaming.kmv_sketch_state). After pmod every term is nonnegative
+    # and < 2^37, where Spark, DuckDB and numpy `%` all agree.
+    du = e.distinct().withColumn(
+        "h", _lehmer_h(F.pmod(F.col("user_id"), F.lit(M)) * 64)
+    )
     local = Window.partitionBy(F.col("event_type"), F.spark_partition_id()).orderBy("h")
     survivors = du.withColumn("lrn", F.row_number().over(local)).filter(
         F.col("lrn") <= _KMV_K
@@ -742,7 +749,7 @@ def _kmv_oracle_sql() -> str:
 WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
 h AS (
   SELECT event_type,
-         ((user_id * 64 % {M}) * {A} % {M}) * {A} % {M} AS h
+         ((((user_id % {M} + {M}) % {M}) * 64 % {M}) * {A} % {M}) * {A} % {M} AS h
   FROM du
 ),
 rk AS (
@@ -801,6 +808,7 @@ def q_events_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable by cell-wise addition, which is the point of CMS in a
     distributed setting."""
     from .curation import _lehmer_h
+    from .text import _LEHMER_M
 
     e = load_table(spark, sf_dir, "events").select("user_id")
     per_user = (
@@ -809,7 +817,12 @@ def q_events_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     d_arr = F.array(*[F.lit(d) for d in range(_CMS_D)])
-    cell = _lehmer_h(F.col("user_id") * 64 + _CMS_SALT + F.col("d")) % _CMS_W
+    cell = (
+        _lehmer_h(
+            F.pmod(F.col("user_id"), F.lit(_LEHMER_M)) * 64 + _CMS_SALT + F.col("d")
+        )
+        % _CMS_W
+    )
     cells = (
         per_user.select("user_id", "cnt", F.explode(d_arr).alias("d"))
         .select("d", cell.alias("cell"), "cnt")
@@ -831,6 +844,7 @@ def cms_finalize(
     batch caller share its checkpointed per-user rollup; the streaming
     caller leaves it None and the exact audit is recomputed here."""
     from .curation import _lehmer_h
+    from .text import _LEHMER_M
 
     if per_user is None:
         per_user = (
@@ -840,7 +854,12 @@ def cms_finalize(
             .agg(F.count("*").alias("cnt"))
         )
     d_arr = F.array(*[F.lit(d) for d in range(_CMS_D)])
-    cell = _lehmer_h(F.col("user_id") * 64 + _CMS_SALT + F.col("d")) % _CMS_W
+    cell = (
+        _lehmer_h(
+            F.pmod(F.col("user_id"), F.lit(_LEHMER_M)) * 64 + _CMS_SALT + F.col("d")
+        )
+        % _CMS_W
+    )
     probes = (
         per_user.filter(F.col("user_id") < _CMS_PROBE_MAX)
         .select(
@@ -874,7 +893,7 @@ WITH per_user AS (
 dd AS (SELECT unnest(range({_CMS_D})) AS d),
 cells AS (
   SELECT d,
-         ((user_id * 64 + {_CMS_SALT} + d) % {M}) * {A} % {M} * {A} % {M}
+         ((((user_id % {M} + {M}) % {M}) * 64 + {_CMS_SALT} + d) % {M}) * {A} % {M} * {A} % {M}
            % {_CMS_W} AS cell,
          CAST(sum(cnt) AS BIGINT) AS cell_total
   FROM per_user CROSS JOIN dd
@@ -882,7 +901,7 @@ cells AS (
 ),
 probes AS (
   SELECT user_id, cnt AS exact_count, d,
-         ((user_id * 64 + {_CMS_SALT} + d) % {M}) * {A} % {M} * {A} % {M}
+         ((((user_id % {M} + {M}) % {M}) * 64 + {_CMS_SALT} + d) % {M}) * {A} % {M} * {A} % {M}
            % {_CMS_W} AS cell
   FROM per_user CROSS JOIN dd
   WHERE user_id < {_CMS_PROBE_MAX}

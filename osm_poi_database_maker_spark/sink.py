@@ -317,9 +317,12 @@ def _recover_swap(target: str) -> None:
       before cleanup: drop the old copy. Legacy ``.old`` beside a
       present target is left UNTOUCHED — it may be a user backup.
     * ``.__staging__`` present → incomplete write: drop it. Legacy
-      staging names (``.staging`` / ``.__compacting__``) are likewise
-      left in place — they are inert, and deleting them could destroy
-      an unrelated user directory.
+      staging names (``.staging`` / ``.__compacting__``) are left in
+      place — they are inert, and deleting them could destroy an
+      unrelated user directory — EXCEPT after a successful legacy
+      promotion, where the corroborating remnant is renamed aside
+      (``*.__recovered__``) so the crash signature is consumed with the
+      recovery and cannot later vouch for a user's manual backup.
     """
     import os
     import shutil
@@ -339,6 +342,20 @@ def _recover_swap(target: str) -> None:
             if os.path.exists(legacy):
                 if crash_evidence:
                     os.rename(legacy, target)
+                    # Consume the crash signature with the recovery: the
+                    # staging remnant corroborated THIS promotion; left in
+                    # place it would also "corroborate" a future manual
+                    # `.old` backup after a deliberate delete — the exact
+                    # case the guard exists to protect. Rename it aside
+                    # (not delete — it may hold partial data worth
+                    # inspecting) so it can never double as evidence.
+                    for stg_sfx in _LEGACY_STAGING_SUFFIXES:
+                        remnant = target + stg_sfx
+                        if os.path.exists(remnant):
+                            recovered = remnant + ".__recovered__"
+                            if os.path.exists(recovered):
+                                shutil.rmtree(recovered)
+                            os.rename(remnant, recovered)
                 else:
                     import logging
 

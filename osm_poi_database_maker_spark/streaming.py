@@ -197,8 +197,13 @@ def _kmv_update(k: int):
         for pdf in pdfs:
             u = pdf["user_id"].to_numpy(dtype=np.int64)
             # identical Lehmer fold to the batch operator / ORACLE_KMV:
-            # ((u*64 % M) * A % M) * A % M — int64-exact throughout
-            h = (u * 64) % _KMV_M * _KMV_A % _KMV_M * _KMV_A % _KMV_M
+            # pmod(u, M) first — numpy's floored `%` IS pmod for a
+            # positive divisor, matching the batch F.pmod — then
+            # (u_n*64 % M) * A % M * A % M over nonnegative values
+            # < 2^37, where Spark/DuckDB/numpy `%` all agree and
+            # the old u*64 int64-wrap hazard is gone.
+            u_n = u % _KMV_M
+            h = (u_n * 64) % _KMV_M * _KMV_A % _KMV_M * _KMV_A % _KMV_M
             s.update(int(x) for x in h)
         top = sorted(s)[:k]
         state.update((top,))
@@ -257,10 +262,13 @@ def _cms_update(w: int, salt: int):
             counters, n_seen = np.zeros(w, dtype=np.int64), 0
         for pdf in pdfs:
             u = pdf["user_id"].to_numpy(dtype=np.int64)
-            # identical Lehmer fold to queries.curation._lehmer_h /
-            # ORACLE_CMS: ((u*64 + salt + d) % M) * A % M * A % M, then
-            # mod the sketch width — int64-exact throughout
-            h = (u * 64 + salt + d) % _KMV_M * _KMV_A % _KMV_M * _KMV_A % _KMV_M % w
+            # identical Lehmer fold to the batch operator / ORACLE_CMS:
+            # pmod(u, M) first (numpy's floored `%` IS pmod for a
+            # positive divisor, matching the batch F.pmod), then
+            # ((u_n*64 + salt + d) % M) * A % M * A % M % w over
+            # nonnegative int64-safe values where all engines agree.
+            u_n = u % _KMV_M
+            h = (u_n * 64 + salt + d) % _KMV_M * _KMV_A % _KMV_M * _KMV_A % _KMV_M % w
             np.add.at(counters, h, 1)
             n_seen += len(u)
         state.update((counters.tolist(), n_seen))

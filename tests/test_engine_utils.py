@@ -427,6 +427,24 @@ def test_ancestor_closure_exact_paths(spark):
     assert got == want
 
 
+def test_ancestor_closure_depth_pow2_boundary(spark):
+    """Depth exactly 2^max_rounds must complete: convergence detection
+    costs one extra no-change round, which the loop now budgets for
+    (r6 advice — previously a finished closure still raised)."""
+    from osm_poi_database_maker_spark.ops.recursion import ancestor_closure
+
+    # chain of depth 4 = 2^2:  4 -> 3 -> 2 -> 1 -> 0
+    edges = spark.createDataFrame(
+        [(i + 1, i) for i in range(4)], "node long, anc long"
+    )
+    got = {
+        (r.node, r.ancestor, r.dist)
+        for r in ancestor_closure(edges, max_rounds=2).collect()
+    }
+    want = {(n, a, n - a) for n in range(1, 5) for a in range(n)}
+    assert got == want
+
+
 def test_ancestor_closure_cycle_raises(spark):
     """A cycle can never converge; the rounds guard must trip."""
     import pytest

@@ -167,10 +167,15 @@ def test_merge_upsert_recovers_legacy_protocol_remnants(spark, tmp_path):
     assert rows == {1: "a", 2: "b"}  # history survived the legacy crash
     assert not os.path.exists(path + ".old")  # rolled forward into place
     for stray in (".staging", ".__compacting__"):
-        assert os.path.exists(path + stray)  # inert legacy dirs untouched
+        # the corroborating remnants are CONSUMED with the recovery —
+        # renamed aside (data preserved for inspection), so the crash
+        # signature can never later vouch for a user's manual backup
+        # (r6 advice)
+        assert not os.path.exists(path + stray)
+        assert os.path.exists(path + stray + ".__recovered__")
 
     # conservative side: a .old backup beside a healthy target survives
-    os.rename(path + ".staging", path + ".old")  # stand-in "user backup"
+    os.rename(path + ".staging.__recovered__", path + ".old")  # "user backup"
     backup_rows = spark.read.parquet(path + ".old").count()
     merge_upsert(spark, path, spark.createDataFrame([(3, 1, "2024-03-01", "c")], schema))
     assert os.path.exists(path + ".old")
@@ -178,12 +183,13 @@ def test_merge_upsert_recovers_legacy_protocol_remnants(spark, tmp_path):
     assert {r.id for r in spark.read.parquet(path).collect()} == {1, 2, 3}
 
     # user deliberately deletes the table but keeps their .old backup:
-    # no legacy staging remnant → the backup must NOT be promoted and
-    # consumed by the next merge (r5 advice); the merge starts fresh.
+    # the staging remnants were consumed by the earlier recovery (a
+    # `*.__recovered__` dir is NOT crash evidence — it stays on disk
+    # here to prove that), so the backup must NOT be promoted and
+    # consumed by the next merge (r5+r6 advice); the merge starts fresh.
     import shutil
 
     shutil.rmtree(path)
-    shutil.rmtree(path + ".__compacting__")
     backup_rows = spark.read.parquet(path + ".old").count()
     merge_upsert(spark, path, spark.createDataFrame([(7, 1, "2024-04-01", "g")], schema))
     assert os.path.exists(path + ".old")  # backup preserved by name
