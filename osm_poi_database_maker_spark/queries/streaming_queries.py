@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .. import streaming as S
 from .events import (
+    ORACLE_BLOOM_ADMIT,
     ORACLE_CMS,
     ORACLE_HOURLY,
     ORACLE_KMV,
@@ -168,6 +169,39 @@ def q_stream_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_finalize(spark, sf_dir, cells)
 
 
+def q_stream_bloom_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Bloom admit-once gate (custom applyInPandasWithState
+    state: the m-bit filter as m/64 longs per event_type plus running
+    counters), finalized by the SAME exact-distinct audit as the batch
+    twin (events.bloom_admit_finalize) and checked against the SAME
+    DuckDB oracle — the third hash-gated streaming sketch next to KMV
+    and CMS. Update mode emits (n_events, n_admitted) per touched key
+    per micro-batch; n_events is strictly monotone, so each key's final
+    state is its max-n_events emission."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .events import _ADMIT_K, _ADMIT_MBITS, _ADMIT_SALT, bloom_admit_finalize
+
+    out = _materialize(
+        S.bloom_admit_state(
+            S.stream_events(spark, sf_dir),
+            m_bits=_ADMIT_MBITS,
+            k=_ADMIT_K,
+            salt=_ADMIT_SALT,
+        ),
+        spark,
+        "update",
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_events"))
+    admits = (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "n_events", "n_admitted")
+    )
+    return bloom_admit_finalize(spark, sf_dir, admits)
+
+
 def q_stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream watermarked join (purchase ← same-user click within
     2 hours): both sides are live streams; bounded time-range condition
@@ -212,6 +246,7 @@ QUERIES = {
     "stream_stream_attribution": q_stream_stream_attribution,
     "stream_kmv_distinct": q_stream_kmv_distinct,
     "stream_cms_counts": q_stream_cms_counts,
+    "stream_bloom_admit": q_stream_bloom_admit,
 }
 
 ORACLES = {
@@ -225,4 +260,5 @@ ORACLES = {
     "stream_stream_attribution": ORACLE_STREAM_STREAM,
     "stream_kmv_distinct": ORACLE_KMV,
     "stream_cms_counts": ORACLE_CMS,
+    "stream_bloom_admit": ORACLE_BLOOM_ADMIT,
 }

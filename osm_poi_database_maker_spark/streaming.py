@@ -314,6 +314,102 @@ def cms_sketch_state(events: DataFrame, d: int = 4, w: int = 256, salt: int = 32
     )
 
 
+_BLOOM_ADMIT_STATE_SCHEMA = "mask array<long>, n_events long, n_admitted long"
+_BLOOM_ADMIT_OUT_SCHEMA = "event_type string, n_events long, n_admitted long"
+
+
+def _bloom_admit_update(m_bits: int, k: int, salt: int):
+    def update(key: tuple[Any, ...], pdfs: Any, state: GroupState):
+        import numpy as np
+
+        n_words = m_bits // 64
+        if state.exists:
+            mask_list, n_events, n_admitted = state.get
+            # state rides as int64; bit ops run on the uint64 view so
+            # bit 63 never trips signed overflow
+            mask = np.asarray(mask_list, dtype=np.int64).view(np.uint64).copy()
+        else:
+            mask = np.zeros(n_words, dtype=np.uint64)
+            n_events, n_admitted = 0, 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows):
+            # fold in event_id (ingestion-sequence) order — the order the
+            # batch twin's min(event_id) first-setter reformulation and
+            # the DuckDB oracle define "earlier" by
+            rows = rows.sort_values("event_id")
+            n_events += len(rows)
+            # only a user's FIRST event can be admitted (its own bits
+            # reject every later one), so the sequential test-then-insert
+            # fold touches each distinct user once per batch; the loop is
+            # O(new_users x k) python-int work per executor task, beside
+            # which the Bloom state stays m/64 longs per key forever
+            seen_in_batch = set()
+            for u in rows["user_id"].tolist():
+                if u in seen_in_batch:
+                    continue
+                seen_in_batch.add(u)
+                un = u % _KMV_M  # python % == pmod, matching F.pmod
+                bits = [
+                    (un * 64 + salt + j)
+                    % _KMV_M
+                    * _KMV_A
+                    % _KMV_M
+                    * _KMV_A
+                    % _KMV_M
+                    % m_bits
+                    for j in range(k)
+                ]
+                admitted = False
+                for b in bits:
+                    w, p = b >> 6, b & 63
+                    probe = np.uint64(1) << np.uint64(p)
+                    if not (mask[w] & probe):
+                        admitted = True
+                    mask[w] |= probe
+                n_admitted += int(admitted)
+        state.update((mask.view(np.int64).tolist(), n_events, n_admitted))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_events": [n_events],
+                "n_admitted": [n_admitted],
+            }
+        )
+
+    return update
+
+
+def bloom_admit_state(
+    events: DataFrame, m_bits: int = 1024, k: int = 4, salt: int = 96
+) -> DataFrame:
+    """Streaming Bloom admit-once gate — the custom-state twin of
+    queries/events.q_events_bloom_admit. State per event_type is the
+    m-bit filter as m/64 longs plus two counters — FIXED size no matter
+    how many events or distinct users the stream carries, which is the
+    reason to run a Bloom gate instead of an exact distinct set on an
+    unbounded stream. Each micro-batch folds its rows in event_id order
+    (test k Lehmer bits, admit iff any unset, set them); the admit
+    decision is arrival-order-defined, and with the file source +
+    availableNow trigger arrival order is event_id order, matching the
+    batch twin's min(event_id) first-setter reformulation exactly — so
+    the emission feeds the SAME finalizer (events.bloom_admit_finalize)
+    and the SAME DuckDB oracle. Out-of-order ingest across micro-batches
+    would be an upstream ordering concern (event-time buffering), not a
+    sketch concern. n_events is strictly monotone per key; the caller
+    selects each key's final emission by max n_events."""
+    return (
+        events.select("event_type", "event_id", "user_id")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _bloom_admit_update(m_bits, k, salt),
+            outputStructType=_BLOOM_ADMIT_OUT_SCHEMA,
+            stateStructType=_BLOOM_ADMIT_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 _SESSION_STATE_SCHEMA = "start_us long, last_us long, n long, total double"
 _SESSION_OUT_SCHEMA = (
     "user_id long, session_start_us long, n_events long, sum_value double"

@@ -454,3 +454,69 @@ def test_stream_cms_matches_batch_twin(spark):
     batch = {tuple(r) for r in E.q_events_cms_counts(spark, SF_SMOKE).collect()}
     stream = {tuple(r) for r in Q.q_stream_cms_counts(spark, SF_SMOKE).collect()}
     assert batch == stream
+
+
+def test_stream_bloom_admit_fold_reference():
+    """The streaming Bloom fold must equal a pure-Python test-then-insert
+    reference on a tiny filter (64 bits, k=2 — small enough that false
+    positives provably occur), and splitting the same event_id-ordered
+    feed across micro-batches must not change the outcome (state carries
+    the bitmask)."""
+    import pandas as pd
+
+    from osm_poi_database_maker_spark import streaming as S
+
+    m_bits, k, salt = 64, 2, 96
+    users = [i * 37 % 211 for i in range(200)]  # distinct-heavy, some repeats
+    eids = list(range(len(users)))
+
+    def ref_fold(us):
+        M, A = S._KMV_M, S._KMV_A
+        mask, admitted = set(), 0
+        for u in us:
+            un = u % M
+            bits = [
+                (un * 64 + salt + j) % M * A % M * A % M % m_bits for j in range(k)
+            ]
+            if any(b not in mask for b in bits):
+                admitted += 1
+            mask.update(bits)
+        return admitted
+
+    update = S._bloom_admit_update(m_bits, k, salt)
+    one = _FakeGroupState()
+    list(update(("view",), [pd.DataFrame({"event_id": eids, "user_id": users})], one))
+    assert one._v[1] == 200
+    assert one._v[2] == ref_fold(users)
+    # tiny filter saturates: false positives must actually occur
+    assert one._v[2] < len(set(users))
+
+    two = _FakeGroupState()
+    list(
+        update(
+            ("view",),
+            [pd.DataFrame({"event_id": eids[:80], "user_id": users[:80]})],
+            two,
+        )
+    )
+    list(
+        update(
+            ("view",),
+            [pd.DataFrame({"event_id": eids[80:], "user_id": users[80:]})],
+            two,
+        )
+    )
+    assert one._v == two._v
+
+
+def test_stream_bloom_admit_matches_batch_twin(spark):
+    """The streaming Bloom-admit query must equal the batch operator
+    row-for-row on the same fixture (shared finalizer + shared bit
+    fold + shared first-setter semantics)."""
+    from osm_poi_database_maker_spark.queries import events as E
+    from osm_poi_database_maker_spark.queries import streaming_queries as Q
+    from tests.conftest import SF_SMOKE
+
+    batch = {tuple(r) for r in E.q_events_bloom_admit(spark, SF_SMOKE).collect()}
+    stream = {tuple(r) for r in Q.q_stream_bloom_admit(spark, SF_SMOKE).collect()}
+    assert batch == stream
