@@ -17,6 +17,7 @@ from .. import streaming as S
 from .events import (
     ORACLE_BLOOM_ADMIT,
     ORACLE_CMS,
+    ORACLE_GAPFILL,
     ORACLE_HOURLY,
     ORACLE_KMV,
     ORACLE_OHLC,
@@ -202,6 +203,32 @@ def q_stream_bloom_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_admit_finalize(spark, sf_dir, admits)
 
 
+def q_stream_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gapfill/LOCF (custom applyInPandasWithState state: the
+    per-user observed-day rollup), selected to each (user, day)'s newest
+    emission (n_seen is strictly monotone per user) and rounded
+    Spark-side with the SAME F.round the batch twin applies — checked
+    against the batch twin's DuckDB oracle, making the continuously-
+    maintained hypertable densification hash-gated end-to-end."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    out = _materialize(
+        S.gapfill_locf_state(S.stream_events(spark, sf_dir)), spark, "update"
+    )
+    w = Window.partitionBy("user_id", "day").orderBy(F.desc("n_seen"))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.date_format(F.expr("date_from_unix_date(CAST(day AS INT))"), "yyyy-MM-dd").alias("day"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round(F.col("locf_raw"), 2).alias("locf_value"),
+        )
+    )
+
+
 def q_stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream watermarked join (purchase ← same-user click within
     2 hours): both sides are live streams; bounded time-range condition
@@ -247,6 +274,7 @@ QUERIES = {
     "stream_kmv_distinct": q_stream_kmv_distinct,
     "stream_cms_counts": q_stream_cms_counts,
     "stream_bloom_admit": q_stream_bloom_admit,
+    "stream_gapfill_locf": q_stream_gapfill_locf,
 }
 
 ORACLES = {
@@ -261,4 +289,5 @@ ORACLES = {
     "stream_kmv_distinct": ORACLE_KMV,
     "stream_cms_counts": ORACLE_CMS,
     "stream_bloom_admit": ORACLE_BLOOM_ADMIT,
+    "stream_gapfill_locf": ORACLE_GAPFILL,
 }

@@ -314,6 +314,110 @@ def cms_sketch_state(events: DataFrame, d: int = 4, w: int = 256, salt: int = 32
     )
 
 
+_GAPFILL_STATE_SCHEMA = (
+    "days array<long>, ns array<long>, eids array<long>, vals array<double>"
+)
+_GAPFILL_OUT_SCHEMA = (
+    "user_id long, day long, n_events long, locf_raw double, n_seen long"
+)
+
+
+def _gapfill_update(key: tuple[Any, ...], pdfs: Any, state: GroupState):
+    """Per-user gapfill/LOCF state fold: state is the user's observed-day
+    rollup — parallel arrays (day → (n, best_event_id, best_value)) with
+    "best" = max event_id, the same deterministic max_by(value, event_id)
+    day-close the batch twin uses. Each emission densifies the span
+    observed SO FAR (daily spine min..max with zero-filled silent days
+    and the close carried forward) stamped with n_seen = total events
+    consumed, which is strictly monotone — the caller keeps each
+    (user, day)'s newest emission."""
+    day_map: dict[int, tuple[int, int, float]] = {}
+    if state.exists:
+        days, ns, eids, vals = state.get
+        day_map = {
+            int(d): (int(n), int(e), float(v))
+            for d, n, e, v in zip(days, ns, eids, vals)
+        }
+    for pdf in pdfs:
+        for d, n_new, e_new, v_new in zip(
+            pdf["day"].tolist(),
+            pdf["n"].tolist(),
+            pdf["best_eid"].tolist(),
+            pdf["best_val"].tolist(),
+        ):
+            d = int(d)
+            if d in day_map:
+                n, e, v = day_map[d]
+                if e_new > e:
+                    e, v = int(e_new), float(v_new)
+                day_map[d] = (n + int(n_new), e, v)
+            else:
+                day_map[d] = (int(n_new), int(e_new), float(v_new))
+    days_sorted = sorted(day_map)
+    state.update(
+        (
+            days_sorted,
+            [day_map[d][0] for d in days_sorted],
+            [day_map[d][1] for d in days_sorted],
+            [day_map[d][2] for d in days_sorted],
+        )
+    )
+    n_seen = sum(day_map[d][0] for d in days_sorted)
+    out_day, out_n, out_v = [], [], []
+    if days_sorted:
+        carry = day_map[days_sorted[0]][2]
+        for d in range(days_sorted[0], days_sorted[-1] + 1):
+            if d in day_map:
+                n, _, v = day_map[d]
+                carry = v
+            else:
+                n = 0
+            out_day.append(d)
+            out_n.append(n)
+            out_v.append(carry)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(out_day),
+            "day": out_day,
+            "n_events": out_n,
+            "locf_raw": out_v,
+            "n_seen": [n_seen] * len(out_day),
+        }
+    )
+
+
+def gapfill_locf_state(events: DataFrame) -> DataFrame:
+    """Streaming time-series densification + LOCF — the custom-state twin
+    of queries/events.q_events_gapfill_locf (the TimescaleDB
+    time_bucket_gapfill/locf hypertable shape, continuously maintained).
+    Day extraction (unix_date) runs declaratively before the stateful
+    op; the fold itself is the per-day reducer (count + max_by(value,
+    event_id) close — a second declarative groupBy would be a second
+    stateful operator, which streaming forbids before this one), so
+    STATE scales with the user's ACTIVE-day count, never the event
+    count, and per-batch python work is linear in the batch; the
+    densified spine is regenerated per emission over the span observed
+    so far, bounded by the user's own [first, last] range exactly like
+    the batch twin's array-side sequence() spine (never a global
+    calendar cross-join). Rounding happens once, Spark-side, in the
+    caller — the fold carries raw doubles so python round() can't
+    diverge from F.round."""
+    prepped = events.select(
+        "user_id",
+        F.unix_date(F.to_date("ts")).alias("day"),
+        F.lit(1).alias("n"),
+        F.col("event_id").alias("best_eid"),
+        F.col("value").alias("best_val"),
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        _gapfill_update,
+        outputStructType=_GAPFILL_OUT_SCHEMA,
+        stateStructType=_GAPFILL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 _BLOOM_ADMIT_STATE_SCHEMA = "mask array<long>, n_events long, n_admitted long"
 _BLOOM_ADMIT_OUT_SCHEMA = "event_type string, n_events long, n_admitted long"
 

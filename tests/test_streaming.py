@@ -520,3 +520,48 @@ def test_stream_bloom_admit_matches_batch_twin(spark):
     batch = {tuple(r) for r in E.q_events_bloom_admit(spark, SF_SMOKE).collect()}
     stream = {tuple(r) for r in Q.q_stream_bloom_admit(spark, SF_SMOKE).collect()}
     assert batch == stream
+
+
+def test_stream_gapfill_fold_split_invariant():
+    """The gapfill state fold must be micro-batch-boundary invariant
+    (the per-day rollup merge is associative; max_by close by event_id
+    is order-free), and its emission must densify the span with LOCF."""
+    import pandas as pd
+
+    from osm_poi_database_maker_spark import streaming as S
+
+    rows = pd.DataFrame(
+        {
+            "day": [10, 10, 13, 12, 10],
+            "n": [1] * 5,
+            "best_eid": [3, 7, 9, 5, 1],
+            "best_val": [3.0, 7.25, 9.5, 5.125, 1.0],
+        }
+    )
+    one = _FakeGroupState()
+    out_one = list(S._gapfill_update((42,), [rows], one))[0]
+
+    two = _FakeGroupState()
+    list(S._gapfill_update((42,), [rows.iloc[:2]], two))
+    out_two = list(S._gapfill_update((42,), [rows.iloc[2:]], two))[0]
+
+    assert one._v == two._v
+    assert out_one.equals(out_two)
+    # spine 10..13; day 11 silent (0 events, carries day 10's close by
+    # max event_id = 7 -> 7.25); day 12 close 5.125; day 13 close 9.5
+    assert out_one["day"].tolist() == [10, 11, 12, 13]
+    assert out_one["n_events"].tolist() == [3, 0, 1, 1]
+    assert out_one["locf_raw"].tolist() == [7.25, 7.25, 5.125, 9.5]
+    assert out_one["n_seen"].tolist() == [5] * 4
+
+
+def test_stream_gapfill_matches_batch_twin(spark):
+    """The streaming gapfill/LOCF query must equal the batch operator
+    row-for-row on the same fixture."""
+    from osm_poi_database_maker_spark.queries import events as E
+    from osm_poi_database_maker_spark.queries import streaming_queries as Q
+    from tests.conftest import SF_SMOKE
+
+    batch = {tuple(r) for r in E.q_events_gapfill_locf(spark, SF_SMOKE).collect()}
+    stream = {tuple(r) for r in Q.q_stream_gapfill_locf(spark, SF_SMOKE).collect()}
+    assert batch == stream
