@@ -62,3 +62,70 @@ def ancestor_closure(edges: DataFrame, max_rounds: int = 12) -> DataFrame:
         f"ancestor_closure did not converge in {max_rounds} doubling rounds "
         f"(depth > {2 ** max_rounds}): cyclic input or pathological hierarchy"
     )
+
+
+def min_dist_closure(edges: DataFrame, max_rounds: int = 12) -> DataFrame:
+    """Shortest-distance closure of a multi-parent DAG — the
+    non-functional-graph recursion case (BOM graphs, category DAGs,
+    citation ancestries, where a node has SEVERAL parent edges and a
+    pair is reachable along many paths of different lengths).
+
+    Input: ``(node, anc)`` distinct parent edges. Output:
+    ``(node, ancestor, dist)`` with dist = the MINIMUM edge count over
+    all paths — exactly the rows a recursive CTE plus
+    ``GROUP BY node, ancestor → min(dist)`` produces. Unlike
+    :func:`ancestor_closure`, CYCLES are well-defined here: min() gives
+    the doubling a true fixpoint (shortest-WALK distances, finite for
+    every reachable pair), so a cycle of length L simply yields
+    ``(n, n, L)`` self-rows instead of diverging — a recursive CTE
+    needs an explicit depth guard for the same input.
+
+    Where :func:`ancestor_closure` dedups with ``distinct`` (in a
+    functional graph each (node, anc, dist) path is unique), a DAG
+    needs a min() re-aggregation per doubling round. Invariant: after
+    round k every pair whose shortest distance is ≤ 2^k carries that
+    exact distance — split a shortest path at its midpoint: both halves
+    are shortest paths of length ≤ 2^(k-1), exact by induction; the
+    self-join records their sum, and min() can keep no overestimate
+    because every recorded dist is a realizable path length.
+
+    Convergence: row count is monotone nondecreasing and, at fixed
+    rows, the dist sum monotone nonincreasing, so the (count,
+    sum(dist)) pair stabilizing exactly detects the fixpoint; as in
+    ancestor_closure the loop budgets max_rounds + 1 iterations so the
+    detection round is free. Per round: one shuffle for the self-join
+    plus one for the min() re-aggregation, both on the pair key;
+    eager localCheckpoints bound the doubling lineage.
+    """
+    closure = (
+        edges.select(
+            F.col("node").cast("long").alias("node"),
+            F.col("anc").cast("long").alias("ancestor"),
+            F.lit(1).cast("long").alias("dist"),
+        )
+        .groupBy("node", "ancestor")
+        .agg(F.min("dist").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    prev = closure.agg(F.count("*"), F.sum("dist")).first()
+    for _ in range(max_rounds + 1):
+        x, y = closure.alias("x"), closure.alias("y")
+        doubled = x.join(y, F.col("x.ancestor") == F.col("y.node")).select(
+            F.col("x.node").alias("node"),
+            F.col("y.ancestor").alias("ancestor"),
+            (F.col("x.dist") + F.col("y.dist")).alias("dist"),
+        )
+        closure = (
+            closure.unionByName(doubled)
+            .groupBy("node", "ancestor")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        now = closure.agg(F.count("*"), F.sum("dist")).first()
+        if tuple(now) == tuple(prev):
+            return closure
+        prev = now
+    raise RuntimeError(
+        f"min_dist_closure did not converge in {max_rounds} doubling rounds "
+        f"(shortest-path depth > {2 ** max_rounds}): pathological diameter"
+    )

@@ -605,6 +605,124 @@ SELECT node, ancestor, dist FROM anc
 """
 
 
+def q_customer_dag_min_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest-path closure of a multi-parent DAG — the recursion case
+    ``customer_referral_closure`` does NOT cover: there each node has
+    one parent edge, so the closure dedups with distinct; here every
+    customer key ≥ 2 carries TWO derived parent edges (⌊k/2⌋ and ⌊k/3⌋,
+    both strictly smaller, so the graph is acyclic by construction and
+    pairs are reachable along many paths of different lengths), and the
+    engine must keep the MINIMUM distance per pair — the
+    ``WITH RECURSIVE … GROUP BY min(dist)`` shape of BOM explosions and
+    category-DAG rollups.
+
+    Spark side: ops.recursion.min_dist_closure — pointer doubling with
+    a min() re-aggregation per round, ceil(log2(depth)) + 1 rounds
+    total vs the oracle CTE's O(depth) sequential passes. The gate
+    output is the per-distance profile of the closure (pair count,
+    distinct descendants, ancestor-key checksum) — any wrong or missing
+    minimum distance shifts a row between dist groups and breaks the
+    hash."""
+    from ..ops.recursion import min_dist_closure
+
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").cast("long").alias("node"))
+        .filter(F.col("node") >= 2)
+    )
+    edges = (
+        c.select(
+            "node",
+            F.explode(F.array(F.expr("node div 2"), F.expr("node div 3"))).alias("anc"),
+        )
+        .filter(F.col("anc") >= 1)
+        .distinct()
+    )
+    clo = min_dist_closure(edges)
+    return (
+        clo.groupBy("dist")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("node").alias("n_nodes"),
+            F.sum("ancestor").alias("sum_anc"),
+        )
+        .orderBy("dist")
+    )
+
+
+ORACLE_DAG_MIN_PATHS = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT node, anc FROM (
+    SELECT c_custkey AS node, c_custkey // 2 AS anc FROM customer WHERE c_custkey >= 2
+    UNION ALL
+    SELECT c_custkey, c_custkey // 3 FROM customer WHERE c_custkey >= 2
+  ) WHERE anc >= 1
+),
+r AS (
+  SELECT node, anc AS ancestor, CAST(1 AS BIGINT) AS dist FROM e
+  UNION
+  SELECT r.node, e.anc, r.dist + 1 FROM r JOIN e ON e.node = r.ancestor
+),
+mins AS (SELECT node, ancestor, min(dist) AS dist FROM r GROUP BY 1, 2)
+SELECT dist, count(*) AS n_pairs, count(DISTINCT node) AS n_nodes,
+       CAST(sum(ancestor) AS BIGINT) AS sum_anc
+FROM mins GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_customer_referral_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtree aggregate over the referral closure — the question the
+    closure exists to answer: for every referrer, how many customers
+    sit anywhere below them, how deep the subtree runs, and the total
+    account balance it carries. Reuses ancestor_closure's output frame
+    (one extra shuffle: the group-by ancestor) plus a broadcast-scale
+    join of customer balances onto the closure's node side; at 100 TB
+    the closure is the expensive artifact and this rollup is the cheap
+    re-aggregation you run many times over it."""
+    from ..ops.recursion import ancestor_closure
+    from .curation import _lehmer_h
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("node"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    edges = cust.filter(F.col("node") >= 1).select(
+        "node", (_lehmer_h(F.col("node")) % F.col("node")).alias("anc")
+    )
+    clo = ancestor_closure(edges)
+    return (
+        clo.join(cust, "node")
+        .groupBy(F.col("ancestor").alias("referrer"))
+        .agg(
+            F.count("*").alias("n_downstream"),
+            F.max("dist").alias("max_depth"),
+            F.round(F.sum("acctbal"), 2).alias("downstream_balance"),
+        )
+    )
+
+
+ORACLE_REFERRAL_ROLLUP = """
+WITH RECURSIVE e AS (
+  SELECT c_custkey AS node,
+         ((c_custkey % 2147483647) * 48271 % 2147483647 * 48271 % 2147483647)
+           % c_custkey AS anc
+  FROM customer WHERE c_custkey >= 1
+),
+anc AS (
+  SELECT node, anc AS ancestor, CAST(1 AS BIGINT) AS dist FROM e
+  UNION ALL
+  SELECT a.node, e.anc, a.dist + 1
+  FROM anc a JOIN e ON e.node = a.ancestor
+)
+SELECT a.ancestor AS referrer,
+       count(*) AS n_downstream,
+       max(a.dist) AS max_depth,
+       round(sum(c.c_acctbal), 2) AS downstream_balance
+FROM anc a JOIN customer c ON c.c_custkey = a.node
+GROUP BY 1
+"""
+
+
 # --- set operations (reference §2.2 set ops) -------------------------------
 
 def q_nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2132,6 +2250,8 @@ QUERIES = {
     "customers_without_orders": q_customers_without_orders,
     "customer_order_distribution": q_customer_order_distribution,
     "customer_referral_closure": q_customer_referral_closure,
+    "customer_dag_min_paths": q_customer_dag_min_paths,
+    "customer_referral_rollup": q_customer_referral_rollup,
     "order_window_zoo": q_order_window_zoo,
     "nation_set_ops": q_nation_set_ops,
     "order_rollup": q_order_rollup,
@@ -2175,6 +2295,8 @@ ORACLES = {
     "customers_without_orders": ORACLE_ANTI,
     "customer_order_distribution": ORACLE_CUSTDIST,
     "customer_referral_closure": ORACLE_REFERRAL_CLOSURE,
+    "customer_dag_min_paths": ORACLE_DAG_MIN_PATHS,
+    "customer_referral_rollup": ORACLE_REFERRAL_ROLLUP,
     "order_window_zoo": ORACLE_WINDOW_ZOO,
     "nation_set_ops": ORACLE_SET_OPS,
     "order_rollup": ORACLE_ROLLUP,

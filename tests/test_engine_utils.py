@@ -454,3 +454,39 @@ def test_ancestor_closure_cycle_raises(spark):
     edges = spark.createDataFrame([(1, 2), (2, 1)], "node long, anc long")
     with pytest.raises(RuntimeError, match="did not converge"):
         ancestor_closure(edges, max_rounds=3)
+
+
+def test_min_dist_closure_exact_mins(spark):
+    """A planted diamond DAG yields exactly the min-distance closure:
+    multi-parent nodes, multiple paths per pair, min() kept per pair."""
+    from osm_poi_database_maker_spark.ops.recursion import min_dist_closure
+
+    # 5 -> {4, 3}, 4 -> 2, 3 -> {2, 1}, 2 -> 1
+    edges = spark.createDataFrame(
+        [(5, 4), (5, 3), (4, 2), (3, 2), (3, 1), (2, 1)], "node long, anc long"
+    )
+    got = {(r.node, r.ancestor, r.dist) for r in min_dist_closure(edges).collect()}
+    want = {
+        (5, 4, 1), (5, 3, 1), (5, 2, 2), (5, 1, 2),
+        (4, 2, 1), (4, 1, 2),
+        (3, 2, 1), (3, 1, 1),
+        (2, 1, 1),
+    }
+    assert got == want
+
+
+def test_min_dist_closure_cycle_shortest_walks(spark):
+    """Cycles are well-defined for the min-dist closure: the doubling
+    reaches a true fixpoint of shortest-WALK distances, including
+    (n, n, cycle_length) self rows — where the distinct-based
+    ancestor_closure diverges on the same input."""
+    from osm_poi_database_maker_spark.ops.recursion import min_dist_closure
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "node long, anc long")
+    got = {(r.node, r.ancestor, r.dist) for r in min_dist_closure(edges).collect()}
+    want = {
+        (1, 2, 1), (2, 3, 1), (3, 1, 1),
+        (1, 3, 2), (2, 1, 2), (3, 2, 2),
+        (1, 1, 3), (2, 2, 3), (3, 3, 3),
+    }
+    assert got == want
