@@ -1211,8 +1211,179 @@ WITH el AS (
 """
 
 
+# --- Johnson–Lindenstrauss random projection (oracled, integer planes) -----
+
+_JL_R = 8  # target dimensionality
+_JL_PLANE_OFFSET = 64  # plane index offset: decorrelates from SRP's p ∈ [0, 24)
+_JL_PROBE = 40  # distortion audit over vec_id < 40 pairs
+
+
+def _jl_weights() -> list[list[int]]:
+    """The r×64 projection matrix as plain ints — the same Lehmer fold
+    as the SRP hyperplanes (w = lehmer2(x) % 2001 − 1000) at plane rows
+    p + 64, so the two operators draw disjoint plane families from one
+    deterministic, engine-free generator."""
+    from ..dedup import _PORT_A, _PORT_M
+
+    w = []
+    for p in range(_JL_R):
+        row = []
+        for d in range(64):
+            x = (p + _JL_PLANE_OFFSET) * _SRP_X_STRIDE + d
+            mix = ((x % _PORT_M) * _PORT_A % _PORT_M) * _PORT_A % _PORT_M
+            row.append(mix % _SRP_W_RANGE - 1000)
+        w.append(row)
+    return w
+
+
+def jl_project(e: DataFrame, r: int = _JL_R) -> DataFrame:
+    """(vec_id, proj array<long>) — fixed-point Johnson–Lindenstrauss
+    projection to r dims: vq = floor(v·10⁶) int64, proj_p = Σ_d w(p,d)·
+    vq_d, exact integer math end-to-end (|proj| ≤ 64·10⁶·10³ ≈ 6.4e10,
+    int64-safe). One server-side-parsed expr (the SRP py4j lesson: a
+    literal weight matrix built from F.lit columns costs seconds of
+    driver time; an expr string constant-folds), zero shuffles, pure
+    whole-stage-codegen row work — the 100 TB shape of dimensionality
+    reduction as a projection pushdown."""
+    wmat_sql = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{x}L" for x in row) + ")" for row in _jl_weights()[:r]
+        )
+        + ")"
+    )
+    vq = F.transform(
+        F.col("embedding"), lambda v: F.floor(v.cast("double") * _SRP_Q).cast("long")
+    )
+    qdf = e.select("vec_id", vq.alias("vq")).repartition("vec_id")
+    proj = F.expr(
+        f"""
+        transform(sequence(0, {r - 1}), p ->
+          aggregate(zip_with(vq, element_at({wmat_sql}, CAST(p + 1 AS INT)),
+                             (a, w) -> a * w),
+                    CAST(0 AS BIGINT), (s, v) -> s + v))
+        """
+    )
+    return qdf.select("vec_id", proj.alias("proj"))
+
+
+def q_emb_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL projection + pairwise distance-distortion audit, fully
+    hash-gated: embeddings project 64 → {r} dims through the integer
+    Lehmer plane matrix (exact in both engines), then every probe pair
+    (vec_id < {probe}) reports its original fixed-point L2 distance,
+    its projected L2 distance, and the ratio — the number JL says
+    concentrates around a constant (√(r·Var w) ≈ 1.63e3 here), which
+    is the certificate that the projection preserves geometry. The
+    audit pair join is bounded to the probe set; the projection itself
+    is per-row work with no shuffle — at 100 TB you ship the r-dim
+    vectors onward (8× narrower) and the audit runs on a sample,
+    exactly as here. Squared distances leave int64 range, so both
+    engines compute them in double from the SAME exact integer
+    coordinates — order-insensitive at round-2/round-4 grain.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vq = F.transform(
+        F.col("embedding"), lambda v: F.floor(v.cast("double") * _SRP_Q).cast("long")
+    )
+    probe = (
+        e.filter(F.col("vec_id") < _JL_PROBE)
+        .select("vec_id", vq.alias("vq"))
+        .join(jl_project(e.filter(F.col("vec_id") < _JL_PROBE)), "vec_id")
+        .localCheckpoint(eager=False)
+    )
+    a = probe.select(
+        F.col("vec_id").alias("vec_a"), F.col("vq").alias("vq_a"), F.col("proj").alias("pr_a")
+    )
+    b = probe.select(
+        F.col("vec_id").alias("vec_b"), F.col("vq").alias("vq_b"), F.col("pr_b")
+    ) if False else probe.select(
+        F.col("vec_id").alias("vec_b"), F.col("vq").alias("vq_b"), F.col("proj").alias("pr_b")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("vq_a"), F.col("vq_b"), lambda x, y: (x - y).cast("double") * (x - y).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    p2 = F.aggregate(
+        F.zip_with(F.col("pr_a"), F.col("pr_b"), lambda x, y: (x - y).cast("double") * (x - y).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("d_orig", F.round(F.sqrt(d2), 2))
+        .withColumn("d_proj", F.round(F.sqrt(p2), 2))
+        .filter(F.col("d_orig") > 0)
+        .select(
+            "vec_a",
+            "vec_b",
+            "d_orig",
+            "d_proj",
+            F.round(F.sqrt(p2) / F.sqrt(d2), 4).alias("ratio"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+q_emb_jl_projection.__doc__ = q_emb_jl_projection.__doc__.format(
+    r=_JL_R, probe=_JL_PROBE
+)
+
+
+def _jl_oracle_sql() -> str:
+    from ..dedup import _PORT_A, _PORT_M
+
+    return f"""
+WITH el AS (
+  SELECT vec_id,
+         CAST(floor(CAST(e.val AS DOUBLE) * {_SRP_Q}.0) AS BIGINT) AS vq,
+         CAST(e.idx AS BIGINT) AS d
+  FROM (SELECT vec_id, unnest(embedding) AS val,
+               unnest(range(len(embedding))) AS idx
+        FROM embeddings WHERE vec_id < {_JL_PROBE}) e
+),
+planes AS (
+  SELECT p, d,
+         ((x % {_PORT_M}) * {_PORT_A} % {_PORT_M} * {_PORT_A} % {_PORT_M})
+           % {_SRP_W_RANGE} - 1000 AS wt
+  FROM (SELECT p, d, (p + {_JL_PLANE_OFFSET}) * {_SRP_X_STRIDE} + d AS x
+        FROM (SELECT unnest(range({_JL_R})) AS p)
+        CROSS JOIN (SELECT unnest(range(64)) AS d))
+),
+proj AS (
+  SELECT el.vec_id, pl.p, sum(pl.wt * el.vq) AS pr
+  FROM el JOIN planes pl ON el.d = pl.d
+  GROUP BY 1, 2
+),
+d2 AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         sum(CAST(a.vq - b.vq AS DOUBLE) * CAST(a.vq - b.vq AS DOUBLE)) AS dd
+  FROM el a JOIN el b ON a.d = b.d AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+p2 AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         sum(CAST(a.pr - b.pr AS DOUBLE) * CAST(a.pr - b.pr AS DOUBLE)) AS pp
+  FROM proj a JOIN proj b ON a.p = b.p AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT d2.vec_a, d2.vec_b,
+       round(sqrt(d2.dd), 2) AS d_orig,
+       round(sqrt(p2.pp), 2) AS d_proj,
+       round(sqrt(p2.pp) / sqrt(d2.dd), 4) AS ratio
+FROM d2 JOIN p2 ON d2.vec_a = p2.vec_a AND d2.vec_b = p2.vec_b
+WHERE round(sqrt(d2.dd), 2) > 0
+ORDER BY d2.vec_a, d2.vec_b
+"""
+
+
+ORACLE_JL = _jl_oracle_sql()
+
+
 QUERIES = {
     "emb_opq_codes": q_emb_opq_codes,
+    "emb_jl_projection": q_emb_jl_projection,
     "emb_matryoshka_recall": q_emb_matryoshka_recall,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_knn_graph": q_emb_knn_graph,
@@ -1230,6 +1401,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "emb_jl_projection": ORACLE_JL,
     "emb_cosine_topk": ORACLE_COSINE,
     "emb_knn_graph": ORACLE_KNN_GRAPH,
     "emb_semdedup": ORACLE_SEMDEDUP,

@@ -548,3 +548,25 @@ def test_covariance_matrix_matches_numpy(spark):
     assert n == len(x)
     ref = np.cov(x, rowvar=False, ddof=0)
     assert np.allclose(cov, ref, atol=1e-9)
+
+
+def test_jl_projection_preserves_geometry(spark):
+    """JL's whole point: pairwise distance ratios concentrate around a
+    constant. At r=8 the ratio² is a chi-square-like variable with 8
+    degrees of freedom, so individual pairs spread a few × around the
+    median (measured band ~[0.38, 2.1]× on the fixture) — the assertion
+    pins that concentration (no collapsed-to-zero and no runaway pair)
+    and that the projection is deterministic across runs."""
+    import statistics
+
+    from osm_poi_database_maker_spark.queries.similarity import q_emb_jl_projection
+    from tests.conftest import SF_SMOKE
+
+    rows = q_emb_jl_projection(spark, SF_SMOKE).collect()
+    assert len(rows) > 100
+    ratios = [r.ratio for r in rows]
+    med = statistics.median(ratios)
+    assert med > 0
+    assert all(0.25 * med <= x <= 4.0 * med for x in ratios)
+    again = q_emb_jl_projection(spark, SF_SMOKE).collect()
+    assert rows == again
