@@ -240,12 +240,118 @@ def q_mm_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ahash_near_dups(documents_as_image_table(d))
 
 
+# --- silence segmentation (gaps-and-islands over the frame table) ----------
+
+_SILENCE_SUMSQ = 9_200_000_000  # ≈ p12 of the fixture's frame energies
+
+
+def q_mm_audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence segmentation over the PCM16 frame table — the
+    trim/segment pass an audio-curation pipeline runs before expensive
+    transcription: frames whose exact int64 energy falls below a fixed
+    threshold are "silent", and consecutive silent frames merge into
+    runs via gaps-and-islands (frame_idx − row_number is constant
+    within a run — pure window math, no self-join). Per doc: silent
+    frame count, run count, and the longest run with its start frame
+    (ties broken to the earliest start).
+
+    The frame energies are the SAME exact int64 sums as
+    ``mm_audio_energy`` (numpy mapInPandas over the payload bytes), and
+    the silence predicate is an integer compare, so the whole
+    segmentation is hash-gated against the DuckDB oracle. Plan: one
+    mapInPandas, then a doc_id window + two doc_id aggregates sharing
+    one shuffle — per-doc-linear, and at 100 TB the frame table is the
+    artifact you'd persist anyway."""
+    from pyspark.sql import Window
+
+    from ..multimodal import documents_as_audio_table, pcm_frame_energy
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.octet_length(F.encode("text", "UTF-8")) == F.length("text")
+    )
+    frames = pcm_frame_energy(documents_as_audio_table(d))
+    silent = frames.filter(F.col("sum_sq") < _SILENCE_SUMSQ).select(
+        "doc_id", "frame_idx"
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    runs = (
+        silent.withColumn("grp", F.col("frame_idx") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(F.count("*").alias("run_len"), F.min("frame_idx").alias("run_start"))
+    )
+    rk = Window.partitionBy("doc_id").orderBy(
+        F.desc("run_len"), F.asc("run_start")
+    )
+    return (
+        runs.withColumn("rk", F.row_number().over(rk))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("run_len").alias("n_silent_frames"),
+            F.count("*").alias("n_runs"),
+            F.max(F.when(F.col("rk") == 1, F.col("run_len"))).alias("longest_run"),
+            F.max(F.when(F.col("rk") == 1, F.col("run_start"))).alias("longest_start"),
+        )
+    )
+
+
+ORACLE_SILENCE = f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  WHERE octet_length(encode(text)) = length(text)
+),
+par AS (
+  SELECT doc_id, text, CAST(floor(length(text) / 2) AS BIGINT) AS n_samples
+  FROM d
+),
+s AS (
+  SELECT doc_id, i,
+         ascii(substring(text, CAST(2 * i + 1 AS BIGINT), 1))
+         + 256 * ascii(substring(text, CAST(2 * i + 2 AS BIGINT), 1)) AS raw
+  FROM (SELECT doc_id, text, unnest(range(n_samples)) AS i FROM par)
+),
+sv AS (
+  SELECT doc_id, i,
+         CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+  FROM s
+),
+fr AS (
+  SELECT doc_id, CAST(i // 16 AS BIGINT) AS frame_idx,
+         CAST(sum(v * v) AS BIGINT) AS sum_sq
+  FROM sv
+  GROUP BY 1, 2
+  HAVING count(*) = 16
+),
+silent AS (
+  SELECT doc_id, frame_idx,
+         frame_idx - row_number() OVER (PARTITION BY doc_id ORDER BY frame_idx) AS grp
+  FROM fr WHERE sum_sq < {_SILENCE_SUMSQ}
+),
+runs AS (
+  SELECT doc_id, grp, count(*) AS run_len, min(frame_idx) AS run_start
+  FROM silent GROUP BY 1, 2
+),
+rk AS (
+  SELECT doc_id, run_len, run_start,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY run_len DESC, run_start ASC) AS rk
+  FROM runs
+)
+SELECT doc_id,
+       CAST(sum(run_len) AS BIGINT) AS n_silent_frames,
+       count(*) AS n_runs,
+       max(CASE WHEN rk = 1 THEN run_len END) AS longest_run,
+       max(CASE WHEN rk = 1 THEN run_start END) AS longest_start
+FROM rk GROUP BY 1
+"""
+
+
 QUERIES = {
     "mm_image_features": q_mm_image_features,
     "mm_ahash_pairs": q_mm_ahash_pairs,
     "mm_frame_sample": q_mm_frame_sample,
     "mm_resize": q_mm_resize,
     "mm_audio_energy": q_mm_audio_energy,
+    "mm_audio_silence_segments": q_mm_audio_silence_segments,
     "mm_payload_stats": q_mm_payload_stats,
 }
 
@@ -254,5 +360,6 @@ ORACLES = {
     "mm_frame_sample": ORACLE_FRAME_SAMPLE,
     "mm_resize": ORACLE_RESIZE,
     "mm_audio_energy": ORACLE_AUDIO_ENERGY,
+    "mm_audio_silence_segments": ORACLE_SILENCE,
     "mm_payload_stats": ORACLE_PAYLOAD_STATS,
 }

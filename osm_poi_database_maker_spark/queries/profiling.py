@@ -407,12 +407,73 @@ GROUP BY 1, 2
 """
 
 
+# --- Benford first-digit conformance ----------------------------------------
+
+def q_events_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit profile of event values per type — the
+    classic fraud/synthetic-data detector in a profiling pass: natural
+    multiplicative data puts digit d first with probability
+    log10(1 + 1/d); a per-digit deviation profile flags fabricated or
+    clipped value columns.
+
+    The first significant digit is extracted EXACTLY: values quantize
+    to cents (round(v·100) — the portable fixed-point pattern), and the
+    leading digit of that integer comes from its decimal string, so no
+    float log10 near a power of ten can flip a digit in one engine and
+    not the other. Expected frequencies use libm ln in both engines;
+    round-4 absorbs the ulp. One groupBy(type, digit) over a pure
+    column expression + a broadcast-size window normalization — one
+    fact shuffle, 45 output rows."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.abs(F.col("value")) * 100).cast("long")
+    digit = F.substring(F.col("cents").cast("string"), 1, 1).cast("long")
+    w = Window.partitionBy("event_type")
+    exp_frac = F.round(F.log(F.lit(1.0) + 1.0 / F.col("digit")) / F.log(F.lit(10.0)), 4)
+    obs_frac = F.round(F.col("n") / F.sum("n").over(w), 4)
+    return (
+        e.select("event_type", cents.alias("cents"))
+        .filter(F.col("cents") > 0)
+        .select("event_type", digit.alias("digit"))
+        .groupBy("event_type", "digit")
+        .agg(F.count("*").alias("n"))
+        .withColumn("obs_frac", obs_frac)
+        .withColumn("exp_frac", exp_frac)
+        .withColumn("abs_dev", F.round(F.abs(F.col("obs_frac") - F.col("exp_frac")), 4))
+        .select("event_type", "digit", "n", "obs_frac", "exp_frac", "abs_dev")
+        .orderBy("event_type", "digit")
+    )
+
+
+ORACLE_BENFORD = """
+WITH digits AS (
+  SELECT event_type,
+         CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM (SELECT event_type, CAST(round(abs(value) * 100) AS BIGINT) AS cents
+        FROM events)
+  WHERE cents > 0
+),
+g AS (
+  SELECT event_type, digit, count(*) AS n FROM digits GROUP BY 1, 2
+),
+f AS (
+  SELECT event_type, digit, n,
+         round(n / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE), 4) AS obs_frac,
+         round(ln(1.0 + 1.0 / digit) / ln(10.0), 4) AS exp_frac
+  FROM g
+)
+SELECT event_type, digit, n, obs_frac, exp_frac,
+       round(abs(obs_frac - exp_frac), 4) AS abs_dev
+FROM f ORDER BY event_type, digit
+"""
+
+
 QUERIES = {
     "orders_column_profile": q_orders_column_profile,
     "lineitem_price_outliers_mad": q_lineitem_price_outliers_mad,
     "lineitem_hist_quantiles": q_lineitem_hist_quantiles,
     "events_k_anonymity": q_events_k_anonymity,
     "customer_name_linkage": q_customer_name_linkage,
+    "events_benford_deviation": q_events_benford_deviation,
 }
 
 ORACLES = {
@@ -421,4 +482,5 @@ ORACLES = {
     "lineitem_hist_quantiles": ORACLE_HIST_QUANTILES,
     "events_k_anonymity": ORACLE_K_ANONYMITY,
     "customer_name_linkage": ORACLE_NAME_LINKAGE,
+    "events_benford_deviation": ORACLE_BENFORD,
 }

@@ -1681,8 +1681,65 @@ ORDER BY n.doc_id
 """
 
 
+# --- token entropy / lexical-diversity profile ------------------------------
+
+def q_doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical-diversity profile: token count, type count,
+    type-token ratio, Shannon entropy of the token distribution, and
+    the head token's mass — the repetitiveness signals (low entropy /
+    high top-token fraction = TEMPLATE or degenerate text) a quality
+    pass reads next to Gopher's rules.
+
+    Entropy is −Σ (c/n)·ln(c/n) over the per-doc token histogram; both
+    engines sum the same exact rationals through libm ln, and round-4
+    absorbs summation-order ulp (the established PMI/Zipf precedent).
+    Plan: the token array materializes behind the standard repartition
+    barrier (CollapseProject re-split trap), one explode → per-(doc,
+    token) count → per-doc aggregate — two shuffles, per-doc-linear."""
+    d = load_table(spark, sf_dir, "documents")
+    tok_df = (
+        d.select("doc_id", F.split(F.col("text"), " +").alias("t"))
+        .repartition("doc_id")
+        .select("doc_id", F.explode("t").alias("tok"))
+    )
+    counts = tok_df.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    frac = F.col("c") / F.col("n")
+    return (
+        counts.withColumn("n", F.sum("c").over(Window.partitionBy("doc_id")))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.round(F.count("*") / F.max("n"), 4).alias("ttr"),
+            F.round(-F.sum(frac * F.log(frac)), 4).alias("entropy"),
+            F.round(F.max("c") / F.max("n"), 4).alias("top_token_frac"),
+        )
+    )
+
+
+ORACLE_TOKEN_ENTROPY = """
+WITH counts AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split_regex(text, ' +')) AS tok
+        FROM documents)
+  GROUP BY 1, 2
+),
+wn AS (
+  SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM counts
+)
+SELECT doc_id,
+       CAST(max(n) AS BIGINT) AS n_tokens,
+       count(*) AS n_types,
+       round(count(*) / CAST(max(n) AS DOUBLE), 4) AS ttr,
+       round(-sum((c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE))), 4) AS entropy,
+       round(max(c) / CAST(max(n) AS DOUBLE), 4) AS top_token_frac
+FROM wn GROUP BY 1
+"""
+
+
 QUERIES = {
     "doc_token_stats": q_doc_token_stats,
+    "doc_token_entropy": q_doc_token_entropy,
     "doc_collapse_repeats": q_doc_collapse_repeats,
     "doc_hybrid_rrf": q_doc_hybrid_rrf,
     "doc_bm25_topk": q_doc_bm25_topk,
@@ -1711,6 +1768,7 @@ ORACLES = {
     "doc_hybrid_rrf": ORACLE_HYBRID_RRF,
     "doc_collapse_repeats": ORACLE_COLLAPSE_REPEATS,
     "doc_token_stats": ORACLE_TOKEN_STATS,
+    "doc_token_entropy": ORACLE_TOKEN_ENTROPY,
     "doc_bm25_topk": ORACLE_BM25,
     "doc_dup_ngram_fraction": ORACLE_DUP_NGRAM,
     "doc_quality_filter_verdict": ORACLE_QUALITY_FILTER,
