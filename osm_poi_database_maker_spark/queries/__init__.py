@@ -63,82 +63,33 @@ _MODULES = (
 # Every registered query keeps a pytest + tools/check.py local gate
 # regardless of window position.
 _VERIFY_FIRST = [
-    # tier 1a: no driver row exists yet — returned_item_revenue (new in
-    # round 5, deliberately overflowed then; leads per the r5 contract)
-    # and the twenty queries new in round 6 (six classic decorrelation
-    # shapes, the oracled SRP-LSH, the PCA spectrum, the CMS/Bloom/KMV
-    # sketches, collapse-repeats, the osmpbf DataSource scan, the Q13
-    # custdist shape, the gapfill/LOCF densifier, winnowing fingerprints,
-    # directional containment pairs, the streaming CMS twin, the
-    # pointer-doubling referral closure, and the ranked-window sweep).
-    "returned_item_revenue",
-    "min_cost_supplier",
-    "product_type_profit",
-    "important_part_stock",
+    # tier 1a: new in round 7, no driver row yet — the Bloom admit-once
+    # pair (batch + hash-gated streaming twin), the streaming
+    # gapfill/LOCF, the multi-parent DAG min-dist closure and the
+    # referral subtree rollup, the JL projection with distortion audit,
+    # audio silence segmentation, token entropy, and Benford digits.
+    "events_bloom_admit",
+    "stream_bloom_admit",
+    "stream_gapfill_locf",
+    "customer_dag_min_paths",
+    "customer_referral_rollup",
+    "emb_jl_projection",
+    "mm_audio_silence_segments",
+    "doc_token_entropy",
+    "events_benford_deviation",
+    # tier 1b: oracle or implementation changed in round 7 — the four
+    # r6 hash-FAILs re-oracled with BIGINT casts (DuckDB HUGEINT →
+    # pandas float64 canonicalizer bug), and the KMV/CMS family whose
+    # hash fold is now pmod-normalized in batch + oracle + streaming.
     "shipping_lag_buckets",
-    "brand_supplier_counts",
     "excess_shipped_suppliers",
-    "emb_srp_lsh_pairs",
-    "emb_pca_spectrum",
     "events_cms_counts",
-    "doc_bloom_decontaminate",
-    "stream_kmv_distinct",
-    "doc_collapse_repeats",
-    "osm_pbf_source_scan",
-    "customer_order_distribution",
-    "events_gapfill_locf",
-    "doc_winnow_fingerprints",
-    "doc_containment_pairs",
     "stream_cms_counts",
-    "customer_referral_closure",
-    "order_window_zoo",
-    # tier 1b: output changed in round 6 — emb_opq_codes now emits the
-    # code word as a dash-joined string (its r5 driver row ERRORED on
-    # the gate's pandas canonicalizer, which can't sort list cells).
-    "emb_opq_codes",
-    # tier 2a: last driver row is CORRECTNESS_r02 (four rounds stale) —
-    # the three mm stub-transform queries and rows-only
-    # events_sketch_stats yielded their r5 window slots and MUST lead
-    # now (r5 contract).
-    "mm_image_features",
-    "mm_frame_sample",
-    "mm_resize",
-    "events_sketch_stats",
-    # tier 2b: existing rows are valid but carry results-invariant r5/r6
-    # changes (elasticity hint removal; knn/neardup count-derived and
-    # now checkpointed-before-count n_blocks) or are simply the stalest
-    # core/osm evidence.
-    "lineitem_discount_elasticity",
-    "emb_knn_graph",
-    "emb_cosine_neardup_pairs",
-    "revenue_by_nation",
-    "osm_poi_nodes",
-    # tier 2c: the r03-evidence cohort — rows are three rounds old this
-    # round, stalest remaining evidence; first 31 fit the window.
-    "pricing_summary",
-    "osm_toi_dim",
-    "osm_way_assembly",
-    "osm_ways_centroids",
-    "osm_spatial_bbox",
-    "events_hourly_window",
-    "events_sliding_window",
-    "events_session_windows",
-    "events_asof_join",
-    "events_incident_windows",
-    "events_gap_stats",
-    "events_funnel",
-    "events_retention",
-    "events_running_totals",
-    "events_markov_transitions",
-    "doc_bigram_pmi",
-    "doc_length_histogram",
-    "doc_zipf_fit",
-    "doc_hapax_ratio",
-    # --- the 50-entry window ends here (21 tier-1a + 1 tier-1b +
-    # 4 tier-2a + 5 tier-2b + 19 tier-2c). Overflow, in round-7
-    # priority order: the last 21 of the r03-evidence cohort (they lead
-    # round 7), then the r05-verified block (freshest evidence) in
-    # registry order; r04-green entries append by module cohort.
+    "events_kmv_distinct",
+    "stream_kmv_distinct",
+    # tier 2a: the r03-evidence remainder — their only driver rows are
+    # four rounds old and MUST lead (rotation contract; the first 19 of
+    # the cohort re-greened in r6, these 21 are the overflow).
     "doc_longest_eval_overlap",
     "doc_weighted_sample",
     "doc_dedup_clusters",
@@ -160,21 +111,59 @@ _VERIFY_FIRST = [
     "stream_sliding_window",
     "stream_session_windows",
     "stream_stream_attribution",
-    "events_multi_exists",
-    "doc_substring_dedup",
-    "events_kmv_distinct",
-    "lineitem_hist_quantiles",
-    "nation_market_share",
-    "events_ushape_attribution",
-    "events_ohlc_bars",
-    "doc_hybrid_rrf",
-    "stream_ohlc_bars",
-    "emb_matryoshka_recall",
-    "doc_simhash_pairs",
-    "doc_minhash_pairs",
-    "emb_kmeans_iterations",
-    "emb_semdedup",
-    "large_volume_customers",
+    # tier 2b: r04-evidence cohort, stalest remaining — the first 14
+    # fit the window.
+    "events_user_lifecycle",
+    "events_dau_wau",
+    "events_linear_attribution",
+    "events_cohort_ltv",
+    "events_time_to_convert",
+    "events_path_trigrams",
+    "events_user_deciles",
+    "events_hourly_anomaly",
+    "events_rfm_segments",
+    "doc_bm25_topk",
+    "doc_dup_ngram_fraction",
+    "doc_quality_filter_verdict",
+    "doc_bpe_merges",
+    "doc_bpe_encode",
+    # --- the 50-entry window ends here (9 tier-1a + 6 tier-1b +
+    # 21 tier-2a + 14 tier-2b). Overflow, in round-8 priority order:
+    # the remaining 32 r04-evidence entries (they lead round 8), then
+    # the r05-verified block via module-cohort append; r06-green
+    # entries come last (freshest evidence).
+    "doc_split_assign",
+    "emb_centroid_drift",
+    "doc_source_overlap_matrix",
+    "doc_graph_triangles",
+    "doc_incremental_dedup",
+    "emb_pq_codes",
+    "emb_ann_topk",
+    "emb_ivf_pq_topk",
+    "emb_ivf_topk",
+    "orders_column_profile",
+    "lineitem_price_outliers_mad",
+    "events_k_anonymity",
+    "customer_name_linkage",
+    "osm_node_neighbor_pairs",
+    "mm_ahash_pairs",
+    "part_promo_share",
+    "small_qty_revenue",
+    "disjunctive_revenue",
+    "idle_customer_balance",
+    "orders_backlog_aging",
+    "basket_part_affinity",
+    "nation_volume_shipping",
+    "orders_scd2_intervals",
+    "order_rollup",
+    "order_priority_cube",
+    "shipping_priority",
+    "order_value_percentiles",
+    "brand_returnflag_pivot",
+    "customer_value_ranks",
+    "order_grouping_sets",
+    "orders_above_customer_avg",
+    "top_suppliers_by_revenue",
 ]
 
 # tier 4 cohort order: non-core modules first, core last.
