@@ -1310,8 +1310,11 @@ def q_emb_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+    # broadcast the (tiny, probe-bounded) right side so the inequality
+    # pair join runs as a BroadcastNestedLoopJoin over 40 rows — never a
+    # CartesianProduct exchange (tools/plans.py red-flags those)
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
         .withColumn("d_orig", F.round(F.sqrt(d2), 2))
         .withColumn("d_proj", F.round(F.sqrt(p2), 2))
         .filter(F.col("d_orig") > 0)
