@@ -326,3 +326,19 @@ def test_containment_is_directional(spark, monkeypatch):
     assert set(out) == {(2, 1)}
     assert out[(2, 1)].containment == 1.0
     assert out[(2, 1)].shared == 3
+
+
+def test_dedup_clusters_long_chain_converges_logarithmically(spark):
+    """A 200-link chain (the worst-case shape verbatim replication
+    produces) must converge well inside O(log n) rounds: max_iters=12
+    would be hopeless for one-edge-per-round propagation (needs 199)
+    but is ample with the pointer-jump shortcut."""
+    from osm_poi_database_maker_spark.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "doc_a long, doc_b long"
+    )
+    out = dedup_clusters(pairs, max_iters=12).collect()
+    assert len(out) == 201
+    assert all(r.cluster_id == 0 for r in out)
+    assert sum(r.keep for r in out) == 1
