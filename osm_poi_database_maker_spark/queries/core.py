@@ -723,6 +723,95 @@ GROUP BY 1
 """
 
 
+_DIFF_REMOVED_MOD = 17  # keys % 17 == 5 exist only in the old snapshot
+_DIFF_ADDED_MOD = 13  # keys % 13 == 0 exist only in the new snapshot
+_DIFF_CHANGED_MOD = 7  # keys % 7 == 0 carry a changed price in the new snapshot
+
+
+def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff (ops.cdc.snapshot_diff): two deterministic
+    snapshots are derived from orders — the "old" one is missing every
+    key ≡ 0 (mod {am}) (those were inserted since) and carries a
+    10.00-lower price on keys ≡ 0 (mod {cm}) (those were updated — an
+    exact double subtraction, because a per-row round(price·0.9, 2)
+    lands on half-cent ties where Spark and DuckDB round differently), while the
+    "new" one is missing keys ≡ 5 (mod {rm}) (those were deleted) — and
+    the diff operator classifies every key as added / removed / changed
+    / unchanged through ONE full-outer join plus null-safe column
+    compares. The gate output is the per-class profile (row count, key
+    checksum, price sums), which any misclassification shifts.
+
+    The reference rebuilds its tables from scratch per run; this is the
+    incremental path a 100 TB deployment ships instead — the delta, not
+    the snapshot."""
+    from ..ops.cdc import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    old = o.filter(F.col("o_orderkey") % _DIFF_ADDED_MOD != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % _DIFF_CHANGED_MOD == 0,
+            F.col("o_totalprice") - 10.0,
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+        "o_orderstatus",
+    )
+    new = o.filter(F.col("o_orderkey") % _DIFF_REMOVED_MOD != 5).select(
+        "o_orderkey", F.col("o_totalprice").alias("price"), "o_orderstatus"
+    )
+    d = snapshot_diff(old, new, ["o_orderkey"], ["price", "o_orderstatus"])
+    return (
+        d.groupBy("diff_class")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("o_orderkey").alias("key_checksum"),
+            F.round(F.sum("old_price"), 2).alias("sum_old_price"),
+            F.round(F.sum("new_price"), 2).alias("sum_new_price"),
+        )
+        .orderBy("diff_class")
+    )
+
+
+q_orders_snapshot_diff.__doc__ = q_orders_snapshot_diff.__doc__.format(
+    am=_DIFF_ADDED_MOD, cm=_DIFF_CHANGED_MOD, rm=_DIFF_REMOVED_MOD
+)
+
+
+ORACLE_SNAPSHOT_DIFF = f"""
+WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+old AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % {_DIFF_CHANGED_MOD} = 0
+              THEN o_totalprice - 10.0 ELSE o_totalprice END AS price,
+         o_orderstatus
+  FROM o WHERE o_orderkey % {_DIFF_ADDED_MOD} <> 0
+),
+new AS (
+  SELECT o_orderkey, o_totalprice AS price, o_orderstatus
+  FROM o WHERE o_orderkey % {_DIFF_REMOVED_MOD} <> 5
+),
+d AS (
+  SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+         old.price AS old_price, new.price AS new_price,
+         CASE WHEN old.o_orderkey IS NULL THEN 'added'
+              WHEN new.o_orderkey IS NULL THEN 'removed'
+              WHEN old.price IS NOT DISTINCT FROM new.price
+                   AND old.o_orderstatus IS NOT DISTINCT FROM new.o_orderstatus
+              THEN 'unchanged'
+              ELSE 'changed' END AS diff_class
+  FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+)
+SELECT diff_class, count(*) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+       round(sum(old_price), 2) AS sum_old_price,
+       round(sum(new_price), 2) AS sum_new_price
+FROM d GROUP BY 1 ORDER BY 1
+"""
+
+
 # --- set operations (reference §2.2 set ops) -------------------------------
 
 def q_nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2252,6 +2341,7 @@ QUERIES = {
     "customer_referral_closure": q_customer_referral_closure,
     "customer_dag_min_paths": q_customer_dag_min_paths,
     "customer_referral_rollup": q_customer_referral_rollup,
+    "orders_snapshot_diff": q_orders_snapshot_diff,
     "order_window_zoo": q_order_window_zoo,
     "nation_set_ops": q_nation_set_ops,
     "order_rollup": q_order_rollup,
@@ -2297,6 +2387,7 @@ ORACLES = {
     "customer_referral_closure": ORACLE_REFERRAL_CLOSURE,
     "customer_dag_min_paths": ORACLE_DAG_MIN_PATHS,
     "customer_referral_rollup": ORACLE_REFERRAL_ROLLUP,
+    "orders_snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "order_window_zoo": ORACLE_WINDOW_ZOO,
     "nation_set_ops": ORACLE_SET_OPS,
     "order_rollup": ORACLE_ROLLUP,

@@ -918,6 +918,121 @@ ORDER BY user_id
 ORACLE_CMS = _cms_oracle_sql()
 
 
+# --- variable-length interval overlap join (session concurrency) -----------
+
+_OVL_GAP_US = 1_800_000_000  # session gap: 30 minutes
+_OVL_BUCKET_US = 3_600_000_000  # overlap-join grid: 1 hour
+
+
+def q_events_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrency analysis — a VARIABLE-length interval × interval
+    overlap join: per-user activity sessions (30-minute-gap islands)
+    joined against every OTHER user's overlapping session, counting how
+    many sessions ran concurrently with each one.
+
+    ``events_incident_windows`` covers the fixed-length case, where
+    every interval spans exactly 2 grid buckets; variable intervals
+    need the general decomposition: each session explodes into the
+    ⌈len/W⌉+1 grid buckets it covers (sequence over the bucket range),
+    the join becomes a bucket EQUI-join, pairs sharing several buckets
+    dedupe with one distinct, and the exact overlap predicate
+    (t0_a ≤ t1_b ∧ t0_b ≤ t1_a) filters bucket-neighbors that don't
+    truly overlap. Fan-out is Σ⌈len/W⌉ — proportional to total session
+    HOURS, not to the pair count — and a hot bucket is precisely peak
+    concurrency, the skew AQE re-splits. Sessions with no overlap
+    survive through the final left join (n_concurrent = 0).
+
+    Determinism: session boundaries depend only on the sorted micros
+    sequence per user (gap > 30 min opens a new island; the cumulative
+    flag sum runs over the (us, event_id) total order so equal
+    timestamps can't make island ids engine-ambiguous)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    wo = Window.partitionBy("user_id").orderBy("us", "event_id")
+    brk = (
+        (F.col("us") - F.lag("us").over(wo) > _OVL_GAP_US)
+        .cast("long")
+    )
+    sess = (
+        e.withColumn("brk", F.coalesce(brk, F.lit(0)))
+        .withColumn(
+            "sid",
+            F.sum("brk").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("us").alias("t0"),
+            F.max("us").alias("t1"),
+            F.count("*").alias("n_events"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w = F.lit(_OVL_BUCKET_US)
+    buckets = sess.withColumn(
+        "bucket",
+        F.explode(F.sequence((F.col("t0") / w).cast("long"), (F.col("t1") / w).cast("long"))),
+    )
+    a = buckets.select(
+        F.col("user_id").alias("ua"), F.col("sid").alias("sa"),
+        F.col("t0").alias("t0a"), F.col("t1").alias("t1a"), "bucket",
+    )
+    b = buckets.select(
+        F.col("user_id").alias("ub"), F.col("sid").alias("sb"),
+        F.col("t0").alias("t0b"), F.col("t1").alias("t1b"), "bucket",
+    )
+    ovl = (
+        a.join(b, "bucket")
+        .filter(F.col("ua") != F.col("ub"))
+        .select("ua", "sa", "ub", "sb", "t0a", "t1a", "t0b", "t1b")
+        .distinct()
+        .filter((F.col("t0a") <= F.col("t1b")) & (F.col("t0b") <= F.col("t1a")))
+        .groupBy(F.col("ua").alias("user_id"), F.col("sa").alias("sid"))
+        .agg(F.count("*").alias("n_concurrent"))
+    )
+    return (
+        sess.join(ovl, ["user_id", "sid"], "left")
+        .select(
+            "user_id",
+            F.col("t0").alias("session_t0_us"),
+            "n_events",
+            F.coalesce("n_concurrent", F.lit(0)).cast("long").alias("n_concurrent"),
+        )
+    )
+
+
+ORACLE_SESSION_OVERLAP = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+),
+o AS (
+  SELECT user_id, us, event_id,
+         CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                   > {_OVL_GAP_US} THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+si AS (
+  SELECT user_id, us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM o
+),
+sess AS (
+  SELECT user_id, sid, min(us) AS t0, max(us) AS t1, count(*) AS n_events
+  FROM si GROUP BY 1, 2
+),
+ovl AS (
+  SELECT a.user_id, a.sid, count(*) AS n_concurrent
+  FROM sess a JOIN sess b
+    ON a.user_id <> b.user_id AND a.t0 <= b.t1 AND b.t0 <= a.t1
+  GROUP BY 1, 2
+)
+SELECT s.user_id, s.t0 AS session_t0_us, s.n_events,
+       coalesce(o.n_concurrent, 0) AS n_concurrent
+FROM sess s LEFT JOIN ovl o ON o.user_id = s.user_id AND o.sid = s.sid
+"""
+
+
 # --- Bloom admit-once filter (test-then-insert stream gate) -----------------
 
 _ADMIT_MBITS = 1024  # Bloom bits per event_type filter (m/64 = 16 longs state)
@@ -1174,6 +1289,7 @@ QUERIES = {
     "events_gap_stats": q_events_gap_stats,
     "events_gapfill_locf": q_events_gapfill_locf,
     "events_bloom_admit": q_events_bloom_admit,
+    "events_session_overlap": q_events_session_overlap,
 }
 
 ORACLES = {
@@ -1194,4 +1310,5 @@ ORACLES = {
     "events_gap_stats": ORACLE_GAP_STATS,
     "events_gapfill_locf": ORACLE_GAPFILL,
     "events_bloom_admit": ORACLE_BLOOM_ADMIT,
+    "events_session_overlap": ORACLE_SESSION_OVERLAP,
 }

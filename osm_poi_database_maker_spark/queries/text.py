@@ -1681,6 +1681,158 @@ ORDER BY n.doc_id
 """
 
 
+# --- MMR diversified rerank -------------------------------------------------
+
+_MMR_TERMS = ("spark", "shuffle", "join")
+_MMR_POOL = 30  # rerank pool size (top-R by relevance — the scale contract)
+_MMR_K = 10  # results to select
+_MMR_W_REL = 3  # integer MMR weights: score = 3·rel − max_shared  (λ = 0.75)
+
+
+def q_doc_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance rerank — the diversity pass a RAG /
+    search stack runs over its top-R retrieval pool: greedily pick the
+    doc maximizing λ·relevance − (1−λ)·max-similarity-to-already-picked,
+    so near-duplicate hits can't crowd the result list.
+
+    Everything is INTEGER math, which is what makes a sequential greedy
+    algorithm oracle-checkable: relevance = query-term occurrence count,
+    similarity = shared distinct 3-word shingles between pool docs, the
+    MMR score is {w}·rel − max_shared with ties broken by doc_id, and
+    the DuckDB oracle REPLAYS the greedy selection step-for-step with a
+    recursive CTE carrying the picked-list (the SRP-LSH precedent:
+    exact integers make "non-relational" algorithms hash-gateable).
+
+    Scale shape: relevance counting and the pairwise shingle
+    intersection run distributed (the pool side of the sim join is
+    {pool} docs — a broadcast semi-join prunes the corpus first); the
+    greedy loop itself touches only the R×R integer tables, an
+    inherently sequential O(K·R) driver step of the same bounded class
+    as the PCA eigensolve and PQ codebook reductions (adjudicated r4).
+    MMR is sequential by definition — the pool bound IS the contract."""
+    d = load_table(spark, sf_dir, "documents")
+    tok_df = (
+        d.select("doc_id", F.split(F.col("text"), " +").alias("t"))
+        .repartition("doc_id")
+        .localCheckpoint(eager=False)
+    )
+    term_arr = F.array(*[F.lit(t) for t in _MMR_TERMS])
+    rel = (
+        tok_df.select(
+            "doc_id",
+            F.size(F.filter("t", lambda x: F.array_contains(term_arr, x))).alias("rel"),
+        )
+        .filter(F.col("rel") >= 1)
+    )
+    pool = rel.orderBy(F.desc("rel"), F.asc("doc_id")).limit(_MMR_POOL)
+    sh = (
+        tok_df.join(F.broadcast(pool.select("doc_id")), "doc_id", "left_semi")
+        .filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("t") - 2),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at("t", i),
+                            F.element_at("t", i + 1),
+                            F.element_at("t", i + 2),
+                        ),
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    sims = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("shared"))
+    )
+    # bounded driver reduction: R rows + R² sims; the greedy comparator
+    # is EXACTLY the oracle's (score DESC, doc_id ASC)
+    pool_rows = {r.doc_id: r.rel for r in pool.collect()}
+    sim_rows = {}
+    for r in sims.collect():
+        sim_rows[(r.da, r.db)] = r.shared
+        sim_rows[(r.db, r.da)] = r.shared
+    picked: list[int] = []
+    for _ in range(min(_MMR_K, len(pool_rows))):
+        best = None
+        for doc, rl in pool_rows.items():
+            if doc in picked:
+                continue
+            pen = max((sim_rows.get((doc, p), 0) for p in picked), default=0)
+            score = _MMR_W_REL * rl - pen
+            key = (-score, doc)
+            if best is None or key < best[0]:
+                best = (key, doc)
+        picked.append(best[1])
+    out = [(i + 1, doc, pool_rows[doc]) for i, doc in enumerate(picked)]
+    return spark.createDataFrame(out, "rank long, doc_id long, rel long")
+
+
+q_doc_mmr_rerank.__doc__ = q_doc_mmr_rerank.__doc__.format(
+    w=_MMR_W_REL, pool=_MMR_POOL
+)
+
+
+def _mmr_oracle_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _MMR_TERMS)
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, unnest(string_split_regex(text, ' +')) AS tok FROM documents
+),
+rel AS (
+  SELECT doc_id, count(*) AS rel FROM toks
+  WHERE tok IN ({terms}) GROUP BY 1
+),
+pool AS (
+  SELECT doc_id, rel FROM rel ORDER BY rel DESC, doc_id ASC LIMIT {_MMR_POOL}
+),
+t AS (
+  SELECT doc_id, string_split_regex(text, ' +') AS t FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM pool)
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS s
+  FROM (SELECT doc_id, t, unnest(range(len(t) - 2)) AS i
+        FROM t WHERE len(t) >= 3)
+),
+sims AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sel(step, picked) AS (
+  SELECT 0, CAST([] AS BIGINT[])
+  UNION ALL
+  SELECT step + 1, list_append(picked, (
+    SELECT d.doc_id FROM pool d
+    WHERE NOT list_contains(picked, d.doc_id)
+    ORDER BY {_MMR_W_REL} * d.rel - coalesce((
+        SELECT max(s.shared) FROM sims s
+        WHERE (s.da = d.doc_id AND list_contains(picked, s.db))
+           OR (s.db = d.doc_id AND list_contains(picked, s.da))
+      ), 0) DESC, d.doc_id ASC
+    LIMIT 1
+  ))
+  FROM sel WHERE step < {_MMR_K}
+)
+SELECT CAST(i + 1 AS BIGINT) AS rank,
+       picked[CAST(i + 1 AS BIGINT)] AS doc_id,
+       (SELECT rel FROM pool p WHERE p.doc_id = picked[CAST(i + 1 AS BIGINT)]) AS rel
+FROM (SELECT picked FROM sel WHERE step = {_MMR_K}),
+     (SELECT unnest(range({_MMR_K})) AS i)
+ORDER BY rank
+"""
+
+
+ORACLE_MMR = _mmr_oracle_sql()
+
+
 # --- token entropy / lexical-diversity profile ------------------------------
 
 def q_doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1740,6 +1892,7 @@ FROM wn GROUP BY 1
 QUERIES = {
     "doc_token_stats": q_doc_token_stats,
     "doc_token_entropy": q_doc_token_entropy,
+    "doc_mmr_rerank": q_doc_mmr_rerank,
     "doc_collapse_repeats": q_doc_collapse_repeats,
     "doc_hybrid_rrf": q_doc_hybrid_rrf,
     "doc_bm25_topk": q_doc_bm25_topk,
@@ -1769,6 +1922,7 @@ ORACLES = {
     "doc_collapse_repeats": ORACLE_COLLAPSE_REPEATS,
     "doc_token_stats": ORACLE_TOKEN_STATS,
     "doc_token_entropy": ORACLE_TOKEN_ENTROPY,
+    "doc_mmr_rerank": ORACLE_MMR,
     "doc_bm25_topk": ORACLE_BM25,
     "doc_dup_ngram_fraction": ORACLE_DUP_NGRAM,
     "doc_quality_filter_verdict": ORACLE_QUALITY_FILTER,

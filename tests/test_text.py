@@ -143,3 +143,32 @@ def test_collapse_repeats_hand_computed(spark, monkeypatch):
     assert got[1].cleaned_prefix == "a b c b"
     assert (got[3].n_tokens, got[3].n_after) == (2, 1)
     assert got[3].cleaned_prefix == "z"
+
+
+def test_mmr_rerank_demotes_near_duplicate(spark, monkeypatch):
+    """MMR's reason to exist: a near-verbatim copy of the top hit must
+    rank below a less-relevant but novel doc."""
+    from osm_poi_database_maker_spark.queries import text as T
+
+    tail = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lam mu nu xi omicron pi rho sigma tau upsilon "
+        "phi chi psi omega one two three four five six"
+    )
+    base = "spark shuffle join " * 5 + tail  # rel 15
+    dup = "spark shuffle join " * 4 + tail + " zz"  # rel 12, ~33 shared shingles
+    novel = "spark q shuffle w cost rows stats scan"  # rel 2, disjoint shingles
+    docs = spark.createDataFrame(
+        [
+            (1, base, "en", "s", 1),
+            (2, dup, "en", "s", 1),  # rel just below doc 1, shingles shared
+            (3, novel, "en", "s", 1),  # lower rel, disjoint shingles
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(T, "load_table", lambda spark_, sf_, name_: docs)
+    got = [(r.rank, r.doc_id) for r in T.q_doc_mmr_rerank(spark, "x").collect()]
+    order = [doc for _, doc in sorted(got)]
+    assert order[0] == 1  # most relevant first
+    assert order[1] == 3  # novelty beats the near-duplicate
+    assert order[2] == 2
