@@ -67,7 +67,9 @@ _VERIFY_FIRST = [
     # pair (batch + hash-gated streaming twin), the streaming
     # gapfill/LOCF, the multi-parent DAG min-dist closure and the
     # referral subtree rollup, the JL projection with distortion audit,
-    # audio silence segmentation, token entropy, and Benford digits.
+    # audio silence segmentation, token entropy, Benford digits, the
+    # variable-interval session-overlap join, the CDC snapshot diff,
+    # and the recursive-CTE-oracled MMR rerank.
     "events_bloom_admit",
     "stream_bloom_admit",
     "stream_gapfill_locf",
@@ -77,6 +79,9 @@ _VERIFY_FIRST = [
     "mm_audio_silence_segments",
     "doc_token_entropy",
     "events_benford_deviation",
+    "events_session_overlap",
+    "orders_snapshot_diff",
+    "doc_mmr_rerank",
     # tier 1b: oracle or implementation changed in round 7 — the four
     # r6 hash-FAILs re-oracled with BIGINT casts (DuckDB HUGEINT →
     # pandas float64 canonicalizer bug), and the KMV/CMS family whose
@@ -124,14 +129,14 @@ _VERIFY_FIRST = [
     "events_rfm_segments",
     "doc_bm25_topk",
     "doc_dup_ngram_fraction",
+    # --- the 50-entry window ends here (12 tier-1a + 6 tier-1b +
+    # 21 tier-2a + 11 tier-2b). Overflow, in round-8 priority order:
+    # the remaining 35 r04-evidence entries (they lead round 8), then
+    # the r05-verified block via module-cohort append; r06-green
+    # entries come last (freshest evidence).
     "doc_quality_filter_verdict",
     "doc_bpe_merges",
     "doc_bpe_encode",
-    # --- the 50-entry window ends here (9 tier-1a + 6 tier-1b +
-    # 21 tier-2a + 14 tier-2b). Overflow, in round-8 priority order:
-    # the remaining 32 r04-evidence entries (they lead round 8), then
-    # the r05-verified block via module-cohort append; r06-green
-    # entries come last (freshest evidence).
     "doc_split_assign",
     "emb_centroid_drift",
     "doc_source_overlap_matrix",
