@@ -89,13 +89,21 @@ def min_dist_closure(edges: DataFrame, max_rounds: int = 12) -> DataFrame:
     self-join records their sum, and min() can keep no overestimate
     because every recorded dist is a realizable path length.
 
-    Convergence: row count is monotone nondecreasing and, at fixed
-    rows, the dist sum monotone nonincreasing, so the (count,
-    sum(dist)) pair stabilizing exactly detects the fixpoint; as in
-    ancestor_closure the loop budgets max_rounds + 1 iterations so the
-    detection round is free. Per round: one shuffle for the self-join
-    plus one for the min() re-aggregation, both on the pair key;
-    eager localCheckpoints bound the doubling lineage.
+    Work bound — semi-naive doubling: composing the WHOLE closure with
+    itself each round recomputes every old∘old pair it already derived;
+    instead each round composes only the round's DELTA (pairs new or
+    improved last round) with the closure, in both orders. Completeness
+    holds because any shortest path of length ≤ 2^(k+1) splits into two
+    exact halves ≤ 2^k, and if both halves were already exact a round
+    earlier their composition (≤ 2^k) was produced then — so at least
+    one half sits in the delta. The delta shrinks geometrically once
+    reach saturates, so total join input approaches the CTE's
+    O(paths) while keeping the O(log depth) round count. Convergence =
+    empty delta (exact, no checksum). Per round: two delta⋈closure
+    joins + one min() re-aggregation + one anti-join for the next
+    delta, all key-partitioned; lazy localCheckpoints cut the lineage
+    with the stats/anti-join action materializing each round in one
+    job.
     """
     closure = (
         edges.select(
@@ -105,26 +113,35 @@ def min_dist_closure(edges: DataFrame, max_rounds: int = 12) -> DataFrame:
         )
         .groupBy("node", "ancestor")
         .agg(F.min("dist").alias("dist"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    prev = closure.agg(F.count("*"), F.sum("dist")).first()
+    delta = closure
     for _ in range(max_rounds + 1):
-        x, y = closure.alias("x"), closure.alias("y")
-        doubled = x.join(y, F.col("x.ancestor") == F.col("y.node")).select(
+        x, y = delta.alias("x"), closure.alias("y")
+        fwd = x.join(y, F.col("x.ancestor") == F.col("y.node")).select(
             F.col("x.node").alias("node"),
             F.col("y.ancestor").alias("ancestor"),
             (F.col("x.dist") + F.col("y.dist")).alias("dist"),
         )
-        closure = (
-            closure.unionByName(doubled)
+        p, q = closure.alias("p"), delta.alias("q")
+        bwd = p.join(q, F.col("p.ancestor") == F.col("q.node")).select(
+            F.col("p.node").alias("node"),
+            F.col("q.ancestor").alias("ancestor"),
+            (F.col("p.dist") + F.col("q.dist")).alias("dist"),
+        )
+        new_closure = (
+            closure.unionByName(fwd)
+            .unionByName(bwd)
             .groupBy("node", "ancestor")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        now = closure.agg(F.count("*"), F.sum("dist")).first()
-        if tuple(now) == tuple(prev):
+        delta = new_closure.join(
+            closure, ["node", "ancestor", "dist"], "left_anti"
+        ).localCheckpoint(eager=False)
+        closure = new_closure
+        if delta.limit(1).count() == 0:
             return closure
-        prev = now
     raise RuntimeError(
         f"min_dist_closure did not converge in {max_rounds} doubling rounds "
         f"(shortest-path depth > {2 ** max_rounds}): pathological diameter"

@@ -673,6 +673,40 @@ def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(_ngram_pairs_cached(spark, sf_dir))
 
 
+def q_doc_survivorship_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship merge — the attribute-level step after
+    clustering: per near-dup cluster, merge member attributes into the
+    record a curation pipeline keeps (member count, the longest text's
+    length, total character mass, the sorted union of sources, and the
+    representative's language). Entity-resolution survivorship rules as
+    one aggregate over the cluster labels; the labels are pair-derived
+    and tiny, so the documents join is broadcast-scale and the merge is
+    a single cluster-keyed aggregate."""
+    from ..dedup import dedup_clusters
+
+    clusters = dedup_clusters(_ngram_pairs_cached(spark, sf_dir)).select(
+        "doc_id", "cluster_id"
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    per = (
+        clusters.join(d, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").alias("total_chars"),
+            F.concat_ws(",", F.array_sort(F.collect_set("source"))).alias("sources"),
+        )
+    )
+    rep = d.select(
+        F.col("doc_id").alias("cluster_id"),
+        F.col("lang").alias("rep_lang"),
+    )
+    return per.join(rep, "cluster_id")
+
+
 ORACLE_CLUSTERS = f"""
 WITH RECURSIVE pairs AS ({ORACLE_NGRAM}),
 edges AS (
@@ -691,6 +725,37 @@ SELECT node AS doc_id,
        (node = min(label)) AS keep
 FROM reach
 GROUP BY node
+"""
+
+
+ORACLE_SURVIVORSHIP = f"""
+WITH RECURSIVE pairs AS ({ORACLE_NGRAM}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+labels AS (
+  SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+),
+merged AS (
+  SELECT l.cluster_id,
+         count(*) AS n_members,
+         max(d.n_chars) AS max_chars,
+         CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+         list_aggregate(list_sort(list(DISTINCT d.source)), 'string_agg', ',') AS sources
+  FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+  GROUP BY 1
+)
+SELECT m.cluster_id, m.n_members, m.max_chars, m.total_chars, m.sources,
+       r.lang AS rep_lang
+FROM merged m JOIN documents r ON r.doc_id = m.cluster_id
 """
 
 
@@ -1047,6 +1112,7 @@ QUERIES = {
     "doc_simhash_pairs": q_doc_simhash_pairs,
     "doc_dedup_clusters": q_doc_dedup_clusters,
     "doc_dedup_survivors": q_doc_dedup_survivors,
+    "doc_survivorship_merge": q_doc_survivorship_merge,
     "doc_graph_pagerank": q_doc_graph_pagerank,
     "doc_graph_triangles": q_doc_graph_triangles,
     "doc_incremental_dedup": q_doc_incremental_dedup,
@@ -1064,5 +1130,6 @@ ORACLES = {
     "doc_minhash_pairs": ORACLE_MINHASH,
     "doc_dedup_clusters": ORACLE_CLUSTERS,
     "doc_dedup_survivors": ORACLE_SURVIVORS,
+    "doc_survivorship_merge": ORACLE_SURVIVORSHIP,
     "doc_graph_pagerank": ORACLE_PAGERANK,
 }

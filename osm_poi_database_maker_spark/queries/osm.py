@@ -525,6 +525,55 @@ WHERE lon >= {_BBOX[0]} AND lon <= {_BBOX[2]} AND lat >= {_BBOX[1]} AND lat <= {
 """
 
 
+_DENSITY_TOP = 20
+
+
+def q_osm_poi_density_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POI density rollup over the O19 grid: nodes per cell, ranked to
+    the top-{k} densest cells — the heatmap/pre-aggregation query a
+    tile server runs over the spatial bucketing layer (the aggregate
+    companion to osm_spatial_bbox's pruning and
+    osm_node_neighbor_pairs' join). One cell-keyed hash aggregate
+    (partial map-side) then a distributed TakeOrderedAndProject top-k;
+    the id checksum makes the gate sensitive to any quantization
+    drift, and ties rank by cell id. The floor arithmetic mirrors the
+    oracle expression ORDER exactly (left-assoc (lon+180)/360*N —
+    the documented quantization-parity rule)."""
+    from ..spatial import GRID_RES, grid_cell
+
+    nodes = fx.nodes_df(spark).filter(F.col("lon").isNotNull())
+    return (
+        nodes.select(
+            grid_cell(F.col("lon"), F.col("lat"), GRID_RES).alias("cell"),
+            "id",
+        )
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_nodes"), F.sum("id").alias("id_checksum"))
+        .orderBy(F.desc("n_nodes"), F.asc("cell"))
+        .limit(_DENSITY_TOP)
+    )
+
+
+q_osm_poi_density_grid.__doc__ = q_osm_poi_density_grid.__doc__.format(
+    k=_DENSITY_TOP
+)
+
+
+_N_GRID_D = 1 << 12
+ORACLE_DENSITY_GRID = f"""
+WITH raw AS ({fx.nodes_values_sql()}),
+cells AS (
+  SELECT id,
+         greatest(0, least({_N_GRID_D - 1}, CAST(floor((lon + 180.0) / 360.0 * {_N_GRID_D}) AS BIGINT))) * {_N_GRID_D}
+         + greatest(0, least({_N_GRID_D - 1}, CAST(floor((lat + 90.0) / 180.0 * {_N_GRID_D}) AS BIGINT))) AS cell
+  FROM raw WHERE lon IS NOT NULL
+)
+SELECT cell, count(*) AS n_nodes, CAST(sum(id) AS BIGINT) AS id_checksum
+FROM cells GROUP BY 1
+ORDER BY n_nodes DESC, cell ASC LIMIT {_DENSITY_TOP}
+"""
+
+
 _NEIGHBOR_KM = 3.0
 _EARTH_KM = geo.EARTH_RADIUS_M / 1000.0
 
@@ -774,6 +823,7 @@ QUERIES = {
     "osm_relation_areas": q_osm_relation_areas,
     "osm_mp_centroids": q_osm_mp_centroids,
     "osm_spatial_bbox": q_osm_spatial_bbox,
+    "osm_poi_density_grid": q_osm_poi_density_grid,
     "osm_node_neighbor_pairs": q_osm_node_neighbor_pairs,
 }
 
@@ -789,5 +839,6 @@ ORACLES = {
     "osm_relation_areas": ORACLE_RELATION_AREAS,
     "osm_mp_centroids": ORACLE_MP_CENTROIDS,
     "osm_spatial_bbox": ORACLE_SPATIAL_BBOX,
+    "osm_poi_density_grid": ORACLE_DENSITY_GRID,
     "osm_node_neighbor_pairs": ORACLE_NEIGHBOR_PAIRS,
 }
