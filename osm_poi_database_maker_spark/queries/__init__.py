@@ -69,8 +69,8 @@ _VERIFY_FIRST = [
     # referral subtree rollup, the JL projection with distortion audit,
     # audio silence segmentation, token entropy, Benford digits, the
     # variable-interval session-overlap join, the CDC snapshot diff,
-    # the recursive-CTE-oracled MMR rerank, the POI density grid, and
-    # the golden-record survivorship merge.
+    # the recursive-CTE-oracled MMR rerank, the POI density grid, the
+    # golden-record survivorship merge, and farthest-point sampling.
     "events_bloom_admit",
     "stream_bloom_admit",
     "stream_gapfill_locf",
@@ -85,6 +85,7 @@ _VERIFY_FIRST = [
     "doc_mmr_rerank",
     "osm_poi_density_grid",
     "doc_survivorship_merge",
+    "emb_maximin_centers",
     # tier 1b: oracle or implementation changed in round 7 — the four
     # r6 hash-FAILs re-oracled with BIGINT casts (DuckDB HUGEINT →
     # pandas float64 canonicalizer bug), and the KMV/CMS family whose
@@ -129,12 +130,12 @@ _VERIFY_FIRST = [
     "events_path_trigrams",
     "events_user_deciles",
     "events_hourly_anomaly",
-    "events_rfm_segments",
-    # --- the 50-entry window ends here (14 tier-1a + 6 tier-1b +
-    # 21 tier-2a + 9 tier-2b). Overflow, in round-8 priority order:
-    # the remaining 37 r04-evidence entries (they lead round 8), then
+    # --- the 50-entry window ends here (15 tier-1a + 6 tier-1b +
+    # 21 tier-2a + 8 tier-2b). Overflow, in round-8 priority order:
+    # the remaining 38 r04-evidence entries (they lead round 8), then
     # the r05-verified block via module-cohort append; r06-green
     # entries come last (freshest evidence).
+    "events_rfm_segments",
     "doc_bm25_topk",
     "doc_dup_ngram_fraction",
     "doc_quality_filter_verdict",

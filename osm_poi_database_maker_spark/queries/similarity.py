@@ -1211,6 +1211,108 @@ WITH el AS (
 """
 
 
+# --- farthest-point (maximin) center selection ------------------------------
+
+_FPS_K = 8  # centers to select
+_FPS_Q = 10_000  # fixed-point scale: per-dim diffs ≤ 2e4, d² ≤ 64·4e8 — int64-exact
+
+
+def q_emb_maximin_centers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Farthest-point sampling (maximin traversal) — the deterministic
+    k-means++ / coreset seeding pass: start from the smallest vec_id,
+    then repeatedly select the vector farthest (max min-distance) from
+    everything selected so far, ties to the smaller id.
+
+    A sequential selection algorithm made hash-gateable the MMR way:
+    vectors quantize to vq = floor(v·10⁴) so every pairwise squared
+    distance is an EXACT int64 (≤ 64·(2·10⁴)² ≈ 2.6e10), the argmax
+    comparator is (d² DESC, vec_id ASC), and the DuckDB oracle replays
+    the traversal step-for-step with a recursive CTE over the
+    precomputed exact pair distances.
+
+    Scale shape — unlike MMR's bounded-pool contract, this one is
+    FULLY distributed: the running min-distance column updates in
+    place (least(mind, d² to the new center) — the new center's 64
+    quantized coords inline as one constant-folded expr, the SRP py4j
+    lesson), and each round's argmax is a distributed
+    TakeOrderedAndProject(1), so the frame is scanned K times with no
+    pairwise materialization anywhere — O(K·n·dim) work, the textbook
+    GPU/cluster FPS schedule. Per-round lazy checkpoints keep the
+    K-deep least() lineage flat."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vq = F.transform(
+        F.col("embedding"), lambda v: F.floor(v.cast("double") * _FPS_Q).cast("long")
+    )
+    qdf = e.select("vec_id", vq.alias("vq")).localCheckpoint(eager=False)
+    first = qdf.orderBy("vec_id").limit(1).first()
+    centers = [(1, first.vec_id)]
+    picked_ids = {first.vec_id}
+
+    def d2_expr(cvq: list) -> F.Column:
+        arr = "array(" + ",".join(f"{int(x)}L" for x in cvq) + ")"
+        return F.expr(
+            f"aggregate(zip_with(vq, {arr}, (a, b) -> (a - b) * (a - b)),"
+            " CAST(0 AS BIGINT), (s, v) -> s + v)"
+        )
+
+    cur = qdf.withColumn("mind", d2_expr(first.vq)).localCheckpoint(eager=False)
+    for rank in range(2, _FPS_K + 1):
+        nxt = (
+            cur.filter(~F.col("vec_id").isin(*picked_ids))
+            .orderBy(F.desc("mind"), F.asc("vec_id"))
+            .limit(1)
+            .first()
+        )
+        centers.append((rank, nxt.vec_id))
+        picked_ids.add(nxt.vec_id)
+        cur = cur.withColumn(
+            "mind", F.least(F.col("mind"), d2_expr(nxt.vq))
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(centers, "rank long, vec_id long")
+
+
+def _fps_oracle_sql() -> str:
+    return f"""
+WITH RECURSIVE el AS (
+  SELECT vec_id,
+         CAST(floor(CAST(e.val AS DOUBLE) * {_FPS_Q}.0) AS BIGINT) AS vq,
+         CAST(e.idx AS BIGINT) AS d
+  FROM (SELECT vec_id, unnest(embedding) AS val,
+               unnest(range(len(embedding))) AS idx
+        FROM embeddings) e
+),
+dists AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         CAST(sum((a.vq - b.vq) * (a.vq - b.vq)) AS BIGINT) AS d2
+  FROM el a JOIN el b ON a.d = b.d AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+sel(step, picked) AS (
+  SELECT 1, [CAST((SELECT min(vec_id) FROM embeddings) AS BIGINT)]
+  UNION ALL
+  SELECT step + 1, list_append(picked, (
+    SELECT c.vec_id FROM (SELECT DISTINCT vec_id FROM el) c
+    WHERE NOT list_contains(picked, c.vec_id)
+    ORDER BY (
+      SELECT min(d.d2) FROM dists d
+      WHERE (d.va = c.vec_id AND list_contains(picked, d.vb))
+         OR (d.vb = c.vec_id AND list_contains(picked, d.va))
+    ) DESC, c.vec_id ASC
+    LIMIT 1
+  ))
+  FROM sel WHERE step < {_FPS_K}
+)
+SELECT CAST(i + 1 AS BIGINT) AS rank,
+       picked[CAST(i + 1 AS BIGINT)] AS vec_id
+FROM (SELECT picked FROM sel WHERE step = {_FPS_K}),
+     (SELECT unnest(range({_FPS_K})) AS i)
+ORDER BY rank
+"""
+
+
+ORACLE_FPS = _fps_oracle_sql()
+
+
 # --- Johnson–Lindenstrauss random projection (oracled, integer planes) -----
 
 _JL_R = 8  # target dimensionality
@@ -1387,6 +1489,7 @@ ORACLE_JL = _jl_oracle_sql()
 QUERIES = {
     "emb_opq_codes": q_emb_opq_codes,
     "emb_jl_projection": q_emb_jl_projection,
+    "emb_maximin_centers": q_emb_maximin_centers,
     "emb_matryoshka_recall": q_emb_matryoshka_recall,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_knn_graph": q_emb_knn_graph,
@@ -1405,6 +1508,7 @@ QUERIES = {
 
 ORACLES = {
     "emb_jl_projection": ORACLE_JL,
+    "emb_maximin_centers": ORACLE_FPS,
     "emb_cosine_topk": ORACLE_COSINE,
     "emb_knn_graph": ORACLE_KNN_GRAPH,
     "emb_semdedup": ORACLE_SEMDEDUP,
