@@ -35,3 +35,20 @@ def test_oracle_explains(con, name):
     from osm_poi_database_maker_spark.queries import ORACLES
 
     con.execute(f"EXPLAIN {ORACLES[name]}")
+
+
+@pytest.mark.parametrize("name", _oracles())
+def test_oracle_no_hugeint_output(con, name):
+    """DuckDB types integer sum() as HUGEINT (int128); the driver's
+    pandas-side canonicalizer renders HUGEINT as float64 and the value
+    hash breaks (15.0 vs 15 — the r6 failure class). Binding the oracle
+    and checking output types keeps the class unshippable."""
+    from osm_poi_database_maker_spark.queries import ORACLES
+
+    rel = con.sql(ORACLES[name])
+    huge = [
+        c
+        for c, t in zip(rel.columns, rel.types)
+        if str(t).upper() in ("HUGEINT", "UHUGEINT")
+    ]
+    assert not huge, f"oracle {name} emits HUGEINT column(s) {huge}"
