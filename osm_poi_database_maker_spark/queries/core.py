@@ -2316,6 +2316,86 @@ ORDER BY s.s_name, s.s_suppkey
 """
 
 
+def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) over the part table: parts not dominated
+    on (minimize p_retailprice, maximize p_size) — the multi-criteria
+    "best tradeoff" operator (cheapest-for-its-size) that PostgreSQL
+    answers with a NOT EXISTS anti-self-join and a skyline engine answers
+    with a dominance scan.
+
+    The naive formulation is an O(n²) dominance self-join; the 2-D
+    skyline admits a sort + prefix-max scan instead: a point survives
+    iff no point with price ≤ mine has strictly better size (and no
+    strictly-cheaper point ties my size). A single global
+    ``Window.orderBy(price)`` would serialize the fact table into one
+    partition, so the prefix max is computed as a two-level distributed
+    scan — the classic parallel prefix pattern: (1) bucket rows by a
+    fixed price grid (equal prices always share a bucket, so earlier
+    bucket ⇒ strictly cheaper); (2) per-bucket running maxima via
+    bucket-partitioned range windows (parallel over buckets); (3) a
+    bucket-level prefix max over the tiny per-bucket aggregate (the only
+    single-partition window, sized |buckets|, not |rows|), broadcast back.
+    Dominated iff ``max_size(strictly cheaper) ≥ mine`` or
+    ``max_size(price ≤ mine) > mine``. One fact shuffle (bucket
+    hash-partition for the windows); the bucket aggregate and broadcast
+    join are metadata-sized. At 100 TB the same plan holds: buckets keep
+    every partition independent and the prefix table stays tiny.
+
+    Ties on both axes: duplicate (price, size) points dominate each
+    other only non-strictly, so all copies survive — matching the
+    NOT-EXISTS oracle's strict-dominance semantics.
+    """
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_size",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+        F.round(F.col("p_retailprice"), 2).alias("price"),
+    )
+    p = p.withColumn("bucket", (F.col("cents") / F.lit(1000)).cast("long"))
+    w_strict = (
+        Window.partitionBy("bucket")
+        .orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_incl = (
+        Window.partitionBy("bucket")
+        .orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    p = p.withColumn("in_strict", F.max("p_size").over(w_strict)).withColumn(
+        "in_incl", F.max("p_size").over(w_incl)
+    )
+    bucket_max = p.groupBy("bucket").agg(F.max("p_size").alias("bmax"))
+    w_prev = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = bucket_max.select(
+        "bucket", F.max("bmax").over(w_prev).alias("prev_max")
+    )
+    joined = p.join(F.broadcast(prefix), "bucket")
+    neg_inf = F.lit(-(2**31))
+    m_strict = F.greatest(
+        F.coalesce(F.col("prev_max"), neg_inf),
+        F.coalesce(F.col("in_strict"), neg_inf),
+    )
+    m_incl = F.greatest(F.coalesce(F.col("prev_max"), neg_inf), F.col("in_incl"))
+    return (
+        joined.filter(~((m_strict >= F.col("p_size")) | (m_incl > F.col("p_size"))))
+        .select("p_partkey", "p_name", "price", "p_size")
+    )
+
+
+ORACLE_SKYLINE = """
+SELECT p.p_partkey, p.p_name, round(p.p_retailprice, 2) AS price, p.p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice
+    AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+"""
+
+
 QUERIES = {
     "lineitem_discount_elasticity": q_lineitem_discount_elasticity,
     "part_promo_share": q_part_promo_share,
@@ -2360,6 +2440,7 @@ QUERIES = {
     "shipping_lag_buckets": q_shipping_lag_buckets,
     "brand_supplier_counts": q_brand_supplier_counts,
     "excess_shipped_suppliers": q_excess_shipped_suppliers,
+    "part_skyline": q_part_skyline,
 }
 
 ORACLES = {
@@ -2406,4 +2487,5 @@ ORACLES = {
     "shipping_lag_buckets": ORACLE_LAG_BUCKETS,
     "brand_supplier_counts": ORACLE_BRAND_SUPPLIERS,
     "excess_shipped_suppliers": ORACLE_EXCESS,
+    "part_skyline": ORACLE_SKYLINE,
 }

@@ -1270,6 +1270,69 @@ GROUP BY 1, 2
 """
 
 
+def q_events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of ``value`` per event type — the
+    TimescaleDB ``time_weight('LOCF', ...)`` hypertable aggregate the
+    reference's PostgreSQL tier would supply: each observation holds its
+    value until the user's next event, so the mean is weighted by
+    holding duration, not by sample count (a sensor that reports once an
+    hour and once a second averages the same).
+
+    Exactness contract: values go fixed-point (round(v·100) cents, the
+    portable pattern) and durations are integer seconds, so the weighted
+    sum is an exact int64 reduction in both engines — the single final
+    division rounds to 6. The last observation of each user has no
+    successor and is dropped (the open interval carries no weight),
+    matching the LOCF integral over the observed span. ``event_id``
+    breaks timestamp ties deterministically; tied events contribute
+    zero-duration intervals.
+
+    One shuffle on ``user_id`` for the lead window, then a tiny
+    per-event-type aggregate with map-side partials — the shape survives
+    100 TB because state per user is one row of lookahead, and the
+    weighted sum composes associatively."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.round(F.col("value") * 100).cast("long")
+    dur = (
+        F.lead(F.col("ts").cast("long")).over(w) - F.col("ts").cast("long")
+    ).alias("dur")
+    held = (
+        e.select("user_id", "ts", "event_id", "event_type", cents.alias("cents"))
+        .withColumn("dur", dur)
+        .filter(F.col("dur").isNotNull())
+    )
+    return held.groupBy("event_type").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum("dur").alias("held_seconds"),
+        F.round(
+            F.sum(F.col("cents") * F.col("dur"))
+            / (F.lit(100.0) * F.sum("dur")),
+            6,
+        ).alias("time_weighted_avg"),
+    )
+
+
+ORACLE_TWA = """
+WITH held AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         date_diff('second', ts,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           AS dur
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_intervals,
+       CAST(sum(dur) AS BIGINT) AS held_seconds,
+       round(CAST(sum(cents * dur) AS DOUBLE) / (100.0 * sum(dur)), 6)
+         AS time_weighted_avg
+FROM held
+WHERE dur IS NOT NULL
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "events_multi_exists": q_events_multi_exists,
     "events_ohlc_bars": q_events_ohlc_bars,
@@ -1290,6 +1353,7 @@ QUERIES = {
     "events_gapfill_locf": q_events_gapfill_locf,
     "events_bloom_admit": q_events_bloom_admit,
     "events_session_overlap": q_events_session_overlap,
+    "events_time_weighted_avg": q_events_time_weighted_avg,
 }
 
 ORACLES = {
@@ -1311,4 +1375,5 @@ ORACLES = {
     "events_gapfill_locf": ORACLE_GAPFILL,
     "events_bloom_admit": ORACLE_BLOOM_ADMIT,
     "events_session_overlap": ORACLE_SESSION_OVERLAP,
+    "events_time_weighted_avg": ORACLE_TWA,
 }

@@ -590,3 +590,65 @@ def test_customer_order_distribution_counts_filtered_zero(spark, monkeypatch):
     monkeypatch.setattr(C, "load_table", lambda s_, sf_, n_: frames[n_])
     got = {r.c_count: r.custdist for r in C.q_customer_order_distribution(spark, "x").collect()}
     assert got == {0: 2, 2: 1}  # cust 1 (urgent-only) and 3 (no orders) in bucket 0
+
+
+def test_time_weighted_avg_holds_value_until_next_event(spark, monkeypatch):
+    """TWA semantics: each observation's value is held (weighted) for the
+    seconds until the user's NEXT event; the final observation carries no
+    weight; a once-a-second and once-an-hour reporter average the same."""
+    import datetime as dt
+
+    from osm_poi_database_maker_spark.queries import events as E
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def t(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = [
+        # user 1: X@10 held 100 s, X@30 held 200 s, Y@7 is last (dropped)
+        (1, t(0), 1, "X", 10.0, "{}"),
+        (2, t(100), 1, "X", 30.0, "{}"),
+        (3, t(300), 1, "Y", 7.0, "{}"),
+        # user 2: single event -> no interval at all
+        (4, t(0), 2, "X", 99.0, "{}"),
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(E, "load_table", lambda s_, sf_, n_: e)
+    out = {r.event_type: r for r in E.q_events_time_weighted_avg(spark, "x").collect()}
+    assert set(out) == {"X"}  # Y only ever appears as a terminal observation
+    assert out["X"].n_intervals == 2
+    assert out["X"].held_seconds == 300
+    # (10*100 + 30*200) / 300 = 23.333333, NOT the sample mean 20.0
+    assert out["X"].time_weighted_avg == 23.333333
+
+
+def test_part_skyline_dominance_and_duplicates(spark, monkeypatch):
+    """2-D skyline: strictly-dominated points drop (same size but cheaper
+    exists; same price but bigger exists), duplicate (price,size) points
+    all survive, and the frontier spans multiple price buckets (the
+    distributed prefix-max path, not just the within-bucket window)."""
+    from osm_poi_database_maker_spark.queries import core as C
+
+    rows = [
+        (1, "a", "B", "T", 3, 900.0),    # frontier (cheapest)
+        (2, "h", "B", "T", 4, 940.0),    # frontier duplicate pair...
+        (3, "h2", "B", "T", 4, 940.0),   # ...both kept
+        (4, "b", "B", "T", 5, 950.0),    # frontier
+        (5, "c", "B", "T", 5, 1000.0),   # dominated by 4 (cheaper, same size)
+        (6, "d", "B", "T", 6, 1000.0),   # frontier
+        (7, "e", "B", "T", 6, 1100.0),   # dominated by 6
+        (8, "f", "B", "T", 7, 1100.0),   # frontier (biggest)
+    ]
+    p = spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    monkeypatch.setattr(C, "load_table", lambda s_, sf_, n_: p)
+    got = sorted(r.p_partkey for r in C.q_part_skyline(spark, "x").collect())
+    assert got == [1, 2, 3, 4, 6, 8]
