@@ -467,6 +467,79 @@ FROM f ORDER BY event_type, digit
 """
 
 
+def q_customer_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT edit-distance-≤1 similarity self-join over customer names via
+    FastSS deletion neighborhoods — the guaranteed-complete companion to
+    the sorted-neighborhood heuristic (`customer_name_linkage`): SNM can
+    miss pairs that sort apart; the deletion-neighborhood join provably
+    finds every pair at distance ≤ 1.
+
+    FastSS (Bocek et al. 2007): a string's signature set is itself plus
+    every single-character deletion (len+1 signatures). Any two strings
+    at Levenshtein distance ≤ 1 share a signature (substitution → delete
+    the differing position from both; insertion/deletion → the shorter
+    string IS a deletion variant of the longer), so an equi-join on
+    signature yields a complete candidate set, each candidate verified
+    with the real `levenshtein` (JVM codegen) and deduped — a pair can
+    share several signatures. No O(n²) compare anywhere: candidate
+    volume is Σ|bucket|² over signature buckets, and buckets only hold
+    strings within distance 2 of each other, so the blow-up rides data
+    similarity, not table size. One shuffle for the signature join, one
+    for the pair distinct; signatures are ~(len+1)× the input — linear.
+
+    Output stays metadata-sized for the gate: per distance, the pair
+    count and an order-insensitive checksum of the pair keys. The DuckDB
+    oracle is the brute-force O(n²) theta-join — two INDEPENDENT
+    algorithms agreeing on the exact result set.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    sigs = c.select(
+        "c_custkey",
+        "c_name",
+        F.explode(
+            F.concat(
+                F.array(F.col("c_name")),
+                F.expr(
+                    "transform(sequence(1, length(c_name)), i -> "
+                    "concat(substring(c_name, 1, i - 1), substring(c_name, i + 1)))"
+                ),
+            )
+        ).alias("sig"),
+    ).distinct()
+    left = sigs.select(
+        F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a"), "sig"
+    )
+    right = sigs.select(
+        F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b"), "sig"
+    )
+    pairs = (
+        left.join(right, "sig")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "name_a", "name_b")
+        .distinct()
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 1)
+    )
+    return pairs.groupBy("dist").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.col("key_a") * 1000003 + F.col("key_b")).alias("pair_checksum"),
+    )
+
+
+ORACLE_EDIT_PAIRS = """
+SELECT dist,
+       count(*) AS n_pairs,
+       CAST(sum(key_a * 1000003 + key_b) AS BIGINT) AS pair_checksum
+FROM (
+  SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+         levenshtein(a.c_name, b.c_name) AS dist
+  FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+)
+WHERE dist <= 1
+GROUP BY dist
+"""
+
+
 QUERIES = {
     "orders_column_profile": q_orders_column_profile,
     "lineitem_price_outliers_mad": q_lineitem_price_outliers_mad,
@@ -474,6 +547,7 @@ QUERIES = {
     "events_k_anonymity": q_events_k_anonymity,
     "customer_name_linkage": q_customer_name_linkage,
     "events_benford_deviation": q_events_benford_deviation,
+    "customer_edit_pairs": q_customer_edit_pairs,
 }
 
 ORACLES = {
@@ -483,4 +557,5 @@ ORACLES = {
     "events_k_anonymity": ORACLE_K_ANONYMITY,
     "customer_name_linkage": ORACLE_NAME_LINKAGE,
     "events_benford_deviation": ORACLE_BENFORD,
+    "customer_edit_pairs": ORACLE_EDIT_PAIRS,
 }

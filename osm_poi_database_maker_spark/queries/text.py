@@ -1889,8 +1889,85 @@ FROM wn GROUP BY 1
 """
 
 
+_PHRASE_TOP = 3
+
+
+def q_doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search: find the corpus's top-3 bigram phrases,
+    then count each phrase's OVERLAPPING occurrences per document by
+    adjacent-position match — the capability BM25/TF-IDF bag-of-words
+    retrieval can't express ("new york" ≠ {new, york}), normally served
+    by a positional inverted index.
+
+    Two stages, both array-side: (1) bigram doc-frequency — one explode
+    of adjacent token pairs, one count, distributed top-k via
+    sort+limit (TakeOrderedAndProject, ties by phrase text); (2) the
+    tiny phrase dim broadcast-crossed against documents, occurrences
+    counted INSIDE the tokens array (``filter(sequence(...))`` over
+    1-based ``element_at``) — no posexplode of the corpus, no
+    positional-postings self-join, so the fact-side cost is one pass
+    over each doc's token array per phrase. Overlap semantics: in
+    "batch batch batch", "batch batch" occurs twice. At 100 TB the
+    phrase dim is constant-sized and the scan stays embarrassingly
+    parallel — the exact shape a positional index lookup degrades to
+    when the phrase list is small and the corpus is the big side."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " +").alias("toks")
+    )
+    bigrams = (
+        d.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), i -> "
+                    "concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+                )
+            ).alias("phrase")
+        )
+        .groupBy("phrase")
+        .agg(F.count("*").alias("total"))
+        .orderBy(F.desc("total"), F.asc("phrase"))
+        .limit(_PHRASE_TOP)
+        .select("phrase")
+    )
+    hits = d.join(F.broadcast(bigrams)).withColumn(
+        "n_matches",
+        F.expr(
+            "size(filter(sequence(1, size(toks) - 1), i -> "
+            "element_at(toks, i) = split_part(phrase, ' ', 1) AND "
+            "element_at(toks, i + 1) = split_part(phrase, ' ', 2)))"
+        ).cast("long"),
+    )
+    return hits.filter(F.col("n_matches") > 0).select("phrase", "doc_id", "n_matches")
+
+
+ORACLE_PHRASE_SEARCH = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents
+),
+bigrams AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                i -> concat(toks[i], ' ', toks[i + 1]))) AS phrase
+  FROM toks
+),
+top_phrases AS (
+  SELECT phrase FROM bigrams GROUP BY phrase
+  ORDER BY count(*) DESC, phrase ASC LIMIT {_PHRASE_TOP}
+)
+SELECT phrase, doc_id, n_matches FROM (
+  SELECT p.phrase, t.doc_id,
+         CAST(len(list_filter(range(1, len(t.toks)), i ->
+                t.toks[i] = split_part(p.phrase, ' ', 1) AND
+                t.toks[i + 1] = split_part(p.phrase, ' ', 2))) AS BIGINT)
+           AS n_matches
+  FROM toks t CROSS JOIN top_phrases p
+)
+WHERE n_matches > 0
+"""
+
+
 QUERIES = {
     "doc_token_stats": q_doc_token_stats,
+    "doc_phrase_search": q_doc_phrase_search,
     "doc_token_entropy": q_doc_token_entropy,
     "doc_mmr_rerank": q_doc_mmr_rerank,
     "doc_collapse_repeats": q_doc_collapse_repeats,
@@ -1921,6 +1998,7 @@ ORACLES = {
     "doc_hybrid_rrf": ORACLE_HYBRID_RRF,
     "doc_collapse_repeats": ORACLE_COLLAPSE_REPEATS,
     "doc_token_stats": ORACLE_TOKEN_STATS,
+    "doc_phrase_search": ORACLE_PHRASE_SEARCH,
     "doc_token_entropy": ORACLE_TOKEN_ENTROPY,
     "doc_mmr_rerank": ORACLE_MMR,
     "doc_bm25_topk": ORACLE_BM25,

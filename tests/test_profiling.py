@@ -286,3 +286,29 @@ def test_hist_quantiles_error_bounded_by_bin_width(spark):
     for r in rows:
         assert r.abs_err <= 2 * width + 1e-9, r
         assert mn <= r.hist_estimate <= mx
+
+
+def test_edit_pairs_fastss_complete_and_exact(spark, monkeypatch):
+    """The deletion-neighborhood join finds EVERY pair at distance ≤ 1 —
+    substitution, insertion, and deletion — counts duplicates as
+    distance 0, and excludes distance-2 pairs even when they share a
+    deletion signature."""
+    from osm_poi_database_maker_spark.queries import profiling as P
+
+    rows = [
+        (1, "abcd", 0, 0.0, "m"),
+        (2, "abxd", 0, 0.0, "m"),   # substitution -> dist 1 with 1
+        (3, "abcde", 0, 0.0, "m"),  # insertion    -> dist 1 with 1
+        (4, "bcd", 0, 0.0, "m"),    # deletion     -> dist 1 with 1
+        (5, "abcd", 0, 0.0, "m"),   # duplicate    -> dist 0 with 1
+        (6, "xycd", 0, 0.0, "m"),   # dist 2 from "abcd": must NOT pair with 1
+    ]
+    c = spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    monkeypatch.setattr(P, "load_table", lambda s_, sf_, n_: c)
+    got = {r.dist: r.n_pairs for r in P.q_customer_edit_pairs(spark, "x").collect()}
+    # dist 1: (1,2),(1,3),(1,4),(2,5),(3,5),(4,5) — 5 duplicates 1's pairs
+    assert got == {0: 1, 1: 6}

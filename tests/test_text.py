@@ -172,3 +172,29 @@ def test_mmr_rerank_demotes_near_duplicate(spark, monkeypatch):
     assert order[0] == 1  # most relevant first
     assert order[1] == 3  # novelty beats the near-duplicate
     assert order[2] == 2
+
+
+def test_phrase_search_counts_overlapping_occurrences(spark, monkeypatch):
+    """Phrase occurrences are adjacent-position matches, counted with
+    overlap ('b b b' contains 'b b' twice), and only the top-3 global
+    bigrams are searched."""
+    from osm_poi_database_maker_spark.queries import text as T
+
+    rows = [
+        (1, "b b b a c", "en", "s", 9),     # 'b b' x2
+        (2, "a c a c a c x y", "en", "s", 15),  # 'a c' x3, 'c a' x2
+        (3, "a c b b q q q q", "en", "s", 15),  # 'a c' + 'b b' + 'q q' x3
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(T, "load_table", lambda s_, sf_, n_: d)
+    out = T.q_doc_phrase_search(spark, "x").collect()
+    got = {(r.phrase, r.doc_id): r.n_matches for r in out}
+    # global bigram counts: 'a c' 5 (doc1 1, doc2 3, doc3 1)... top-3 by
+    # count then text: 'a c'(5), 'q q'(3), 'b b'(3) -> top3 = a c, b b, q q
+    assert got == {
+        ("a c", 1): 1, ("a c", 2): 3, ("a c", 3): 1,
+        ("b b", 1): 2, ("b b", 3): 1,
+        ("q q", 3): 3,
+    }
