@@ -14,6 +14,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 from .. import streaming as S
+from .behavior import ORACLE_MARKOV
 from .events import (
     ORACLE_BLOOM_ADMIT,
     ORACLE_CMS,
@@ -229,6 +230,32 @@ def q_stream_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Markov transition matrix: per-user ordered history as
+    custom state (late events re-chain correctly), newest emission per
+    user selected by the monotone n_seen, then the batch twin's exact
+    (from,to) aggregate + row-normalizing window — certified by the
+    batch twin's DuckDB oracle end-to-end."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    out = _materialize(
+        S.markov_transitions_state(S.stream_events(spark, sf_dir)), spark, "update"
+    )
+    w_user = Window.partitionBy("user_id")
+    latest = out.withColumn("max_seen", F.max("n_seen").over(w_user)).filter(
+        F.col("n_seen") == F.col("max_seen")
+    )
+    pairs = latest.groupBy("from_type", "to_type").agg(F.sum("n").alias("n"))
+    w_from = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_from), 4).alias("p"),
+    )
+
+
 def q_stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream watermarked join (purchase ← same-user click within
     2 hours): both sides are live streams; bounded time-range condition
@@ -275,6 +302,7 @@ QUERIES = {
     "stream_cms_counts": q_stream_cms_counts,
     "stream_bloom_admit": q_stream_bloom_admit,
     "stream_gapfill_locf": q_stream_gapfill_locf,
+    "stream_markov_transitions": q_stream_markov_transitions,
 }
 
 ORACLES = {
@@ -290,4 +318,5 @@ ORACLES = {
     "stream_cms_counts": ORACLE_CMS,
     "stream_bloom_admit": ORACLE_BLOOM_ADMIT,
     "stream_gapfill_locf": ORACLE_GAPFILL,
+    "stream_markov_transitions": ORACLE_MARKOV,
 }

@@ -514,6 +514,81 @@ def bloom_admit_state(
     )
 
 
+_MARKOV_STATE_SCHEMA = "ts_us array<long>, eid array<long>, typ array<string>"
+_MARKOV_OUT_SCHEMA = (
+    "user_id long, from_type string, to_type string, n long, n_seen long"
+)
+
+
+def _markov_update(key: tuple[Any, ...], pdfs: Any, state: GroupState):
+    """Fold a user's events into an event-time-ordered history and emit
+    the user's CURRENT first-order transition counts, stamped with the
+    monotone n_seen so the caller keeps only the newest emission.
+
+    The history (ts, event_id, type) must be state — a late event that
+    lands BETWEEN two previously-adjacent events rewrites the transition
+    they used to form, so no counts-only state can stay exact under
+    out-of-order arrival. State is linear in the user's own event count
+    (the per-key behavioral sequence, the same budget a session replay
+    needs), never in the stream."""
+    hist: list[tuple[int, int, str]] = []
+    if state.exists:
+        ts, eid, typ = state.get
+        hist = [(int(t), int(e), str(y)) for t, e, y in zip(ts, eid, typ)]
+    for pdf in pdfs:
+        hist.extend(
+            (int(t), int(e), str(y))
+            for t, e, y in zip(
+                pdf["ts_us"].tolist(),
+                pdf["event_id"].tolist(),
+                pdf["event_type"].tolist(),
+            )
+        )
+    hist.sort()
+    state.update(
+        ([t for t, _, _ in hist], [e for _, e, _ in hist], [y for _, _, y in hist])
+    )
+    counts: dict[tuple[str, str], int] = {}
+    for (_, _, a), (_, _, b) in zip(hist, hist[1:]):
+        counts[(a, b)] = counts.get((a, b), 0) + 1
+    if counts:
+        pairs = sorted(counts)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(pairs),
+                "from_type": [a for a, _ in pairs],
+                "to_type": [b for _, b in pairs],
+                "n": [counts[p] for p in pairs],
+                "n_seen": [len(hist)] * len(pairs),
+            }
+        )
+
+
+def markov_transitions_state(events: DataFrame) -> DataFrame:
+    """Streaming first-order Markov transition maintenance — the
+    custom-state twin of queries/behavior.q_events_markov_transitions.
+    Ties on timestamp break by event_id exactly like the batch lag
+    window (the tuple sort is (ts, event_id)), and because the full
+    per-user ordered history is state, a late arrival re-emits the
+    corrected counts rather than freezing a wrong chain — the emission
+    then feeds the same global (from,to) aggregate + row-normalizing
+    window as the batch twin and is certified by the SAME DuckDB
+    oracle."""
+    prepped = events.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        _markov_update,
+        outputStructType=_MARKOV_OUT_SCHEMA,
+        stateStructType=_MARKOV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 _SESSION_STATE_SCHEMA = "start_us long, last_us long, n long, total double"
 _SESSION_OUT_SCHEMA = (
     "user_id long, session_start_us long, n_events long, sum_value double"

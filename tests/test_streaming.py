@@ -565,3 +565,44 @@ def test_stream_gapfill_matches_batch_twin(spark):
     batch = {tuple(r) for r in E.q_events_gapfill_locf(spark, SF_SMOKE).collect()}
     stream = {tuple(r) for r in Q.q_stream_gapfill_locf(spark, SF_SMOKE).collect()}
     assert batch == stream
+
+
+def test_stream_markov_fold_rechains_late_arrival():
+    """A late event landing BETWEEN two previously-adjacent events must
+    rewrite the transition they used to form — the reason the state is
+    the ordered history, not a counts accumulator."""
+    import pandas as pd
+
+    from osm_poi_database_maker_spark import streaming as S
+
+    b1 = pd.DataFrame(
+        {"ts_us": [100, 300], "event_id": [1, 3], "event_type": ["A", "C"]}
+    )
+    late = pd.DataFrame({"ts_us": [200], "event_id": [2], "event_type": ["B"]})
+    st = _FakeGroupState()
+    out1 = list(S._markov_update((7,), [b1], st))[0]
+    assert list(zip(out1["from_type"], out1["to_type"], out1["n"])) == [("A", "C", 1)]
+    out2 = list(S._markov_update((7,), [late], st))[0]
+    # A->C is GONE; the corrected chain is A->B->C, stamped newer
+    assert list(zip(out2["from_type"], out2["to_type"], out2["n"])) == [
+        ("A", "B", 1),
+        ("B", "C", 1),
+    ]
+    assert out2["n_seen"].tolist() == [3, 3]
+    # ts tie breaks by event_id, matching the batch lag window
+    tie = pd.DataFrame({"ts_us": [300], "event_id": [0], "event_type": ["Z"]})
+    st2 = _FakeGroupState()
+    out3 = list(S._markov_update((7,), [b1, tie], st2))[0]
+    assert list(zip(out3["from_type"], out3["to_type"])) == [("A", "Z"), ("Z", "C")]
+
+
+def test_stream_markov_matches_batch_twin(spark):
+    """The streaming Markov query must equal the batch operator
+    row-for-row on the same fixture."""
+    from osm_poi_database_maker_spark.queries import behavior as B
+    from osm_poi_database_maker_spark.queries import streaming_queries as Q
+    from tests.conftest import SF_SMOKE
+
+    batch = {tuple(r) for r in B.q_events_markov_transitions(spark, SF_SMOKE).collect()}
+    stream = {tuple(r) for r in Q.q_stream_markov_transitions(spark, SF_SMOKE).collect()}
+    assert batch == stream
