@@ -91,6 +91,7 @@ _VERIFY_FIRST = [
     "customer_edit_pairs",
     "doc_phrase_search",
     "stream_markov_transitions",
+    "basket_frequent_itemsets",
     # tier 1b: oracle or implementation changed in round 7 — the four
     # r6 hash-FAILs re-oracled with BIGINT casts (DuckDB HUGEINT →
     # pandas float64 canonicalizer bug), and the KMV/CMS family whose

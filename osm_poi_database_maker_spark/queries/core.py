@@ -2316,6 +2316,114 @@ ORDER BY s.s_name, s.s_suppkey
 """
 
 
+_ITEMSET_CAP = 16
+_ITEMSET_TOP_K = 25
+
+
+def q_basket_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-itemset mining (Apriori levels 1-3) over order baskets:
+    items, pairs, and triples of parts co-ordered at least {3,3,2}
+    times — the association-rule mining generalization of the pairwise
+    lift query (`basket_part_affinity`) to higher-order itemsets.
+
+    Level-wise semantics match Apriori exactly by anti-monotonicity: a
+    k-itemset meeting min-support implies every subset meets it, so
+    count-then-filter yields precisely the Apriori-pruned lattice —
+    without materializing candidate generations as separate joins.
+
+    Plan: ONE shuffle builds each capped sorted basket (collect_set →
+    array_sort → slice to {cap} lowest part ids, mirrored in the
+    oracle); every combination is then generated ARRAY-SIDE from the
+    sorted array (nested indexed transforms keep a<b<c by
+    construction) — no within-order self-join, no distinct exchange;
+    per-basket work is bounded C(cap,3) inside codegen. Each level is
+    one explode + count with map-side partials; the level union is
+    aggregated rows (tiny); the final per-level top-k window runs over
+    already-aggregated survivors, not facts. The same shape holds at
+    100 TB: fan-out rides basket size (capped), never table size.
+
+    The oracle deliberately takes the OTHER algorithm — within-order
+    equi-self-joins per level — so two independent formulations must
+    agree on the exact lattice."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .groupBy("o")
+        .agg(
+            F.slice(F.array_sort(F.collect_set("p")), 1, _ITEMSET_CAP).alias("items")
+        )
+        .localCheckpoint(eager=False)
+    )
+    singles = baskets.select(
+        F.explode(F.expr("transform(items, x -> CAST(x AS STRING))")).alias("itemset")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(items, (x, i) -> "
+                "transform(slice(items, i + 2, size(items)), "
+                "y -> concat(x, '|', y))))"
+            )
+        ).alias("itemset")
+    )
+    triples = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(flatten(transform(items, (x, i) -> "
+                "transform(slice(items, i + 2, size(items)), (y, j) -> "
+                "transform(slice(items, i + j + 3, size(items)), "
+                "z -> concat(x, '|', y, '|', z))))))"
+            )
+        ).alias("itemset")
+    )
+
+    def _level(df: DataFrame, level: int, minsup: int) -> DataFrame:
+        return (
+            df.groupBy("itemset")
+            .agg(F.count("*").alias("support"))
+            .filter(F.col("support") >= minsup)
+            .select(F.lit(level).alias("level"), "itemset", "support")
+        )
+
+    lattice = (
+        _level(singles, 1, 3).union(_level(pairs, 2, 3)).union(_level(triples, 3, 2))
+    )
+    w = Window.partitionBy("level").orderBy(F.desc("support"), F.asc("itemset"))
+    return (
+        lattice.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _ITEMSET_TOP_K)
+        .select("level", "itemset", "support")
+    )
+
+
+ORACLE_ITEMSETS = f"""
+WITH li AS (
+  SELECT o, p FROM (
+    SELECT o, p, row_number() OVER (PARTITION BY o ORDER BY p) AS rk
+    FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
+  ) WHERE rk <= {_ITEMSET_CAP}
+),
+lattice AS (
+  SELECT 1 AS level, CAST(p AS VARCHAR) AS itemset, count(*) AS support
+  FROM li GROUP BY 2 HAVING count(*) >= 3
+  UNION ALL
+  SELECT 2, concat(a.p, '|', b.p), count(*)
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+  GROUP BY 2 HAVING count(*) >= 3
+  UNION ALL
+  SELECT 3, concat(a.p, '|', b.p, '|', c.p), count(*)
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+            JOIN li c ON b.o = c.o AND b.p < c.p
+  GROUP BY 2 HAVING count(*) >= 2
+)
+SELECT level, itemset, CAST(support AS BIGINT) AS support
+FROM lattice
+QUALIFY row_number() OVER (PARTITION BY level
+                           ORDER BY support DESC, itemset ASC)
+        <= {_ITEMSET_TOP_K}
+"""
+
+
 def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline (Pareto frontier) over the part table: parts not dominated
     on (minimize p_retailprice, maximize p_size) — the multi-criteria
@@ -2441,6 +2549,7 @@ QUERIES = {
     "brand_supplier_counts": q_brand_supplier_counts,
     "excess_shipped_suppliers": q_excess_shipped_suppliers,
     "part_skyline": q_part_skyline,
+    "basket_frequent_itemsets": q_basket_frequent_itemsets,
 }
 
 ORACLES = {
@@ -2488,4 +2597,5 @@ ORACLES = {
     "brand_supplier_counts": ORACLE_BRAND_SUPPLIERS,
     "excess_shipped_suppliers": ORACLE_EXCESS,
     "part_skyline": ORACLE_SKYLINE,
+    "basket_frequent_itemsets": ORACLE_ITEMSETS,
 }

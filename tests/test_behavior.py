@@ -652,3 +652,35 @@ def test_part_skyline_dominance_and_duplicates(spark, monkeypatch):
     monkeypatch.setattr(C, "load_table", lambda s_, sf_, n_: p)
     got = sorted(r.p_partkey for r in C.q_part_skyline(spark, "x").collect())
     assert got == [1, 2, 3, 4, 6, 8]
+
+
+def test_frequent_itemsets_levels(spark, monkeypatch):
+    """Apriori lattice: per-level min-support {3,3,2} over capped sorted
+    baskets; combos are generated in ascending item order so the itemset
+    string is canonical; duplicate lineitems of the same part count once."""
+    from osm_poi_database_maker_spark.queries import core as C
+
+    baskets = {1: [1, 2, 3], 2: [1, 2, 3], 3: [1, 2], 4: [1, 2, 4]}
+    rows = [
+        (o, p, 1, i, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-01-01")
+        for o, items in baskets.items()
+        for i, p in enumerate(items)
+    ]
+    # duplicate (order 1, part 2) lineitem: must not double-count
+    rows.append((1, 2, 9, 99, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-01-01"))
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate string",
+    )
+    monkeypatch.setattr(C, "load_table", lambda s_, sf_, n_: li)
+    got = {
+        (r.level, r.itemset): r.support
+        for r in C.q_basket_frequent_itemsets(spark, "x").collect()
+    }
+    assert got == {
+        (1, "1"): 4, (1, "2"): 4,
+        (2, "1|2"): 4,
+        (3, "1|2|3"): 2,
+    }
