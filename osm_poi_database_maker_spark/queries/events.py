@@ -1270,6 +1270,92 @@ GROUP BY 1, 2
 """
 
 
+def q_events_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB 2014): per
+    (series, hour bucket), the four pixel-defining points — first, last,
+    min-value, max-value — the error-free downsampling a charting
+    frontend needs so a 100 TB series renders from |buckets|·4 points
+    with no visual difference from the raw data.
+
+    Each role is a deterministic argmin/argmax: first/last by
+    (ts, event_id), min/max by (value, event_id) — four row_number
+    rankings sharing ONE (event_type, bucket) partition, so the plan is
+    a single hash-exchange followed by in-partition sorts (no
+    per-role re-shuffle), then a 4-way role filter union'd row-wise.
+    Emission is one row per (bucket, role) with the role's point —
+    buckets with a single event legitimately emit the same point under
+    all four roles, exactly as M4 defines."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        (F.floor(F.unix_micros("ts") / 3_600_000_000) * 3600).alias("bucket_start_s"),
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "value",
+    )
+    part = ["event_type", "bucket_start_s"]
+    w_first = Window.partitionBy(*part).orderBy(F.asc("ts_us"), F.asc("event_id"))
+    w_last = Window.partitionBy(*part).orderBy(F.desc("ts_us"), F.desc("event_id"))
+    w_min = Window.partitionBy(*part).orderBy(F.asc("value"), F.asc("event_id"))
+    w_max = Window.partitionBy(*part).orderBy(F.desc("value"), F.asc("event_id"))
+    ranked = (
+        base.withColumn("rn_first", F.row_number().over(w_first))
+        .withColumn("rn_last", F.row_number().over(w_last))
+        .withColumn("rn_min", F.row_number().over(w_min))
+        .withColumn("rn_max", F.row_number().over(w_max))
+    )
+    roles = F.concat(
+        F.when(F.col("rn_first") == 1, F.array(F.lit("first"))).otherwise(F.array()),
+        F.when(F.col("rn_last") == 1, F.array(F.lit("last"))).otherwise(F.array()),
+        F.when(F.col("rn_min") == 1, F.array(F.lit("min"))).otherwise(F.array()),
+        F.when(F.col("rn_max") == 1, F.array(F.lit("max"))).otherwise(F.array()),
+    )
+    return (
+        ranked.withColumn("role", F.explode(roles))
+        .select(
+            "event_type",
+            "bucket_start_s",
+            "role",
+            "ts_us",
+            F.round("value", 2).alias("value"),
+        )
+    )
+
+
+ORACLE_M4 = """
+WITH base AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) * 3600
+           AS bucket_start_s,
+         epoch_us(ts) AS ts_us, event_id, value
+  FROM events
+),
+ranked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY event_type, bucket_start_s
+                       ORDER BY ts_us ASC, event_id ASC) AS rn_first,
+    row_number() OVER (PARTITION BY event_type, bucket_start_s
+                       ORDER BY ts_us DESC, event_id DESC) AS rn_last,
+    row_number() OVER (PARTITION BY event_type, bucket_start_s
+                       ORDER BY value ASC, event_id ASC) AS rn_min,
+    row_number() OVER (PARTITION BY event_type, bucket_start_s
+                       ORDER BY value DESC, event_id ASC) AS rn_max
+  FROM base
+)
+SELECT event_type, bucket_start_s, 'first' AS role, ts_us,
+       round(value, 2) AS value FROM ranked WHERE rn_first = 1
+UNION ALL
+SELECT event_type, bucket_start_s, 'last', ts_us, round(value, 2)
+FROM ranked WHERE rn_last = 1
+UNION ALL
+SELECT event_type, bucket_start_s, 'min', ts_us, round(value, 2)
+FROM ranked WHERE rn_min = 1
+UNION ALL
+SELECT event_type, bucket_start_s, 'max', ts_us, round(value, 2)
+FROM ranked WHERE rn_max = 1
+"""
+
+
 def q_events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average of ``value`` per event type — the
     TimescaleDB ``time_weight('LOCF', ...)`` hypertable aggregate the
@@ -1354,6 +1440,7 @@ QUERIES = {
     "events_bloom_admit": q_events_bloom_admit,
     "events_session_overlap": q_events_session_overlap,
     "events_time_weighted_avg": q_events_time_weighted_avg,
+    "events_m4_downsample": q_events_m4_downsample,
 }
 
 ORACLES = {
@@ -1376,4 +1463,5 @@ ORACLES = {
     "events_bloom_admit": ORACLE_BLOOM_ADMIT,
     "events_session_overlap": ORACLE_SESSION_OVERLAP,
     "events_time_weighted_avg": ORACLE_TWA,
+    "events_m4_downsample": ORACLE_M4,
 }

@@ -684,3 +684,45 @@ def test_frequent_itemsets_levels(spark, monkeypatch):
         (2, "1|2"): 4,
         (3, "1|2|3"): 2,
     }
+
+
+def test_m4_downsample_roles_and_singleton_bucket(spark, monkeypatch):
+    """M4: per (series, hour) the first/last/min/max points survive; a
+    single-event bucket emits its one point under all four roles; ties on
+    value break deterministically by event_id (ascending for both min and
+    max, matching the oracle's ORDER BY value DESC, event_id ASC)."""
+    import datetime as dt
+
+    from osm_poi_database_maker_spark.queries import events as E
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def t(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = [
+        # series X, one bucket: first=e1, last=e4, min=e3, max tie 30.0
+        # between e2 and e4 -> e2 (lower event_id) wins
+        (1, t(0), 1, "X", 10.0, "{}"),
+        (2, t(10), 1, "X", 30.0, "{}"),
+        (3, t(20), 1, "X", -5.0, "{}"),
+        (4, t(30), 1, "X", 30.0, "{}"),
+        # series Y: singleton bucket -> same point, all four roles
+        (5, t(0), 2, "Y", 7.0, "{}"),
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(E, "load_table", lambda s_, sf_, n_: e)
+    out = E.q_events_m4_downsample(spark, "x").collect()
+    x = {r.role: r for r in out if r.event_type == "X"}
+    y = [r for r in out if r.event_type == "Y"]
+    assert set(x) == {"first", "last", "min", "max"}
+    us = lambda sec: int(t(sec).replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+    assert x["first"].value == 10.0 and x["first"].ts_us == us(0)
+    assert x["last"].value == 30.0 and x["last"].ts_us == us(30)
+    assert x["min"].value == -5.0
+    assert x["max"].ts_us == us(10)  # tie broken toward event_id 2
+    assert len(y) == 4 and {r.value for r in y} == {7.0}
