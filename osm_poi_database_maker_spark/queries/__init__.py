@@ -92,6 +92,8 @@ _VERIFY_FIRST = [
     "doc_phrase_search",
     "stream_markov_transitions",
     "basket_frequent_itemsets",
+    "events_m4_downsample",
+    "stream_m4_downsample",
     # tier 1b: oracle or implementation changed in round 7 — the four
     # r6 hash-FAILs re-oracled with BIGINT casts (DuckDB HUGEINT →
     # pandas float64 canonicalizer bug), and the KMV/CMS family whose
@@ -126,8 +128,15 @@ _VERIFY_FIRST = [
     "stream_sliding_window",
     "stream_session_windows",
     "stream_stream_attribution",
-    # tier 2b: r04-evidence cohort, stalest remaining — the first 14
-    # fit the window.
+    # --- the 50-entry window ends here (23 tier-1a + 6 tier-1b +
+    # 21 tier-2a; round 7 grew tier 1a to exactly fill the window, so
+    # the tier-2b r04 cohort rotates to round 8). Overflow, in round-8
+    # priority order: any round-7 late additions below, then the
+    # r04-evidence entries, then the r05-verified block via
+    # module-cohort append; r06-green entries come last (freshest
+    # evidence).
+    # tier 2b (overflow): r04-evidence cohort, stalest remaining —
+    # leads round 8 after late additions.
     "events_user_lifecycle",
     "events_dau_wau",
     "events_linear_attribution",
@@ -136,11 +145,6 @@ _VERIFY_FIRST = [
     "events_path_trigrams",
     "events_user_deciles",
     "events_hourly_anomaly",
-    # --- the 50-entry window ends here (15 tier-1a + 6 tier-1b +
-    # 21 tier-2a + 8 tier-2b). Overflow, in round-8 priority order:
-    # the remaining 38 r04-evidence entries (they lead round 8), then
-    # the r05-verified block via module-cohort append; r06-green
-    # entries come last (freshest evidence).
     "events_rfm_segments",
     "doc_bm25_topk",
     "doc_dup_ngram_fraction",

@@ -21,6 +21,7 @@ from .events import (
     ORACLE_GAPFILL,
     ORACLE_HOURLY,
     ORACLE_KMV,
+    ORACLE_M4,
     ORACLE_OHLC,
     ORACLE_SESSION,
     ORACLE_SLIDING,
@@ -256,6 +257,41 @@ def q_stream_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_stream_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming M4 downsampling (custom applyInPandasWithState state:
+    the four pixel-defining candidate points per (series, hour bucket)),
+    selected to each bucket's newest emission (n_seen is strictly
+    monotone per key), then exploded to the batch twin's (bucket, role,
+    point) rows with the SAME role tie-breaks and F.round — checked
+    against the batch twin's DuckDB oracle, so the continuously-
+    maintained rendering cache is hash-gated end-to-end. Unlike the
+    KMV/CMS/Bloom sketch twins this state is EXACT, so the certificate
+    is equality, not an audit column."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    out = _materialize(S.m4_sketch_state(S.stream_events(spark, sf_dir)), spark, "update")
+    w = Window.partitionBy("event_type", "bucket_start_s").orderBy(F.desc("n_seen"))
+    latest = out.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    roles = F.array(
+        F.struct(F.lit("first").alias("role"), F.col("first_ts").alias("ts_us"), F.col("first_val").alias("v")),
+        F.struct(F.lit("last").alias("role"), F.col("last_ts").alias("ts_us"), F.col("last_val").alias("v")),
+        F.struct(F.lit("min").alias("role"), F.col("min_ts").alias("ts_us"), F.col("min_val").alias("v")),
+        F.struct(F.lit("max").alias("role"), F.col("max_ts").alias("ts_us"), F.col("max_val").alias("v")),
+    )
+    return (
+        latest.withColumn("pt", F.explode(roles))
+        .select(
+            "event_type",
+            "bucket_start_s",
+            F.col("pt.role").alias("role"),
+            F.col("pt.ts_us").alias("ts_us"),
+            F.round(F.col("pt.v"), 2).alias("value"),
+        )
+    )
+
+
 def q_stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream watermarked join (purchase ← same-user click within
     2 hours): both sides are live streams; bounded time-range condition
@@ -303,6 +339,7 @@ QUERIES = {
     "stream_bloom_admit": q_stream_bloom_admit,
     "stream_gapfill_locf": q_stream_gapfill_locf,
     "stream_markov_transitions": q_stream_markov_transitions,
+    "stream_m4_downsample": q_stream_m4_downsample,
 }
 
 ORACLES = {
@@ -319,4 +356,5 @@ ORACLES = {
     "stream_bloom_admit": ORACLE_BLOOM_ADMIT,
     "stream_gapfill_locf": ORACLE_GAPFILL,
     "stream_markov_transitions": ORACLE_MARKOV,
+    "stream_m4_downsample": ORACLE_M4,
 }

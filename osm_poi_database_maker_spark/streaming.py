@@ -808,3 +808,106 @@ def foreach_batch_parquet_sink(stream: DataFrame, path: str, checkpoint: str):
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+_M4_STATE_SCHEMA = (
+    "first_ts long, first_eid long, first_val double, "
+    "last_ts long, last_eid long, last_val double, "
+    "min_ts long, min_eid long, min_val double, "
+    "max_ts long, max_eid long, max_val double, n_seen long"
+)
+_M4_OUT_SCHEMA = (
+    "event_type string, bucket_start_s long, "
+    "first_ts long, first_val double, last_ts long, last_val double, "
+    "min_ts long, min_val double, max_ts long, max_val double, n_seen long"
+)
+
+
+def _m4_update(key: tuple[Any, ...], pdfs: Any, state: GroupState):
+    """Per-(series, bucket) M4 fold: state is just the four candidate
+    points — first/last by (ts, event_id), min by (value, event_id),
+    max by (value DESC, event_id ASC) — the identical tie-breaks the
+    batch twin's four row_number windows use, so any arrival order
+    (including late data) converges to the same four points. O(1)
+    state per bucket, vectorized argmin/argmax per Arrow batch."""
+    import numpy as np
+
+    if state.exists:
+        (f_ts, f_eid, f_val, l_ts, l_eid, l_val,
+         mn_ts, mn_eid, mn_val, mx_ts, mx_eid, mx_val, n_seen) = state.get
+        first = (f_ts, f_eid, f_val)
+        last = (l_ts, l_eid, l_val)
+        vmin = (mn_ts, mn_eid, mn_val)
+        vmax = (mx_ts, mx_eid, mx_val)
+    else:
+        first = last = vmin = vmax = None
+        n_seen = 0
+    for pdf in pdfs:
+        ts = pdf["ts_us"].to_numpy(dtype=np.int64)
+        eid = pdf["event_id"].to_numpy(dtype=np.int64)
+        val = pdf["value"].to_numpy(dtype=np.float64)
+        n_seen += len(ts)
+        if not len(ts):
+            continue
+        # batch-local argmins via lexsort (last key is primary)
+        i = np.lexsort((eid, ts))[0]          # ORDER BY ts ASC, eid ASC
+        cand = (int(ts[i]), int(eid[i]), float(val[i]))
+        if first is None or (cand[0], cand[1]) < (first[0], first[1]):
+            first = cand
+        i = np.lexsort((-eid, -ts))[0]        # ORDER BY ts DESC, eid DESC
+        cand = (int(ts[i]), int(eid[i]), float(val[i]))
+        if last is None or (cand[0], cand[1]) > (last[0], last[1]):
+            last = cand
+        i = np.lexsort((eid, val))[0]         # ORDER BY value ASC, eid ASC
+        cand = (int(ts[i]), int(eid[i]), float(val[i]))
+        if vmin is None or (cand[2], cand[1]) < (vmin[2], vmin[1]):
+            vmin = cand
+        i = np.lexsort((eid, -val))[0]        # ORDER BY value DESC, eid ASC
+        cand = (int(ts[i]), int(eid[i]), float(val[i]))
+        if vmax is None or (-cand[2], cand[1]) < (-vmax[2], vmax[1]):
+            vmax = cand
+    state.update(
+        (first[0], first[1], first[2], last[0], last[1], last[2],
+         vmin[0], vmin[1], vmin[2], vmax[0], vmax[1], vmax[2], n_seen)
+    )
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "bucket_start_s": [key[1]],
+            "first_ts": [first[0]], "first_val": [first[2]],
+            "last_ts": [last[0]], "last_val": [last[2]],
+            "min_ts": [vmin[0]], "min_val": [vmin[2]],
+            "max_ts": [vmax[0]], "max_val": [vmax[2]],
+            "n_seen": [n_seen],
+        }
+    )
+
+
+def m4_sketch_state(events: DataFrame) -> DataFrame:
+    """Streaming M4 downsampling (Jugel et al., VLDB 2014) — the custom-
+    state twin of queries/events.q_events_m4_downsample. State per
+    (event_type, hour bucket) is the four pixel-defining candidate
+    points (first/last/min/max with the batch twin's deterministic
+    tie-breaks); the fold is associative and order-insensitive, so late
+    or out-of-order arrivals converge to exactly the batch answer and
+    the batch DuckDB oracle certifies the stream end-to-end.
+
+    Scale shape: state is 13 scalars per active bucket — a continuously
+    maintained rendering cache over an unbounded series costs
+    |series|·|active buckets| tiny rows, never the event count; the
+    bucket key is computed declaratively before the stateful op so
+    partition pruning and state-store sharding both see it."""
+    prepped = events.select(
+        "event_type",
+        (F.floor(F.unix_micros("ts") / 3_600_000_000) * 3600).alias("bucket_start_s"),
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "value",
+    )
+    return prepped.groupBy("event_type", "bucket_start_s").applyInPandasWithState(
+        _m4_update,
+        outputStructType=_M4_OUT_SCHEMA,
+        stateStructType=_M4_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

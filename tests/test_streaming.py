@@ -606,3 +606,48 @@ def test_stream_markov_matches_batch_twin(spark):
     batch = {tuple(r) for r in B.q_events_markov_transitions(spark, SF_SMOKE).collect()}
     stream = {tuple(r) for r in Q.q_stream_markov_transitions(spark, SF_SMOKE).collect()}
     assert batch == stream
+
+
+def test_stream_m4_fold_is_order_insensitive():
+    """The M4 fold must converge to the batch twin's four points under
+    any arrival order: late arrivals can steal any role, ties on value
+    break toward the LOWER event_id for both min and max (mirroring the
+    batch ORDER BY value DESC, event_id ASC), and splitting the same
+    rows across micro-batches must leave identical state."""
+    import pandas as pd
+
+    from osm_poi_database_maker_spark import streaming as S
+
+    rows = pd.DataFrame(
+        {
+            "ts_us": [400, 100, 300, 200],
+            "event_id": [4, 1, 3, 2],
+            "value": [30.0, 10.0, -5.0, 30.0],
+        }
+    )
+    key = ("X", 0)
+    st_one = _FakeGroupState()
+    out_one = list(S._m4_update(key, [rows], st_one))[0]
+    st_split = _FakeGroupState()
+    list(S._m4_update(key, [rows.iloc[2:]], st_split))
+    out_split = list(S._m4_update(key, [rows.iloc[:2]], st_split))[0]
+    assert st_one.get == st_split.get
+    r = out_one.iloc[0]
+    assert (r["first_ts"], r["first_val"]) == (100, 10.0)
+    assert (r["last_ts"], r["last_val"]) == (400, 30.0)
+    assert (r["min_ts"], r["min_val"]) == (300, -5.0)
+    # value tie 30.0 at ts 200 (eid 2) and ts 400 (eid 4): eid 2 wins
+    assert (r["max_ts"], r["max_val"]) == (200, 30.0)
+    assert r["n_seen"] == 4 == out_split.iloc[0]["n_seen"]
+
+
+def test_stream_m4_matches_batch_twin(spark):
+    """The streaming M4 query must equal the batch operator row-for-row
+    on the same fixture."""
+    from osm_poi_database_maker_spark.queries import events as E
+    from osm_poi_database_maker_spark.queries import streaming_queries as Q
+    from tests.conftest import SF_SMOKE
+
+    batch = {tuple(r) for r in E.q_events_m4_downsample(spark, SF_SMOKE).collect()}
+    stream = {tuple(r) for r in Q.q_stream_m4_downsample(spark, SF_SMOKE).collect()}
+    assert batch == stream
