@@ -135,6 +135,10 @@ _VERIFY_FIRST = [
     # r04-evidence entries, then the r05-verified block via
     # module-cohort append; r06-green entries come last (freshest
     # evidence).
+    # round-7 late additions: locally hash-gated (tools/check.py at
+    # sf0.001 + sf0.01) but past the 50-entry window; they lead the
+    # round-8 window.
+    "doc_ppjoin_pairs",
     # tier 2b (overflow): r04-evidence cohort, stalest remaining —
     # leads round 8 after late additions.
     "events_user_lifecycle",

@@ -245,6 +245,136 @@ WHERE round(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 4) >= 0.25
 """
 
 
+
+PPJOIN_T = 0.5
+
+
+def q_doc_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity join with LOSSLESS prefix filtering (the
+    PPJoin/AllPairs candidate rule, Xiao et al. WWW'08 / Bayardo et al.
+    WWW'07): pairs of documents whose 3-word-shingle Jaccard is ≥ 0.5,
+    with NO df cap and NO probabilistic bands — the exact complement to
+    the capped ``doc_ngram_jaccard_pairs`` and the approximate
+    MinHash/SimHash/SRP family.
+
+    Prefix-filter lemma: order the shingle universe by ascending
+    document frequency (rarest first; ties by 64-bit hash — a total
+    order), and take each document's first ``n - ceil(t*n) + 1``
+    shingles. If J(x, y) ≥ t the two prefixes MUST share a shingle, so
+    joining only on prefix shingles loses nothing. Candidates are then
+    verified with the exact intersection.
+
+    100 TB shape: the self-join explodes only the PREFIX (at t=0.5 about
+    half of each doc's shingles, at t=0.9 a tenth), and a globally HOT
+    shingle sits at the END of the frequency order, so it enters almost
+    no prefixes — the candidate volume is bounded by the df of the RARE
+    shingles, which is what makes the join feasible without the df cap
+    the plain shingle join needs. One df aggregation feeds the ordering;
+    the verify step is a per-candidate ``array_intersect`` over the two
+    ~doc-length hash arrays, never a second explode. Reference parity:
+    the engine joins on 64-bit shingle hashes (8-byte shuffle keys); the
+    oracle brute-forces the same threshold over shingle strings —
+    equality certifies the pruning is lossless."""
+    d = load_table(spark, sf_dir, "documents")
+    tok_df = d.select("doc_id", F.split(F.col("text"), " +").alias("t")).repartition(
+        "doc_id"
+    )
+    t = F.col("t")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(t, i),
+                F.element_at(t, i + 1),
+                F.element_at(t, i + 2),
+            ),
+        )
+    )
+    sh = (
+        tok_df.filter(F.size(t) >= 3)
+        .select("doc_id", F.explode(shingles).alias("shingle"))
+        .select("doc_id", F.xxhash64("shingle").alias("h"))
+        .repartition("h")
+    )
+    dfs = sh.groupBy("h").agg(F.count("*").alias("df"))
+    # (df, h) is a deterministic TOTAL order on the shingle universe —
+    # no global row_number pass needed, the pair sorts identically on
+    # every executor
+    docs = (
+        sh.join(dfs, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("df", "h"))), lambda s: s["h"]
+            ).alias("hs"),
+            F.count("*").alias("n"),
+        )
+        .withColumn(
+            "plen", (F.col("n") - F.ceil(F.lit(PPJOIN_T) * F.col("n")) + 1).cast("int")
+        )
+    )
+    prefix = docs.select(
+        "doc_id", "n", F.explode(F.expr("slice(hs, 1, plen)")).alias("h")
+    )
+    a = prefix.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "h")
+    b = prefix.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "h")
+    cand = (
+        a.join(b, "h")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            # length filter: J >= t forces t*max(|x|,|y|) <= min(|x|,|y|)
+            & (F.col("n_a") * F.lit(PPJOIN_T) <= F.col("n_b"))
+            & (F.col("n_b") * F.lit(PPJOIN_T) <= F.col("n_a"))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ha = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"), F.col("n").alias("n_a")
+    )
+    hb = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"), F.col("n").alias("n_b")
+    )
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .withColumn("shared", F.size(F.array_intersect("hs_a", "hs_b")).cast("long"))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 4),
+        )
+        .filter(F.col("jaccard") >= PPJOIN_T)
+        .select("doc_a", "doc_b", "shared", "jaccard")
+    )
+
+
+ORACLE_PPJOIN = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, ' +') AS t FROM documents
+  WHERE len(string_split_regex(text, ' +')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS shingle
+    FROM (SELECT doc_id, t, unnest(range(len(t) - 2)) AS i FROM toks)
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared,
+       round(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 4) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 4) >= {PPJOIN_T}
+"""
+
+
 _WINNOW_K = 5  # char k-gram width
 _WINNOW_W = 4  # winnowing window: one fingerprint per w consecutive k-grams
 _WINNOW_MOD = 1_000_000_007
@@ -1105,6 +1235,7 @@ LEFT JOIN overlap o ON o.doc_id = i.doc_id
 QUERIES = {
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_ngram_jaccard_pairs": q_doc_ngram_jaccard_pairs,
+    "doc_ppjoin_pairs": q_doc_ppjoin_pairs,
     "doc_containment_pairs": q_doc_containment_pairs,
     "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
     "doc_substring_dedup": q_doc_substring_dedup,
@@ -1123,6 +1254,7 @@ ORACLES = {
     "doc_incremental_dedup": ORACLE_INCREMENTAL,
     "doc_exact_dedup": ORACLE_EXACT,
     "doc_ngram_jaccard_pairs": ORACLE_NGRAM,
+    "doc_ppjoin_pairs": ORACLE_PPJOIN,
     "doc_containment_pairs": ORACLE_CONTAINMENT,
     "doc_winnow_fingerprints": ORACLE_WINNOW,
     "doc_substring_dedup": ORACLE_SUBSTRING,

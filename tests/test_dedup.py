@@ -342,3 +342,35 @@ def test_dedup_clusters_long_chain_converges_logarithmically(spark):
     assert len(out) == 201
     assert all(r.cluster_id == 0 for r in out)
     assert sum(r.keep for r in out) == 1
+
+
+def test_ppjoin_is_lossless_and_length_filtered(spark, monkeypatch):
+    """PPJoin must equal brute force at the threshold: a pair exactly AT
+    t=0.5 survives even though the shared shingle is the globally
+    HOTTEST one (it sits at the end of the frequency order and still
+    reaches both prefixes — losslessness), a just-below pair drops, and
+    a doc failing the length filter never pairs."""
+    from osm_poi_database_maker_spark.queries import dedup as D
+
+    # docs 1,2: 4 shingles each, sharing 'a b c'+'b c d' stream ->
+    # craft via overlapping text. 1: a b c d e f (4 shingles
+    # abc,bcd,cde,def); 2: a b c d x y (abc,bcd,cdx,dxy).
+    # shared=2, union=6, J=0.3333 -> below 0.5, dropped.
+    # docs 3,4: 3: p q r s (pqr,qrs); 4: p q r t (pqr,qrt).
+    # shared=1, union=3, J=0.3333 dropped. Make an AT-threshold pair:
+    # 5: m n o p q -> mno,nop,opq ; 6: m n o p z -> mno,nop,opz
+    # shared=2, union=4, J=0.5 kept.
+    # doc 7: tiny (1 shingle from 5's text) vs 5 (3 shingles):
+    # length filter 3*0.5 > 1 prunes before any shingle join.
+    rows = [
+        (1, "a b c d e f", "en", "s", 0),
+        (2, "a b c d x y", "en", "s", 0),
+        (5, "m n o p q", "en", "s", 0),
+        (6, "m n o p z", "en", "s", 0),
+        (7, "m n o", "en", "s", 0),
+    ]
+    monkeypatch.setattr(D, "load_table", lambda s_, sf_, n_: _doc_rows(spark, rows))
+    out = {(r.doc_a, r.doc_b): r for r in D.q_doc_ppjoin_pairs(spark, "x").collect()}
+    assert set(out) == {(5, 6)}
+    assert out[(5, 6)].shared == 2
+    assert out[(5, 6)].jaccard == 0.5
