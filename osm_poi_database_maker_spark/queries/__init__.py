@@ -139,6 +139,7 @@ _VERIFY_FIRST = [
     # sf0.001 + sf0.01) but past the 50-entry window; they lead the
     # round-8 window.
     "doc_ppjoin_pairs",
+    "doc_global_index",
     # tier 2b (overflow): r04-evidence cohort, stalest remaining —
     # leads round 8 after late additions.
     "events_user_lifecycle",

@@ -21,7 +21,7 @@ once the rates are known, stable across runs, engines and partitionings.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -1094,6 +1094,61 @@ ORDER BY doc_id
 ORACLE_BLOOM_DECONTAM = _bloom_oracle_sql()
 
 
+
+_GIDX_PARTS = 32
+
+
+def q_doc_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense contiguous global row index (0..N-1 by doc_id) WITHOUT a
+    single-partition global window — the "zipWithIndex" every training
+    pipeline needs to stamp stable sample indices onto shards, done
+    declaratively: range-exchange on doc_id, a per-partition
+    ``row_number`` (each window partition is one Spark partition, so
+    the sorts run in parallel), a |partitions|-row offset table
+    (running count over partition ids) broadcast back, and
+    ``global_id = offset + local_rank - 1``.
+
+    The index is independent of WHERE the range boundaries fall: range
+    partition i holds only keys ≤ partition i+1's, so offset+local rank
+    reproduces exactly ``row_number() OVER (ORDER BY doc_id)`` — which
+    is what the DuckDB oracle runs. At 100 TB the oracle's plan is the
+    trap (ORDER BY over everything into ONE task); the engine's plan is
+    a partial sort per range plus a 32-row broadcast, the same shape
+    ``df.write.sortBy`` uses. Stamps source/n_chars through so the
+    output is a usable shard manifest, not just an id map."""
+    d = load_table(spark, sf_dir, "documents")
+    ranged = d.select("doc_id", "source", "n_chars").repartitionByRange(
+        _GIDX_PARTS, "doc_id"
+    )
+    with_pid = ranged.withColumn("pid", F.spark_partition_id())
+    w_local = Window.partitionBy("pid").orderBy("doc_id")
+    local = with_pid.withColumn("local_rank", F.row_number().over(w_local))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        with_pid.groupBy("pid")
+        .agg(F.count("*").alias("n"))
+        .withColumn("offset", F.coalesce(F.sum("n").over(w_off), F.lit(0)))
+        .select("pid", "offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .select(
+            "doc_id",
+            (F.col("offset") + F.col("local_rank") - 1).alias("global_id"),
+            "source",
+            "n_chars",
+        )
+    )
+
+
+ORACLE_GIDX = """
+SELECT doc_id,
+       row_number() OVER (ORDER BY doc_id) - 1 AS global_id,
+       source, n_chars
+FROM documents
+"""
+
+
 QUERIES = {
     "doc_decontaminate": q_doc_decontaminate,
     "doc_bloom_decontaminate": q_doc_bloom_decontaminate,
@@ -1104,6 +1159,7 @@ QUERIES = {
     "doc_weighted_sample": q_doc_weighted_sample,
     "doc_mixture_sample": q_doc_mixture_sample,
     "doc_shuffle_shards": q_doc_shuffle_shards,
+    "doc_global_index": q_doc_global_index,
     "emb_int8_quantize": q_emb_int8_quantize,
     "emb_label_centroids": q_emb_label_centroids,
     "doc_curation_pipeline": q_doc_curation_pipeline,
@@ -1119,6 +1175,7 @@ ORACLES = {
     "doc_weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "doc_mixture_sample": ORACLE_MIXTURE,
     "doc_shuffle_shards": ORACLE_SHARDS,
+    "doc_global_index": ORACLE_GIDX,
     "emb_int8_quantize": ORACLE_QUANTIZE,
     "emb_label_centroids": ORACLE_LABEL_CENTROIDS,
     "doc_curation_pipeline": ORACLE_PIPELINE,

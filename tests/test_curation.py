@@ -427,3 +427,28 @@ def test_bloom_decontaminate_one_sided_vs_exact(spark):
     # superset of 5-word hits (any 5-gram match implies 3-gram matches),
     # and bloom hits are a superset of its own exact hits
     assert exact_docs <= bloom_docs
+
+
+def test_global_index_is_dense_ordered_and_windowless(spark, monkeypatch):
+    """global_id must be exactly row_number()-1 by doc_id — dense,
+    0-based, gap-free — for sparse shuffled ids, and the plan must keep
+    the corpus-sized window partitioned (only the 32-row offset table
+    may see a single-partition exchange)."""
+    from osm_poi_database_maker_spark.queries import curation as C
+
+    ids = [977, 3, 512, 40, 41, 1000000, 7]
+    rows = [(i, "t", "en", f"s{i % 2}", i) for i in ids]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(C, "load_table", lambda s_, sf_, n_: d)
+    q = C.q_doc_global_index(spark, "x")
+    got = {r.doc_id: r.global_id for r in q.collect()}
+    assert got == {v: i for i, v in enumerate(sorted(ids))}
+    # the only SinglePartition exchange allowed is the one feeding the
+    # tiny offsets aggregate; the doc-side window must ride the range
+    # exchange. The offsets subtree ends at its broadcast, so count
+    # single-partition exchanges overall: exactly 1.
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints both plans
+    assert final.count("Exchange SinglePartition") <= 1
