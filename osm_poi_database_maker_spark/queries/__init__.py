@@ -140,6 +140,7 @@ _VERIFY_FIRST = [
     # round-8 window.
     "doc_ppjoin_pairs",
     "doc_global_index",
+    "events_lead_lag_corr",
     # tier 2b (overflow): r04-evidence cohort, stalest remaining —
     # leads round 8 after late additions.
     "events_user_lifecycle",

@@ -1419,6 +1419,92 @@ GROUP BY event_type
 """
 
 
+
+_XCORR_MAX_LAG = 3
+
+
+def q_events_lead_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation matrix between event-type time series:
+    Pearson corr of hourly volumes for every ordered (driver, follower)
+    type pair at lags 0..3 hours — "do purchases follow clicks an hour
+    later?" — the cross-correlation-function sweep a causal-signal hunt
+    runs before any model. Self-pairs at lag ≥ 1 are the series'
+    autocorrelations.
+
+    Aggregate-then-window again: the raw stream collapses to (type,
+    hour) counts first, both series are densified onto ONE shared
+    global hour spine (array-side sequence over the 2-value min/max
+    row — zero-filled silent hours keep the correlation honest; an
+    inner join of sparse series would silently condition on "both
+    active"), the lag shift is an equi-join on the shifted hour index,
+    and corr() partial-aggregates map-side. A 1000× event volume
+    changes only the first aggregate; the sweep itself is
+    |types|² × |lags| × |hours| on counts."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy(
+        "event_type",
+        F.floor(F.unix_micros("ts") / 3_600_000_000).alias("hi"),
+    ).agg(F.count("*").alias("n"))
+    rng = counts.groupBy().agg(F.min("hi").alias("h0"), F.max("hi").alias("h1"))
+    grid = (
+        counts.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(rng))
+        .select("event_type", F.explode(F.sequence("h0", "h1")).alias("hi"))
+    )
+    hourly = grid.join(counts, ["event_type", "hi"], "left").select(
+        "event_type", "hi", F.coalesce("n", F.lit(0)).cast("double").alias("n")
+    )
+    lags = F.array(*[F.lit(i) for i in range(_XCORR_MAX_LAG + 1)])
+    a = hourly.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("n_a"),
+        F.col("hi").alias("hi_a"),
+        F.explode(lags).alias("lag_hours"),
+    ).withColumn("hi_b", F.col("hi_a") + F.col("lag_hours"))
+    b = hourly.select(
+        F.col("event_type").alias("type_b"),
+        F.col("hi").alias("hi_b"),
+        F.col("n").alias("n_b"),
+    )
+    return (
+        a.join(b, "hi_b")
+        .groupBy("type_a", "type_b", "lag_hours")
+        .agg(
+            F.count("*").alias("n_hours"),
+            F.round(F.corr("n_a", "n_b"), 4).alias("xcorr"),
+        )
+    )
+
+
+ORACLE_XCORR = f"""
+WITH counts AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hi,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+rng AS (SELECT min(hi) AS h0, max(hi) AS h1 FROM counts),
+grid AS (
+  SELECT t.event_type, s.hi
+  FROM (SELECT DISTINCT event_type FROM counts) t
+  CROSS JOIN (SELECT unnest(range(h0, h1 + 1)) AS hi FROM rng) s
+),
+hourly AS (
+  SELECT g.event_type, g.hi, CAST(coalesce(c.n, 0) AS DOUBLE) AS n
+  FROM grid g LEFT JOIN counts c
+    ON c.event_type = g.event_type AND c.hi = g.hi
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag_hours,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       round(corr(a.n, b.n), 4) AS xcorr
+FROM hourly a
+CROSS JOIN (SELECT unnest(range({_XCORR_MAX_LAG} + 1)) AS lag_hours) l
+JOIN hourly b ON b.hi = a.hi + l.lag_hours
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "events_multi_exists": q_events_multi_exists,
     "events_ohlc_bars": q_events_ohlc_bars,
@@ -1440,6 +1526,7 @@ QUERIES = {
     "events_bloom_admit": q_events_bloom_admit,
     "events_session_overlap": q_events_session_overlap,
     "events_time_weighted_avg": q_events_time_weighted_avg,
+    "events_lead_lag_corr": q_events_lead_lag_corr,
     "events_m4_downsample": q_events_m4_downsample,
 }
 
@@ -1463,5 +1550,6 @@ ORACLES = {
     "events_bloom_admit": ORACLE_BLOOM_ADMIT,
     "events_session_overlap": ORACLE_SESSION_OVERLAP,
     "events_time_weighted_avg": ORACLE_TWA,
+    "events_lead_lag_corr": ORACLE_XCORR,
     "events_m4_downsample": ORACLE_M4,
 }

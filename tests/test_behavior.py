@@ -726,3 +726,41 @@ def test_m4_downsample_roles_and_singleton_bucket(spark, monkeypatch):
     assert x["min"].value == -5.0
     assert x["max"].ts_us == us(10)  # tie broken toward event_id 2
     assert len(y) == 4 and {r.value for r in y} == {7.0}
+
+
+def test_lead_lag_corr_detects_shifted_series(spark, monkeypatch):
+    """A follower series that exactly copies the driver one hour later
+    must correlate 1.0 at lag 1 (and the self-pair at lag 0 is trivially
+    1.0); silent hours must be zero-filled — without densification the
+    anti-phase series would never share an active hour with the driver
+    and the strong NEGATIVE correlation would be invisible."""
+    import datetime as dt
+
+    from osm_poi_database_maker_spark.queries import events as E
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    # driver A: bursts of k events at hours 0,2,4,...,18 (k alternates
+    # 1/3 so the series has variance); follower B copies at hour+1
+    for i, h in enumerate(range(0, 20, 2)):
+        k = 1 if i % 2 == 0 else 3
+        for _ in range(k):
+            eid += 1
+            rows.append((eid, t0 + dt.timedelta(hours=h), 1, "A", 1.0, "{}"))
+            eid += 1
+            rows.append((eid, t0 + dt.timedelta(hours=h + 1), 1, "B", 1.0, "{}"))
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(E, "load_table", lambda s_, sf_, n_: e)
+    out = {
+        (r.type_a, r.type_b, r.lag_hours): r.xcorr
+        for r in E.q_events_lead_lag_corr(spark, "x").collect()
+    }
+    assert out[("A", "A", 0)] == 1.0
+    assert out[("A", "B", 1)] == 1.0  # B follows A by exactly one hour
+    # at lag 0, A's bursts land on B's silent hours: strong negative
+    assert out[("A", "B", 0)] < 0
