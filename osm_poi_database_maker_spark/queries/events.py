@@ -1505,6 +1505,152 @@ GROUP BY 1, 2, 3
 """
 
 
+
+_CUSUM_K_SD = 0.5   # allowance (slack) in sd units
+_CUSUM_H_SD = 4.0   # decision threshold in sd units
+
+
+def q_events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection over each type's zero-filled hourly
+    volume series — the classic s_t = max(0, s_{t-1} + (x_t - mu - k))
+    drift detector, made distributable by the prefix-sum identity
+    s_t = S_t - min(0, min_{j<=t} S_j): the RECURSION disappears into
+    two window functions (a running sum and a running min) over the
+    same (type, hour) sort, so Spark runs one exchange + one sort per
+    type instead of a sequential fold. Upside and downside detectors
+    share the sort; rows where either side's statistic clears the
+    4-sigma decision interval are emitted with their direction.
+
+    Cross-engine exactness by construction: mu and sd come from exact
+    INTEGER sums (sum x, sum x^2 over counts), so both engines derive
+    bit-identical doubles, and the prefix sums fold in the identical
+    hour order — no rounding-tolerance games at the threshold."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy(
+        "event_type",
+        F.floor(F.unix_micros("ts") / 3_600_000_000).alias("hi"),
+    ).agg(F.count("*").alias("n"))
+    grid = (
+        counts.groupBy("event_type")
+        .agg(F.min("hi").alias("h0"), F.max("hi").alias("h1"))
+        .select("event_type", F.explode(F.sequence("h0", "h1")).alias("hi"))
+    )
+    hourly = grid.join(counts, ["event_type", "hi"], "left").select(
+        "event_type", "hi", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count("*").alias("n_h"),
+        F.sum("n").alias("sx"),
+        F.sum(F.col("n") * F.col("n")).alias("sx2"),
+    )
+    mu = F.col("sx") / F.col("n_h")
+    var = (F.col("sx2") - F.col("n_h") * mu * mu) / F.nullif(
+        F.col("n_h") - 1, F.lit(0)
+    )
+    stats = stats.select(
+        "event_type",
+        mu.alias("mu"),
+        F.sqrt(var).alias("sd"),
+    )
+    scored = hourly.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "hi",
+        "n",
+        (F.col("n") - F.col("mu") - _CUSUM_K_SD * F.col("sd")).alias("d_up"),
+        (F.col("mu") - F.col("n") - _CUSUM_K_SD * F.col("sd")).alias("d_dn"),
+        (_CUSUM_H_SD * F.col("sd")).alias("h_lim"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hi").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    run = scored.select(
+        "event_type",
+        (F.col("hi") * 3600).alias("bucket_start_s"),
+        "n",
+        "h_lim",
+        F.sum("d_up").over(w).alias("su"),
+        F.sum("d_dn").over(w).alias("sdn"),
+    ).select(
+        "event_type",
+        "bucket_start_s",
+        "n",
+        "h_lim",
+        (F.col("su") - F.least(F.lit(0.0), F.min("su").over(w.orderBy("bucket_start_s")))).alias("s_up"),
+        (F.col("sdn") - F.least(F.lit(0.0), F.min("sdn").over(w.orderBy("bucket_start_s")))).alias("s_dn"),
+    )
+    up = run.filter(F.col("s_up") > F.col("h_lim")).select(
+        "event_type",
+        "bucket_start_s",
+        F.lit("up").alias("direction"),
+        F.col("n").cast("long").alias("n"),
+        F.round("s_up", 4).alias("cusum_stat"),
+    )
+    dn = run.filter(F.col("s_dn") > F.col("h_lim")).select(
+        "event_type",
+        "bucket_start_s",
+        F.lit("down").alias("direction"),
+        F.col("n").cast("long").alias("n"),
+        F.round("s_dn", 4).alias("cusum_stat"),
+    )
+    return up.unionAll(dn)
+
+
+ORACLE_CUSUM = f"""
+WITH counts AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hi,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT event_type, unnest(range(h0, h1 + 1)) AS hi
+  FROM (SELECT event_type, min(hi) AS h0, max(hi) AS h1 FROM counts GROUP BY 1)
+),
+hourly AS (
+  SELECT g.event_type, g.hi, coalesce(c.n, 0) AS n
+  FROM grid g LEFT JOIN counts c ON c.event_type = g.event_type AND c.hi = g.hi
+),
+stats AS (
+  SELECT event_type,
+         (CAST(sum(n) AS BIGINT) / CAST(count(*) AS DOUBLE)) AS mu,
+         sqrt((CAST(sum(n * n) AS BIGINT) - count(*) *
+               (CAST(sum(n) AS BIGINT) / CAST(count(*) AS DOUBLE)) *
+               (CAST(sum(n) AS BIGINT) / CAST(count(*) AS DOUBLE)))
+              / nullif(count(*) - 1, 0)) AS sd
+  FROM hourly GROUP BY 1
+),
+scored AS (
+  SELECT h.event_type, h.hi, h.n,
+         h.n - s.mu - {_CUSUM_K_SD} * s.sd AS d_up,
+         s.mu - h.n - {_CUSUM_K_SD} * s.sd AS d_dn,
+         {_CUSUM_H_SD} * s.sd AS h_lim
+  FROM hourly h JOIN stats s USING (event_type)
+),
+run AS (
+  SELECT event_type, hi * 3600 AS bucket_start_s, n, h_lim,
+         sum(d_up) OVER w AS su,
+         sum(d_dn) OVER w AS sdn
+  FROM scored
+  WINDOW w AS (PARTITION BY event_type ORDER BY hi
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+cusum AS (
+  SELECT event_type, bucket_start_s, n, h_lim,
+         su - least(0.0, min(su) OVER w) AS s_up,
+         sdn - least(0.0, min(sdn) OVER w) AS s_dn
+  FROM run
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start_s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, bucket_start_s, 'up' AS direction,
+       CAST(n AS BIGINT) AS n, round(s_up, 4) AS cusum_stat
+FROM cusum WHERE s_up > h_lim
+UNION ALL
+SELECT event_type, bucket_start_s, 'down', CAST(n AS BIGINT), round(s_dn, 4)
+FROM cusum WHERE s_dn > h_lim
+"""
+
+
 QUERIES = {
     "events_multi_exists": q_events_multi_exists,
     "events_ohlc_bars": q_events_ohlc_bars,
@@ -1527,6 +1673,7 @@ QUERIES = {
     "events_session_overlap": q_events_session_overlap,
     "events_time_weighted_avg": q_events_time_weighted_avg,
     "events_lead_lag_corr": q_events_lead_lag_corr,
+    "events_cusum_changepoints": q_events_cusum_changepoints,
     "events_m4_downsample": q_events_m4_downsample,
 }
 
@@ -1551,5 +1698,6 @@ ORACLES = {
     "events_session_overlap": ORACLE_SESSION_OVERLAP,
     "events_time_weighted_avg": ORACLE_TWA,
     "events_lead_lag_corr": ORACLE_XCORR,
+    "events_cusum_changepoints": ORACLE_CUSUM,
     "events_m4_downsample": ORACLE_M4,
 }

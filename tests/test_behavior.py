@@ -764,3 +764,47 @@ def test_lead_lag_corr_detects_shifted_series(spark, monkeypatch):
     assert out[("A", "B", 1)] == 1.0  # B follows A by exactly one hour
     # at lag 0, A's bursts land on B's silent hours: strong negative
     assert out[("A", "B", 0)] < 0
+
+
+def test_cusum_identity_matches_sequential_fold(spark, monkeypatch):
+    """The windowed prefix-sum/prefix-min identity must reproduce the
+    sequential CUSUM fold s_t = max(0, s_{t-1} + d_t) exactly: a level
+    shift mid-series trips the 'up' detector at (and after) the point
+    where the sequential statistic first clears 4*sd, and the max(0,.)
+    reset means pre-shift hours never fire."""
+    import datetime as dt
+
+    from osm_poi_database_maker_spark.queries import events as E
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # 30 hours at 1 event/h, then 10 hours at 6 events/h: a level shift
+    series = [1] * 30 + [6] * 10
+    rows, eid = [], 0
+    for h, k in enumerate(series):
+        for _ in range(k):
+            eid += 1
+            rows.append((eid, t0 + dt.timedelta(hours=h), 1, "A", 1.0, "{}"))
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(E, "load_table", lambda s_, sf_, n_: e)
+    got = {
+        (r.bucket_start_s // 3600 - rows[0][1].replace(tzinfo=dt.timezone.utc).timestamp() // 3600, r.direction): r.cusum_stat
+        for r in E.q_events_cusum_changepoints(spark, "x").collect()
+    }
+    # sequential reference fold
+    n_h = len(series)
+    mu = sum(series) / n_h
+    var = (sum(x * x for x in series) - n_h * mu * mu) / (n_h - 1)
+    sd = var ** 0.5
+    k_, h_ = 0.5 * sd, 4.0 * sd
+    s, expect = 0.0, {}
+    for t, x in enumerate(series):
+        s = max(0.0, s + (x - mu - k_))
+        if s > h_:
+            expect[(float(t), "up")] = round(s, 4)
+    assert expect  # the shift must actually fire
+    up_got = {kk: v for kk, v in got.items() if kk[1] == "up"}
+    assert up_got == expect
