@@ -1149,6 +1149,97 @@ FROM documents
 """
 
 
+
+_PSI_BINS = 10
+_PSI_WIDTH = 60  # chars per bin; bin 9 is open-ended
+
+
+def q_doc_source_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per source — the standard drift gauge
+    between each source's document-length distribution and the corpus
+    reference: PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i) over fixed
+    equi-width n_chars bins, Laplace-smoothed (+0.5 per bin) so silent
+    bins contribute a finite penalty instead of log(0). PSI < 0.1 is
+    conventionally "stable", > 0.25 "shifted" — the monitoring check a
+    training-data pipeline runs per ingest batch before a new source is
+    allowed into the mixture.
+
+    Shape at 100 TB: one scan bins the corpus (a pure projection), two
+    count aggregates (|sources|×|bins| and |bins| rows) and the grid
+    densification are all on KB-sized aggregate tables; the reference
+    row set (10 rows) broadcasts onto the per-source grid. FIXED bins —
+    not quantiles — keep the gauge mergeable across ingest batches and
+    identical across engines (no percentile estimation drift)."""
+    d = load_table(spark, sf_dir, "documents")
+    bin_col = F.least(
+        F.lit(_PSI_BINS - 1), F.floor(F.col("n_chars") / _PSI_WIDTH)
+    ).cast("int")
+    binned = d.select("source", bin_col.alias("bin"))
+    grid = (
+        binned.select("source")
+        .distinct()
+        .select("source", F.explode(F.sequence(F.lit(0), F.lit(_PSI_BINS - 1))).alias("bin"))
+    )
+    sc = (
+        grid.join(binned.groupBy("source", "bin").agg(F.count("*").alias("c")),
+                  ["source", "bin"], "left")
+        .select("source", "bin", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    ref = (
+        sc.groupBy("bin").agg(F.sum("c").alias("r"))
+        .crossJoin(F.broadcast(sc.groupBy().agg(F.sum("c").alias("n_total"))))
+    )
+    totals = sc.groupBy("source").agg(F.sum("c").alias("n_docs"))
+    p = (F.col("c") + 0.5) / (F.col("n_docs") + 0.5 * _PSI_BINS)
+    q = (F.col("r") + 0.5) / (F.col("n_total") + 0.5 * _PSI_BINS)
+    return (
+        sc.join(totals, "source")
+        .join(F.broadcast(ref), "bin")
+        .withColumn("term", (p - q) * F.log(p / q))
+        .groupBy("source")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.round(F.sum("term"), 4).alias("psi"),
+        )
+    )
+
+
+ORACLE_PSI = f"""
+WITH binned AS (
+  SELECT source,
+         CAST(least({_PSI_BINS} - 1, floor(n_chars / {_PSI_WIDTH})) AS INT) AS bin
+  FROM documents
+),
+grid AS (
+  SELECT s.source, b.bin
+  FROM (SELECT DISTINCT source FROM binned) s
+  CROSS JOIN (SELECT unnest(range({_PSI_BINS})) AS bin) b
+),
+sc AS (
+  SELECT g.source, g.bin, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+  FROM grid g LEFT JOIN (
+    SELECT source, bin, count(*) AS c FROM binned GROUP BY 1, 2
+  ) c ON c.source = g.source AND c.bin = g.bin
+),
+ref AS (
+  SELECT bin, CAST(sum(c) AS BIGINT) AS r FROM sc GROUP BY 1
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM sc),
+totals AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs FROM sc GROUP BY 1)
+SELECT sc.source, max(totals.n_docs) AS n_docs,
+       round(sum(((sc.c + 0.5) / (totals.n_docs + 0.5 * {_PSI_BINS})
+                  - (ref.r + 0.5) / (tot.n_total + 0.5 * {_PSI_BINS}))
+                 * ln(((sc.c + 0.5) / (totals.n_docs + 0.5 * {_PSI_BINS}))
+                      / ((ref.r + 0.5) / (tot.n_total + 0.5 * {_PSI_BINS})))), 4)
+         AS psi
+FROM sc
+JOIN totals USING (source)
+JOIN ref USING (bin)
+CROSS JOIN tot
+GROUP BY sc.source
+"""
+
+
 QUERIES = {
     "doc_decontaminate": q_doc_decontaminate,
     "doc_bloom_decontaminate": q_doc_bloom_decontaminate,
@@ -1160,6 +1251,7 @@ QUERIES = {
     "doc_mixture_sample": q_doc_mixture_sample,
     "doc_shuffle_shards": q_doc_shuffle_shards,
     "doc_global_index": q_doc_global_index,
+    "doc_source_psi": q_doc_source_psi,
     "emb_int8_quantize": q_emb_int8_quantize,
     "emb_label_centroids": q_emb_label_centroids,
     "doc_curation_pipeline": q_doc_curation_pipeline,
@@ -1176,6 +1268,7 @@ ORACLES = {
     "doc_mixture_sample": ORACLE_MIXTURE,
     "doc_shuffle_shards": ORACLE_SHARDS,
     "doc_global_index": ORACLE_GIDX,
+    "doc_source_psi": ORACLE_PSI,
     "emb_int8_quantize": ORACLE_QUANTIZE,
     "emb_label_centroids": ORACLE_LABEL_CENTROIDS,
     "doc_curation_pipeline": ORACLE_PIPELINE,

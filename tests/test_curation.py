@@ -452,3 +452,32 @@ def test_global_index_is_dense_ordered_and_windowless(spark, monkeypatch):
     plan = q._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]  # AQE prints both plans
     assert final.count("Exchange SinglePartition") <= 1
+
+
+def test_psi_zero_for_identical_and_large_for_shifted(spark, monkeypatch):
+    """A source whose length distribution mirrors the corpus scores
+    near-zero PSI; a source concentrated in one far bin scores large;
+    silent bins must contribute via Laplace smoothing, not blow up."""
+    from osm_poi_database_maker_spark.queries import curation as C
+
+    rows = []
+    did = 0
+    # two balanced sources spread over bins 0..3 identically
+    for src in ("a", "b"):
+        for b in range(4):
+            for _ in range(10):
+                did += 1
+                rows.append((did, "t", "en", src, b * 60 + 10))
+    # one SMALL shifted source entirely in the open-ended top bin (small
+    # so it barely perturbs the corpus reference the others are judged by)
+    for _ in range(4):
+        did += 1
+        rows.append((did, "t", "en", "weird", 9 * 60 + 50))
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(C, "load_table", lambda s_, sf_, n_: d)
+    out = {r.source: r for r in C.q_doc_source_psi(spark, "x").collect()}
+    assert out["a"].n_docs == 40 and out["weird"].n_docs == 4
+    assert out["a"].psi == out["b"].psi < 0.25  # near the reference
+    assert out["weird"].psi > 1.0  # grossly shifted
