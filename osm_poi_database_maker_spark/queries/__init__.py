@@ -143,6 +143,7 @@ _VERIFY_FIRST = [
     "events_lead_lag_corr",
     "events_cusum_changepoints",
     "doc_source_psi",
+    "doc_graph_kcore",
     # tier 2b (overflow): r04-evidence cohort, stalest remaining —
     # leads round 8 after late additions.
     "events_user_lifecycle",

@@ -1090,6 +1090,98 @@ FROM ne CROSS JOIN tri CROSS JOIN wedges
 """
 
 
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 8
+
+
+def q_doc_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=2, bounded 8-round peel) of the near-dup
+    similarity graph: iteratively delete vertices of degree < k until
+    stable; what remains is the graph's cohesive backbone — dup
+    CLUSTERS survive, dangling one-off pairs peel away, so the core is
+    the "worth a human look" neighborhood list a curation review queue
+    wants.
+
+    Distributed peel: each round recomputes degrees over the surviving
+    vertex set (one groupBy) and keeps vertices with deg ≥ k (the edge
+    list is re-filtered by an inner join against the survivor set on
+    BOTH endpoints). The round count is FIXED — the whole peel is one
+    static Catalyst DAG the DuckDB oracle mirrors with 8 unrolled CTE
+    layers, byte-for-byte comparable regardless of whether the cascade
+    has converged — and each round localCheckpoints the (tiny) survivor
+    vector to keep lineage flat, the pagerank/dedup_clusters scale
+    discipline. On dup-cluster graphs (near-cliques) the cascade
+    settles in 1-2 rounds; a worst-case path graph would need
+    O(diameter) — production swaps the fixed bound for the
+    delta-doubling loop of ops/recursion.py, same per-round plan.
+    Emits each core member with its within-core degree."""
+    pairs = _ngram_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
+    # EAGER checkpoints: alive_r is referenced on BOTH join sides of
+    # round r+1, so a lazy checkpoint would double the logical plan per
+    # round (2^8 copies of the shingle pipeline — measured as minutes of
+    # pure Catalyst analysis). Materializing the tiny survivor vector
+    # each round keeps every round's plan two joins deep.
+    edges = (
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("t"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    alive = edges.select(F.col("s").alias("v")).distinct()
+    deg = None
+    for _ in range(_KCORE_ROUNDS):
+        live_edges = (
+            edges.join(alive.withColumnRenamed("v", "s"), "s")
+            .join(alive.withColumnRenamed("v", "t"), "t")
+        )
+        deg = live_edges.groupBy(F.col("s").alias("v")).agg(
+            F.count("*").alias("core_deg")
+        )
+        alive = (
+            deg.filter(F.col("core_deg") >= _KCORE_K)
+            .select("v")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        deg.join(alive, "v")
+        .select(F.col("v").alias("doc_id"), "core_deg")
+    )
+
+
+def _kcore_oracle_sql() -> str:
+    # every alive_{r} is referenced TWICE by deg_{r+1}; without
+    # MATERIALIZED DuckDB inlines the references and the plan doubles
+    # per layer — 2^8 copies of the pair CTE (measured: minutes). The
+    # engine-side mirror of the same hazard is the eager localCheckpoint
+    # in q_doc_graph_kcore.
+    layers = [
+        "edges AS MATERIALIZED (SELECT doc_a AS s, doc_b AS t FROM pairs "
+        "UNION ALL SELECT doc_b, doc_a FROM pairs)",
+        "alive_0 AS MATERIALIZED (SELECT DISTINCT s AS v FROM edges)",
+    ]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        layers.append(
+            f"deg_{r} AS MATERIALIZED (SELECT e.s AS v, count(*) AS core_deg "
+            f"FROM edges e JOIN alive_{r - 1} x ON x.v = e.s "
+            f"JOIN alive_{r - 1} y ON y.v = e.t GROUP BY 1)"
+        )
+        layers.append(
+            f"alive_{r} AS MATERIALIZED "
+            f"(SELECT v FROM deg_{r} WHERE core_deg >= {_KCORE_K})"
+        )
+    return (
+        f"WITH pairs AS MATERIALIZED ({ORACLE_NGRAM}),\n"
+        + ",\n".join(layers)
+        + f"\nSELECT d.v AS doc_id, d.core_deg FROM deg_{_KCORE_ROUNDS} d "
+        f"JOIN alive_{_KCORE_ROUNDS} a ON a.v = d.v"
+    )
+
+
+ORACLE_KCORE = _kcore_oracle_sql()
+
+
 _INCR_HIST_MOD = 10  # doc_id % 10 < 8 → historical corpus, else incoming
 _INCR_HIST_LT = 8
 _INCR_OVERLAP_MAX = 0.8
@@ -1236,6 +1328,7 @@ QUERIES = {
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_ngram_jaccard_pairs": q_doc_ngram_jaccard_pairs,
     "doc_ppjoin_pairs": q_doc_ppjoin_pairs,
+    "doc_graph_kcore": q_doc_graph_kcore,
     "doc_containment_pairs": q_doc_containment_pairs,
     "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
     "doc_substring_dedup": q_doc_substring_dedup,
@@ -1255,6 +1348,7 @@ ORACLES = {
     "doc_exact_dedup": ORACLE_EXACT,
     "doc_ngram_jaccard_pairs": ORACLE_NGRAM,
     "doc_ppjoin_pairs": ORACLE_PPJOIN,
+    "doc_graph_kcore": ORACLE_KCORE,
     "doc_containment_pairs": ORACLE_CONTAINMENT,
     "doc_winnow_fingerprints": ORACLE_WINNOW,
     "doc_substring_dedup": ORACLE_SUBSTRING,

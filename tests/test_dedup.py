@@ -374,3 +374,28 @@ def test_ppjoin_is_lossless_and_length_filtered(spark, monkeypatch):
     assert set(out) == {(5, 6)}
     assert out[(5, 6)].shared == 2
     assert out[(5, 6)].jaccard == 0.5
+
+
+def test_kcore_peels_tails_and_keeps_cliques(spark, monkeypatch):
+    """2-core semantics on a planted graph: the triangle survives with
+    within-core degree 2, a pendant attached to it peels in round 1
+    WITHOUT dragging its anchor out, a 7-node path peels entirely from
+    both ends inward (multi-round cascade), and an isolated edge dies
+    immediately — all inside the fixed 8-round budget."""
+    from pyspark.sql import functions as F
+
+    from osm_poi_database_maker_spark.queries import dedup as D
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4)]          # triangle + pendant
+    edges += [(30 + i, 31 + i) for i in range(6)]     # 7-node path
+    edges += [(20, 21)]                               # isolated pair
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long").withColumn(
+        "jaccard", F.lit(1.0)
+    )
+    monkeypatch.setattr(D, "q_doc_ngram_jaccard_pairs", lambda s_, sf_: pairs)
+    D._PAIRS_CACHE.clear()
+    try:
+        out = {r.doc_id: r.core_deg for r in D.q_doc_graph_kcore(spark, "x").collect()}
+    finally:
+        D._PAIRS_CACHE.clear()
+    assert out == {1: 2, 2: 2, 3: 2}
