@@ -144,6 +144,7 @@ _VERIFY_FIRST = [
     "events_cusum_changepoints",
     "doc_source_psi",
     "doc_graph_kcore",
+    "events_ab_test",
     # tier 2b (overflow): r04-evidence cohort, stalest remaining —
     # leads round 8 after late additions.
     "events_user_lifecycle",

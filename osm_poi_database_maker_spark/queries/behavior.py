@@ -1093,6 +1093,107 @@ FROM agg CROSS JOIN nv
 """
 
 
+
+_AB_M = 2_147_483_647  # the repo's shared Lehmer modulus/multiplier
+_AB_A = 48_271
+
+
+def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on a deterministic 50/50 user split — the
+    experimentation readout: users are assigned to variants by the
+    repo's portable Lehmer mix of user_id (reproducible bit-for-bit in
+    any engine — the assignment IS the randomization unit, so re-runs
+    and backfills can never flip a user), conversion is "ever
+    purchased", and the pooled-variance z statistic with the
+    significance verdict comes out as one row.
+
+    Determinism by construction: every input to the z formula is an
+    exact INTEGER count (users, converters per arm), so both engines
+    derive bit-identical doubles — the same no-rounding-tolerance
+    discipline as the CUSUM thresholds. Shape at 100 TB: one per-user
+    aggregate (map-side partial on user_id), then a 2-row conditional
+    aggregate; nothing else."""
+    e = load_table(spark, sf_dir, "events")
+    h = (
+        F.col("user_id") % F.lit(_AB_M) * F.lit(_AB_A) % F.lit(_AB_M)
+        * F.lit(_AB_A) % F.lit(_AB_M)
+    )
+    users = (
+        e.groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
+        )
+        .select((h % 2 == 0).alias("is_a"), "conv")
+    )
+    agg = users.groupBy().agg(
+        F.sum(F.col("is_a").cast("long")).alias("n_a"),
+        F.sum((~F.col("is_a")).cast("long")).alias("n_b"),
+        F.sum(F.when(F.col("is_a"), F.col("conv")).otherwise(0).cast("long")).alias("conv_a"),
+        F.sum(F.when(~F.col("is_a"), F.col("conv")).otherwise(0).cast("long")).alias("conv_b"),
+    )
+    # degenerate universes are UNDEFINED readouts, not errors: an empty
+    # arm (nullif the denominators) or zero pooled variance (everyone /
+    # no one converts) NULL the statistic identically in both engines,
+    # and the verdict defaults to false
+    n_a = F.nullif(F.col("n_a"), F.lit(0))
+    n_b = F.nullif(F.col("n_b"), F.lit(0))
+    p_a = F.col("conv_a") / n_a
+    p_b = F.col("conv_b") / n_b
+    p_pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    z = (p_a - p_b) / F.nullif(
+        F.sqrt(p_pool * (1 - p_pool) * (1.0 / n_a + 1.0 / n_b)),
+        F.lit(0.0),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(p_a, 6).alias("rate_a"),
+        F.round(p_b, 6).alias("rate_b"),
+        F.round(p_a - p_b, 6).alias("lift"),
+        F.round(z, 4).alias("z_stat"),
+        F.coalesce(F.abs(z) >= 1.96, F.lit(False)).alias("significant"),
+    )
+
+
+ORACLE_AB = f"""
+WITH users AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1
+),
+marked AS (
+  SELECT (user_id % {_AB_M} * {_AB_A} % {_AB_M} * {_AB_A} % {_AB_M}) % 2 = 0
+           AS is_a,
+         conv
+  FROM users
+),
+agg AS (
+  SELECT CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN is_a THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+         CAST(sum(CASE WHEN is_a THEN 0 ELSE conv END) AS BIGINT) AS conv_b
+  FROM marked
+)
+SELECT n_a, n_b, conv_a, conv_b,
+       round(conv_a / CAST(nullif(n_a, 0) AS DOUBLE), 6) AS rate_a,
+       round(conv_b / CAST(nullif(n_b, 0) AS DOUBLE), 6) AS rate_b,
+       round(conv_a / CAST(nullif(n_a, 0) AS DOUBLE)
+             - conv_b / CAST(nullif(n_b, 0) AS DOUBLE), 6) AS lift,
+       round((conv_a / CAST(nullif(n_a, 0) AS DOUBLE) - conv_b / CAST(nullif(n_b, 0) AS DOUBLE))
+             / nullif(sqrt((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE)
+                    * (1 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                    * (1.0 / nullif(n_a, 0) + 1.0 / nullif(n_b, 0))), 0.0), 4) AS z_stat,
+       coalesce(abs((conv_a / CAST(nullif(n_a, 0) AS DOUBLE) - conv_b / CAST(nullif(n_b, 0) AS DOUBLE))
+           / nullif(sqrt((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE)
+                  * (1 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                  * (1.0 / nullif(n_a, 0) + 1.0 / nullif(n_b, 0))), 0.0)) >= 1.96, false)
+         AS significant
+FROM agg
+"""
+
+
 QUERIES = {
     "events_funnel": q_events_funnel,
     "events_user_lifecycle": q_events_user_lifecycle,
@@ -1103,6 +1204,7 @@ QUERIES = {
     "events_time_to_convert": q_events_time_to_convert,
     "events_path_trigrams": q_events_path_trigrams,
     "events_markov_transitions": q_events_markov_transitions,
+    "events_ab_test": q_events_ab_test,
     "events_retention": q_events_retention,
     "events_user_deciles": q_events_user_deciles,
     "events_hourly_anomaly": q_events_hourly_anomaly,
@@ -1120,6 +1222,7 @@ ORACLES = {
     "events_time_to_convert": ORACLE_TIME_TO_CONVERT,
     "events_path_trigrams": ORACLE_PATH_TRIGRAMS,
     "events_markov_transitions": ORACLE_MARKOV,
+    "events_ab_test": ORACLE_AB,
     "events_retention": ORACLE_RETENTION,
     "events_user_deciles": ORACLE_DECILES,
     "events_hourly_anomaly": ORACLE_HOURLY_ANOMALY,

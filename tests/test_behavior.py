@@ -808,3 +808,51 @@ def test_cusum_identity_matches_sequential_fold(spark, monkeypatch):
     assert expect  # the shift must actually fire
     up_got = {kk: v for kk, v in got.items() if kk[1] == "up"}
     assert up_got == expect
+
+
+def test_ab_test_z_and_degenerate_variance(spark, monkeypatch):
+    """Hand-checkable arms: the z statistic matches the textbook pooled
+    formula; a universe where EVERY user converts has zero pooled
+    variance and must yield NULL z with significant=False, not a
+    divide-by-zero."""
+    import datetime as dt
+    import math
+
+    from osm_poi_database_maker_spark.queries import events  # noqa: F401
+    from osm_poi_database_maker_spark.queries import behavior as B
+
+    t = dt.datetime(2024, 1, 1)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+
+    # users 0..19; conversion = user has a purchase event
+    M, A = 2_147_483_647, 48_271
+    arm_a = {u for u in range(20) if (u % M * A % M * A % M) % 2 == 0}
+    rows = []
+    eid = 0
+    for u in range(20):
+        eid += 1
+        rows.append((eid, t, u, "view", 1.0, "{}"))
+        # convert ~half of each arm differently: A converts evens, B odds<5
+        if (u in arm_a and u % 4 == 0) or (u not in arm_a and u in (1, 3)):
+            eid += 1
+            rows.append((eid, t, u, "purchase", 1.0, "{}"))
+    monkeypatch.setattr(B, "load_table", lambda s_, sf_, n_: mk(rows))
+    r = B.q_events_ab_test(spark, "x").collect()[0]
+    assert r.n_a == len(arm_a) and r.n_b == 20 - len(arm_a)
+    p_a, p_b = r.conv_a / r.n_a, r.conv_b / r.n_b
+    pp = (r.conv_a + r.conv_b) / 20
+    z = (p_a - p_b) / math.sqrt(pp * (1 - pp) * (1 / r.n_a + 1 / r.n_b))
+    assert r.z_stat == round(z, 4)
+    # degenerate: everyone converts
+    rows2 = []
+    for u in range(6):
+        rows2.append((100 + u, t, u, "purchase", 1.0, "{}"))
+    monkeypatch.setattr(B, "load_table", lambda s_, sf_, n_: mk(rows2))
+    r2 = B.q_events_ab_test(spark, "x").collect()[0]
+    assert r2.z_stat is None and r2.significant is False
