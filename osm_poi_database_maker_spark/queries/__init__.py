@@ -145,6 +145,7 @@ _VERIFY_FIRST = [
     "doc_source_psi",
     "doc_graph_kcore",
     "events_ab_test",
+    "events_stl_decompose",
     # tier 2b (overflow): r04-evidence cohort, stalest remaining —
     # leads round 8 after late additions.
     "events_user_lifecycle",

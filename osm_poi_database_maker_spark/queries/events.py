@@ -1651,6 +1651,113 @@ FROM cusum WHERE s_dn > h_lim
 """
 
 
+
+_STL_HALF = 12  # centered moving-average half-width: 25h window
+
+
+def q_events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite seasonal decomposition of each type's hourly volume:
+    trend = centered 25-hour moving average, seasonal = per hour-of-day
+    mean of the detrended series, residual = the rest — the
+    trend/seasonal/residual split that turns "traffic looks weird" into
+    "weird AFTER removing the daily rhythm" (the CUSUM/z detectors'
+    natural input).
+
+    Exactness discipline: the trend numerator is an INTEGER window sum,
+    and the seasonal mean is computed as sum(25·n − S) / (25·count) —
+    integer numerators all the way down, so neither engine ever sums
+    doubles in a nondeterministic order; rounding is display-only.
+    Shape: aggregate-then-window (the sweep never sees raw events), one
+    window pass per type for the trend, a |types|×24-row seasonal
+    profile broadcast back. Edge hours without the full 25h window are
+    excluded from BOTH the seasonal fit and the output (no half-window
+    bias)."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy(
+        "event_type",
+        F.floor(F.unix_micros("ts") / 3_600_000_000).alias("hi"),
+    ).agg(F.count("*").alias("n"))
+    grid = (
+        counts.groupBy("event_type")
+        .agg(F.min("hi").alias("h0"), F.max("hi").alias("h1"))
+        .select("event_type", F.explode(F.sequence("h0", "h1")).alias("hi"))
+    )
+    hourly = grid.join(counts, ["event_type", "hi"], "left").select(
+        "event_type", "hi", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("hi").rowsBetween(
+        -_STL_HALF, _STL_HALF
+    )
+    width = 2 * _STL_HALF + 1
+    trended = (
+        hourly.withColumn("s25", F.sum("n").over(w))
+        .withColumn("w_cnt", F.count("n").over(w))
+        .filter(F.col("w_cnt") == width)
+        .withColumn("det_num", width * F.col("n") - F.col("s25"))
+        .withColumn("hod", F.pmod(F.col("hi"), F.lit(24)))
+    )
+    seasonal = trended.groupBy("event_type", "hod").agg(
+        F.sum("det_num").alias("s_num"), F.count("*").alias("s_cnt")
+    )
+    seas = F.col("s_num") / (width * F.col("s_cnt"))
+    return (
+        trended.join(F.broadcast(seasonal), ["event_type", "hod"])
+        .select(
+            "event_type",
+            (F.col("hi") * 3600).alias("bucket_start_s"),
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("s25") / width, 4).alias("trend"),
+            F.round(seas, 4).alias("seasonal"),
+            F.round(F.col("n") - F.col("s25") / width - seas, 4).alias("resid"),
+        )
+    )
+
+
+ORACLE_STL = f"""
+WITH counts AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hi,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT event_type, unnest(range(h0, h1 + 1)) AS hi
+  FROM (SELECT event_type, min(hi) AS h0, max(hi) AS h1 FROM counts GROUP BY 1)
+),
+hourly AS (
+  SELECT g.event_type, g.hi, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+  FROM grid g LEFT JOIN counts c ON c.event_type = g.event_type AND c.hi = g.hi
+),
+trended AS (
+  SELECT event_type, hi, n,
+         CAST(sum(n) OVER w AS BIGINT) AS s25,
+         count(n) OVER w AS w_cnt,
+         (hi % 24 + 24) % 24 AS hod
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hi
+               ROWS BETWEEN {_STL_HALF} PRECEDING AND {_STL_HALF} FOLLOWING)
+),
+full_rows AS (
+  SELECT *, {2 * _STL_HALF + 1} * n - s25 AS det_num
+  FROM trended WHERE w_cnt = {2 * _STL_HALF + 1}
+),
+seasonal AS (
+  SELECT event_type, hod,
+         CAST(sum(det_num) AS BIGINT) AS s_num,
+         CAST(count(*) AS BIGINT) AS s_cnt
+  FROM full_rows GROUP BY 1, 2
+)
+SELECT f.event_type, f.hi * 3600 AS bucket_start_s, f.n,
+       round(f.s25 / CAST({2 * _STL_HALF + 1} AS DOUBLE), 4) AS trend,
+       round(s.s_num / ({2 * _STL_HALF + 1} * CAST(s.s_cnt AS DOUBLE)), 4)
+         AS seasonal,
+       round(f.n - f.s25 / CAST({2 * _STL_HALF + 1} AS DOUBLE)
+             - s.s_num / ({2 * _STL_HALF + 1} * CAST(s.s_cnt AS DOUBLE)), 4)
+         AS resid
+FROM full_rows f JOIN seasonal s USING (event_type, hod)
+"""
+
+
 QUERIES = {
     "events_multi_exists": q_events_multi_exists,
     "events_ohlc_bars": q_events_ohlc_bars,
@@ -1674,6 +1781,7 @@ QUERIES = {
     "events_time_weighted_avg": q_events_time_weighted_avg,
     "events_lead_lag_corr": q_events_lead_lag_corr,
     "events_cusum_changepoints": q_events_cusum_changepoints,
+    "events_stl_decompose": q_events_stl_decompose,
     "events_m4_downsample": q_events_m4_downsample,
 }
 
@@ -1699,5 +1807,6 @@ ORACLES = {
     "events_time_weighted_avg": ORACLE_TWA,
     "events_lead_lag_corr": ORACLE_XCORR,
     "events_cusum_changepoints": ORACLE_CUSUM,
+    "events_stl_decompose": ORACLE_STL,
     "events_m4_downsample": ORACLE_M4,
 }

@@ -856,3 +856,35 @@ def test_ab_test_z_and_degenerate_variance(spark, monkeypatch):
     monkeypatch.setattr(B, "load_table", lambda s_, sf_, n_: mk(rows2))
     r2 = B.q_events_ab_test(spark, "x").collect()[0]
     assert r2.z_stat is None and r2.significant is False
+
+
+def test_stl_components_reassemble_and_catch_seasonality(spark, monkeypatch):
+    """n == trend + seasonal + resid (within display rounding) on every
+    row; on a pure 24h-periodic signal the seasonal component absorbs
+    the rhythm (residuals ~0) and edge hours without the full 25h
+    window are excluded."""
+    import datetime as dt
+
+    from osm_poi_database_maker_spark.queries import events as E
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows, eid = [], 0
+    n_hours = 24 * 5
+    for h in range(n_hours):
+        k = 5 if h % 24 == 12 else 1  # daily noon spike, else baseline
+        for _ in range(k):
+            eid += 1
+            rows.append((eid, t0 + dt.timedelta(hours=h), 1, "A", 1.0, "{}"))
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(E, "load_table", lambda s_, sf_, n_: e)
+    out = E.q_events_stl_decompose(spark, "x").collect()
+    assert len(out) == n_hours - 24  # 12 edge hours trimmed each side
+    for r in out:
+        assert abs(r.n - (r.trend + r.seasonal + r.resid)) < 2e-4
+        assert abs(r.resid) < 0.2  # periodic signal: seasonal absorbs it
+    spikes = [r for r in out if (r.bucket_start_s // 3600) % 24 == 12]
+    assert spikes and all(r.seasonal > 3 for r in spikes)
