@@ -146,6 +146,7 @@ _VERIFY_FIRST = [
     "doc_graph_kcore",
     "events_ab_test",
     "events_stl_decompose",
+    "doc_quantile_normalize",
     # tier 2b (overflow): r04-evidence cohort, stalest remaining —
     # leads round 8 after late additions.
     "events_user_lifecycle",

@@ -1098,6 +1098,35 @@ ORACLE_BLOOM_DECONTAM = _bloom_oracle_sql()
 _GIDX_PARTS = 32
 
 
+def _global_rank(df: DataFrame, order_cols: list, out: str = "global_id") -> DataFrame:
+    """Dense 0-based global rank by ``order_cols`` (a deterministic total
+    order) without a single-partition window: range-exchange on the
+    order key, per-partition ``row_number`` (sorts run in parallel), and
+    a |partitions|-row running-count offset table broadcast back —
+    ``out = offset + local_rank - 1``. The result is independent of
+    where the range boundaries fall (partition i holds only keys ≤
+    partition i+1's), so it reproduces ``row_number() OVER (ORDER BY
+    ...) - 1`` exactly; the single-partition exchange exists only under
+    the tiny offsets aggregate. The global-order primitive shared by
+    the shard indexer and the quantile normalizer."""
+    ranged = df.repartitionByRange(_GIDX_PARTS, *order_cols)
+    with_pid = ranged.withColumn("pid", F.spark_partition_id())
+    w_local = Window.partitionBy("pid").orderBy(*order_cols)
+    local = with_pid.withColumn("local_rank", F.row_number().over(w_local))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        with_pid.groupBy("pid")
+        .agg(F.count("*").alias("n"))
+        .withColumn("offset", F.coalesce(F.sum("n").over(w_off), F.lit(0)))
+        .select("pid", "offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .withColumn(out, F.col("offset") + F.col("local_rank") - 1)
+        .drop("pid", "local_rank", "offset")
+    )
+
+
 def q_doc_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense contiguous global row index (0..N-1 by doc_id) WITHOUT a
     single-partition global window — the "zipWithIndex" every training
@@ -1117,28 +1146,9 @@ def q_doc_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``df.write.sortBy`` uses. Stamps source/n_chars through so the
     output is a usable shard manifest, not just an id map."""
     d = load_table(spark, sf_dir, "documents")
-    ranged = d.select("doc_id", "source", "n_chars").repartitionByRange(
-        _GIDX_PARTS, "doc_id"
-    )
-    with_pid = ranged.withColumn("pid", F.spark_partition_id())
-    w_local = Window.partitionBy("pid").orderBy("doc_id")
-    local = with_pid.withColumn("local_rank", F.row_number().over(w_local))
-    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (
-        with_pid.groupBy("pid")
-        .agg(F.count("*").alias("n"))
-        .withColumn("offset", F.coalesce(F.sum("n").over(w_off), F.lit(0)))
-        .select("pid", "offset")
-    )
-    return (
-        local.join(F.broadcast(offsets), "pid")
-        .select(
-            "doc_id",
-            (F.col("offset") + F.col("local_rank") - 1).alias("global_id"),
-            "source",
-            "n_chars",
-        )
-    )
+    return _global_rank(
+        d.select("doc_id", "source", "n_chars"), ["doc_id"]
+    ).select("doc_id", "global_id", "source", "n_chars")
 
 
 ORACLE_GIDX = """
@@ -1240,6 +1250,61 @@ GROUP BY sc.source
 """
 
 
+
+def q_doc_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of document length across sources — the
+    batch-effect correction that maps each doc's WITHIN-SOURCE rank
+    onto the GLOBAL length distribution (nearest-rank): after it, every
+    source has the same length distribution, so a verbose source can't
+    dominate a length-weighted mixture by inflation alone. Emits the
+    original and normalized lengths per doc.
+
+    All ranks are exact integers over the deterministic total order
+    (n_chars, doc_id): the within-source rank is an ordinary
+    partitioned window; the GLOBAL sorted lookup table reuses the
+    ``_global_rank`` range-exchange primitive (never a single-partition
+    window over the corpus); the nearest-rank pick
+    ``ceil(r·N / n_s)`` is integer arithmetic, and the final lookup is
+    an equi-join on the picked index. No floats anywhere until the
+    (integer) output."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w_src = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = d.withColumn("r", F.row_number().over(w_src))
+    sizes = d.groupBy("source").agg(F.count("*").alias("n_s"))
+    n_tot = d.groupBy().agg(F.count("*").alias("n_total"))
+    glob = _global_rank(d, ["n_chars", "doc_id"], out="g").select(
+        (F.col("g") + 1).alias("k"), F.col("n_chars").alias("norm_chars")
+    )
+    return (
+        ranked.join(F.broadcast(sizes), "source")
+        .crossJoin(F.broadcast(n_tot))
+        # nearest-rank: the global order statistic at ceil(r*N/n_s)
+        .withColumn("k", F.ceil(F.col("r") * F.col("n_total") / F.col("n_s")))
+        .join(glob, "k")
+        .select("doc_id", "source", "n_chars", "norm_chars")
+    )
+
+
+ORACLE_QNORM = """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r,
+         count(*) OVER (PARTITION BY source) AS n_s,
+         count(*) OVER () AS n_total
+  FROM documents
+),
+gref AS (
+  SELECT row_number() OVER (ORDER BY n_chars, doc_id) AS k,
+         n_chars AS norm_chars
+  FROM documents
+)
+SELECT ranked.doc_id, ranked.source, ranked.n_chars, gref.norm_chars
+FROM ranked
+JOIN gref ON gref.k = CAST(ceil(ranked.r * ranked.n_total
+                                / CAST(ranked.n_s AS DOUBLE)) AS BIGINT)
+"""
+
+
 QUERIES = {
     "doc_decontaminate": q_doc_decontaminate,
     "doc_bloom_decontaminate": q_doc_bloom_decontaminate,
@@ -1252,6 +1317,7 @@ QUERIES = {
     "doc_shuffle_shards": q_doc_shuffle_shards,
     "doc_global_index": q_doc_global_index,
     "doc_source_psi": q_doc_source_psi,
+    "doc_quantile_normalize": q_doc_quantile_normalize,
     "emb_int8_quantize": q_emb_int8_quantize,
     "emb_label_centroids": q_emb_label_centroids,
     "doc_curation_pipeline": q_doc_curation_pipeline,
@@ -1269,6 +1335,7 @@ ORACLES = {
     "doc_shuffle_shards": ORACLE_SHARDS,
     "doc_global_index": ORACLE_GIDX,
     "doc_source_psi": ORACLE_PSI,
+    "doc_quantile_normalize": ORACLE_QNORM,
     "emb_int8_quantize": ORACLE_QUANTIZE,
     "emb_label_centroids": ORACLE_LABEL_CENTROIDS,
     "doc_curation_pipeline": ORACLE_PIPELINE,

@@ -481,3 +481,28 @@ def test_psi_zero_for_identical_and_large_for_shifted(spark, monkeypatch):
     assert out["a"].n_docs == 40 and out["weird"].n_docs == 4
     assert out["a"].psi == out["b"].psi < 0.25  # near the reference
     assert out["weird"].psi > 1.0  # grossly shifted
+
+
+def test_quantile_normalize_equalizes_distributions(spark, monkeypatch):
+    """After normalization every equal-sized source carries the SAME
+    multiset of lengths (the global nearest-rank values), regardless of
+    how inflated its own lengths were; ranks tie-break by doc_id so
+    duplicate lengths map deterministically."""
+    from osm_poi_database_maker_spark.queries import curation as C
+
+    rows = []
+    # source 'small': lengths 10,20,30,40 ; source 'big': 10x larger
+    for i, v in enumerate((10, 20, 30, 40)):
+        rows.append((i, "t", "en", "small", v))
+    for i, v in enumerate((100, 200, 300, 400)):
+        rows.append((10 + i, "t", "en", "big", v))
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(C, "load_table", lambda s_, sf_, n_: d)
+    out = C.q_doc_quantile_normalize(spark, "x").collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r.norm_chars)
+    # r=1..4 of 4, N=8 -> nearest-rank picks global order stats 2,4,6,8
+    assert sorted(by_src["small"]) == sorted(by_src["big"]) == [20, 40, 200, 400]
