@@ -147,6 +147,7 @@ _VERIFY_FIRST = [
     "events_ab_test",
     "events_stl_decompose",
     "doc_quantile_normalize",
+    "nation_revenue_trend",
     # tier 2b (overflow): r04-evidence cohort, stalest remaining —
     # leads round 8 after late additions.
     "events_user_lifecycle",

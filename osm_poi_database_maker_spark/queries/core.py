@@ -2504,6 +2504,120 @@ WHERE NOT EXISTS (
 """
 
 
+
+def q_nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS revenue trend + one-step forecast per nation:
+    monthly order revenue (exact cents) regressed on the month index,
+    with slope, next-month forecast and R² — the "is this market
+    growing?" readout, computed as ONE aggregation pass per nation.
+
+    Distributed-regression discipline: OLS needs only the sufficient
+    statistics (n, Σx, Σy, Σx², Σxy, Σy²), all of which are exact
+    INTEGER sums here (month index × revenue cents — int64-safe at gate
+    scale; at 100 TB the y-sums would be pre-scaled or decimal), so
+    both engines derive bit-identical slopes with no per-row float
+    accumulation and no second pass. Silent months enter as true zero
+    rows via the per-nation month spine (a trend fitted only to active
+    months would overestimate a dying market). The shape is the
+    map-side-combine ideal: raw orders collapse to (nation, month)
+    partials, then 25 tiny OLS rows."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    monthly = (
+        o.select(
+            "o_custkey",
+            (
+                (F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1
+            ).alias("m"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey", "m")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    spine = (
+        monthly.groupBy("c_nationkey")
+        .agg(F.min("m").alias("m0"), F.max("m").alias("m1"))
+        .select("c_nationkey", F.explode(F.sequence("m0", "m1")).alias("m"))
+    )
+    dense = spine.join(monthly, ["c_nationkey", "m"], "left").select(
+        "c_nationkey", "m", F.coalesce("rev", F.lit(0)).alias("rev")
+    )
+    stats = dense.groupBy("c_nationkey").agg(
+        F.count("*").alias("nm"),
+        F.sum("m").alias("sx"),
+        F.sum("rev").alias("sy"),
+        F.sum(F.col("m") * F.col("m")).alias("sxx"),
+        F.sum(F.col("m") * F.col("rev")).alias("sxy"),
+        F.sum(F.col("rev") * F.col("rev")).alias("syy"),
+        F.max("m").alias("m_last"),
+    )
+    num = F.col("nm") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("nm") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / F.nullif(den, F.lit(0))
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("nm")
+    sst = F.col("nm").cast("double") * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    r2 = (num.cast("double") * num) / F.nullif(den.cast("double") * sst, F.lit(0.0))
+    return (
+        stats.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.col("nm").alias("n_months"),
+            F.round(slope / 100.0, 4).alias("slope_usd_per_month"),
+            F.round((intercept + slope * (F.col("m_last") + 1)) / 100.0, 2).alias(
+                "forecast_usd"
+            ),
+            F.round(r2, 4).alias("r2"),
+        )
+    )
+
+
+ORACLE_REV_TREND = """
+WITH monthly AS (
+  SELECT c.c_nationkey,
+         (year(o.o_orderdate) - 1992) * 12 + month(o.o_orderdate) - 1 AS m,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+spine AS (
+  SELECT c_nationkey, unnest(range(m0, m1 + 1)) AS m
+  FROM (SELECT c_nationkey, min(m) AS m0, max(m) AS m1 FROM monthly GROUP BY 1)
+),
+dense AS (
+  SELECT s.c_nationkey, s.m, CAST(coalesce(x.rev, 0) AS BIGINT) AS rev
+  FROM spine s LEFT JOIN monthly x
+    ON x.c_nationkey = s.c_nationkey AND x.m = s.m
+),
+stats AS (
+  SELECT c_nationkey,
+         CAST(count(*) AS BIGINT) AS nm,
+         CAST(sum(m) AS BIGINT) AS sx,
+         CAST(sum(rev) AS BIGINT) AS sy,
+         CAST(sum(m * m) AS BIGINT) AS sxx,
+         CAST(sum(m * rev) AS BIGINT) AS sxy,
+         CAST(sum(rev * rev) AS BIGINT) AS syy,
+         CAST(max(m) AS BIGINT) AS m_last
+  FROM dense GROUP BY 1
+)
+SELECT n.n_name, stats.nm AS n_months,
+       round((nm * sxy - sx * sy) / CAST(nullif(nm * sxx - sx * sx, 0) AS DOUBLE)
+             / 100.0, 4) AS slope_usd_per_month,
+       round(((sy - (nm * sxy - sx * sy)
+                    / CAST(nullif(nm * sxx - sx * sx, 0) AS DOUBLE) * sx) / nm
+              + (nm * sxy - sx * sy)
+                / CAST(nullif(nm * sxx - sx * sx, 0) AS DOUBLE) * (m_last + 1))
+             / 100.0, 2) AS forecast_usd,
+       round((CAST(nm * sxy - sx * sy AS DOUBLE) * (nm * sxy - sx * sy))
+             / nullif(CAST(nm * sxx - sx * sx AS DOUBLE)
+                      * (CAST(nm AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy),
+                      0.0), 4) AS r2
+FROM stats JOIN nation n ON n.n_nationkey = stats.c_nationkey
+"""
+
+
 QUERIES = {
     "lineitem_discount_elasticity": q_lineitem_discount_elasticity,
     "part_promo_share": q_part_promo_share,
@@ -2550,6 +2664,7 @@ QUERIES = {
     "excess_shipped_suppliers": q_excess_shipped_suppliers,
     "part_skyline": q_part_skyline,
     "basket_frequent_itemsets": q_basket_frequent_itemsets,
+    "nation_revenue_trend": q_nation_revenue_trend,
 }
 
 ORACLES = {
@@ -2598,4 +2713,5 @@ ORACLES = {
     "excess_shipped_suppliers": ORACLE_EXCESS,
     "part_skyline": ORACLE_SKYLINE,
     "basket_frequent_itemsets": ORACLE_ITEMSETS,
+    "nation_revenue_trend": ORACLE_REV_TREND,
 }

@@ -888,3 +888,46 @@ def test_stl_components_reassemble_and_catch_seasonality(spark, monkeypatch):
         assert abs(r.resid) < 0.2  # periodic signal: seasonal absorbs it
     spikes = [r for r in out if (r.bucket_start_s // 3600) % 24 == 12]
     assert spikes and all(r.seasonal > 3 for r in spikes)
+
+
+def test_revenue_trend_exact_line_and_gap_month(spark, monkeypatch):
+    """A perfectly linear monthly series fits slope exactly with R²=1
+    and forecasts the next point; a nation with a SILENT middle month
+    must see it as a zero row (the trend flattens), not a skipped x."""
+    from pyspark.sql import functions as F
+
+    from osm_poi_database_maker_spark.queries import core as C
+
+    nation = spark.createDataFrame(
+        [(0, "LINEAR", 0, ""), (1, "GAPPY", 0, "")],
+        "n_nationkey long, n_name string, n_regionkey long, n_comment string",
+    )
+    cust = spark.createDataFrame(
+        [(1, 0), (2, 1)], "c_custkey long, c_nationkey long"
+    )
+    orders = []
+    oid = 0
+    # nation 0: revenue 100,200,300,400 USD in 1992-01..04 (one order each)
+    for m, usd in enumerate((100.0, 200.0, 300.0, 400.0)):
+        oid += 1
+        orders.append((oid, 1, "O", usd, f"1992-{m+1:02d}-15", "1-URGENT"))
+    # nation 1: 100 USD in months 0 and 2, NOTHING in month 1
+    for m in (0, 2):
+        oid += 1
+        orders.append((oid, 2, "O", 100.0, f"1992-{m+1:02d}-15", "1-URGENT"))
+    o = spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_date("o_orderdate"))
+    frames = {"orders": o, "customer": cust, "nation": nation}
+    monkeypatch.setattr(C, "load_table", lambda s_, sf_, n_: frames[n_])
+    out = {r.n_name: r for r in C.q_nation_revenue_trend(spark, "x").collect()}
+    lin = out["LINEAR"]
+    assert lin.n_months == 4
+    assert lin.slope_usd_per_month == 100.0
+    assert lin.forecast_usd == 500.0
+    assert lin.r2 == 1.0
+    gap = out["GAPPY"]
+    assert gap.n_months == 3  # the silent month is a real zero row
+    assert gap.slope_usd_per_month == 0.0  # 100,0,100 is flat in OLS
