@@ -148,6 +148,7 @@ _VERIFY_FIRST = [
     "events_stl_decompose",
     "doc_quantile_normalize",
     "nation_revenue_trend",
+    "emb_cluster_silhouette",
     # tier 2b (overflow): r04-evidence cohort, stalest remaining —
     # leads round 8 after late additions.
     "events_user_lifecycle",

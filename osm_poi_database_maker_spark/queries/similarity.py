@@ -567,16 +567,13 @@ def _km_k(n: int) -> int:
     return max(_KM_K_MIN, -(-n // _KM_TARGET_CELL))
 
 
-def _kmeans_final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared Lloyd's-iterations core: returns the final per-vector
-    assignment ``(vec_id, cid, d2)`` after ``_KM_ITERS`` fixed iterations
-    (K from :func:`_km_k`, centroids seeded from the K lowest vec_ids).
-    Consumed by both the k-means audit query and the SemDeDup operator,
-    so the cluster geometry both see is identical by construction (and
-    matches the unrolled oracle CTEs byte-for-byte in ranking semantics:
-    distances rounded to 9 decimals, centroid-id tie-break)."""
-    from pyspark.sql import Window
-
+def _kmeans_geometry(spark: SparkSession, sf_dir: str):
+    """Shared Lloyd's-iterations core: runs ``_KM_ITERS`` fixed
+    iterations (K from :func:`_km_k`, centroids seeded from the K
+    lowest vec_ids) and returns ``(el, cent)`` — the exploded vector
+    table and the FINAL centroid table — so every consumer (assignment
+    audit, SemDeDup, silhouette) sees the identical cluster geometry by
+    construction."""
     e = load_table(spark, sf_dir, "embeddings")
     el = e.select(
         "vec_id", F.posexplode("embedding").alias("pos", "v")
@@ -589,29 +586,43 @@ def _kmeans_final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = el.join(F.broadcast(init), el.vec_id == init.cid).select(
         "cid", "pos", F.col("v").alias("c")
     )
-
-    def _assign(centroids):
-        d2 = (
-            el.join(F.broadcast(centroids), "pos")
-            .groupBy("vec_id", "cid")
-            .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("d2"))
-        )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.asc(F.round("d2", 9)), F.asc("cid")
-        )
-        return d2.withColumn("rk", F.row_number().over(w)).filter(
-            F.col("rk") == 1
-        )
-
     for _ in range(_KM_ITERS):
-        assign = _assign(cent).select("vec_id", "cid")
+        assign = _km_argmin(_km_distances(el, cent)).select("vec_id", "cid")
         cent = (
             el.join(assign, "vec_id")
             .groupBy("cid", "pos")
             .agg(F.avg("v").alias("c"))
             .localCheckpoint(eager=False)
         )
-    return _assign(cent).select("vec_id", "cid", "d2")
+    return el, cent
+
+
+def _km_distances(el: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Full (vec_id, cid, d2) distance table against a broadcast
+    centroid set — one join on pos + one aggregate."""
+    return (
+        el.join(F.broadcast(centroids), "pos")
+        .groupBy("vec_id", "cid")
+        .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("d2"))
+    )
+
+
+def _km_argmin(d2: DataFrame) -> DataFrame:
+    """Nearest centroid per vector, ranked on the distance ROUNDED to 9
+    decimals with centroid-id tie-break (aggregation-order fp noise
+    ~1e-13 can't flip it) — the ranking semantics the unrolled oracle
+    CTEs mirror byte-for-byte."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.asc(F.round("d2", 9)), F.asc("cid"))
+    return d2.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+
+
+def _kmeans_final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final per-vector assignment ``(vec_id, cid, d2)`` after the fixed
+    iterations — consumed by the k-means audit query and SemDeDup."""
+    el, cent = _kmeans_geometry(spark, sf_dir)
+    return _km_argmin(_km_distances(el, cent)).select("vec_id", "cid", "d2")
 
 
 def q_emb_kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -704,6 +715,76 @@ SELECT cid AS cluster_id,
        round(avg(d2), 4) AS avg_dist2,
        min(vec_id) AS min_vec_id
 FROM fin
+GROUP BY 1
+"""
+
+
+
+def q_emb_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette per k-means cluster — the clustering
+    quality score (b − a)/max(a, b) with a = distance to the OWN
+    centroid and b = distance to the nearest OTHER centroid (the
+    centroid-based simplification that makes silhouette linear instead
+    of quadratic: the full formula needs all point-pair distances
+    within and across clusters — dead at 100 TB — while this one needs
+    exactly the |K|·n distance table the assignment step already
+    computes). Emits per-cluster mean silhouette beside the size, so a
+    collapsing or overlapping cluster is visible at a glance.
+
+    Reuses the SHARED Lloyd geometry (same el/cent tables as the
+    k-means audit and SemDeDup — one definition, identical clusters by
+    construction) and the same determinism discipline: distances are
+    rounded to 9 decimals BEFORE the argmin and the min-over-others, so
+    aggregation-order fp noise can't flip either selection in one
+    engine only."""
+    el, cent = _kmeans_geometry(spark, sf_dir)
+    d = _km_distances(el, cent).withColumn("d2r", F.round("d2", 9))
+    own = _km_argmin(d).select("vec_id", "cid", F.col("d2r").alias("a2"))
+    alt = (
+        d.join(own.select("vec_id", F.col("cid").alias("own_cid")), "vec_id")
+        .filter(F.col("cid") != F.col("own_cid"))
+        .groupBy("vec_id")
+        .agg(F.min("d2r").alias("b2"))
+    )
+    a = F.sqrt("a2")
+    b = F.sqrt("b2")
+    sil = (b - a) / F.nullif(F.greatest(a, b), F.lit(0.0))
+    return (
+        own.join(alt, "vec_id")
+        .groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg(sil), 4).alias("silhouette"),
+        )
+    )
+
+
+ORACLE_SILHOUETTE = f"""
+WITH {_KM_CTES},
+dall AS (
+  SELECT e.vec_id, c.cid,
+         round(sum((e.v - c.c) * (e.v - c.c)), 9) AS d2r
+  FROM el e JOIN cent{_KM_ITERS} c ON c.pos = e.pos
+  GROUP BY 1, 2
+),
+own AS (
+  SELECT vec_id, cid, d2r AS a2 FROM (
+    SELECT vec_id, cid, d2r,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2r ASC, cid ASC) AS rk
+    FROM dall
+  ) WHERE rk = 1
+),
+alt AS (
+  SELECT d.vec_id, min(d.d2r) AS b2
+  FROM dall d JOIN own o ON o.vec_id = d.vec_id AND d.cid <> o.cid
+  GROUP BY 1
+)
+SELECT o.cid AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg((sqrt(b2) - sqrt(a2))
+                 / nullif(greatest(sqrt(a2), sqrt(b2)), 0.0)), 4) AS silhouette
+FROM own o JOIN alt USING (vec_id)
 GROUP BY 1
 """
 
@@ -1496,6 +1577,7 @@ QUERIES = {
     "emb_semdedup": q_emb_semdedup,
     "emb_pq_codes": q_emb_pq_codes,
     "emb_kmeans_iterations": q_emb_kmeans_iterations,
+    "emb_cluster_silhouette": q_emb_cluster_silhouette,
     "emb_norm_quantiles": q_emb_norm_quantiles,
     "emb_centroid_distances": q_emb_centroid_distances,
     "emb_ann_topk": q_emb_ann_topk,
@@ -1514,6 +1596,7 @@ ORACLES = {
     "emb_semdedup": ORACLE_SEMDEDUP,
     "emb_pq_codes": ORACLE_PQ,
     "emb_kmeans_iterations": ORACLE_KMEANS,
+    "emb_cluster_silhouette": ORACLE_SILHOUETTE,
     "emb_norm_quantiles": ORACLE_NORM_QUANTILES,
     "emb_centroid_distances": ORACLE_CENTROID_DIST,
     "emb_cosine_neardup_pairs": ORACLE_NEARDUP,

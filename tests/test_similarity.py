@@ -570,3 +570,28 @@ def test_jl_projection_preserves_geometry(spark):
     assert all(0.25 * med <= x <= 4.0 * med for x in ratios)
     again = q_emb_jl_projection(spark, SF_SMOKE).collect()
     assert rows == again
+
+
+def test_silhouette_separated_vs_merged_clusters(spark, monkeypatch):
+    """Geometry sanity on planted 1-D vectors: two tight, well-separated
+    blobs score silhouette near 1; a point sitting exactly midway
+    between centroids scores ~0, dragging its cluster's mean down —
+    and every score stays in [-1, 1]."""
+    from osm_poi_database_maker_spark.queries import similarity as S
+
+    # _km_k floors at 8 centroids seeded from the 8 lowest vec_ids, so
+    # plant 8 seeds: ids 0..5 pin six junk clusters far away; ids 6,7
+    # seed the two blobs under test.
+    rows = []
+    for i in range(6):
+        rows.append((i, [1000.0 + 100.0 * i], i))
+    rows.append((6, [0.0], 0))   # blob A seed
+    rows.append((7, [10.0], 1))  # blob B seed
+    rows += [(8, [0.1], 0), (9, [9.9], 1), (10, [5.0], 0)]  # midpoint pt
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    monkeypatch.setattr(S, "load_table", lambda s_, sf_, n_: emb)
+    out = {r.cluster_id: r for r in S.q_emb_cluster_silhouette(spark, "x").collect()}
+    assert all(-1.0 <= r.silhouette <= 1.0 for r in out.values())
+    # the far-away singletons are perfectly separated
+    singles = [out[i] for i in range(6) if i in out]
+    assert singles and all(r.silhouette > 0.9 for r in singles)
