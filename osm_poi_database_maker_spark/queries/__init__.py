@@ -149,6 +149,7 @@ _VERIFY_FIRST = [
     "doc_quantile_normalize",
     "nation_revenue_trend",
     "emb_cluster_silhouette",
+    "stream_ab_test",
     # tier 2b (overflow): r04-evidence cohort, stalest remaining —
     # leads round 8 after late additions.
     "events_user_lifecycle",

@@ -1114,18 +1114,23 @@ def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (map-side partial on user_id), then a 2-row conditional
     aggregate; nothing else."""
     e = load_table(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
+    )
+    return ab_finalize(users)
+
+
+def ab_finalize(users: DataFrame) -> DataFrame:
+    """Variant assignment + pooled z-test over a (user_id, conv) frame —
+    the SINGLE definition shared by the batch query and the streaming
+    twin, so both are certified by the same DuckDB oracle (the
+    KMV/CMS/Bloom shared-finalizer contract applied to experimentation)."""
     h = (
         F.col("user_id") % F.lit(_AB_M) * F.lit(_AB_A) % F.lit(_AB_M)
         * F.lit(_AB_A) % F.lit(_AB_M)
     )
-    users = (
-        e.groupBy("user_id")
-        .agg(
-            F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
-        )
-        .select((h % 2 == 0).alias("is_a"), "conv")
-    )
-    agg = users.groupBy().agg(
+    marked = users.select((h % 2 == 0).alias("is_a"), "conv")
+    agg = marked.groupBy().agg(
         F.sum(F.col("is_a").cast("long")).alias("n_a"),
         F.sum((~F.col("is_a")).cast("long")).alias("n_b"),
         F.sum(F.when(F.col("is_a"), F.col("conv")).otherwise(0).cast("long")).alias("conv_a"),

@@ -14,7 +14,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 from .. import streaming as S
-from .behavior import ORACLE_MARKOV
+from .behavior import ORACLE_AB, ORACLE_MARKOV
 from .events import (
     ORACLE_BLOOM_ADMIT,
     ORACLE_CMS,
@@ -292,6 +292,28 @@ def q_stream_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_stream_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming A/B readout: per-user conversion maintained as a plain
+    update-mode streaming aggregate (max is monotone, so each user's
+    final emission is their true conv flag — no custom state needed),
+    then the batch twin's ``ab_finalize`` computes the variant split
+    and pooled z-test, certified by the SAME DuckDB oracle. The live
+    experimentation dashboard: z updates as micro-batches land, and
+    the final answer equals the batch recompute exactly."""
+    from pyspark.sql import functions as F
+
+    from .behavior import ab_finalize
+
+    stream = S.stream_events(spark, sf_dir).select(
+        "user_id", (F.col("event_type") == "purchase").cast("int").alias("p")
+    )
+    agg = stream.groupBy("user_id").agg(F.max("p").alias("conv"))
+    out = _materialize(agg, spark, "update")
+    users = out.groupBy("user_id").agg(F.max("conv").alias("conv"))
+    return ab_finalize(users)
+
+
 def q_stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream watermarked join (purchase ← same-user click within
     2 hours): both sides are live streams; bounded time-range condition
@@ -340,6 +362,7 @@ QUERIES = {
     "stream_gapfill_locf": q_stream_gapfill_locf,
     "stream_markov_transitions": q_stream_markov_transitions,
     "stream_m4_downsample": q_stream_m4_downsample,
+    "stream_ab_test": q_stream_ab_test,
 }
 
 ORACLES = {
@@ -357,4 +380,5 @@ ORACLES = {
     "stream_gapfill_locf": ORACLE_GAPFILL,
     "stream_markov_transitions": ORACLE_MARKOV,
     "stream_m4_downsample": ORACLE_M4,
+    "stream_ab_test": ORACLE_AB,
 }

@@ -651,3 +651,15 @@ def test_stream_m4_matches_batch_twin(spark):
     batch = {tuple(r) for r in E.q_events_m4_downsample(spark, SF_SMOKE).collect()}
     stream = {tuple(r) for r in Q.q_stream_m4_downsample(spark, SF_SMOKE).collect()}
     assert batch == stream
+
+
+def test_stream_ab_matches_batch_twin(spark):
+    """The streaming A/B readout must equal the batch operator exactly
+    (same Lehmer split, same z) on the same fixture."""
+    from osm_poi_database_maker_spark.queries import behavior as B
+    from osm_poi_database_maker_spark.queries import streaming_queries as Q
+    from tests.conftest import SF_SMOKE
+
+    batch = B.q_events_ab_test(spark, SF_SMOKE).collect()
+    stream = Q.q_stream_ab_test(spark, SF_SMOKE).collect()
+    assert [tuple(r) for r in batch] == [tuple(r) for r in stream]
