@@ -150,6 +150,7 @@ _VERIFY_FIRST = [
     "nation_revenue_trend",
     "emb_cluster_silhouette",
     "stream_ab_test",
+    "events_l_diversity",
     # tier 2b (overflow): r04-evidence cohort, stalest remaining —
     # leads round 8 after late additions.
     "events_user_lifecycle",

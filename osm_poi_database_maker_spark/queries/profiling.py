@@ -316,6 +316,71 @@ HAVING count(DISTINCT user_id) < {_K_ANON}
 """
 
 
+
+_L_DIVERSITY = 3
+
+
+def q_events_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's necessary companion: a QI group
+    can have MANY users yet leak the sensitive attribute if they all
+    share one value (the homogeneity attack k-anonymity misses). Over
+    the (event_type, hour) quasi-identifier with the value DECILE as
+    the sensitive attribute, emits groups whose distinct-sensitive
+    count falls below l=3, with the dominant value's share as the
+    attack confidence.
+
+    Same shuffle discipline as the k-anonymity audit: ONE aggregate on
+    (QI, sensitive) feeds both the diversity count and the dominant
+    share (max over the per-value partials), so the sweep is two
+    aggregates on shrinking keys, driver-free; the at-risk filter
+    rides the final aggregate stage."""
+    e = load_table(spark, sf_dir, "events")
+    per_val = (
+        e.select(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH").alias("hour"),
+            F.least(F.lit(9), F.floor(F.col("value") / 10)).cast("int").alias("sens"),
+        )
+        .groupBy("event_type", "hour", "sens")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        per_val.groupBy("event_type", "hour")
+        .agg(
+            F.sum("c").alias("n_rows"),
+            F.count("*").alias("l_distinct"),
+            F.max("c").alias("dom"),
+        )
+        .filter(F.col("l_distinct") < _L_DIVERSITY)
+        .select(
+            "event_type",
+            "hour",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("l_distinct").cast("long").alias("l_distinct"),
+            F.round(F.col("dom") / F.col("n_rows"), 4).alias("dominant_share"),
+        )
+    )
+
+
+ORACLE_L_DIVERSITY = f"""
+WITH per_val AS (
+  SELECT event_type,
+         strftime(ts, '%Y-%m-%d %H') AS hour,
+         CAST(least(9, floor(value / 10)) AS INT) AS sens,
+         count(*) AS c
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT event_type, hour,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS l_distinct,
+       round(CAST(max(c) AS BIGINT) / CAST(sum(CAST(c AS BIGINT)) AS DOUBLE), 4)
+         AS dominant_share
+FROM per_val
+GROUP BY 1, 2
+HAVING count(*) < {_L_DIVERSITY}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Blocked entity resolution
 
@@ -545,6 +610,7 @@ QUERIES = {
     "lineitem_price_outliers_mad": q_lineitem_price_outliers_mad,
     "lineitem_hist_quantiles": q_lineitem_hist_quantiles,
     "events_k_anonymity": q_events_k_anonymity,
+    "events_l_diversity": q_events_l_diversity,
     "customer_name_linkage": q_customer_name_linkage,
     "events_benford_deviation": q_events_benford_deviation,
     "customer_edit_pairs": q_customer_edit_pairs,
@@ -555,6 +621,7 @@ ORACLES = {
     "lineitem_price_outliers_mad": ORACLE_MAD_OUTLIERS,
     "lineitem_hist_quantiles": ORACLE_HIST_QUANTILES,
     "events_k_anonymity": ORACLE_K_ANONYMITY,
+    "events_l_diversity": ORACLE_L_DIVERSITY,
     "customer_name_linkage": ORACLE_NAME_LINKAGE,
     "events_benford_deviation": ORACLE_BENFORD,
     "customer_edit_pairs": ORACLE_EDIT_PAIRS,

@@ -312,3 +312,32 @@ def test_edit_pairs_fastss_complete_and_exact(spark, monkeypatch):
     got = {r.dist: r.n_pairs for r in P.q_customer_edit_pairs(spark, "x").collect()}
     # dist 1: (1,2),(1,3),(1,4),(2,5),(3,5),(4,5) — 5 duplicates 1's pairs
     assert got == {0: 1, 1: 6}
+
+
+def test_l_diversity_catches_homogeneous_group(spark, monkeypatch):
+    """A QI group that is k-anonymous (many users) but value-homogeneous
+    must be flagged with dominant_share 1.0; a diverse group (>= 3
+    distinct sensitive deciles) must not appear."""
+    import datetime as dt
+
+    from osm_poi_database_maker_spark.queries import profiling as P
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = []
+    # homogeneous hour: 6 users, every value in decile 2 (20-29)
+    for u in range(6):
+        rows.append((u, t0, u, "click", 25.0, "{}"))
+    # diverse hour: values across deciles 0,3,7
+    t1 = t0 + dt.timedelta(hours=2)
+    for u, v in enumerate((5.0, 35.0, 75.0)):
+        rows.append((100 + u, t1, u, "click", v, "{}"))
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(P, "load_table", lambda s_, sf_, n_: e)
+    out = {(r.event_type, r.hour): r for r in P.q_events_l_diversity(spark, "x").collect()}
+    assert set(out) == {("click", "2024-01-01 10")}
+    r = out[("click", "2024-01-01 10")]
+    assert r.l_distinct == 1 and r.dominant_share == 1.0 and r.n_rows == 6
