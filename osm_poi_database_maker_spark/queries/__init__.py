@@ -151,6 +151,7 @@ _VERIFY_FIRST = [
     "emb_cluster_silhouette",
     "stream_ab_test",
     "events_l_diversity",
+    "nation_revenue_concentration",
     # tier 2b (overflow): r04-evidence cohort, stalest remaining —
     # leads round 8 after late additions.
     "events_user_lifecycle",

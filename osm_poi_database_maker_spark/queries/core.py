@@ -2618,6 +2618,103 @@ FROM stats JOIN nation n ON n.n_nationkey = stats.c_nationkey
 """
 
 
+
+def q_nation_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per nation: the top-decile customer share
+    and the Gini coefficient of the customer revenue distribution — the
+    "how whale-dependent is this market" readout behind every
+    concentration-risk review.
+
+    Exactness: customer revenue is an integer cents sum; ranks are
+    integers off a deterministic (revenue, custkey) order; Gini uses
+    the rank identity G = 2·Σ(i·y_i)/(n·Σy) − (n+1)/n over the
+    ASCENDING sort, so every input to both statistics is an exact
+    integer sum and the engines can't disagree below the display
+    rounding. Windows are PARTITIONED by nation (25 partitions of
+    ~n/25 customers — never a global sort); the customer rollup
+    map-side-combines before any window sees a row."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_cust = (
+        o.select(
+            "o_custkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("rev"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    w_desc = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("rev"), F.asc("c_custkey")
+    )
+    w_asc = Window.partitionBy("c_nationkey").orderBy(
+        F.asc("rev"), F.desc("c_custkey")
+    )
+    ranked = per_cust.select(
+        "c_nationkey",
+        "rev",
+        F.row_number().over(w_desc).alias("rk_desc"),
+        F.row_number().over(w_asc).alias("rk_asc"),
+        F.count("*").over(Window.partitionBy("c_nationkey")).alias("n_in_nation"),
+    )
+    agg = ranked.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_cust"),
+        F.sum("rev").alias("total"),
+        F.sum(
+            F.when(
+                F.col("rk_desc") <= F.ceil(F.col("n_in_nation") / 10.0), F.col("rev")
+            ).otherwise(0)
+        ).alias("top_rev"),
+        F.sum(F.col("rk_asc") * F.col("rev")).alias("iy"),
+    )
+    gini = (
+        2.0 * F.col("iy") / (F.col("n_cust") * F.col("total"))
+        - (F.col("n_cust") + 1) / F.col("n_cust")
+    )
+    return (
+        agg.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.col("n_cust").alias("n_customers"),
+            F.round(F.col("top_rev") / F.col("total"), 4).alias("top_decile_share"),
+            F.round(gini, 4).alias("gini"),
+        )
+    )
+
+
+ORACLE_REV_CONC = """
+WITH per_cust AS (
+  SELECT c.c_nationkey, o.o_custkey,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT c_nationkey, rev,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY rev DESC, o_custkey ASC) AS rk_desc,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY rev ASC, o_custkey DESC) AS rk_asc,
+         count(*) OVER (PARTITION BY c_nationkey) AS n_cust
+  FROM per_cust
+),
+agg AS (
+  SELECT c_nationkey,
+         CAST(max(n_cust) AS BIGINT) AS n_cust,
+         CAST(sum(rev) AS BIGINT) AS total,
+         CAST(sum(CASE WHEN rk_desc <= ceil(n_cust / 10.0) THEN rev ELSE 0 END)
+              AS BIGINT) AS top_rev,
+         CAST(sum(rk_asc * rev) AS BIGINT) AS iy
+  FROM ranked GROUP BY 1
+)
+SELECT n.n_name, agg.n_cust AS n_customers,
+       round(top_rev / CAST(total AS DOUBLE), 4) AS top_decile_share,
+       round(2.0 * iy / (n_cust * CAST(total AS DOUBLE))
+             - (n_cust + 1) / CAST(n_cust AS DOUBLE), 4) AS gini
+FROM agg JOIN nation n ON n.n_nationkey = agg.c_nationkey
+"""
+
+
 QUERIES = {
     "lineitem_discount_elasticity": q_lineitem_discount_elasticity,
     "part_promo_share": q_part_promo_share,
@@ -2665,6 +2762,7 @@ QUERIES = {
     "part_skyline": q_part_skyline,
     "basket_frequent_itemsets": q_basket_frequent_itemsets,
     "nation_revenue_trend": q_nation_revenue_trend,
+    "nation_revenue_concentration": q_nation_revenue_concentration,
 }
 
 ORACLES = {
@@ -2714,4 +2812,5 @@ ORACLES = {
     "part_skyline": ORACLE_SKYLINE,
     "basket_frequent_itemsets": ORACLE_ITEMSETS,
     "nation_revenue_trend": ORACLE_REV_TREND,
+    "nation_revenue_concentration": ORACLE_REV_CONC,
 }

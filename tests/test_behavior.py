@@ -931,3 +931,42 @@ def test_revenue_trend_exact_line_and_gap_month(spark, monkeypatch):
     gap = out["GAPPY"]
     assert gap.n_months == 3  # the silent month is a real zero row
     assert gap.slope_usd_per_month == 0.0  # 100,0,100 is flat in OLS
+
+
+def test_revenue_concentration_gini_extremes(spark, monkeypatch):
+    """Gini sanity against hand values: a nation where one customer
+    holds ALL revenue approaches G = (n-1)/n with top-decile share 1.0;
+    a perfectly equal nation scores G = 0 with the top decile holding
+    exactly its population share."""
+    from pyspark.sql import functions as F
+
+    from osm_poi_database_maker_spark.queries import core as C
+
+    nation = spark.createDataFrame(
+        [(0, "WHALE", 0, ""), (1, "EQUAL", 0, "")],
+        "n_nationkey long, n_name string, n_regionkey long, n_comment string",
+    )
+    cust_rows = [(i, 0) for i in range(1, 11)] + [(100 + i, 1) for i in range(1, 11)]
+    cust = spark.createDataFrame(cust_rows, "c_custkey long, c_nationkey long")
+    orders = []
+    oid = 0
+    for i in range(1, 11):  # WHALE: customer 1 gets 1000, rest 0.01 each
+        oid += 1
+        orders.append((oid, i, "O", 1000.0 if i == 1 else 0.01, "1995-01-01", "x"))
+    for i in range(1, 11):  # EQUAL: everyone 50
+        oid += 1
+        orders.append((oid, 100 + i, "O", 50.0, "1995-01-01", "x"))
+    o = spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_date("o_orderdate"))
+    frames = {"orders": o, "customer": cust, "nation": nation}
+    monkeypatch.setattr(C, "load_table", lambda s_, sf_, n_: frames[n_])
+    out = {r.n_name: r for r in C.q_nation_revenue_concentration(spark, "x").collect()}
+    eq = out["EQUAL"]
+    assert eq.gini == 0.0
+    assert eq.top_decile_share == 0.1  # ceil(10/10)=1 customer of 10 equals
+    wh = out["WHALE"]
+    assert wh.top_decile_share > 0.999
+    assert 0.88 < wh.gini <= 0.9  # (n-1)/n = 0.9 minus the 9 pennies
