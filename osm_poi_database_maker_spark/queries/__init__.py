@@ -152,6 +152,7 @@ _VERIFY_FIRST = [
     "stream_ab_test",
     "events_l_diversity",
     "nation_revenue_concentration",
+    "osm_dbscan_clusters",
     # tier 2b (overflow): r04-evidence cohort, stalest remaining —
     # leads round 8 after late additions.
     "events_user_lifecycle",

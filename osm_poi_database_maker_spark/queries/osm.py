@@ -678,6 +678,103 @@ SELECT id_a, id_b, dist_km FROM cand WHERE dist_km <= {_NEIGHBOR_KM}
 """
 
 
+
+_DBSCAN_MINPTS = 3  # core point: >= minPts-1 = 2 neighbors within eps
+
+
+def q_osm_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed DBSCAN over the POI grid: eps = the 3 km haversine
+    radius, minPts = 3. Composes three already-verified distributed
+    primitives — the radius-aware neighbor-cell distance join (the eps
+    neighborhood, never an all-pairs), a degree aggregate (core-point
+    test), and pointer-jumping connected components over CORE-CORE
+    edges (density-reachability collapses to plain reachability on the
+    core subgraph; O(log diameter) rounds) — then assigns each border
+    point (non-core with a core neighbor) to its adjacent cores'
+    MINIMUM cluster id, a deterministic stand-in for DBSCAN's
+    first-toucher. Noise (no core neighbor) is excluded by
+    construction. An isolated core with only non-core neighbors keeps
+    its own id as a singleton cluster (the left-join coalesce), so
+    every core is clustered exactly as DBSCAN requires.
+
+    This is the canonical "DBSCAN doesn't scale" answer: every stage is
+    a cell-keyed equi-join or a key aggregate; nothing is sequential,
+    and the only iteration is the log-round label closure."""
+    from ..dedup import dedup_clusters
+
+    pairs = q_osm_node_neighbor_pairs(spark, sf_dir).select("id_a", "id_b")
+    und = pairs.select(F.col("id_a").alias("id"), F.col("id_b").alias("nb")).unionByName(
+        pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("nb"))
+    )
+    cores = (
+        und.groupBy("id")
+        .agg(F.count("*").alias("n_nb"))
+        .filter(F.col("n_nb") >= _DBSCAN_MINPTS - 1)
+        .select("id")
+    )
+    core_edges = (
+        pairs.join(cores.withColumnRenamed("id", "id_a"), "id_a")
+        .join(cores.withColumnRenamed("id", "id_b"), "id_b")
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    )
+    labels = dedup_clusters(core_edges).select(
+        F.col("doc_id").alias("id"), "cluster_id"
+    )
+    core_lab = cores.join(labels, "id", "left").select(
+        "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
+    )
+    border = (
+        und.join(
+            core_lab.select(
+                F.col("id").alias("nb"), F.col("cluster_id").alias("nb_cl")
+            ),
+            "nb",
+        )
+        .join(cores, "id", "left_anti")
+        .groupBy("id")
+        .agg(F.min("nb_cl").alias("cluster_id"))
+    )
+    return core_lab.select(
+        "id", "cluster_id", F.lit("core").alias("role")
+    ).unionByName(border.select("id", "cluster_id", F.lit("border").alias("role")))
+
+
+ORACLE_DBSCAN = f"""
+WITH RECURSIVE pairs AS ({ORACLE_NEIGHBOR_PAIRS}),
+und AS (
+  SELECT id_a AS id, id_b AS nb FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+cores AS (
+  SELECT id FROM (SELECT id, count(*) AS n_nb FROM und GROUP BY 1)
+  WHERE n_nb >= {_DBSCAN_MINPTS - 1}
+),
+cedges AS (
+  SELECT p.id_a, p.id_b FROM pairs p
+  JOIN cores a ON a.id = p.id_a JOIN cores b ON b.id = p.id_b
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cedges
+  UNION SELECT id_b, id_a FROM cedges
+),
+reach(node, label) AS (
+  SELECT id, id FROM cores
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+core_lab AS (SELECT node AS id, min(label) AS cluster_id FROM reach GROUP BY 1),
+border AS (
+  SELECT u.id, min(cl.cluster_id) AS cluster_id
+  FROM und u JOIN core_lab cl ON cl.id = u.nb
+  WHERE u.id NOT IN (SELECT id FROM cores)
+  GROUP BY u.id
+)
+SELECT id, cluster_id, 'core' AS role FROM core_lab
+UNION ALL
+SELECT id, cluster_id, 'border' FROM border
+"""
+
+
 # --- O1: native PBF wire-format scan ---------------------------------------
 
 
@@ -825,6 +922,7 @@ QUERIES = {
     "osm_spatial_bbox": q_osm_spatial_bbox,
     "osm_poi_density_grid": q_osm_poi_density_grid,
     "osm_node_neighbor_pairs": q_osm_node_neighbor_pairs,
+    "osm_dbscan_clusters": q_osm_dbscan_clusters,
 }
 
 ORACLES = {
@@ -841,4 +939,5 @@ ORACLES = {
     "osm_spatial_bbox": ORACLE_SPATIAL_BBOX,
     "osm_poi_density_grid": ORACLE_DENSITY_GRID,
     "osm_node_neighbor_pairs": ORACLE_NEIGHBOR_PAIRS,
+    "osm_dbscan_clusters": ORACLE_DBSCAN,
 }

@@ -158,3 +158,33 @@ def test_neighbor_cells_radius_too_large_rejected(spark):
 
     with _pytest.raises(ValueError, match="lat cell edge"):
         neighbor_cells(F.col("lon"), F.col("lat"), radius_km=50.0)
+
+
+def test_dbscan_core_border_noise_roles(spark, monkeypatch):
+    """Planted geometry: a dense blob of 4 mutually-close nodes are all
+    cores in ONE cluster; a lone node 1 km from a single blob member
+    stays a border of that cluster (1 neighbor < minPts-1); an isolated
+    far-away pair is noise (each has 1 neighbor, neither is core, no
+    core neighbor -> excluded entirely)."""
+    from osm_poi_database_maker_spark.queries import osm as O
+
+    # 1 deg lat ~= 111.2 km; eps = 3 km
+    rows = [
+        (1, 10.0, 50.000),
+        (2, 10.0, 50.002),
+        (3, 10.0, 50.004),
+        (4, 10.0, 50.006),        # blob: span ~0.67 km, all mutual neighbors
+        (5, 10.0, 50.0325),       # 2.95 km from node 4, >3.1 km from the rest
+        (100, 120.0, -30.0),
+        (101, 120.0, -30.009),    # isolated pair -> each 1 neighbor, no core
+        (200, -60.0, 10.0),       # singleton -> noise
+    ]
+    nodes = spark.createDataFrame(
+        [(i, lon, lat, True) for i, lon, lat in rows],
+        "id long, lon double, lat double, geom_valid boolean",
+    )
+    monkeypatch.setattr(O.fx, "nodes_df", lambda s_: nodes)
+    out = {r.id: r for r in O.q_osm_dbscan_clusters(spark, "x").collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert all(out[i].role == "core" and out[i].cluster_id == 1 for i in (1, 2, 3, 4))
+    assert out[5].role == "border" and out[5].cluster_id == 1
