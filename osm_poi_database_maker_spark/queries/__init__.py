@@ -153,6 +153,7 @@ _VERIFY_FIRST = [
     "events_l_diversity",
     "nation_revenue_concentration",
     "osm_dbscan_clusters",
+    "events_sequence_patterns",
     # tier 2b (overflow): r04-evidence cohort, stalest remaining —
     # leads round 8 after late additions.
     "events_user_lifecycle",

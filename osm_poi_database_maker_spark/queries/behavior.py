@@ -1199,6 +1199,141 @@ FROM agg
 """
 
 
+
+_SEQ_CAP = 8    # first 8 events per user enter the pattern lattice
+_SEQ_MINSUP = 5  # pattern kept if >= 5 users contain it
+
+
+def q_events_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining (PrefixSpan semantics, bounded): the
+    support of every ordered SUBSEQUENCE of length 1-3 — gaps allowed,
+    which is what separates "signup … eventually purchase" from the
+    contiguous trigrams ``events_path_trigrams`` counts. Support counts
+    USERS containing the pattern (set semantics), not occurrences.
+
+    Scale containment is the Apriori playbook made per-user: each
+    user's sequence is capped at their FIRST 8 events (deterministic
+    (ts, event_id) order), so the combo explode is bounded at
+    C(8,2)+C(8,3) = 84 rows per user BEFORE the per-user distinct —
+    the lattice walk never leaves the row it came from, and the only
+    shuffle is the final (pattern → count-distinct-users) aggregate.
+    A production run would add level-wise support pruning between
+    lengths (the basket_frequent_itemsets loop); at 3 levels the
+    bounded explode is already smaller than one pruning round."""
+    e = load_table(spark, sf_dir, "events")
+    seqs = (
+        e.select(
+            "user_id",
+            F.struct(
+                F.unix_micros("ts").alias("ts_us"),
+                F.col("event_id").alias("eid"),
+                F.col("event_type").alias("et"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.slice(
+                F.transform(F.sort_array(F.collect_list("s")), lambda x: x["et"]),
+                1,
+                _SEQ_CAP,
+            ).alias("t8")
+        )
+    )
+    t8 = F.col("t8")
+    n = F.size(t8)
+    one = F.array_distinct(t8)
+    two = F.when(
+        n >= 2,
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.transform(
+                        F.sequence(i + 1, n),
+                        lambda j: F.concat_ws(
+                            ">", F.element_at(t8, i), F.element_at(t8, j)
+                        ),
+                    ),
+                )
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    three = F.when(
+        n >= 3,
+        F.array_distinct(
+            F.flatten(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), n - 2),
+                        lambda i: F.transform(
+                            F.sequence(i + 1, n - 1),
+                            lambda j: F.transform(
+                                F.sequence(j + 1, n),
+                                lambda k: F.concat_ws(
+                                    ">",
+                                    F.element_at(t8, i),
+                                    F.element_at(t8, j),
+                                    F.element_at(t8, k),
+                                ),
+                            ),
+                        ),
+                    )
+                )
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = seqs.select(
+        "user_id",
+        F.explode(
+            F.concat(
+                F.transform(one, lambda p: F.struct(F.lit(1).alias("level"), p.alias("pattern"))),
+                F.transform(two, lambda p: F.struct(F.lit(2).alias("level"), p.alias("pattern"))),
+                F.transform(three, lambda p: F.struct(F.lit(3).alias("level"), p.alias("pattern"))),
+            )
+        ).alias("lp"),
+    )
+    return (
+        exploded.select("user_id", F.col("lp.level").alias("level"), F.col("lp.pattern").alias("pattern"))
+        .groupBy("level", "pattern")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= _SEQ_MINSUP)
+    )
+
+
+ORACLE_SEQ_PATTERNS = f"""
+WITH seqs AS (
+  SELECT user_id,
+         (list(event_type ORDER BY epoch_us(ts), event_id))[1:{_SEQ_CAP}] AS t8
+  FROM events GROUP BY 1
+),
+l1 AS (
+  SELECT DISTINCT user_id, 1 AS level, unnest(t8) AS pattern FROM seqs
+),
+l2 AS (
+  SELECT DISTINCT user_id, 2 AS level, t8[i + 1] || '>' || t8[j + 1] AS pattern
+  FROM (
+    SELECT user_id, t8, i, unnest(range(i + 1, len(t8))) AS j
+    FROM (SELECT user_id, t8, unnest(range(len(t8))) AS i FROM seqs)
+  )
+),
+l3 AS (
+  SELECT DISTINCT user_id, 3 AS level,
+         t8[i + 1] || '>' || t8[j + 1] || '>' || t8[k + 1] AS pattern
+  FROM (
+    SELECT user_id, t8, i, j, unnest(range(j + 1, len(t8))) AS k
+    FROM (
+      SELECT user_id, t8, i, unnest(range(i + 1, len(t8))) AS j
+      FROM (SELECT user_id, t8, unnest(range(len(t8))) AS i FROM seqs)
+    )
+  )
+)
+SELECT level, pattern, CAST(count(*) AS BIGINT) AS support
+FROM (SELECT * FROM l1 UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3)
+GROUP BY 1, 2
+HAVING count(*) >= {_SEQ_MINSUP}
+"""
+
+
 QUERIES = {
     "events_funnel": q_events_funnel,
     "events_user_lifecycle": q_events_user_lifecycle,
@@ -1210,6 +1345,7 @@ QUERIES = {
     "events_path_trigrams": q_events_path_trigrams,
     "events_markov_transitions": q_events_markov_transitions,
     "events_ab_test": q_events_ab_test,
+    "events_sequence_patterns": q_events_sequence_patterns,
     "events_retention": q_events_retention,
     "events_user_deciles": q_events_user_deciles,
     "events_hourly_anomaly": q_events_hourly_anomaly,
@@ -1228,6 +1364,7 @@ ORACLES = {
     "events_path_trigrams": ORACLE_PATH_TRIGRAMS,
     "events_markov_transitions": ORACLE_MARKOV,
     "events_ab_test": ORACLE_AB,
+    "events_sequence_patterns": ORACLE_SEQ_PATTERNS,
     "events_retention": ORACLE_RETENTION,
     "events_user_deciles": ORACLE_DECILES,
     "events_hourly_anomaly": ORACLE_HOURLY_ANOMALY,

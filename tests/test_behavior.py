@@ -970,3 +970,42 @@ def test_revenue_concentration_gini_extremes(spark, monkeypatch):
     wh = out["WHALE"]
     assert wh.top_decile_share > 0.999
     assert 0.88 < wh.gini <= 0.9  # (n-1)/n = 0.9 minus the 9 pennies
+
+
+def test_sequence_patterns_allow_gaps_and_dedupe_per_user(spark, monkeypatch):
+    """Non-contiguous semantics: A>C must be supported by a user whose
+    literal path is A,B,C (gap over B); a user repeating A,B,A,B counts
+    each pattern ONCE (set semantics); the 8-event cap drops anything
+    after the first 8."""
+    import datetime as dt
+
+    from osm_poi_database_maker_spark.queries import behavior as B
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def emit(u, types):
+        nonlocal eid
+        for i, et in enumerate(types):
+            eid += 1
+            rows.append((eid, t0 + dt.timedelta(minutes=i), u, et, 1.0, "{}"))
+
+    for u in range(5):  # 5 users A,B,C -> meets minsup exactly
+        emit(u, ["A", "B", "C"])
+    emit(10, ["A", "B", "A", "B"])  # repeats: one vote per pattern
+    emit(11, list("DDDDDDDD") + ["E"])  # E is event #9 -> capped away
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(B, "load_table", lambda s_, sf_, n_: e)
+    out = {
+        (r.level, r.pattern): r.support
+        for r in B.q_events_sequence_patterns(spark, "x").collect()
+    }
+    assert out[(2, "A>C")] == 5          # gap over B
+    assert out[(2, "A>B")] == 6          # 5 + user 10 exactly once
+    assert out[(3, "A>B>C")] == 5
+    assert (1, "E") not in out           # capped
+    assert (1, "D") not in out           # support 1 < minsup
