@@ -154,6 +154,7 @@ _VERIFY_FIRST = [
     "nation_revenue_concentration",
     "osm_dbscan_clusters",
     "events_sequence_patterns",
+    "events_pit_enrich",
     # tier 2b (overflow): r04-evidence cohort, stalest remaining —
     # leads round 8 after late additions.
     "events_user_lifecycle",

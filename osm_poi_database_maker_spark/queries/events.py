@@ -1758,6 +1758,82 @@ FROM full_rows f JOIN seasonal s USING (event_type, hod)
 """
 
 
+
+def q_events_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct dimension enrichment — the feature-store
+    join: every event picks the customer's LATEST order as of the event
+    instant (no leakage from the future), implemented as the
+    union-sort-LOCF merge instead of a range join: dimension versions
+    and facts stack into ONE stream keyed by customer, one partitioned
+    sort orders them by (ts, dim-before-fact, version), and a
+    last-non-null window carries the prevailing version onto each fact
+    row. Same-day version ties resolve to the highest orderkey (the
+    day's last version), and a dimension row ON the event's own date
+    is visible (inclusive as-of).
+
+    Why this shape: the naive plan is a per-event ORDER BY ... LIMIT 1
+    range probe (exactly what the DuckDB oracle runs via LATERAL) —
+    O(|facts|·log|versions|) with a non-equi join no optimizer
+    co-partitions. The LOCF merge is one co-shuffle of both inputs on
+    the customer key and one sort — the sort-merge-join shape, linear
+    in |facts|+|versions| per key, and the window never spans keys.
+    Events from users with no prior order keep NULLs (left
+    semantics)."""
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    dim = o.select(
+        F.col("o_custkey").alias("k"),
+        (F.unix_date(F.to_date("o_orderdate")).cast("long") * 86_400_000_000).alias(
+            "ts_us"
+        ),
+        F.lit(0).alias("kind"),
+        F.col("o_orderkey").alias("sk"),
+        F.struct(
+            F.col("o_orderkey").alias("orderkey"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+        ).alias("dimrec"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    fact = e.select(
+        F.col("user_id").alias("k"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.lit(1).alias("kind"),
+        F.col("event_id").alias("sk"),
+        F.lit(None).cast("struct<orderkey:long,totalprice:double>").alias("dimrec"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("ts_us", "kind", "sk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = dim.unionByName(fact).withColumn(
+        "asof", F.last("dimrec", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("kind") == 1).select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        "ts_us",
+        F.col("asof.orderkey").alias("asof_orderkey"),
+        F.col("asof.totalprice").alias("asof_totalprice"),
+    )
+
+
+ORACLE_PIT = """
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+       d.orderkey AS asof_orderkey, d.totalprice AS asof_totalprice
+FROM events e
+LEFT JOIN LATERAL (
+  SELECT o.o_orderkey AS orderkey, round(o.o_totalprice, 2) AS totalprice
+  FROM orders o
+  WHERE o.o_custkey = e.user_id
+    AND epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) <= epoch_us(e.ts)
+  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+  LIMIT 1
+) d ON true
+"""
+
+
 QUERIES = {
     "events_multi_exists": q_events_multi_exists,
     "events_ohlc_bars": q_events_ohlc_bars,
@@ -1782,6 +1858,7 @@ QUERIES = {
     "events_lead_lag_corr": q_events_lead_lag_corr,
     "events_cusum_changepoints": q_events_cusum_changepoints,
     "events_stl_decompose": q_events_stl_decompose,
+    "events_pit_enrich": q_events_pit_enrich,
     "events_m4_downsample": q_events_m4_downsample,
 }
 
@@ -1808,5 +1885,6 @@ ORACLES = {
     "events_lead_lag_corr": ORACLE_XCORR,
     "events_cusum_changepoints": ORACLE_CUSUM,
     "events_stl_decompose": ORACLE_STL,
+    "events_pit_enrich": ORACLE_PIT,
     "events_m4_downsample": ORACLE_M4,
 }

@@ -1009,3 +1009,43 @@ def test_sequence_patterns_allow_gaps_and_dedupe_per_user(spark, monkeypatch):
     assert out[(3, "A>B>C")] == 5
     assert (1, "E") not in out           # capped
     assert (1, "D") not in out           # support 1 < minsup
+
+
+def test_pit_enrich_no_future_leakage_and_same_day_ties(spark, monkeypatch):
+    """Feature-store correctness: an event BEFORE any order keeps NULLs;
+    an event between versions sees only the prior one; two same-day
+    versions resolve to the higher orderkey; an order dated ON the
+    event's own day IS visible (inclusive as-of, orders carry midnight
+    timestamps)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from osm_poi_database_maker_spark.queries import events as E
+
+    o = spark.createDataFrame(
+        [
+            (10, 1, "O", 100.0, "2024-01-10", "x"),
+            (11, 1, "O", 200.0, "2024-01-20", "x"),
+            (12, 1, "O", 300.0, "2024-01-20", "x"),  # same-day v2: wins by key
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    ev = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 5, 12), 1, "view", 1.0, "{}"),   # pre-history
+            (2, dt.datetime(2024, 1, 15, 12), 1, "view", 1.0, "{}"),  # after v10
+            (3, dt.datetime(2024, 1, 20, 0, 0, 1), 1, "view", 1.0, "{}"),  # same day
+            (4, dt.datetime(2024, 2, 1, 0), 1, "view", 1.0, "{}"),    # after all
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    frames = {"events": ev, "orders": o}
+    monkeypatch.setattr(E, "load_table", lambda s_, sf_, n_: frames[n_])
+    out = {r.event_id: r for r in E.q_events_pit_enrich(spark, "x").collect()}
+    assert out[1].asof_orderkey is None and out[1].asof_totalprice is None
+    assert out[2].asof_orderkey == 10
+    assert out[3].asof_orderkey == 12 and out[3].asof_totalprice == 300.0
+    assert out[4].asof_orderkey == 12
