@@ -155,6 +155,7 @@ _VERIFY_FIRST = [
     "osm_dbscan_clusters",
     "events_sequence_patterns",
     "events_pit_enrich",
+    "customer_repeat_ladder",
     # tier 2b (overflow): r04-evidence cohort, stalest remaining —
     # leads round 8 after late additions.
     "events_user_lifecycle",

@@ -2715,6 +2715,66 @@ FROM agg JOIN nation n ON n.n_nationkey = agg.c_nationkey
 """
 
 
+
+def q_customer_repeat_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase ladder: for every order count k, how many
+    customers placed at least k orders, and the conditional
+    "k-th → k+1-th order" conversion rate — the retention curve an
+    e-commerce margin model is built on (acquisition pays for order 1;
+    the ladder says what an acquired customer is worth).
+
+    Two aggregates and one tiny window: the fact table collapses to
+    per-customer order counts (map-side combine on custkey), those
+    collapse to |distinct k| rows, and the ≥k cumulative + next-rung
+    ratio run on a dense k spine (array-side sequence to k_max, so a
+    rung nobody sits on exactly still appears with its pass-through
+    rate). Integer counts end-to-end; the ratio rounds for display."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.count("*").alias("k"))
+    exact = per_cust.groupBy("k").agg(F.count("*").alias("n_exact"))
+    spine = exact.groupBy().agg(F.max("k").alias("kmax")).select(
+        F.explode(F.sequence(F.lit(1), F.col("kmax"))).alias("k")
+    )
+    dense = spine.join(exact, "k", "left").select(
+        "k", F.coalesce("n_exact", F.lit(0)).alias("n_exact")
+    )
+    w_ge = Window.orderBy(F.desc("k")).rowsBetween(Window.unboundedPreceding, 0)
+    w_next = Window.orderBy("k")
+    laddered = dense.withColumn("n_ge", F.sum("n_exact").over(w_ge))
+    return laddered.select(
+        "k",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.col("n_ge").cast("long").alias("n_ge"),
+        F.round(
+            F.lead("n_ge").over(w_next) / F.col("n_ge"), 4
+        ).alias("repeat_rate"),
+    )
+
+
+ORACLE_REPEAT_LADDER = """
+WITH per_cust AS (
+  SELECT o_custkey, count(*) AS k FROM orders GROUP BY 1
+),
+exact AS (SELECT k, CAST(count(*) AS BIGINT) AS n_exact FROM per_cust GROUP BY 1),
+spine AS (SELECT unnest(range(1, (SELECT max(k) FROM exact) + 1)) AS k),
+dense AS (
+  SELECT s.k, CAST(coalesce(e.n_exact, 0) AS BIGINT) AS n_exact
+  FROM spine s LEFT JOIN exact e ON e.k = s.k
+),
+laddered AS (
+  SELECT k, n_exact,
+         CAST(sum(n_exact) OVER (ORDER BY k DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_ge
+  FROM dense
+)
+SELECT k, n_exact, n_ge,
+       round(lead(n_ge) OVER (ORDER BY k) / CAST(n_ge AS DOUBLE), 4)
+         AS repeat_rate
+FROM laddered
+"""
+
+
 QUERIES = {
     "lineitem_discount_elasticity": q_lineitem_discount_elasticity,
     "part_promo_share": q_part_promo_share,
@@ -2763,6 +2823,7 @@ QUERIES = {
     "basket_frequent_itemsets": q_basket_frequent_itemsets,
     "nation_revenue_trend": q_nation_revenue_trend,
     "nation_revenue_concentration": q_nation_revenue_concentration,
+    "customer_repeat_ladder": q_customer_repeat_ladder,
 }
 
 ORACLES = {
@@ -2813,4 +2874,5 @@ ORACLES = {
     "basket_frequent_itemsets": ORACLE_ITEMSETS,
     "nation_revenue_trend": ORACLE_REV_TREND,
     "nation_revenue_concentration": ORACLE_REV_CONC,
+    "customer_repeat_ladder": ORACLE_REPEAT_LADDER,
 }

@@ -1049,3 +1049,31 @@ def test_pit_enrich_no_future_leakage_and_same_day_ties(spark, monkeypatch):
     assert out[2].asof_orderkey == 10
     assert out[3].asof_orderkey == 12 and out[3].asof_totalprice == 300.0
     assert out[4].asof_orderkey == 12
+
+
+def test_repeat_ladder_cumulative_and_gap_rungs(spark, monkeypatch):
+    """Hand-checked ladder: counts {1:2, 2:1, 4:1} customers give
+    n_ge = [4,2,1,1] over the dense 1..4 spine (rung 3, which nobody
+    occupies exactly, still appears with pass-through rate 1.0), and
+    repeat_rate is the next rung's survivors over this rung's."""
+    from pyspark.sql import functions as F
+
+    from osm_poi_database_maker_spark.queries import core as C
+
+    orders = []
+    oid = 0
+    for cust, k in ((1, 1), (2, 1), (3, 2), (4, 4)):
+        for _ in range(k):
+            oid += 1
+            orders.append((oid, cust, "O", 10.0, "1995-01-01", "x"))
+    o = spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_date("o_orderdate"))
+    monkeypatch.setattr(C, "load_table", lambda s_, sf_, n_: o)
+    rows = {r.k: r for r in C.q_customer_repeat_ladder(spark, "x").collect()}
+    assert [rows[k].n_ge for k in (1, 2, 3, 4)] == [4, 2, 1, 1]
+    assert rows[1].repeat_rate == 0.5
+    assert rows[3].repeat_rate == 1.0  # empty rung passes through
+    assert rows[4].repeat_rate is None
