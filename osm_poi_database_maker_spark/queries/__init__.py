@@ -156,6 +156,7 @@ _VERIFY_FIRST = [
     "events_sequence_patterns",
     "events_pit_enrich",
     "customer_repeat_ladder",
+    "stream_cusum_changepoints",
     # tier 2b (overflow): r04-evidence cohort, stalest remaining —
     # leads round 8 after late additions.
     "events_user_lifecycle",

@@ -18,6 +18,7 @@ from .behavior import ORACLE_AB, ORACLE_MARKOV
 from .events import (
     ORACLE_BLOOM_ADMIT,
     ORACLE_CMS,
+    ORACLE_CUSUM,
     ORACLE_GAPFILL,
     ORACLE_HOURLY,
     ORACLE_KMV,
@@ -314,6 +315,35 @@ def q_stream_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ab_finalize(users)
 
 
+
+def q_stream_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM drift detection (custom applyInPandasWithState
+    state: the observed-hour rollup per event type), selected to each
+    type's NEWEST emission (n_seen is strictly monotone; a heartbeat
+    row keeps the selection honest when new history DE-flags an hour),
+    then rounded Spark-side with the batch twin's F.round — certified
+    by the batch twin's DuckDB oracle end-to-end. Flags are statements
+    about the observed prefix: the final emission equals the batch
+    recompute exactly."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    out = _materialize(
+        S.cusum_state(S.stream_events(spark, sf_dir)), spark, "update"
+    )
+    w = Window.partitionBy("event_type")
+    latest = out.withColumn("max_seen", F.max("n_seen").over(w)).filter(
+        F.col("n_seen") == F.col("max_seen")
+    )
+    return latest.filter(F.col("is_flag")).select(
+        "event_type",
+        "bucket_start_s",
+        "direction",
+        F.col("n").cast("long").alias("n"),
+        F.round("stat_raw", 4).alias("cusum_stat"),
+    )
+
+
 def q_stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream watermarked join (purchase ← same-user click within
     2 hours): both sides are live streams; bounded time-range condition
@@ -363,6 +393,7 @@ QUERIES = {
     "stream_markov_transitions": q_stream_markov_transitions,
     "stream_m4_downsample": q_stream_m4_downsample,
     "stream_ab_test": q_stream_ab_test,
+    "stream_cusum_changepoints": q_stream_cusum_changepoints,
 }
 
 ORACLES = {
@@ -381,4 +412,5 @@ ORACLES = {
     "stream_markov_transitions": ORACLE_MARKOV,
     "stream_m4_downsample": ORACLE_M4,
     "stream_ab_test": ORACLE_AB,
+    "stream_cusum_changepoints": ORACLE_CUSUM,
 }

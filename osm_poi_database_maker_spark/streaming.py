@@ -911,3 +911,102 @@ def m4_sketch_state(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_CUSUM_STATE_SCHEMA = "his array<long>, ns array<long>"
+_CUSUM_OUT_SCHEMA = (
+    "event_type string, bucket_start_s long, direction string, "
+    "n long, stat_raw double, is_flag boolean, n_seen long"
+)
+
+
+def _cusum_update(k_sd: float, h_sd: float):
+    def update(key: tuple[Any, ...], pdfs: Any, state: GroupState):
+        import numpy as np
+
+        hour_map: dict[int, int] = {}
+        if state.exists:
+            his, ns = state.get
+            hour_map = {int(h): int(c) for h, c in zip(his, ns)}
+        for pdf in pdfs:
+            for h, c in zip(pdf["hi"].tolist(), pdf["c"].tolist()):
+                hour_map[int(h)] = hour_map.get(int(h), 0) + int(c)
+        hours = sorted(hour_map)
+        state.update((hours, [hour_map[h] for h in hours]))
+        n_seen = sum(hour_map.values())
+        out = {
+            "event_type": [key[0]],
+            "bucket_start_s": [0],
+            "direction": ["heartbeat"],
+            "n": [0],
+            "stat_raw": [0.0],
+            "is_flag": [False],
+            "n_seen": [n_seen],
+        }
+        if hours:
+            # dense spine over the span observed so far — the batch
+            # twin's per-type grid — with float ops in the IDENTICAL
+            # association order as the batch expressions, and np.cumsum /
+            # np.minimum.accumulate as the same sequential left folds the
+            # ordered window runs, so the recomputed statistic is
+            # bit-identical to the batch answer on the same prefix
+            span = np.arange(hours[0], hours[-1] + 1, dtype=np.int64)
+            n = np.zeros(len(span), dtype=np.int64)
+            for h, c in hour_map.items():
+                n[h - hours[0]] = c
+            n_h = len(span)
+            if n_h > 1:
+                sx = int(n.sum())
+                sx2 = int((n * n).sum())
+                mu = sx / n_h
+                var = (sx2 - n_h * mu * mu) / (n_h - 1)
+                sd = np.sqrt(var)
+                h_lim = h_sd * sd
+                nf = n.astype(np.float64)
+                for direction, d in (
+                    ("up", nf - mu - k_sd * sd),
+                    ("down", mu - nf - k_sd * sd),
+                ):
+                    s_run = np.cumsum(d)
+                    s = s_run - np.minimum(0.0, np.minimum.accumulate(s_run))
+                    hit = s > h_lim
+                    for idx in np.nonzero(hit)[0]:
+                        out["event_type"].append(key[0])
+                        out["bucket_start_s"].append(int(span[idx]) * 3600)
+                        out["direction"].append(direction)
+                        out["n"].append(int(n[idx]))
+                        out["stat_raw"].append(float(s[idx]))
+                        out["is_flag"].append(True)
+                        out["n_seen"].append(n_seen)
+        yield pd.DataFrame(out)
+
+    return update
+
+
+def cusum_state(events: DataFrame, k_sd: float = 0.5, h_sd: float = 4.0) -> DataFrame:
+    """Streaming CUSUM changepoint detection — the custom-state twin of
+    queries/events.q_events_cusum_changepoints. State per event type is
+    the OBSERVED-HOUR rollup (hour → count), never the events (the
+    gapfill discipline: state scales with active hours regardless of
+    volume, and late/out-of-order arrivals just increment their hour),
+    and each emission re-derives the full CUSUM sweep over the span
+    observed so far — mu/sd from exact integer sums, the prefix
+    identity as the same sequential folds — so the final emission
+    equals the batch operator exactly and the batch DuckDB oracle
+    certifies the stream. A heartbeat row carries the monotone n_seen
+    even when nothing is flagged, so the caller's newest-emission
+    selection can LOWER the flag set when new data de-flags an hour
+    (more history shifts mu/sd — a flag is a statement about the
+    prefix, not an immutable event)."""
+    prepped = events.select(
+        "event_type",
+        F.floor(F.unix_micros("ts") / 3_600_000_000).alias("hi"),
+        F.lit(1).alias("c"),
+    )
+    return prepped.groupBy("event_type").applyInPandasWithState(
+        _cusum_update(k_sd, h_sd),
+        outputStructType=_CUSUM_OUT_SCHEMA,
+        stateStructType=_CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

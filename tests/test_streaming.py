@@ -663,3 +663,45 @@ def test_stream_ab_matches_batch_twin(spark):
     batch = B.q_events_ab_test(spark, SF_SMOKE).collect()
     stream = Q.q_stream_ab_test(spark, SF_SMOKE).collect()
     assert [tuple(r) for r in batch] == [tuple(r) for r in stream]
+
+
+def test_stream_cusum_fold_matches_batch_and_deflags():
+    """The per-emission CUSUM recompute must equal the batch math on the
+    observed prefix, and flags raised on a short prefix must DISAPPEAR
+    from the newest emission when later data blows up the variance —
+    the heartbeat row is what makes that retraction selectable."""
+    import numpy as np
+    import pandas as pd
+
+    from osm_poi_database_maker_spark import streaming as S
+
+    st = _FakeGroupState()
+    # prefix: 30 quiet hours then a sustained level shift to 8 -> the
+    # cumulative drift clears 4*sd after a few shifted hours
+    b1 = pd.DataFrame({"hi": list(range(35)), "c": [1] * 30 + [8] * 5})
+    out1 = list(S._cusum_update(0.5, 4.0)(("A",), [b1], st))[0]
+    flagged1 = out1[out1["is_flag"]]
+    assert len(flagged1) > 0 and (flagged1["direction"] == "up").all()
+    # continuation: wild 0/200 alternation -> sd explodes, the old level
+    # shift is noise now; newest emission carries only the heartbeat
+    b2 = pd.DataFrame(
+        {"hi": list(range(35, 75)), "c": [200 if h % 2 else 1 for h in range(40)]}
+    )
+    out2 = list(S._cusum_update(0.5, 4.0)(("A",), [b2], st))[0]
+    assert out2["n_seen"].iloc[0] > out1["n_seen"].iloc[0]
+    assert not out2["is_flag"].any()
+
+    # parity: the sequential batch fold on the final state agrees
+    his, ns = st.get
+    span = np.arange(his[0], his[-1] + 1)
+    n = np.zeros(len(span), dtype=np.int64)
+    for h, c in zip(his, ns):
+        n[h - his[0]] = c
+    mu = n.sum() / len(n)
+    sd = (((n * n).sum() - len(n) * mu * mu) / (len(n) - 1)) ** 0.5
+    s = 0.0
+    any_flag = False
+    for x in n:
+        s = max(0.0, s + (x - mu - 0.5 * sd))
+        any_flag |= s > 4.0 * sd
+    assert not any_flag
