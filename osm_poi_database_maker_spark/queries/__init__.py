@@ -157,6 +157,7 @@ _VERIFY_FIRST = [
     "events_pit_enrich",
     "customer_repeat_ladder",
     "stream_cusum_changepoints",
+    "events_rolling_range_window",
     # tier 2b (overflow): r04-evidence cohort, stalest remaining —
     # leads round 8 after late additions.
     "events_user_lifecycle",

@@ -1834,6 +1834,57 @@ LEFT JOIN LATERAL (
 """
 
 
+
+_ROLL_RANGE_US = 86_400_000_000 - 1  # 24h, inclusive of the current instant
+
+
+def q_events_rolling_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-24-hour activity via a bounded RANGE window
+    frame — the frame semantics a ROWS frame cannot fake: the frame is
+    defined by the EVENT-TIME distance (every event in (t−24h, t]),
+    so bursty users get wide frames and sparse users narrow ones, and
+    same-microsecond peers are always in or out TOGETHER (RANGE treats
+    ties as one unit — no arbitrary row-order dependence to round
+    away). The per-event fraud/velocity feature ("how many actions in
+    the last day at the moment of THIS action") feature stores
+    backfill exactly this way.
+
+    One exchange on user_id + one sort carries both aggregates; the
+    value sum stays exact by summing CENTS (integers) inside the frame
+    and dividing once at the edge — the usual no-float-accumulation
+    discipline."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-_ROLL_RANGE_US, 0)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count("*").over(w).alias("n_24h"),
+        (F.sum("cents").over(w) / 100.0).alias("value_24h"),
+    ).withColumn("value_24h", F.round("value_24h", 2))
+
+
+ORACLE_ROLLING_RANGE = f"""
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       CAST(count(*) OVER w AS BIGINT) AS n_24h,
+       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+             / 100.0, 2) AS value_24h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {_ROLL_RANGE_US} PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "events_multi_exists": q_events_multi_exists,
     "events_ohlc_bars": q_events_ohlc_bars,
@@ -1859,6 +1910,7 @@ QUERIES = {
     "events_cusum_changepoints": q_events_cusum_changepoints,
     "events_stl_decompose": q_events_stl_decompose,
     "events_pit_enrich": q_events_pit_enrich,
+    "events_rolling_range_window": q_events_rolling_range_window,
     "events_m4_downsample": q_events_m4_downsample,
 }
 
@@ -1886,5 +1938,6 @@ ORACLES = {
     "events_cusum_changepoints": ORACLE_CUSUM,
     "events_stl_decompose": ORACLE_STL,
     "events_pit_enrich": ORACLE_PIT,
+    "events_rolling_range_window": ORACLE_ROLLING_RANGE,
     "events_m4_downsample": ORACLE_M4,
 }

@@ -1077,3 +1077,34 @@ def test_repeat_ladder_cumulative_and_gap_rungs(spark, monkeypatch):
     assert rows[1].repeat_rate == 0.5
     assert rows[3].repeat_rate == 1.0  # empty rung passes through
     assert rows[4].repeat_rate is None
+
+
+def test_rolling_range_frame_boundaries_and_tie_peers(spark, monkeypatch):
+    """RANGE semantics: an event exactly 24h earlier falls OUT of the
+    frame (strictly-greater-than t-24h), one at 23:59:59.999999 stays
+    in, and two events at the SAME microsecond are peers — each sees
+    the other regardless of row order."""
+    import datetime as dt
+
+    from osm_poi_database_maker_spark.queries import events as E
+
+    t0 = dt.datetime(2024, 1, 2, 0, 0, 0)
+    rows = [
+        (1, t0 - dt.timedelta(hours=24), 1, "view", 10.0, "{}"),          # out
+        (2, t0 - dt.timedelta(hours=24, microseconds=-1), 1, "view", 5.0, "{}"),  # in
+        (3, t0, 1, "view", 1.0, "{}"),
+        (4, t0, 1, "view", 2.0, "{}"),   # same-instant peer of 3
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(E, "load_table", lambda s_, sf_, n_: e)
+    out = {r.event_id: r for r in E.q_events_rolling_range_window(spark, "x").collect()}
+    # at t0: events 2,3,4 in frame (1 is exactly 24h old -> excluded)
+    assert out[3].n_24h == 3 and out[4].n_24h == 3
+    assert out[3].value_24h == out[4].value_24h == 8.0  # peers see each other
+    # event 2's frame reaches back 24h-1us: event 1 sits 24h-1us before
+    # it, i.e. exactly on the inclusive edge -> in
+    assert out[2].n_24h == 2
