@@ -368,3 +368,42 @@ def payload_stats_arrow(images: DataFrame) -> DataFrame:
     return images.select("doc_id", "payload").mapInArrow(
         batches, PAYLOAD_STATS_SCHEMA
     )
+
+
+FRAME_DIFF_SCHEMA = "doc_id long, frame_idx long, diff_energy long"
+
+
+def frame_diff_energies(videos: DataFrame, frame_bytes: int = 128) -> DataFrame:
+    """Video scene-cut primitive: per consecutive-frame pair, the exact
+    int64 L1 pixel difference Σ|b_i − b'_i| over fixed-size byte frames
+    (the incomplete tail frame is dropped). A real pipeline swaps the
+    byte frames for decoded luma planes behind the same signature — the
+    Spark-side shape (Arrow batches, numpy abs-diff, exact integer
+    energies so the frame table is bit-reproducible across engines,
+    partitionings and batch sizes) is what this operator pins.
+    frame_idx is the LATER frame's index, starting at 1."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out_doc: list = []
+            out_idx: list = []
+            out_en: list = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload or b"")
+                nf = len(b) // frame_bytes
+                if nf < 2:
+                    continue
+                frames = np.frombuffer(
+                    b[: nf * frame_bytes], dtype=np.uint8
+                ).astype(np.int64).reshape(nf, frame_bytes)
+                diffs = np.abs(frames[1:] - frames[:-1]).sum(axis=1)
+                out_doc.extend([doc_id] * (nf - 1))
+                out_idx.extend(range(1, nf))
+                out_en.extend(int(x) for x in diffs)
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "frame_idx": out_idx, "diff_energy": out_en}
+            )
+
+    return videos.mapInPandas(batches, FRAME_DIFF_SCHEMA)

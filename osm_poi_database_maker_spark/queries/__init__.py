@@ -158,6 +158,7 @@ _VERIFY_FIRST = [
     "customer_repeat_ladder",
     "stream_cusum_changepoints",
     "events_rolling_range_window",
+    "mm_frame_diff_cuts",
     # tier 2b (overflow): r04-evidence cohort, stalest remaining —
     # leads round 8 after late additions.
     "events_user_lifecycle",

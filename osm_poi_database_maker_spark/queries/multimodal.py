@@ -345,10 +345,73 @@ FROM rk GROUP BY 1
 """
 
 
+
+_FD_BYTES = 128
+
+
+def q_mm_frame_diff_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection on the fake video payload: consecutive-frame
+    L1 byte differences (exact int64, multimodal.frame_diff_energies)
+    with a cut verdict where a pair's difference exceeds 1.5× the
+    doc's mean — compared as the INTEGER cross-product
+    ``2·diff·n_pairs > 3·total`` so the threshold is exact in both
+    engines. The oracle replays the byte arithmetic at the codepoint
+    level (the fixture corpus is ASCII, so codepoints ≡ bytes — the
+    same equivalence the resize digest leans on); a real pipeline
+    swaps byte frames for decoded luma planes behind the identical
+    mapInPandas signature."""
+    from ..multimodal import documents_as_image_table, frame_diff_energies
+
+    d = load_table(spark, sf_dir, "documents")
+    diffs = frame_diff_energies(documents_as_image_table(d), _FD_BYTES)
+    tot = diffs.groupBy("doc_id").agg(
+        F.sum("diff_energy").alias("total"), F.count("*").alias("np")
+    )
+    return (
+        diffs.join(tot, "doc_id")
+        .select(
+            "doc_id",
+            "frame_idx",
+            "diff_energy",
+            (2 * F.col("diff_energy") * F.col("np") > 3 * F.col("total")).alias(
+                "is_cut"
+            ),
+        )
+    )
+
+
+ORACLE_FRAME_DIFF = f"""
+WITH pos AS (
+  SELECT doc_id, text, unnest(range(1, CAST(floor(length(text) / {_FD_BYTES})
+                                          AS BIGINT))) AS fi
+  FROM documents
+  WHERE floor(length(text) / {_FD_BYTES}) >= 2
+),
+d AS (
+  SELECT doc_id, fi AS frame_idx,
+         CAST(sum(abs(
+           ascii(substr(text, CAST(fi * {_FD_BYTES} + j + 1 AS BIGINT), 1))
+           - ascii(substr(text, CAST((fi - 1) * {_FD_BYTES} + j + 1 AS BIGINT), 1))
+         )) AS BIGINT) AS diff_energy
+  FROM (SELECT doc_id, text, fi, unnest(range({_FD_BYTES})) AS j FROM pos)
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT doc_id, CAST(sum(diff_energy) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS np
+  FROM d GROUP BY 1
+)
+SELECT d.doc_id, d.frame_idx, d.diff_energy,
+       2 * d.diff_energy * tot.np > 3 * tot.total AS is_cut
+FROM d JOIN tot USING (doc_id)
+"""
+
+
 QUERIES = {
     "mm_image_features": q_mm_image_features,
     "mm_ahash_pairs": q_mm_ahash_pairs,
     "mm_frame_sample": q_mm_frame_sample,
+    "mm_frame_diff_cuts": q_mm_frame_diff_cuts,
     "mm_resize": q_mm_resize,
     "mm_audio_energy": q_mm_audio_energy,
     "mm_audio_silence_segments": q_mm_audio_silence_segments,
@@ -358,6 +421,7 @@ QUERIES = {
 ORACLES = {
     "mm_image_features": ORACLE_IMAGE_FEATURES,
     "mm_frame_sample": ORACLE_FRAME_SAMPLE,
+    "mm_frame_diff_cuts": ORACLE_FRAME_DIFF,
     "mm_resize": ORACLE_RESIZE,
     "mm_audio_energy": ORACLE_AUDIO_ENERGY,
     "mm_audio_silence_segments": ORACLE_SILENCE,

@@ -595,3 +595,27 @@ def test_silhouette_separated_vs_merged_clusters(spark, monkeypatch):
     # the far-away singletons are perfectly separated
     singles = [out[i] for i in range(6) if i in out]
     assert singles and all(r.silhouette > 0.9 for r in singles)
+
+
+def test_frame_diff_energies_exact_and_tail_drop(spark):
+    """Hand-computable payloads: the L1 frame difference is the exact
+    integer byte distance, frame_idx labels the LATER frame, docs with
+    fewer than 2 whole frames emit nothing, and the incomplete tail is
+    dropped."""
+    from osm_poi_database_maker_spark.multimodal import frame_diff_energies
+
+    rows = [
+        # doc 1: frame0 = 4x'a', frame1 = 4x'c' -> diff 4*2 = 8;
+        # frame2 = 'aaca' -> diff |a-c|*3 + |c-c|... compute: vs 'cccc':
+        # (2,2,0,2) = 6 ; trailing 'zz' dropped
+        (1, bytearray(b"aaaa" + b"cccc" + b"aaca" + b"zz")),
+        (2, bytearray(b"abcd")),        # one frame -> nothing
+        (3, bytearray(b"abc")),         # sub-frame -> nothing
+        (4, None),                      # NULL payload -> nothing
+    ]
+    videos = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {
+        (r.doc_id, r.frame_idx): r.diff_energy
+        for r in frame_diff_energies(videos, frame_bytes=4).collect()
+    }
+    assert out == {(1, 1): 8, (1, 2): 6}
