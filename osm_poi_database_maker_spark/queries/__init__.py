@@ -159,6 +159,7 @@ _VERIFY_FIRST = [
     "stream_cusum_changepoints",
     "events_rolling_range_window",
     "mm_frame_diff_cuts",
+    "events_incremental_rollup",
     # tier 2b (overflow): r04-evidence cohort, stalest remaining —
     # leads round 8 after late additions.
     "events_user_lifecycle",

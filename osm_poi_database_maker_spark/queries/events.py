@@ -1885,6 +1885,129 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
 """
 
 
+
+_IVM_DELTA_DAYS = 7
+
+
+def q_events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance, demonstrated and
+    AUDITED in one query: the per-type rollup is produced by MERGING
+    stored per-(type, day) partial aggregates for history (day <
+    max_day − 7) with freshly-aggregated partials for the last-week
+    delta — the insert-only IVM path that lets a 100 TB daily rollup
+    absorb a new partition by touching |types|×|days| state rows plus
+    the delta instead of rescanning history — and an in-band
+    ``ivm_match`` column compares every merged metric against the
+    direct full recompute. Count/sum/min/max merge because they are
+    commutative monoids; the sum is carried as EXACT integer cents so
+    "merged equals recomputed" is a bit-equality, not a tolerance (a
+    float partial sum could differ between the two paths in one engine
+    and not the other). The cutoff derives from the data (no driver
+    clock), so the query is reproducible."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.unix_date(F.to_date("ts")).alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cutoff = base.groupBy().agg(
+        (F.max("day") - _IVM_DELTA_DAYS).alias("cutoff_day")
+    )
+    partials = (
+        base.crossJoin(F.broadcast(cutoff))
+        .groupBy("event_type", "day", "cutoff_day")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cents").alias("s"),
+            F.min("cents").alias("mn"),
+            F.max("cents").alias("mx"),
+        )
+        .withColumn("is_history", F.col("day") < F.col("cutoff_day"))
+    )
+    # the merge path: history partials (the "stored state") re-aggregated
+    # together with the delta partials — partials in, partials out
+    merged = partials.groupBy("event_type").agg(
+        F.sum("n").alias("m_n"),
+        F.sum("s").alias("m_s"),
+        F.min("mn").alias("m_mn"),
+        F.max("mx").alias("m_mx"),
+        F.countDistinct("day").alias("m_days"),
+        F.sum(F.when(~F.col("is_history"), F.col("n")).otherwise(0)).alias(
+            "delta_events"
+        ),
+    )
+    # the audit path: direct recompute from the raw rows
+    direct = base.groupBy("event_type").agg(
+        F.count("*").alias("d_n"),
+        F.sum("cents").alias("d_s"),
+        F.min("cents").alias("d_mn"),
+        F.max("cents").alias("d_mx"),
+        F.countDistinct("day").alias("d_days"),
+    )
+    return (
+        merged.join(direct, "event_type")
+        .select(
+            "event_type",
+            F.col("m_n").alias("n_events"),
+            F.round(F.col("m_s") / 100.0, 2).alias("sum_value"),
+            F.round(F.col("m_mn") / 100.0, 2).alias("min_value"),
+            F.round(F.col("m_mx") / 100.0, 2).alias("max_value"),
+            F.col("m_days").alias("n_days"),
+            F.col("delta_events").cast("long").alias("delta_events"),
+            (
+                (F.col("m_n") == F.col("d_n"))
+                & (F.col("m_s") == F.col("d_s"))
+                & (F.col("m_mn") == F.col("d_mn"))
+                & (F.col("m_mx") == F.col("d_mx"))
+                & (F.col("m_days") == F.col("d_days"))
+            ).alias("ivm_match"),
+        )
+    )
+
+
+ORACLE_IVM = f"""
+WITH base AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+cutoff AS (SELECT max(day) - {_IVM_DELTA_DAYS} AS cutoff_day FROM base),
+partials AS (
+  SELECT event_type, day, cutoff_day,
+         CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s,
+         min(cents) AS mn, max(cents) AS mx,
+         day < cutoff_day AS is_history
+  FROM base CROSS JOIN cutoff
+  GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT event_type,
+         CAST(sum(n) AS BIGINT) AS m_n, CAST(sum(s) AS BIGINT) AS m_s,
+         min(mn) AS m_mn, max(mx) AS m_mx,
+         CAST(count(DISTINCT day) AS BIGINT) AS m_days,
+         CAST(sum(CASE WHEN is_history THEN 0 ELSE n END) AS BIGINT)
+           AS delta_events
+  FROM partials GROUP BY 1
+),
+direct AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS d_n, CAST(sum(cents) AS BIGINT) AS d_s,
+         min(cents) AS d_mn, max(cents) AS d_mx,
+         CAST(count(DISTINCT day) AS BIGINT) AS d_days
+  FROM base GROUP BY 1
+)
+SELECT m.event_type, m.m_n AS n_events,
+       round(m.m_s / 100.0, 2) AS sum_value,
+       round(m.m_mn / 100.0, 2) AS min_value,
+       round(m.m_mx / 100.0, 2) AS max_value,
+       m.m_days AS n_days, m.delta_events,
+       (m.m_n = d.d_n AND m.m_s = d.d_s AND m.m_mn = d.d_mn
+        AND m.m_mx = d.d_mx AND m.m_days = d.d_days) AS ivm_match
+FROM merged m JOIN direct d USING (event_type)
+"""
+
+
 QUERIES = {
     "events_multi_exists": q_events_multi_exists,
     "events_ohlc_bars": q_events_ohlc_bars,
@@ -1911,6 +2034,7 @@ QUERIES = {
     "events_stl_decompose": q_events_stl_decompose,
     "events_pit_enrich": q_events_pit_enrich,
     "events_rolling_range_window": q_events_rolling_range_window,
+    "events_incremental_rollup": q_events_incremental_rollup,
     "events_m4_downsample": q_events_m4_downsample,
 }
 
@@ -1939,5 +2063,6 @@ ORACLES = {
     "events_stl_decompose": ORACLE_STL,
     "events_pit_enrich": ORACLE_PIT,
     "events_rolling_range_window": ORACLE_ROLLING_RANGE,
+    "events_incremental_rollup": ORACLE_IVM,
     "events_m4_downsample": ORACLE_M4,
 }

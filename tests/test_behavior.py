@@ -1108,3 +1108,34 @@ def test_rolling_range_frame_boundaries_and_tie_peers(spark, monkeypatch):
     # event 2's frame reaches back 24h-1us: event 1 sits 24h-1us before
     # it, i.e. exactly on the inclusive edge -> in
     assert out[2].n_24h == 2
+
+
+def test_incremental_rollup_merge_equals_recompute(spark, monkeypatch):
+    """The merge path must reproduce the direct recompute exactly
+    (ivm_match True) with min/max straddling the history/delta cutoff,
+    and delta_events counts only the last-7-days rows."""
+    import datetime as dt
+
+    from osm_poi_database_maker_spark.queries import events as E
+
+    d0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # history: days 0,1 — the global MIN lives in history
+        (1, d0, 1, "A", 0.01, "{}"),
+        (2, d0 + dt.timedelta(days=1), 1, "A", 5.0, "{}"),
+        # delta: days 25..30 (max day 30, cutoff 23) — global MAX in delta
+        (3, d0 + dt.timedelta(days=25), 1, "A", 99.99, "{}"),
+        (4, d0 + dt.timedelta(days=30), 1, "A", 7.0, "{}"),
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(E, "load_table", lambda s_, sf_, n_: e)
+    r = E.q_events_incremental_rollup(spark, "x").collect()[0]
+    assert r.ivm_match is True
+    assert r.n_events == 4 and r.n_days == 4
+    assert r.min_value == 0.01 and r.max_value == 99.99
+    assert r.sum_value == 112.0
+    assert r.delta_events == 2  # days 25 and 30 are >= cutoff (23)
