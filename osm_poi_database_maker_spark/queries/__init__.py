@@ -160,6 +160,7 @@ _VERIFY_FIRST = [
     "events_rolling_range_window",
     "mm_frame_diff_cuts",
     "events_incremental_rollup",
+    "brand_weighted_median",
     # tier 2b (overflow): r04-evidence cohort, stalest remaining —
     # leads round 8 after late additions.
     "events_user_lifecycle",

@@ -2775,6 +2775,85 @@ FROM laddered
 """
 
 
+
+def q_brand_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median price per brand — "the price at
+    which half the UNITS (not half the line items) trade" — the
+    weighted-percentile shape percentile_approx cannot answer exactly
+    and a plain median answers wrongly whenever cheap parts ship in
+    bulk.
+
+    Classic lower-weighted-median rule, made engine-exact: weights are
+    integer units, prices integer cents, rows order deterministically
+    by (price, partkey) within the brand, and the pick is the first
+    row whose running weight satisfies ``2·cumw ≥ total`` — an integer
+    comparison, so both engines select the identical row with no
+    interpolation or tolerance. One exchange on brand for the window;
+    the total rides the same partition (no second aggregate pass)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    base = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "l_partkey")
+        .agg(
+            F.sum(F.round("l_quantity").cast("long")).alias("units"),
+            # one representative cents price per (brand, part): the
+            # max_by(extendedprice-per-unit...) would be ambiguous;
+            # use min line price scaled to cents for determinism
+            F.min(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "cents"
+            ),
+        )
+    )
+    w_ord = Window.partitionBy("p_brand").orderBy("cents", "l_partkey")
+    w_all = Window.partitionBy("p_brand")
+    ranked = base.select(
+        "p_brand",
+        "cents",
+        "units",
+        F.sum("units").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)).alias("cumw"),
+        F.sum("units").over(w_all).alias("total"),
+    )
+    return (
+        ranked.filter(2 * F.col("cumw") >= F.col("total"))
+        .groupBy("p_brand")
+        .agg(
+            F.min(F.col("cents")).alias("med_cents"),
+            F.max("total").alias("total_units"),
+        )
+        .select(
+            "p_brand",
+            F.round(F.col("med_cents") / 100.0, 2).alias("weighted_median_price"),
+            F.col("total_units").cast("long").alias("total_units"),
+        )
+    )
+
+
+ORACLE_WEIGHTED_MEDIAN = """
+WITH base AS (
+  SELECT p.p_brand, l.l_partkey,
+         CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS units,
+         min(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS cents
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT p_brand, cents, units,
+         CAST(sum(units) OVER (PARTITION BY p_brand ORDER BY cents, l_partkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cumw,
+         CAST(sum(units) OVER (PARTITION BY p_brand) AS BIGINT) AS total
+  FROM base
+)
+SELECT p_brand,
+       round(min(cents) / 100.0, 2) AS weighted_median_price,
+       CAST(max(total) AS BIGINT) AS total_units
+FROM ranked
+WHERE 2 * cumw >= total
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "lineitem_discount_elasticity": q_lineitem_discount_elasticity,
     "part_promo_share": q_part_promo_share,
@@ -2824,6 +2903,7 @@ QUERIES = {
     "nation_revenue_trend": q_nation_revenue_trend,
     "nation_revenue_concentration": q_nation_revenue_concentration,
     "customer_repeat_ladder": q_customer_repeat_ladder,
+    "brand_weighted_median": q_brand_weighted_median,
 }
 
 ORACLES = {
@@ -2875,4 +2955,5 @@ ORACLES = {
     "nation_revenue_trend": ORACLE_REV_TREND,
     "nation_revenue_concentration": ORACLE_REV_CONC,
     "customer_repeat_ladder": ORACLE_REPEAT_LADDER,
+    "brand_weighted_median": ORACLE_WEIGHTED_MEDIAN,
 }

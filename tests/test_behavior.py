@@ -1139,3 +1139,37 @@ def test_incremental_rollup_merge_equals_recompute(spark, monkeypatch):
     assert r.min_value == 0.01 and r.max_value == 99.99
     assert r.sum_value == 112.0
     assert r.delta_events == 2  # days 25 and 30 are >= cutoff (23)
+
+
+def test_weighted_median_respects_units_not_rows(spark, monkeypatch):
+    """One bulk part (90 units @ $1) vs two boutique parts (5 units each
+    @ $100, $200): the ROW median is $100 but half the UNITS trade at
+    $1 — the weighted median must say $1; with balanced weights the
+    lower-median rule picks the lower of the two middles."""
+    from pyspark.sql import functions as F
+
+    from osm_poi_database_maker_spark.queries import core as C
+
+    part = spark.createDataFrame(
+        [(1, "B1"), (2, "B1"), (3, "B1"), (10, "B2"), (11, "B2")],
+        "p_partkey long, p_brand string",
+    )
+    li_rows = [
+        (1, 1, 90.0, 1.0),     # bulk cheap
+        (2, 2, 5.0, 100.0),
+        (3, 3, 5.0, 200.0),
+        (4, 10, 10.0, 50.0),   # B2: equal weights -> lower middle wins
+        (5, 11, 10.0, 80.0),
+    ]
+    li = spark.createDataFrame(
+        [(i, pk, 1, 1, q, p, 0.0, 0.0, "N", "O", "1996-01-01") for i, pk, q, p in li_rows],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate string",
+    )
+    frames = {"lineitem": li, "part": part}
+    monkeypatch.setattr(C, "load_table", lambda s_, sf_, n_: frames[n_])
+    out = {r.p_brand: r for r in C.q_brand_weighted_median(spark, "x").collect()}
+    assert out["B1"].weighted_median_price == 1.0
+    assert out["B1"].total_units == 100
+    assert out["B2"].weighted_median_price == 50.0
