@@ -161,6 +161,7 @@ _VERIFY_FIRST = [
     "mm_frame_diff_cuts",
     "events_incremental_rollup",
     "brand_weighted_median",
+    "doc_ngram_novelty",
     # tier 2b (overflow): r04-evidence cohort, stalest remaining —
     # leads round 8 after late additions.
     "events_user_lifecycle",

@@ -1091,6 +1091,84 @@ FROM ne CROSS JOIN tri CROSS JOIN wedges
 
 
 
+
+def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct shingles
+    whose FIRST appearance (by doc_id order) is this doc — the marginal
+    -new-content curve that tells a curation pipeline where ingest
+    order stops paying (novelty ~0 ⇒ the increment is rehash) and
+    ranks sources by how much genuinely new text they contribute.
+
+    "First appearance" needs no ordered scan: first_owner(shingle) =
+    min(doc_id) per shingle — one hash aggregate — and novelty is a
+    per-doc ratio of two counts off the SAME exploded table (the
+    ownership join rides the shingle-hash exchange the df aggregate
+    already created). Linear in total shingle volume at any corpus
+    size; nothing pairwise anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    tok_df = d.select("doc_id", F.split(F.col("text"), " +").alias("t")).repartition(
+        "doc_id"
+    )
+    t = F.col("t")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(t, i),
+                F.element_at(t, i + 1),
+                F.element_at(t, i + 2),
+            ),
+        )
+    )
+    sh = (
+        tok_df.filter(F.size(t) >= 3)
+        .select("doc_id", F.explode(shingles).alias("shingle"))
+        .select("doc_id", F.xxhash64("shingle").alias("h"))
+        .repartition("h")
+    )
+    owners = sh.groupBy("h").agg(F.min("doc_id").alias("first_owner"))
+    return (
+        sh.join(owners, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                (F.col("first_owner") == F.col("doc_id")).cast("long")
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 4).alias("novelty"),
+        )
+    )
+
+
+ORACLE_NOVELTY = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, ' +') AS t FROM documents
+  WHERE len(string_split_regex(text, ' +')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS shingle
+    FROM (SELECT doc_id, t, unnest(range(len(t) - 2)) AS i FROM toks)
+  )
+),
+owners AS (SELECT shingle, min(doc_id) AS first_owner FROM sh GROUP BY 1)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN o.first_owner = s.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       round(sum(CASE WHEN o.first_owner = s.doc_id THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS novelty
+FROM sh s JOIN owners o USING (shingle)
+GROUP BY 1
+"""
+
+
 _KCORE_K = 2
 _KCORE_ROUNDS = 8
 
@@ -1329,6 +1407,7 @@ QUERIES = {
     "doc_ngram_jaccard_pairs": q_doc_ngram_jaccard_pairs,
     "doc_ppjoin_pairs": q_doc_ppjoin_pairs,
     "doc_graph_kcore": q_doc_graph_kcore,
+    "doc_ngram_novelty": q_doc_ngram_novelty,
     "doc_containment_pairs": q_doc_containment_pairs,
     "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
     "doc_substring_dedup": q_doc_substring_dedup,
@@ -1349,6 +1428,7 @@ ORACLES = {
     "doc_ngram_jaccard_pairs": ORACLE_NGRAM,
     "doc_ppjoin_pairs": ORACLE_PPJOIN,
     "doc_graph_kcore": ORACLE_KCORE,
+    "doc_ngram_novelty": ORACLE_NOVELTY,
     "doc_containment_pairs": ORACLE_CONTAINMENT,
     "doc_winnow_fingerprints": ORACLE_WINNOW,
     "doc_substring_dedup": ORACLE_SUBSTRING,

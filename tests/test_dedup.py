@@ -399,3 +399,24 @@ def test_kcore_peels_tails_and_keeps_cliques(spark, monkeypatch):
     finally:
         D._PAIRS_CACHE.clear()
     assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_novelty_attributes_first_owner_by_doc_id(spark, monkeypatch):
+    """An exact dup of an earlier doc scores novelty 0; the earlier doc
+    keeps 1.0; a half-overlapping later doc scores its unique fraction;
+    ownership follows doc_id order, not input order."""
+    from osm_poi_database_maker_spark.queries import dedup as D
+
+    a = "w1 w2 w3 w4 w5"              # 3 shingles, doc 1 owns them
+    rows = [
+        (5, a, "en", "s", 0),          # exact dup, HIGHER id -> novelty 0
+        (1, a, "en", "s", 0),
+        # doc 3: shares the w3 w4 w5 shingle, adds 2 of its own
+        (3, "w3 w4 w5 x1 x2", "en", "s", 0),
+    ]
+    monkeypatch.setattr(D, "load_table", lambda s_, sf_, n_: _doc_rows(spark, rows))
+    out = {r.doc_id: r for r in D.q_doc_ngram_novelty(spark, "x").collect()}
+    assert out[1].novelty == 1.0 and out[1].n_shingles == 3
+    assert out[5].novelty == 0.0
+    assert out[3].n_shingles == 3 and out[3].n_novel == 2
+    assert out[3].novelty == round(2 / 3, 4)
