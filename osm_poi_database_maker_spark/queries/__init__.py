@@ -162,6 +162,7 @@ _VERIFY_FIRST = [
     "events_incremental_rollup",
     "brand_weighted_median",
     "doc_ngram_novelty",
+    "doc_heaps_law",
     # tier 2b (overflow): r04-evidence cohort, stalest remaining —
     # leads round 8 after late additions.
     "events_user_lifecycle",

@@ -1965,6 +1965,105 @@ WHERE n_matches > 0
 """
 
 
+
+def q_doc_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: V(N) ≈ k·N^β over the
+    corpus in doc_id order — β near 0.5 means new text keeps minting
+    vocabulary (scaling data keeps paying), β near 0 means the corpus
+    has saturated (the companion scaling diagnostic to Zipf's rank
+    law and the per-doc novelty curve).
+
+    The cumulative-vocabulary curve needs no sequential scan: a
+    token's first appearance is first_owner = min(doc_id) — one hash
+    aggregate — so V(after doc d) = running sum of first-owned counts
+    and N(after doc d) = running sum of token counts, both windows
+    over the |docs|-row per-doc rollup, never the token stream. The
+    log-log OLS over the curve is the closed-form sufficient-stats
+    regression on that tiny table. Emits one row: beta, k, r2, and
+    the endpoints (n_tokens, vocabulary)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " +")).alias("w"))
+        .filter(F.col("w") != "")
+        .select("doc_id", F.xxhash64("w").alias("h"))
+    )
+    per_doc = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    owners = tok.groupBy("h").agg(F.min("doc_id").alias("first_owner"))
+    novel = owners.groupBy(F.col("first_owner").alias("doc_id")).agg(
+        F.count("*").alias("n_new")
+    )
+    w_cum = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        per_doc.join(novel, "doc_id", "left")
+        .select("doc_id", "n_tok", F.coalesce("n_new", F.lit(0)).alias("n_new"))
+        .select(
+            F.log(F.sum("n_tok").over(w_cum).cast("double")).alias("x"),
+            F.log(F.sum("n_new").over(w_cum).cast("double")).alias("y"),
+            F.sum("n_tok").over(w_cum).alias("cum_n"),
+            F.sum("n_new").over(w_cum).alias("cum_v"),
+        )
+    )
+    stats = curve.groupBy().agg(
+        F.count("*").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.max("cum_n").alias("n_tokens"),
+        F.max("cum_v").alias("vocabulary"),
+    )
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    beta = num / F.nullif(den, F.lit(0.0))
+    intercept = (F.col("sy") - beta * F.col("sx")) / F.col("m")
+    sst = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+    r2 = (num * num) / F.nullif(den * sst, F.lit(0.0))
+    return stats.select(
+        F.round(beta, 4).alias("beta"),
+        F.round(F.exp(intercept), 4).alias("k"),
+        F.round(r2, 4).alias("r2"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("vocabulary").cast("long").alias("vocabulary"),
+    )
+
+
+ORACLE_HEAPS = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(text, ' +')) AS w FROM documents
+),
+tok2 AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+per_doc AS (SELECT doc_id, count(*) AS n_tok FROM tok2 GROUP BY 1),
+owners AS (SELECT w, min(doc_id) AS first_owner FROM tok2 GROUP BY 1),
+novel AS (SELECT first_owner AS doc_id, count(*) AS n_new FROM owners GROUP BY 1),
+curve AS (
+  SELECT ln(CAST(sum(p.n_tok) OVER w AS DOUBLE)) AS x,
+         ln(CAST(sum(coalesce(v.n_new, 0)) OVER w AS DOUBLE)) AS y,
+         CAST(sum(p.n_tok) OVER w AS BIGINT) AS cum_n,
+         CAST(sum(coalesce(v.n_new, 0)) OVER w AS BIGINT) AS cum_v
+  FROM per_doc p LEFT JOIN novel v USING (doc_id)
+  WINDOW w AS (ORDER BY p.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS m,
+         sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+         sum(x * y) AS sxy, sum(y * y) AS syy,
+         max(cum_n) AS n_tokens, max(cum_v) AS vocabulary
+  FROM curve
+)
+SELECT round((m * sxy - sx * sy) / nullif(m * sxx - sx * sx, 0.0), 4) AS beta,
+       round(exp((sy - (m * sxy - sx * sy) / nullif(m * sxx - sx * sx, 0.0)
+                  * sx) / m), 4) AS k,
+       round((m * sxy - sx * sy) * (m * sxy - sx * sy)
+             / nullif((m * sxx - sx * sx) * (m * syy - sy * sy), 0.0), 4)
+         AS r2,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(vocabulary AS BIGINT) AS vocabulary
+FROM stats
+"""
+
+
 QUERIES = {
     "doc_token_stats": q_doc_token_stats,
     "doc_phrase_search": q_doc_phrase_search,
@@ -1978,6 +2077,7 @@ QUERIES = {
     "doc_bpe_merges": q_doc_bpe_merges,
     "doc_bpe_encode": q_doc_bpe_encode,
     "doc_zipf_fit": q_doc_zipf_fit,
+    "doc_heaps_law": q_doc_heaps_law,
     "doc_hapax_ratio": q_doc_hapax_ratio,
     "doc_length_histogram": q_doc_length_histogram,
     "doc_bigram_pmi": q_doc_bigram_pmi,
@@ -2007,6 +2107,7 @@ ORACLES = {
     "doc_bpe_merges": ORACLE_BPE,
     "doc_bpe_encode": ORACLE_BPE_ENCODE,
     "doc_zipf_fit": ORACLE_ZIPF,
+    "doc_heaps_law": ORACLE_HEAPS,
     "doc_hapax_ratio": ORACLE_HAPAX,
     "doc_length_histogram": ORACLE_LENGTH_HIST,
     "doc_bigram_pmi": ORACLE_PMI,

@@ -198,3 +198,28 @@ def test_phrase_search_counts_overlapping_occurrences(spark, monkeypatch):
         ("b b", 1): 2, ("b b", 3): 1,
         ("q q", 3): 3,
     }
+
+
+def test_heaps_law_extremes(spark, monkeypatch):
+    """Calibration: an all-novel corpus (every token unique) grows
+    V = N exactly, so beta = 1, k = 1, r2 = 1; a fully-saturated corpus
+    (every doc repeats doc 1's tokens) fits beta ~ 0 with the
+    vocabulary endpoint stuck at the first doc's type count."""
+    from osm_poi_database_maker_spark.queries import text as T
+
+    def docs(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+
+    novel = [(i, " ".join(f"u{i}_{j}" for j in range(10)), "en", "s", 0) for i in range(1, 9)]
+    monkeypatch.setattr(T, "load_table", lambda s_, sf_, n_: docs(novel))
+    r = T.q_doc_heaps_law(spark, "x").collect()[0]
+    assert r.beta == 1.0 and r.k == 1.0 and r.r2 == 1.0
+    assert r.n_tokens == 80 and r.vocabulary == 80
+
+    flat = [(i, "a b c d e", "en", "s", 0) for i in range(1, 9)]
+    monkeypatch.setattr(T, "load_table", lambda s_, sf_, n_: docs(flat))
+    r2_ = T.q_doc_heaps_law(spark, "x").collect()[0]
+    assert r2_.vocabulary == 5 and r2_.n_tokens == 40
+    assert abs(r2_.beta) < 0.05
