@@ -163,6 +163,7 @@ _VERIFY_FIRST = [
     "brand_weighted_median",
     "doc_ngram_novelty",
     "doc_heaps_law",
+    "supplier_return_pchart",
     # tier 2b (overflow): r04-evidence cohort, stalest remaining —
     # leads round 8 after late additions.
     "events_user_lifecycle",

@@ -2854,6 +2854,87 @@ GROUP BY 1
 """
 
 
+
+def q_supplier_return_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier return-rate p-chart (statistical process control): each
+    supplier's returned-line rate tested against the pooled corpus rate
+    with binomial ±3σ control limits — the "which suppliers are OUT OF
+    CONTROL, not just worst-ranked" question a naive top-N by rate gets
+    wrong (a 1-line supplier with 1 return is 100% but not evidence).
+
+    z_i = (r_i − p̄·n_i) / sqrt(p̄(1−p̄)·n_i): every input is an exact
+    integer count (returns, lines, pooled totals), so both engines
+    derive identical statistics — the CUSUM/AB discipline again. One
+    aggregate on suppkey, a 1-row pooled aggregate broadcast back, and
+    a broadcast supplier-dim join for the name. Degenerate pooled
+    rates (0 or 1) NULL the statistic instead of erroring, and the
+    flag applies the standard p-chart validity precondition
+    n_i·p̄ ≥ 5 (as the exact integer cross-product n_i·tot_r ≥
+    5·tot_n) — the normal approximation is meaningless for a 1-line
+    supplier whose 100% rate would otherwise "flag"."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    per = li.groupBy("l_suppkey").agg(
+        F.count("*").alias("n_lines"),
+        F.sum((F.col("l_returnflag") == "R").cast("long")).alias("n_returns"),
+    )
+    pooled = per.groupBy().agg(
+        F.sum("n_lines").alias("tot_n"), F.sum("n_returns").alias("tot_r")
+    )
+    pbar = F.col("tot_r") / F.col("tot_n")
+    z = (F.col("n_returns") - pbar * F.col("n_lines")) / F.nullif(
+        F.sqrt(pbar * (1 - pbar) * F.col("n_lines")), F.lit(0.0)
+    )
+    return (
+        per.crossJoin(F.broadcast(pooled))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            "s_name",
+            "n_lines",
+            "n_returns",
+            F.round(F.col("n_returns") / F.col("n_lines"), 4).alias("return_rate"),
+            F.round(z, 4).alias("z"),
+            F.coalesce(
+                (F.abs(z) > 3.0)
+                & (F.col("n_lines") * F.col("tot_r") >= 5 * F.col("tot_n")),
+                F.lit(False),
+            ).alias("out_of_control"),
+        )
+    )
+
+
+ORACLE_PCHART = """
+WITH per AS (
+  SELECT l_suppkey,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_returns
+  FROM lineitem GROUP BY 1
+),
+pooled AS (
+  SELECT CAST(sum(n_lines) AS BIGINT) AS tot_n,
+         CAST(sum(n_returns) AS BIGINT) AS tot_r
+  FROM per
+)
+SELECT per.l_suppkey AS suppkey, s.s_name, per.n_lines, per.n_returns,
+       round(per.n_returns / CAST(per.n_lines AS DOUBLE), 4) AS return_rate,
+       round((per.n_returns - (tot_r / CAST(tot_n AS DOUBLE)) * per.n_lines)
+             / nullif(sqrt((tot_r / CAST(tot_n AS DOUBLE))
+                           * (1 - tot_r / CAST(tot_n AS DOUBLE))
+                           * per.n_lines), 0.0), 4) AS z,
+       coalesce(abs((per.n_returns
+                     - (tot_r / CAST(tot_n AS DOUBLE)) * per.n_lines)
+             / nullif(sqrt((tot_r / CAST(tot_n AS DOUBLE))
+                           * (1 - tot_r / CAST(tot_n AS DOUBLE))
+                           * per.n_lines), 0.0)) > 3.0
+                AND per.n_lines * tot_r >= 5 * tot_n, false)
+         AS out_of_control
+FROM per CROSS JOIN pooled
+JOIN supplier s ON s.s_suppkey = per.l_suppkey
+"""
+
+
 QUERIES = {
     "lineitem_discount_elasticity": q_lineitem_discount_elasticity,
     "part_promo_share": q_part_promo_share,
@@ -2904,6 +2985,7 @@ QUERIES = {
     "nation_revenue_concentration": q_nation_revenue_concentration,
     "customer_repeat_ladder": q_customer_repeat_ladder,
     "brand_weighted_median": q_brand_weighted_median,
+    "supplier_return_pchart": q_supplier_return_pchart,
 }
 
 ORACLES = {
@@ -2956,4 +3038,5 @@ ORACLES = {
     "nation_revenue_concentration": ORACLE_REV_CONC,
     "customer_repeat_ladder": ORACLE_REPEAT_LADDER,
     "brand_weighted_median": ORACLE_WEIGHTED_MEDIAN,
+    "supplier_return_pchart": ORACLE_PCHART,
 }

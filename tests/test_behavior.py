@@ -1173,3 +1173,46 @@ def test_weighted_median_respects_units_not_rows(spark, monkeypatch):
     assert out["B1"].weighted_median_price == 1.0
     assert out["B1"].total_units == 100
     assert out["B2"].weighted_median_price == 50.0
+
+
+def test_pchart_flags_evidence_not_rank(spark, monkeypatch):
+    """A 1-line supplier at 100% return rate must NOT flag (no
+    evidence), while a high-volume supplier modestly above the pooled
+    rate must — the whole point of control limits over naive top-N."""
+    from pyspark.sql import functions as F
+
+    from osm_poi_database_maker_spark.queries import core as C
+
+    sup = spark.createDataFrame(
+        [(1, "BASE", 0, 0.0), (2, "TINY", 0, 0.0), (3, "BADVOL", 0, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey long, s_acctbal double",
+    )
+    rows = []
+    ln = 0
+    # supplier 1: 10000 lines, 5% returns (the pool's anchor)
+    for i in range(10000):
+        ln += 1
+        rows.append((ln, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "R" if i < 500 else "N", "O", "1996-01-01"))
+    # supplier 2: one line, returned — rate 1.0, z ~ 4.3? n=1: z=(1-p)/sqrt(p(1-p)) ~ 4.2 -> hmm
+    ln += 1
+    rows.append((ln, 2, 2, 1, 1.0, 1.0, 0.0, 0.0, "R", "O", "1996-01-01"))
+    # supplier 3: 2000 lines at 8% returns — modest rate, strong evidence
+    for i in range(2000):
+        ln += 1
+        rows.append((ln, 3, 3, 1, 1.0, 1.0, 0.0, 0.0, "R" if i < 160 else "N", "O", "1996-01-01"))
+    li = spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3], r[4], r[5], r[6], r[7], r[8], r[9], r[10]) for r in rows],
+        "l_orderkey long, l_suppkey long, l_partkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate string",
+    )
+    frames = {"lineitem": li, "supplier": sup}
+    monkeypatch.setattr(C, "load_table", lambda s_, sf_, n_: frames[n_])
+    out = {r.s_name: r for r in C.q_supplier_return_pchart(spark, "x").collect()}
+    assert out["BADVOL"].out_of_control is True
+    assert out["BASE"].out_of_control is False
+    # the single-line 100% supplier: its raw z (~4.1) exceeds 3 but the
+    # normal approximation is invalid at n*p_bar < 5, so the validity
+    # precondition must suppress the flag
+    assert out["TINY"].return_rate == 1.0
+    assert out["TINY"].out_of_control is False
