@@ -2512,11 +2512,14 @@ def q_nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     growing?" readout, computed as ONE aggregation pass per nation.
 
     Distributed-regression discipline: OLS needs only the sufficient
-    statistics (n, Σx, Σy, Σx², Σxy, Σy²), all of which are exact
-    INTEGER sums here (month index × revenue cents — int64-safe at gate
-    scale; at 100 TB the y-sums would be pre-scaled or decimal), so
+    statistics (n, Σx, Σy, Σx², Σxy, Σy²), all exact integer sums so
     both engines derive bit-identical slopes with no per-row float
-    accumulation and no second pass. Silent months enter as true zero
+    accumulation and no second pass. Width audit (r8, SCALE.md §int64):
+    Σy and Σxy stay int64 far past sf1.0 (monthly cents ≈ 1e10 at
+    sf0.1, ×1e4 months × m ≤ 84 « 2^63), but Σy² has 1e20 TERMS at
+    sf0.1 — it is computed in decimal(38,0) (Spark) / HUGEINT-internal
+    sum (DuckDB), still exact and engine-identical, headroom to 1e38;
+    it feeds only the double-rounded R², never an integer output. Silent months enter as true zero
     rows via the per-nation month spine (a trend fitted only to active
     months would overestimate a dying market). The shape is the
     map-side-combine ideal: raw orders collapse to (nation, month)
@@ -2550,14 +2553,19 @@ def q_nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rev").alias("sy"),
         F.sum(F.col("m") * F.col("m")).alias("sxx"),
         F.sum(F.col("m") * F.col("rev")).alias("sxy"),
-        F.sum(F.col("rev") * F.col("rev")).alias("syy"),
+        F.sum(
+            F.col("rev").cast("decimal(19,0)") * F.col("rev").cast("decimal(19,0)")
+        ).alias("syy"),
         F.max("m").alias("m_last"),
     )
     num = F.col("nm") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.col("nm") * F.col("sxx") - F.col("sx") * F.col("sx")
     slope = num / F.nullif(den, F.lit(0))
     intercept = (F.col("sy") - slope * F.col("sx")) / F.col("nm")
-    sst = F.col("nm").cast("double") * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    sst = (
+        F.col("nm").cast("double") * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy")
+    )
     r2 = (num.cast("double") * num) / F.nullif(den.cast("double") * sst, F.lit(0.0))
     return (
         stats.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
@@ -2598,7 +2606,7 @@ stats AS (
          CAST(sum(rev) AS BIGINT) AS sy,
          CAST(sum(m * m) AS BIGINT) AS sxx,
          CAST(sum(m * rev) AS BIGINT) AS sxy,
-         CAST(sum(rev * rev) AS BIGINT) AS syy,
+         CAST(sum(CAST(rev AS HUGEINT) * rev) AS DOUBLE) AS syy,
          CAST(max(m) AS BIGINT) AS m_last
   FROM dense GROUP BY 1
 )
