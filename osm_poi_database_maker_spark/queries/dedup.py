@@ -247,6 +247,13 @@ WHERE round(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 4) >= 0.25
 
 
 PPJOIN_T = 0.5
+# Integer-rational form of PPJOIN_T: all prefix/length bounds are computed
+# with exact integer arithmetic (n - ceil_div(n*NUM, DEN) + 1) so a float
+# artifact like 0.1*30 = 3.0000000000000004 can never shorten the prefix
+# and void the lossless-candidate guarantee. Keep NUM/DEN == PPJOIN_T.
+PPJOIN_T_NUM = 1
+PPJOIN_T_DEN = 2
+assert PPJOIN_T_NUM / PPJOIN_T_DEN == PPJOIN_T
 
 
 def q_doc_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -262,7 +269,14 @@ def q_doc_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     order), and take each document's first ``n - ceil(t*n) + 1``
     shingles. If J(x, y) ≥ t the two prefixes MUST share a shingle, so
     joining only on prefix shingles loses nothing. Candidates are then
-    verified with the exact intersection.
+    verified with the exact intersection. The prefix length is computed
+    with exact integer arithmetic (n − ceil_div(n·T_NUM, T_DEN) + 1),
+    never float ceil, so no threshold choice can shorten the prefix by
+    a rounding artifact. Collision caveat: the engine keys shingles on
+    xxhash64 while the oracle compares raw strings — a 64-bit collision
+    would merge two distinct shingles engine-side only (P ≈ n²/2⁶⁵;
+    immaterial at any gate SF, and at 100 TB it perturbs a candidate
+    set that exact verification re-checks anyway).
 
     100 TB shape: the self-join explodes only the PREFIX (at t=0.5 about
     half of each doc's shingles, at t=0.9 a tenth), and a globally HOT
@@ -311,7 +325,11 @@ def q_doc_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
         .withColumn(
-            "plen", (F.col("n") - F.ceil(F.lit(PPJOIN_T) * F.col("n")) + 1).cast("int")
+            "plen",
+            F.expr(
+                f"cast(n - ((n * {PPJOIN_T_NUM} + {PPJOIN_T_DEN} - 1)"
+                f" div {PPJOIN_T_DEN}) + 1 as int)"
+            ),
         )
     )
     prefix = docs.select(
@@ -323,9 +341,10 @@ def q_doc_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "h")
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
-            # length filter: J >= t forces t*max(|x|,|y|) <= min(|x|,|y|)
-            & (F.col("n_a") * F.lit(PPJOIN_T) <= F.col("n_b"))
-            & (F.col("n_b") * F.lit(PPJOIN_T) <= F.col("n_a"))
+            # length filter: J >= t forces t*max(|x|,|y|) <= min(|x|,|y|);
+            # exact integer form of n_a*t <= n_b (cross-multiplied)
+            & (F.col("n_a") * PPJOIN_T_NUM <= F.col("n_b") * PPJOIN_T_DEN)
+            & (F.col("n_b") * PPJOIN_T_NUM <= F.col("n_a") * PPJOIN_T_DEN)
         )
         .select("doc_a", "doc_b")
         .distinct()
@@ -1104,7 +1123,11 @@ def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc ratio of two counts off the SAME exploded table (the
     ownership join rides the shingle-hash exchange the df aggregate
     already created). Linear in total shingle volume at any corpus
-    size; nothing pairwise anywhere."""
+    size; nothing pairwise anywhere. Collision caveat: shingles are
+    keyed on xxhash64 while the oracle keys raw strings, so the gate's
+    agreement assumes collision-freedom (P ≈ n²/2⁶⁵ — immaterial at
+    gate scale; a collision would only undercount novelty by merging
+    two shingles' first-owners)."""
     d = load_table(spark, sf_dir, "documents")
     tok_df = d.select("doc_id", F.split(F.col("text"), " +").alias("t")).repartition(
         "doc_id"
@@ -1193,6 +1216,15 @@ def q_doc_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     settles in 1-2 rounds; a worst-case path graph would need
     O(diameter) — production swaps the fixed bound for the
     delta-doubling loop of ops/recursion.py, same per-round plan.
+
+    Truncation guard (r8): because the oracle unrolls the SAME fixed
+    layer count, a cascade needing more rounds would make both engines
+    agree on a non-2-core — undetectable by the gate. The peel
+    therefore tracks the (monotone-decreasing) survivor count per round
+    and RAISES if the last two rounds still differ: the survivor set is
+    a subset of the previous round's, so equal counts ⇒ identical sets
+    ⇒ fixed point. The counts ride the already-materialized eager
+    checkpoints, so the audit costs 8 count() actions on tiny vectors.
     Emits each core member with its within-core degree."""
     pairs = _ngram_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
     # EAGER checkpoints: alive_r is referenced on BOTH join sides of
@@ -1209,6 +1241,7 @@ def q_doc_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     alive = edges.select(F.col("s").alias("v")).distinct()
     deg = None
+    counts: list[int] = []
     for _ in range(_KCORE_ROUNDS):
         live_edges = (
             edges.join(alive.withColumnRenamed("v", "s"), "s")
@@ -1221,6 +1254,13 @@ def q_doc_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             deg.filter(F.col("core_deg") >= _KCORE_K)
             .select("v")
             .localCheckpoint(eager=True)
+        )
+        counts.append(alive.count())
+    if len(counts) >= 2 and counts[-1] != counts[-2]:
+        raise RuntimeError(
+            f"k-core peel not converged after {_KCORE_ROUNDS} rounds "
+            f"(survivor counts {counts}); raise _KCORE_ROUNDS (and the "
+            "oracle's unrolled layers) or switch to the delta-doubling loop"
         )
     return (
         deg.join(alive, "v")

@@ -1437,9 +1437,18 @@ def q_events_lead_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     row — zero-filled silent hours keep the correlation honest; an
     inner join of sparse series would silently condition on "both
     active"), the lag shift is an equi-join on the shifted hour index,
-    and corr() partial-aggregates map-side. A 1000× event volume
+    and the Pearson r partial-aggregates map-side. A 1000× event volume
     changes only the first aggregate; the sweep itself is
-    |types|² × |lags| × |hours| on counts."""
+    |types|² × |lags| × |hours| on counts.
+
+    Exactness discipline (r8): r is derived from exact INTEGER
+    sufficient statistics (m, Σa, Σb, Σab, Σa², Σb² over integer hourly
+    counts) — never F.corr/corr(), whose double partial-aggregation
+    order differs between engines and can flip a rounded 4th decimal on
+    a 0.00005 boundary. The combination terms (m·Σab − Σa·Σb etc.) are
+    computed in decimal(38,0) so no product can overflow int64 at any
+    SF; the single final double division/sqrt is bit-identical in both
+    engines because its inputs are the same exact integers."""
     e = load_table(spark, sf_dir, "events")
     counts = e.groupBy(
         "event_type",
@@ -1453,7 +1462,7 @@ def q_events_lead_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", F.explode(F.sequence("h0", "h1")).alias("hi"))
     )
     hourly = grid.join(counts, ["event_type", "hi"], "left").select(
-        "event_type", "hi", F.coalesce("n", F.lit(0)).cast("double").alias("n")
+        "event_type", "hi", F.coalesce("n", F.lit(0)).cast("long").alias("n")
     )
     lags = F.array(*[F.lit(i) for i in range(_XCORR_MAX_LAG + 1)])
     a = hourly.select(
@@ -1467,13 +1476,29 @@ def q_events_lead_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hi").alias("hi_b"),
         F.col("n").alias("n_b"),
     )
-    return (
+    stats = (
         a.join(b, "hi_b")
         .groupBy("type_a", "type_b", "lag_hours")
         .agg(
-            F.count("*").alias("n_hours"),
-            F.round(F.corr("n_a", "n_b"), 4).alias("xcorr"),
+            F.count("*").alias("m"),
+            F.sum("n_a").alias("sa"),
+            F.sum("n_b").alias("sb"),
+            F.sum(F.col("n_a") * F.col("n_b")).alias("sab"),
+            F.sum(F.col("n_a") * F.col("n_a")).alias("saa"),
+            F.sum(F.col("n_b") * F.col("n_b")).alias("sbb"),
         )
+    )
+    d = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    num = d("m") * d("sab") - d("sa") * d("sb")
+    var_a = d("m") * d("saa") - d("sa") * d("sa")
+    var_b = d("m") * d("sbb") - d("sb") * d("sb")
+    den = F.sqrt(var_a.cast("double") * var_b.cast("double"))
+    return stats.select(
+        "type_a",
+        "type_b",
+        "lag_hours",
+        F.col("m").alias("n_hours"),
+        F.round(num.cast("double") / F.nullif(den, F.lit(0.0)), 4).alias("xcorr"),
     )
 
 
@@ -1491,17 +1516,29 @@ grid AS (
   CROSS JOIN (SELECT unnest(range(h0, h1 + 1)) AS hi FROM rng) s
 ),
 hourly AS (
-  SELECT g.event_type, g.hi, CAST(coalesce(c.n, 0) AS DOUBLE) AS n
+  SELECT g.event_type, g.hi, CAST(coalesce(c.n, 0) AS BIGINT) AS n
   FROM grid g LEFT JOIN counts c
     ON c.event_type = g.event_type AND c.hi = g.hi
+),
+stats AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag_hours,
+         CAST(count(*) AS HUGEINT) AS m,
+         CAST(sum(a.n) AS HUGEINT) AS sa,
+         CAST(sum(b.n) AS HUGEINT) AS sb,
+         CAST(sum(a.n * b.n) AS HUGEINT) AS sab,
+         CAST(sum(a.n * a.n) AS HUGEINT) AS saa,
+         CAST(sum(b.n * b.n) AS HUGEINT) AS sbb
+  FROM hourly a
+  CROSS JOIN (SELECT unnest(range({_XCORR_MAX_LAG} + 1)) AS lag_hours) l
+  JOIN hourly b ON b.hi = a.hi + l.lag_hours
+  GROUP BY 1, 2, 3
 )
-SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag_hours,
-       CAST(count(*) AS BIGINT) AS n_hours,
-       round(corr(a.n, b.n), 4) AS xcorr
-FROM hourly a
-CROSS JOIN (SELECT unnest(range({_XCORR_MAX_LAG} + 1)) AS lag_hours) l
-JOIN hourly b ON b.hi = a.hi + l.lag_hours
-GROUP BY 1, 2, 3
+SELECT type_a, type_b, lag_hours, CAST(m AS BIGINT) AS n_hours,
+       round(CAST(m * sab - sa * sb AS DOUBLE)
+             / nullif(sqrt(CAST(m * saa - sa * sa AS DOUBLE)
+                           * CAST(m * sbb - sb * sb AS DOUBLE)), 0.0),
+             4) AS xcorr
+FROM stats
 """
 
 

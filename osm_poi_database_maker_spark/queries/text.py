@@ -1980,7 +1980,10 @@ def q_doc_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the |docs|-row per-doc rollup, never the token stream. The
     log-log OLS over the curve is the closed-form sufficient-stats
     regression on that tiny table. Emits one row: beta, k, r2, and
-    the endpoints (n_tokens, vocabulary)."""
+    the endpoints (n_tokens, vocabulary). Collision caveat: vocabulary
+    identity is xxhash64(token) while the oracle distinct-counts raw
+    strings — the certificate assumes 64-bit collision-freedom
+    (P ≈ V²/2⁶⁵; a collision would undercount V by one)."""
     d = load_table(spark, sf_dir, "documents")
     tok = (
         d.select("doc_id", F.explode(F.split(F.col("text"), " +")).alias("w"))

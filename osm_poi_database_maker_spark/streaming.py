@@ -514,7 +514,11 @@ def bloom_admit_state(
     )
 
 
-_MARKOV_STATE_SCHEMA = "ts_us array<long>, eid array<long>, typ array<string>"
+_MARKOV_STATE_SCHEMA = (
+    "ts_us array<long>, eid array<long>, typ array<string>, "
+    "base_from array<string>, base_to array<string>, base_n array<long>, "
+    "base_seen long"
+)
 _MARKOV_OUT_SCHEMA = (
     "user_id long, from_type string, to_type string, n long, n_seen long"
 )
@@ -525,16 +529,29 @@ def _markov_update(key: tuple[Any, ...], pdfs: Any, state: GroupState):
     the user's CURRENT first-order transition counts, stamped with the
     monotone n_seen so the caller keeps only the newest emission.
 
-    The history (ts, event_id, type) must be state — a late event that
-    lands BETWEEN two previously-adjacent events rewrites the transition
-    they used to form, so no counts-only state can stay exact under
-    out-of-order arrival. State is linear in the user's own event count
-    (the per-key behavioral sequence, the same budget a session replay
-    needs), never in the stream."""
+    The MUTABLE history (ts, event_id, type) must be state — a late
+    event that lands BETWEEN two previously-adjacent events rewrites
+    the transition they used to form, so no counts-only state can stay
+    exact under out-of-order arrival. But exact re-chaining is only
+    needed within the allowed-lateness horizon: everything older than
+    the current event-time watermark can never be split by a late
+    arrival (Spark drops sub-watermark rows before they reach this
+    function), so the sub-watermark PREFIX is folded into an immutable
+    (from,to)→n base-count map plus a retained chain head, and only the
+    suffix stays as ordered history. Retained state is therefore
+    O(|event-type alphabet|² + events inside the watermark horizon) per
+    user — bounded forever on an unbounded stream — instead of the
+    user's lifetime event count. With no watermark configured
+    (getCurrentWatermarkMs() = 0, e.g. the bounded gate replay) nothing
+    is folded and the fold degenerates to the exact full-history form."""
     hist: list[tuple[int, int, str]] = []
+    base: dict[tuple[str, str], int] = {}
+    base_seen = 0
     if state.exists:
-        ts, eid, typ = state.get
+        ts, eid, typ, bf, bt, bn, bs = state.get
         hist = [(int(t), int(e), str(y)) for t, e, y in zip(ts, eid, typ)]
+        base = {(str(a), str(b)): int(n) for a, b, n in zip(bf, bt, bn)}
+        base_seen = int(bs)
     for pdf in pdfs:
         hist.extend(
             (int(t), int(e), str(y))
@@ -545,21 +562,46 @@ def _markov_update(key: tuple[Any, ...], pdfs: Any, state: GroupState):
             )
         )
     hist.sort()
+    try:
+        wm_us = int(state.getCurrentWatermarkMs()) * 1000
+    except Exception:  # no watermark configured upstream (PySpark raises
+        wm_us = 0  # CANNOT_WITHOUT), or a fake test state without the method
+    if wm_us > 0:
+        # fold the frozen prefix: keep the last sub-watermark event as
+        # the retained chain HEAD so the boundary transition stays live
+        cut = 0
+        while cut < len(hist) and hist[cut][0] < wm_us:
+            cut += 1
+        if cut > 1:
+            for (_, _, a), (_, _, b) in zip(hist[: cut - 1], hist[1:cut]):
+                base[(a, b)] = base.get((a, b), 0) + 1
+            base_seen += cut - 1
+            hist = hist[cut - 1 :]
+    bkeys = sorted(base)
     state.update(
-        ([t for t, _, _ in hist], [e for _, e, _ in hist], [y for _, _, y in hist])
+        (
+            [t for t, _, _ in hist],
+            [e for _, e, _ in hist],
+            [y for _, _, y in hist],
+            [a for a, _ in bkeys],
+            [b for _, b in bkeys],
+            [base[k] for k in bkeys],
+            base_seen,
+        )
     )
-    counts: dict[tuple[str, str], int] = {}
+    counts = dict(base)
     for (_, _, a), (_, _, b) in zip(hist, hist[1:]):
         counts[(a, b)] = counts.get((a, b), 0) + 1
     if counts:
         pairs = sorted(counts)
+        n_seen = base_seen + len(hist)
         yield pd.DataFrame(
             {
                 "user_id": [key[0]] * len(pairs),
                 "from_type": [a for a, _ in pairs],
                 "to_type": [b for _, b in pairs],
                 "n": [counts[p] for p in pairs],
-                "n_seen": [len(hist)] * len(pairs),
+                "n_seen": [n_seen] * len(pairs),
             }
         )
 
@@ -568,12 +610,16 @@ def markov_transitions_state(events: DataFrame) -> DataFrame:
     """Streaming first-order Markov transition maintenance — the
     custom-state twin of queries/behavior.q_events_markov_transitions.
     Ties on timestamp break by event_id exactly like the batch lag
-    window (the tuple sort is (ts, event_id)), and because the full
-    per-user ordered history is state, a late arrival re-emits the
-    corrected counts rather than freezing a wrong chain — the emission
-    then feeds the same global (from,to) aggregate + row-normalizing
-    window as the batch twin and is certified by the SAME DuckDB
-    oracle."""
+    window (the tuple sort is (ts, event_id)), and because the ordered
+    history WITHIN the watermark horizon is state, a late arrival
+    re-emits the corrected counts rather than freezing a wrong chain —
+    the emission then feeds the same global (from,to) aggregate +
+    row-normalizing window as the batch twin and is certified by the
+    SAME DuckDB oracle. State is bounded: _markov_update folds the
+    sub-watermark prefix into immutable base counts, so per-user memory
+    rides the type-alphabet² plus the lateness horizon, never lifetime
+    event count (add .withWatermark("ts", ...) upstream to activate;
+    the bounded gate replay runs watermark-less and stays exact)."""
     prepped = events.select(
         "user_id",
         F.unix_micros("ts").alias("ts_us"),

@@ -596,6 +596,61 @@ def test_stream_markov_fold_rechains_late_arrival():
     assert list(zip(out3["from_type"], out3["to_type"])) == [("A", "Z"), ("Z", "C")]
 
 
+def test_stream_markov_watermark_fold_bounds_state():
+    """With a watermark, the sub-watermark prefix folds into immutable
+    base counts and the retained history shrinks to the chain head plus
+    the in-horizon suffix — emitted counts must stay identical to the
+    unpruned full-history fold."""
+    import pandas as pd
+
+    from osm_poi_database_maker_spark import streaming as S
+
+    class _WmState(_FakeGroupState):
+        def __init__(self, wm_ms):
+            super().__init__()
+            self._wm = wm_ms
+
+        def getCurrentWatermarkMs(self):
+            return self._wm
+
+    evs = pd.DataFrame(
+        {
+            "ts_us": [100, 200, 300, 400_000, 500_000],
+            "event_id": [1, 2, 3, 4, 5],
+            "event_type": ["A", "B", "A", "B", "C"],
+        }
+    )
+    st = _WmState(wm_ms=0)  # first batch: no watermark progress yet
+    list(S._markov_update((9,), [evs.iloc[:3]], st))
+    # watermark at 350ms = 350_000µs: events at 100/200µs freeze, 300µs
+    # stays as the chain head
+    st._wm = 350
+    out = list(S._markov_update((9,), [evs.iloc[3:]], st))[0]
+    # counts equal the full-chain A->B->A->B->C regardless of pruning
+    got = sorted(zip(out["from_type"], out["to_type"], out["n"]))
+    assert got == [("A", "B", 2), ("B", "A", 1), ("B", "C", 1)]
+    assert out["n_seen"].tolist() == [5, 5, 5]
+    ts, eid, typ, bf, bt, bn, bs = st._v
+    # events 100,200 folded (base_seen=2); head 300 retained for the
+    # boundary transition; suffix 400k/500k live
+    assert bs == 2
+    assert ts == [300, 400_000, 500_000]
+    assert sorted(zip(bf, bt, bn)) == [("A", "B", 1), ("B", "A", 1)]
+    # a later batch must keep folding on top of the existing base:
+    # wm 450ms freezes the 300µs head (folding A->B onto base → 2) and
+    # promotes 400_000 to the new head
+    st._wm = 450
+    late = pd.DataFrame(
+        {"ts_us": [600_000], "event_id": [6], "event_type": ["A"]}
+    )
+    out2 = list(S._markov_update((9,), [late], st))[0]
+    got2 = sorted(zip(out2["from_type"], out2["to_type"], out2["n"]))
+    assert got2 == [("A", "B", 2), ("B", "A", 1), ("B", "C", 1), ("C", "A", 1)]
+    assert out2["n_seen"].tolist() == [6] * 4
+    ts2, *_rest, bs2 = st._v
+    assert bs2 == 3 and ts2 == [400_000, 500_000, 600_000]
+
+
 def test_stream_markov_matches_batch_twin(spark):
     """The streaming Markov query must equal the batch operator
     row-for-row on the same fixture."""
