@@ -2673,10 +2673,15 @@ def q_nation_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFram
                 F.col("rk_desc") <= F.ceil(F.col("n_in_nation") / 10.0), F.col("rev")
             ).otherwise(0)
         ).alias("top_rev"),
-        F.sum(F.col("rk_asc") * F.col("rev")).alias("iy"),
+        # rank×revenue in decimal(38,0): at sf100 rank ≈ 6e5 and customer
+        # revenue ≈ 1.5e8 cents → Σ(i·yᵢ) ≈ 5e19 > 2⁶³ (SCALE.md §int64)
+        F.sum(
+            F.col("rk_asc").cast("decimal(19,0)") * F.col("rev").cast("decimal(19,0)")
+        ).alias("iy"),
     )
     gini = (
-        2.0 * F.col("iy") / (F.col("n_cust") * F.col("total"))
+        2.0 * F.col("iy").cast("double")
+        / (F.col("n_cust").cast("double") * F.col("total").cast("double"))
         - (F.col("n_cust") + 1) / F.col("n_cust")
     )
     return (
@@ -2712,12 +2717,12 @@ agg AS (
          CAST(sum(rev) AS BIGINT) AS total,
          CAST(sum(CASE WHEN rk_desc <= ceil(n_cust / 10.0) THEN rev ELSE 0 END)
               AS BIGINT) AS top_rev,
-         CAST(sum(rk_asc * rev) AS BIGINT) AS iy
+         CAST(sum(CAST(rk_asc AS HUGEINT) * rev) AS DOUBLE) AS iy
   FROM ranked GROUP BY 1
 )
 SELECT n.n_name, agg.n_cust AS n_customers,
        round(top_rev / CAST(total AS DOUBLE), 4) AS top_decile_share,
-       round(2.0 * iy / (n_cust * CAST(total AS DOUBLE))
+       round(2.0 * iy / (CAST(n_cust AS DOUBLE) * CAST(total AS DOUBLE))
              - (n_cust + 1) / CAST(n_cust AS DOUBLE), 4) AS gini
 FROM agg JOIN nation n ON n.n_nationkey = agg.c_nationkey
 """

@@ -1391,8 +1391,14 @@ def q_events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return held.groupBy("event_type").agg(
         F.count("*").alias("n_intervals"),
         F.sum("dur").alias("held_seconds"),
+        # Σ(cents·dur) in decimal(38,0): value-cents × multi-year second
+        # gaps × per-type interval count breaches 2⁶³ near sf100
+        # (SCALE.md §int64); the quotient is double-rounded anyway
         F.round(
-            F.sum(F.col("cents") * F.col("dur"))
+            F.sum(
+                F.col("cents").cast("decimal(19,0)")
+                * F.col("dur").cast("decimal(19,0)")
+            ).cast("double")
             / (F.lit(100.0) * F.sum("dur")),
             6,
         ).alias("time_weighted_avg"),
@@ -1578,10 +1584,14 @@ def q_events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = hourly.groupBy("event_type").agg(
         F.count("*").alias("n_h"),
         F.sum("n").alias("sx"),
-        F.sum(F.col("n") * F.col("n")).alias("sx2"),
+        # Σn² in decimal(38,0): safe past 3e6 events/hour/type, where the
+        # int64 form would overflow at 1e5 hours (SCALE.md §int64)
+        F.sum(
+            F.col("n").cast("decimal(19,0)") * F.col("n").cast("decimal(19,0)")
+        ).alias("sx2"),
     )
     mu = F.col("sx") / F.col("n_h")
-    var = (F.col("sx2") - F.col("n_h") * mu * mu) / F.nullif(
+    var = (F.col("sx2").cast("double") - F.col("n_h") * mu * mu) / F.nullif(
         F.col("n_h") - 1, F.lit(0)
     )
     stats = stats.select(

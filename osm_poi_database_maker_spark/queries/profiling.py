@@ -585,16 +585,28 @@ def q_customer_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("dist") <= 1)
     )
+    # checksum accumulates in decimal(38,0) and reduces mod 2³¹−1: the
+    # raw Σ(key·1000003+key) passes 2⁶³ once custkey ≈ 1.5e7 meets ~6e5
+    # matched pairs (SCALE.md §int64); the mod keeps the certificate
+    # exact and the output BIGINT at any scale
     return pairs.groupBy("dist").agg(
         F.count("*").alias("n_pairs"),
-        F.sum(F.col("key_a") * 1000003 + F.col("key_b")).alias("pair_checksum"),
+        (
+            F.sum(
+                (F.col("key_a") * 1000003 + F.col("key_b")).cast("decimal(28,0)")
+            )
+            % F.lit(2147483647)
+        )
+        .cast("long")
+        .alias("pair_checksum"),
     )
 
 
 ORACLE_EDIT_PAIRS = """
 SELECT dist,
        count(*) AS n_pairs,
-       CAST(sum(key_a * 1000003 + key_b) AS BIGINT) AS pair_checksum
+       CAST(sum(key_a * 1000003 + key_b) % 2147483647 AS BIGINT)
+         AS pair_checksum
 FROM (
   SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
          levenshtein(a.c_name, b.c_name) AS dist
