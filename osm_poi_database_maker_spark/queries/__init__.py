@@ -63,81 +63,14 @@ _MODULES = (
 # Every registered query keeps a pytest + tools/check.py local gate
 # regardless of window position.
 _VERIFY_FIRST = [
-    # tier 1a: new in round 7, no driver row yet — the Bloom admit-once
-    # pair (batch + hash-gated streaming twin), the streaming
-    # gapfill/LOCF, the multi-parent DAG min-dist closure and the
-    # referral subtree rollup, the JL projection with distortion audit,
-    # audio silence segmentation, token entropy, Benford digits, the
-    # variable-interval session-overlap join, the CDC snapshot diff,
-    # the recursive-CTE-oracled MMR rerank, the POI density grid, the
-    # golden-record survivorship merge, and farthest-point sampling.
-    "events_bloom_admit",
-    "stream_bloom_admit",
-    "stream_gapfill_locf",
-    "customer_dag_min_paths",
-    "customer_referral_rollup",
-    "emb_jl_projection",
-    "mm_audio_silence_segments",
-    "doc_token_entropy",
-    "events_benford_deviation",
-    "events_session_overlap",
-    "orders_snapshot_diff",
-    "doc_mmr_rerank",
-    "osm_poi_density_grid",
-    "doc_survivorship_merge",
-    "emb_maximin_centers",
-    "part_skyline",
-    "events_time_weighted_avg",
-    "customer_edit_pairs",
-    "doc_phrase_search",
-    "stream_markov_transitions",
-    "basket_frequent_itemsets",
-    "events_m4_downsample",
-    "stream_m4_downsample",
-    # tier 1b: oracle or implementation changed in round 7 — the four
-    # r6 hash-FAILs re-oracled with BIGINT casts (DuckDB HUGEINT →
-    # pandas float64 canonicalizer bug), and the KMV/CMS family whose
-    # hash fold is now pmod-normalized in batch + oracle + streaming.
-    "shipping_lag_buckets",
-    "excess_shipped_suppliers",
-    "events_cms_counts",
-    "stream_cms_counts",
-    "events_kmv_distinct",
-    "stream_kmv_distinct",
-    # tier 2a: the r03-evidence remainder — their only driver rows are
-    # four rounds old and MUST lead (rotation contract; the first 19 of
-    # the cohort re-greened in r6, these 21 are the overflow).
-    "doc_longest_eval_overlap",
-    "doc_weighted_sample",
-    "doc_dedup_clusters",
-    "doc_dedup_survivors",
-    "doc_graph_pagerank",
-    "emb_cosine_topk",
-    "emb_norm_quantiles",
-    "emb_centroid_distances",
-    "mm_audio_energy",
-    "mm_payload_stats",
-    "nation_lateral_topk",
-    "nation_set_ops",
-    "orders_mom_growth",
-    "lineitem_unpivot",
-    "customers_with_urgent_orders",
-    "customers_without_orders",
-    "top_orders_per_customer",
-    "stream_hourly_window",
-    "stream_sliding_window",
-    "stream_session_windows",
-    "stream_stream_attribution",
-    # --- the 50-entry window ends here (23 tier-1a + 6 tier-1b +
-    # 21 tier-2a; round 7 grew tier 1a to exactly fill the window, so
-    # the tier-2b r04 cohort rotates to round 8). Overflow, in round-8
-    # priority order: any round-7 late additions below, then the
-    # r04-evidence entries, then the r05-verified block via
-    # module-cohort append; r06-green entries come last (freshest
-    # evidence).
-    # round-7 late additions: locally hash-gated (tools/check.py at
-    # sf0.001 + sf0.01) but past the 50-entry window; they lead the
-    # round-8 window.
+    # tier 1a (round 8): the 26 round-7 late additions — locally
+    # hash-gated since r7 but with NO driver correctness row in any
+    # round (r7 verdict "What's missing" #1); they lead the window
+    # until the driver oracles them. nation_revenue_trend,
+    # events_lead_lag_corr, events_cusum_changepoints, doc_ppjoin_pairs,
+    # doc_graph_kcore, nation_revenue_concentration also changed in r8
+    # (overflow-width / advisor fixes), so their rows double as
+    # change-verification.
     "doc_ppjoin_pairs",
     "doc_global_index",
     "events_lead_lag_corr",
@@ -164,8 +97,18 @@ _VERIFY_FIRST = [
     "doc_ngram_novelty",
     "doc_heaps_law",
     "supplier_return_pchart",
-    # tier 2b (overflow): r04-evidence cohort, stalest remaining —
-    # leads round 8 after late additions.
+    # tier 1b (round 8): green in r7 but implementation changed THIS
+    # round — edit-pair checksum now modular-decimal, TWA product sum
+    # widened, Markov stream state schema gained the watermark-folded
+    # base counts.
+    "customer_edit_pairs",
+    "events_time_weighted_avg",
+    "stream_markov_transitions",
+    # tier 1c (round 8): new queries this round (inserted here as they
+    # land; the 26 above must stay inside the 50-entry window).
+    # tier 2: the r04-evidence cohort — stalest remaining driver rows
+    # (testdata regenerates between rounds, so old rows decay); fills
+    # the rest of the window, overflow rotates to r9.
     "events_user_lifecycle",
     "events_dau_wau",
     "events_linear_attribution",
