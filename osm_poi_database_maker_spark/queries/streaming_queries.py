@@ -21,6 +21,7 @@ from .events import (
     ORACLE_CUSUM,
     ORACLE_GAPFILL,
     ORACLE_HOURLY,
+    ORACLE_IVM,
     ORACLE_KMV,
     ORACLE_M4,
     ORACLE_OHLC,
@@ -344,6 +345,90 @@ def q_stream_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental-view maintenance — the continuously-
+    maintained twin of queries/events.q_events_incremental_rollup.
+    applyInPandasWithState holds one (count, cent-sum, min, max)
+    partial per (event_type, day) — the IVM state table itself — and
+    each micro-batch merges deltas with the same commutative-monoid
+    algebra the batch twin audits in-band. The finalizer selects each
+    key's newest emission (n is strictly monotone per key), re-derives
+    the data-driven cutoff, merges partials per type, and joins the
+    DIRECT batch recompute over the same parquet to fill the batch
+    twin's ivm_match audit column — "state maintained incrementally
+    across micro-batches equals a from-scratch rescan" is exactly the
+    certificate a production IVM pipeline wants, and the batch twin's
+    DuckDB oracle hash-gates it end-to-end (exact integer cents, so
+    bit-equality, no tolerance)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..io import load_table
+    from .events import _IVM_DELTA_DAYS
+
+    out = _materialize(
+        S.ivm_rollup_state(S.stream_events(spark, sf_dir)), spark, "update"
+    )
+    w = Window.partitionBy("event_type", "day").orderBy(F.desc("n"))
+    parts = (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    cutoff = parts.groupBy().agg(
+        (F.max("day") - _IVM_DELTA_DAYS).alias("cutoff_day")
+    )
+    merged = (
+        parts.crossJoin(F.broadcast(cutoff))
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("m_n"),
+            F.sum("s").alias("m_s"),
+            F.min("mn").alias("m_mn"),
+            F.max("mx").alias("m_mx"),
+            F.countDistinct("day").alias("m_days"),
+            F.sum(
+                F.when(F.col("day") >= F.col("cutoff_day"), F.col("n")).otherwise(0)
+            ).alias("delta_events"),
+        )
+    )
+    direct = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.unix_date(F.to_date("ts")).alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("d_n"),
+            F.sum("cents").alias("d_s"),
+            F.min("cents").alias("d_mn"),
+            F.max("cents").alias("d_mx"),
+            F.countDistinct("day").alias("d_days"),
+        )
+    )
+    return (
+        merged.join(direct, "event_type")
+        .select(
+            "event_type",
+            F.col("m_n").alias("n_events"),
+            F.round(F.col("m_s") / 100.0, 2).alias("sum_value"),
+            F.round(F.col("m_mn") / 100.0, 2).alias("min_value"),
+            F.round(F.col("m_mx") / 100.0, 2).alias("max_value"),
+            F.col("m_days").alias("n_days"),
+            F.col("delta_events").cast("long").alias("delta_events"),
+            (
+                (F.col("m_n") == F.col("d_n"))
+                & (F.col("m_s") == F.col("d_s"))
+                & (F.col("m_mn") == F.col("d_mn"))
+                & (F.col("m_mx") == F.col("d_mx"))
+                & (F.col("m_days") == F.col("d_days"))
+            ).alias("ivm_match"),
+        )
+    )
+
+
 def q_stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream watermarked join (purchase ← same-user click within
     2 hours): both sides are live streams; bounded time-range condition
@@ -394,6 +479,7 @@ QUERIES = {
     "stream_m4_downsample": q_stream_m4_downsample,
     "stream_ab_test": q_stream_ab_test,
     "stream_cusum_changepoints": q_stream_cusum_changepoints,
+    "stream_incremental_rollup": q_stream_incremental_rollup,
 }
 
 ORACLES = {
@@ -413,4 +499,5 @@ ORACLES = {
     "stream_m4_downsample": ORACLE_M4,
     "stream_ab_test": ORACLE_AB,
     "stream_cusum_changepoints": ORACLE_CUSUM,
+    "stream_incremental_rollup": ORACLE_IVM,
 }

@@ -1056,3 +1056,63 @@ def cusum_state(events: DataFrame, k_sd: float = 0.5, h_sd: float = 4.0) -> Data
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_IVM_STATE_SCHEMA = "n long, s long, mn long, mx long"
+_IVM_OUT_SCHEMA = "event_type string, day long, n long, s long, mn long, mx long"
+
+
+def _ivm_rollup_update(key: tuple[Any, ...], pdfs: Any, state: GroupState):
+    """Merge a micro-batch into one (event_type, day) partial aggregate
+    — EXACTLY the commutative-monoid algebra the batch IVM query
+    (queries/events.q_events_incremental_rollup) audits: count and
+    integer-cent sum add, min/max lattice-join. Because every component
+    is a monoid, micro-batch boundaries and arrival order are invisible
+    by construction; the emitted n doubles as the strictly-monotone
+    version stamp the finalizer keys on. State is 4 scalars per active
+    (type, day) — the same |types|×|days| budget the batch query's
+    stored-partials table costs."""
+    n, s, mn, mx = state.get if state.exists else (0, 0, None, None)
+    n, s = int(n), int(s)
+    for pdf in pdfs:
+        if len(pdf):
+            cents = pdf["cents"]
+            n += int(len(cents))
+            s += int(cents.sum())
+            bmn, bmx = int(cents.min()), int(cents.max())
+            mn = bmn if mn is None else min(int(mn), bmn)
+            mx = bmx if mx is None else max(int(mx), bmx)
+    state.update((n, s, mn, mx))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "day": [key[1]],
+            "n": [n],
+            "s": [s],
+            "mn": [mn],
+            "mx": [mx],
+        }
+    )
+
+
+def ivm_rollup_state(events: DataFrame) -> DataFrame:
+    """Streaming incremental-view maintenance of the per-(type, day)
+    rollup — the continuously-maintained twin of the batch IVM query's
+    stored-partials state. The day/cents projection runs declaratively
+    before the stateful op (state-store sharding and partition pruning
+    see real columns); the fold maintains insert-only partials whose
+    merge algebra the batch query audits in-band (ivm_match), so the
+    stream inherits the same "absorb a partition by touching state
+    rows, never rescan history" 100 TB contract."""
+    prepped = events.select(
+        "event_type",
+        F.unix_date(F.to_date("ts")).alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return prepped.groupBy("event_type", "day").applyInPandasWithState(
+        _ivm_rollup_update,
+        outputStructType=_IVM_OUT_SCHEMA,
+        stateStructType=_IVM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -663,6 +663,40 @@ def test_stream_markov_matches_batch_twin(spark):
     assert batch == stream
 
 
+def test_stream_ivm_fold_is_batch_invariant():
+    """The IVM merge is a commutative monoid: one update call vs any
+    split across micro-batches must leave identical state and final
+    emission."""
+    import pandas as pd
+
+    from osm_poi_database_maker_spark import streaming as S
+
+    cents = pd.DataFrame({"cents": [500, -20, 300, 300, 70]})
+    one = _FakeGroupState()
+    out_one = list(S._ivm_rollup_update(("click", 19000), [cents], one))[0]
+
+    two = _FakeGroupState()
+    list(S._ivm_rollup_update(("click", 19000), [cents.iloc[:2]], two))
+    out_two = list(S._ivm_rollup_update(("click", 19000), [cents.iloc[2:]], two))[0]
+
+    assert one._v == two._v == (5, 1150, -20, 500)
+    assert out_one.equals(out_two)
+    assert out_one.iloc[0].tolist() == ["click", 19000, 5, 1150, -20, 500]
+
+
+def test_stream_ivm_matches_batch_twin(spark):
+    """The streaming IVM rollup must equal the batch operator
+    row-for-row, including the ivm_match audit column (all true)."""
+    from osm_poi_database_maker_spark.queries import events as E
+    from osm_poi_database_maker_spark.queries import streaming_queries as Q
+    from tests.conftest import SF_SMOKE
+
+    batch_rows = E.q_events_incremental_rollup(spark, SF_SMOKE).collect()
+    stream_rows = Q.q_stream_incremental_rollup(spark, SF_SMOKE).collect()
+    assert {tuple(r) for r in batch_rows} == {tuple(r) for r in stream_rows}
+    assert all(r["ivm_match"] for r in stream_rows)
+
+
 def test_stream_m4_fold_is_order_insensitive():
     """The M4 fold must converge to the batch twin's four points under
     any arrival order: late arrivals can steal any role, ties on value
