@@ -107,6 +107,7 @@ _VERIFY_FIRST = [
     # tier 1c (round 8): new queries this round (inserted here as they
     # land; the 26 above must stay inside the 50-entry window).
     "stream_incremental_rollup",
+    "emb_rank_fusion",
     # tier 2: the r04-evidence cohort — stalest remaining driver rows
     # (testdata regenerates between rounds, so old rows decay); fills
     # the rest of the window, overflow rotates to r9.

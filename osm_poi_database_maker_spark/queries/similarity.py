@@ -1567,7 +1567,153 @@ ORDER BY d2.vec_a, d2.vec_b
 ORACLE_JL = _jl_oracle_sql()
 
 
+_RRF_DEPTH = 20  # per-ranker list depth fed into the fusion
+_RRF_C = 60      # the canonical RRF damping constant (Cormack et al. SIGIR'09)
+_RRF_TOPK = 5
+
+
+def q_emb_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack/Clarke/
+    Buettcher SIGIR'09): for each query document (vec_id < 5 — the
+    embeddings and documents fixtures share an id space), fuse a DENSE
+    ranking (exact embedding cosine, the _cosine_topk_ranked key) with
+    a LEXICAL ranking (distinct-token overlap with the query doc's
+    text) by score = Σ 1/(60 + rank) over the two top-20 lists, and
+    emit the fused top-5 — the standard two-tower + BM25-ish blend
+    every retrieval-backed curation pipeline runs, with both ranks
+    carried so a miss in either list is visible (NULL rank ⇒ that
+    ranker contributed nothing).
+
+    Determinism: both input ranks are integers off deterministic keys
+    (cosine rounded to 6 + vec_id tie; overlap count + doc_id tie), so
+    the RRF score is a 2-term closed-form double both engines evaluate
+    identically — no accumulation-order exposure. Plan shape: the
+    5-query side broadcasts against both towers (no shuffle of either
+    collection); the lexical side joins only on the QUERY's own tokens
+    (posting-list pruning — candidate volume rides the query terms'
+    document frequency, never |corpus|²), exactly the doc_bm25_topk
+    scale path."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cos = _cosine_topk_ranked(e, N_QUERY_VECS, _RRF_DEPTH).select(
+        "query_id", F.col("vec_id").alias("cand_id"), F.col("rk").alias("cos_rk")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " +"))).alias("w"),
+    ).filter(F.col("w") != "")
+    qt = toks.filter(F.col("doc_id") < N_QUERY_VECS).select(
+        F.col("doc_id").alias("query_id"), "w"
+    )
+    overlap = (
+        toks.join(F.broadcast(qt), "w")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("doc_id").alias("cand_id"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    w_lex = Window.partitionBy("query_id").orderBy(
+        F.desc("n_shared"), F.asc("cand_id")
+    )
+    lex = (
+        overlap.withColumn("lex_rk", F.row_number().over(w_lex))
+        .filter(F.col("lex_rk") <= _RRF_DEPTH)
+        .select("query_id", "cand_id", "lex_rk")
+    )
+    fused = cos.join(lex, ["query_id", "cand_id"], "full_outer").select(
+        "query_id",
+        "cand_id",
+        "cos_rk",
+        "lex_rk",
+        (
+            F.coalesce(1.0 / (F.lit(_RRF_C) + F.col("cos_rk")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(_RRF_C) + F.col("lex_rk")), F.lit(0.0))
+        ).alias("score_raw"),
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score_raw"), 9)), F.asc("cand_id")
+    )
+    return (
+        fused.withColumn("fused_rk", F.row_number().over(w_f))
+        .filter(F.col("fused_rk") <= _RRF_TOPK)
+        .select(
+            "query_id",
+            "cand_id",
+            "fused_rk",
+            F.round("score_raw", 6).alias("rrf_score"),
+            "cos_rk",
+            "lex_rk",
+        )
+    )
+
+
+ORACLE_RRF = f"""
+WITH el AS (
+  SELECT vec_id,
+         CAST(unnest(embedding) AS DOUBLE) AS val,
+         unnest(range(len(embedding))) AS idx
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(val * val)) AS norm FROM el GROUP BY vec_id),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, sum(q.val * c.val) AS dot
+  FROM el q JOIN el c ON q.idx = c.idx AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < {N_QUERY_VECS}
+  GROUP BY 1, 2
+),
+cosr AS (
+  SELECT query_id, cand_id,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(dot / (nq.norm * nc.norm), 6) DESC, cand_id ASC
+         ) AS cos_rk
+  FROM dots
+  JOIN norms nq ON nq.vec_id = dots.query_id
+  JOIN norms nc ON nc.vec_id = dots.cand_id
+),
+cos_top AS (SELECT * FROM cosr WHERE cos_rk <= {_RRF_DEPTH}),
+toks AS (
+  SELECT DISTINCT doc_id, w
+  FROM (SELECT doc_id, unnest(string_split_regex(text, ' +')) AS w
+        FROM documents)
+  WHERE w <> ''
+),
+overlap AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS cand_id, count(*) AS n_shared
+  FROM toks q JOIN toks c ON q.w = c.w AND c.doc_id <> q.doc_id
+  WHERE q.doc_id < {N_QUERY_VECS}
+  GROUP BY 1, 2
+),
+lexr AS (
+  SELECT query_id, cand_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY n_shared DESC, cand_id ASC) AS lex_rk
+  FROM overlap
+),
+lex_top AS (SELECT * FROM lexr WHERE lex_rk <= {_RRF_DEPTH}),
+fused AS (
+  SELECT coalesce(a.query_id, b.query_id) AS query_id,
+         coalesce(a.cand_id, b.cand_id) AS cand_id,
+         a.cos_rk, b.lex_rk,
+         coalesce(1.0 / ({_RRF_C} + a.cos_rk), 0.0)
+           + coalesce(1.0 / ({_RRF_C} + b.lex_rk), 0.0) AS score_raw
+  FROM cos_top a
+  FULL OUTER JOIN lex_top b
+    ON a.query_id = b.query_id AND a.cand_id = b.cand_id
+)
+SELECT query_id, cand_id, fused_rk,
+       round(score_raw, 6) AS rrf_score, cos_rk, lex_rk
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY round(score_raw, 9) DESC, cand_id ASC) AS fused_rk
+  FROM fused
+)
+WHERE fused_rk <= {_RRF_TOPK}
+"""
+
+
 QUERIES = {
+    "emb_rank_fusion": q_emb_rank_fusion,
     "emb_opq_codes": q_emb_opq_codes,
     "emb_jl_projection": q_emb_jl_projection,
     "emb_maximin_centers": q_emb_maximin_centers,
@@ -1589,6 +1735,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "emb_rank_fusion": ORACLE_RRF,
     "emb_jl_projection": ORACLE_JL,
     "emb_maximin_centers": ORACLE_FPS,
     "emb_cosine_topk": ORACLE_COSINE,
