@@ -1584,6 +1584,14 @@ def q_emb_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     carried so a miss in either list is visible (NULL rank ⇒ that
     ranker contributed nothing).
 
+    Complement to text.q_doc_hybrid_rrf, not a repeat: that query fuses
+    ONE fixed term-query's BM25 list with one vector's cosine list
+    (search-box shape); this one is QUERY-BY-EXAMPLE over a query
+    BATCH — each query is itself a document, the lexical ranker is
+    whole-doc token overlap (no fixed term list), ranks fuse per query
+    in one windowed pass, and absent-from-list ranks stay NULL so the
+    output distinguishes "ranked low" from "not retrieved".
+
     Determinism: both input ranks are integers off deterministic keys
     (cosine rounded to 6 + vec_id tie; overlap count + doc_id tie), so
     the RRF score is a 2-term closed-form double both engines evaluate
