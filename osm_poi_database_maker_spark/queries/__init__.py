@@ -108,6 +108,7 @@ _VERIFY_FIRST = [
     # land; the 26 above must stay inside the 50-entry window).
     "stream_incremental_rollup",
     "emb_rank_fusion",
+    "doc_heavy_hitters",
     # tier 2: the r04-evidence cohort — stalest remaining driver rows
     # (testdata regenerates between rounds, so old rows decay); fills
     # the rest of the window, overflow rotates to r9.

@@ -2067,7 +2067,99 @@ FROM stats
 """
 
 
+_MG_K = 64  # Misra-Gries counters per partition sketch
+
+
+def _mg_partition_sketch(batches):
+    """Per-partition Misra-Gries summary over token Arrow batches —
+    the mergeable-summaries form (Agarwal et al., PODS'12): counts are
+    merged per batch via vectorized value_counts, then reduced back to
+    ≤ K counters by subtracting the (K+1)-th largest count from all and
+    dropping non-positives (the generalized decrement). Total
+    subtraction across a partition is ≤ N_p/(K+1), so any token with
+    partition-global count > N/(K+1) survives in at least one
+    partition's summary — the superset guarantee the exact verify step
+    relies on."""
+    counters: dict[str, int] = {}
+    for pdf in batches:
+        vc = pdf["w"].value_counts()
+        for tok, c in vc.items():
+            counters[tok] = counters.get(tok, 0) + int(c)
+        if len(counters) > _MG_K:
+            sub = sorted(counters.values(), reverse=True)[_MG_K]
+            counters = {t: c - sub for t, c in counters.items() if c > sub}
+    yield pd.DataFrame(
+        {"token": list(counters.keys()), "lb": list(counters.values())}
+    )
+
+
+def q_doc_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over the corpus token stream — Misra-Gries
+    partition sketches (K=64 counters) unioned into a candidate set,
+    then EXACT re-counted and filtered with the integer predicate
+    count·(K+1) > N. The sketch bounds the candidate pool to
+    K × partitions rows no matter how large the stream; the MG
+    guarantee (an item with true count > N/(K+1) survives some
+    partition's summary) makes the verified output EXACTLY the set of
+    tokens above threshold — partition-layout-independent, which is
+    what lets a deterministic DuckDB oracle (plain GROUP BY/HAVING)
+    hash-gate a sketch-based plan. This is the two-phase shape a 100 TB
+    vocabulary scan wants: the full stream is touched twice (once
+    sketching map-side with zero shuffle, once re-counting a
+    broadcast-semi-joined sliver), and nothing unbounded ever
+    shuffles. Emits token, exact count, and corpus share.
+
+    Candidate-pool honesty: the pool may exceed the true heavy set
+    (MG over-keeps), but the exact recount filters it back — only the
+    SUPERSET property matters, and it is load-bearing: a reduce-step
+    bug surfaces as a missing token vs the oracle, not a silent
+    estimate drift. The fixture vocabulary (31 tokens) is smaller than
+    K, so the gate exercises the no-decrement path; the decrement path
+    is pinned by a skewed-stream pytest."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.col("text"), " +")).alias("w")
+    ).filter(F.col("w") != "")
+    cand = (
+        toks.mapInPandas(_mg_partition_sketch, schema="token string, lb long")
+        .groupBy("token")
+        .agg(F.sum("lb").alias("lb"))
+        .select("token")
+    )
+    tot = toks.groupBy().agg(F.count("*").alias("n_total"))
+    exact = (
+        toks.join(F.broadcast(cand), F.col("w") == F.col("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(tot))
+        .filter(F.col("n_occurrences") * (_MG_K + 1) > F.col("n_total"))
+        .select(
+            "token",
+            "n_occurrences",
+            F.round(F.col("n_occurrences") / F.col("n_total"), 6).alias("share"),
+        )
+    )
+
+
+ORACLE_HEAVY_HITTERS = f"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(text, ' +')) AS w FROM documents
+),
+tok2 AS (SELECT w FROM tok WHERE w <> ''),
+tot AS (SELECT count(*) AS n_total FROM tok2)
+SELECT w AS token,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       round(count(*) / CAST((SELECT n_total FROM tot) AS DOUBLE), 6) AS share
+FROM tok2
+GROUP BY 1
+HAVING count(*) * {_MG_K + 1} > (SELECT n_total FROM tot)
+"""
+
+
 QUERIES = {
+    "doc_heavy_hitters": q_doc_heavy_hitters,
     "doc_token_stats": q_doc_token_stats,
     "doc_phrase_search": q_doc_phrase_search,
     "doc_token_entropy": q_doc_token_entropy,
@@ -2098,6 +2190,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_heavy_hitters": ORACLE_HEAVY_HITTERS,
     "doc_hybrid_rrf": ORACLE_HYBRID_RRF,
     "doc_collapse_repeats": ORACLE_COLLAPSE_REPEATS,
     "doc_token_stats": ORACLE_TOKEN_STATS,

@@ -223,3 +223,58 @@ def test_heaps_law_extremes(spark, monkeypatch):
     r2_ = T.q_doc_heaps_law(spark, "x").collect()[0]
     assert r2_.vocabulary == 5 and r2_.n_tokens == 40
     assert abs(r2_.beta) < 0.05
+
+
+def test_mg_sketch_decrement_keeps_heavy_superset():
+    """The Misra-Gries reduce step (subtract the (K+1)-th largest,
+    drop non-positives) must keep every item with true count >
+    N/(K+1) while holding ≤ K counters — exercised on a skewed stream
+    whose vocabulary (200) far exceeds K (64), unlike the uniform
+    fixture corpus."""
+    import pandas as pd
+
+    from osm_poi_database_maker_spark.queries import text as T
+
+    # 3 heavy tokens (1500 each) + 197 light tokens (20 each): N = 8440,
+    # N/(K+1) ≈ 130 — heavies must survive, and counters stay ≤ K
+    stream = (
+        ["heavy_a", "heavy_b", "heavy_c"] * 1500
+        + [f"light_{i}" for i in range(197)] * 20
+    )
+    batches = [
+        pd.DataFrame({"w": stream[i : i + 500]}) for i in range(0, len(stream), 500)
+    ]
+    out = list(T._mg_partition_sketch(iter(batches)))[0]
+    assert len(out) <= T._MG_K
+    assert {"heavy_a", "heavy_b", "heavy_c"} <= set(out["token"])
+    # lower bounds never exceed true counts (MG only subtracts)
+    lb = dict(zip(out["token"], out["lb"]))
+    assert all(lb[t] <= 1500 for t in ("heavy_a", "heavy_b", "heavy_c"))
+
+
+def test_doc_heavy_hitters_matches_exact(spark):
+    """The sketch-then-verify output must equal the plain exact
+    heavy-hitter aggregate (the oracle's GROUP BY/HAVING) on the
+    fixture."""
+    from pyspark.sql import functions as F
+
+    from osm_poi_database_maker_spark.io import load_table
+    from osm_poi_database_maker_spark.queries import text as T
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        (r["token"], r["n_occurrences"])
+        for r in T.q_doc_heavy_hitters(spark, SF_SMOKE).collect()
+    }
+    toks = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select(F.explode(F.split("text", " +")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    n = toks.count()
+    want = {
+        (r["w"], r["c"])
+        for r in toks.groupBy("w").agg(F.count("*").alias("c")).collect()
+        if r["c"] * (T._MG_K + 1) > n
+    }
+    assert got == want and len(want) > 0
