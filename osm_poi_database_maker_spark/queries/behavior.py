@@ -1334,8 +1334,113 @@ HAVING count(*) >= {_SEQ_MINSUP}
 """
 
 
+_WF_WINDOW_US = 86_400_000_000  # funnel deadline: 24h from the FIRST step
+
+
+def q_events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed funnel depth (the ClickHouse ``windowFunnel`` shape,
+    exact EXISTS-a-chain semantics): per user, the deepest
+    view → click → purchase chain whose last step lands within 24 h of
+    its FIRST step, histogrammed as level → user count. Differs from
+    q_events_funnel on both axes that matter: that query anchors each
+    stage at the user's FIRST qualifying event (first-touch, no
+    deadline) and can miss a later valid chain; this one answers
+    "does ANY in-order chain complete within the window".
+
+    The exists-chain search needs no self-join and no per-user replay:
+    with events sorted once per user by (ts, event_id) DESCENDING,
+    np = min purchase-ts strictly after the current row (one running
+    conditional min over the preceding frame), and
+    chain_p = min over later CLICKS of their np — the earliest purchase
+    completing view→click→purchase from here — is the SAME running-min
+    shape over np, so level-3 reachability for every view event falls
+    out of two stacked window passes that share one exchange + one
+    sort (greedy-earliest is optimal: any chain's purchase is ≥ the
+    min-min). Per-user work is O(events·levels) with no fan-out —
+    the shape that survives a 100 TB event log, where the naive
+    3-way self-join explodes on power users."""
+    e = load_table(spark, sf_dir, "events")
+    ev = e.filter(F.col("event_type").isin(*_FUNNEL_STAGES)).select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        "event_id",
+        "event_type",
+    )
+    w_after = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("t"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s1 = ev.withColumn(
+        "np",
+        F.min(F.when(F.col("event_type") == _FUNNEL_STAGES[2], F.col("t"))).over(
+            w_after
+        ),
+    )
+    s2 = s1.withColumn(
+        "nc",
+        F.min(F.when(F.col("event_type") == _FUNNEL_STAGES[1], F.col("t"))).over(
+            w_after
+        ),
+    ).withColumn(
+        "chain_p",
+        F.min(F.when(F.col("event_type") == _FUNNEL_STAGES[1], F.col("np"))).over(
+            w_after
+        ),
+    )
+    lvl = (
+        F.when(F.col("chain_p") - F.col("t") <= _WF_WINDOW_US, 3)
+        .when(F.col("nc") - F.col("t") <= _WF_WINDOW_US, 2)
+        .otherwise(1)
+    )
+    per_user = (
+        s2.filter(F.col("event_type") == _FUNNEL_STAGES[0])
+        .select("user_id", lvl.alias("lvl"))
+        .groupBy("user_id")
+        .agg(F.max("lvl").alias("level"))
+    )
+    return per_user.groupBy("level").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+
+
+ORACLE_WINDOW_FUNNEL = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id, event_type
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+),
+s1 AS (
+  SELECT *,
+         min(CASE WHEN event_type = 'purchase' THEN t END) OVER w_after AS np
+  FROM ev
+  WINDOW w_after AS (PARTITION BY user_id ORDER BY t DESC, event_id DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+s2 AS (
+  SELECT *,
+         min(CASE WHEN event_type = 'click' THEN t END) OVER w_after AS nc,
+         min(CASE WHEN event_type = 'click' THEN np END) OVER w_after
+           AS chain_p
+  FROM s1
+  WINDOW w_after AS (PARTITION BY user_id ORDER BY t DESC, event_id DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+per_user AS (
+  SELECT user_id,
+         max(CASE WHEN chain_p - t <= {_WF_WINDOW_US} THEN 3
+                  WHEN nc - t <= {_WF_WINDOW_US} THEN 2
+                  ELSE 1 END) AS level
+  FROM s2 WHERE event_type = 'view'
+  GROUP BY 1
+)
+SELECT level, CAST(count(*) AS BIGINT) AS n_users
+FROM per_user GROUP BY 1
+"""
+
+
 QUERIES = {
     "events_funnel": q_events_funnel,
+    "events_window_funnel": q_events_window_funnel,
     "events_user_lifecycle": q_events_user_lifecycle,
     "events_dau_wau": q_events_dau_wau,
     "events_linear_attribution": q_events_linear_attribution,
@@ -1355,6 +1460,7 @@ QUERIES = {
 
 ORACLES = {
     "events_funnel": ORACLE_FUNNEL,
+    "events_window_funnel": ORACLE_WINDOW_FUNNEL,
     "events_user_lifecycle": ORACLE_LIFECYCLE,
     "events_dau_wau": ORACLE_DAU_WAU,
     "events_linear_attribution": ORACLE_ATTRIBUTION,
