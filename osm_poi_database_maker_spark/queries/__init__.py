@@ -110,6 +110,7 @@ _VERIFY_FIRST = [
     "emb_rank_fusion",
     "doc_heavy_hitters",
     "events_window_funnel",
+    "events_kmv_overlap",
     # tier 2: the r04-evidence cohort — stalest remaining driver rows
     # (testdata regenerates between rounds, so old rows decay); fills
     # the rest of the window, overflow rotates to r9.

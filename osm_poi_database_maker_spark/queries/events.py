@@ -2055,7 +2055,175 @@ FROM merged m JOIN direct d USING (event_type)
 """
 
 
+def q_events_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operation estimates: the Jaccard similarity of every
+    event-type PAIR's user sets, estimated from the types' K-minimum-
+    values sketches alone — the classic "how much do these audiences
+    overlap" question answered WITHOUT touching the raw sets twice
+    (Beyer et al. SIGMOD'07: the K minima of A∪B are the K smallest of
+    sketch(A) ∪ sketch(B), and J ≈ |members of that union sketch in
+    both sketches| / |union sketch|). Exact Jaccard rides along as the
+    in-band audit (the recall_vs_exact pattern); at 100 TB the audit
+    runs on a sampled pair batch while the estimator ships only
+    K·|types| sketch rows — sketches the per-type KMV query already
+    maintains, which is the whole point of mergeable summaries: set
+    algebra on sketches, not sets.
+
+    Determinism: the sketch is the same portable Lehmer construction
+    the KMV distinct family replays in DuckDB (bijective on [0, M), so
+    no hash ties exist and row_number needs no tie-break); every
+    estimate is a ratio of two small integers both engines derive from
+    identical sketch membership."""
+    from pyspark.sql import Window
+
+    from .curation import _lehmer_h
+
+    M = (1 << 31) - 1
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    du = e.distinct().withColumn(
+        "h", _lehmer_h(F.pmod(F.col("user_id"), F.lit(M)) * 64)
+    )
+    local = Window.partitionBy(
+        F.col("event_type"), F.spark_partition_id()
+    ).orderBy("h")
+    surv = du.withColumn("lrn", F.row_number().over(local)).filter(
+        F.col("lrn") <= _KMV_K
+    )
+    glob = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        surv.withColumn("rn", F.row_number().over(glob))
+        .filter(F.col("rn") <= _KMV_K)
+        .select(F.col("event_type").alias("t"), "h")
+        .localCheckpoint(eager=False)
+    )
+    types = sk.select(F.col("t").alias("ty")).distinct()
+    pairs = (
+        types.select(F.col("ty").alias("type_a"))
+        .crossJoin(types.select(F.col("ty").alias("type_b")))
+        .filter(F.col("type_a") < F.col("type_b"))
+    )
+    members = (
+        F.broadcast(pairs)
+        .join(sk, (F.col("t") == F.col("type_a")) | (F.col("t") == F.col("type_b")))
+        .groupBy("type_a", "type_b", "h")
+        .agg(
+            F.max(F.when(F.col("t") == F.col("type_a"), 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("t") == F.col("type_b"), 1).otherwise(0)).alias("in_b"),
+        )
+    )
+    w_u = Window.partitionBy("type_a", "type_b").orderBy("h")
+    union_sk = members.withColumn("rn", F.row_number().over(w_u)).filter(
+        F.col("rn") <= _KMV_K
+    )
+    est = union_sk.groupBy("type_a", "type_b").agg(
+        F.count("*").alias("k_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
+    )
+    ua = du.select(F.col("event_type").alias("type_a"), "user_id")
+    ub = du.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        ua.join(ub, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = du.groupBy("event_type").agg(F.count("*").alias("n"))
+    exact = (
+        inter.join(
+            sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("na")),
+            "type_a",
+        )
+        .join(
+            sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb")),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            (F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))).alias(
+                "exact_j"
+            ),
+        )
+    )
+    return (
+        est.join(exact, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "k_union",
+            "n_both",
+            F.round(F.col("n_both") / F.col("k_union"), 4).alias("est_jaccard"),
+            F.round("exact_j", 4).alias("exact_jaccard"),
+            F.round(
+                F.abs(F.col("n_both") / F.col("k_union") - F.col("exact_j")), 4
+            ).alias("abs_err"),
+        )
+    )
+
+
+def _kmv_overlap_oracle_sql() -> str:
+    from .text import _LEHMER_A as A, _LEHMER_M as M
+
+    return f"""
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+h AS (
+  SELECT event_type AS t,
+         ((((user_id % {M} + {M}) % {M}) * 64 % {M}) * {A} % {M}) * {A} % {M} AS h
+  FROM du
+),
+rk AS (
+  SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rn FROM h
+),
+sk AS (SELECT t, h FROM rk WHERE rn <= {_KMV_K}),
+pairs AS (
+  SELECT a.t AS type_a, b.t AS type_b
+  FROM (SELECT DISTINCT t FROM sk) a JOIN (SELECT DISTINCT t FROM sk) b
+    ON a.t < b.t
+),
+members AS (
+  SELECT p.type_a, p.type_b, s.h,
+         max(CASE WHEN s.t = p.type_a THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN s.t = p.type_b THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN sk s ON s.t = p.type_a OR s.t = p.type_b
+  GROUP BY 1, 2, 3
+),
+union_sk AS (
+  SELECT *, row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+  FROM members
+),
+est AS (
+  SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS k_union,
+         CAST(sum(in_a * in_b) AS BIGINT) AS n_both
+  FROM union_sk WHERE rn <= {_KMV_K} GROUP BY 1, 2
+),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_inter
+  FROM du a JOIN du b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+sizes AS (SELECT event_type, count(*) AS n FROM du GROUP BY 1),
+exact AS (
+  SELECT i.type_a, i.type_b,
+         i.n_inter / CAST(sa.n + sb.n - i.n_inter AS DOUBLE) AS exact_j
+  FROM inter i
+  JOIN sizes sa ON sa.event_type = i.type_a
+  JOIN sizes sb ON sb.event_type = i.type_b
+)
+SELECT e.type_a, e.type_b, e.k_union, e.n_both,
+       round(e.n_both / CAST(e.k_union AS DOUBLE), 4) AS est_jaccard,
+       round(x.exact_j, 4) AS exact_jaccard,
+       round(abs(e.n_both / CAST(e.k_union AS DOUBLE) - x.exact_j), 4)
+         AS abs_err
+FROM est e JOIN exact x ON x.type_a = e.type_a AND x.type_b = e.type_b
+"""
+
+
+ORACLE_KMV_OVERLAP = _kmv_overlap_oracle_sql()
+
+
 QUERIES = {
+    "events_kmv_overlap": q_events_kmv_overlap,
     "events_multi_exists": q_events_multi_exists,
     "events_ohlc_bars": q_events_ohlc_bars,
     "events_kmv_distinct": q_events_kmv_distinct,
@@ -2087,6 +2255,7 @@ QUERIES = {
 
 ORACLES = {
     "events_multi_exists": ORACLE_MULTI_EXISTS,
+    "events_kmv_overlap": ORACLE_KMV_OVERLAP,
     "events_kmv_distinct": ORACLE_KMV,
     "events_cms_counts": ORACLE_CMS,
     "events_ohlc_bars": ORACLE_OHLC,
