@@ -111,6 +111,7 @@ _VERIFY_FIRST = [
     "doc_heavy_hitters",
     "events_window_funnel",
     "events_kmv_overlap",
+    "osm_poi_nearest_within",
     # tier 2: the r04-evidence cohort — stalest remaining driver rows
     # (testdata regenerates between rounds, so old rows decay); fills
     # the rest of the window, overflow rotates to r9.

@@ -678,6 +678,99 @@ SELECT id_a, id_b, dist_km FROM cand WHERE dist_km <= {_NEIGHBOR_KM}
 """
 
 
+def q_osm_poi_nearest_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor-within-radius join: for every valid node, THE
+    closest other node within 3 km (haversine), with deterministic
+    (rounded-distance, id) tie-break — the "snap each POI to its
+    nearest station" shape, i.e. the top-1 specialization of the
+    all-pairs distance join above. Candidates come from the same
+    radius-aware neighbor-cell equi-join (complete cover by
+    construction — the true nearest-within-R is always in a probed
+    cell), but the reduction is ONE hash aggregate: min over
+    struct((dist, id), row) per probe point — no per-point sort, no
+    window over the candidate fan-out, so at planet scale the argmin
+    partial-aggregates map-side inside the cell-keyed exchange.
+
+    The oracle is the BRUTE-FORCE O(n²) theta-join argmin — a fully
+    independent algorithm agreeing on every row certifies both the
+    grid cover and the tie-break, the customer_edit_pairs two-algorithm
+    pattern. Points with no neighbor within R are absent from both
+    sides by construction."""
+    from ..spatial import grid_cell, neighbor_cells
+
+    nodes = fx.nodes_df(spark).filter(
+        F.col("lon").isNotNull() & F.col("lat").isNotNull() & F.col("geom_valid")
+    )
+    build = nodes.select(
+        F.col("id").alias("id_b"),
+        F.col("lon").alias("lon_b"),
+        F.col("lat").alias("lat_b"),
+        grid_cell(F.col("lon"), F.col("lat")).alias("cell"),
+    )
+    probe = nodes.select(
+        F.col("id").alias("id_a"),
+        F.col("lon").alias("lon_a"),
+        F.col("lat").alias("lat_a"),
+        F.explode(
+            neighbor_cells(F.col("lon"), F.col("lat"), radius_km=_NEIGHBOR_KM)
+        ).alias("cell"),
+    )
+    rlat_a, rlat_b = F.radians("lat_a"), F.radians("lat_b")
+    dlat = (rlat_b - rlat_a) / 2
+    dlon = (F.radians("lon_b") - F.radians("lon_a")) / 2
+    h = F.sin(dlat) * F.sin(dlat) + F.cos(rlat_a) * F.cos(rlat_b) * F.sin(
+        dlon
+    ) * F.sin(dlon)
+    dist_km = F.round(F.lit(2 * _EARTH_KM) * F.asin(F.sqrt(h)), 4)
+    cand = (
+        probe.join(build, "cell")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .withColumn("dist_km", dist_km)
+        .filter(F.col("dist_km") <= _NEIGHBOR_KM)
+        .select("id_a", "id_b", "dist_km")
+    )
+    key = F.struct(F.col("dist_km").alias("_d"), F.col("id_b").alias("_i"))
+    return (
+        cand.groupBy("id_a")
+        .agg(
+            F.min(
+                F.struct(key.alias("_key"), F.struct("id_b", "dist_km").alias("_row"))
+            ).alias("_b")
+        )
+        .select(
+            F.col("id_a").alias("id"),
+            F.col("_b._row.id_b").alias("nearest_id"),
+            F.col("_b._row.dist_km").alias("dist_km"),
+        )
+    )
+
+
+ORACLE_NEAREST_WITHIN = f"""
+WITH raw AS ({fx.nodes_values_sql()}),
+pts AS (
+  SELECT id, lon, lat FROM raw
+  WHERE lon IS NOT NULL AND lat IS NOT NULL AND geom_valid
+),
+cand AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         round(2 * {_EARTH_KM!r} * asin(sqrt(
+           sin((radians(b.lat) - radians(a.lat)) / 2)
+             * sin((radians(b.lat) - radians(a.lat)) / 2)
+           + cos(radians(a.lat)) * cos(radians(b.lat))
+             * sin((radians(b.lon) - radians(a.lon)) / 2)
+             * sin((radians(b.lon) - radians(a.lon)) / 2)
+         )), 4) AS dist_km
+  FROM pts a JOIN pts b ON a.id <> b.id
+),
+best AS (
+  SELECT id_a, id_b, dist_km,
+         row_number() OVER (PARTITION BY id_a
+                            ORDER BY dist_km ASC, id_b ASC) AS rn
+  FROM cand WHERE dist_km <= {_NEIGHBOR_KM}
+)
+SELECT id_a AS id, id_b AS nearest_id, dist_km FROM best WHERE rn = 1
+"""
+
 
 _DBSCAN_MINPTS = 3  # core point: >= minPts-1 = 2 neighbors within eps
 
@@ -922,6 +1015,7 @@ QUERIES = {
     "osm_spatial_bbox": q_osm_spatial_bbox,
     "osm_poi_density_grid": q_osm_poi_density_grid,
     "osm_node_neighbor_pairs": q_osm_node_neighbor_pairs,
+    "osm_poi_nearest_within": q_osm_poi_nearest_within,
     "osm_dbscan_clusters": q_osm_dbscan_clusters,
 }
 
@@ -939,5 +1033,6 @@ ORACLES = {
     "osm_spatial_bbox": ORACLE_SPATIAL_BBOX,
     "osm_poi_density_grid": ORACLE_DENSITY_GRID,
     "osm_node_neighbor_pairs": ORACLE_NEIGHBOR_PAIRS,
+    "osm_poi_nearest_within": ORACLE_NEAREST_WITHIN,
     "osm_dbscan_clusters": ORACLE_DBSCAN,
 }
