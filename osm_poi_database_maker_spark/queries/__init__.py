@@ -112,6 +112,7 @@ _VERIFY_FIRST = [
     "events_window_funnel",
     "events_kmv_overlap",
     "osm_poi_nearest_within",
+    "doc_sequence_packing",
     # tier 2: the r04-evidence cohort — stalest remaining driver rows
     # (testdata regenerates between rounds, so old rows decay); fills
     # the rest of the window, overflow rotates to r9.

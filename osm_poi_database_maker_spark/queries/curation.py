@@ -1127,6 +1127,86 @@ def _global_rank(df: DataFrame, order_cols: list, out: str = "global_id") -> Dat
     )
 
 
+_PACK_BUDGET = 2048  # tokens per packed training sequence
+
+
+def q_doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing — the LLM-dataloader prep step:
+    the corpus is concatenated in doc_id order and chopped into fixed
+    2048-token training sequences; each document reports the sequence
+    it STARTS in, its offset inside that sequence, and how many chop
+    boundaries it spans (n_splits = 0 ⇒ the doc lands whole — the
+    fraction of unsplit docs is the packing-quality metric a context-
+    window choice is judged by). Chop-on-the-cumulative-scale is the
+    deterministic packing (greedy "reset the counter" bin packing is a
+    sequential recursion; the chop is what concat-and-split dataloaders
+    actually do, and it is exactly prefix-sum-expressible).
+
+    The running token total is the _global_rank discipline generalized
+    to SUMS: range-exchange on doc_id, per-partition cumulative sum
+    (parallel sorts), and a |partitions|-row broadcast of per-partition
+    token totals' running offsets — never a single-partition global
+    window, which is the trap the DuckDB oracle's plain
+    ``sum() OVER (ORDER BY ...)`` embodies at 100 TB. All integers;
+    the engines cannot disagree."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " +"), lambda x: x != "")).cast(
+            "long"
+        ).alias("n_tok"),
+    )
+    ranged = toks.repartitionByRange(_GIDX_PARTS, "doc_id")
+    with_pid = ranged.withColumn("pid", F.spark_partition_id())
+    w_local = Window.partitionBy("pid").orderBy("doc_id")
+    local = with_pid.withColumn("local_cum", F.sum("n_tok").over(w_local))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        with_pid.groupBy("pid")
+        .agg(F.sum("n_tok").alias("t"))
+        .withColumn("offset", F.coalesce(F.sum("t").over(w_off), F.lit(0)))
+        .select("pid", "offset")
+    )
+    cum = (
+        local.join(F.broadcast(offsets), "pid")
+        .withColumn("cum", F.col("offset") + F.col("local_cum"))
+        .withColumn("start", F.col("cum") - F.col("n_tok"))
+    )
+    b = F.lit(_PACK_BUDGET)
+    return cum.filter(F.col("n_tok") > 0).select(
+        "doc_id",
+        "n_tok",
+        F.floor(F.col("start") / b).cast("long").alias("seq_id"),
+        (F.col("start") % b).cast("long").alias("seq_offset"),
+        (F.floor((F.col("cum") - 1) / b) - F.floor(F.col("start") / b))
+        .cast("long")
+        .alias("n_splits"),
+    )
+
+
+ORACLE_SEQ_PACKING = f"""
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, ' +'), x -> x <> ''))
+           AS n_tok
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tok,
+         sum(n_tok) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM toks
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST((cum - n_tok) // {_PACK_BUDGET} AS BIGINT) AS seq_id,
+       CAST((cum - n_tok) % {_PACK_BUDGET} AS BIGINT) AS seq_offset,
+       CAST((cum - 1) // {_PACK_BUDGET}
+            - (cum - n_tok) // {_PACK_BUDGET} AS BIGINT) AS n_splits
+FROM cum WHERE n_tok > 0
+"""
+
+
 def q_doc_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense contiguous global row index (0..N-1 by doc_id) WITHOUT a
     single-partition global window — the "zipWithIndex" every training
@@ -1316,6 +1396,7 @@ QUERIES = {
     "doc_mixture_sample": q_doc_mixture_sample,
     "doc_shuffle_shards": q_doc_shuffle_shards,
     "doc_global_index": q_doc_global_index,
+    "doc_sequence_packing": q_doc_sequence_packing,
     "doc_source_psi": q_doc_source_psi,
     "doc_quantile_normalize": q_doc_quantile_normalize,
     "emb_int8_quantize": q_emb_int8_quantize,
@@ -1334,6 +1415,7 @@ ORACLES = {
     "doc_mixture_sample": ORACLE_MIXTURE,
     "doc_shuffle_shards": ORACLE_SHARDS,
     "doc_global_index": ORACLE_GIDX,
+    "doc_sequence_packing": ORACLE_SEQ_PACKING,
     "doc_source_psi": ORACLE_PSI,
     "doc_quantile_normalize": ORACLE_QNORM,
     "emb_int8_quantize": ORACLE_QUANTIZE,
