@@ -1127,6 +1127,52 @@ def _global_rank(df: DataFrame, order_cols: list, out: str = "global_id") -> Dat
     )
 
 
+def q_doc_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified train/val/test split with EXACT per-stratum
+    proportions: within every (source, lang) stratum, docs are ordered
+    by the portable Lehmer hash (a deterministic shuffle) and the first
+    ⌊0.8n⌋ go to train, the next ⌊0.9n⌋−⌊0.8n⌋ to val, the rest to
+    test — integer cross-products (10·rank ≤ 8·n) decide membership,
+    so the allocation is exact at every stratum size, unlike the plain
+    hash split (q_doc_split_assign) whose per-stratum fractions only
+    CONVERGE to 80/10/10 and can starve a small stratum's val/test
+    entirely. This is the split a per-source/per-language eval demands.
+
+    Plan: one window per stratum (partitioned — the sorts run in
+    parallel across strata, no global order anywhere) over a broadcast
+    of per-stratum counts. Reproducible bit-for-bit: membership is a
+    pure function of (doc_id, stratum census), no RNG state."""
+    d = load_table(spark, sf_dir, "documents")
+    h = _lehmer_h()
+    w = Window.partitionBy("source", "lang").orderBy(h.asc(), F.col("doc_id").asc())
+    n_w = Window.partitionBy("source", "lang")
+    ranked = d.select("doc_id", "source", "lang").withColumn(
+        "r", F.row_number().over(w)
+    ).withColumn("n", F.count("*").over(n_w))
+    split = (
+        F.when(F.col("r") * 10 <= F.col("n") * 8, F.lit("train"))
+        .when(F.col("r") * 10 <= F.col("n") * 9, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return ranked.select("doc_id", "source", "lang", split.alias("split"))
+
+
+ORACLE_STRAT_SPLIT = f"""
+WITH ranked AS (
+  SELECT doc_id, source, lang,
+         row_number() OVER (PARTITION BY source, lang
+                            ORDER BY {_H_SQL} ASC, doc_id ASC) AS r,
+         count(*) OVER (PARTITION BY source, lang) AS n
+  FROM documents
+)
+SELECT doc_id, source, lang,
+       CASE WHEN r * 10 <= n * 8 THEN 'train'
+            WHEN r * 10 <= n * 9 THEN 'val'
+            ELSE 'test' END AS split
+FROM ranked
+"""
+
+
 _PACK_BUDGET = 2048  # tokens per packed training sequence
 
 
@@ -1397,6 +1443,7 @@ QUERIES = {
     "doc_shuffle_shards": q_doc_shuffle_shards,
     "doc_global_index": q_doc_global_index,
     "doc_sequence_packing": q_doc_sequence_packing,
+    "doc_stratified_split": q_doc_stratified_split,
     "doc_source_psi": q_doc_source_psi,
     "doc_quantile_normalize": q_doc_quantile_normalize,
     "emb_int8_quantize": q_emb_int8_quantize,
@@ -1416,6 +1463,7 @@ ORACLES = {
     "doc_shuffle_shards": ORACLE_SHARDS,
     "doc_global_index": ORACLE_GIDX,
     "doc_sequence_packing": ORACLE_SEQ_PACKING,
+    "doc_stratified_split": ORACLE_STRAT_SPLIT,
     "doc_source_psi": ORACLE_PSI,
     "doc_quantile_normalize": ORACLE_QNORM,
     "emb_int8_quantize": ORACLE_QUANTIZE,
