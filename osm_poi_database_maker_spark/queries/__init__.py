@@ -114,6 +114,7 @@ _VERIFY_FIRST = [
     "osm_poi_nearest_within",
     "doc_sequence_packing",
     "doc_stratified_split",
+    "emb_label_smoothing",
     # tier 2: the r04-evidence cohort — stalest remaining driver rows
     # (testdata regenerates between rounds, so old rows decay); fills
     # the rest of the window, overflow rotates to r9.

@@ -839,6 +839,103 @@ WHERE rk <= {_KNN_K}
 """
 
 
+_SMOOTH_K = 5  # odd neighbor count for the majority vote
+
+
+def q_emb_label_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label smoothing / mislabel detection (the Confident-Learning
+    -lite every labeled-dataset audit runs): each vector's 5 nearest
+    neighbors (exact cosine, the knn_graph reduction) vote on its
+    label; the majority label (ties → more votes wins, then smaller
+    label id) is emitted next to the vector's OWN label with the vote
+    count, and ``mismatch`` flags the rows a label-noise review queue
+    should read first. On clusterable embeddings a high mismatch rate
+    per label is the canonical "these two classes are confused or this
+    slice is mislabeled" signal — the data-quality twin of
+    emb_cluster_silhouette's geometry audit.
+
+    Plan: the kNN graph is the blocked-matmul local-top-k reduction
+    (n·B·k candidates, never all-pairs materialized); the vote is one
+    integer aggregate per (vector, label) + one min-struct argmax —
+    both map-side-combining hash aggregates, no windows over the
+    neighbor fan-out. Integer votes ⇒ engines cannot disagree."""
+    from ..similarity import knn_graph
+
+    e = load_table(spark, sf_dir, "embeddings")
+    nn = knn_graph(e, k=_SMOOTH_K).select("vec_id", "neighbor_id")
+    labels = e.select("vec_id", F.col("label").cast("long").alias("label"))
+    votes = (
+        nn.join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("n_label"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy("vec_id", "n_label")
+        .agg(F.count("*").alias("votes"))
+    )
+    key = F.struct((-F.col("votes")).alias("_v"), F.col("n_label").alias("_l"))
+    best = (
+        votes.groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(key.alias("_key"), F.struct("n_label", "votes").alias("_row"))
+            ).alias("_b")
+        )
+        .select(
+            "vec_id",
+            F.col("_b._row.n_label").alias("knn_label"),
+            F.col("_b._row.votes").alias("n_agree"),
+        )
+    )
+    return (
+        best.join(labels, "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            "knn_label",
+            "n_agree",
+            (F.col("knn_label") != F.col("label")).alias("mismatch"),
+        )
+    )
+
+
+ORACLE_LABEL_SMOOTHING = f"""
+WITH emb AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+nn AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT a.vec_id, b.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC,
+                      b.vec_id ASC) AS rk
+    FROM emb a JOIN emb b ON a.vec_id <> b.vec_id
+  ) WHERE rk <= {_SMOOTH_K}
+),
+votes AS (
+  SELECT nn.vec_id, e.label AS n_label, count(*) AS votes
+  FROM nn JOIN emb e ON e.vec_id = nn.neighbor_id
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT vec_id, n_label AS knn_label, CAST(votes AS BIGINT) AS n_agree
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY votes DESC, n_label ASC) AS rk
+    FROM votes
+  ) WHERE rk = 1
+)
+SELECT b.vec_id, e.label, b.knn_label, b.n_agree,
+       b.knn_label <> e.label AS mismatch
+FROM best b JOIN emb e ON e.vec_id = b.vec_id
+"""
+
+
 _SEMDEDUP_TAU = 0.3
 # Hard per-task bound for the within-cluster pairwise stage: clusters are
 # salt-split into ceil(|cluster| / cap) hash blocks and every block PAIR
@@ -1734,6 +1831,7 @@ WHERE fused_rk <= {_RRF_TOPK}
 
 QUERIES = {
     "emb_rank_fusion": q_emb_rank_fusion,
+    "emb_label_smoothing": q_emb_label_smoothing,
     "emb_opq_codes": q_emb_opq_codes,
     "emb_jl_projection": q_emb_jl_projection,
     "emb_maximin_centers": q_emb_maximin_centers,
@@ -1756,6 +1854,7 @@ QUERIES = {
 
 ORACLES = {
     "emb_rank_fusion": ORACLE_RRF,
+    "emb_label_smoothing": ORACLE_LABEL_SMOOTHING,
     "emb_jl_projection": ORACLE_JL,
     "emb_maximin_centers": ORACLE_FPS,
     "emb_cosine_topk": ORACLE_COSINE,
