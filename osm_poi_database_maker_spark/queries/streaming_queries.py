@@ -14,7 +14,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 from .. import streaming as S
-from .behavior import ORACLE_AB, ORACLE_MARKOV
+from .behavior import ORACLE_AB, ORACLE_MARKOV, ORACLE_WINDOW_FUNNEL
 from .events import (
     ORACLE_BLOOM_ADMIT,
     ORACLE_CMS,
@@ -429,6 +429,28 @@ def q_stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed-funnel depth (custom applyInPandasWithState
+    state: the user's funnel history within the watermark-plus-deadline
+    horizon, older views folded into a scalar max — state bounded by
+    the 24 h window + allowed lateness, never lifetime events). Each
+    user's newest emission (monotone n_seen) feeds the batch twin's
+    level histogram and the batch DuckDB oracle certifies the result
+    end-to-end."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    out = _materialize(
+        S.window_funnel_state(S.stream_events(spark, sf_dir)), spark, "update"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_seen"))
+    latest = (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return latest.groupBy("level").agg(F.count("*").cast("long").alias("n_users"))
+
+
 def q_stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream watermarked join (purchase ← same-user click within
     2 hours): both sides are live streams; bounded time-range condition
@@ -480,6 +502,7 @@ QUERIES = {
     "stream_ab_test": q_stream_ab_test,
     "stream_cusum_changepoints": q_stream_cusum_changepoints,
     "stream_incremental_rollup": q_stream_incremental_rollup,
+    "stream_window_funnel": q_stream_window_funnel,
 }
 
 ORACLES = {
@@ -500,4 +523,5 @@ ORACLES = {
     "stream_ab_test": ORACLE_AB,
     "stream_cusum_changepoints": ORACLE_CUSUM,
     "stream_incremental_rollup": ORACLE_IVM,
+    "stream_window_funnel": ORACLE_WINDOW_FUNNEL,
 }

@@ -1116,3 +1116,122 @@ def ivm_rollup_state(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_WFUNNEL_WINDOW_US = 86_400_000_000  # keep equal to behavior._WF_WINDOW_US
+_WFUNNEL_STATE_SCHEMA = (
+    "folded_max long, n_seen long, "
+    "ts array<long>, eid array<long>, typ array<string>"
+)
+_WFUNNEL_OUT_SCHEMA = "user_id long, level long, n_seen long"
+
+
+def _wfunnel_levels(hist: list[tuple[int, int, str]]) -> list[tuple[int, int]]:
+    """Per-VIEW funnel level over a (ts, event_id)-sorted history —
+    the batch twin's stacked suffix-min construction run imperatively:
+    np[i] = min purchase ts strictly after i, chain_p[i] = min over
+    later clicks of their np. Returns [(view_ts, level), ...]."""
+    n = len(hist)
+    INF = 1 << 62
+    np_suf = [INF] * (n + 1)
+    nc_suf = [INF] * (n + 1)
+    chain_suf = [INF] * (n + 1)
+    for i in range(n - 1, -1, -1):
+        t, _, y = hist[i]
+        np_suf[i] = min(np_suf[i + 1], t if y == "purchase" else INF)
+        nc_suf[i] = min(nc_suf[i + 1], t if y == "click" else INF)
+        chain_suf[i] = min(
+            chain_suf[i + 1], np_suf[i + 1] if y == "click" else INF
+        )
+    out = []
+    for i, (t, _, y) in enumerate(hist):
+        if y != "view":
+            continue
+        if chain_suf[i + 1] - t <= _WFUNNEL_WINDOW_US:
+            lvl = 3
+        elif nc_suf[i + 1] - t <= _WFUNNEL_WINDOW_US:
+            lvl = 2
+        else:
+            lvl = 1
+        out.append((t, lvl))
+    return out
+
+
+def _wfunnel_update(key: tuple[Any, ...], pdfs: Any, state: GroupState):
+    """Fold a user's funnel events under the watermark horizon. A view
+    is FINAL once view_ts + window < watermark (no in-order chain can
+    still gain members: later arrivals have ts ≥ watermark, and
+    sub-watermark arrivals are dropped upstream), so final views fold
+    into a scalar running max and EVERY event older than the horizon
+    drops — a click below the horizon can only serve views that are
+    themselves below it. Retained state is the last 24 h + lateness of
+    per-user history, never the lifetime event count; with no watermark
+    configured (the bounded gate replay) nothing folds and the final
+    emission is exactly the batch answer."""
+    folded_max, n_seen = 0, 0
+    hist: list[tuple[int, int, str]] = []
+    if state.exists:
+        folded_max, n_seen, ts, eid, typ = state.get
+        folded_max, n_seen = int(folded_max), int(n_seen)
+        hist = [(int(t), int(e), str(y)) for t, e, y in zip(ts, eid, typ)]
+    for pdf in pdfs:
+        rows = list(
+            zip(
+                pdf["ts_us"].tolist(),
+                pdf["event_id"].tolist(),
+                pdf["event_type"].tolist(),
+            )
+        )
+        n_seen += len(rows)
+        hist.extend((int(t), int(e), str(y)) for t, e, y in rows)
+    hist.sort()
+    try:
+        wm_us = int(state.getCurrentWatermarkMs()) * 1000
+    except Exception:  # no watermark configured, or fake test state
+        wm_us = 0
+    levels = _wfunnel_levels(hist)
+    live_max = max((l for _, l in levels), default=0)
+    if wm_us > 0:
+        horizon = wm_us - _WFUNNEL_WINDOW_US
+        for t, l in levels:
+            if t < horizon:
+                folded_max = max(folded_max, l)
+        hist = [h for h in hist if h[0] >= horizon]
+    state.update(
+        (
+            folded_max,
+            n_seen,
+            [t for t, _, _ in hist],
+            [e for _, e, _ in hist],
+            [y for _, _, y in hist],
+        )
+    )
+    level = max(folded_max, live_max)
+    if level > 0:
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "level": [level], "n_seen": [n_seen]}
+        )
+
+
+def window_funnel_state(events: DataFrame) -> DataFrame:
+    """Streaming windowed-funnel depth — the custom-state twin of
+    queries/behavior.q_events_window_funnel (same strict (ts, event_id)
+    order, same 24 h deadline, same suffix-min chain search), emitted
+    as each user's current max level with the monotone n_seen stamp.
+    Certified end-to-end by the batch twin's DuckDB oracle through the
+    shared finalizer in q_stream_window_funnel."""
+    prepped = events.filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        _wfunnel_update,
+        outputStructType=_WFUNNEL_OUT_SCHEMA,
+        stateStructType=_WFUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -794,3 +794,63 @@ def test_stream_cusum_fold_matches_batch_and_deflags():
         s = max(0.0, s + (x - mu - 0.5 * sd))
         any_flag |= s > 4.0 * sd
     assert not any_flag
+
+
+def test_stream_wfunnel_fold_finalizes_old_views():
+    """A view older than watermark − window is FINAL: it folds into the
+    scalar max and its events drop from state, while live views keep
+    improving with late chain completions."""
+    import pandas as pd
+
+    from osm_poi_database_maker_spark import streaming as S
+
+    class _WmState(_FakeGroupState):
+        def __init__(self):
+            super().__init__()
+            self._wm = 0
+
+        def getCurrentWatermarkMs(self):
+            return self._wm
+
+    H = S._WFUNNEL_WINDOW_US
+    st = _WmState()
+    b1 = pd.DataFrame(
+        {
+            "ts_us": [0, 1000, 2000],
+            "event_id": [1, 2, 3],
+            "event_type": ["view", "click", "purchase"],
+        }
+    )
+    out1 = list(S._wfunnel_update((5,), [b1], st))[0]
+    assert out1["level"].tolist() == [3] and out1["n_seen"].tolist() == [3]
+    # advance the watermark past view_ts + window: the level-3 view
+    # folds, all three events drop
+    st._wm = (2 * H) // 1000
+    b2 = pd.DataFrame(
+        {"ts_us": [2 * H + 10], "event_id": [4], "event_type": ["view"]}
+    )
+    out2 = list(S._wfunnel_update((5,), [b2], st))[0]
+    folded_max, n_seen, ts, _, _ = st._v
+    assert folded_max == 3 and n_seen == 4
+    assert ts == [2 * H + 10]  # old events pruned
+    assert out2["level"].tolist() == [3]  # folded max still reported
+    # a late chain inside the horizon upgrades the LIVE view
+    b3 = pd.DataFrame(
+        {
+            "ts_us": [2 * H + 20, 2 * H + 30],
+            "event_id": [5, 6],
+            "event_type": ["click", "purchase"],
+        }
+    )
+    out3 = list(S._wfunnel_update((5,), [b3], st))[0]
+    assert out3["level"].tolist() == [3] and out3["n_seen"].tolist() == [6]
+
+
+def test_stream_wfunnel_matches_batch_twin(spark):
+    from osm_poi_database_maker_spark.queries import behavior as B
+    from osm_poi_database_maker_spark.queries import streaming_queries as Q
+    from tests.conftest import SF_SMOKE
+
+    batch = {tuple(r) for r in B.q_events_window_funnel(spark, SF_SMOKE).collect()}
+    stream = {tuple(r) for r in Q.q_stream_window_funnel(spark, SF_SMOKE).collect()}
+    assert batch == stream
