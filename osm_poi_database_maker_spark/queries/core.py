@@ -2729,6 +2729,143 @@ FROM agg JOIN nation n ON n.n_nationkey = agg.c_nationkey
 
 
 
+def q_customer_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-second-order, with
+    right-censoring: converters contribute an EVENT at T = days between
+    first and second order; one-order customers are CENSORED at
+    C = days from their first order to the dataset's last order date
+    (they were still "alive" when observation ended — dropping them,
+    as a naive conversion-rate query does, biases the curve toward
+    fast converters). Emits, per event day t: customers still at risk,
+    events, the hazard d/n, and the KM survival estimate
+    S(t) = Π_{t'≤t}(1 − d/n) — the "how long until an acquired
+    customer reorders" curve a payback model integrates.
+
+    Scale shape: the fact table collapses to one (time, is_event) row
+    per customer (two min-aggregates on custkey), then to ≤ |distinct
+    days| rows; the at-risk count is ONE reverse-cumulative sum and
+    the survival product is exp(Σ ln(1−h)) over that tiny day spine —
+    the single-partition window touches only the post-aggregate rows,
+    bounded by the calendar, never by customers. The log-sum runs in
+    identical frame order in both engines, so the rounded survival
+    cannot diverge."""
+    o = load_table(spark, sf_dir, "orders")
+    # two aggregates: first and second order dates per customer (the
+    # second re-aggregates above a broadcast of the firsts — no window
+    # over the raw fact stream)
+    firsts = (
+        o.select("o_custkey", "o_orderdate")
+        .groupBy("o_custkey")
+        .agg(F.min("o_orderdate").alias("d1"))
+    )
+    # equi-join on custkey (NOT broadcast: firsts is |customers|-sized
+    # at scale; the shuffle co-partitions with the groupBy that follows)
+    seconds = (
+        o.join(firsts.select("o_custkey", "d1"), "o_custkey")
+        .filter(F.col("o_orderdate") > F.col("d1"))
+        .groupBy("o_custkey")
+        .agg(F.min("o_orderdate").alias("d2"))
+    )
+    last_day = o.groupBy().agg(F.max("o_orderdate").alias("dmax"))
+    per_cust = (
+        firsts.join(seconds, "o_custkey", "left")
+        .crossJoin(F.broadcast(last_day))
+        .select(
+            F.when(
+                F.col("d2").isNotNull(), F.datediff("d2", "d1")
+            )
+            .otherwise(F.datediff("dmax", "d1"))
+            .cast("long")
+            .alias("t"),
+            F.col("d2").isNotNull().alias("is_event"),
+        )
+    )
+    days = per_cust.groupBy("t").agg(
+        F.sum(F.when(F.col("is_event"), 1).otherwise(0)).alias("n_events"),
+        F.count("*").alias("n_total"),
+    )
+    w_rev = Window.orderBy(F.desc("t")).rowsBetween(Window.unboundedPreceding, 0)
+    w_fwd = Window.orderBy(F.asc("t")).rowsBetween(Window.unboundedPreceding, 0)
+    at_risk = days.withColumn("n_at_risk", F.sum("n_total").over(w_rev))
+    hazard = F.col("n_events") / F.col("n_at_risk")
+    # hazard = 1 (everyone still at risk converts — the terminal day)
+    # sends ln(1−h) to −∞; carry the zero as an explicit flag so neither
+    # engine takes log(0)
+    km = at_risk.withColumn(
+        "log_s",
+        F.sum(
+            F.when(F.col("n_events") < F.col("n_at_risk"), F.log(1.0 - hazard))
+            .otherwise(F.lit(0.0))
+        ).over(w_fwd),
+    ).withColumn(
+        "hit_zero",
+        F.max(
+            F.when(F.col("n_events") == F.col("n_at_risk"), 1).otherwise(0)
+        ).over(w_fwd),
+    )
+    survival = F.when(F.col("hit_zero") == 1, F.lit(0.0)).otherwise(
+        F.round(F.exp("log_s"), 4)
+    )
+    return km.filter(F.col("n_events") > 0).select(
+        F.col("t").alias("t_days"),
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(hazard, 4).alias("hazard"),
+        survival.alias("survival"),
+    )
+
+
+ORACLE_KM_SURVIVAL = """
+WITH firsts AS (
+  SELECT o_custkey, min(o_orderdate) AS d1 FROM orders GROUP BY 1
+),
+seconds AS (
+  SELECT o.o_custkey, min(o.o_orderdate) AS d2
+  FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+  WHERE o.o_orderdate > f.d1
+  GROUP BY 1
+),
+per_cust AS (
+  SELECT CASE WHEN s.d2 IS NOT NULL
+              THEN date_diff('day', f.d1, s.d2)
+              ELSE date_diff('day', f.d1, (SELECT max(o_orderdate) FROM orders))
+         END AS t,
+         s.d2 IS NOT NULL AS is_event
+  FROM firsts f LEFT JOIN seconds s ON s.o_custkey = f.o_custkey
+),
+days AS (
+  SELECT t, sum(CASE WHEN is_event THEN 1 ELSE 0 END) AS n_events,
+         count(*) AS n_total
+  FROM per_cust GROUP BY 1
+),
+risk AS (
+  SELECT t, n_events,
+         sum(n_total) OVER (ORDER BY t DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS n_at_risk
+  FROM days
+),
+km AS (
+  SELECT t, n_events, n_at_risk,
+         sum(CASE WHEN n_events < n_at_risk
+                  THEN ln(1.0 - n_events / CAST(n_at_risk AS DOUBLE))
+                  ELSE 0.0 END)
+           OVER (ORDER BY t ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS log_s,
+         max(CASE WHEN n_events = n_at_risk THEN 1 ELSE 0 END)
+           OVER (ORDER BY t ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hit_zero
+  FROM risk
+)
+SELECT CAST(t AS BIGINT) AS t_days,
+       CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       CAST(n_events AS BIGINT) AS n_events,
+       round(n_events / CAST(n_at_risk AS DOUBLE), 4) AS hazard,
+       CASE WHEN hit_zero = 1 THEN 0.0 ELSE round(exp(log_s), 4) END AS survival
+FROM km WHERE n_events > 0
+"""
+
+
 def q_customer_repeat_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeat-purchase ladder: for every order count k, how many
     customers placed at least k orders, and the conditional
@@ -2997,6 +3134,7 @@ QUERIES = {
     "nation_revenue_trend": q_nation_revenue_trend,
     "nation_revenue_concentration": q_nation_revenue_concentration,
     "customer_repeat_ladder": q_customer_repeat_ladder,
+    "customer_km_survival": q_customer_km_survival,
     "brand_weighted_median": q_brand_weighted_median,
     "supplier_return_pchart": q_supplier_return_pchart,
 }
@@ -3050,6 +3188,7 @@ ORACLES = {
     "nation_revenue_trend": ORACLE_REV_TREND,
     "nation_revenue_concentration": ORACLE_REV_CONC,
     "customer_repeat_ladder": ORACLE_REPEAT_LADDER,
+    "customer_km_survival": ORACLE_KM_SURVIVAL,
     "brand_weighted_median": ORACLE_WEIGHTED_MEDIAN,
     "supplier_return_pchart": ORACLE_PCHART,
 }
