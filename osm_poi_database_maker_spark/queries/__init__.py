@@ -117,6 +117,7 @@ _VERIFY_FIRST = [
     "emb_label_smoothing",
     "stream_window_funnel",
     "customer_km_survival",
+    "events_decay_engagement",
     # tier 2: the r04-evidence cohort — stalest remaining driver rows
     # (testdata regenerates between rounds, so old rows decay); fills
     # the rest of the window, overflow rotates to r9.

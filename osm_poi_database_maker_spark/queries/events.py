@@ -2055,6 +2055,76 @@ FROM merged m JOIN direct d USING (event_type)
 """
 
 
+_DECAY_CAP = 60  # contributions older than 60 half-lives are exactly 0
+
+
+def q_events_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed engagement score per user — the feature-store
+    staple score = Σ value·2^(−Δdays) (half-life = 1 day, anchored at
+    the corpus' last event day), made EXACT: every term is computed as
+    integer cents · 2^(60−min(Δ,60)) — a shifted integer in
+    decimal(38,0) — summed exactly and divided by 2⁶⁰ only at the
+    display boundary. Float pow + float accumulation (the naive form)
+    exposes partial-aggregation order; the shifted-integer form cannot
+    disagree between engines at ANY row count, and contributions older
+    than 60 half-lives are exactly zero on both sides (vs denormal
+    underflow divergence). One map-side-combining aggregate over the
+    fact stream; the day anchor is a broadcast 1-row scalar."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "user_id",
+        F.unix_date(F.to_date("ts")).alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    anchor = base.groupBy().agg(F.max("day").alias("day0"))
+    # SQL shiftleft (the PySpark helper only takes a literal shift):
+    # 1L << (60 − min(Δ, 60)) — an exact power-of-two weight in int64
+    term = F.col("cents").cast("decimal(19,0)") * F.expr(
+        f"cast(shiftleft(cast(1 as bigint), cast({_DECAY_CAP}"
+        f" - least(day0 - day, {_DECAY_CAP}) as int)) as decimal(19,0))"
+    )
+    return (
+        base.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(term).alias("scaled"),
+            F.min(F.col("day0") - F.col("day")).alias("days_since_last"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.round(
+                (F.col("scaled") / F.lit(float(2**_DECAY_CAP))).cast("double")
+                / 100.0,
+                4,
+            ).alias("decay_score"),
+            F.col("days_since_last").cast("long").alias("days_since_last"),
+        )
+    )
+
+
+ORACLE_DECAY = f"""
+WITH base AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+anchor AS (SELECT max(day) AS day0 FROM base)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(cents AS HUGEINT)
+                      * (CAST(1 AS BIGINT)
+                         << ({_DECAY_CAP} - least(day0 - day, {_DECAY_CAP}))))
+                  AS DOUBLE) / {float(2 ** _DECAY_CAP)!r} / 100.0, 4)
+         AS decay_score,
+       CAST(min(day0 - day) AS BIGINT) AS days_since_last
+FROM base CROSS JOIN anchor
+GROUP BY user_id
+"""
+
+
 def q_events_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV set-operation estimates: the Jaccard similarity of every
     event-type PAIR's user sets, estimated from the types' K-minimum-
@@ -2224,6 +2294,7 @@ ORACLE_KMV_OVERLAP = _kmv_overlap_oracle_sql()
 
 QUERIES = {
     "events_kmv_overlap": q_events_kmv_overlap,
+    "events_decay_engagement": q_events_decay_engagement,
     "events_multi_exists": q_events_multi_exists,
     "events_ohlc_bars": q_events_ohlc_bars,
     "events_kmv_distinct": q_events_kmv_distinct,
@@ -2256,6 +2327,7 @@ QUERIES = {
 ORACLES = {
     "events_multi_exists": ORACLE_MULTI_EXISTS,
     "events_kmv_overlap": ORACLE_KMV_OVERLAP,
+    "events_decay_engagement": ORACLE_DECAY,
     "events_kmv_distinct": ORACLE_KMV,
     "events_cms_counts": ORACLE_CMS,
     "events_ohlc_bars": ORACLE_OHLC,
