@@ -695,10 +695,15 @@ def q_osm_poi_nearest_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent algorithm agreeing on every row certifies both the
     grid cover and the tie-break, the customer_edit_pairs two-algorithm
     pattern. Points with no neighbor within R are absent from both
-    sides by construction."""
+    sides by construction. Unlike the all-pairs join above (which
+    mirrors the RAW versioned stream), the probe/build sides dedup to
+    the latest (version, tstamp) row per id first — "nearest POI" over
+    a snapshot must not match a superseded coordinate of the same
+    node."""
+    from ..pipeline import dedup_latest
     from ..spatial import grid_cell, neighbor_cells
 
-    nodes = fx.nodes_df(spark).filter(
+    nodes = dedup_latest(fx.nodes_df(spark)).filter(
         F.col("lon").isNotNull() & F.col("lat").isNotNull() & F.col("geom_valid")
     )
     build = nodes.select(
@@ -747,8 +752,15 @@ def q_osm_poi_nearest_within(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_NEAREST_WITHIN = f"""
 WITH raw AS ({fx.nodes_values_sql()}),
+dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY id
+                                 ORDER BY version DESC, tstamp DESC) AS rn
+    FROM raw
+  ) WHERE rn = 1
+),
 pts AS (
-  SELECT id, lon, lat FROM raw
+  SELECT id, lon, lat FROM dedup
   WHERE lon IS NOT NULL AND lat IS NOT NULL AND geom_valid
 ),
 cand AS (

@@ -1,0 +1,217 @@
+"""Semantic pins for the round-8 query additions (beyond the oracle
+gate): boundary cases the hash gate can't isolate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_window_funnel_levels_partition_users(spark):
+    """Levels 1..3 partition exactly the users who have ≥1 view, and a
+    level-3 user really has an in-order chain within the window."""
+    from osm_poi_database_maker_spark.io import load_table
+    from osm_poi_database_maker_spark.queries.behavior import (
+        _WF_WINDOW_US,
+        q_events_window_funnel,
+    )
+
+    rows = {r["level"]: r["n_users"] for r in q_events_window_funnel(spark, SF_SMOKE).collect()}
+    e = load_table(spark, SF_SMOKE, "events")
+    n_view_users = (
+        e.filter(F.col("event_type") == "view").select("user_id").distinct().count()
+    )
+    assert sum(rows.values()) == n_view_users
+    assert set(rows) <= {1, 2, 3}
+    # independent witness for one level-3 user: brute-force chain search
+    ev = sorted(
+        (r["user_id"], r["ts"].timestamp() * 1e6, r["event_id"], r["event_type"])
+        for r in e.filter(
+            F.col("event_type").isin("view", "click", "purchase")
+        ).collect()
+    )
+    by_user: dict = {}
+    for u, t, i, y in ev:
+        by_user.setdefault(u, []).append((t, i, y))
+    def brute_level(evs):
+        lvl = 0
+        for a, (tv, iv, yv) in enumerate(evs):
+            if yv != "view":
+                continue
+            lvl = max(lvl, 1)
+            for b in range(a + 1, len(evs)):
+                tc, ic, yc = evs[b]
+                if yc == "click" and tc - tv <= _WF_WINDOW_US:
+                    lvl = max(lvl, 2)
+                    for c in range(b + 1, len(evs)):
+                        tp, ip, yp = evs[c]
+                        if yp == "purchase" and tp - tv <= _WF_WINDOW_US:
+                            return 3
+        return lvl
+    brute = {}
+    for u, evs in by_user.items():
+        lv = brute_level(sorted(evs))
+        if lv:
+            brute[lv] = brute.get(lv, 0) + 1
+    assert brute == rows
+
+
+def test_sequence_packing_accounting(spark):
+    """Offsets stay inside the budget, sequence ids tile the cumulative
+    token scale, and n_splits counts exactly the boundaries a doc
+    crosses."""
+    from osm_poi_database_maker_spark.queries.curation import (
+        _PACK_BUDGET,
+        q_doc_sequence_packing,
+    )
+
+    rows = sorted(
+        q_doc_sequence_packing(spark, SF_SMOKE).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert rows
+    cum = 0
+    for r in rows:
+        assert 0 <= r["seq_offset"] < _PACK_BUDGET
+        assert r["seq_id"] == cum // _PACK_BUDGET
+        assert r["seq_offset"] == cum % _PACK_BUDGET
+        end = cum + r["n_tok"] - 1
+        assert r["n_splits"] == end // _PACK_BUDGET - cum // _PACK_BUDGET
+        cum += r["n_tok"]
+
+
+def test_stratified_split_exact_fractions(spark):
+    """Every (source, lang) stratum gets exactly ⌊0.8n⌋ train and
+    ⌊0.9n⌋−⌊0.8n⌋ val docs — the guarantee the plain hash split lacks."""
+    from osm_poi_database_maker_spark.queries.curation import (
+        q_doc_stratified_split,
+    )
+
+    out = (
+        q_doc_stratified_split(spark, SF_SMOKE)
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("tr"),
+            F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("va"),
+        )
+        .collect()
+    )
+    assert out
+    for r in out:
+        assert r["tr"] == r["n"] * 8 // 10
+        assert r["va"] == r["n"] * 9 // 10 - r["n"] * 8 // 10
+
+
+def test_km_survival_is_monotone_and_bounded(spark):
+    """KM survival is nonincreasing in t, within [0, 1], and the at-risk
+    counts never increase."""
+    from osm_poi_database_maker_spark.queries.core import q_customer_km_survival
+
+    rows = sorted(
+        q_customer_km_survival(spark, SF_SMOKE).collect(), key=lambda r: r["t_days"]
+    )
+    assert rows
+    last_s, last_risk = 1.0 + 1e-9, float("inf")
+    for r in rows:
+        assert 0.0 <= r["survival"] <= last_s + 1e-9
+        assert r["n_at_risk"] <= last_risk
+        assert 1 <= r["n_events"] <= r["n_at_risk"]
+        last_s, last_risk = r["survival"], r["n_at_risk"]
+
+
+def test_kmv_overlap_estimates_bounded(spark):
+    """Union sketches hold ≤ K members, both-membership never exceeds
+    the union size, and estimates live in [0, 1]."""
+    from osm_poi_database_maker_spark.queries.events import (
+        _KMV_K,
+        q_events_kmv_overlap,
+    )
+
+    rows = q_events_kmv_overlap(spark, SF_SMOKE).collect()
+    assert len(rows) == 10  # C(5,2) type pairs
+    for r in rows:
+        assert 1 <= r["k_union"] <= _KMV_K
+        assert 0 <= r["n_both"] <= r["k_union"]
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert 0.0 <= r["exact_jaccard"] <= 1.0
+
+
+def test_decay_engagement_single_day_exactness(spark):
+    """A synthetic check of the shifted-integer identity: events on the
+    anchor day contribute exactly value, one day back exactly value/2."""
+    import pandas as pd
+
+    from osm_poi_database_maker_spark.queries.events import (
+        q_events_decay_engagement,
+    )
+
+    # verified against the fixture: recompute one user's score directly
+    from osm_poi_database_maker_spark.io import load_table
+
+    e = load_table(spark, SF_SMOKE, "events")
+    day0 = e.select(F.max(F.unix_date(F.to_date("ts")))).collect()[0][0]
+    uid = e.select("user_id").limit(1).collect()[0][0]
+    rows = e.filter(F.col("user_id") == uid).select(
+        F.unix_date(F.to_date("ts")).alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    ).collect()
+    want = sum(
+        (r["c"] * (1 << (60 - min(day0 - r["d"], 60)))) for r in rows
+    ) / 2**60 / 100.0
+    got = {
+        r["user_id"]: r["decay_score"]
+        for r in q_events_decay_engagement(spark, SF_SMOKE).collect()
+    }[uid]
+    assert got == round(want, 4)
+
+
+def test_nearest_within_is_true_argmin(spark):
+    """The grid argmin equals a brute-force nearest computation."""
+    import math
+
+    from osm_poi_database_maker_spark import osm_fixtures as fx
+    from osm_poi_database_maker_spark.queries.osm import (
+        _EARTH_KM,
+        _NEIGHBOR_KM,
+        q_osm_poi_nearest_within,
+    )
+
+    from osm_poi_database_maker_spark.pipeline import dedup_latest
+
+    pts = {
+        r["id"]: (r["lon"], r["lat"])
+        for r in dedup_latest(fx.nodes_df(spark))
+        .filter(F.col("lon").isNotNull() & F.col("lat").isNotNull() & F.col("geom_valid"))
+        .collect()
+    }
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def hav(a, b):
+        (lo1, la1), (lo2, la2) = pts[a], pts[b]
+        la1, la2, lo1, lo2 = map(math.radians, (la1, la2, lo1, lo2))
+        h = (
+            math.sin((la2 - la1) / 2) ** 2
+            + math.cos(la1) * math.cos(la2) * math.sin((lo2 - lo1) / 2) ** 2
+        )
+        d = 2 * _EARTH_KM * math.asin(math.sqrt(h))
+        # Spark/DuckDB round() is HALF_UP on the exact binary double;
+        # Python round() is banker's — mirror the engines here
+        return float(Decimal(d).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+    brute = {}
+    for a in pts:
+        best = None
+        for b in pts:
+            if a == b:
+                continue
+            d = hav(a, b)
+            if d <= _NEIGHBOR_KM and (best is None or (d, b) < best):
+                best = (d, b)
+        if best:
+            brute[a] = (best[1], best[0])
+    got = {
+        r["id"]: (r["nearest_id"], r["dist_km"])
+        for r in q_osm_poi_nearest_within(spark, SF_SMOKE).collect()
+    }
+    assert got == brute and len(got) > 0
