@@ -855,10 +855,15 @@ def q_emb_label_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_cluster_silhouette's geometry audit.
 
     Plan: the kNN graph is the blocked-matmul local-top-k reduction
-    (n·B·k candidates, never all-pairs materialized); the vote is one
-    integer aggregate per (vector, label) + one min-struct argmax —
-    both map-side-combining hash aggregates, no windows over the
-    neighbor fan-out. Integer votes ⇒ engines cannot disagree."""
+    (n·B·k candidate ROWS, never all-pairs materialized — but the dot
+    products are inherently O(n²): quadratic BY CONTRACT, measured 5.4×
+    under 4× growth, SCALE.md §r8). At 100 TB the smoothing runs over
+    the IVF/ANN neighbor lists instead (emb_ann_topk family, recall
+    audited in-band); this exact form is the certificate generator.
+    The vote is one integer aggregate per (vector, label) + one
+    min-struct argmax — both map-side-combining hash aggregates, no
+    windows over the neighbor fan-out. Integer votes ⇒ engines cannot
+    disagree."""
     from ..similarity import knn_graph
 
     e = load_table(spark, sf_dir, "embeddings")
