@@ -2055,6 +2055,151 @@ FROM merged m JOIN direct d USING (event_type)
 """
 
 
+_KMV_ROLL_DAYS = 7
+
+
+def q_events_kmv_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day, maintained by MERGING
+    per-day KMV sketches (union = K smallest of the concatenated
+    sketches) — the mergeable-summary rollup a production DAU/WAU
+    dashboard runs: daily sketches are built ONCE (each day's data
+    touched once), and every trailing window is set algebra on
+    K-row summaries, so a 90-day backfill re-reads zero raw events.
+    The exact trailing distinct rides along as the in-band audit
+    (at 100 TB the audit runs on sampled days).
+
+    Same portable Lehmer construction as the KMV family, so DuckDB
+    replays the identical sketches; rolling membership is an explode
+    of each day's sketch onto the 7 target days it serves (fan-out =
+    7·K rows per day, never 7× the raw stream)."""
+    from pyspark.sql import Window
+
+    from .curation import _lehmer_h
+
+    M = (1 << 31) - 1
+    e = load_table(spark, sf_dir, "events").select(
+        F.unix_date(F.to_date("ts")).alias("day"), "user_id"
+    )
+    du = e.distinct().withColumn(
+        "h", _lehmer_h(F.pmod(F.col("user_id"), F.lit(M)) * 64)
+    )
+    w_day = Window.partitionBy("day").orderBy("h")
+    daily = (
+        du.withColumn("rn", F.row_number().over(w_day))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("day", "h")
+    )
+    span = daily.groupBy().agg(F.max("day").alias("dmax"))
+    contrib = (
+        daily.crossJoin(F.broadcast(span))
+        .select(
+            "h",
+            F.explode(
+                F.sequence(
+                    F.col("day"),
+                    F.least(F.col("day") + _KMV_ROLL_DAYS - 1, F.col("dmax")),
+                )
+            ).alias("t_day"),
+        )
+        .distinct()
+    )
+    w_roll = Window.partitionBy("t_day").orderBy("h")
+    union_k = (
+        contrib.withColumn("rn", F.row_number().over(w_roll))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("t_day")
+        .agg(F.count("*").alias("n_seen"), F.max("h").alias("hk"))
+    )
+    est = F.round(
+        F.when(F.col("n_seen") < _KMV_K, F.col("n_seen").cast("double")).otherwise(
+            F.lit(float(_KMV_K - 1)) * M / F.col("hk")
+        ),
+        4,
+    )
+    exact = (
+        e.distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("day"),
+                    F.least(F.col("day") + _KMV_ROLL_DAYS - 1, F.col("dmax")),
+                )
+            ).alias("t_day"),
+        )
+        .groupBy("t_day")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    return (
+        union_k.join(exact, "t_day")
+        .select(
+            F.col("t_day").cast("long").alias("day"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            est.alias("kmv_estimate"),
+            F.round(
+                F.abs(est - F.col("exact_distinct")) / F.col("exact_distinct"), 4
+            ).alias("rel_err"),
+        )
+    )
+
+
+def _kmv_rolling_oracle_sql() -> str:
+    from .text import _LEHMER_A as A, _LEHMER_M as M
+
+    return f"""
+WITH du AS (
+  SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, user_id
+  FROM events
+),
+h AS (
+  SELECT day,
+         ((((user_id % {M} + {M}) % {M}) * 64 % {M}) * {A} % {M}) * {A} % {M} AS h
+  FROM du
+),
+daily AS (
+  SELECT day, h FROM (
+    SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+    FROM h
+  ) WHERE rn <= {_KMV_K}
+),
+span AS (SELECT max(day) AS dmax FROM daily),
+contrib AS (
+  SELECT DISTINCT h,
+         unnest(range(day, least(day + {_KMV_ROLL_DAYS}, dmax + 1))) AS t_day
+  FROM daily CROSS JOIN span
+),
+union_k AS (
+  SELECT t_day, count(*) AS n_seen, max(h) AS hk FROM (
+    SELECT t_day, h,
+           row_number() OVER (PARTITION BY t_day ORDER BY h) AS rn
+    FROM contrib
+  ) WHERE rn <= {_KMV_K} GROUP BY 1
+),
+exact AS (
+  SELECT t_day, count(DISTINCT user_id) AS exact_distinct FROM (
+    SELECT user_id,
+           unnest(range(day, least(day + {_KMV_ROLL_DAYS}, dmax + 1))) AS t_day
+    FROM du CROSS JOIN span
+  ) GROUP BY 1
+),
+j AS (
+  SELECT u.t_day AS day, x.exact_distinct,
+         round(CASE WHEN u.n_seen < {_KMV_K} THEN CAST(u.n_seen AS DOUBLE)
+                    ELSE {float(_KMV_K - 1)} * {M} / u.hk END, 4) AS kmv_estimate
+  FROM union_k u JOIN exact x ON x.t_day = u.t_day
+)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       kmv_estimate,
+       round(abs(kmv_estimate - exact_distinct) / exact_distinct, 4) AS rel_err
+FROM j
+"""
+
+
+ORACLE_KMV_ROLLING = _kmv_rolling_oracle_sql()
+
+
 _DECAY_CAP = 60  # contributions older than 60 half-lives are exactly 0
 
 
@@ -2295,6 +2440,7 @@ ORACLE_KMV_OVERLAP = _kmv_overlap_oracle_sql()
 QUERIES = {
     "events_kmv_overlap": q_events_kmv_overlap,
     "events_decay_engagement": q_events_decay_engagement,
+    "events_kmv_rolling_distinct": q_events_kmv_rolling_distinct,
     "events_multi_exists": q_events_multi_exists,
     "events_ohlc_bars": q_events_ohlc_bars,
     "events_kmv_distinct": q_events_kmv_distinct,
@@ -2328,6 +2474,7 @@ ORACLES = {
     "events_multi_exists": ORACLE_MULTI_EXISTS,
     "events_kmv_overlap": ORACLE_KMV_OVERLAP,
     "events_decay_engagement": ORACLE_DECAY,
+    "events_kmv_rolling_distinct": ORACLE_KMV_ROLLING,
     "events_kmv_distinct": ORACLE_KMV,
     "events_cms_counts": ORACLE_CMS,
     "events_ohlc_bars": ORACLE_OHLC,
