@@ -119,6 +119,7 @@ _VERIFY_FIRST = [
     "customer_km_survival",
     "events_decay_engagement",
     "events_kmv_rolling_distinct",
+    "orders_dow_chisq",
     # tier 2: the r04-evidence cohort — stalest remaining driver rows
     # (testdata regenerates between rounds, so old rows decay); fills
     # the rest of the window, overflow rotates to r9.

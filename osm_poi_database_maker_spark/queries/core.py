@@ -870,6 +870,72 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 
 # --- O20: PK/uniqueness audit ----------------------------------------------
 
+_CHISQ_CRIT_6DF = 12.5916  # χ²(6 df, α = 0.05)
+
+
+def q_orders_dow_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality test per order priority: Pearson's χ²
+    against the uniform-across-7-days null, in the closed integer form
+    χ² = (7·Σoᵢ² − n²)/n over the 7 observed day counts — the "is this
+    segment's demand actually weekday-shaped" gate a seasonality model
+    must pass before anyone fits one. A significance flag compares the
+    rounded statistic against the 6-df critical value, so both engines
+    decide the boundary on the identical double.
+
+    Integer-width discipline (SCALE.md §int64): Σoᵢ² and n² are
+    products of unbounded counts — computed in decimal(38,0) (Spark) /
+    HUGEINT-internal (DuckDB); at ~100 TB a hot priority's per-dow
+    count ≈ 4e9 makes oᵢ² ≈ 1.6e19 > 2⁶³, exactly the class the r8
+    audit fixes. Two tiny aggregates: fact → (priority, dow) counts →
+    5 rows; everything map-side-combines."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy(
+        "o_orderpriority",
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+    ).agg(F.count("*").alias("c"))
+    d = F.col("c").cast("decimal(19,0)")
+    stats = counts.groupBy("o_orderpriority").agg(
+        F.sum("c").alias("n"),
+        F.sum(d * d).alias("s2"),
+        F.count("*").alias("n_dows"),
+    )
+    chisq = F.round(
+        (
+            F.lit(7) * F.col("s2").cast("double")
+            - F.col("n").cast("double") * F.col("n").cast("double")
+        )
+        / F.col("n"),
+        4,
+    )
+    return stats.select(
+        "o_orderpriority",
+        F.col("n").alias("n_orders"),
+        F.col("n_dows").cast("long").alias("n_dows"),
+        chisq.alias("chisq"),
+        (chisq > _CHISQ_CRIT_6DF).alias("nonuniform"),
+    )
+
+
+ORACLE_DOW_CHISQ = f"""
+WITH counts AS (
+  SELECT o_orderpriority, dayofweek(o_orderdate) AS dow, count(*) AS c
+  FROM orders GROUP BY 1, 2
+),
+stats AS (
+  SELECT o_orderpriority,
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE) AS s2,
+         CAST(count(*) AS BIGINT) AS n_dows
+  FROM counts GROUP BY 1
+)
+SELECT o_orderpriority, n AS n_orders, n_dows,
+       round((7 * s2 - CAST(n AS DOUBLE) * n) / n, 4) AS chisq,
+       round((7 * s2 - CAST(n AS DOUBLE) * n) / n, 4) > {_CHISQ_CRIT_6DF}
+         AS nonuniform
+FROM stats
+"""
+
+
 def q_orders_pk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uniqueness audit — the Spark replacement for the reference's PK
     constraints (O20, schema.sql:204-257; duplicate-id abort
@@ -3135,6 +3201,7 @@ QUERIES = {
     "nation_revenue_concentration": q_nation_revenue_concentration,
     "customer_repeat_ladder": q_customer_repeat_ladder,
     "customer_km_survival": q_customer_km_survival,
+    "orders_dow_chisq": q_orders_dow_chisq,
     "brand_weighted_median": q_brand_weighted_median,
     "supplier_return_pchart": q_supplier_return_pchart,
 }
@@ -3189,6 +3256,7 @@ ORACLES = {
     "nation_revenue_concentration": ORACLE_REV_CONC,
     "customer_repeat_ladder": ORACLE_REPEAT_LADDER,
     "customer_km_survival": ORACLE_KM_SURVIVAL,
+    "orders_dow_chisq": ORACLE_DOW_CHISQ,
     "brand_weighted_median": ORACLE_WEIGHTED_MEDIAN,
     "supplier_return_pchart": ORACLE_PCHART,
 }
