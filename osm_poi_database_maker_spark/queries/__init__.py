@@ -120,6 +120,7 @@ _VERIFY_FIRST = [
     "events_decay_engagement",
     "events_kmv_rolling_distinct",
     "orders_dow_chisq",
+    "events_robotic_cadence",
     # tier 2: the r04-evidence cohort — stalest remaining driver rows
     # (testdata regenerates between rounds, so old rows decay); fills
     # the rest of the window, overflow rotates to r9.

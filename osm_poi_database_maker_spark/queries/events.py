@@ -2055,6 +2055,87 @@ FROM merged m JOIN direct d USING (event_type)
 """
 
 
+_ROBOT_MIN_GAPS = 5
+_ROBOT_CV_MAX = 0.3
+
+
+def q_events_robotic_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation detection by inter-arrival regularity: per user,
+    the coefficient of variation (σ/μ, population form) of the gaps
+    between consecutive events — humans are bursty (CV ≳ 1), schedulers
+    and scripts are metronomic (CV → 0) — flagged when the rounded CV
+    falls below 0.3 with ≥ 5 gaps observed. The abuse-filter twin of
+    the quality scores on the documents side: training pipelines drop
+    robotic traffic BEFORE behavioral features are fitted on it.
+
+    Exactness: CV derives from integer sufficient statistics
+    (n, Σg, Σg²) over whole-second gaps; the quadratic sums run in
+    decimal(38,0) per the r8 width policy (a year-long gap is ~3e7 s,
+    squared ≈ 1e15 — ×1e4 events/user is fine, but a 100× stream is
+    not), and the flag compares the ROUNDED cv so both engines decide
+    the boundary identically. One sorted window per user (the lag
+    diff) + one hash aggregate; nothing global."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = (
+        e.select("user_id", "ts", "event_id")
+        .withColumn(
+            "gap",
+            F.unix_seconds(F.lead("ts").over(w)) - F.unix_seconds(F.col("ts")),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    d = F.col("gap").cast("decimal(19,0)")
+    stats = g.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("gap").alias("sg"),
+        F.sum(d * d).alias("sg2"),
+    ).filter(F.col("n_gaps") >= _ROBOT_MIN_GAPS)
+    n = F.col("n_gaps").cast("double")
+    sg = F.col("sg").cast("double")
+    # greatest(·, 0): constant-gap users can land an ulp below zero
+    # after the decimal→double conversions; both engines clamp alike
+    var = F.greatest(
+        (n * F.col("sg2").cast("double") - sg * sg) / (n * n), F.lit(0.0)
+    )
+    cv = F.round(F.sqrt(var) / (sg / n), 4)
+    return stats.select(
+        "user_id",
+        "n_gaps",
+        F.round(sg / n, 2).alias("mean_gap_s"),
+        cv.alias("cv"),
+        (cv < _ROBOT_CV_MAX).alias("is_robotic"),
+    )
+
+
+ORACLE_ROBOTIC = f"""
+WITH g AS (
+  SELECT user_id,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id)) // 1000000
+           - epoch_us(ts) // 1000000 AS gap
+  FROM events
+),
+stats AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(sum(gap) AS BIGINT) AS sg,
+         CAST(sum(CAST(gap AS HUGEINT) * gap) AS DOUBLE) AS sg2
+  FROM g WHERE gap IS NOT NULL
+  GROUP BY 1 HAVING count(*) >= {_ROBOT_MIN_GAPS}
+)
+SELECT user_id, n_gaps,
+       round(CAST(sg AS DOUBLE) / n_gaps, 2) AS mean_gap_s,
+       round(sqrt(greatest((n_gaps * sg2 - CAST(sg AS DOUBLE) * sg)
+                  / (CAST(n_gaps AS DOUBLE) * n_gaps), 0.0))
+             / (CAST(sg AS DOUBLE) / n_gaps), 4) AS cv,
+       round(sqrt(greatest((n_gaps * sg2 - CAST(sg AS DOUBLE) * sg)
+                  / (CAST(n_gaps AS DOUBLE) * n_gaps), 0.0))
+             / (CAST(sg AS DOUBLE) / n_gaps), 4) < {_ROBOT_CV_MAX}
+         AS is_robotic
+FROM stats
+"""
+
+
 _KMV_ROLL_DAYS = 7
 
 
@@ -2441,6 +2522,7 @@ QUERIES = {
     "events_kmv_overlap": q_events_kmv_overlap,
     "events_decay_engagement": q_events_decay_engagement,
     "events_kmv_rolling_distinct": q_events_kmv_rolling_distinct,
+    "events_robotic_cadence": q_events_robotic_cadence,
     "events_multi_exists": q_events_multi_exists,
     "events_ohlc_bars": q_events_ohlc_bars,
     "events_kmv_distinct": q_events_kmv_distinct,
@@ -2475,6 +2557,7 @@ ORACLES = {
     "events_kmv_overlap": ORACLE_KMV_OVERLAP,
     "events_decay_engagement": ORACLE_DECAY,
     "events_kmv_rolling_distinct": ORACLE_KMV_ROLLING,
+    "events_robotic_cadence": ORACLE_ROBOTIC,
     "events_kmv_distinct": ORACLE_KMV,
     "events_cms_counts": ORACLE_CMS,
     "events_ohlc_bars": ORACLE_OHLC,
