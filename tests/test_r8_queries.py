@@ -215,3 +215,44 @@ def test_nearest_within_is_true_argmin(spark):
         for r in q_osm_poi_nearest_within(spark, SF_SMOKE).collect()
     }
     assert got == brute and len(got) > 0
+
+
+def test_dow_chisq_closed_form(spark):
+    """χ² closed form equals the textbook Σ(o−e)²/e on recomputed
+    counts."""
+    from osm_poi_database_maker_spark.io import load_table
+    from osm_poi_database_maker_spark.queries.core import q_orders_dow_chisq
+
+    got = {r["o_orderpriority"]: r for r in q_orders_dow_chisq(spark, SF_SMOKE).collect()}
+    o = load_table(spark, SF_SMOKE, "orders")
+    rows = (
+        o.groupBy("o_orderpriority", F.dayofweek("o_orderdate").alias("d"))
+        .count()
+        .collect()
+    )
+    by_p: dict = {}
+    for r in rows:
+        by_p.setdefault(r["o_orderpriority"], []).append(r["count"])
+    for p, cs in by_p.items():
+        n = sum(cs)
+        e = n / 7.0
+        chi = sum((c - e) ** 2 / e for c in cs) + (7 - len(cs)) * e  # silent dows
+        assert abs(got[p]["chisq"] - chi) < 0.01, (p, got[p]["chisq"], chi)
+        assert got[p]["n_orders"] == n
+
+
+def test_robotic_cadence_flags_metronome(spark):
+    """CV semantics sanity on the fixture: flags imply cv < 0.3, and
+    every emitted user has ≥ 5 gaps with a positive mean gap."""
+    from osm_poi_database_maker_spark.queries.events import (
+        _ROBOT_CV_MAX,
+        _ROBOT_MIN_GAPS,
+        q_events_robotic_cadence,
+    )
+
+    rows = q_events_robotic_cadence(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["n_gaps"] >= _ROBOT_MIN_GAPS
+        assert r["mean_gap_s"] > 0
+        assert r["is_robotic"] == (r["cv"] < _ROBOT_CV_MAX)
