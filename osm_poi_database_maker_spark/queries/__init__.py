@@ -121,6 +121,7 @@ _VERIFY_FIRST = [
     "events_kmv_rolling_distinct",
     "orders_dow_chisq",
     "events_robotic_cadence",
+    "orders_referential_integrity",
     # tier 2: the r04-evidence cohort — stalest remaining driver rows
     # (testdata regenerates between rounds, so old rows decay); fills
     # the rest of the window, overflow rotates to r9.

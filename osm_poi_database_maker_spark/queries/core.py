@@ -870,6 +870,80 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 
 # --- O20: PK/uniqueness audit ----------------------------------------------
 
+_FK_EDGES = (
+    # (edge label, child table, child key, parent table, parent key)
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def q_orders_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over every FK edge of the schema —
+    the dbt-style relationship test, one row per edge with child
+    cardinality, orphan count (child keys with no parent), and null-key
+    count (nulls are NOT orphans under SQL FK semantics; they get
+    their own column so a lazy loader can't hide behind them). The
+    whole table passing with zeros IS the result a load pipeline
+    gates on; the reference delegates this to Postgres PK/FK DDL
+    (schema constraints) — here it is the engine-side audit (O20's
+    companion).
+
+    Plan per edge: distinct child keys (map-side combine on the key)
+    LEFT ANTI the parent key column — small-parent edges broadcast,
+    big-parent edges co-partition on the key; nothing ever leaves the
+    key columns, so column pruning reduces each scan to one column.
+    Integer counts end-to-end."""
+    rows = None
+    for label, child, ckey, parent, pkey in _FK_EDGES:
+        c = load_table(spark, sf_dir, child).select(F.col(ckey).alias("k"))
+        p = load_table(spark, sf_dir, parent).select(F.col(pkey).alias("k"))
+        n_child = c.groupBy().agg(
+            F.count("*").alias("n_child_rows"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_null_keys"),
+        )
+        orphans = (
+            c.filter(F.col("k").isNotNull())
+            .distinct()
+            .join(p, "k", "left_anti")
+            .groupBy()
+            .agg(F.count("*").alias("n_orphan_keys"))
+        )
+        edge = (
+            n_child.crossJoin(F.broadcast(orphans))
+            .select(
+                F.lit(label).alias("fk_edge"),
+                F.col("n_child_rows").cast("long").alias("n_child_rows"),
+                F.col("n_null_keys").cast("long").alias("n_null_keys"),
+                F.col("n_orphan_keys").cast("long").alias("n_orphan_keys"),
+            )
+        )
+        rows = edge if rows is None else rows.unionByName(edge)
+    return rows
+
+
+def _ri_oracle_sql() -> str:
+    parts = []
+    for label, child, ckey, parent, pkey in _FK_EDGES:
+        parts.append(f"""
+SELECT '{label}' AS fk_edge,
+       (SELECT CAST(count(*) AS BIGINT) FROM {child}) AS n_child_rows,
+       (SELECT CAST(count(*) AS BIGINT) FROM {child}
+        WHERE {ckey} IS NULL) AS n_null_keys,
+       (SELECT CAST(count(*) AS BIGINT) FROM
+          (SELECT DISTINCT {ckey} AS k FROM {child} WHERE {ckey} IS NOT NULL) c
+        WHERE NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pkey} = c.k))
+         AS n_orphan_keys""")
+    return "\nUNION ALL\n".join(parts)
+
+
+ORACLE_REF_INTEGRITY = _ri_oracle_sql()
+
+
 _CHISQ_CRIT_6DF = 12.5916  # χ²(6 df, α = 0.05)
 
 
@@ -3202,6 +3276,7 @@ QUERIES = {
     "customer_repeat_ladder": q_customer_repeat_ladder,
     "customer_km_survival": q_customer_km_survival,
     "orders_dow_chisq": q_orders_dow_chisq,
+    "orders_referential_integrity": q_orders_referential_integrity,
     "brand_weighted_median": q_brand_weighted_median,
     "supplier_return_pchart": q_supplier_return_pchart,
 }
@@ -3257,6 +3332,7 @@ ORACLES = {
     "customer_repeat_ladder": ORACLE_REPEAT_LADDER,
     "customer_km_survival": ORACLE_KM_SURVIVAL,
     "orders_dow_chisq": ORACLE_DOW_CHISQ,
+    "orders_referential_integrity": ORACLE_REF_INTEGRITY,
     "brand_weighted_median": ORACLE_WEIGHTED_MEDIAN,
     "supplier_return_pchart": ORACLE_PCHART,
 }
