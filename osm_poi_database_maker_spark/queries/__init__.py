@@ -122,6 +122,7 @@ _VERIFY_FIRST = [
     "orders_dow_chisq",
     "events_robotic_cadence",
     "orders_referential_integrity",
+    "stream_kmv_rolling_distinct",
     # tier 2: the r04-evidence cohort — stalest remaining driver rows
     # (testdata regenerates between rounds, so old rows decay); fills
     # the rest of the window, overflow rotates to r9.

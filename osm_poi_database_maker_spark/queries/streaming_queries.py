@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .. import streaming as S
 from .behavior import ORACLE_AB, ORACLE_MARKOV, ORACLE_WINDOW_FUNNEL
 from .events import (
+    ORACLE_KMV_ROLLING,
     ORACLE_BLOOM_ADMIT,
     ORACLE_CMS,
     ORACLE_CUSUM,
@@ -451,6 +452,89 @@ def q_stream_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.groupBy("level").agg(F.count("*").cast("long").alias("n_users"))
 
 
+def q_stream_kmv_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming trailing-7-day distinct users — per-day KMV sketches
+    maintained as custom state (K longs per active day, forever),
+    merged into trailing windows by the BATCH twin's exact finalizer
+    (newest emission per day → explode minima → union-keep-K-minima
+    per target day → estimator + exact audit), certified end-to-end by
+    the batch twin's DuckDB oracle. The dashboard-read path touches
+    only sketch rows; raw events are read once by the state op and
+    once by the gate-scale exact audit."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..io import load_table
+    from .events import _KMV_K, _KMV_ROLL_DAYS
+
+    M = (1 << 31) - 1
+    out = _materialize(
+        S.kmv_daily_sketch_state(S.stream_events(spark, sf_dir)), spark, "update"
+    )
+    w = Window.partitionBy("day").orderBy(F.desc("n_seen"))
+    daily = (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("day", F.explode("minima").alias("h"))
+    )
+    span = daily.groupBy().agg(F.max("day").alias("dmax"))
+    contrib = (
+        daily.crossJoin(F.broadcast(span))
+        .select(
+            "h",
+            F.explode(
+                F.sequence(
+                    F.col("day"),
+                    F.least(F.col("day") + _KMV_ROLL_DAYS - 1, F.col("dmax")),
+                )
+            ).alias("t_day"),
+        )
+        .distinct()
+    )
+    w_roll = Window.partitionBy("t_day").orderBy("h")
+    union_k = (
+        contrib.withColumn("rn", F.row_number().over(w_roll))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("t_day")
+        .agg(F.count("*").alias("n_seen"), F.max("h").alias("hk"))
+    )
+    est = F.round(
+        F.when(F.col("n_seen") < _KMV_K, F.col("n_seen").cast("double")).otherwise(
+            F.lit(float(_KMV_K - 1)) * M / F.col("hk")
+        ),
+        4,
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        F.unix_date(F.to_date("ts")).alias("day"), "user_id"
+    )
+    exact = (
+        e.distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("day"),
+                    F.least(F.col("day") + _KMV_ROLL_DAYS - 1, F.col("dmax")),
+                )
+            ).alias("t_day"),
+        )
+        .groupBy("t_day")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    return (
+        union_k.join(exact, "t_day")
+        .select(
+            F.col("t_day").cast("long").alias("day"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            est.alias("kmv_estimate"),
+            F.round(
+                F.abs(est - F.col("exact_distinct")) / F.col("exact_distinct"), 4
+            ).alias("rel_err"),
+        )
+    )
+
+
 def q_stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream watermarked join (purchase ← same-user click within
     2 hours): both sides are live streams; bounded time-range condition
@@ -503,6 +587,7 @@ QUERIES = {
     "stream_cusum_changepoints": q_stream_cusum_changepoints,
     "stream_incremental_rollup": q_stream_incremental_rollup,
     "stream_window_funnel": q_stream_window_funnel,
+    "stream_kmv_rolling_distinct": q_stream_kmv_rolling_distinct,
 }
 
 ORACLES = {
@@ -524,4 +609,5 @@ ORACLES = {
     "stream_cusum_changepoints": ORACLE_CUSUM,
     "stream_incremental_rollup": ORACLE_IVM,
     "stream_window_funnel": ORACLE_WINDOW_FUNNEL,
+    "stream_kmv_rolling_distinct": ORACLE_KMV_ROLLING,
 }

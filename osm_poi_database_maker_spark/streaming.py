@@ -1235,3 +1235,54 @@ def window_funnel_state(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_KMV_DAY_STATE_SCHEMA = "minima array<long>"
+_KMV_DAY_OUT_SCHEMA = "day long, minima array<long>, n_seen long"
+
+
+def _kmv_day_update(k: int):
+    """Per-DAY KMV sketch fold — the same union-keep-K-minima merge
+    rule as _kmv_update (associative, idempotent: micro-batch
+    boundaries and duplicate users cannot change the fixpoint), keyed
+    by event day instead of event type and emitting the full minima
+    ARRAY so the reader can MERGE day sketches into trailing windows.
+    n_seen (monotone: the retained-minima count never shrinks under
+    union) stamps emissions for newest-wins selection."""
+
+    def update(key: tuple[Any, ...], pdfs: Any, state: GroupState):
+        import numpy as np
+
+        s = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            u = pdf["user_id"].to_numpy(dtype=np.int64)
+            u_n = u % _KMV_M
+            h = (u_n * 64) % _KMV_M * _KMV_A % _KMV_M * _KMV_A % _KMV_M
+            s.update(int(x) for x in h)
+        top = sorted(s)[:k]
+        state.update((top,))
+        yield pd.DataFrame(
+            {"day": [key[0]], "minima": [top], "n_seen": [len(top)]}
+        )
+
+    return update
+
+
+def kmv_daily_sketch_state(events: DataFrame, k: int = 64) -> DataFrame:
+    """Continuously-maintained per-day KMV sketches — the streaming
+    state behind the trailing-window distinct rollup
+    (queries/events.q_events_kmv_rolling_distinct): the stream keeps K
+    longs per ACTIVE DAY forever (never per user), and any trailing
+    window is set algebra on the emitted day sketches. Day extraction
+    runs declaratively before the stateful op so state-store sharding
+    keys on a real column."""
+    prepped = events.select(
+        F.unix_date(F.to_date("ts")).alias("day"), "user_id"
+    )
+    return prepped.groupBy("day").applyInPandasWithState(
+        _kmv_day_update(k),
+        outputStructType=_KMV_DAY_OUT_SCHEMA,
+        stateStructType=_KMV_DAY_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
