@@ -2767,6 +2767,139 @@ FROM stats JOIN nation n ON n.n_nationkey = stats.c_nationkey
 
 
 
+_BT_MIN_MONTHS = 12
+
+
+def q_nation_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expanding-window forecast BACKTEST of the per-nation revenue
+    trend model (q_nation_revenue_trend's OLS): for every month m with
+    ≥ 12 prior months, fit the line on months < m only, forecast m,
+    and report each nation's mean absolute percentage error — the
+    honest "would this model have worked" loop, done WITHOUT refitting:
+    the OLS sufficient statistics (n, Σx, Σy, Σxy, Σx²) over "months
+    before m" are one set of EXCLUSIVE cumulative window sums per
+    nation, so all ~84 backtests per nation fall out of a single sort
+    — backtesting as window algebra, no per-fold recomputation, no
+    loop.
+
+    Exactness: prefix sums are exact integers; the slope/forecast
+    combination terms (n·Σxy − Σx·Σy …) run in decimal(38,0) per the
+    r8 width policy (n·Σxy ≈ 6e19 at 100 TB-equivalent monthly cents);
+    each month's percentage error is derived from identical doubles in
+    both engines and IMMEDIATELY integerized (round(1e6·APE) as
+    BIGINT), so the per-nation mean is a ratio of exact integers —
+    no double accumulation across months anywhere."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    monthly = (
+        o.select(
+            "o_custkey",
+            (
+                (F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1
+            ).alias("m"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey", "m")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    spine = (
+        monthly.groupBy("c_nationkey")
+        .agg(F.min("m").alias("m0"), F.max("m").alias("m1"))
+        .select("c_nationkey", F.explode(F.sequence("m0", "m1")).alias("m"))
+    )
+    dense = spine.join(monthly, ["c_nationkey", "m"], "left").select(
+        "c_nationkey", "m", F.coalesce("rev", F.lit(0)).alias("rev")
+    )
+    w_prior = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pri = dense.select(
+        "c_nationkey",
+        "m",
+        "rev",
+        F.count("*").over(w_prior).alias("np"),
+        F.sum("m").over(w_prior).alias("sx"),
+        F.sum("rev").over(w_prior).alias("sy"),
+        F.sum(F.col("m") * F.col("m")).over(w_prior).alias("sxx"),
+        F.sum(F.col("m") * F.col("rev")).over(w_prior).alias("sxy"),
+    )
+    d = lambda col: F.col(col).cast("decimal(19,0)")  # noqa: E731
+    num = d("np") * d("sxy") - d("sx") * d("sy")
+    den = d("np") * d("sxx") - d("sx") * d("sx")
+    slope = num.cast("double") / F.nullif(den.cast("double"), F.lit(0.0))
+    forecast = (F.col("sy") - slope * F.col("sx")) / F.col("np") + slope * F.col("m")
+    ape_int = F.round(
+        F.lit(1e6) * F.abs(forecast - F.col("rev")) / F.col("rev")
+    ).cast("long")
+    scored = pri.filter(
+        (F.col("np") >= _BT_MIN_MONTHS) & (F.col("rev") > 0)
+    ).select("c_nationkey", ape_int.alias("ape"))
+    agg = scored.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_backtests"), F.sum("ape").alias("sape")
+    )
+    return (
+        agg.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.col("n_backtests").cast("long").alias("n_backtests"),
+            F.round(F.col("sape") / F.col("n_backtests") / 1e6, 4).alias("mape"),
+        )
+    )
+
+
+ORACLE_FORECAST_BT = f"""
+WITH monthly AS (
+  SELECT c.c_nationkey,
+         (year(o.o_orderdate) - 1992) * 12 + month(o.o_orderdate) - 1 AS m,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+spine AS (
+  SELECT c_nationkey, unnest(range(m0, m1 + 1)) AS m
+  FROM (SELECT c_nationkey, min(m) AS m0, max(m) AS m1 FROM monthly GROUP BY 1)
+),
+dense AS (
+  SELECT s.c_nationkey, s.m, CAST(coalesce(x.rev, 0) AS BIGINT) AS rev
+  FROM spine s LEFT JOIN monthly x
+    ON x.c_nationkey = s.c_nationkey AND x.m = s.m
+),
+pri AS (
+  SELECT c_nationkey, m, rev,
+         count(*) OVER w AS np,
+         CAST(sum(m) OVER w AS HUGEINT) AS sx,
+         CAST(sum(rev) OVER w AS HUGEINT) AS sy,
+         CAST(sum(m * m) OVER w AS HUGEINT) AS sxx,
+         CAST(sum(m * rev) OVER w AS HUGEINT) AS sxy
+  FROM dense
+  WINDOW w AS (PARTITION BY c_nationkey ORDER BY m
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+scored AS (
+  SELECT c_nationkey,
+         CAST(round(1e6 * abs(
+           (sy - CAST(np * sxy - sx * sy AS DOUBLE)
+                 / nullif(CAST(np * sxx - sx * sx AS DOUBLE), 0.0) * sx) / np
+           + CAST(np * sxy - sx * sy AS DOUBLE)
+             / nullif(CAST(np * sxx - sx * sx AS DOUBLE), 0.0) * m
+           - rev) / rev) AS BIGINT) AS ape
+  FROM pri
+  WHERE np >= {_BT_MIN_MONTHS} AND rev > 0
+)
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS n_backtests,
+       round(CAST(sum(ape) AS BIGINT) / CAST(count(*) AS DOUBLE) / 1e6, 4)
+         AS mape
+FROM scored JOIN nation n ON n.n_nationkey = scored.c_nationkey
+GROUP BY 1
+"""
+
+
 def q_nation_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue concentration per nation: the top-decile customer share
     and the Gini coefficient of the customer revenue distribution — the
@@ -3277,6 +3410,7 @@ QUERIES = {
     "customer_km_survival": q_customer_km_survival,
     "orders_dow_chisq": q_orders_dow_chisq,
     "orders_referential_integrity": q_orders_referential_integrity,
+    "nation_forecast_backtest": q_nation_forecast_backtest,
     "brand_weighted_median": q_brand_weighted_median,
     "supplier_return_pchart": q_supplier_return_pchart,
 }
@@ -3333,6 +3467,7 @@ ORACLES = {
     "customer_km_survival": ORACLE_KM_SURVIVAL,
     "orders_dow_chisq": ORACLE_DOW_CHISQ,
     "orders_referential_integrity": ORACLE_REF_INTEGRITY,
+    "nation_forecast_backtest": ORACLE_FORECAST_BT,
     "brand_weighted_median": ORACLE_WEIGHTED_MEDIAN,
     "supplier_return_pchart": ORACLE_PCHART,
 }
