@@ -395,3 +395,104 @@ def test_round6b_plan_shapes(spark):
 
     p = plan_of(q_doc_containment_pairs)
     assert "Generate" in p  # array-side direction expansion
+
+
+# --- round-8 fold operators: Misra-Gries sketch and window-funnel fold ---
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=600),
+    st.integers(min_value=1, max_value=7),
+)
+def test_mg_sketch_superset_property(tokens, n_batches):
+    """For ANY stream and ANY batch split, every item with true count
+    > N/(K+1) must survive the partition sketch, counters stay ≤ K,
+    and every retained lower bound is ≤ the true count (MG only
+    subtracts)."""
+    from collections import Counter
+
+    from osm_poi_database_maker_spark.queries import text as T
+
+    stream = [f"t{v}" for v in tokens]
+    size = max(1, len(stream) // n_batches)
+    batches = [
+        pd.DataFrame({"w": stream[i : i + size]})
+        for i in range(0, len(stream), size)
+    ]
+    out = list(T._mg_partition_sketch(iter(batches)))[0]
+    lb = dict(zip(out["token"], out["lb"]))
+    true = Counter(stream)
+    n = len(stream)
+    assert len(lb) <= T._MG_K
+    for tok, c in true.items():
+        if c * (T._MG_K + 1) > n:
+            assert tok in lb, (tok, c, n)
+    for tok, b in lb.items():
+        assert 0 < b <= true[tok]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200),  # ts (µs scale shrunk)
+            st.sampled_from(["view", "click", "purchase"]),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_wfunnel_fold_matches_brute_force(evs, n_batches):
+    """The suffix-min funnel fold equals a brute-force exists-chain
+    search for ANY event stream and ANY micro-batch split (no
+    watermark → nothing folds, the exact path)."""
+    from osm_poi_database_maker_spark import streaming as S
+
+    rows = [
+        {"ts_us": t * S._WFUNNEL_WINDOW_US // 100, "event_id": i, "event_type": y}
+        for i, (t, y) in enumerate(evs)
+    ]
+    W = S._WFUNNEL_WINDOW_US
+
+    def brute(rs):
+        rs = sorted((r["ts_us"], r["event_id"], r["event_type"]) for r in rs)
+        lvl = 0
+        for a, (tv, _, yv) in enumerate(rs):
+            if yv != "view":
+                continue
+            lvl = max(lvl, 1)
+            for b in range(a + 1, len(rs)):
+                tc, _, yc = rs[b]
+                if yc == "click" and tc - tv <= W:
+                    lvl = max(lvl, 2)
+                    for c in range(b + 1, len(rs)):
+                        tp, _, yp = rs[c]
+                        if yp == "purchase" and tp - tv <= W:
+                            return 3
+        return lvl
+
+    class _St:
+        exists = False
+        _v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+            self.exists = True
+
+    st_ = _St()
+    size = max(1, len(rows) // n_batches)
+    out = None
+    for i in range(0, len(rows), size):
+        chunk = pd.DataFrame(rows[i : i + size])
+        res = list(S._wfunnel_update((1,), [chunk], st_))
+        if res:
+            out = res[0]
+    want = brute(rows)
+    got = int(out["level"].iloc[0]) if out is not None else 0
+    assert got == want
