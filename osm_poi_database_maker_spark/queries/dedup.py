@@ -137,6 +137,50 @@ def q_doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CURVE_TAUS = (0.25, 0.30, 0.40, 0.50, 0.60, 0.70, 0.80, 0.90)
+
+
+def q_doc_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold-tuning curve: for each candidate Jaccard cutoff
+    τ, the pair count, the would-be-dropped doc count (keep-min rule:
+    a doc drops when any LOWER-id doc is ≥ τ similar), and the corpus
+    keep-rate — the sweep every dedup rollout runs BEFORE committing
+    to a threshold, answering "how much corpus does each notch cost".
+    One pass: the (already ≥ 0.25) pair table is ~|near-dup pairs|
+    rows; each pair explodes onto the thresholds it clears (≤ 8), so
+    the sweep costs 8 tiny aggregates over pairs — the raw corpus is
+    touched only for the denominator count. Cutoffs compare against
+    the ROUNDED jaccard both engines already agree on."""
+    pairs = _ngram_pairs_cached(spark, sf_dir).select("doc_b", "jaccard")
+    taus = F.array(*[F.lit(t) for t in _CURVE_TAUS])
+    hits = pairs.select(
+        "doc_b", "jaccard", F.explode(taus).alias("tau")
+    ).filter(F.col("jaccard") >= F.col("tau"))
+    per_tau = hits.groupBy("tau").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("doc_b").alias("n_dropped"),
+    )
+    total = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy()
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return (
+        per_tau.crossJoin(F.broadcast(total))
+        .select(
+            F.round("tau", 2).alias("tau"),
+            "n_pairs",
+            "n_dropped",
+            F.round(1.0 - F.col("n_dropped") / F.col("n_docs"), 4).alias(
+                "keep_rate"
+            ),
+        )
+    )
+
+
+# ORACLE_DEDUP_CURVE is defined below ORACLE_NGRAM (it embeds it).
+
+
 CONTAINMENT_MIN = 0.5
 
 
@@ -244,6 +288,28 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 4) >= 0.25
 """
 
+
+ORACLE_DEDUP_CURVE = f"""
+WITH pairs AS ({ORACLE_NGRAM}),
+taus AS (  -- CAST: DuckDB types bare 0.3 as DECIMAL(3,2), which compares
+           -- exactly against 0.30 while Spark's double literal is
+           -- 0.2999…988 — boundary pairs would diverge
+  SELECT CAST(unnest([{", ".join(str(t) for t in _CURVE_TAUS)}]) AS DOUBLE)
+    AS tau
+),
+hits AS (
+  SELECT t.tau, p.doc_b, p.jaccard
+  FROM pairs p JOIN taus t ON p.jaccard >= t.tau
+),
+total AS (SELECT count(*) AS n_docs FROM documents)
+SELECT round(tau, 2) AS tau,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT doc_b) AS BIGINT) AS n_dropped,
+       round(1.0 - count(DISTINCT doc_b)
+             / CAST((SELECT n_docs FROM total) AS DOUBLE), 4) AS keep_rate
+FROM hits
+GROUP BY tau
+"""
 
 
 PPJOIN_T = 0.5
@@ -1443,6 +1509,7 @@ LEFT JOIN overlap o ON o.doc_id = i.doc_id
 
 
 QUERIES = {
+    "doc_dedup_threshold_curve": q_doc_dedup_threshold_curve,
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_ngram_jaccard_pairs": q_doc_ngram_jaccard_pairs,
     "doc_ppjoin_pairs": q_doc_ppjoin_pairs,
@@ -1462,6 +1529,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_dedup_threshold_curve": ORACLE_DEDUP_CURVE,
     "doc_graph_triangles": ORACLE_TRIANGLES,
     "doc_incremental_dedup": ORACLE_INCREMENTAL,
     "doc_exact_dedup": ORACLE_EXACT,
