@@ -617,7 +617,130 @@ GROUP BY dist
 """
 
 
+_TRGM_QUERIES = (
+    "promo burnished copper",
+    "standard anodized steel",
+    "economy polished tin",
+)
+_TRGM_TOPK = 5
+
+
+def _trigrams(col):
+    """Distinct char trigrams of ``'  ' + lower(s) + ' '`` — the
+    pg_trgm padding convention, as one JVM expression."""
+    padded = F.concat(F.lit("  "), F.lower(col), F.lit(" "))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(padded) - 2),
+            lambda i: F.substring(padded, i, 3),
+        )
+    )
+
+
+def q_part_trgm_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-similarity fuzzy search over part names — the pg_trgm
+    ``%`` operator + GIN-index shape the reference's Postgres side
+    provides for free, re-expressed as a posting-list join: each query
+    string's distinct trigrams probe the exploded (trigram → part)
+    postings, shared counts aggregate per (query, part), and
+    similarity = shared / (|A| + |B| − shared) ranks the top 5 with
+    deterministic ties. Candidate volume rides the QUERY trigrams'
+    posting lengths (the GIN access path), never |parts| × |queries|
+    — a part sharing no trigram with the query is never touched,
+    exactly pg_trgm's index guarantee.
+
+    Exactness: trigram sets are identical string operations in both
+    engines (the '  s ' padding convention is spelled out in SQL), so
+    counts are exact integers and the similarity is the same double."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pt = p.select(
+        "p_partkey", "p_name", F.explode(_trigrams(F.col("p_name"))).alias("tg")
+    )
+    psz = p.select(
+        "p_partkey", F.size(_trigrams(F.col("p_name"))).alias("nb")
+    )
+    q = spark.createDataFrame(
+        [(s,) for s in _TRGM_QUERIES], "query string"
+    )
+    qt = q.select(
+        "query", F.explode(_trigrams(F.col("query"))).alias("tg")
+    )
+    qsz = q.select("query", F.size(_trigrams(F.col("query"))).alias("na"))
+    shared = (
+        pt.join(F.broadcast(qt), "tg")
+        .groupBy("query", "p_partkey", "p_name")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sim = F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared"))
+    w = Window.partitionBy("query").orderBy(
+        F.desc(F.round(sim, 6)), F.asc("p_partkey")
+    )
+    return (
+        shared.join(F.broadcast(qsz), "query")
+        .join(psz, "p_partkey")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TRGM_TOPK)
+        .select(
+            "query",
+            "p_partkey",
+            "p_name",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(sim, 4).alias("similarity"),
+            "rk",
+        )
+    )
+
+
+def _trgm_oracle_sql() -> str:
+    qlist = ", ".join(f"'{s}'" for s in _TRGM_QUERIES)
+    pad = "'  ' || lower({c}) || ' '"
+
+    def tgs(src, key, c, out):
+        padded = pad.format(c=c)
+        return f"""
+{out} AS (
+  SELECT DISTINCT {key}, substring(padded, CAST(i AS INT), 3) AS tg
+  FROM (SELECT {key}, {padded} AS padded FROM {src}),
+       LATERAL (SELECT unnest(range(1, length(padded) - 1)) AS i) u
+)"""
+
+    return f"""
+WITH q AS (SELECT unnest([{qlist}]) AS query),
+{tgs('q', 'query', 'query', 'qt')},
+{tgs('part', 'p_partkey', 'p_name', 'pt')},
+qsz AS (SELECT query, count(*) AS na FROM qt GROUP BY 1),
+psz AS (SELECT p_partkey, count(*) AS nb FROM pt GROUP BY 1),
+shared AS (
+  SELECT qt.query, pt.p_partkey, count(*) AS n_shared
+  FROM pt JOIN qt ON qt.tg = pt.tg
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT s.query, s.p_partkey, p.p_name,
+         CAST(s.n_shared AS BIGINT) AS n_shared,
+         s.n_shared / CAST(qsz.na + psz.nb - s.n_shared AS DOUBLE) AS sim
+  FROM shared s
+  JOIN qsz ON qsz.query = s.query
+  JOIN psz ON psz.p_partkey = s.p_partkey
+  JOIN part p ON p.p_partkey = s.p_partkey
+)
+SELECT query, p_partkey, p_name, n_shared,
+       round(sim, 4) AS similarity, rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query
+                               ORDER BY round(sim, 6) DESC,
+                                        p_partkey ASC) AS rk
+  FROM scored
+)
+WHERE rk <= {_TRGM_TOPK}
+"""
+
+
+ORACLE_TRGM_SEARCH = _trgm_oracle_sql()
+
+
 QUERIES = {
+    "part_trgm_search": q_part_trgm_search,
     "orders_column_profile": q_orders_column_profile,
     "lineitem_price_outliers_mad": q_lineitem_price_outliers_mad,
     "lineitem_hist_quantiles": q_lineitem_hist_quantiles,
@@ -629,6 +752,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "part_trgm_search": ORACLE_TRGM_SEARCH,
     "orders_column_profile": ORACLE_COLUMN_PROFILE,
     "lineitem_price_outliers_mad": ORACLE_MAD_OUTLIERS,
     "lineitem_hist_quantiles": ORACLE_HIST_QUANTILES,
