@@ -126,6 +126,7 @@ _VERIFY_FIRST = [
     "nation_forecast_backtest",
     "doc_dedup_threshold_curve",
     "part_trgm_search",
+    "events_lateness_profile",
     # tier 2: the r04-evidence cohort — stalest remaining driver rows
     # (testdata regenerates between rounds, so old rows decay); fills
     # the rest of the window, overflow rotates to r9.

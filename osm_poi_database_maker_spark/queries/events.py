@@ -2055,6 +2055,78 @@ FROM merged m JOIN direct d USING (event_type)
 """
 
 
+def q_events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness profile — the measurement a watermark/allowed-
+    lateness choice should be MADE from, instead of guessed: an event is
+    "late" when it arrives after a later-timestamped event of the same
+    user (arrival order proxied by event_id, the ingest sequence), its
+    lateness is the gap to the user's running max event time, and the
+    profile buckets latenesses by power-of-two seconds per event type.
+    Reading the table answers "what watermark keeps 99% of late data"
+    — the number every `withWatermark` in streaming.py encodes.
+
+    One sorted window per user (running max over the event_id arrival
+    order, EXCLUSIVE frame), integer lateness seconds, one hash
+    aggregate onto ⌈log₂⌉ buckets. The bucket is computed as the BIT
+    LENGTH of (late_s − 1) — pure integer/string ops, because libm
+    log2 at exact powers of two is the kind of cross-platform ulp leak
+    this registry designs out — so everything is exact integers,
+    nothing global."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lat = (
+        e.select("user_id", "event_id", "event_type", F.unix_seconds("ts").alias("t"))
+        .withColumn("prev_max", F.max("t").over(w))
+        .withColumn("late_s", F.col("prev_max") - F.col("t"))
+    )
+    # ceil(log2(x)) = bit_length(x − 1) for x ≥ 2; 0 for x = 1
+    bucket = (
+        F.when(F.col("late_s") <= 0, F.lit(-1))
+        .when(F.col("late_s") == 1, F.lit(0))
+        .otherwise(F.length(F.conv(F.col("late_s") - 1, 10, 2)).cast("long"))
+    )
+    per_type = (
+        lat.filter(F.col("prev_max").isNotNull())
+        .select("event_type", bucket.alias("late_bucket"), "late_s")
+        .groupBy("event_type", "late_bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("late_s").alias("max_late_s"),
+        )
+    )
+    return per_type.select(
+        "event_type",
+        F.col("late_bucket").cast("long").alias("late_bucket"),
+        "n_events",
+        F.col("max_late_s").cast("long").alias("max_late_s"),
+    )
+
+
+ORACLE_LATENESS = """
+WITH lat AS (
+  SELECT event_type,
+         max(epoch_us(ts) // 1000000) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           - epoch_us(ts) // 1000000 AS late_s
+  FROM events
+)
+SELECT event_type,
+       CAST(CASE WHEN late_s <= 0 THEN -1
+                 WHEN late_s = 1 THEN 0
+                 ELSE length(bin(CAST(late_s - 1 AS BIGINT)))
+            END AS BIGINT) AS late_bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(late_s) AS BIGINT) AS max_late_s
+FROM lat WHERE late_s IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 _ROBOT_MIN_GAPS = 5
 _ROBOT_CV_MAX = 0.3
 
@@ -2523,6 +2595,7 @@ QUERIES = {
     "events_decay_engagement": q_events_decay_engagement,
     "events_kmv_rolling_distinct": q_events_kmv_rolling_distinct,
     "events_robotic_cadence": q_events_robotic_cadence,
+    "events_lateness_profile": q_events_lateness_profile,
     "events_multi_exists": q_events_multi_exists,
     "events_ohlc_bars": q_events_ohlc_bars,
     "events_kmv_distinct": q_events_kmv_distinct,
@@ -2558,6 +2631,7 @@ ORACLES = {
     "events_decay_engagement": ORACLE_DECAY,
     "events_kmv_rolling_distinct": ORACLE_KMV_ROLLING,
     "events_robotic_cadence": ORACLE_ROBOTIC,
+    "events_lateness_profile": ORACLE_LATENESS,
     "events_kmv_distinct": ORACLE_KMV,
     "events_cms_counts": ORACLE_CMS,
     "events_ohlc_bars": ORACLE_OHLC,
