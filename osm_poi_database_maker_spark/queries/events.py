@@ -2071,7 +2071,13 @@ def q_events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     LENGTH of (late_s − 1) — pure integer/string ops, because libm
     log2 at exact powers of two is the kind of cross-platform ulp leak
     this registry designs out — so everything is exact integers,
-    nothing global."""
+    nothing global.
+
+    On the driver fixture the ingest order IS time order, so the whole
+    profile lands in the -1 (on-time) bucket — itself the useful
+    answer ("a minimal watermark suffices"); the nonzero-lateness
+    bucket math is pinned by a pytest over a synthetic disordered
+    stream (tests/test_r8_queries.py)."""
     e = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")

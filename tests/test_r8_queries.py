@@ -256,3 +256,40 @@ def test_robotic_cadence_flags_metronome(spark):
         assert r["n_gaps"] >= _ROBOT_MIN_GAPS
         assert r["mean_gap_s"] > 0
         assert r["is_robotic"] == (r["cv"] < _ROBOT_CV_MAX)
+
+
+def test_lateness_profile_buckets_disordered_stream(spark, tmp_path):
+    """Nonzero lateness buckets: a synthetic disordered stream must land
+    each late event in the ceil(log2(lateness)) bucket (bit-length
+    form), with on-time events in bucket -1."""
+    import datetime as dt
+
+    d = str(tmp_path / "ev")
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: event_id order 1,2,3,4 with ts 0s, 100s, 40s, 97s:
+        # event 3 is 60s late (bucket ceil(log2 60)=6), event 4 is 3s
+        # late (bucket 2); user 2 fully ordered
+        (1, base, 1, "view", 1.0, "{}"),
+        (2, base + dt.timedelta(seconds=100), 1, "view", 1.0, "{}"),
+        (3, base + dt.timedelta(seconds=40), 1, "view", 1.0, "{}"),
+        (4, base + dt.timedelta(seconds=97), 1, "view", 1.0, "{}"),
+        (5, base, 2, "click", 1.0, "{}"),
+        (6, base + dt.timedelta(seconds=1), 2, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    from osm_poi_database_maker_spark.queries.events import (
+        q_events_lateness_profile,
+    )
+
+    got = {
+        (r["event_type"], r["late_bucket"]): (r["n_events"], r["max_late_s"])
+        for r in q_events_lateness_profile(spark, d).collect()
+    }
+    assert got[("view", 6)] == (1, 60)   # 40s event, 60s late
+    assert got[("view", 2)] == (1, 3)    # 97s event, 3s late
+    assert got[("view", -1)] == (1, -100)  # the 100s event, 100s EARLY
+    assert got[("click", -1)] == (1, -1)
