@@ -1681,6 +1681,94 @@ ORDER BY d2.vec_a, d2.vec_b
 ORACLE_JL = _jl_oracle_sql()
 
 
+def q_emb_text_alignment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal consistency audit: for every TEXT near-dup pair
+    (3-gram Jaccard ≥ 0.25 — the dedup pipeline's own pair table), the
+    pair's EMBEDDING cosine, bucketed by Jaccard quartile — a healthy
+    embedding space shows cosine rising with text similarity; a flat or
+    inverted profile means the vectors are broken/mismatched and every
+    SemDeDup/ANN decision downstream is garbage. This is the check a
+    pipeline runs BEFORE trusting embeddings it didn't train.
+
+    Plan: the pair table is the already-bucketed near-dup join (never
+    all-pairs); cosines are per-row zip_with/aggregate folds over the
+    two (broadcastable-by-id) vector columns — sequential array folds,
+    so both engines produce bit-identical doubles, which are then
+    INTEGERIZED (round 1e6·cos) before the per-bucket mean so no double
+    accumulates across pairs (the backtest's MAPE discipline)."""
+    from .dedup import _ngram_pairs_cached
+
+    pairs = _ngram_pairs_cached(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    j = (
+        pairs.join(e.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("va")), "doc_a")
+        .join(e.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("vb")), "doc_b")
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(c), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cos_int = F.round(F.lit(1e6) * dot / (nrm("va") * nrm("vb"))).cast("long")
+    bucket = F.least(F.floor(F.col("jaccard") * 4), F.lit(3)).cast("long")
+    agg = (
+        j.select(bucket.alias("jaccard_bucket"), cos_int.alias("ci"))
+        .groupBy("jaccard_bucket")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("ci").alias("sci"),
+            F.min("ci").alias("mn"),
+            F.max("ci").alias("mx"),
+        )
+    )
+    return agg.select(
+        "jaccard_bucket",
+        "n_pairs",
+        F.round(F.col("sci") / F.col("n_pairs") / 1e6, 4).alias("mean_cosine"),
+        F.round(F.col("mn") / 1e6, 4).alias("min_cosine"),
+        F.round(F.col("mx") / 1e6, 4).alias("max_cosine"),
+    )
+
+
+def _alignment_oracle_sql() -> str:
+    from .dedup import ORACLE_NGRAM
+
+    return f"""
+WITH pairs AS ({ORACLE_NGRAM}),
+emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+scored AS (
+  SELECT least(CAST(floor(p.jaccard * 4) AS BIGINT), 3) AS jaccard_bucket,
+         CAST(round(1e6 * list_cosine_similarity(a.v, b.v)) AS BIGINT) AS ci
+  FROM pairs p
+  JOIN emb a ON a.vec_id = p.doc_a
+  JOIN emb b ON b.vec_id = p.doc_b
+)
+SELECT jaccard_bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(CAST(sum(ci) AS BIGINT) / CAST(count(*) AS DOUBLE) / 1e6, 4)
+         AS mean_cosine,
+       round(min(ci) / 1e6, 4) AS min_cosine,
+       round(max(ci) / 1e6, 4) AS max_cosine
+FROM scored GROUP BY 1
+"""
+
+
+ORACLE_ALIGNMENT = _alignment_oracle_sql()  # dedup has no import back-edge
+
+
 _RRF_DEPTH = 20  # per-ranker list depth fed into the fusion
 _RRF_C = 60      # the canonical RRF damping constant (Cormack et al. SIGIR'09)
 _RRF_TOPK = 5
@@ -1837,6 +1925,7 @@ WHERE fused_rk <= {_RRF_TOPK}
 QUERIES = {
     "emb_rank_fusion": q_emb_rank_fusion,
     "emb_label_smoothing": q_emb_label_smoothing,
+    "emb_text_alignment_audit": q_emb_text_alignment_audit,
     "emb_opq_codes": q_emb_opq_codes,
     "emb_jl_projection": q_emb_jl_projection,
     "emb_maximin_centers": q_emb_maximin_centers,
@@ -1860,6 +1949,7 @@ QUERIES = {
 ORACLES = {
     "emb_rank_fusion": ORACLE_RRF,
     "emb_label_smoothing": ORACLE_LABEL_SMOOTHING,
+    "emb_text_alignment_audit": ORACLE_ALIGNMENT,
     "emb_jl_projection": ORACLE_JL,
     "emb_maximin_centers": ORACLE_FPS,
     "emb_cosine_topk": ORACLE_COSINE,
