@@ -407,7 +407,69 @@ FROM d JOIN tot USING (doc_id)
 """
 
 
+_VIT_PATCH = 16
+_VIT_TOKEN_BUDGET = 32  # patches-per-image cap the packing plan enforces
+
+
+def q_mm_vit_tiling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT patch-grid accounting per image — the dataloader arithmetic
+    a vision-encoder pipeline runs before any pixel is touched: patch
+    counts (⌈w/P⌉×⌈h/P⌉ at P=16), the right/bottom padding the tiling
+    implies, the +1-CLS token total, and whether the image fits the
+    per-image token budget or must be downscaled (the over-budget flag
+    feeds the resize stage's worklist). Dims come from the SAME
+    deterministic decode stub as mm_image_features, so the plan is
+    hash-gated end-to-end; the arithmetic is pure integer expressions
+    on metadata — at 100 TB this runs on the catalog, never the bytes."""
+    d = load_table(spark, sf_dir, "documents")
+    feats = extract_image_features(documents_as_image_table(d)).select(
+        "doc_id", "width", "height"
+    )
+    p = F.lit(_VIT_PATCH)
+    npx = F.ceil(F.col("width") / p).cast("long")
+    npy = F.ceil(F.col("height") / p).cast("long")
+    n_patches = (npx * npy).alias("n_patches")
+    return feats.select(
+        "doc_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        npx.alias("n_px"),
+        npy.alias("n_py"),
+        n_patches,
+        (npx * p - F.col("width")).cast("long").alias("pad_right"),
+        (npy * p - F.col("height")).cast("long").alias("pad_bottom"),
+        (npx * npy + 1).cast("long").alias("n_tokens"),
+        (npx * npy > _VIT_TOKEN_BUDGET).alias("over_budget"),
+    )
+
+
+ORACLE_VIT_TILING = f"""
+WITH dims AS (
+  SELECT doc_id,
+         CAST(16 + octet_length(encode(text)) % 64 AS BIGINT) AS width,
+         CAST(16 + CAST(floor(octet_length(encode(text)) / 64.0) AS BIGINT)
+              % 64 AS BIGINT) AS height
+  FROM documents
+)
+SELECT doc_id, width, height,
+       CAST(ceil(width / {_VIT_PATCH}.0) AS BIGINT) AS n_px,
+       CAST(ceil(height / {_VIT_PATCH}.0) AS BIGINT) AS n_py,
+       CAST(ceil(width / {_VIT_PATCH}.0) * ceil(height / {_VIT_PATCH}.0)
+            AS BIGINT) AS n_patches,
+       CAST(ceil(width / {_VIT_PATCH}.0) * {_VIT_PATCH} - width AS BIGINT)
+         AS pad_right,
+       CAST(ceil(height / {_VIT_PATCH}.0) * {_VIT_PATCH} - height AS BIGINT)
+         AS pad_bottom,
+       CAST(ceil(width / {_VIT_PATCH}.0) * ceil(height / {_VIT_PATCH}.0) + 1
+            AS BIGINT) AS n_tokens,
+       ceil(width / {_VIT_PATCH}.0) * ceil(height / {_VIT_PATCH}.0)
+         > {_VIT_TOKEN_BUDGET} AS over_budget
+FROM dims
+"""
+
+
 QUERIES = {
+    "mm_vit_tiling_plan": q_mm_vit_tiling_plan,
     "mm_image_features": q_mm_image_features,
     "mm_ahash_pairs": q_mm_ahash_pairs,
     "mm_frame_sample": q_mm_frame_sample,
@@ -419,6 +481,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "mm_vit_tiling_plan": ORACLE_VIT_TILING,
     "mm_image_features": ORACLE_IMAGE_FEATURES,
     "mm_frame_sample": ORACLE_FRAME_SAMPLE,
     "mm_frame_diff_cuts": ORACLE_FRAME_DIFF,
