@@ -870,6 +870,78 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 
 # --- O20: PK/uniqueness audit ----------------------------------------------
 
+def q_brand_supply_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration risk per part brand: the Herfindahl—
+    Hirschman index of shipped revenue across suppliers, the top
+    supplier's share, and the supplier count — the "one strike at one
+    vendor stops this brand" readout procurement reviews rank by
+    (HHI > 0.25 is the conventional 'concentrated' line, emitted as a
+    flag on the rounded value). Complements the customer-side Gini
+    (nation_revenue_concentration) with the supply-side lens.
+
+    Exactness: supplier revenue is an integer cents sum; HHI =
+    Σrev_s²/total² runs its quadratic terms in decimal(38,0) (the r8
+    width policy — supplier-level cents² breaches int64 near sf100)
+    and converts once to double for the display rounding; top-share is
+    a max over exact integers divided once. Two aggregates, both
+    map-side combining; brands are a tiny output dimension."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    per_supp = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "l_suppkey")
+        .agg(F.sum(rev).alias("rev_s"))
+    )
+    d = F.col("rev_s").cast("decimal(19,0)")
+    agg = per_supp.groupBy("p_brand").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum("rev_s").alias("total"),
+        F.sum(d * d).alias("s2"),
+        F.max("rev_s").alias("top_rev"),
+    )
+    hhi = F.round(
+        F.col("s2").cast("double")
+        / (F.col("total").cast("double") * F.col("total").cast("double")),
+        4,
+    )
+    return agg.select(
+        "p_brand",
+        F.col("n_suppliers").cast("long").alias("n_suppliers"),
+        hhi.alias("hhi"),
+        F.round(F.col("top_rev") / F.col("total"), 4).alias("top_share"),
+        (hhi > 0.25).alias("concentrated"),
+    )
+
+
+ORACLE_SUPPLY_CONC = """
+WITH per_supp AS (
+  SELECT p.p_brand, l.l_suppkey,
+         CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS rev_s
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT p_brand,
+         CAST(count(*) AS BIGINT) AS n_suppliers,
+         CAST(sum(rev_s) AS BIGINT) AS total,
+         CAST(sum(CAST(rev_s AS HUGEINT) * rev_s) AS DOUBLE) AS s2,
+         CAST(max(rev_s) AS BIGINT) AS top_rev
+  FROM per_supp GROUP BY 1
+)
+SELECT p_brand, n_suppliers,
+       round(s2 / (CAST(total AS DOUBLE) * total), 4) AS hhi,
+       round(top_rev / CAST(total AS DOUBLE), 4) AS top_share,
+       round(s2 / (CAST(total AS DOUBLE) * total), 4) > 0.25 AS concentrated
+FROM agg
+"""
+
+
 _FK_EDGES = (
     # (edge label, child table, child key, parent table, parent key)
     ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
@@ -3411,6 +3483,7 @@ QUERIES = {
     "orders_dow_chisq": q_orders_dow_chisq,
     "orders_referential_integrity": q_orders_referential_integrity,
     "nation_forecast_backtest": q_nation_forecast_backtest,
+    "brand_supply_concentration": q_brand_supply_concentration,
     "brand_weighted_median": q_brand_weighted_median,
     "supplier_return_pchart": q_supplier_return_pchart,
 }
@@ -3468,6 +3541,7 @@ ORACLES = {
     "orders_dow_chisq": ORACLE_DOW_CHISQ,
     "orders_referential_integrity": ORACLE_REF_INTEGRITY,
     "nation_forecast_backtest": ORACLE_FORECAST_BT,
+    "brand_supply_concentration": ORACLE_SUPPLY_CONC,
     "brand_weighted_median": ORACLE_WEIGHTED_MEDIAN,
     "supplier_return_pchart": ORACLE_PCHART,
 }
