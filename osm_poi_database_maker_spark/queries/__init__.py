@@ -130,6 +130,7 @@ _VERIFY_FIRST = [
     "emb_text_alignment_audit",
     "mm_vit_tiling_plan",
     "brand_supply_concentration",
+    "stream_lateness_profile",
     # tier 2: the r04-evidence cohort — stalest remaining driver rows
     # (testdata regenerates between rounds, so old rows decay); fills
     # the rest of the window, overflow rotates to r9.

@@ -17,6 +17,7 @@ from .. import streaming as S
 from .behavior import ORACLE_AB, ORACLE_MARKOV, ORACLE_WINDOW_FUNNEL
 from .events import (
     ORACLE_KMV_ROLLING,
+    ORACLE_LATENESS,
     ORACLE_BLOOM_ADMIT,
     ORACLE_CMS,
     ORACLE_CUSUM,
@@ -535,6 +536,39 @@ def q_stream_kmv_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_stream_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming out-of-orderness profile — each event scored ONCE
+    against its user's running-max event time (1 long of state per
+    user), then the batch twin's integer bit-length bucketing and
+    histogram, certified by the batch DuckDB oracle. This is the
+    measurement loop that would SET the watermarks the other stream
+    queries declare — run as a stream over the stream itself."""
+    from pyspark.sql import functions as F
+
+    out = _materialize(
+        S.lateness_state(S.stream_events(spark, sf_dir)), spark, "append"
+    )
+    bucket = (
+        F.when(F.col("late_s") <= 0, F.lit(-1))
+        .when(F.col("late_s") == 1, F.lit(0))
+        .otherwise(F.length(F.conv(F.col("late_s") - 1, 10, 2)).cast("long"))
+    )
+    return (
+        out.select("event_type", bucket.alias("late_bucket"), "late_s")
+        .groupBy("event_type", "late_bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("late_s").cast("long").alias("max_late_s"),
+        )
+        .select(
+            "event_type",
+            F.col("late_bucket").cast("long").alias("late_bucket"),
+            "n_events",
+            "max_late_s",
+        )
+    )
+
+
 def q_stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream watermarked join (purchase ← same-user click within
     2 hours): both sides are live streams; bounded time-range condition
@@ -588,6 +622,7 @@ QUERIES = {
     "stream_incremental_rollup": q_stream_incremental_rollup,
     "stream_window_funnel": q_stream_window_funnel,
     "stream_kmv_rolling_distinct": q_stream_kmv_rolling_distinct,
+    "stream_lateness_profile": q_stream_lateness_profile,
 }
 
 ORACLES = {
@@ -610,4 +645,5 @@ ORACLES = {
     "stream_incremental_rollup": ORACLE_IVM,
     "stream_window_funnel": ORACLE_WINDOW_FUNNEL,
     "stream_kmv_rolling_distinct": ORACLE_KMV_ROLLING,
+    "stream_lateness_profile": ORACLE_LATENESS,
 }

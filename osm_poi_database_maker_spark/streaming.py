@@ -1286,3 +1286,64 @@ def kmv_daily_sketch_state(events: DataFrame, k: int = 64) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_LATE_STATE_SCHEMA = "max_t long"
+_LATE_OUT_SCHEMA = "event_type string, late_s long, seq long"
+
+
+def _lateness_update(key: tuple[Any, ...], pdfs: Any, state: GroupState):
+    """Per-user lateness scorer: state is ONE long (the running max
+    event time in arrival order); each arriving event emits its lateness
+    against the max BEFORE it, exactly the batch twin's exclusive-frame
+    running max. Arrival order inside a batch follows event_id (the
+    ingest sequence), so batch boundaries are invisible. seq is a
+    per-emission monotone stamp (the running max itself plus the row's
+    position) kept only so downstream dedup could identify replays —
+    the finalizer aggregates, so it is dropped there."""
+    max_t = int(state.get[0]) if state.exists else None
+    out_type, out_late, out_seq = [], [], []
+    rows = []
+    for pdf in pdfs:
+        rows.extend(
+            zip(
+                pdf["event_id"].tolist(),
+                pdf["t"].tolist(),
+                pdf["event_type"].tolist(),
+            )
+        )
+    rows.sort()
+    for i, (eid, t, ty) in enumerate(rows):
+        t = int(t)
+        if max_t is not None:
+            out_type.append(str(ty))
+            out_late.append(max_t - t)
+            out_seq.append(i)
+        max_t = t if max_t is None else max(max_t, t)
+    state.update((max_t,))
+    if out_type:
+        yield pd.DataFrame(
+            {"event_type": out_type, "late_s": out_late, "seq": out_seq}
+        )
+
+
+def lateness_state(events: DataFrame) -> DataFrame:
+    """Streaming out-of-orderness scorer — the custom-state twin of
+    queries/events.q_events_lateness_profile. State per user is a
+    single long, O(users) forever; every event's lateness is emitted
+    exactly once (append semantics: an event's lateness is immutable
+    once scored), so the downstream bucket histogram is a plain
+    streaming-safe aggregation of the emissions."""
+    prepped = events.select(
+        "user_id",
+        "event_id",
+        F.unix_seconds("ts").alias("t"),
+        "event_type",
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        _lateness_update,
+        outputStructType=_LATE_OUT_SCHEMA,
+        stateStructType=_LATE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
