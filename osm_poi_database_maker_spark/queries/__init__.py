@@ -131,6 +131,7 @@ _VERIFY_FIRST = [
     "mm_vit_tiling_plan",
     "brand_supply_concentration",
     "stream_lateness_profile",
+    "doc_pii_scan",
     # tier 2: the r04-evidence cohort — stalest remaining driver rows
     # (testdata regenerates between rounds, so old rows decay); fills
     # the rest of the window, overflow rotates to r9.

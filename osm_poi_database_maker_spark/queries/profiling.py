@@ -617,6 +617,80 @@ GROUP BY dist
 """
 
 
+_PII_PATTERNS = (
+    # (label, pattern) — RE2/Java-regex common subset ONLY (character
+    # classes, bounded quantifiers, \b): no lookaround, so Spark's Java
+    # regex and DuckDB's RE2 count identically.
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+)
+
+
+def q_doc_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pattern scan per source — the governance gate a training
+    corpus passes before release: non-overlapping regex match counts
+    for emails / phone numbers / SSN-shaped ids / IPv4 addresses over
+    lowercased text, rolled up per source with the count of documents
+    carrying ANY hit. Patterns are restricted to the RE2 ∩ Java-regex
+    common subset (no lookaround) so both engines count identically —
+    the portability rule that makes a regex audit hash-gateable.
+
+    The synthetic fixture is PII-free, so every gate row is zeros —
+    which is exactly the certificate the release gate wants; the
+    pattern mechanics are pinned by a pytest over planted PII
+    (tests/test_r8_queries.py). One projection + one aggregate; regex
+    runs JVM-side in the scan stage, nothing shuffles but partials."""
+    d = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    cnt = {lab: F.regexp_count(low, F.lit(pat)) for lab, pat in _PII_PATTERNS}
+    per_doc = d.select(
+        "source",
+        *[cnt[lab].alias(f"n_{lab}") for lab, _ in _PII_PATTERNS],
+    )
+    any_hit = sum(F.col(f"n_{lab}") for lab, _ in _PII_PATTERNS)
+    return (
+        per_doc.withColumn("flagged", (any_hit > 0).cast("long"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            *[
+                F.sum(f"n_{lab}").cast("long").alias(f"n_{lab}")
+                for lab, _ in _PII_PATTERNS
+            ],
+            F.sum("flagged").cast("long").alias("n_docs_flagged"),
+        )
+    )
+
+
+def _pii_oracle_sql() -> str:
+    cols = ",\n         ".join(
+        f"len(regexp_extract_all(lower(text), '{pat}')) AS n_{lab}"
+        for lab, pat in _PII_PATTERNS
+    )
+    sums = ",\n       ".join(
+        f"CAST(sum(n_{lab}) AS BIGINT) AS n_{lab}" for lab, _ in _PII_PATTERNS
+    )
+    anyhit = " + ".join(f"n_{lab}" for lab, _ in _PII_PATTERNS)
+    return f"""
+WITH per_doc AS (
+  SELECT source,
+         {cols}
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       {sums},
+       CAST(sum(CASE WHEN {anyhit} > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_flagged
+FROM per_doc GROUP BY 1
+"""
+
+
+ORACLE_PII_SCAN = _pii_oracle_sql()
+
+
 _TRGM_QUERIES = (
     "promo burnished copper",
     "standard anodized steel",
@@ -741,6 +815,7 @@ ORACLE_TRGM_SEARCH = _trgm_oracle_sql()
 
 QUERIES = {
     "part_trgm_search": q_part_trgm_search,
+    "doc_pii_scan": q_doc_pii_scan,
     "orders_column_profile": q_orders_column_profile,
     "lineitem_price_outliers_mad": q_lineitem_price_outliers_mad,
     "lineitem_hist_quantiles": q_lineitem_hist_quantiles,
@@ -753,6 +828,7 @@ QUERIES = {
 
 ORACLES = {
     "part_trgm_search": ORACLE_TRGM_SEARCH,
+    "doc_pii_scan": ORACLE_PII_SCAN,
     "orders_column_profile": ORACLE_COLUMN_PROFILE,
     "lineitem_price_outliers_mad": ORACLE_MAD_OUTLIERS,
     "lineitem_hist_quantiles": ORACLE_HIST_QUANTILES,

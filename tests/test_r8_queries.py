@@ -293,3 +293,28 @@ def test_lateness_profile_buckets_disordered_stream(spark, tmp_path):
     assert got[("view", 2)] == (1, 3)    # 97s event, 3s late
     assert got[("view", -1)] == (1, -100)  # the 100s event, 100s EARLY
     assert got[("click", -1)] == (1, -1)
+
+
+def test_pii_scan_finds_planted_pii(spark, tmp_path):
+    """The regex patterns must count planted PII identically to hand
+    counts (the fixture corpus is PII-free, so the gate only certifies
+    zeros — this pins the pattern mechanics)."""
+    d = str(tmp_path / "docs")
+    rows = [
+        (1, "contact me at alice@example.com or bob@test.org thanks", "en", "a", 1),
+        (2, "call 555-123-4567 or 555 987 6543 today", "en", "a", 1),
+        (3, "ssn 123-45-6789 leaked with ip 10.0.0.1", "en", "b", 1),
+        (4, "perfectly clean text with no identifiers", "en", "b", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    from osm_poi_database_maker_spark.queries.profiling import q_doc_pii_scan
+
+    got = {r["source"]: r for r in q_doc_pii_scan(spark, d).collect()}
+    a, b = got["a"], got["b"]
+    assert (a["n_email"], a["n_phone"], a["n_ssn"], a["n_ipv4"]) == (2, 2, 0, 0)
+    # the SSN also matches the phone shape (ddd-dd-dddd is not ddd-ddd-dddd,
+    # so phone stays 0) and the IPv4 pattern counts 10.0.0.1
+    assert (b["n_email"], b["n_phone"], b["n_ssn"], b["n_ipv4"]) == (0, 0, 1, 1)
+    assert a["n_docs_flagged"] == 2 and b["n_docs_flagged"] == 1
