@@ -63,78 +63,26 @@ _MODULES = (
 # Every registered query keeps a pytest + tools/check.py local gate
 # regardless of window position.
 _VERIFY_FIRST = [
-    # tier 1a (round 8): the 26 round-7 late additions — locally
-    # hash-gated since r7 but with NO driver correctness row in any
-    # round (r7 verdict "What's missing" #1); they lead the window
-    # until the driver oracles them. nation_revenue_trend,
-    # events_lead_lag_corr, events_cusum_changepoints, doc_ppjoin_pairs,
-    # doc_graph_kcore, nation_revenue_concentration also changed in r8
-    # (overflow-width / advisor fixes), so their rows double as
-    # change-verification.
-    "doc_ppjoin_pairs",
-    "doc_global_index",
-    "events_lead_lag_corr",
-    "events_cusum_changepoints",
-    "doc_source_psi",
-    "doc_graph_kcore",
-    "events_ab_test",
-    "events_stl_decompose",
-    "doc_quantile_normalize",
-    "nation_revenue_trend",
-    "emb_cluster_silhouette",
-    "stream_ab_test",
-    "events_l_diversity",
-    "nation_revenue_concentration",
-    "osm_dbscan_clusters",
-    "events_sequence_patterns",
-    "events_pit_enrich",
-    "customer_repeat_ladder",
-    "stream_cusum_changepoints",
-    "events_rolling_range_window",
-    "mm_frame_diff_cuts",
-    "events_incremental_rollup",
-    "brand_weighted_median",
-    "doc_ngram_novelty",
-    "doc_heaps_law",
-    "supplier_return_pchart",
-    # tier 1b (round 8): green in r7 but implementation changed THIS
-    # round — edit-pair checksum now modular-decimal, TWA product sum
-    # widened, Markov stream state schema gained the watermark-folded
-    # base counts.
-    "customer_edit_pairs",
-    "events_time_weighted_avg",
-    "stream_markov_transitions",
-    # tier 1c (round 8): new queries this round (inserted here as they
-    # land; the 26 above must stay inside the 50-entry window).
-    "stream_incremental_rollup",
-    "emb_rank_fusion",
-    "doc_heavy_hitters",
-    "events_window_funnel",
-    "events_kmv_overlap",
-    "osm_poi_nearest_within",
-    "doc_sequence_packing",
-    "doc_stratified_split",
-    "emb_label_smoothing",
-    "stream_window_funnel",
-    "customer_km_survival",
-    "events_decay_engagement",
-    "events_kmv_rolling_distinct",
-    "orders_dow_chisq",
-    "events_robotic_cadence",
-    "orders_referential_integrity",
-    "stream_kmv_rolling_distinct",
-    "nation_forecast_backtest",
-    "doc_dedup_threshold_curve",
-    "part_trgm_search",
-    "events_lateness_profile",
+    # tier 1a (round 9): the 5 round-8 late additions — locally
+    # hash-gated since r8 but with NO driver correctness row (r8
+    # verdict "Next round" #1); they lead the window until the driver
+    # oracles them.
     "emb_text_alignment_audit",
     "mm_vit_tiling_plan",
     "brand_supply_concentration",
     "stream_lateness_profile",
     "doc_pii_scan",
+    # tier 1b (round 9): green in r8 but implementation changed THIS
+    # round — the rolling-KMV stream state now carries a strictly
+    # monotone n_rows stamp for newest-wins selection (r8 advice #1).
+    "stream_kmv_rolling_distinct",
+    # tier 1c (round 9): new queries this round (inserted here as they
+    # land; the 5 above must stay inside the 50-entry window).
+    # "osm_poi_pipeline_full",   # uncommented when the query lands (r9)
+    # "stream_heavy_hitters",    # uncommented when the query lands (r9)
     # tier 2: the r04-evidence cohort — stalest remaining driver rows
     # (testdata regenerates between rounds, so old rows decay); fills
-    # the rest of the window, overflow rotates to r9.
+    # the rest of the window, overflow rotates to r10.
     "events_user_lifecycle",
     "events_dau_wau",
     "events_linear_attribution",

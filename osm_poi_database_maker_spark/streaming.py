@@ -1237,7 +1237,7 @@ def window_funnel_state(events: DataFrame) -> DataFrame:
     )
 
 
-_KMV_DAY_STATE_SCHEMA = "minima array<long>"
+_KMV_DAY_STATE_SCHEMA = "minima array<long>, n_rows long"
 _KMV_DAY_OUT_SCHEMA = "day long, minima array<long>, n_seen long"
 
 
@@ -1247,22 +1247,31 @@ def _kmv_day_update(k: int):
     boundaries and duplicate users cannot change the fixpoint), keyed
     by event day instead of event type and emitting the full minima
     ARRAY so the reader can MERGE day sketches into trailing windows.
-    n_seen (monotone: the retained-minima count never shrinks under
-    union) stamps emissions for newest-wins selection."""
+    n_seen is the CUMULATIVE ROWS PROCESSED for the key — strictly
+    monotone across emissions even after the sketch saturates at K
+    minima (the retained-minima count plateaus at K, so it cannot
+    disambiguate emissions under a multi-micro-batch replay; the row
+    counter can — r8 advice #1), so the finalizer's newest-wins
+    row_number over desc(n_seen) is deterministic for any trigger
+    slicing, same contract as the IVM and funnel twins."""
 
     def update(key: tuple[Any, ...], pdfs: Any, state: GroupState):
         import numpy as np
 
-        s = set(state.get[0]) if state.exists else set()
+        s, n_rows = set(), 0
+        if state.exists:
+            minima, prev_rows = state.get
+            s, n_rows = set(minima), int(prev_rows)
         for pdf in pdfs:
             u = pdf["user_id"].to_numpy(dtype=np.int64)
+            n_rows += len(u)
             u_n = u % _KMV_M
             h = (u_n * 64) % _KMV_M * _KMV_A % _KMV_M * _KMV_A % _KMV_M
             s.update(int(x) for x in h)
         top = sorted(s)[:k]
-        state.update((top,))
+        state.update((top, n_rows))
         yield pd.DataFrame(
-            {"day": [key[0]], "minima": [top], "n_seen": [len(top)]}
+            {"day": [key[0]], "minima": [top], "n_seen": [n_rows]}
         )
 
     return update
@@ -1333,7 +1342,19 @@ def lateness_state(events: DataFrame) -> DataFrame:
     single long, O(users) forever; every event's lateness is emitted
     exactly once (append semantics: an event's lateness is immutable
     once scored), so the downstream bucket histogram is a plain
-    streaming-safe aggregation of the emissions."""
+    streaming-safe aggregation of the emissions.
+
+    PRECONDITION (r8 advice #3): micro-batch boundaries must partition
+    the event_id (ingest-sequence) order — each batch sorts its own
+    rows by event_id, but rows in an EARLIER batch are scored first, so
+    a replay whose files interleave event_ids across triggers (e.g.
+    maxFilesPerTrigger over files not sorted by event_id) would score
+    against a different running max than the batch twin's pure
+    event_id-ordered exclusive running max and silently hash-mismatch
+    ORACLE_LATENESS. The gate's availableNow single-batch replay and
+    any ingest whose file order follows the ingest sequence satisfy
+    this; for an out-of-order file layout, buffer and re-sort within an
+    event_id horizon upstream before this operator."""
     prepped = events.select(
         "user_id",
         "event_id",

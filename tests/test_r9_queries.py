@@ -1,0 +1,99 @@
+"""Round-9 additions: PII-boundary portability, monotone KMV stamp,
+composed POI pipeline, streaming heavy hitters."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_pii_boundary_portability(spark, tmp_path):
+    """Spark (Java regex) and DuckDB (RE2) must COUNT IDENTICALLY on
+    text where a non-ASCII word character abuts a digit — the case
+    where \\b diverges (Java: Unicode word char suppresses the
+    boundary; RE2: ASCII-only, boundary present). The patterns use
+    explicit ASCII boundary classes instead of \\b, so both engines
+    treat é/ключ/漢 as boundaries and the planted PII below COUNTS in
+    both (r8 advice #2)."""
+    d = str(tmp_path / "docs")
+    rows = [
+        # non-ASCII letters adjacent to every boundary-sensitive pattern
+        (1, "café123-45-6789 plain", "en", "a", 1),
+        (2, "x 123-45-6789é tail", "en", "a", 1),
+        (3, "ключ555-123-4567 cyrillic", "en", "a", 1),
+        (4, "漢123.45.67.89字 cjk", "en", "a", 1),
+        # ASCII word chars must still SUPPRESS the boundary in both
+        (5, "under_123-45-6789 underscore", "en", "b", 1),
+        (6, "digits9123-45-6789 run", "en", "b", 1),
+        # the documented single-separator adjacency undercount: two
+        # SSNs one space apart count as ONE in both engines (the first
+        # match's trailing boundary consumes the only separator)
+        (7, "123-45-6789 123-45-6789", "en", "c", 1),
+        (8, "plain 123-45-6789 ok and 10.0.0.1", "en", "c", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    from osm_poi_database_maker_spark.queries.profiling import (
+        ORACLE_PII_SCAN,
+        q_doc_pii_scan,
+    )
+
+    got = {r["source"]: r.asDict() for r in q_doc_pii_scan(spark, d).collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    rel = con.sql(ORACLE_PII_SCAN)
+    oracle = {
+        row[rel.columns.index("source")]: dict(zip(rel.columns, row))
+        for row in rel.fetchall()
+    }
+    assert got == oracle, f"engines diverge: spark={got} duck={oracle}"
+    # the ASCII-boundary semantics: non-ASCII adjacency COUNTS ...
+    assert got["a"]["n_ssn"] == 2 and got["a"]["n_phone"] == 1
+    assert got["a"]["n_ipv4"] == 1
+    # ... ASCII word chars still suppress ...
+    assert got["b"]["n_ssn"] == 0 and got["b"]["n_docs_flagged"] == 0
+    # ... and single-separator adjacency undercounts deterministically
+    assert got["c"]["n_ssn"] == 2  # doc 7 counts 1, doc 8 counts 1
+
+
+def test_kmv_day_stamp_strictly_monotone_across_batches():
+    """The rolling-KMV state op must emit a strictly increasing n_seen
+    stamp even after the sketch saturates at K minima, so newest-wins
+    selection is deterministic under multi-micro-batch replays (r8
+    advice #1). Feed the updater two batches over the SAME day with
+    enough users to saturate K long before the second batch."""
+    import pandas as pd
+
+    from osm_poi_database_maker_spark.streaming import _kmv_day_update
+
+    class FakeState:
+        def __init__(self):
+            self._v, self.exists = None, False
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v, self.exists = v, True
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+    k = 8
+    upd = _kmv_day_update(k)
+    state = FakeState()
+    b1 = pd.DataFrame({"user_id": list(range(1, 101))})  # saturates K=8
+    b2 = pd.DataFrame({"user_id": list(range(1, 51))})  # pure replay, no new minima
+    (out1,) = list(upd((7,), [b1], state))
+    (out2,) = list(upd((7,), [b2], state))
+    n1, n2 = int(out1["n_seen"][0]), int(out2["n_seen"][0])
+    assert len(out1["minima"][0]) == k == len(out2["minima"][0])
+    assert out1["minima"][0] == out2["minima"][0]  # sketch fixpoint: no new minima
+    assert n2 > n1, "stamp must grow on replayed rows even at saturation"
+    assert (n1, n2) == (100, 150)
