@@ -148,9 +148,16 @@ _COHORT_MODULES = (
 
 _ALL = {}
 ORACLES = {}
+# SF ≥ 0.1 oracle overrides: same result contract, sub-quadratic
+# candidate generation where the independent-algorithm original is
+# quadratic in SF. The DRIVER contract (oracle_sql()) always serves
+# ORACLES — the driver gates at sf0.01; only tools/check.py swaps in
+# ORACLES_BIG for large-SF batteries.
+ORACLES_BIG = {}
 for _m in _MODULES:
     _ALL.update(_m.QUERIES)
     ORACLES.update(getattr(_m, "ORACLES", {}))
+    ORACLES_BIG.update(getattr(_m, "ORACLES_BIG", {}))
 
 _missing = [n for n in _VERIFY_FIRST if n not in _ALL]
 assert not _missing, f"_VERIFY_FIRST names unknown queries: {_missing}"

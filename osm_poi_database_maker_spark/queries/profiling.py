@@ -616,6 +616,41 @@ WHERE dist <= 1
 GROUP BY dist
 """
 
+# Big-SF oracle (tools/check.py uses it at SF ≥ 0.1): the brute O(n²)
+# theta-join above is the two-independent-algorithms check and stays
+# the gate at sf0.01, but it is quadratic in SF — judge-measured 143.8 s
+# at sf0.1, ~10% of a full battery in one oracle (r8 verdict "What's
+# wrong" #1). This form reproduces the FastSS deletion-neighborhood
+# candidate generation IN SQL (so it is no longer algorithm-independent
+# — only engine-independent) and verifies with DuckDB's own
+# levenshtein: 0.5 s at sf0.1, and byte-identical to the brute oracle
+# at sf0.01 (cross-checked in tests/test_r9_queries.py).
+ORACLE_EDIT_PAIRS_BIG = """
+WITH sigs AS (
+  SELECT DISTINCT c_custkey, c_name, sig FROM (
+    SELECT c_custkey, c_name,
+           CASE WHEN i = 0 THEN c_name
+                ELSE substring(c_name, 1, i - 1) || substring(c_name, i + 1)
+           END AS sig
+    FROM (SELECT c_custkey, c_name,
+                 unnest(range(0, length(c_name) + 1)) AS i
+          FROM customer)
+  )
+),
+cand AS (
+  SELECT DISTINCT a.c_custkey AS key_a, b.c_custkey AS key_b,
+         a.c_name AS name_a, b.c_name AS name_b
+  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.c_custkey < b.c_custkey
+)
+SELECT dist,
+       count(*) AS n_pairs,
+       CAST(sum(key_a * 1000003 + key_b) % 2147483647 AS BIGINT)
+         AS pair_checksum
+FROM (SELECT key_a, key_b, levenshtein(name_a, name_b) AS dist FROM cand)
+WHERE dist <= 1
+GROUP BY dist
+"""
+
 
 # One-character ASCII word-boundary classes. NOT \b: Java's \b is
 # Unicode-aware (é/ключ/漢 count as word chars and suppress the
@@ -851,4 +886,11 @@ ORACLES = {
     "customer_name_linkage": ORACLE_NAME_LINKAGE,
     "events_benford_deviation": ORACLE_BENFORD,
     "customer_edit_pairs": ORACLE_EDIT_PAIRS,
+}
+
+# SF ≥ 0.1 oracle overrides (see tools/check.py): same result contract,
+# sub-quadratic candidate generation. The sf0.01 gate keeps the
+# independent-algorithm originals.
+ORACLES_BIG = {
+    "customer_edit_pairs": ORACLE_EDIT_PAIRS_BIG,
 }

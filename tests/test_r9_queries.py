@@ -97,3 +97,23 @@ def test_kmv_day_stamp_strictly_monotone_across_batches():
     assert out1["minima"][0] == out2["minima"][0]  # sketch fixpoint: no new minima
     assert n2 > n1, "stamp must grow on replayed rows even at saturation"
     assert (n1, n2) == (100, 150)
+
+
+def test_edit_pairs_big_oracle_matches_brute(tmp_path):
+    """The SF ≥ 0.1 FastSS-candidate oracle (ORACLE_EDIT_PAIRS_BIG)
+    must be byte-identical to the brute O(n²) theta-join oracle — run
+    both on the same sf0.01 customer table (r8 verdict "What's wrong"
+    #1: the brute form is 143.8 s at sf0.1 and quadratic in SF)."""
+    from osm_poi_database_maker_spark.queries.profiling import (
+        ORACLE_EDIT_PAIRS,
+        ORACLE_EDIT_PAIRS_BIG,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW customer AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/customer.parquet')"
+    )
+    brute = sorted(con.sql(ORACLE_EDIT_PAIRS).fetchall())
+    fast = sorted(con.sql(ORACLE_EDIT_PAIRS_BIG).fetchall())
+    assert brute == fast and brute, f"oracles diverge: {brute} vs {fast}"

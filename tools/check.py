@@ -44,6 +44,14 @@ def _hash_rows(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()[:16]
 
 
+def _sf_of(sf_dir: str) -> float:
+    """Parse the scale factor from a .../sfX.Y dir name (0.0 if absent)."""
+    import re
+
+    m = re.search(r"sf(\d+(?:\.\d+)?)", os.path.basename(sf_dir.rstrip("/")))
+    return float(m.group(1)) if m else 0.0
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -51,6 +59,7 @@ def main() -> int:
     import duckdb
 
     import __spark_entry__ as entrymod
+    from osm_poi_database_maker_spark.queries import ORACLES_BIG
     from osm_poi_database_maker_spark.session import get_spark
 
     spark = get_spark("correctness-check")
@@ -64,6 +73,12 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if _sf_of(sf_dir) >= 0.1:
+        # Battery-time budget (SCALE.md §battery-budget): at SF ≥ 0.1
+        # swap in sub-quadratic oracle forms for the queries whose
+        # independent-algorithm oracle is quadratic in SF. The sf0.01
+        # gate (and the driver) always runs the originals.
+        oracles = {**oracles, **ORACLES_BIG}
     unknown = only - set(qs)
     if unknown:
         print(f"unknown query names: {sorted(unknown)}")
