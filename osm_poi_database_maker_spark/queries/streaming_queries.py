@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .. import streaming as S
 from .behavior import ORACLE_AB, ORACLE_MARKOV, ORACLE_WINDOW_FUNNEL
+from .text import ORACLE_HEAVY_HITTERS
 from .events import (
     ORACLE_KMV_ROLLING,
     ORACLE_LATENESS,
@@ -569,6 +570,35 @@ def q_stream_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters — Misra-Gries counters maintained as
+    custom state per TOKEN-HASH SHARD (≤ K counters × 8 shards of
+    strings, forever — state never grows with the vocabulary), the
+    streaming twin of queries/text.q_doc_heavy_hitters' sketch phase.
+    Each shard's newest emission (monotone n_seen row counter) supplies
+    the candidate pool; the SHARED finalizer (text.mg_finalize) exact-
+    recounts candidates against the corpus and applies the integer
+    threshold, so the batch twin's plain GROUP BY/HAVING DuckDB oracle
+    certifies the stream end-to-end — the 21st stream query and the
+    last sketch family to gain a streaming twin (r8 verdict #7)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .text import mg_finalize
+
+    out = _materialize(
+        S.mg_heavy_hitters_state(S.stream_documents(spark, sf_dir)), spark, "update"
+    )
+    w = Window.partitionBy("shard").orderBy(F.desc("n_seen"))
+    cand = (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.explode("tokens").alias("token"))
+        .distinct()
+    )
+    return mg_finalize(spark, sf_dir, cand)
+
+
 def q_stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream watermarked join (purchase ← same-user click within
     2 hours): both sides are live streams; bounded time-range condition
@@ -623,6 +653,7 @@ QUERIES = {
     "stream_window_funnel": q_stream_window_funnel,
     "stream_kmv_rolling_distinct": q_stream_kmv_rolling_distinct,
     "stream_lateness_profile": q_stream_lateness_profile,
+    "stream_heavy_hitters": q_stream_heavy_hitters,
 }
 
 ORACLES = {
@@ -646,4 +677,5 @@ ORACLES = {
     "stream_window_funnel": ORACLE_WINDOW_FUNNEL,
     "stream_kmv_rolling_distinct": ORACLE_KMV_ROLLING,
     "stream_lateness_profile": ORACLE_LATENESS,
+    "stream_heavy_hitters": ORACLE_HEAVY_HITTERS,
 }

@@ -2117,15 +2117,33 @@ def q_doc_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     K, so the gate exercises the no-decrement path; the decrement path
     is pinned by a skewed-stream pytest."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        F.explode(F.split(F.col("text"), " +")).alias("w")
-    ).filter(F.col("w") != "")
+    toks = corpus_tokens(d)
     cand = (
         toks.mapInPandas(_mg_partition_sketch, schema="token string, lb long")
         .groupBy("token")
         .agg(F.sum("lb").alias("lb"))
         .select("token")
     )
+    return mg_finalize(spark, sf_dir, cand)
+
+
+def corpus_tokens(documents: DataFrame) -> DataFrame:
+    """The corpus token stream (column ``w``) — ONE tokenizer shared by
+    the batch MG sketch, the streaming MG state op, and the exact
+    finalizer, so all three count the same universe."""
+    return documents.select(
+        F.explode(F.split(F.col("text"), " +")).alias("w")
+    ).filter(F.col("w") != "")
+
+
+def mg_finalize(spark: SparkSession, sf_dir: str, cand: DataFrame) -> DataFrame:
+    """Shared Misra-Gries finalizer: EXACT recount of a candidate token
+    set (column ``token``) over the corpus + the integer threshold
+    count·(K+1) > N. Both the batch sketch and the streaming MG state op
+    feed candidates through here, so the batch twin's plain
+    GROUP BY/HAVING DuckDB oracle certifies either path end-to-end —
+    the superset guarantee is all a candidate source must supply."""
+    toks = corpus_tokens(load_table(spark, sf_dir, "documents"))
     tot = toks.groupBy().agg(F.count("*").alias("n_total"))
     exact = (
         toks.join(F.broadcast(cand), F.col("w") == F.col("token"))

@@ -1368,3 +1368,91 @@ def lateness_state(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents fixture (footer-probed
+    schema, same rule as stream_events — never hardcode a schema
+    against a fixture whose encoding can change between driver
+    generations). Documents carry no event time, so downstream state
+    ops run unwatermarked; at 100 TB a production corpus stream would
+    key state on a bounded shard id (as mg_heavy_hitters_state does),
+    never on an unbounded key."""
+    file_schema = spark.read.parquet(f"{sf_dir}/documents*.parquet").schema
+    return (
+        spark.readStream.schema(file_schema)
+        .format("parquet")
+        .load(f"{sf_dir}/documents*.parquet")
+    )
+
+
+_MG_STATE_SCHEMA = "tokens array<string>, counts array<long>, n_rows long"
+_MG_OUT_SCHEMA = "shard long, tokens array<string>, n_seen long"
+
+
+def _mg_shard_update(k: int):
+    """Per-SHARD Misra-Gries fold — the same generalized decrement as
+    the batch partition sketch (queries/text._mg_partition_sketch):
+    merge the micro-batch's token counts, then if more than K counters
+    survive subtract the (K+1)-th largest from all and drop
+    non-positives. Tokens are sharded BY HASH upstream, so a token's
+    whole stream lands in one shard and the MG bound applies to
+    N_shard ≤ N — any token with global count > N/(K+1) survives its
+    shard's summary (the superset guarantee the shared exact-recount
+    finalizer relies on). n_seen is the cumulative rows processed —
+    strictly monotone for newest-wins selection under any trigger
+    slicing."""
+
+    def update(key: tuple[Any, ...], pdfs: Any, state: GroupState):
+        counters: dict[str, int] = {}
+        n_rows = 0
+        if state.exists:
+            toks, cnts, prev = state.get
+            counters = {str(t): int(c) for t, c in zip(toks, cnts)}
+            n_rows = int(prev)
+        for pdf in pdfs:
+            vc = pdf["w"].value_counts()
+            n_rows += int(vc.sum())
+            for tok, c in vc.items():
+                counters[tok] = counters.get(tok, 0) + int(c)
+            if len(counters) > k:
+                sub = sorted(counters.values(), reverse=True)[k]
+                counters = {t: c - sub for t, c in counters.items() if c > sub}
+        state.update(
+            (list(counters.keys()), [int(c) for c in counters.values()], n_rows)
+        )
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]],
+                "tokens": [list(counters.keys())],
+                "n_seen": [n_rows],
+            }
+        )
+
+    return update
+
+
+def mg_heavy_hitters_state(
+    documents: DataFrame, k: int = 64, shards: int = 8
+) -> DataFrame:
+    """Continuously-maintained heavy-hitter candidates — the streaming
+    twin of queries/text.q_doc_heavy_hitters' sketch phase. State is
+    ≤ K counters per shard (K·shards strings TOTAL, forever — never
+    per-token), sharded by token hash so the per-shard MG superset
+    guarantee covers the global stream. Emissions carry the full
+    candidate array so the shared finalizer (queries/text.mg_finalize)
+    can exact-recount them against the corpus and the batch DuckDB
+    oracle certifies the result end-to-end."""
+    from .queries.text import corpus_tokens
+
+    toks = corpus_tokens(documents)
+    sharded = toks.select(
+        F.pmod(F.xxhash64("w"), F.lit(shards)).alias("shard"), "w"
+    )
+    return sharded.groupBy("shard").applyInPandasWithState(
+        _mg_shard_update(k),
+        outputStructType=_MG_OUT_SCHEMA,
+        stateStructType=_MG_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

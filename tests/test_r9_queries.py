@@ -117,3 +117,45 @@ def test_edit_pairs_big_oracle_matches_brute(tmp_path):
     brute = sorted(con.sql(ORACLE_EDIT_PAIRS).fetchall())
     fast = sorted(con.sql(ORACLE_EDIT_PAIRS_BIG).fetchall())
     assert brute == fast and brute, f"oracles diverge: {brute} vs {fast}"
+
+
+def test_mg_shard_update_decrement_path_keeps_superset():
+    """The streaming MG updater must exercise the generalized decrement
+    (vocabulary ≫ K) and STILL retain every token whose true count
+    exceeds N/(K+1) — the superset guarantee mg_finalize relies on —
+    across multiple micro-batches, with a strictly monotone stamp."""
+    import pandas as pd
+
+    from osm_poi_database_maker_spark.streaming import _mg_shard_update
+
+    class FakeState:
+        def __init__(self):
+            self._v, self.exists = None, False
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v, self.exists = v, True
+
+    k = 8
+    upd = _mg_shard_update(k)
+    state = FakeState()
+    # skewed stream split over 3 micro-batches: 'hot' appears 300×,
+    # 'warm' 120×, plus 600 singletons (vocab 602 ≫ K=8)
+    batches = []
+    for b in range(3):
+        toks = ["hot"] * 100 + ["warm"] * 40 + [f"x{b}_{i}" for i in range(200)]
+        batches.append(pd.DataFrame({"w": toks}))
+    stamps = []
+    for b in batches:
+        (out,) = list(upd((0,), [b], state))
+        stamps.append(int(out["n_seen"][0]))
+        assert len(out["tokens"][0]) <= k
+    n_total = sum(len(b) for b in batches)  # 1020
+    # true heavy set: count*(K+1) > N → hot (300*9=2700>1020), warm (120*9=1080>1020)
+    final_tokens = set(out["tokens"][0])
+    assert {"hot", "warm"} <= final_tokens, f"superset violated: {final_tokens}"
+    assert stamps == sorted(stamps) and len(set(stamps)) == 3
+    assert stamps[-1] == n_total
