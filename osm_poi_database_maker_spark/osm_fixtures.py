@@ -541,3 +541,106 @@ def pbf_scan_values_sql() -> str:
         "user_id, tstamp_str, changeset_id, tags_sig, lon_r, lat_r, n_refs, "
         "refs_sum, members_sig)"
     )
+
+
+# --------------------------------------------------------------------------
+# EP1 end-to-end wire fixture: the FULL cascade fixture (NODES/WAYS above)
+# serialized to .osm.pbf so the composed pipeline query
+# (queries/osm.q_osm_poi_pipeline_full) can run scan→cascade→route as ONE
+# Catalyst DAG over real wire bytes. Invalid geometry (the reference's
+# unresolvable-location case, filter.py:127) is encoded as an
+# out-of-range coordinate sentinel — DenseNodes requires every node to
+# carry coordinates, so "invalid" must be representable in-band; way 104
+# (ring None) instead references node ids that do not exist, osmium's
+# invalid_ways case.
+# --------------------------------------------------------------------------
+
+EP1_BAD_COORD = 999.0
+_EP1_MISSING_REFS = (9999, 9998, 9997, 9999)  # way 104: unresolvable
+
+
+def ep1_pbf_nodes() -> list[dict]:
+    """All cascade nodes (sentinel coords where invalid) + the untagged
+    geometry-carrier nodes from the way fixtures."""
+    out = []
+    for (i, v, u, t, c, tags, lon, lat, _g) in NODES:
+        out.append(
+            {
+                "id": i, "version": v, "user_id": u, "tstamp_ms": _ms(t),
+                "changeset_id": c, "tags": dict(tags),
+                "lon": EP1_BAD_COORD if lon is None else lon,
+                "lat": EP1_BAD_COORD if lat is None else lat,
+            }
+        )
+    _, nd = _way_nodes_rows()
+    for (nid, x, y) in nd:
+        out.append(
+            {
+                "id": nid, "version": 1, "user_id": 999,
+                "tstamp_ms": _ms(_ts(90)), "changeset_id": 9900,
+                "tags": {}, "lon": x, "lat": y,
+            }
+        )
+    return out
+
+
+def _ep1_way_node_rows() -> list[tuple[int, int, int]]:
+    wn, _ = _way_nodes_rows()
+    rows = list(wn)
+    rows.extend((104, ref, seq) for seq, ref in enumerate(_EP1_MISSING_REFS))
+    return rows
+
+
+def ep1_pbf_ways() -> list[dict]:
+    by_way: dict[int, list[tuple[int, int]]] = {}
+    for (w, n, s) in _ep1_way_node_rows():
+        by_way.setdefault(w, []).append((s, n))
+    out = []
+    for (i, v, u, t, c, tags, _ring, _g) in WAYS:
+        refs = [n for _s, n in sorted(by_way[i])]
+        out.append(
+            {
+                "id": i, "version": v, "user_id": u, "tstamp_ms": _ms(t),
+                "changeset_id": c, "tags": dict(tags), "refs": refs,
+            }
+        )
+    return out
+
+
+def ep1_nodes_values_sql() -> str:
+    """Oracle twin of ep1_pbf_nodes(): every node the wire file carries
+    (tagged + carriers + sentinel coords), as typed VALUES."""
+    rows = []
+    for (i, v, u, t, c, tags, lon, lat, _g) in NODES:
+        lon_v = EP1_BAD_COORD if lon is None else lon
+        lat_v = EP1_BAD_COORD if lat is None else lat
+        rows.append(
+            f"({i}, {v}, {u}, TIMESTAMP '{t}', {c}, {_sql_str(_tags(tags))}, "
+            f"{_sql_dbl(lon_v)}, {_sql_dbl(lat_v)})"
+        )
+    _, nd = _way_nodes_rows()
+    for (nid, x, y) in nd:
+        rows.append(
+            f"({nid}, 1, 999, TIMESTAMP '{_ts(90)}', 9900, '{{}}', "
+            f"{_sql_dbl(x)}, {_sql_dbl(y)})"
+        )
+    return (
+        "SELECT * FROM (VALUES\n  " + ",\n  ".join(rows) + "\n) AS t(id, version, "
+        "user_id, tstamp, changeset_id, tags_json, lon, lat)"
+    )
+
+
+def ep1_ways_values_sql() -> str:
+    rows = [
+        f"({i}, {v}, {u}, TIMESTAMP '{t}', {c}, {_sql_str(_tags(tags))})"
+        for (i, v, u, t, c, tags, _ring, _g) in WAYS
+    ]
+    return (
+        "SELECT * FROM (VALUES\n  " + ",\n  ".join(rows) + "\n) AS t(id, version, "
+        "user_id, tstamp, changeset_id, tags_json)"
+    )
+
+
+def ep1_way_nodes_values_sql() -> str:
+    rows = ", ".join(f"({w}, {n}, {s})" for (w, n, s) in _ep1_way_node_rows())
+    return f"SELECT * FROM (VALUES {rows}) AS t(way_id, node_id, sequence_id)"

@@ -78,7 +78,7 @@ _VERIFY_FIRST = [
     "stream_kmv_rolling_distinct",
     # tier 1c (round 9): new queries this round (inserted here as they
     # land; the 5 above must stay inside the 50-entry window).
-    # "osm_poi_pipeline_full",   # uncommented when the query lands (r9)
+    "osm_poi_pipeline_full",
     "stream_heavy_hitters",
     # tier 2: the r04-evidence cohort — stalest remaining driver rows
     # (testdata regenerates between rounds, so old rows decay); fills

@@ -60,15 +60,23 @@ def copy_escape(c: Column) -> Column:
     return c
 
 
-def render_copy_rows(df: DataFrame, columns: Sequence[str] = NODE_COPY_COLUMNS) -> DataFrame:
-    r"""Project to one COPY text line per row: tab-joined, ``\N`` for
-    NULL — the reference's ``_osm_as_pg_row`` (filter.py:139-152) as a
-    single codegen'd expression. Returns a 1-column DataFrame ``line``."""
+def copy_line(columns: Sequence[str]) -> Column:
+    r"""The COPY text line as ONE column expression — tab-joined fields,
+    ``\N`` for NULL, COPY-escaped (the reference's ``_osm_as_pg_row``,
+    filter.py:139-152). Factored out of :func:`render_copy_rows` so
+    composed pipelines can carry the serialized line NEXT TO audit
+    columns (queries/osm.q_osm_poi_pipeline_full)."""
     parts = [
         F.when(F.col(c).isNull(), F.lit(r"\N")).otherwise(copy_escape(F.col(c).cast("string")))
         for c in columns
     ]
-    return df.select(F.concat_ws("\t", *parts).alias("line"))
+    return F.concat_ws("\t", *parts)
+
+
+def render_copy_rows(df: DataFrame, columns: Sequence[str] = NODE_COPY_COLUMNS) -> DataFrame:
+    r"""Project to one COPY text line per row (see :func:`copy_line`).
+    Returns a 1-column DataFrame ``line``."""
+    return df.select(copy_line(columns).alias("line"))
 
 
 def write_copy_postgres(

@@ -159,3 +159,26 @@ def test_mg_shard_update_decrement_path_keeps_superset():
     assert {"hot", "warm"} <= final_tokens, f"superset violated: {final_tokens}"
     assert stamps == sorted(stamps) and len(set(stamps)) == 3
     assert stamps[-1] == n_total
+
+
+def test_poi_pipeline_full_survivors(spark):
+    """The composed EP1 cascade must keep exactly the per-operator
+    fixtures' survivors — node/way id 100 both present (disjoint id
+    spaces ride the osm_type route), the dup-id node resolved to v2,
+    invalid geometry quarantined on both branches."""
+    from osm_poi_database_maker_spark.queries.osm import q_osm_poi_pipeline_full
+
+    rows = q_osm_poi_pipeline_full(spark, "/root/testdata/sf0.001").collect()
+    nodes = {r["id"] for r in rows if r["osm_type"] == "node"}
+    ways = {r["id"] for r in rows if r["osm_type"] == "way"}
+    assert nodes == {1, 2, 3, 4, 11, 12, 13, 14, 16, 17, 100}
+    assert ways == {100, 101, 106}
+    by = {(r["osm_type"], r["id"]): r for r in rows}
+    # dup node 16: v2 wins — its COPY line carries version 2 and the v2 name
+    line16 = by[("node", 16)]["copy_line"].split("\t")
+    assert line16[1] == "2" and "Dup v2" in line16[5]
+    # escaping survived the hstore + COPY layers (node 14: backslash, quote)
+    assert "\\\\" in by[("node", 14)]["copy_line"]
+    # way rows carry ring size + area; node rows carry coords
+    assert by[("way", 100)]["n_points"] == 5 and by[("way", 100)]["area_r"] > 0
+    assert by[("node", 100)]["lon_r"] == 5.26 and by[("node", 100)]["n_points"] is None
