@@ -80,6 +80,8 @@ _VERIFY_FIRST = [
     # land; the 5 above must stay inside the 50-entry window).
     "osm_poi_pipeline_full",
     "stream_heavy_hitters",
+    "events_hdr_quantiles",
+    "stream_hdr_quantiles",
     # tier 2: the r04-evidence cohort — stalest remaining driver rows
     # (testdata regenerates between rounds, so old rows decay); fills
     # the rest of the window, overflow rotates to r10.

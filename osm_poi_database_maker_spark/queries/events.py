@@ -2596,7 +2596,199 @@ FROM est e JOIN exact x ON x.type_a = e.type_a AND x.type_b = e.type_b
 ORACLE_KMV_OVERLAP = _kmv_overlap_oracle_sql()
 
 
+# --- HDR-histogram quantile sketch ------------------------------------------
+
+_HDR_SUB_BITS = 5  # sub-bucket resolution: relative error ≤ 2^-5 ≈ 3.1%
+_HDR_QS = ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
+
+
+def hdr_bucketize(cents):
+    """HDR-histogram bucket coordinates for a positive integer column —
+    pure integer arithmetic with an exact twin in DuckDB SQL: shift =
+    max(bit_length(v) − 1 − S, 0) (bit_length via base-2 string render,
+    identical in both engines — no float log2 near power-of-2
+    boundaries), bucket = v >> shift. Buckets cover [bucket·2^shift,
+    (bucket+1)·2^shift), so width/lower-bound ≤ 2^-S: the classic
+    HdrHistogram bound. 2^shift via pow is exact (double holds integers
+    to 2^53; shift ≤ 50)."""
+    blen = F.length(F.conv(cents, 10, 2))
+    shift = F.greatest(blen - 1 - _HDR_SUB_BITS, F.lit(0))
+    p2 = F.pow(F.lit(2.0), shift).cast("long")
+    bucket = (cents / p2).cast("long")  # exact: cents ≤ 2^40, p2 divides range
+    return shift.alias("shift"), bucket.alias("bucket"), p2.alias("p2")
+
+
+def hdr_finalize(spark: SparkSession, sf_dir: str, sketch: DataFrame) -> DataFrame:
+    """Shared HDR finalizer: (event_type, shift, bucket, n) sketch rows →
+    nearest-rank quantile estimates + an in-band EXACT audit. Both the
+    batch sketch (one hash aggregate) and the streaming state op feed
+    this, so the batch DuckDB oracle certifies either path.
+
+    The estimate for rank r is the midpoint of the first bucket (by
+    lower bound) whose cumulative count reaches r; the audit recomputes
+    the exact nearest-rank value from the raw table and checks
+    |est − exact| ≤ exact · 2^-S — the HdrHistogram guarantee, asserted
+    in-band so a bucketing bug fails the hash gate, not just drifts."""
+    from ..io import load_table
+
+    lb = (F.col("bucket") * F.col("p2")).alias("lb")
+    sk = sketch.withColumn("p2", F.pow(F.lit(2.0), F.col("shift")).cast("long")).select(
+        "event_type", "shift", "bucket", "n", "p2", lb
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("lb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sk.withColumn("cum", F.sum("n").over(w_cum))
+    tot = sk.groupBy("event_type").agg(F.sum("n").alias("n_total"))
+    qs = spark.createDataFrame(list(_HDR_QS), "q double, q_label string")
+    targets = tot.crossJoin(F.broadcast(qs)).select(
+        "event_type", "q_label", "n_total",
+        F.ceil(F.col("q") * F.col("n_total")).cast("long").alias("rank"),
+    )
+    w_pick = Window.partitionBy("event_type", "q_label").orderBy("lb")
+    est = (
+        cum.join(targets, "event_type")
+        .filter(F.col("cum") >= F.col("rank"))
+        .withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type", "q_label", "n_total", "rank",
+            ((F.col("lb") * 2 + F.col("p2") - 1) / 2.0).alias("est"),
+        )
+    )
+    cents = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.round(F.abs(F.col("value")) * 100).cast("long").alias("cents"),
+        )
+        .filter(F.col("cents") >= 1)
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("cents")
+    ranked = cents.withColumn("vrank", F.row_number().over(w_rank))
+    exact = ranked.join(
+        targets,
+        (ranked["event_type"] == targets["event_type"])
+        & (ranked["vrank"] == targets["rank"]),
+    ).select(ranked["event_type"], "q_label", F.col("cents").alias("exact"))
+    bound = 2.0 ** (-_HDR_SUB_BITS)
+    return (
+        est.join(exact, ["event_type", "q_label"])
+        .select(
+            "event_type",
+            "q_label",
+            F.col("n_total").cast("long").alias("n_total"),
+            F.round("est", 4).alias("est"),
+            F.col("exact").cast("long").alias("exact"),
+            F.round(F.abs(F.col("est") - F.col("exact")) / F.col("exact"), 6).alias(
+                "rel_err"
+            ),
+            (
+                F.abs(F.col("est") - F.col("exact")) <= F.col("exact") * bound
+            ).alias("within_bound"),
+        )
+    )
+
+
+def q_events_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from an HDR-histogram sketch — the mergeable-summary
+    answer to "p50/p90/p99 of a metric over 100 TB without a global
+    sort": integer cents map to (shift, bucket) coordinates (relative
+    bucket width ≤ 2^-5), ONE map-side-combining hash aggregate builds
+    the fixed-size sketch (≤ (64−S)·2^S ≈ 1.9k buckets per key,
+    regardless of row count), and nearest-rank quantiles read off the
+    cumulative bucket walk. Completes the sketch family (KMV, CMS,
+    Bloom, HLL, Misra-Gries — quantiles were the missing entry) and, as
+    everywhere in this repo, the sketch answers are audited IN-BAND
+    against the exact nearest-rank values (window rank-select, the
+    gate-scale certificate; at 100 TB the audit runs on samples) with
+    the HdrHistogram error bound asserted as a gate column."""
+    e = load_table(spark, sf_dir, "events")
+    cents = (
+        F.round(F.abs(F.col("value")) * 100).cast("long").alias("cents")
+    )
+    vals = e.select("event_type", cents).filter(F.col("cents") >= 1)
+    shift, bucket, _p2 = hdr_bucketize(F.col("cents"))
+    sketch = (
+        vals.select("event_type", shift, bucket)
+        .groupBy("event_type", "shift", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    return hdr_finalize(spark, sf_dir, sketch)
+
+
+def _hdr_oracle_sql() -> str:
+    s = _HDR_SUB_BITS
+    q_rows = ", ".join(f"({q}, '{lab}')" for q, lab in _HDR_QS)
+    return f"""
+WITH vals AS (
+  SELECT event_type, CAST(round(abs(value) * 100) AS BIGINT) AS cents
+  FROM events
+  WHERE CAST(round(abs(value) * 100) AS BIGINT) >= 1
+),
+coords AS (
+  SELECT event_type, cents,
+         greatest(length(bin(cents)) - 1 - {s}, 0) AS shift
+  FROM vals
+),
+sk AS (
+  SELECT event_type, shift,
+         cents // CAST(power(2, shift) AS BIGINT) AS bucket,
+         CAST(power(2, shift) AS BIGINT) AS p2,
+         count(*) AS n
+  FROM coords GROUP BY 1, 2, 3, 4
+),
+cum AS (
+  SELECT *, bucket * p2 AS lb,
+         sum(n) OVER (PARTITION BY event_type ORDER BY bucket * p2
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM sk
+),
+tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_total FROM sk GROUP BY 1),
+qs AS (SELECT * FROM (VALUES {q_rows}) AS t(q, q_label)),
+targets AS (
+  SELECT event_type, q_label, n_total,
+         CAST(ceil(q * n_total) AS BIGINT) AS rank
+  FROM tot CROSS JOIN qs
+),
+est AS (
+  SELECT event_type, q_label, n_total, rank,
+         (lb * 2 + p2 - 1) / 2.0 AS est
+  FROM (
+    SELECT c.event_type, t.q_label, t.n_total, t.rank, c.lb, c.p2,
+           row_number() OVER (PARTITION BY c.event_type, t.q_label
+                              ORDER BY c.lb) AS rn
+    FROM cum c JOIN targets t ON t.event_type = c.event_type
+    WHERE c.cum >= t.rank
+  ) WHERE rn = 1
+),
+ranked AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents) AS vrank
+  FROM vals
+),
+exact AS (
+  SELECT r.event_type, t.q_label, r.cents AS exact
+  FROM ranked r JOIN targets t
+    ON t.event_type = r.event_type AND r.vrank = t.rank
+)
+SELECT e.event_type, e.q_label, e.n_total,
+       round(e.est, 4) AS est,
+       CAST(x.exact AS BIGINT) AS exact,
+       round(abs(e.est - x.exact) / x.exact, 6) AS rel_err,
+       abs(e.est - x.exact) <= x.exact * {2.0 ** (-s)!r} AS within_bound
+FROM est e JOIN exact x
+  ON x.event_type = e.event_type AND x.q_label = e.q_label
+"""
+
+
+ORACLE_HDR_QUANTILES = _hdr_oracle_sql()
+
+
 QUERIES = {
+    "events_hdr_quantiles": q_events_hdr_quantiles,
     "events_kmv_overlap": q_events_kmv_overlap,
     "events_decay_engagement": q_events_decay_engagement,
     "events_kmv_rolling_distinct": q_events_kmv_rolling_distinct,
@@ -2633,6 +2825,7 @@ QUERIES = {
 
 ORACLES = {
     "events_multi_exists": ORACLE_MULTI_EXISTS,
+    "events_hdr_quantiles": ORACLE_HDR_QUANTILES,
     "events_kmv_overlap": ORACLE_KMV_OVERLAP,
     "events_decay_engagement": ORACLE_DECAY,
     "events_kmv_rolling_distinct": ORACLE_KMV_ROLLING,

@@ -17,6 +17,7 @@ from .. import streaming as S
 from .behavior import ORACLE_AB, ORACLE_MARKOV, ORACLE_WINDOW_FUNNEL
 from .text import ORACLE_HEAVY_HITTERS
 from .events import (
+    ORACLE_HDR_QUANTILES,
     ORACLE_KMV_ROLLING,
     ORACLE_LATENESS,
     ORACLE_BLOOM_ADMIT,
@@ -599,6 +600,47 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mg_finalize(spark, sf_dir, cand)
 
 
+def q_stream_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantiles — HDR-histogram sketches maintained as
+    custom state (≤ ~1.9k integer counters per event type, forever),
+    each type's newest emission (monotone n_seen) exploded back to
+    sketch rows and finalized by the SHARED events.hdr_finalize
+    (cumulative bucket walk + in-band exact nearest-rank audit with the
+    HdrHistogram error bound as a gate column), certified end-to-end by
+    the batch twin's DuckDB oracle. The 22nd stream query — quantiles
+    were the last sketch family without a streaming twin."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .events import hdr_finalize
+
+    out = _materialize(
+        S.hdr_sketch_state(S.stream_events(spark, sf_dir)), spark, "update"
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_seen"))
+    sketch = (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.explode(F.arrays_zip("shifts", "buckets", "counts")).alias("z"),
+        )
+        .select(
+            "event_type",
+            F.col("z.shifts").alias("shift"),
+            F.col("z.buckets").alias("bucket"),
+            F.col("z.counts").alias("n"),
+        )
+    )
+    # lineage break (RDD round-trip, stays distributed): the finalizer
+    # self-joins the sketch (cum × targets), and the memory-sink →
+    # window → explode plan trips Catalyst's conflicting-reference
+    # check on that self-join; fresh expr-ids make it a plain join.
+    # The sketch is ≤ ~1.9k rows per type — the round-trip is free.
+    sketch = spark.createDataFrame(sketch.rdd, sketch.schema)
+    return hdr_finalize(spark, sf_dir, sketch)
+
+
 def q_stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream watermarked join (purchase ← same-user click within
     2 hours): both sides are live streams; bounded time-range condition
@@ -654,6 +696,7 @@ QUERIES = {
     "stream_kmv_rolling_distinct": q_stream_kmv_rolling_distinct,
     "stream_lateness_profile": q_stream_lateness_profile,
     "stream_heavy_hitters": q_stream_heavy_hitters,
+    "stream_hdr_quantiles": q_stream_hdr_quantiles,
 }
 
 ORACLES = {
@@ -678,4 +721,5 @@ ORACLES = {
     "stream_kmv_rolling_distinct": ORACLE_KMV_ROLLING,
     "stream_lateness_profile": ORACLE_LATENESS,
     "stream_heavy_hitters": ORACLE_HEAVY_HITTERS,
+    "stream_hdr_quantiles": ORACLE_HDR_QUANTILES,
 }

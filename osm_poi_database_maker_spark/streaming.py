@@ -1456,3 +1456,78 @@ def mg_heavy_hitters_state(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_HDR_STATE_SCHEMA = "shifts array<long>, buckets array<long>, counts array<long>, n_rows long"
+_HDR_OUT_SCHEMA = (
+    "event_type string, shifts array<long>, buckets array<long>, "
+    "counts array<long>, n_seen long"
+)
+
+
+def _hdr_update(key: tuple[Any, ...], pdfs: Any, state: GroupState):
+    """Per-event-type HDR-histogram fold — the streaming form of the
+    batch sketch aggregate (queries/events.q_events_hdr_quantiles):
+    state is the (shift, bucket) → count map, ≤ (64−S)·2^S entries per
+    key FOREVER (never per row). Bucket coordinates use exact integer
+    bit_length via searchsorted over the power-of-two table — no float
+    log2 near power-of-2 boundaries, so the coordinates are bit-equal
+    to the batch twin's base-2 string render. n_seen is the cumulative
+    row count (strictly monotone) for newest-wins selection."""
+    import numpy as np
+
+    from .queries.events import _HDR_SUB_BITS
+
+    counts: dict[int, int] = {}
+    n_rows = 0
+    if state.exists:
+        sh, bu, cn, prev = state.get
+        counts = {int(s) * 64 + int(b): int(c) for s, b, c in zip(sh, bu, cn)}
+        n_rows = int(prev)
+    powers = np.left_shift(np.int64(1), np.arange(63, dtype=np.int64))
+    for pdf in pdfs:
+        v = pdf["cents"].to_numpy(dtype=np.int64)
+        n_rows += len(v)
+        blen = np.searchsorted(powers, v, side="right")  # exact bit_length
+        shift = np.maximum(blen - 1 - _HDR_SUB_BITS, 0)
+        bucket = v >> shift
+        combined = shift * 64 + bucket  # bucket < 64 by construction
+        for k, c in zip(*np.unique(combined, return_counts=True)):
+            counts[int(k)] = counts.get(int(k), 0) + int(c)
+    keys = sorted(counts)
+    state.update(
+        (
+            [k // 64 for k in keys],
+            [k % 64 for k in keys],
+            [counts[k] for k in keys],
+            n_rows,
+        )
+    )
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "shifts": [[k // 64 for k in keys]],
+            "buckets": [[k % 64 for k in keys]],
+            "counts": [[counts[k] for k in keys]],
+            "n_seen": [n_rows],
+        }
+    )
+
+
+def hdr_sketch_state(events: DataFrame) -> DataFrame:
+    """Continuously-maintained per-type HDR quantile sketches — the
+    streaming twin of the batch hash-aggregate sketch, finalized by the
+    SHARED queries/events.hdr_finalize (cumulative bucket walk +
+    in-band exact audit) and certified by the batch twin's DuckDB
+    oracle. The dashboard-read path touches only sketch rows."""
+    prepped = events.select(
+        "event_type",
+        F.round(F.abs(F.col("value")) * 100).cast("long").alias("cents"),
+    ).filter(F.col("cents") >= 1)
+    return prepped.groupBy("event_type").applyInPandasWithState(
+        _hdr_update,
+        outputStructType=_HDR_OUT_SCHEMA,
+        stateStructType=_HDR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

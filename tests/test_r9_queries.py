@@ -182,3 +182,38 @@ def test_poi_pipeline_full_survivors(spark):
     # way rows carry ring size + area; node rows carry coords
     assert by[("way", 100)]["n_points"] == 5 and by[("way", 100)]["area_r"] > 0
     assert by[("node", 100)]["lon_r"] == 5.26 and by[("node", 100)]["n_points"] is None
+
+
+def test_hdr_bucket_boundaries_and_bound(spark):
+    """HDR bucket coordinates must agree between the batch form (base-2
+    string render) and the streaming form (searchsorted bit_length) at
+    the hostile power-of-two boundaries, and the sketch estimate must
+    honor the 2^-S relative bound on every quantile row."""
+    import numpy as np
+
+    from osm_poi_database_maker_spark.queries.events import (
+        _HDR_SUB_BITS,
+        hdr_bucketize,
+        q_events_hdr_quantiles,
+    )
+
+    vals = []
+    for k in range(1, 40):
+        vals += [2**k - 1, 2**k, 2**k + 1]
+    vals = sorted(set(vals))
+    df = spark.createDataFrame([(v,) for v in vals], "cents long")
+    got = {
+        r["cents"]: (r["shift"], r["bucket"])
+        for r in df.select("cents", *hdr_bucketize(F.col("cents"))).collect()
+    }
+    powers = np.left_shift(np.int64(1), np.arange(63, dtype=np.int64))
+    for v in vals:
+        blen = int(np.searchsorted(powers, np.int64(v), side="right"))
+        assert blen == v.bit_length()
+        shift = max(blen - 1 - _HDR_SUB_BITS, 0)
+        assert got[v] == (shift, v >> shift), f"coords diverge at {v}"
+        # bucket fits the 6-bit packing the stream state relies on
+        assert (v >> shift) < 64
+    rows = q_events_hdr_quantiles(spark, "/root/testdata/sf0.001").collect()
+    assert rows and all(r["within_bound"] for r in rows)
+    assert all(r["rel_err"] <= 2.0**-_HDR_SUB_BITS for r in rows)
