@@ -1431,7 +1431,114 @@ JOIN gref ON gref.k = CAST(ceil(ranked.r * ranked.n_total
 """
 
 
+_PCV_FOLDS = 5
+_PCV_EMBARGO_S = 21_600  # 6 h: the temporal-correlation horizon
+
+
+def q_events_purged_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged K-fold cross-validation plan with embargo (de Prado's
+    leakage-safe CV for temporally-correlated data) — the split a
+    time-series training pipeline must use where doc_split_assign's
+    hash split would leak: the event-time span divides into K
+    contiguous blocks (integer-second arithmetic, no ntile/global
+    sort), each fold's TEST set is its block, and TRAIN excludes both
+    the block and an embargo margin of ±6 h around it, so trailing
+    correlation can't tunnel label information across the boundary.
+
+    Emits the per-fold audit row (block bounds, test/train/purged
+    counts, and fold_usable — both test and train non-empty — as a
+    gate column). Plan: one scalar min/max aggregate broadcast in, a
+    5-row fold spine cross-joined (pure projection, K× map
+    amplification — no shuffle), one final aggregate on fold. At
+    100 TB: identical shape; the spine join is the standard
+    all-folds-in-one-pass trick, never K separate scans."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.unix_seconds(F.col("ts")).alias("t")
+    )
+    span = e.groupBy().agg(
+        F.min("t").alias("tmin"), (F.max("t") - F.min("t") + 1).alias("span")
+    )
+    folds = spark.createDataFrame([(f,) for f in range(_PCV_FOLDS)], "fold int")
+    # integer division on BOTH sides (Spark `div`, DuckDB `//`): float
+    # division + cast diverges — Spark's cast-to-long truncates, DuckDB's
+    # CAST(double AS BIGINT) rounds half away from zero
+    lo = (
+        F.col("tmin") + F.expr(f"fold * span div {_PCV_FOLDS}").cast("long")
+    ).alias("lo")
+    hi = (
+        F.col("tmin") + F.expr(f"(fold + 1) * span div {_PCV_FOLDS}").cast("long")
+    ).alias("hi")
+    tagged = (
+        e.crossJoin(F.broadcast(span))
+        .crossJoin(F.broadcast(folds))
+        .select("t", "fold", lo, hi)
+    )
+    is_test = (F.col("t") >= F.col("lo")) & (F.col("t") < F.col("hi"))
+    is_purged = (
+        (F.col("t") >= F.col("lo") - _PCV_EMBARGO_S) & (F.col("t") < F.col("lo"))
+    ) | ((F.col("t") >= F.col("hi")) & (F.col("t") < F.col("hi") + _PCV_EMBARGO_S))
+    agg = tagged.groupBy("fold").agg(
+        F.count("*").alias("n_all"),
+        F.min("lo").alias("block_lo"),
+        F.min("hi").alias("block_hi"),
+        F.sum(is_test.cast("long")).alias("n_test"),
+        F.sum(is_purged.cast("long")).alias("n_purged"),
+    )
+    return agg.select(
+        F.col("fold").cast("long").alias("fold"),
+        F.col("block_lo").cast("long").alias("block_lo"),
+        F.col("block_hi").cast("long").alias("block_hi"),
+        F.col("n_test").cast("long").alias("n_test"),
+        (F.col("n_all") - F.col("n_test") - F.col("n_purged"))
+        .cast("long")
+        .alias("n_train"),
+        F.col("n_purged").cast("long").alias("n_purged"),
+        (
+            (F.col("n_test") > 0)
+            & (F.col("n_all") - F.col("n_test") - F.col("n_purged") > 0)
+        ).alias("fold_usable"),
+    )
+
+
+def _purged_folds_oracle_sql() -> str:
+    k, emb = _PCV_FOLDS, _PCV_EMBARGO_S
+    return f"""
+WITH ev AS (SELECT epoch_us(ts) // 1000000 AS t FROM events),
+span AS (SELECT min(t) AS tmin, max(t) - min(t) + 1 AS span FROM ev),
+folds AS (SELECT unnest(range(0, {k})) AS fold),
+bounds AS (
+  SELECT fold,
+         tmin + (fold * span) // {k} AS lo,
+         tmin + ((fold + 1) * span) // {k} AS hi
+  FROM folds CROSS JOIN span
+),
+tagged AS (
+  SELECT b.fold, b.lo, b.hi, e.t,
+         (e.t >= b.lo AND e.t < b.hi) AS is_test,
+         ((e.t >= b.lo - {emb} AND e.t < b.lo)
+          OR (e.t >= b.hi AND e.t < b.hi + {emb})) AS is_purged
+  FROM ev e CROSS JOIN bounds b
+)
+SELECT CAST(fold AS BIGINT) AS fold,
+       CAST(min(lo) AS BIGINT) AS block_lo,
+       CAST(min(hi) AS BIGINT) AS block_hi,
+       CAST(sum(CASE WHEN is_test THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN NOT is_test AND NOT is_purged THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_train,
+       CAST(sum(CASE WHEN NOT is_test AND is_purged THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purged,
+       sum(CASE WHEN is_test THEN 1 ELSE 0 END) > 0
+         AND sum(CASE WHEN NOT is_test AND NOT is_purged THEN 1 ELSE 0 END) > 0
+         AS fold_usable
+FROM tagged GROUP BY fold
+"""
+
+
+ORACLE_PURGED_FOLDS = _purged_folds_oracle_sql()
+
+
 QUERIES = {
+    "events_purged_folds": q_events_purged_folds,
     "doc_decontaminate": q_doc_decontaminate,
     "doc_bloom_decontaminate": q_doc_bloom_decontaminate,
     "doc_split_assign": q_doc_split_assign,
@@ -1452,6 +1559,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_purged_folds": ORACLE_PURGED_FOLDS,
     "doc_decontaminate": ORACLE_DECONTAM,
     "doc_bloom_decontaminate": ORACLE_BLOOM_DECONTAM,
     "doc_split_assign": ORACLE_SPLIT_ASSIGN,

@@ -381,6 +381,94 @@ HAVING count(*) < {_L_DIVERSITY}
 """
 
 
+_T_CLOSE_TOPK = 20
+
+
+def q_events_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third rung of the privacy ladder after
+    k-anonymity and l-diversity (which this registry already carries):
+    a QI group can be k-anonymous AND l-diverse yet still leak if its
+    sensitive-value DISTRIBUTION skews far from the global one
+    (skewness attack). Over the same (event_type, hour) QI and value-
+    decile sensitive attribute as the sibling audits, computes the
+    Earth Mover's Distance for the ORDERED attribute — EMD =
+    (1/(m−1))·Σᵢ|CumQᵢ − CumPᵢ| (Li et al., ICDE'07) — against the
+    global distribution, and emits the top-20 offenders.
+
+    Plan: the 10-slot decile domain makes the cumulative vector NINE
+    CONDITIONAL SUMS inside one hash aggregate — no domain spine join,
+    no dense pivot; the global vector is one scalar aggregate broadcast
+    in. Two shuffles total (QI aggregate + top-k sort of QI-group-sized
+    data), identical at any SF."""
+    e = load_table(spark, sf_dir, "events")
+    sens = F.least(F.lit(9), F.floor(F.col("value") / 10)).cast("int")
+    base = e.select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH").alias("hour"),
+        sens.alias("sens"),
+    )
+    cums = lambda i: F.sum((F.col("sens") <= i).cast("long")).alias(f"c{i}")  # noqa: E731
+    grp = base.groupBy("event_type", "hour").agg(
+        F.count("*").alias("n"), *[cums(i) for i in range(9)]
+    )
+    glob = base.groupBy().agg(
+        F.count("*").alias("gn"), *[cums(i).alias(f"g{i}") for i in range(9)]
+    )
+    emd = sum(
+        F.abs(F.col(f"c{i}") / F.col("n") - F.col(f"g{i}") / F.col("gn"))
+        for i in range(9)
+    ) / F.lit(9.0)
+    return (
+        grp.crossJoin(F.broadcast(glob))
+        .select(
+            "event_type",
+            "hour",
+            F.col("n").cast("long").alias("n_rows"),
+            emd.alias("emd_raw"),
+        )
+        # order by the UNROUNDED value (the oracle does too): rounding
+        # before ordering could flip the top-k boundary on near-ties
+        .orderBy(F.desc("emd_raw"), "event_type", "hour")
+        .limit(_T_CLOSE_TOPK)
+        .select(
+            "event_type", "hour", "n_rows", F.round("emd_raw", 4).alias("emd")
+        )
+    )
+
+
+def _t_closeness_oracle_sql() -> str:
+    c_cols = ", ".join(
+        f"sum(CASE WHEN sens <= {i} THEN 1 ELSE 0 END) AS c{i}" for i in range(9)
+    )
+    g_cols = ", ".join(
+        f"sum(CASE WHEN sens <= {i} THEN 1 ELSE 0 END) AS g{i}" for i in range(9)
+    )
+    emd = " + ".join(
+        f"abs(c{i} / CAST(n AS DOUBLE) - g{i} / CAST(gn AS DOUBLE))"
+        for i in range(9)
+    )
+    return f"""
+WITH base AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d %H') AS hour,
+         CAST(least(9, floor(value / 10)) AS INT) AS sens
+  FROM events
+),
+grp AS (
+  SELECT event_type, hour, count(*) AS n, {c_cols}
+  FROM base GROUP BY 1, 2
+),
+gstats AS (SELECT count(*) AS gn, {g_cols} FROM base)
+SELECT event_type, hour, CAST(n AS BIGINT) AS n_rows,
+       round(({emd}) / 9.0, 4) AS emd
+FROM grp CROSS JOIN gstats
+ORDER BY ({emd}) / 9.0 DESC, event_type, hour
+LIMIT {_T_CLOSE_TOPK}
+"""
+
+
+ORACLE_T_CLOSENESS = _t_closeness_oracle_sql()
+
+
 # ---------------------------------------------------------------------------
 # Blocked entity resolution
 
@@ -870,6 +958,7 @@ QUERIES = {
     "lineitem_hist_quantiles": q_lineitem_hist_quantiles,
     "events_k_anonymity": q_events_k_anonymity,
     "events_l_diversity": q_events_l_diversity,
+    "events_t_closeness": q_events_t_closeness,
     "customer_name_linkage": q_customer_name_linkage,
     "events_benford_deviation": q_events_benford_deviation,
     "customer_edit_pairs": q_customer_edit_pairs,
@@ -883,6 +972,7 @@ ORACLES = {
     "lineitem_hist_quantiles": ORACLE_HIST_QUANTILES,
     "events_k_anonymity": ORACLE_K_ANONYMITY,
     "events_l_diversity": ORACLE_L_DIVERSITY,
+    "events_t_closeness": ORACLE_T_CLOSENESS,
     "customer_name_linkage": ORACLE_NAME_LINKAGE,
     "events_benford_deviation": ORACLE_BENFORD,
     "customer_edit_pairs": ORACLE_EDIT_PAIRS,

@@ -217,3 +217,23 @@ def test_hdr_bucket_boundaries_and_bound(spark):
     rows = q_events_hdr_quantiles(spark, "/root/testdata/sf0.001").collect()
     assert rows and all(r["within_bound"] for r in rows)
     assert all(r["rel_err"] <= 2.0**-_HDR_SUB_BITS for r in rows)
+
+
+def test_purged_folds_invariants(spark):
+    """Per fold: test+train+purged == N, blocks tile the span without
+    overlap, and every fold is usable on the fixture."""
+    from osm_poi_database_maker_spark.io import load_table
+    from osm_poi_database_maker_spark.queries.curation import q_events_purged_folds
+
+    sf = "/root/testdata/sf0.001"
+    n = load_table(spark, sf, "events").count()
+    rows = sorted(
+        q_events_purged_folds(spark, sf).collect(), key=lambda r: r["fold"]
+    )
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_test"] + r["n_train"] + r["n_purged"] == n
+        assert r["fold_usable"]
+    for a, b in zip(rows, rows[1:]):
+        assert a["block_hi"] == b["block_lo"]  # contiguous, non-overlapping
+    assert sum(r["n_test"] for r in rows) == n  # blocks tile the span
