@@ -84,6 +84,7 @@ _VERIFY_FIRST = [
     "stream_hdr_quantiles",
     "events_t_closeness",
     "events_purged_folds",
+    "emb_hard_negatives",
     # tier 2: the r04-evidence cohort — stalest remaining driver rows
     # (testdata regenerates between rounds, so old rows decay); fills
     # the rest of the window, overflow rotates to r10.

@@ -1922,7 +1922,110 @@ WHERE fused_rk <= {_RRF_TOPK}
 """
 
 
+_HNEG_K = 10  # neighborhood to mine impostors from
+_HNEG_MARGIN = 0.1  # triplet margin: pos_cos − neg_cos below this is "active"
+
+
+def q_emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training — per
+    anchor vector, the nearest IMPOSTOR (closest neighbor with a
+    different label) inside its exact 10-NN neighborhood, next to the
+    nearest same-label neighbor's cosine and the triplet margin
+    pos_cos − neg_cos. ``active`` marks anchors whose margin is under
+    0.1 (or that have no friend in the neighborhood): exactly the
+    triplets a margin-loss trainer should sample first. This is the
+    training-side consumer of the kNN graph the registry already
+    certifies (emb_knn_graph) and the mislabel audit's sibling
+    (emb_label_smoothing votes; this one measures geometry).
+
+    Plan: one blocked-matmul kNN reduction (quadratic BY CONTRACT, the
+    ANN swap documented on the knn family) + two broadcast label joins
+    + ONE hash aggregate per anchor (min over rk-keyed structs — no
+    window over the neighbor fan-out). Integer ranks pick the winners,
+    so engines cannot disagree on selection."""
+    from ..similarity import knn_graph
+
+    e = load_table(spark, sf_dir, "embeddings")
+    labels = e.select("vec_id", F.col("label").cast("long").alias("label"))
+    nn = knn_graph(e, k=_HNEG_K)
+    j = nn.join(F.broadcast(labels), "vec_id").join(
+        F.broadcast(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("n_label"),
+            )
+        ),
+        "neighbor_id",
+    )
+    mism = F.col("label") != F.col("n_label")
+    agg = j.groupBy("vec_id", "label").agg(
+        F.min(
+            F.when(mism, F.struct("rk", "neighbor_id", "n_label", "cosine"))
+        ).alias("neg"),
+        F.min(F.when(~mism, F.struct("rk", "cosine"))).alias("pos"),
+    )
+    neg_cos = F.col("neg").getField("cosine")
+    pos_cos = F.col("pos").getField("cosine")
+    margin = F.round(pos_cos - neg_cos, 4)
+    return agg.select(
+        "vec_id",
+        "label",
+        F.col("neg").getField("neighbor_id").alias("neg_id"),
+        F.col("neg").getField("n_label").alias("neg_label"),
+        neg_cos.alias("neg_cos"),
+        pos_cos.alias("pos_cos"),
+        margin.alias("margin"),
+        (
+            neg_cos.isNotNull()
+            & (pos_cos.isNull() | (margin < _HNEG_MARGIN))
+        ).alias("active"),
+    )
+
+
+ORACLE_HARD_NEGATIVES = f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(a.v, b.v) AS cos
+  FROM emb a JOIN emb b ON a.vec_id <> b.vec_id
+),
+nn AS (
+  SELECT vec_id, neighbor_id, round(cos, 4) AS cosine, rk FROM (
+    SELECT vec_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rk
+    FROM scored
+  ) WHERE rk <= {_HNEG_K}
+),
+lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+j AS (
+  SELECT n.vec_id, l.label, n.neighbor_id, nl.label AS n_label, n.cosine, n.rk
+  FROM nn n
+  JOIN lab l ON l.vec_id = n.vec_id
+  JOIN lab nl ON nl.vec_id = n.neighbor_id
+),
+agg AS (
+  SELECT vec_id, label,
+         arg_min(neighbor_id, rk) FILTER (WHERE label <> n_label) AS neg_id,
+         arg_min(n_label, rk) FILTER (WHERE label <> n_label) AS neg_label,
+         arg_min(cosine, rk) FILTER (WHERE label <> n_label) AS neg_cos,
+         arg_min(cosine, rk) FILTER (WHERE label = n_label) AS pos_cos
+  FROM j GROUP BY 1, 2
+)
+SELECT vec_id, label, neg_id, neg_label, neg_cos, pos_cos,
+       round(pos_cos - neg_cos, 4) AS margin,
+       (neg_cos IS NOT NULL
+        AND (pos_cos IS NULL OR round(pos_cos - neg_cos, 4) < {_HNEG_MARGIN}))
+         AS active
+FROM agg
+"""
+
+
 QUERIES = {
+    "emb_hard_negatives": q_emb_hard_negatives,
     "emb_rank_fusion": q_emb_rank_fusion,
     "emb_label_smoothing": q_emb_label_smoothing,
     "emb_text_alignment_audit": q_emb_text_alignment_audit,
@@ -1947,6 +2050,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "emb_hard_negatives": ORACLE_HARD_NEGATIVES,
     "emb_rank_fusion": ORACLE_RRF,
     "emb_label_smoothing": ORACLE_LABEL_SMOOTHING,
     "emb_text_alignment_audit": ORACLE_ALIGNMENT,
