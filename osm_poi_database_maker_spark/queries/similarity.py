@@ -1508,6 +1508,72 @@ ORDER BY rank
 ORACLE_FPS = _fps_oracle_sql()
 
 
+def _fps_big_oracle_sql() -> str:
+    """SF ≥ 0.1 oracle (tools/check.py swaps it in): INCREMENTAL
+    farthest-point sampling — the recursion carries each vector's
+    min-d² to the chosen set and each step evaluates distances to the
+    ONE new center (n·k evaluations total), where the original oracle
+    materializes the full pair table and re-scans it per candidate per
+    step (judge-scale cost: 117 s at sf0.1 vs 0.9 s for this form;
+    byte-identical at sf0.001/sf0.01, pinned by
+    tests/test_r9_queries.py::test_fps_big_oracle_matches_original).
+    Same argmax/tie-break key (min_d2 DESC, vec_id ASC); the sf0.01
+    gate and the driver keep the non-incremental original as the
+    independent check."""
+    k, q = _FPS_K, _FPS_Q
+    return f"""
+WITH RECURSIVE q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * {q}.0) AS BIGINT)) AS vq
+  FROM embeddings
+),
+c0 AS (SELECT min(vec_id) AS c FROM q),
+state(step, vec_id, min_d2) AS (
+  SELECT 1, a.vec_id,
+         CAST(list_sum(list_transform(range(1, len(a.vq) + 1),
+              i -> (a.vq[i] - b.vq[i]) * (a.vq[i] - b.vq[i]))) AS BIGINT)
+  FROM q a JOIN q b ON b.vec_id = (SELECT c FROM c0)
+  WHERE a.vec_id <> b.vec_id
+  UNION ALL
+  SELECT s2.step + 1, s2.vec_id,
+         least(s2.min_d2,
+           CAST(list_sum(list_transform(range(1, len(a.vq) + 1),
+                i -> (a.vq[i] - w.vq[i]) * (a.vq[i] - w.vq[i]))) AS BIGINT))
+  FROM (
+    SELECT s.*, first_value(s.vec_id)
+             OVER (ORDER BY s.min_d2 DESC, s.vec_id ASC) AS new_winner
+    FROM state s
+  ) s2
+  JOIN q a ON a.vec_id = s2.vec_id
+  JOIN q w ON w.vec_id = s2.new_winner
+  WHERE s2.step < {k} AND s2.vec_id <> s2.new_winner
+)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS rank, (SELECT c FROM c0) AS vec_id
+  UNION ALL
+  SELECT CAST(step + 1 AS BIGINT) AS rank, win AS vec_id FROM (
+    SELECT step,
+           first_value(vec_id) OVER (PARTITION BY step
+                                     ORDER BY min_d2 DESC, vec_id ASC) AS win,
+           row_number() OVER (PARTITION BY step
+                              ORDER BY min_d2 DESC, vec_id ASC) AS rn
+    FROM state
+  ) WHERE rn = 1 AND step + 1 <= {k}
+) ORDER BY rank
+"""
+
+
+ORACLE_FPS_BIG = _fps_big_oracle_sql()
+
+# SF ≥ 0.1 oracle overrides (see tools/check.py and SCALE.md
+# §battery-budget): same result contract, incremental candidate
+# maintenance instead of full-pair-table rescans.
+ORACLES_BIG = {
+    "emb_maximin_centers": ORACLE_FPS_BIG,
+}
+
+
 # --- Johnson–Lindenstrauss random projection (oracled, integer planes) -----
 
 _JL_R = 8  # target dimensionality

@@ -237,3 +237,21 @@ def test_purged_folds_invariants(spark):
     for a, b in zip(rows, rows[1:]):
         assert a["block_hi"] == b["block_lo"]  # contiguous, non-overlapping
     assert sum(r["n_test"] for r in rows) == n  # blocks tile the span
+
+
+def test_fps_big_oracle_matches_original():
+    """The SF ≥ 0.1 incremental-FPS oracle must be byte-identical to
+    the original full-pair-table oracle (117 s vs 0.9 s at sf0.1)."""
+    from osm_poi_database_maker_spark.queries.similarity import (
+        ORACLE_FPS,
+        ORACLE_FPS_BIG,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/embeddings.parquet')"
+    )
+    orig = con.sql(ORACLE_FPS).fetchall()
+    inc = con.sql(ORACLE_FPS_BIG).fetchall()
+    assert orig == inc and len(orig) == 8
