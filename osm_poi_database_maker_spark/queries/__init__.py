@@ -77,7 +77,10 @@ _VERIFY_FIRST = [
     # monotone n_rows stamp for newest-wins selection (r8 advice #1).
     "stream_kmv_rolling_distinct",
     # tier 1c (round 9): new queries this round (inserted here as they
-    # land; the 5 above must stay inside the 50-entry window).
+    # land; the 5 above must stay inside the 50-entry window). With the
+    # 13 head slots, 37 of the 47 r04-stale cohort fit the window; the
+    # last 10 rotate to r10's window (new-code verification outranks
+    # stale-evidence refresh per the tier policy).
     "osm_poi_pipeline_full",
     "stream_heavy_hitters",
     "events_hdr_quantiles",
