@@ -407,3 +407,64 @@ def frame_diff_energies(videos: DataFrame, frame_bytes: int = 128) -> DataFrame:
             )
 
     return videos.mapInPandas(batches, FRAME_DIFF_SCHEMA)
+
+
+RESAMPLE_L = 2  # rational resample ratio L/M: out rate = in rate · L/M
+RESAMPLE_M = 3  # 3:2 downsample (the 48 kHz → 32 kHz shape)
+
+
+def pcm_resample_stats(audio: DataFrame) -> DataFrame:
+    """Rational L/M linear-interpolation resample of raw PCM16-LE — the
+    sample-rate normalization step every audio training corpus runs
+    (48 kHz field recordings → one model rate), kept EXACT: output j
+    sits at input position j·M/L, so with pos = j·M div L and
+    fm = j·M mod L the interpolated sample is
+    v[pos]·(L−fm) + v[pos+1]·fm — integer math in the L-scaled domain,
+    no float filter taps, so the emitted per-doc audit (output count,
+    scaled sum/min/max) is bit-reproducible across engines, batch
+    sizes and partitionings. The final position clamps v[pos+1] to the
+    last sample (both engines). numpy-vectorized inside mapInPandas;
+    a trailing odd byte is dropped (the frame-energy convention).
+
+    Scale: pure per-row batch work — no shuffle at all; at 100 TB the
+    resampler rides the scan exactly like decode/feature stages."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        L, M = RESAMPLE_L, RESAMPLE_M
+        for pdf in it:
+            rows: dict[str, list] = {
+                "doc_id": [], "n_in": [], "n_out": [],
+                "out_sum": [], "out_min": [], "out_max": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload or b"")
+                v = np.frombuffer(b[: (len(b) // 2) * 2], dtype="<i2").astype(
+                    np.int64
+                )
+                n = len(v)
+                if n < 2:
+                    continue
+                n_out = ((n - 1) * L) // M + 1
+                j = np.arange(n_out, dtype=np.int64)
+                pm = j * M
+                pos = pm // L
+                fm = pm % L
+                nxt = v[np.minimum(pos + 1, n - 1)]
+                out = v[pos] * (L - fm) + nxt * fm  # L-scaled exact int64
+                rows["doc_id"].append(doc_id)
+                rows["n_in"].append(n)
+                rows["n_out"].append(int(n_out))
+                rows["out_sum"].append(int(out.sum()))
+                rows["out_min"].append(int(out.min()))
+                rows["out_max"].append(int(out.max()))
+            yield pd.DataFrame(rows)
+
+    return audio.mapInPandas(
+        batches,
+        schema=(
+            "doc_id long, n_in long, n_out long, out_sum long, "
+            "out_min long, out_max long"
+        ),
+    )

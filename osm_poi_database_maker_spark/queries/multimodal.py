@@ -226,6 +226,72 @@ FROM codes
 """
 
 
+def q_mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rational 3:2 PCM16 downsample (48 kHz → 32 kHz shape) with an
+    exact integer audit — the sample-rate normalization every audio
+    corpus runs before training. Linear interpolation is kept in the
+    L-scaled integer domain (out = v[pos]·(L−fm) + v[pos+1]·fm, fm =
+    j·M mod L), so the per-doc output count and scaled sum/min/max are
+    bit-reproducible and the DuckDB oracle re-derives the SAME samples
+    from the text bytes' character codes (the audio-energy precedent).
+    Pure per-row batch work, zero shuffles."""
+    from ..multimodal import documents_as_audio_table, pcm_resample_stats
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.octet_length(F.encode("text", "UTF-8")) == F.length("text")
+    )
+    return pcm_resample_stats(documents_as_audio_table(d))
+
+
+ORACLE_AUDIO_RESAMPLE = """
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  WHERE octet_length(encode(text)) = length(text)
+),
+par AS (
+  SELECT doc_id, text, CAST(floor(length(text) / 2) AS BIGINT) AS n_samples
+  FROM d
+),
+s AS (
+  SELECT doc_id, i,
+         ascii(substring(text, CAST(2 * i + 1 AS BIGINT), 1))
+         + 256 * ascii(substring(text, CAST(2 * i + 2 AS BIGINT), 1)) AS raw
+  FROM (SELECT doc_id, text, unnest(range(n_samples)) AS i FROM par)
+),
+sv AS (
+  SELECT doc_id, i,
+         CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+  FROM s
+),
+sized AS (SELECT doc_id, n_samples FROM par WHERE n_samples >= 2),
+grid AS (
+  SELECT doc_id, n_samples,
+         unnest(range(((n_samples - 1) * 2) // 3 + 1)) AS j
+  FROM sized
+),
+t AS (
+  SELECT doc_id, n_samples, j,
+         (j * 3) // 2 AS pos, (j * 3) % 2 AS fm
+  FROM grid
+),
+o AS (
+  SELECT t.doc_id, a.v * (2 - t.fm) + b.v * t.fm AS outv
+  FROM t
+  JOIN sv a ON a.doc_id = t.doc_id AND a.i = t.pos
+  JOIN sv b ON b.doc_id = t.doc_id
+           AND b.i = least(t.pos + 1, t.n_samples - 1)
+)
+SELECT o.doc_id,
+       CAST(max(z.n_samples) AS BIGINT) AS n_in,
+       CAST(count(*) AS BIGINT) AS n_out,
+       CAST(sum(outv) AS BIGINT) AS out_sum,
+       CAST(min(outv) AS BIGINT) AS out_min,
+       CAST(max(outv) AS BIGINT) AS out_max
+FROM o JOIN sized z ON z.doc_id = o.doc_id
+GROUP BY o.doc_id
+"""
+
+
 def q_mm_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash (aHash) near-duplicate image pairs — image dedup
     for a multimodal training corpus: 64-bit average-hash signatures,
@@ -476,6 +542,7 @@ QUERIES = {
     "mm_frame_diff_cuts": q_mm_frame_diff_cuts,
     "mm_resize": q_mm_resize,
     "mm_audio_energy": q_mm_audio_energy,
+    "mm_audio_resample": q_mm_audio_resample,
     "mm_audio_silence_segments": q_mm_audio_silence_segments,
     "mm_payload_stats": q_mm_payload_stats,
 }
@@ -487,6 +554,7 @@ ORACLES = {
     "mm_frame_diff_cuts": ORACLE_FRAME_DIFF,
     "mm_resize": ORACLE_RESIZE,
     "mm_audio_energy": ORACLE_AUDIO_ENERGY,
+    "mm_audio_resample": ORACLE_AUDIO_RESAMPLE,
     "mm_audio_silence_segments": ORACLE_SILENCE,
     "mm_payload_stats": ORACLE_PAYLOAD_STATS,
 }

@@ -2090,7 +2090,110 @@ FROM agg
 """
 
 
+_MUTUAL_K = 5
+
+
+def q_emb_mutual_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN semantic clustering — the graph-based alternative to
+    centroid clustering (emb_semdedup's k-means) that needs no K: an
+    edge exists iff a is in b's 5-NN AND b is in a's (the mutuality
+    filter kills hub vertices, the classic failure of raw kNN graphs in
+    high dimensions), then connected components label the clusters.
+    Emits the cluster-SIZE histogram (size → cluster count, singletons
+    = vectors with no mutual neighbor as size 1) — the shape report
+    that tells a curation run whether the corpus has a few giant
+    semantic blobs or many tight paraphrase sets.
+
+    Plan: the kNN reduction (blocked matmul, quadratic by contract,
+    ANN swap documented on the family) + a left-semi self-join for
+    mutuality (n·k vs n·k rows) + the SHARED pointer-jumping
+    components (dedup.dedup_clusters, O(log diameter) rounds) + two
+    tiny aggregates. Oracle: the identical kNN in SQL + the registry's
+    recursive-CTE transitive closure."""
+    from ..dedup import dedup_clusters
+    from ..similarity import knn_graph
+
+    e = load_table(spark, sf_dir, "embeddings")
+    nn = knn_graph(e, k=_MUTUAL_K).select("vec_id", "neighbor_id")
+    rev = nn.select(
+        F.col("neighbor_id").alias("vec_id"), F.col("vec_id").alias("neighbor_id")
+    )
+    mutual = (
+        nn.join(rev, ["vec_id", "neighbor_id"], "left_semi")
+        .filter(F.col("vec_id") < F.col("neighbor_id"))
+        .select(F.col("vec_id").alias("doc_a"), F.col("neighbor_id").alias("doc_b"))
+    )
+    labels = dedup_clusters(mutual)
+    hist = (
+        labels.groupBy("cluster_id")
+        .agg(F.count("*").alias("sz"))
+        .groupBy("sz")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            F.col("sz").cast("long").alias("cluster_size"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+        )
+    )
+    tot = e.groupBy().agg(F.count("*").alias("n_vec"))
+    lab = labels.groupBy().agg(F.count("*").alias("n_lab"))
+    singles = (
+        tot.crossJoin(F.broadcast(lab))
+        .filter(F.col("n_vec") - F.col("n_lab") > 0)
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            (F.col("n_vec") - F.col("n_lab")).cast("long").alias("n_clusters"),
+        )
+    )
+    return hist.unionByName(singles)
+
+
+ORACLE_MUTUAL_KNN = f"""
+WITH RECURSIVE emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(a.v, b.v) AS cos
+  FROM emb a JOIN emb b ON a.vec_id <> b.vec_id
+),
+nn AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT vec_id, neighbor_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rk
+    FROM scored
+  ) WHERE rk <= {_MUTUAL_K}
+),
+edges AS (
+  SELECT a.vec_id AS src, a.neighbor_id AS dst
+  FROM nn a JOIN nn b
+    ON b.vec_id = a.neighbor_id AND b.neighbor_id = a.vec_id
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(node, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+labels AS (SELECT node, min(label) AS cid FROM reach GROUP BY node),
+sizes AS (SELECT cid, count(*) AS sz FROM labels GROUP BY cid),
+hist AS (
+  SELECT CAST(sz AS BIGINT) AS cluster_size,
+         CAST(count(*) AS BIGINT) AS n_clusters
+  FROM sizes GROUP BY sz
+),
+tot AS (SELECT count(*) AS n_vec FROM embeddings),
+lab AS (SELECT count(*) AS n_lab FROM labels)
+SELECT cluster_size, n_clusters FROM hist
+UNION ALL
+SELECT CAST(1 AS BIGINT), CAST(n_vec - n_lab AS BIGINT)
+FROM tot CROSS JOIN lab WHERE n_vec - n_lab > 0
+"""
+
+
 QUERIES = {
+    "emb_mutual_knn_clusters": q_emb_mutual_knn_clusters,
     "emb_hard_negatives": q_emb_hard_negatives,
     "emb_rank_fusion": q_emb_rank_fusion,
     "emb_label_smoothing": q_emb_label_smoothing,
@@ -2116,6 +2219,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "emb_mutual_knn_clusters": ORACLE_MUTUAL_KNN,
     "emb_hard_negatives": ORACLE_HARD_NEGATIVES,
     "emb_rank_fusion": ORACLE_RRF,
     "emb_label_smoothing": ORACLE_LABEL_SMOOTHING,

@@ -255,3 +255,50 @@ def test_fps_big_oracle_matches_original():
     orig = con.sql(ORACLE_FPS).fetchall()
     inc = con.sql(ORACLE_FPS_BIG).fetchall()
     assert orig == inc and len(orig) == 8
+
+
+def test_pcm_resample_exactness_hostile_inputs(spark):
+    """The rational resampler must match a pure-python reference on the
+    hostile shapes: odd trailing byte (dropped), minimum length n=2,
+    and the final-position clamp (pos+1 past the last sample)."""
+    from osm_poi_database_maker_spark.multimodal import (
+        RESAMPLE_L,
+        RESAMPLE_M,
+        pcm_resample_stats,
+    )
+
+    import struct
+
+    def ref(samples):
+        L, M = RESAMPLE_L, RESAMPLE_M
+        n = len(samples)
+        if n < 2:
+            return None
+        n_out = ((n - 1) * L) // M + 1
+        out = []
+        for j in range(n_out):
+            pos, fm = (j * M) // L, (j * M) % L
+            nxt = samples[min(pos + 1, n - 1)]
+            out.append(samples[pos] * (L - fm) + nxt * fm)
+        return (n, n_out, sum(out), min(out), max(out))
+
+    cases = {
+        1: [32767, -32768],                      # n=2 extremes
+        2: [0, 1, 2, 3, 4],                      # odd n: clamp at tail
+        3: [-5, 10, -15, 20, -25, 30, -35, 40],  # even n
+        4: [100] * 7,                            # constant
+    }
+    rows = []
+    for doc_id, samples in cases.items():
+        payload = b"".join(struct.pack("<h", s) for s in samples)
+        if doc_id == 2:
+            payload += b"\x07"  # trailing odd byte must be dropped
+        rows.append((doc_id, bytearray(payload)))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in pcm_resample_stats(df).collect()}
+    for doc_id, samples in cases.items():
+        n, n_out, s, mn, mx = ref(samples)
+        r = got[doc_id]
+        assert (r["n_in"], r["n_out"], r["out_sum"], r["out_min"], r["out_max"]) == (
+            n, n_out, s, mn, mx
+        ), f"doc {doc_id}"
