@@ -119,6 +119,47 @@ def write_copy_postgres(
     lines.foreachPartition(_write_partition)
 
 
+def write_copy_postgres_cli(
+    df: DataFrame,
+    socket_dir: str,
+    dbname: str,
+    user: str,
+    table: str,
+    columns: Sequence[str] = NODE_COPY_COLUMNS,
+    geom_column: str = "geom",
+) -> None:
+    """Bulk-load via one ``psql``-driven COPY stream per partition —
+    the psycopg2-free twin of :func:`write_copy_postgres` (same COPY
+    statement, same rendered lines): each executor partition pipes its
+    text lines into ``psql -c "COPY ... FROM STDIN"`` over a unix
+    socket. Pure stdlib (subprocess), so the live-PG round-trip is
+    testable wherever the server binaries exist even without a driver
+    library; at scale the fan-in knob is identical (one connection per
+    partition, ``df.repartition(n)`` controls it)."""
+    import subprocess
+
+    stmt = copy_statement(table, columns, geom_column)
+    lines = render_copy_rows(df, columns)
+
+    def _write_partition(rows: Iterator) -> None:
+        buf = "\n".join(row.line for row in rows)
+        if not buf:
+            return
+        proc = subprocess.run(
+            ["psql", "-h", socket_dir, "-U", user, "-d", dbname,
+             "-v", "ON_ERROR_STOP=1", "-c", stmt],
+            input=(buf + "\n").encode(),
+            capture_output=True,
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"psql COPY failed (rc={proc.returncode}): "
+                f"{proc.stderr.decode()[:500]}"
+            )
+
+    lines.foreachPartition(_write_partition)
+
+
 def write_jdbc(
     df: DataFrame, url: str, table: str, batchsize: int = 10_000, mode: str = "append"
 ) -> None:
