@@ -181,6 +181,47 @@ FROM (
 _FP_MOD = 1_000_000_007
 
 
+def q_doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix — the audit that turns the lang-id
+    heuristic from a black box into a measured classifier: per (true
+    label, predicted) cell, the doc count and the share of the true
+    label's mass (row-normalized recall diagonal). The model-eval step
+    every corpus-level language filter needs before its threshold is
+    trusted; composes the registered q_doc_lang_id verbatim so the
+    matrix audits EXACTLY the predictions the filter would act on.
+    One extra hash aggregate + a broadcast row-total join over the
+    per-doc prediction frame."""
+    pred = q_doc_lang_id(spark, sf_dir).select("doc_id", "lang", "predicted_lang")
+    cells = pred.groupBy("lang", "predicted_lang").agg(
+        F.count("*").alias("n_docs")
+    )
+    row_tot = cells.groupBy("lang").agg(F.sum("n_docs").alias("row_n"))
+    return (
+        cells.join(F.broadcast(row_tot), "lang")
+        .select(
+            "lang",
+            "predicted_lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round(F.col("n_docs") / F.col("row_n"), 4).alias("row_share"),
+        )
+    )
+
+
+ORACLE_LANG_CONFUSION = (
+    "WITH pred AS (" + ORACLE_LANG_ID + """),
+cells AS (
+  SELECT lang, predicted_lang, count(*) AS n_docs
+  FROM pred GROUP BY 1, 2
+),
+row_tot AS (SELECT lang, sum(n_docs) AS row_n FROM cells GROUP BY 1)
+SELECT c.lang, c.predicted_lang,
+       CAST(c.n_docs AS BIGINT) AS n_docs,
+       round(c.n_docs / CAST(r.row_n AS DOUBLE), 4) AS row_share
+FROM cells c JOIN row_tot r ON r.lang = c.lang
+"""
+)
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document rolling polynomial fingerprint over characters:
     fp = fold(31·acc + codepoint) mod 1e9+7 — deterministic, portable,
@@ -2197,6 +2238,7 @@ QUERIES = {
     "doc_bigram_logprob": q_doc_bigram_logprob,
     "doc_quality_score": q_doc_quality_score,
     "doc_lang_id": q_doc_lang_id,
+    "doc_lang_confusion": q_doc_lang_confusion,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_token_regex": q_doc_token_regex,
     "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
@@ -2228,6 +2270,7 @@ ORACLES = {
     "doc_bigram_logprob": ORACLE_BIGRAM_LL,
     "doc_quality_score": ORACLE_QUALITY,
     "doc_lang_id": ORACLE_LANG_ID,
+    "doc_lang_confusion": ORACLE_LANG_CONFUSION,
     "doc_fingerprint": ORACLE_FINGERPRINT,
     "doc_token_regex": ORACLE_TOKEN_REGEX,
     "doc_tfidf_top_terms": ORACLE_TFIDF,
