@@ -854,3 +854,55 @@ def test_stream_wfunnel_matches_batch_twin(spark):
     batch = {tuple(r) for r in B.q_events_window_funnel(spark, SF_SMOKE).collect()}
     stream = {tuple(r) for r in Q.q_stream_window_funnel(spark, SF_SMOKE).collect()}
     assert batch == stream
+
+
+def test_kmv_rolling_stamp_multibatch_replay(spark, tmp_path):
+    """The r9 advice fix, exercised on a REAL multi-micro-batch replay
+    (not a fake state): stream the events fixture as 4 files ×
+    maxFilesPerTrigger=1, and assert (1) every day's emissions carry
+    STRICTLY INCREASING n_seen stamps even where the sketch saturated
+    (the capped-minima stamp tied here), and (2) newest-wins selection
+    over the multi-batch emissions lands on the same minima as a
+    single-batch availableNow replay — batch-boundary invariance of
+    the day-sketch fixpoint."""
+    import os
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet").orderBy("ts").collect()
+    d = str(tmp_path / "batches")
+    os.makedirs(d)
+    q = len(raw) // 4
+    for i in range(4):
+        chunk = raw[i * q : (i + 1) * q if i < 3 else len(raw)]
+        pq.write_table(
+            pa.Table.from_pylist([r.asDict() for r in chunk]),
+            f"{d}/events_{i:02d}.parquet",
+        )
+
+    name = f"kmvmb_{_uuid.uuid4().hex[:8]}"
+    _run_to_memory(
+        S.kmv_daily_sketch_state(S.stream_events(spark, d, max_files_per_trigger=1)),
+        name,
+        "update",
+    )
+    rows = spark.table(name).collect()
+    per_day: dict[int, list] = {}
+    for r in rows:
+        per_day.setdefault(r["day"], []).append((r["n_seen"], tuple(r["minima"])))
+    multi_batch_days = 0
+    for day, ems in per_day.items():
+        stamps = [s for s, _ in ems]
+        assert len(set(stamps)) == len(stamps), f"day {day}: tied stamps {stamps}"
+        multi_batch_days += len(ems) > 1
+    assert multi_batch_days > 0, "fixture never spanned a batch boundary"
+
+    ref_name = f"kmvsb_{_uuid.uuid4().hex[:8]}"
+    _run_to_memory(
+        S.kmv_daily_sketch_state(S.stream_events(spark, SF_SMOKE)), ref_name, "update"
+    )
+    ref = {r["day"]: tuple(r["minima"]) for r in spark.table(ref_name).collect()}
+    newest = {day: max(ems)[1] for day, ems in per_day.items()}
+    assert newest == ref, "newest-wins multi-batch minima diverge from single-batch"
