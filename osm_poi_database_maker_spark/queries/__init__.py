@@ -78,8 +78,8 @@ _VERIFY_FIRST = [
     "stream_kmv_rolling_distinct",
     # tier 1c (round 9): new queries this round (inserted here as they
     # land; the 5 above must stay inside the 50-entry window). With the
-    # 16 head slots, 34 of the 47 r04-stale cohort fit the window; the
-    # last 13 rotate to r10's window (new-code verification outranks
+    # 17 head slots, 33 of the 47 r04-stale cohort fit the window; the
+    # last 14 rotate to r10's window (new-code verification outranks
     # stale-evidence refresh per the tier policy).
     "osm_poi_pipeline_full",
     "stream_heavy_hitters",
@@ -91,6 +91,7 @@ _VERIFY_FIRST = [
     "emb_mutual_knn_clusters",
     "mm_audio_resample",
     "doc_lang_confusion",
+    "osm_point_in_polygon",
     # tier 2: the r04-evidence cohort — stalest remaining driver rows
     # (testdata regenerates between rounds, so old rows decay); fills
     # the rest of the window, overflow rotates to r10.

@@ -1013,6 +1013,146 @@ def _entity_scan_projection(df: DataFrame) -> DataFrame:
 ORACLE_PBF_SCAN = fx.pbf_scan_values_sql()
 
 
+# --- O19 spatial containment: point-in-polygon join -------------------------
+
+
+def _ray_cast_sql(ring: str, lon: str, lat: str) -> str:
+    """Crossing-number point-in-polygon test as ONE expression — valid
+    SQL in BOTH engines (element_at/list 1-based indexing, lazy CASE
+    guards the division: the edge-crossing condition guarantees the lat
+    span is nonzero). Strictly-inside semantics; boundary points are
+    engine-dependent FP territory and excluded by the fixture design."""
+    return f"""
+      aggregate(transform(sequence(1, size({ring}) - 1), i ->
+        CASE WHEN ((element_at({ring}, i).lat > {lat})
+                   != (element_at({ring}, i + 1).lat > {lat}))
+              AND {lon} < element_at({ring}, i).lon
+                  + ({lat} - element_at({ring}, i).lat)
+                  * (element_at({ring}, i + 1).lon - element_at({ring}, i).lon)
+                  / (element_at({ring}, i + 1).lat - element_at({ring}, i).lat)
+        THEN 1 ELSE 0 END), 0, (a, x) -> a + x) % 2 = 1
+    """
+
+
+def q_osm_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial containment join (PostGIS ``ST_Contains`` — the spatial
+    predicate the reference delegates to Postgres): which polygon
+    contains each point, via bbox prefilter + exact ray-cast verify.
+    Points are the valid fixture nodes plus every valid ring's shoelace
+    centroid (each square's centroid must land in its own square — the
+    self-containment certificate); polygons are all closed valid rings.
+    The ray cast is the crossing-number test as one JVM expression, the
+    identical formula the DuckDB oracle runs, so the geometry predicate
+    itself is hash-gated — not just its bbox approximation.
+
+    Plan: polygons are a broadcast dimension (bbox range join =
+    BroadcastNestedLoopJoin — the index-nested-loop shape PostGIS uses;
+    at 100 TB polygon counts the prefilter becomes the grid-cell
+    equi-join of osm_node_neighbor_pairs, same verify step); the exact
+    test runs only on bbox survivors."""
+    ring = F.col("ring")
+    first, last = F.element_at(ring, 1), F.element_at(ring, -1)
+    valid = (
+        F.col("geom_valid")
+        & ring.isNotNull()
+        & (F.size(ring) >= 4)
+        & (first["lon"] == last["lon"])
+        & (first["lat"] == last["lat"])
+    )
+    ways = fx.ways_df(spark).filter(valid)
+    polys = ways.select(
+        F.col("id").alias("way_id"),
+        "ring",
+        F.expr("array_min(transform(ring, p -> p.lon))").alias("lon_min"),
+        F.expr("array_max(transform(ring, p -> p.lon))").alias("lon_max"),
+        F.expr("array_min(transform(ring, p -> p.lat))").alias("lat_min"),
+        F.expr("array_max(transform(ring, p -> p.lat))").alias("lat_max"),
+    )
+    node_pts = (
+        fx.nodes_df(spark)
+        .filter(F.col("lon").isNotNull())
+        .select(
+            F.lit("node").alias("point_src"),
+            F.col("id").alias("point_id"),
+            F.col("lon").alias("pt_lon"),
+            F.col("lat").alias("pt_lat"),
+        )
+    )
+    cent_pts = ways.withColumn("c", geo.ring_centroid(ring)).select(
+        F.lit("centroid").alias("point_src"),
+        F.col("id").alias("point_id"),
+        F.col("c.lon").alias("pt_lon"),
+        F.col("c.lat").alias("pt_lat"),
+    )
+    pts = node_pts.unionByName(cent_pts)
+    cand = pts.join(
+        F.broadcast(polys),
+        (F.col("pt_lon") >= F.col("lon_min"))
+        & (F.col("pt_lon") <= F.col("lon_max"))
+        & (F.col("pt_lat") >= F.col("lat_min"))
+        & (F.col("pt_lat") <= F.col("lat_max")),
+    )
+    inside = F.expr(_ray_cast_sql("ring", "pt_lon", "pt_lat"))
+    return cand.filter(inside).select("point_src", "point_id", "way_id")
+
+
+def _pip_oracle_sql() -> str:
+    ray = (
+        _ray_cast_sql("ring", "pt_lon", "pt_lat")
+        .replace("aggregate(transform(sequence(1, size(ring) - 1)", "list_sum(list_transform(range(1, len(ring))")
+        .replace("element_at(ring, i + 1)", "ring[i + 1]")
+        .replace("element_at(ring, i)", "ring[i]")
+        .replace("!=", "<>")
+        .replace("), 0, (a, x) -> a + x) % 2 = 1", ")) % 2 = 1")
+    )
+    return f"""
+WITH w AS ({fx.ways_values_sql()}),
+polys AS (
+  SELECT id AS way_id, ring,
+         list_min(list_transform(ring, p -> p.lon)) AS lon_min,
+         list_max(list_transform(ring, p -> p.lon)) AS lon_max,
+         list_min(list_transform(ring, p -> p.lat)) AS lat_min,
+         list_max(list_transform(ring, p -> p.lat)) AS lat_max
+  FROM w
+  WHERE geom_valid AND ring IS NOT NULL AND len(ring) >= 4
+    AND ring[1].lon = ring[-1].lon AND ring[1].lat = ring[-1].lat
+),
+meas AS (
+  SELECT id, ring,
+    list_sum(list_transform(range(1, len(ring)), i -> {_CROSS})) AS a2,
+    list_sum(list_transform(range(1, len(ring)),
+             i -> (ring[i].lon + ring[i+1].lon) * {_CROSS})) AS cx,
+    list_sum(list_transform(range(1, len(ring)),
+             i -> (ring[i].lat + ring[i+1].lat) * {_CROSS})) AS cy,
+    list_sum(list_transform(ring[1:-1], p -> p.lon)) / (len(ring) - 1) AS mean_lon,
+    list_sum(list_transform(ring[1:-1], p -> p.lat)) / (len(ring) - 1) AS mean_lat
+  FROM (SELECT way_id AS id, ring FROM polys_src)
+),
+pts AS (
+  SELECT 'node' AS point_src, id AS point_id, lon AS pt_lon, lat AS pt_lat
+  FROM ({fx.nodes_values_sql()}) WHERE lon IS NOT NULL
+  UNION ALL
+  SELECT 'centroid', id,
+         CASE WHEN abs(a2) < 1e-12 THEN mean_lon ELSE cx / (3 * a2) END,
+         CASE WHEN abs(a2) < 1e-12 THEN mean_lat ELSE cy / (3 * a2) END
+  FROM meas
+),
+cand AS (
+  SELECT p.point_src, p.point_id, q.way_id, q.ring, p.pt_lon, p.pt_lat
+  FROM pts p JOIN polys q
+    ON p.pt_lon >= q.lon_min AND p.pt_lon <= q.lon_max
+   AND p.pt_lat >= q.lat_min AND p.pt_lat <= q.lat_max
+)
+SELECT point_src, point_id, way_id FROM cand
+WHERE {ray}
+"""
+
+
+ORACLE_POINT_IN_POLYGON = _pip_oracle_sql().replace(
+    "polys_src", "polys"
+)
+
+
 # --- EP1 composed end-to-end: scan → cascade → route → COPY rows -----------
 
 
@@ -1223,6 +1363,7 @@ QUERIES = {
     "osm_poi_nearest_within": q_osm_poi_nearest_within,
     "osm_dbscan_clusters": q_osm_dbscan_clusters,
     "osm_poi_pipeline_full": q_osm_poi_pipeline_full,
+    "osm_point_in_polygon": q_osm_point_in_polygon,
 }
 
 ORACLES = {
@@ -1242,4 +1383,5 @@ ORACLES = {
     "osm_poi_nearest_within": ORACLE_NEAREST_WITHIN,
     "osm_dbscan_clusters": ORACLE_DBSCAN,
     "osm_poi_pipeline_full": ORACLE_POI_PIPELINE_FULL,
+    "osm_point_in_polygon": ORACLE_POINT_IN_POLYGON,
 }

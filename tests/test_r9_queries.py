@@ -302,3 +302,36 @@ def test_pcm_resample_exactness_hostile_inputs(spark):
         assert (r["n_in"], r["n_out"], r["out_sum"], r["out_min"], r["out_max"]) == (
             n, n_out, s, mn, mx
         ), f"doc {doc_id}"
+
+
+def test_ray_cast_concave_polygon(spark):
+    """The crossing-number expression must reject points inside the
+    BBOX but outside a CONCAVE polygon's notch — the case a bbox-only
+    join gets wrong — and accept points in the solid part."""
+    from osm_poi_database_maker_spark.queries.osm import _ray_cast_sql
+
+    # L-shaped (concave) ring: unit square minus the top-right quadrant
+    ring = [(0.0, 0.0), (1.0, 0.0), (1.0, 0.5), (0.5, 0.5), (0.5, 1.0),
+            (0.0, 1.0), (0.0, 0.0)]
+    cases = [
+        (1, 0.25, 0.25, True),   # solid lower-left
+        (2, 0.75, 0.25, True),   # solid lower-right
+        (3, 0.25, 0.75, True),   # solid upper-left
+        (4, 0.75, 0.75, False),  # the notch: inside bbox, OUTSIDE polygon
+        (5, 1.5, 0.5, False),    # outside bbox entirely
+    ]
+    df = spark.createDataFrame(
+        [
+            (i, x, y, [{"lon": a, "lat": b} for a, b in ring])
+            for (i, x, y, _e) in cases
+        ],
+        "pid long, pt_lon double, pt_lat double, "
+        "ring array<struct<lon: double, lat: double>>",
+    )
+    got = {
+        r["pid"]: r["inside"]
+        for r in df.select(
+            "pid", F.expr(_ray_cast_sql("ring", "pt_lon", "pt_lat")).alias("inside")
+        ).collect()
+    }
+    assert got == {i: e for (i, _x, _y, e) in cases}
