@@ -202,8 +202,10 @@ meas AS (
              i -> (ring[i].lon + ring[i+1].lon) * {_CROSS})) AS cx,
     list_sum(list_transform(range(1, len(ring)),
              i -> (ring[i].lat + ring[i+1].lat) * {_CROSS})) AS cy,
-    list_sum(list_transform(ring[1:-1], p -> p.lon)) / (len(ring) - 1) AS mean_lon,
-    list_sum(list_transform(ring[1:-1], p -> p.lat)) / (len(ring) - 1) AS mean_lat
+    -- DuckDB slices are INCLUSIVE: ring[1:-2] drops only the duplicated
+    -- closing vertex, matching Spark's slice(ring, 1, size-1) fallback.
+    list_sum(list_transform(ring[1:-2], p -> p.lon)) / (len(ring) - 1) AS mean_lon,
+    list_sum(list_transform(ring[1:-2], p -> p.lat)) / (len(ring) - 1) AS mean_lat
   FROM f
 )
 SELECT id + {SETTINGS.centroid_id_offset} AS id,
@@ -438,8 +440,10 @@ meas AS (
              i -> (ring[i].lon + ring[i+1].lon) * {_CROSS})) AS cx,
     list_sum(list_transform(range(1, len(ring)),
              i -> (ring[i].lat + ring[i+1].lat) * {_CROSS})) AS cy,
-    list_sum(list_transform(ring[1:-1], p -> p.lon)) / (len(ring) - 1) AS mean_lon,
-    list_sum(list_transform(ring[1:-1], p -> p.lat)) / (len(ring) - 1) AS mean_lat
+    -- DuckDB slices are INCLUSIVE: ring[1:-2] drops only the duplicated
+    -- closing vertex, matching Spark's slice(ring, 1, size-1) fallback.
+    list_sum(list_transform(ring[1:-2], p -> p.lon)) / (len(ring) - 1) AS mean_lon,
+    list_sum(list_transform(ring[1:-2], p -> p.lat)) / (len(ring) - 1) AS mean_lat
   FROM f
 ),
 way_cent AS (
@@ -1018,19 +1022,23 @@ ORACLE_PBF_SCAN = fx.pbf_scan_values_sql()
 
 def _ray_cast_sql(ring: str, lon: str, lat: str) -> str:
     """Crossing-number point-in-polygon test as ONE expression — valid
-    SQL in BOTH engines (element_at/list 1-based indexing, lazy CASE
-    guards the division: the edge-crossing condition guarantees the lat
-    span is nonzero). Strictly-inside semantics; boundary points are
-    engine-dependent FP territory and excluded by the fixture design."""
+    SQL in BOTH engines (element_at/list 1-based indexing). The lon
+    intercept's division sits in a THEN branch whose WHEN is the
+    edge-crossing test, so CASE laziness genuinely guards it: the
+    crossing condition implies the edge's lat span is nonzero before
+    either engine evaluates the division. Strictly-inside semantics;
+    boundary points are engine-dependent FP territory and excluded by
+    the fixture design."""
     return f"""
       aggregate(transform(sequence(1, size({ring}) - 1), i ->
         CASE WHEN ((element_at({ring}, i).lat > {lat})
                    != (element_at({ring}, i + 1).lat > {lat}))
-              AND {lon} < element_at({ring}, i).lon
+        THEN CASE WHEN {lon} < element_at({ring}, i).lon
                   + ({lat} - element_at({ring}, i).lat)
                   * (element_at({ring}, i + 1).lon - element_at({ring}, i).lon)
                   / (element_at({ring}, i + 1).lat - element_at({ring}, i).lat)
-        THEN 1 ELSE 0 END), 0, (a, x) -> a + x) % 2 = 1
+             THEN 1 ELSE 0 END
+        ELSE 0 END), 0, (a, x) -> a + x) % 2 = 1
     """
 
 
@@ -1124,8 +1132,10 @@ meas AS (
              i -> (ring[i].lon + ring[i+1].lon) * {_CROSS})) AS cx,
     list_sum(list_transform(range(1, len(ring)),
              i -> (ring[i].lat + ring[i+1].lat) * {_CROSS})) AS cy,
-    list_sum(list_transform(ring[1:-1], p -> p.lon)) / (len(ring) - 1) AS mean_lon,
-    list_sum(list_transform(ring[1:-1], p -> p.lat)) / (len(ring) - 1) AS mean_lat
+    -- DuckDB slices are INCLUSIVE: ring[1:-2] drops only the duplicated
+    -- closing vertex, matching Spark's slice(ring, 1, size-1) fallback.
+    list_sum(list_transform(ring[1:-2], p -> p.lon)) / (len(ring) - 1) AS mean_lon,
+    list_sum(list_transform(ring[1:-2], p -> p.lat)) / (len(ring) - 1) AS mean_lat
   FROM (SELECT way_id AS id, ring FROM polys_src)
 ),
 pts AS (
@@ -1180,6 +1190,7 @@ def q_osm_poi_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     assembly join/agg (bucketable on node_id/way_id at 100 TB) and the
     broadcast TOI semi-join — the cheap map-side predicates fuse into
     the scan stage."""
+    import hashlib
     import os
     import tempfile
 
@@ -1189,17 +1200,29 @@ def q_osm_poi_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline import route_pois
     from ..sink import copy_line
 
+    # Key the fixture file by a content hash (stale files from an older
+    # fixture version can never be reused) and write atomically (encode
+    # to a .tmp, then os.rename) so a crashed partial encode is never
+    # visible at `path`. Local-mode test fixture only: on a real
+    # multi-node cluster this path would live on shared storage
+    # (HDFS/S3), where the same hash-keyed scheme applies.
+    nodes_fx, ways_fx = fx.ep1_pbf_nodes(), fx.ep1_pbf_ways()
+    content_key = hashlib.sha256(
+        repr((nodes_fx, ways_fx, 7)).encode()
+    ).hexdigest()[:16]
     path = os.path.join(
-        tempfile.gettempdir(), f"ospdms_ep1_fixture_{os.getpid()}.osm.pbf"
+        tempfile.gettempdir(), f"ospdms_ep1_fixture_{content_key}.osm.pbf"
     )
     if not os.path.exists(path):
+        tmp = f"{path}.tmp.{os.getpid()}"
         pbf.encode_pbf(
-            path,
-            nodes=fx.ep1_pbf_nodes(),
-            ways=fx.ep1_pbf_ways(),
+            tmp,
+            nodes=nodes_fx,
+            ways=ways_fx,
             relations=[],
             block_size=7,
         )
+        os.rename(tmp, path)
     register(spark)
     scan = spark.read.format("osmpbf").option("blobspertask", "1").load(path)
     taginfo = fx.taginfo_df(spark)

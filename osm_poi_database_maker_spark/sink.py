@@ -142,19 +142,40 @@ def write_copy_postgres_cli(
     lines = render_copy_rows(df, columns)
 
     def _write_partition(rows: Iterator) -> None:
-        buf = "\n".join(row.line for row in rows)
-        if not buf:
+        # Stream chunks into psql's stdin instead of materializing the
+        # whole partition as one Python string — a large partition at
+        # the 100 TB scale must not need O(partition) executor memory.
+        it = iter(rows)
+        try:
+            first = next(it)
+        except StopIteration:
             return
-        proc = subprocess.run(
+        proc = subprocess.Popen(
             ["psql", "-h", socket_dir, "-U", user, "-d", dbname,
              "-v", "ON_ERROR_STOP=1", "-c", stmt],
-            input=(buf + "\n").encode(),
-            capture_output=True,
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
         )
+        try:
+            chunk: list[str] = [first.line]
+            size = len(first.line)
+            for row in it:
+                chunk.append(row.line)
+                size += len(row.line)
+                if size >= 1 << 20:  # ~1 MiB per write
+                    proc.stdin.write(("\n".join(chunk) + "\n").encode())
+                    chunk, size = [], 0
+            if chunk:
+                proc.stdin.write(("\n".join(chunk) + "\n").encode())
+            # communicate() flushes + closes stdin and drains both pipes
+            _, err = proc.communicate()
+        except BrokenPipeError:
+            _, err = proc.communicate()
         if proc.returncode != 0:
             raise RuntimeError(
                 f"psql COPY failed (rc={proc.returncode}): "
-                f"{proc.stderr.decode()[:500]}"
+                f"{err.decode()[:500]}"
             )
 
     lines.foreachPartition(_write_partition)

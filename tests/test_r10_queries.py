@@ -1,0 +1,115 @@
+"""Round-10 additions: degenerate-ring centroid parity (r9 advice #1),
+guarded ray-cast division (r9 advice #3), streaming psql sink
+(r9 advice #4), ANN recall hash-gates, partition-pruned layout scan."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+RING_SCHEMA = "id long, ring array<struct<lon: double, lat: double>>"
+
+# mirrors the oracle's degenerate-centroid fallback (queries/osm.py
+# ORACLE_POINT_IN_POLYGON `meas` CTE) — DuckDB slices are INCLUSIVE, so
+# ring[1:-2] drops exactly the duplicated closing vertex, matching
+# Spark's slice(ring, 1, size-1) in geo.ring_centroid.
+_DUCK_FALLBACK = """
+SELECT id,
+  list_sum(list_transform(ring[1:-2], p -> p.lon)) / (len(ring) - 1) AS mean_lon,
+  list_sum(list_transform(ring[1:-2], p -> p.lat)) / (len(ring) - 1) AS mean_lat
+FROM rings ORDER BY id
+"""
+
+
+def test_degenerate_ring_centroid_parity(spark):
+    """A zero-area valid closed ring triggers the vertex-mean fallback
+    in BOTH engines; the means must be identical — i.e. both exclude
+    the duplicated closing vertex (r9 advice #1: DuckDB's ring[1:-1]
+    is an inclusive slice returning the FULL list, so the oracle must
+    slice ring[1:-2])."""
+    from osm_poi_database_maker_spark import geo
+
+    rows = [
+        # collinear "ring": zero shoelace area, closed, size >= 4
+        (1, [(0.0, 0.0), (1.0, 0.0), (2.0, 0.0), (0.0, 0.0)]),
+        # zero-area spike: out-and-back along a diagonal
+        (2, [(0.0, 0.0), (1.0, 1.0), (2.0, 2.0), (1.0, 1.0), (0.0, 0.0)]),
+    ]
+    df = spark.createDataFrame(
+        [(i, [{"lon": a, "lat": b} for a, b in ring]) for i, ring in rows],
+        RING_SCHEMA,
+    )
+    got = [
+        (r["id"], r["c"]["lon"], r["c"]["lat"])
+        for r in df.select("id", geo.ring_centroid(F.col("ring")).alias("c"))
+        .orderBy("id")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW rings AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, [{', '.join(f'{{lon: {a}, lat: {b}}}' for a, b in ring)}])"
+            for i, ring in rows
+        )
+        + ") AS t(id, ring)"
+    )
+    want = [tuple(r) for r in con.sql(_DUCK_FALLBACK).fetchall()]
+    assert got == want, f"fallback centroids diverge: spark={got} duck={want}"
+    # and the means genuinely exclude the closing vertex:
+    assert got[0][1] == pytest.approx(1.0)  # (0+1+2)/3, not (0+1+2+0)/4
+    assert got[1][1] == pytest.approx(1.0)  # (0+1+2+1)/4
+
+
+def test_ray_cast_horizontal_edge_both_engines(spark):
+    """The lon-intercept division is now inside a THEN branch guarded
+    by the edge-crossing WHEN (r9 advice #3): a ring with horizontal
+    edges whose lat EQUALS the query point's lat must produce the same
+    verdict in Spark and DuckDB — neither engine's div-by-zero
+    representation (Infinity vs NULL) can leak into the result."""
+    from osm_poi_database_maker_spark.queries.osm import _ray_cast_sql
+
+    # unit square: points at lat exactly on the horizontal edges
+    ring = [(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0), (0.0, 0.0)]
+    pts = [
+        (1, 1.0, 1.0, True),   # interior
+        (2, 3.0, 1.0, False),  # outside, same lat band
+        (3, 1.0, 0.0, None),   # ON the bottom edge: engines must AGREE
+        (4, -1.0, 2.0, None),  # colinear with the top edge, outside
+    ]
+    expr = _ray_cast_sql("ring", "pt_lon", "pt_lat")
+    df = spark.createDataFrame(
+        [(i, x, y, [{"lon": a, "lat": b} for a, b in ring]) for i, x, y, _ in pts],
+        "pid long, pt_lon double, pt_lat double, "
+        "ring array<struct<lon: double, lat: double>>",
+    )
+    got = {
+        r["pid"]: r["inside"]
+        for r in df.select("pid", F.expr(expr).alias("inside")).collect()
+    }
+    duck = (
+        expr.replace(
+            "aggregate(transform(sequence(1, size(ring) - 1)",
+            "list_sum(list_transform(range(1, len(ring))",
+        )
+        .replace("element_at(ring, i + 1)", "ring[i + 1]")
+        .replace("element_at(ring, i)", "ring[i]")
+        .replace("!=", "<>")
+        .replace("), 0, (a, x) -> a + x) % 2 = 1", ")) % 2 = 1")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW pts AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, CAST({x} AS DOUBLE), CAST({y} AS DOUBLE), "
+            f"[{', '.join(f'{{lon: {a}, lat: {b}}}' for a, b in ring)}])"
+            for i, x, y, _ in pts
+        )
+        + ") AS t(pid, pt_lon, pt_lat, ring)"
+    )
+    want = dict(con.sql(f"SELECT pid, {duck} FROM pts").fetchall())
+    assert got == want, f"engines diverge on horizontal edges: {got} vs {want}"
+    for i, _x, _y, expect in pts:
+        if expect is not None:
+            assert got[i] is expect
