@@ -1,9 +1,11 @@
 """Embedding similarity search over ``embeddings`` (engine [ext]).
 
 Brute-force cosine top-k is the correctness baseline (oracle-checked);
-the LSH-bucketed approximate variant for 100 TB scale lives in
-:mod:`osm_poi_database_maker_spark.similarity` and is surfaced as a
-rows-only check (its bucketing is engine-specific).
+the approximate variants for 100 TB scale (LSH / IVF / IVF-PQ) live in
+:mod:`osm_poi_database_maker_spark.similarity` and are surfaced as
+hash-gated QUALITY contracts: each registry query emits one summary row
+whose recall floor the DuckDB oracle asserts after recomputing the
+exact top-k (the index internals stay engine-specific).
 
 Determinism across engines: cosine is computed as double dot / norms in
 both engines, ranked on the value rounded to 6 decimals with vec_id
@@ -81,7 +83,11 @@ def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_COSINE = f"""
+def _exact_topk_sql(n_query: int, k: int) -> str:
+    """DuckDB brute-force exact cosine top-k over the first ``n_query``
+    vec_ids — the single exact-side definition shared by the
+    emb_cosine_topk oracle and the ANN-family recall gates."""
+    return f"""
 WITH el AS (
   SELECT vec_id,
          CAST(unnest(embedding) AS DOUBLE) AS val,
@@ -94,7 +100,7 @@ norms AS (
 dots AS (
   SELECT q.vec_id AS query_id, c.vec_id AS vec_id, sum(q.val * c.val) AS dot
   FROM el q JOIN el c ON q.idx = c.idx AND q.vec_id <> c.vec_id
-  WHERE q.vec_id < {N_QUERY_VECS}
+  WHERE q.vec_id < {n_query}
   GROUP BY 1, 2
 ),
 scored AS (
@@ -111,55 +117,88 @@ FROM (
                             ORDER BY round(cosine, 6) DESC, vec_id ASC) AS rk
   FROM scored
 )
-WHERE rk <= {TOP_K}
+WHERE rk <= {k}
 """
 
 
-def _with_recall_vs_exact(approx: DataFrame, exact: DataFrame) -> DataFrame:
-    """Attach a per-query ``recall_vs_exact`` column: the fraction of the
-    exact top-k this approximate result recovered. Makes the rows-only
-    driver check exercise SEMANTICS, not just non-emptiness — a broken
-    index shows recall ≈ 0 right in the emitted rows.
+ORACLE_COSINE = _exact_topk_sql(N_QUERY_VECS, TOP_K)
 
-    The exact side is the oracle-checked brute-force query over the same
-    inputs; at fixture scale running it inline is cheap. At production
-    scale this audit runs over a sampled query batch, same plan shape
-    (both sides are per-query top-k sets, joined on the tiny query key).
-    """
-    hits = (
-        approx.join(
-            exact.select("query_id", "neighbor_id"),
-            ["query_id", "neighbor_id"],
-            "left_semi",
-        )
-        .groupBy("query_id")
-        .agg(F.count("*").alias("n_hits"))
+
+# Recall-gate contract (r9 verdict #2): the ANN-family registry queries
+# emit ONE hash-gateable summary row instead of engine-specific neighbor
+# lists. 20 query vectors (vs N_QUERY_VECS=5) so the micro-averaged
+# recall is a 100-pair statistic — stable across testdata regenerations.
+# Floors sit 4-6 sigma under the measured operating points (ann
+# 0.99-1.00, ivf 0.94-0.95, pq 0.92-0.95 across sf0.001/0.01/0.1); a
+# broken index reads ~k/N ≈ 0 and trips the gate instantly.
+N_RECALL_QUERIES = 20
+RECALL_FLOOR_ANN = 0.90
+RECALL_FLOOR_IVF = 0.85
+RECALL_FLOOR_IVF_PQ = 0.80
+
+
+def _recall_gate_row(approx: DataFrame, exact: DataFrame, floor: float) -> DataFrame:
+    """One-row summary gating the ANN quality contract: micro-averaged
+    recall@k (total exact top-k pairs recovered / total exact pairs)
+    thresholded against the documented floor. n_queries and
+    n_exact_pairs are oracle-recomputable (DuckDB reruns the exact
+    brute force); ``meets_recall_floor`` is TRUE by contract, so a
+    recall regression hash-mismatches at the driver instead of hiding
+    in a rows-only check.
+
+    Scale: both sides are per-query top-k sets over a sampled query
+    batch — the audit costs one semi-join on the tiny (query, neighbor)
+    key set regardless of collection size."""
+    hits = approx.join(
+        exact.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
     )
-    # denominator = the per-query EXACT set size, not the constant k: a
-    # query with fewer than k true neighbors (tiny collection) must
-    # still read 1.0 when fully recovered
-    n_exact = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
-    return (
-        approx.join(F.broadcast(hits), "query_id", "left")
-        .join(F.broadcast(n_exact), "query_id", "left")
-        .withColumn(
-            "recall_vs_exact",
-            F.round(
-                F.coalesce(F.col("n_hits"), F.lit(0))
-                / F.greatest(F.coalesce(F.col("n_exact"), F.lit(0)), F.lit(1)),
-                4,
-            ),
+    per_q = (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("n_exact"))
+        .join(
+            hits.groupBy("query_id").agg(F.count("*").alias("n_hits")),
+            "query_id",
+            "left",
         )
-        .drop("n_hits", "n_exact")
     )
+    return per_q.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.sum("n_exact").cast("long").alias("n_exact_pairs"),
+        F.lit(float(floor)).alias("recall_floor"),
+        (
+            F.sum(F.coalesce(F.col("n_hits"), F.lit(0))) / F.sum("n_exact")
+            >= F.lit(float(floor))
+        ).alias("meets_recall_floor"),
+    )
+
+
+def _recall_gate_oracle(floor: float) -> str:
+    """DuckDB twin of :func:`_recall_gate_row`: recompute the EXACT
+    top-k brute-force, emit the same counts, and assert the contract
+    boolean — the engine-specific index internals stay ungated, the
+    quality metric the user depends on becomes driver-checkable."""
+    return f"""
+WITH exact AS ({_exact_topk_sql(N_RECALL_QUERIES, TOP_K)})
+SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+       CAST(count(*) AS BIGINT) AS n_exact_pairs,
+       CAST({floor} AS DOUBLE) AS recall_floor,
+       TRUE AS meets_recall_floor
+FROM exact
+"""
 
 
 def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (rows-only: plane generation is
-    engine-side, so no portable oracle SQL exists). Each row carries
-    ``recall_vs_exact`` — per-query overlap with the oracle-checked
-    exact query — so the driver's rows-only gate still verifies ranking
-    quality (tests additionally assert recall ≥ 0.95 end-to-end).
+    """LSH-bucketed approximate top-k, hash-gated on its QUALITY
+    contract (r9 verdict #2): one summary row whose micro-averaged
+    recall@k over 20 query vectors must clear the 0.90 floor; the
+    DuckDB oracle recomputes the exact top-k and asserts the contract,
+    so a recall regression now FAILS the driver gate instead of hiding
+    in a rows-only row. The neighbor lists themselves stay
+    engine-specific (plane generation) — users get them from
+    ``similarity.ann_topk``; the exact baseline is oracle-checked in
+    full by emb_cosine_topk.
 
     n_tables=32 (vs the library default 16) because the fixture's
     near-uniform vectors are LSH's worst case — neighbor cosines ≈0.4
@@ -168,39 +207,45 @@ def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..similarity import ann_topk, cosine_topk
 
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
-    return _with_recall_vs_exact(
-        ann_topk(e, q, k=TOP_K, n_tables=32), cosine_topk(e, q, k=TOP_K)
+    q = e.filter(F.col("vec_id") < N_RECALL_QUERIES)
+    return _recall_gate_row(
+        ann_topk(e, q, k=TOP_K, n_tables=32),
+        cosine_topk(e, q, k=TOP_K),
+        RECALL_FLOOR_ANN,
     )
 
 
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (rows-only: centroid training is
-    engine-side, so no portable oracle SQL exists). Carries the same
-    per-query ``recall_vs_exact`` audit column as q_emb_ann_topk.
+    """IVF approximate top-k, hash-gated on its quality contract: same
+    one-row recall gate as q_emb_ann_topk with a 0.85 floor (measured
+    operating point 0.94-0.95 on the near-uniform fixture).
 
     probe=8/16 with 2-way spill assignment: on the near-uniform fixture
-    (no real cluster structure — IVF's worst case) this is what recall
-    ≥0.95 honestly costs, a candidate scan ≈ the collection size. On
+    (no real cluster structure — IVF's worst case) this is what the
+    floor honestly costs, a candidate scan ≈ the collection size. On
     clustered real corpora the defaults (probe 4/16, single assignment)
     scan 25% at comparable recall; the point here is the mechanism and
-    the audit column, and the fixture numbers don't flatter it."""
+    the driver-checkable quality number, and the fixture numbers don't
+    flatter it."""
     from ..similarity import cosine_topk, ivf_topk
 
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
-    return _with_recall_vs_exact(
+    q = e.filter(F.col("vec_id") < N_RECALL_QUERIES)
+    return _recall_gate_row(
         ivf_topk(e, q, k=TOP_K, n_probe=8, n_assign=2),
         cosine_topk(e, q, k=TOP_K),
+        RECALL_FLOOR_IVF,
     )
 
 
 def q_emb_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ approximate top-k (rows-only: codebooks are engine-side).
-    The FAISS-style composed index — IVF cells prune candidates, PQ
-    codes (ADC table lookups, no raw vectors) rank them, exact cosine
-    reranks only the k·rerank PQ shortlist. Carries the same per-query
-    ``recall_vs_exact`` audit column as the ANN/IVF queries.
+    """IVF-PQ approximate top-k, hash-gated on its quality contract:
+    same one-row recall gate with a 0.80 floor (measured operating
+    point 0.92-0.95 — the composed index quantizes AND prunes, so its
+    honest floor sits under IVF's). The FAISS-style composition — IVF
+    cells prune candidates, PQ codes (ADC table lookups, no raw
+    vectors) rank them, exact cosine reranks only the k·rerank PQ
+    shortlist.
 
     m_sub=16 (4-dim subspaces) / 32 codes / rerank 16 because the
     near-uniform fixture is PQ's worst case (no low-dim structure to
@@ -209,12 +254,13 @@ def q_emb_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..similarity import cosine_topk, ivf_pq_topk
 
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
-    return _with_recall_vs_exact(
+    q = e.filter(F.col("vec_id") < N_RECALL_QUERIES)
+    return _recall_gate_row(
         ivf_pq_topk(
             e, q, k=TOP_K, n_probe=8, n_assign=2, m_sub=16, n_codes=32, rerank=16
         ),
         cosine_topk(e, q, k=TOP_K),
+        RECALL_FLOOR_IVF_PQ,
     )
 
 
@@ -1324,7 +1370,7 @@ def q_emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     full = topk_pairs(None).localCheckpoint(eager=False)
     # denominator = each query's ACTUAL full-dim set size, not the
-    # constant k (the _with_recall_vs_exact convention: a query with
+    # constant k (the recall-audit convention: a query with
     # fewer than k true neighbors still reads 1.0 when fully recovered)
     n_full = full.groupBy("query_id").agg(F.count("*").alias("n_full"))
     per_dim = []
@@ -2237,4 +2283,9 @@ ORACLES = {
     "emb_cosine_neardup_pairs": ORACLE_NEARDUP,
     "emb_matryoshka_recall": ORACLE_MATRYOSHKA,
     "emb_srp_lsh_pairs": ORACLE_SRP,
+    # ANN quality contracts (r9 verdict #2): the oracle recomputes the
+    # exact top-k and asserts the recall floor the engine guarantees.
+    "emb_ann_topk": _recall_gate_oracle(RECALL_FLOOR_ANN),
+    "emb_ivf_topk": _recall_gate_oracle(RECALL_FLOOR_IVF),
+    "emb_ivf_pq_topk": _recall_gate_oracle(RECALL_FLOOR_IVF_PQ),
 }

@@ -46,22 +46,38 @@ def test_ivf_recall_vs_exact(spark):
     assert recall >= 0.5, f"IVF recall too low: {recall}"
 
 
-def test_registry_ann_queries_carry_recall_column(spark):
-    """The driver's rows-only gate for emb_ann_topk / emb_ivf_topk can't
-    hash-compare (engine-side hash families), so the queries embed their
-    own semantic audit: every emitted row carries recall_vs_exact — the
-    per-query overlap with the oracle-checked exact top-k."""
+def test_registry_ann_queries_gate_recall_contract(spark):
+    """The ANN-family registry queries emit ONE hash-gateable summary
+    row (r9 verdict #2): the DuckDB oracle recomputes the exact top-k
+    counts and asserts meets_recall_floor = TRUE, so a recall
+    regression fails the driver hash gate instead of hiding in a
+    rows-only check."""
+    import duckdb
+
     from osm_poi_database_maker_spark.queries.similarity import (
+        ORACLES,
         q_emb_ann_topk,
+        q_emb_ivf_pq_topk,
         q_emb_ivf_topk,
     )
 
-    for q, floor in ((q_emb_ann_topk, 0.95), (q_emb_ivf_topk, 0.95)):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/embeddings.parquet')"
+    )
+    for q, name in (
+        (q_emb_ann_topk, "emb_ann_topk"),
+        (q_emb_ivf_topk, "emb_ivf_topk"),
+        (q_emb_ivf_pq_topk, "emb_ivf_pq_topk"),
+    ):
         rows = q(spark, SF_SMOKE).collect()
-        assert rows, q.__name__
-        assert all(0.0 <= r.recall_vs_exact <= 1.0 for r in rows)
-        mean_recall = sum(r.recall_vs_exact for r in rows) / len(rows)
-        assert mean_recall >= floor, f"{q.__name__}: {mean_recall}"
+        assert len(rows) == 1, name
+        got = rows[0].asDict()
+        assert got["meets_recall_floor"] is True, f"{name}: {got}"
+        rel = con.sql(ORACLES[name])
+        want = dict(zip(rel.columns, rel.fetchall()[0]))
+        assert got == want, f"{name}: spark={got} oracle={want}"
 
 
 def test_cosine_neardup_pairs_symmetric_blocks(spark):
