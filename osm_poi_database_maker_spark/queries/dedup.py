@@ -1086,14 +1086,18 @@ it{k} AS (
 
 
 ORACLE_PAGERANK = f"""
-WITH pairs AS ({ORACLE_NGRAM}),
-edges AS (
+WITH pairs AS MATERIALIZED ({ORACLE_NGRAM}),
+-- MATERIALIZED: every power iteration references edges/deg; without
+-- the hint DuckDB re-inlines the CTE chain down to the shingle pair
+-- join once per reference (measured 15.5 s -> 0.8 s at sf0.1,
+-- byte-identical result; pinned by tests/test_r10_queries.py).
+edges AS MATERIALIZED (
   SELECT doc_a AS s, doc_b AS t FROM pairs
   UNION ALL
   SELECT doc_b AS s, doc_a AS t FROM pairs
 ),
 nodes AS (SELECT DISTINCT s AS id FROM edges),
-deg AS (SELECT s AS id, count(*) AS deg FROM edges GROUP BY 1),
+deg AS MATERIALIZED (SELECT s AS id, count(*) AS deg FROM edges GROUP BY 1),
 n AS (SELECT count(*) AS n FROM nodes),
 it0 AS (SELECT id, 1.0 / n.n AS pr FROM nodes CROSS JOIN n),
 {",".join(_pr_iter_sql(k) for k in range(1, _PR_ITERS + 1))}

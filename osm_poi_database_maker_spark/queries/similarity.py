@@ -2198,12 +2198,16 @@ WITH RECURSIVE emb AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
-scored AS (
+-- MATERIALIZED: DuckDB re-inlines unmaterialized CTEs per reference,
+-- so the recursive closure re-ran the n-squared cosine scan every time
+-- nn/edges was touched (measured 37.5 s -> 4.5 s at sf0.1,
+-- byte-identical result; pinned by tests/test_r10_queries.py).
+scored AS MATERIALIZED (
   SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
          list_cosine_similarity(a.v, b.v) AS cos
   FROM emb a JOIN emb b ON a.vec_id <> b.vec_id
 ),
-nn AS (
+nn AS MATERIALIZED (
   SELECT vec_id, neighbor_id FROM (
     SELECT vec_id, neighbor_id,
            row_number() OVER (PARTITION BY vec_id
@@ -2211,7 +2215,7 @@ nn AS (
     FROM scored
   ) WHERE rk <= {_MUTUAL_K}
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT a.vec_id AS src, a.neighbor_id AS dst
   FROM nn a JOIN nn b
     ON b.vec_id = a.neighbor_id AND b.neighbor_id = a.vec_id
