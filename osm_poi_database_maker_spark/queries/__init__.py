@@ -63,71 +63,30 @@ _MODULES = (
 # Every registered query keeps a pytest + tools/check.py local gate
 # regardless of window position.
 _VERIFY_FIRST = [
-    # tier 1a (round 9): the 5 round-8 late additions — locally
-    # hash-gated since r8 but with NO driver correctness row (r8
-    # verdict "Next round" #1); they lead the window until the driver
-    # oracles them.
-    "emb_text_alignment_audit",
-    "mm_vit_tiling_plan",
-    "brand_supply_concentration",
-    "stream_lateness_profile",
-    "doc_pii_scan",
-    # tier 1b (round 9): green in r8 but implementation changed THIS
-    # round — the rolling-KMV stream state now carries a strictly
-    # monotone n_rows stamp for newest-wins selection (r8 advice #1).
-    "stream_kmv_rolling_distinct",
-    # tier 1c (round 9): new queries this round (inserted here as they
-    # land; the 5 above must stay inside the 50-entry window). With the
-    # 17 head slots, 33 of the 47 r04-stale cohort fit the window; the
-    # last 14 rotate to r10's window (new-code verification outranks
-    # stale-evidence refresh per the tier policy).
-    "osm_poi_pipeline_full",
-    "stream_heavy_hitters",
-    "events_hdr_quantiles",
-    "stream_hdr_quantiles",
-    "events_t_closeness",
-    "events_purged_folds",
-    "emb_hard_negatives",
-    "emb_mutual_knn_clusters",
-    "mm_audio_resample",
-    "doc_lang_confusion",
-    "osm_point_in_polygon",
-    # tier 2: the r04-evidence cohort — stalest remaining driver rows
-    # (testdata regenerates between rounds, so old rows decay); fills
-    # the rest of the window, overflow rotates to r10.
-    "events_user_lifecycle",
-    "events_dau_wau",
-    "events_linear_attribution",
-    "events_cohort_ltv",
-    "events_time_to_convert",
-    "events_path_trigrams",
-    "events_user_deciles",
-    "events_hourly_anomaly",
-    "events_rfm_segments",
-    "doc_bm25_topk",
-    "doc_dup_ngram_fraction",
-    "doc_quality_filter_verdict",
-    "doc_bpe_merges",
-    "doc_bpe_encode",
-    "doc_split_assign",
-    "emb_centroid_drift",
-    "doc_source_overlap_matrix",
-    "doc_graph_triangles",
-    "doc_incremental_dedup",
-    "emb_pq_codes",
+    # tier 1a (round 10): queries whose implementation or oracle CHANGED
+    # this round, so they need a fresh driver row —
+    # the 3 ANN quality contracts (rows-only → hash-gated recall-floor
+    # summary rows, r9 verdict #2):
     "emb_ann_topk",
-    "emb_ivf_pq_topk",
     "emb_ivf_topk",
-    "orders_column_profile",
-    "lineitem_price_outliers_mad",
-    "events_k_anonymity",
-    "customer_name_linkage",
-    "osm_node_neighbor_pairs",
-    "mm_ahash_pairs",
-    "part_promo_share",
-    "small_qty_revenue",
-    "disjunctive_revenue",
-    "idle_customer_balance",
+    "emb_ivf_pq_topk",
+    # the degenerate-centroid oracle slice fix (ring[1:-1] → ring[1:-2],
+    # r9 advice #1) + the guarded ray-cast restructure (advice #3):
+    "osm_point_in_polygon",
+    "osm_ways_centroids",
+    "osm_mp_centroids",
+    # atomic content-keyed fixture write (advice #2):
+    "osm_poi_pipeline_full",
+    # AS MATERIALIZED oracle hints (r9 verdict #5 — semantics-free,
+    # pytest-pinned byte-identical, but a fresh row proves it):
+    "emb_mutual_knn_clusters",
+    "doc_graph_pagerank",
+    # tier 1b (round 10): new queries this round.
+    "osm_cell_layout_scan",
+    "stream_cdc_latest_state",
+    "doc_retrieval_ndcg",
+    # tier 2a: the LAST 13 r04-evidence queries (r9 verdict #1 — after
+    # these, no query's newest driver row predates r05):
     "orders_backlog_aging",
     "basket_part_affinity",
     "nation_volume_shipping",
@@ -141,6 +100,35 @@ _VERIFY_FIRST = [
     "order_grouping_sets",
     "orders_above_customer_avg",
     "top_suppliers_by_revenue",
+    # tier 2b: the r05-evidence cohort in registry order — 27 fit the
+    # remaining window slots; the ~21 overflow rotate to r11.
+    "events_multi_exists",
+    "events_ohlc_bars",
+    "events_toi_pipeline",
+    "events_tag_explode",
+    "events_exclude_superset",
+    "events_hstore_projection",
+    "events_time_rollup",
+    "events_ushape_attribution",
+    "doc_token_stats",
+    "doc_hybrid_rrf",
+    "doc_bigram_logprob",
+    "doc_quality_score",
+    "doc_lang_id",
+    "doc_fingerprint",
+    "doc_token_regex",
+    "doc_tfidf_top_terms",
+    "doc_chunk_windows",
+    "doc_repetition_stats",
+    "doc_stratified_sample",
+    "doc_pack_sequences",
+    "doc_pii_scrub",
+    "doc_decontaminate",
+    "doc_mixture_sample",
+    "doc_shuffle_shards",
+    "emb_int8_quantize",
+    "emb_label_centroids",
+    "doc_curation_pipeline",
 ]
 
 # tier 4 cohort order: non-core modules first, core last.

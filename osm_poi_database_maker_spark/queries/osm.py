@@ -1369,6 +1369,117 @@ FROM allrows
 """
 
 
+# --- O19/O20 at-rest layout: partition-pruned cell scan ---------------------
+
+# bbox chosen to cover 2 of the 7 grid cells the fixture nodes spread
+# over at GRID_RES — the pruned scan must read 2 directories, not 7.
+_CELL_BBOX = (5.095, 52.095, 5.155, 52.155)
+
+
+def cell_layout_path() -> str:
+    """Content-hash-keyed location of the cell-partitioned POI node
+    table (written once per fixture version, atomic rename)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..spatial import GRID_RES
+
+    key = hashlib.sha256(repr((fx.NODES, GRID_RES, 1)).encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"ospdms_cell_layout_{key}")
+
+
+def q_osm_cell_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned bbox scan over the CELL-PARTITIONED at-rest
+    layout — the Spark analogue of the reference's GiST index +
+    CLUSTER physical order (schema.sql:264-266,287-289), proven at the
+    PLANNER level: the valid fixture nodes are written once with
+    ``partitionBy("cell")`` (grid cell = spatial.grid_cell, the
+    layout.py nodes/POIs row), and the query reads them back with the
+    bbox's covering-cell IN-list plus the exact lon/lat predicate. The
+    cell condition hits the partition column → ``PartitionFilters`` +
+    pruned PartitionCount in the plan (2 of 7 directories read,
+    pytest-pinned in tests/test_layout.py); the lon/lat conjuncts reach
+    the parquet scan as PushedFilters. The DuckDB oracle recomputes
+    each node's cell id independently and applies the same cover +
+    bbox, so the layout can never silently drop a boundary row.
+
+    Scale: this is THE 100 TB bbox plan — a planning-time directory
+    prune (zero IO outside the cover) followed by row-group min/max
+    skipping via the Z-order sort within partitions
+    (layout.cluster_spatially); query cost rides bbox area, not table
+    size."""
+    import os
+
+    from ..spatial import GRID_RES, cells_for_bbox, grid_cell
+
+    path = cell_layout_path()
+    if not os.path.exists(path):
+        tmp = f"{path}.tmp.{os.getpid()}"
+        (
+            fx.nodes_df(spark)
+            .filter(F.col("lon").isNotNull())
+            .withColumn("cell", grid_cell(F.col("lon"), F.col("lat")))
+            .write.partitionBy("cell")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        try:
+            os.rename(tmp, path)
+        except OSError:  # lost a concurrent-writer race: theirs is complete
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    min_lon, min_lat, max_lon, max_lat = _CELL_BBOX
+    cover = cells_for_bbox(min_lon, min_lat, max_lon, max_lat, GRID_RES)
+    return (
+        spark.read.parquet(path)
+        .filter(
+            F.col("cell").isin(cover)
+            & F.col("lon").between(min_lon, max_lon)
+            & F.col("lat").between(min_lat, max_lat)
+        )
+        .select(
+            "id",
+            "version",
+            F.round("lon", 7).alias("lon_r"),
+            F.round("lat", 7).alias("lat_r"),
+            F.col("cell").cast("long").alias("cell"),
+        )
+    )
+
+
+def _cell_layout_oracle_sql() -> str:
+    from ..spatial import GRID_RES, cells_for_bbox
+
+    n = 1 << GRID_RES
+    min_lon, min_lat, max_lon, max_lat = _CELL_BBOX
+    cover = ", ".join(
+        str(c) for c in cells_for_bbox(min_lon, min_lat, max_lon, max_lat, GRID_RES)
+    )
+    return f"""
+WITH nodes AS ({fx.nodes_values_sql()}),
+cells AS (
+  SELECT id, version, lon, lat,
+         GREATEST(0, LEAST({n - 1},
+             CAST(floor((lon + 180.0) / 360.0 * {n}) AS BIGINT))) * {n}
+         + GREATEST(0, LEAST({n - 1},
+             CAST(floor((lat + 90.0) / 180.0 * {n}) AS BIGINT))) AS cell
+  FROM nodes WHERE lon IS NOT NULL
+)
+SELECT CAST(id AS BIGINT) AS id, version,
+       round(lon, 7) AS lon_r, round(lat, 7) AS lat_r,
+       CAST(cell AS BIGINT) AS cell
+FROM cells
+WHERE cell IN ({cover})
+  AND lon BETWEEN {min_lon} AND {max_lon}
+  AND lat BETWEEN {min_lat} AND {max_lat}
+"""
+
+
+ORACLE_CELL_LAYOUT = _cell_layout_oracle_sql()
+
+
 QUERIES = {
     "osm_pbf_scan": q_osm_pbf_scan,
     "osm_pbf_source_scan": q_osm_pbf_source_scan,
@@ -1387,6 +1498,7 @@ QUERIES = {
     "osm_dbscan_clusters": q_osm_dbscan_clusters,
     "osm_poi_pipeline_full": q_osm_poi_pipeline_full,
     "osm_point_in_polygon": q_osm_point_in_polygon,
+    "osm_cell_layout_scan": q_osm_cell_layout_scan,
 }
 
 ORACLES = {
@@ -1407,4 +1519,5 @@ ORACLES = {
     "osm_dbscan_clusters": ORACLE_DBSCAN,
     "osm_poi_pipeline_full": ORACLE_POI_PIPELINE_FULL,
     "osm_point_in_polygon": ORACLE_POINT_IN_POLYGON,
+    "osm_cell_layout_scan": ORACLE_CELL_LAYOUT,
 }

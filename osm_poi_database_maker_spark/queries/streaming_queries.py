@@ -674,6 +674,93 @@ ORACLE_STREAM_DEDUP = """
 SELECT event_id, event_type, user_id FROM events
 """
 
+
+def q_stream_cdc_latest_state(
+    spark: SparkSession, sf_dir: str, _max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """CDC apply / streaming MERGE INTO: the event stream is treated as
+    an upsert feed keyed by user_id (newest (ts, event_id) wins) and
+    each micro-batch is applied through ``sink.merge_upsert`` — the
+    engine's idempotent MERGE with crash-safe atomic swap (O13) — via
+    ``foreachBatch`` into a parquet state table; the query returns the
+    final materialized state. This is the lakehouse CDC pattern
+    (Debezium-feed → foreachBatch MERGE) the reference's micro-batched
+    COPY sink approximates (filter.py:58-64 aborts on duplicate PKs;
+    we resolve newest-wins instead).
+
+    Correctness composition: the within-batch reduce (max struct per
+    key) and the cross-batch merge_upsert (row_number over the same
+    version columns) use the SAME (ts, event_id) ordering, so the
+    final state is replay- and batch-boundary-independent — the oracle
+    recomputes it as one window over the whole table.
+
+    Scale: per batch the state rewrite touches the whole (key-sized,
+    not fact-sized) state table; at 100 TB the target partitions by
+    key range and rewrites only touched partitions, or swaps in a
+    transactional table format — documented in merge_upsert."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..sink import merge_upsert
+
+    root = tempfile.mkdtemp(prefix="ospdms_cdc_")
+    target = os.path.join(root, "state")
+
+    def _latest_per_user(batch_df: DataFrame) -> DataFrame:
+        m = F.max(
+            F.struct("ts", "event_id", "event_type", "value")
+        ).alias("m")
+        return batch_df.groupBy("user_id").agg(m).select(
+            "user_id",
+            F.col("m.ts").alias("ts"),
+            F.col("m.event_id").alias("event_id"),
+            F.col("m.event_type").alias("event_type"),
+            F.col("m.value").alias("value"),
+        )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        merge_upsert(
+            spark,
+            target,
+            _latest_per_user(batch_df),
+            key="user_id",
+            version_cols=("ts", "event_id"),
+        )
+
+    q = (
+        S.stream_events(spark, sf_dir, _max_files_per_trigger)
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_cdc_latest_state did not finish within 300s")
+    return spark.read.parquet(target).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.unix_micros("ts").alias("last_ts_us"),
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 2).alias("last_value"),
+    )
+
+
+ORACLE_CDC_LATEST = """
+SELECT user_id,
+       event_id AS last_event_id,
+       epoch_us(ts) AS last_ts_us,
+       event_type AS last_event_type,
+       round(value, 2) AS last_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
 QUERIES = {
     "stream_hourly_window": q_stream_hourly_window,
     "stream_ohlc_bars": q_stream_ohlc_bars,
@@ -697,6 +784,7 @@ QUERIES = {
     "stream_lateness_profile": q_stream_lateness_profile,
     "stream_heavy_hitters": q_stream_heavy_hitters,
     "stream_hdr_quantiles": q_stream_hdr_quantiles,
+    "stream_cdc_latest_state": q_stream_cdc_latest_state,
 }
 
 ORACLES = {
@@ -722,4 +810,5 @@ ORACLES = {
     "stream_lateness_profile": ORACLE_LATENESS,
     "stream_heavy_hitters": ORACLE_HEAVY_HITTERS,
     "stream_hdr_quantiles": ORACLE_HDR_QUANTILES,
+    "stream_cdc_latest_state": ORACLE_CDC_LATEST,
 }

@@ -1474,6 +1474,202 @@ WHERE rk <= {_BM25_TOPK}
 """
 
 
+# --- retrieval-quality eval: graded NDCG@10 / MRR / recall -------------------
+
+_NDCG_CUT = 10
+
+
+def q_doc_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation harness — the metric layer every
+    RAG / retrieval pipeline ships next to its index: for the fixed
+    BM25 query set, grade each candidate by how many distinct query
+    terms it contains (g ∈ 1..|q|, gain 2^g − 1), rank by the SAME
+    BM25 score as q_doc_bm25_topk, and emit per query: the full-match
+    candidate count, MRR (reciprocal rank of the first full match),
+    DCG@10 / NDCG@10 against the ideal grade ordering, and
+    recall@10 of full matches. One row per query — the eval report a
+    dataset curator gates an index rollout on.
+
+    Plan shape: identical to BM25 (pruned postings, broadcast dims);
+    the grades ride the same (qid, doc) aggregate as the score, the
+    metrics are two windows over the per-query candidate lists.
+    Engine-stable math: per-rank contributions round to 9 before the
+    ≤10-element sums, metric outputs round to 6; ranking ties break on
+    doc_id in both engines."""
+    n_q_terms = {qid: len(ts) for qid, ts in _BM25_QUERIES}
+    terms = sorted({t for _, ts in _BM25_QUERIES for t in ts})
+    qdim = spark.createDataFrame(
+        [(qid, t) for qid, ts in _BM25_QUERIES for t in ts], "qid INT, term STRING"
+    )
+    qsize = spark.createDataFrame(
+        [(qid, n) for qid, n in n_q_terms.items()], "qid INT, qn INT"
+    )
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.col("text"), " +").alias("t")
+    ).select("doc_id", F.size("t").cast("double").alias("dl"), F.explode("t").alias("term"))
+    corpus = d.select(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(F.size(F.split(F.col("text"), " +"))).alias("avgdl"),
+    )
+    postings = (
+        toks.filter(F.col("term").isin(*terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfreq = postings.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (_BM25_K1 + 1)) / (
+        F.col("tf")
+        + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        postings.join(F.broadcast(qdim), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn("contrib", F.round(idf * tf_part, 7))
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.round(F.sum("contrib"), 4).alias("bm25"),
+            F.countDistinct("term").alias("g"),
+        )
+        .join(F.broadcast(qsize), "qid")
+    )
+    gain = (F.pow(F.lit(2.0), F.col("g")) - 1.0).alias("gain")
+    w_rank = Window.partitionBy("qid").orderBy(F.desc("bm25"), "doc_id")
+    w_ideal = Window.partitionBy("qid").orderBy(F.desc("g"), "doc_id")
+    ranked = scored.select(
+        "qid", "doc_id", "g", "qn", gain,
+        F.row_number().over(w_rank).alias("rk"),
+        F.row_number().over(w_ideal).alias("irk"),
+    )
+    full = F.col("g") == F.col("qn")
+    disc = lambda rank: F.log2(rank.cast("double") + 1.0)  # noqa: E731
+    per_q = ranked.groupBy("qid").agg(
+        F.sum(full.cast("long")).cast("long").alias("n_full_match"),
+        F.round(
+            F.coalesce(1.0 / F.min(F.when(full, F.col("rk"))), F.lit(0.0)), 6
+        ).alias("mrr"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("rk") <= _NDCG_CUT,
+                    F.round(F.col("gain") / disc(F.col("rk")), 9),
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("dcg_at_10"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("irk") <= _NDCG_CUT,
+                    F.round(F.col("gain") / disc(F.col("irk")), 9),
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("_idcg"),
+        F.sum((full & (F.col("rk") <= _NDCG_CUT)).cast("long"))
+        .cast("long")
+        .alias("_full_in_10"),
+    )
+    return per_q.select(
+        "qid",
+        "n_full_match",
+        "mrr",
+        "dcg_at_10",
+        F.round(
+            F.when(F.col("_idcg") > 0, F.col("dcg_at_10") / F.col("_idcg"))
+            .otherwise(0.0),
+            6,
+        ).alias("ndcg_at_10"),
+        F.round(
+            F.when(
+                F.col("n_full_match") > 0,
+                F.col("_full_in_10") / F.col("n_full_match").cast("double"),
+            ).otherwise(0.0),
+            6,
+        ).alias("recall_at_10"),
+    )
+
+
+def _ndcg_oracle_sql() -> str:
+    qsizes = ", ".join(f"({qid}, {len(ts)})" for qid, ts in _BM25_QUERIES)
+    return f"""
+WITH qterms(qid, term) AS (VALUES {_bm25_query_values()}),
+qsize(qid, qn) AS (VALUES {qsizes}),
+toks AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(text, ' +')) AS DOUBLE) AS dl,
+         unnest(string_split_regex(text, ' +')) AS term
+  FROM documents
+),
+corpus AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         avg(len(string_split_regex(text, ' +'))) AS avgdl
+  FROM documents
+),
+postings AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, any_value(dl) AS dl
+  FROM toks
+  WHERE term IN (SELECT term FROM qterms)
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM postings GROUP BY 1),
+scored AS (
+  SELECT q.qid, p.doc_id,
+         round(sum(round(
+           ln(1.0 + (c.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * (p.tf * ({_BM25_K1} + 1))
+             / (p.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * p.dl / c.avgdl)),
+         7)), 4) AS bm25,
+         count(DISTINCT p.term) AS g
+  FROM postings p
+  JOIN qterms q ON q.term = p.term
+  JOIN dfreq f ON f.term = p.term
+  CROSS JOIN corpus c
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT s.qid, s.doc_id, s.g, z.qn,
+         power(2.0, s.g) - 1.0 AS gain,
+         row_number() OVER (PARTITION BY s.qid
+                            ORDER BY s.bm25 DESC, s.doc_id) AS rk,
+         row_number() OVER (PARTITION BY s.qid
+                            ORDER BY s.g DESC, s.doc_id) AS irk
+  FROM scored s JOIN qsize z ON z.qid = s.qid
+),
+per_q AS (
+  SELECT qid,
+         CAST(sum(CASE WHEN g = qn THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_full_match,
+         round(coalesce(1.0 / min(CASE WHEN g = qn THEN rk END), 0.0), 6)
+           AS mrr,
+         round(sum(CASE WHEN rk <= {_NDCG_CUT}
+                        THEN round(gain / log2(CAST(rk AS DOUBLE) + 1.0), 9)
+                        ELSE 0.0 END), 6) AS dcg_at_10,
+         round(sum(CASE WHEN irk <= {_NDCG_CUT}
+                        THEN round(gain / log2(CAST(irk AS DOUBLE) + 1.0), 9)
+                        ELSE 0.0 END), 6) AS idcg,
+         CAST(sum(CASE WHEN g = qn AND rk <= {_NDCG_CUT} THEN 1 ELSE 0 END)
+              AS BIGINT) AS full_in_10
+  FROM ranked GROUP BY qid
+)
+SELECT qid, n_full_match, mrr, dcg_at_10,
+       round(CASE WHEN idcg > 0 THEN dcg_at_10 / idcg ELSE 0.0 END, 6)
+         AS ndcg_at_10,
+       round(CASE WHEN n_full_match > 0
+                  THEN full_in_10 / CAST(n_full_match AS DOUBLE)
+                  ELSE 0.0 END, 6) AS recall_at_10
+FROM per_q
+"""
+
+
+ORACLE_RETRIEVAL_NDCG = _ndcg_oracle_sql()
+
+
 # --- hybrid retrieval: reciprocal-rank fusion --------------------------------
 
 _RRF_K = 60
@@ -2226,6 +2422,7 @@ QUERIES = {
     "doc_collapse_repeats": q_doc_collapse_repeats,
     "doc_hybrid_rrf": q_doc_hybrid_rrf,
     "doc_bm25_topk": q_doc_bm25_topk,
+    "doc_retrieval_ndcg": q_doc_retrieval_ndcg,
     "doc_dup_ngram_fraction": q_doc_dup_ngram_fraction,
     "doc_quality_filter_verdict": q_doc_quality_filter_verdict,
     "doc_bpe_merges": q_doc_bpe_merges,
@@ -2258,6 +2455,7 @@ ORACLES = {
     "doc_token_entropy": ORACLE_TOKEN_ENTROPY,
     "doc_mmr_rerank": ORACLE_MMR,
     "doc_bm25_topk": ORACLE_BM25,
+    "doc_retrieval_ndcg": ORACLE_RETRIEVAL_NDCG,
     "doc_dup_ngram_fraction": ORACLE_DUP_NGRAM,
     "doc_quality_filter_verdict": ORACLE_QUALITY_FILTER,
     "doc_bpe_merges": ORACLE_BPE,

@@ -52,3 +52,33 @@ def test_embeddings_ivf_cell_layout(spark, tmp_path):
     probe = back.filter(F.col("ivf_cell") == 0)
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "ivf_cell" in plan
+
+
+def test_cell_layout_scan_prunes_partitions(spark):
+    """The registered osm_cell_layout_scan query must PROVE the planner
+    uses the cell layout (r9 verdict #7): PartitionFilters on the cell
+    partition column, lon/lat PushedFilters at the parquet scan, and
+    the scan physically reads 2 of the 7 cell directories on disk."""
+    from osm_poi_database_maker_spark.queries.osm import (
+        cell_layout_path,
+        q_osm_cell_layout_scan,
+    )
+
+    df = q_osm_cell_layout_scan(spark, SF_SMOKE)
+    path = cell_layout_path()
+    on_disk = {d for d in os.listdir(path) if d.startswith("cell=")}
+    assert len(on_disk) == 7, f"fixture layout drifted: {sorted(on_disk)}"
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    assert "PushedFilters" in plan and "lon" in plan
+
+    read_dirs = {
+        os.path.basename(os.path.dirname(r.f))
+        for r in df.withColumn("f", F.input_file_name())
+        .select("f")
+        .distinct()
+        .collect()
+    }
+    assert read_dirs < on_disk and len(read_dirs) == 2, read_dirs
+    assert df.count() == 6

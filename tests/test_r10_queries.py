@@ -141,3 +141,42 @@ def test_materialized_hints_are_pure_execution_hints():
         hinted = sorted(map(tuple, con.sql(sql).fetchall()))
         plain = sorted(map(tuple, con.sql(_strip_materialized(sql)).fetchall()))
         assert hinted == plain
+
+
+def test_cdc_latest_state_multi_batch_replay(spark, tmp_path):
+    """stream_cdc_latest_state applied over a REAL 4-file
+    maxFilesPerTrigger=1 stream (4 separate merge_upsert applications
+    into the same state table) must equal the single-pass batch window
+    — the within-batch reduce and the cross-batch merge share the
+    (ts, event_id) version order, so batch boundaries cannot change
+    the final state."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osm_poi_database_maker_spark.queries.streaming_queries import (
+        q_stream_cdc_latest_state,
+    )
+    from tests.conftest import SF_SMOKE
+
+    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet").orderBy("ts").collect()
+    d = str(tmp_path / "cdc_batches")
+    import os
+
+    os.makedirs(d)
+    q = len(raw) // 4
+    for i in range(4):
+        chunk = raw[i * q : (i + 1) * q if i < 3 else len(raw)]
+        pq.write_table(
+            pa.Table.from_pylist([r.asDict() for r in chunk]),
+            f"{d}/events_{i:02d}.parquet",
+        )
+    streamed = {
+        tuple(r)
+        for r in q_stream_cdc_latest_state(
+            spark, d, _max_files_per_trigger=1
+        ).collect()
+    }
+    batch = {
+        tuple(r) for r in q_stream_cdc_latest_state(spark, SF_SMOKE).collect()
+    }
+    assert streamed == batch and len(streamed) > 0
