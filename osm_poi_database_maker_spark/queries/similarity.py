@@ -1612,11 +1612,59 @@ SELECT * FROM (
 
 ORACLE_FPS_BIG = _fps_big_oracle_sql()
 
+
+def _label_smoothing_big_sql() -> str:
+    """SF ≥ 0.1 twin of ORACLE_LABEL_SMOOTHING: the per-vector top-k is
+    one hash aggregate (list → list_sort on the struct ranking key →
+    slice) instead of a row_number window over the full n² pair table —
+    same ranking key (cosine rounded to 6 DESC, neighbor ASC), measured
+    6.6 s → 1.4 s at sf0.1, byte-identical (pytest-pinned at
+    sf0.001/sf0.01)."""
+    return f"""
+WITH emb AS MATERIALIZED (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+nn AS (
+  SELECT vec_id,
+         unnest(list_transform(
+           (list_sort(list({{c: -round(list_cosine_similarity(a_v, v), 6),
+                             n: b_vec}})))[1:{_SMOOTH_K}],
+           s -> s.n)) AS neighbor_id
+  FROM (
+    SELECT a.vec_id AS vec_id, a.v AS a_v, b.vec_id AS b_vec, b.v AS v
+    FROM emb a JOIN emb b ON a.vec_id <> b.vec_id
+  )
+  GROUP BY vec_id
+),
+votes AS (
+  SELECT nn.vec_id, e.label AS n_label, count(*) AS votes
+  FROM nn JOIN emb e ON e.vec_id = nn.neighbor_id
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT vec_id, n_label AS knn_label, CAST(votes AS BIGINT) AS n_agree
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY votes DESC, n_label ASC) AS rk
+    FROM votes
+  ) WHERE rk = 1
+)
+SELECT b.vec_id, e.label, b.knn_label, b.n_agree,
+       b.knn_label <> e.label AS mismatch
+FROM best b JOIN emb e ON e.vec_id = b.vec_id
+"""
+
+
+ORACLE_LABEL_SMOOTHING_BIG = _label_smoothing_big_sql()
+
 # SF ≥ 0.1 oracle overrides (see tools/check.py and SCALE.md
 # §battery-budget): same result contract, incremental candidate
-# maintenance instead of full-pair-table rescans.
+# maintenance / window-free top-k instead of full-pair-table rescans.
 ORACLES_BIG = {
     "emb_maximin_centers": ORACLE_FPS_BIG,
+    "emb_label_smoothing": ORACLE_LABEL_SMOOTHING_BIG,
 }
 
 

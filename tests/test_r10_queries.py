@@ -180,3 +180,25 @@ def test_cdc_latest_state_multi_batch_replay(spark, tmp_path):
         tuple(r) for r in q_stream_cdc_latest_state(spark, SF_SMOKE).collect()
     }
     assert streamed == batch and len(streamed) > 0
+
+
+def test_label_smoothing_big_oracle_matches_window_form():
+    """ORACLE_LABEL_SMOOTHING_BIG (hash-aggregate list_sort top-k,
+    6.6 s -> 1.4 s at sf0.1) must be byte-identical to the row_number
+    window original at the SFs where the driver gates."""
+    import duckdb
+
+    from osm_poi_database_maker_spark.queries.similarity import (
+        ORACLE_LABEL_SMOOTHING,
+        ORACLE_LABEL_SMOOTHING_BIG,
+    )
+
+    for sf in ("sf0.001", "sf0.01"):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('/root/testdata/{sf}/embeddings.parquet')"
+        )
+        a = sorted(map(tuple, con.sql(ORACLE_LABEL_SMOOTHING).fetchall()))
+        b = sorted(map(tuple, con.sql(ORACLE_LABEL_SMOOTHING_BIG).fetchall()))
+        assert a == b and len(a) > 0, sf
