@@ -56,6 +56,18 @@ def get_spark(app_name: str = "osm_poi_database_maker_spark") -> SparkSession:
         # injection; thresholds are Spark defaults, so tiny local
         # fixtures skip it and big cluster inputs get it automatically)
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # keep single-JVM metastore noise (derby.log, metastore_db/,
+        # spark-warehouse/) out of the repo root — ANALYZE TABLE (O21)
+        # spins up the embedded Hive metastore, which otherwise writes
+        # its log and warehouse dir into the working directory
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Dderby.stream.error.file=/tmp/ospdms_derby.log",
+        )
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/ospdms_warehouse"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
