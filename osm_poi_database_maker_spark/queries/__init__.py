@@ -81,6 +81,8 @@ _VERIFY_FIRST = [
     # pytest-pinned byte-identical, but a fresh row proves it):
     "emb_mutual_knn_clusters",
     "doc_graph_pagerank",
+    # PCA spectrum rows-only → trace-identity hash contract (r10):
+    "emb_pca_spectrum",
     # tier 1b (round 10): new queries this round.
     "osm_cell_layout_scan",
     "stream_cdc_latest_state",
@@ -100,8 +102,8 @@ _VERIFY_FIRST = [
     "order_grouping_sets",
     "orders_above_customer_avg",
     "top_suppliers_by_revenue",
-    # tier 2b: the r05-evidence cohort in registry order — 27 fit the
-    # remaining window slots; the ~21 overflow rotate to r11.
+    # tier 2b: the r05-evidence cohort in registry order — 24 fit the
+    # remaining window slots; the ~24 overflow rotate to r11.
     "events_multi_exists",
     "events_ohlc_bars",
     "events_toi_pipeline",
@@ -126,9 +128,6 @@ _VERIFY_FIRST = [
     "doc_decontaminate",
     "doc_mixture_sample",
     "doc_shuffle_shards",
-    "emb_int8_quantize",
-    "emb_label_centroids",
-    "doc_curation_pipeline",
 ]
 
 # tier 4 cohort order: non-core modules first, core last.

@@ -1312,11 +1312,17 @@ def q_emb_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(d³) problem whose size is independent of collection size, exactly
     like the OPQ Procrustes SVD.
 
-    Rows-only at the gate (eigensolvers aren't SQL), with the audit
-    IN-BAND: ``trace_gap`` = |Σλ − tr(cov)| on every row. The trace is
-    independently computable as plain per-dimension variances — pytest
-    pins Σλ against a Spark-aggregated Σ var(dim) — so a wrong
-    decomposition is visible in the emitted rows themselves."""
+    Hash-gated at the driver since r10 (the ANN-recall-gate pattern):
+    eigensolvers aren't SQL, but the spectrum's defining IDENTITIES
+    are — one summary row carries (n_vectors, n_components, the
+    covariance TRACE rounded to 6) which the DuckDB oracle recomputes
+    independently (trace = Σ_d var_pop(dim)), plus three contract
+    booleans the oracle asserts: Σλ equals the trace, the spectrum is
+    descending and PSD, and the variance-explained shares sum to 1. A
+    wrong decomposition (bad merge of the sufficient statistics, a
+    non-symmetric covariance, sign/order bugs) trips the gate; the full
+    per-component spectrum stays available from
+    ``similarity.covariance_matrix`` + ``numpy.linalg.eigvalsh``."""
     import numpy as np
 
     from ..similarity import covariance_matrix
@@ -1324,20 +1330,46 @@ def q_emb_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     cov, n = covariance_matrix(e)
     schema = (
-        "component int, eigenvalue double, var_explained double, "
-        "cum_var double, trace_gap double"
+        "n_vectors long, n_components long, trace_r double, "
+        "eig_sum_matches_trace boolean, spectrum_desc_psd boolean, "
+        "var_shares_sum_to_one boolean"
     )
     if n == 0:
         return spark.createDataFrame([], schema)
     eig = np.linalg.eigvalsh(cov)[::-1]  # descending
     trace = float(np.trace(cov))
-    gap = round(abs(float(eig.sum()) - trace), 6)
-    rows, cum = [], 0.0
-    for comp, lam in enumerate(eig):
-        share = float(lam) / trace if trace else 0.0
-        cum += share
-        rows.append((comp, round(float(lam), 6), round(share, 6), round(cum, 6), gap))
-    return spark.createDataFrame(rows, schema)
+    shares_ok = trace > 0 and abs(float(eig.sum()) / trace - 1.0) <= 1e-6
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                int(cov.shape[0]),
+                round(trace, 6),
+                abs(float(eig.sum()) - trace) <= 1e-6,
+                bool(np.all(np.diff(eig) <= 0) and eig[-1] >= -1e-9),
+                bool(shares_ok),
+            )
+        ],
+        schema,
+    )
+
+
+ORACLE_PCA_TRACE = """
+WITH el AS (
+  SELECT vec_id,
+         CAST(unnest(embedding) AS DOUBLE) AS val,
+         unnest(range(len(embedding))) AS idx
+  FROM embeddings
+),
+dimvar AS (SELECT idx, var_pop(val) AS v FROM el GROUP BY idx)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vectors,
+       CAST(count(*) AS BIGINT) AS n_components,
+       round(sum(v), 6) AS trace_r,
+       TRUE AS eig_sum_matches_trace,
+       TRUE AS spectrum_desc_psd,
+       TRUE AS var_shares_sum_to_one
+FROM dimvar
+"""
 
 
 _MAT_DIMS = (8, 16, 32)  # truncation prefixes audited against the full dim
@@ -2340,4 +2372,8 @@ ORACLES = {
     "emb_ann_topk": _recall_gate_oracle(RECALL_FLOOR_ANN),
     "emb_ivf_topk": _recall_gate_oracle(RECALL_FLOOR_IVF),
     "emb_ivf_pq_topk": _recall_gate_oracle(RECALL_FLOOR_IVF_PQ),
+    # PCA spectrum contract (r10): oracle recomputes the covariance
+    # trace (sum of per-dim population variances) and asserts the
+    # eigensolver identities.
+    "emb_pca_spectrum": ORACLE_PCA_TRACE,
 }

@@ -521,33 +521,42 @@ def test_srp_weights_match_oracle_formula():
 
 
 def test_pca_spectrum_properties(spark):
-    """Eigen-spectrum invariants: descending non-negative eigenvalues
-    (PSD covariance), cumulative share reaching ~1, and the in-band
-    trace audit: Σλ must equal the independently Spark-aggregated sum of
-    per-dimension variances (population convention)."""
+    """The r10 contract row: the recomputed-trace hash gate must match
+    the DuckDB oracle exactly, every contract boolean must hold, and
+    the underlying spectrum (library path) must still satisfy the
+    eigen invariants the old rows-only check asserted."""
+    import duckdb
+    import numpy as np
+
     from osm_poi_database_maker_spark.io import load_table
     from osm_poi_database_maker_spark.queries import similarity as S2
+    from osm_poi_database_maker_spark.similarity import covariance_matrix
 
-    rows = sorted(
-        S2.q_emb_pca_spectrum(spark, SF_SMOKE).collect(), key=lambda r: r.component
+    rows = S2.q_emb_pca_spectrum(spark, SF_SMOKE).collect()
+    assert len(rows) == 1
+    got = rows[0].asDict()
+    assert got["n_components"] == 64
+    assert got["eig_sum_matches_trace"] is True
+    assert got["spectrum_desc_psd"] is True
+    assert got["var_shares_sum_to_one"] is True
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/embeddings.parquet')"
     )
-    assert len(rows) == 64
-    eig = [r.eigenvalue for r in rows]
-    assert all(eig[i] >= eig[i + 1] - 1e-9 for i in range(len(eig) - 1))
-    assert all(lam >= -1e-6 for lam in eig)
-    assert abs(rows[-1].cum_var - 1.0) < 1e-3
-    assert all(r.trace_gap <= 1e-4 for r in rows)
+    rel = con.sql(S2.ORACLE_PCA_TRACE)
+    want = dict(zip(rel.columns, rel.fetchall()[0]))
+    assert got == want, f"spark={got} oracle={want}"
 
+    # the spectrum itself (library path) keeps the old invariants
     e = load_table(spark, SF_SMOKE, "embeddings")
-    el = e.select(F.posexplode("embedding").alias("d", "v"))
-    trace = (
-        el.groupBy("d")
-        .agg((F.avg(F.col("v") * F.col("v")) - F.avg("v") * F.avg("v")).alias("var"))
-        .agg(F.sum("var").alias("t"))
-        .collect()[0]
-        .t
-    )
-    assert abs(sum(eig) - trace) < 1e-4
+    cov, n = covariance_matrix(e)
+    eig = np.linalg.eigvalsh(cov)[::-1]
+    assert n == got["n_vectors"] and len(eig) == 64
+    assert all(eig[i] >= eig[i + 1] - 1e-9 for i in range(len(eig) - 1))
+    assert eig[-1] >= -1e-6
+    assert abs(float(eig.sum()) - float(np.trace(cov))) < 1e-6
 
 
 def test_covariance_matrix_matches_numpy(spark):
