@@ -87,6 +87,8 @@ _VERIFY_FIRST = [
     "osm_cell_layout_scan",
     "stream_cdc_latest_state",
     "doc_retrieval_ndcg",
+    "events_salted_hot_join",
+    "orders_asof_snapshot",
     # tier 2a: the LAST 13 r04-evidence queries (r9 verdict #1 — after
     # these, no query's newest driver row predates r05):
     "orders_backlog_aging",
@@ -102,8 +104,8 @@ _VERIFY_FIRST = [
     "order_grouping_sets",
     "orders_above_customer_avg",
     "top_suppliers_by_revenue",
-    # tier 2b: the r05-evidence cohort in registry order — 24 fit the
-    # remaining window slots; the ~24 overflow rotate to r11.
+    # tier 2b: the r05-evidence cohort in registry order — 22 fit the
+    # remaining window slots; the ~26 overflow rotate to r11.
     "events_multi_exists",
     "events_ohlc_bars",
     "events_toi_pipeline",
@@ -126,8 +128,6 @@ _VERIFY_FIRST = [
     "doc_pack_sequences",
     "doc_pii_scrub",
     "doc_decontaminate",
-    "doc_mixture_sample",
-    "doc_shuffle_shards",
 ]
 
 # tier 4 cohort order: non-core modules first, core last.

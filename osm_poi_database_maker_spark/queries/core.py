@@ -398,6 +398,60 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+# --- as-of snapshot over the SCD2 history (time travel) --------------------
+
+_ASOF_DATE = "1995-06-30"
+
+
+def q_orders_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time snapshot — "what was each customer's state as of
+    T" reconstructed from the order stream, the read side of the SCD2
+    pattern (q_orders_scd2_intervals builds the history; this query
+    picks the interval containing T = {_ASOF_DATE}): per customer, the
+    latest order at or before T by the SAME (o_orderdate, o_orderkey)
+    ordering the interval builder uses, plus the as-of version sequence
+    (how many state changes had happened by T).
+
+    One shuffle on o_custkey; the as-of date prunes the scan first
+    (PushedFilters), so at 100 TB the window reads only the history
+    prefix — and on a date-partitioned layout (layout module) only the
+    matching partitions."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") <= _ASOF_DATE
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    wc = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .withColumn("version_seq", F.count("*").over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("version_seq").cast("long").alias("version_seq"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("effective_from"),
+            F.col("o_orderstatus").alias("status"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+    )
+
+
+ORACLE_ASOF = f"""
+SELECT o_custkey AS custkey,
+       o_orderkey AS orderkey,
+       CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS version_seq,
+       strftime(o_orderdate, '%Y-%m-%d') AS effective_from,
+       o_orderstatus AS status,
+       round(o_totalprice, 2) AS totalprice
+FROM orders
+WHERE o_orderdate <= DATE '{_ASOF_DATE}'
+QUALIFY row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+"""
+
+
 # --- window top-k per group (reference O14's top-100-per-key) --------------
 
 def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3448,6 +3502,7 @@ QUERIES = {
     "nation_market_share": q_nation_market_share,
     "returned_item_revenue": q_returned_item_revenue,
     "orders_scd2_intervals": q_orders_scd2_intervals,
+    "orders_asof_snapshot": q_orders_asof_snapshot,
     "top_orders_per_customer": q_top_orders_per_customer,
     "customers_with_urgent_orders": q_customers_with_urgent_orders,
     "customers_without_orders": q_customers_without_orders,
@@ -3506,6 +3561,7 @@ ORACLES = {
     "nation_market_share": ORACLE_MARKET_SHARE,
     "returned_item_revenue": ORACLE_RETURNED,
     "orders_scd2_intervals": ORACLE_SCD2,
+    "orders_asof_snapshot": ORACLE_ASOF,
     "top_orders_per_customer": ORACLE_TOP_ORDERS,
     "customers_with_urgent_orders": ORACLE_SEMI,
     "customers_without_orders": ORACLE_ANTI,

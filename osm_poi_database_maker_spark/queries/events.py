@@ -2787,6 +2787,64 @@ FROM est e JOIN exact x
 ORACLE_HDR_QUANTILES = _hdr_oracle_sql()
 
 
+# --- skew-managed join as a driver-gated operator ---------------------------
+
+_HOT_USERS = 5
+
+
+def q_events_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted hot-key join, driver-gated for SEMANTIC neutrality: the
+    event fact joined to its own top-5-users dimension through
+    ``ops.skew.salted_join`` (the explicit-salting complement to AQE's
+    skew splitting — the fact side's key is widened with a
+    deterministic xxhash64 salt, the dimension exploded n_salts×, the
+    join runs on (key, salt) so one hot user's rows spread across 16
+    reducers). The DuckDB oracle computes the PLAIN join — salting must
+    never lose or duplicate a row, and this gate proves it on real
+    data, not just the unit fixture (tests/test_skew.py).
+
+    At 100 TB this is the one-user-is-40%-of-events shape: the salt
+    bounds any reducer at hot_key_rows / n_salts while the dimension
+    blowup stays dimension-sized (5 × 16 rows here)."""
+    from ..ops.skew import salted_join
+
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("user_id"))
+    dim = (
+        counts.withColumn("hot_rank", F.row_number().over(w))
+        .filter(F.col("hot_rank") <= _HOT_USERS)
+        .select("user_id", "hot_rank")
+    )
+    joined = salted_join(
+        e.select("user_id", "event_type", "value"), dim, "user_id"
+    )
+    return joined.groupBy("hot_rank", "user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+ORACLE_SALTED_HOT_JOIN = f"""
+WITH counts AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+),
+dim AS (
+  SELECT user_id, hot_rank FROM (
+    SELECT user_id,
+           CAST(row_number() OVER (ORDER BY n DESC, user_id ASC) AS INT)
+             AS hot_rank
+    FROM counts
+  ) WHERE hot_rank <= {_HOT_USERS}
+)
+SELECT d.hot_rank, e.user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(e.value), 2) AS sum_value
+FROM events e JOIN dim d ON d.user_id = e.user_id
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "events_hdr_quantiles": q_events_hdr_quantiles,
     "events_kmv_overlap": q_events_kmv_overlap,
@@ -2800,6 +2858,7 @@ QUERIES = {
     "events_cms_counts": q_events_cms_counts,
     "events_incident_windows": q_events_incident_windows,
     "events_toi_pipeline": q_events_toi_pipeline,
+    "events_salted_hot_join": q_events_salted_hot_join,
     "events_tag_explode": q_events_tag_explode,
     "events_exclude_superset": q_events_exclude_superset,
     "events_hstore_projection": q_events_hstore_projection,
@@ -2836,6 +2895,7 @@ ORACLES = {
     "events_ohlc_bars": ORACLE_OHLC,
     "events_incident_windows": ORACLE_INCIDENTS,
     "events_toi_pipeline": ORACLE_TOI,
+    "events_salted_hot_join": ORACLE_SALTED_HOT_JOIN,
     "events_tag_explode": ORACLE_EXPLODE,
     "events_exclude_superset": ORACLE_EXCLUDE,
     "events_hstore_projection": ORACLE_HSTORE,
