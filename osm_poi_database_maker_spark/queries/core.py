@@ -452,6 +452,81 @@ QUALIFY row_number() OVER (PARTITION BY o_custkey
 """
 
 
+# --- bucketed co-located join (shuffle paid once at write time) ------------
+
+
+def q_orders_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located equi-join over BUCKETED at-rest tables — the planner
+    analogue of osm_cell_layout_scan for the join side (reference: the
+    `way_nodes ⨝ nodes` assembly pattern; O10/O20 at 100 TB): orders
+    and customer are written once bucketBy(16, custkey) + sortBy
+    (bucket metadata in the catalog, data under /tmp keyed by the
+    source file's content fingerprint), and the join then runs with
+    ZERO Exchange before the SortMergeJoin — the shuffle was paid at
+    write time and is amortized over every subsequent join
+    (tests/test_skew.py pins the no-Exchange plan; PLANS.md shows it).
+    The DuckDB oracle computes the plain join over the raw parquet, so
+    the bucketed path is also gated for semantic neutrality."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..ops.skew import write_bucketed
+
+    def fingerprint(name: str) -> str:
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        st = os.stat(p)
+        return hashlib.sha256(
+            f"{p}:{st.st_size}:{st.st_mtime_ns}".encode()
+        ).hexdigest()[:12]
+
+    def ensure(table: str, df: "DataFrame", key: str) -> None:
+        if spark.catalog.tableExists(table):
+            return
+        # the catalog is per-process (in-memory metastore) but the
+        # warehouse dir persists: drop a stale same-fingerprint
+        # location left by an earlier process before re-registering
+        loc = os.path.join(
+            spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
+            table,
+        )
+        shutil.rmtree(loc, ignore_errors=True)
+        write_bucketed(df, table, key, n_buckets=16)
+
+    to = f"bkt_orders_{fingerprint('orders')}"
+    tc = f"bkt_customer_{fingerprint('customer')}"
+    ensure(
+        to,
+        load_table(spark, sf_dir, "orders").select(
+            "o_custkey", "o_orderkey", "o_totalprice"
+        ),
+        "o_custkey",
+    )
+    ensure(
+        tc,
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        "c_custkey",
+    )
+    o, c = spark.table(to), spark.table(tc)
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_totalprice"),
+        )
+    )
+
+
+ORACLE_BUCKETED_JOIN = """
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS sum_totalprice
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY 1
+"""
+
+
 # --- window top-k per group (reference O14's top-100-per-key) --------------
 
 def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3503,6 +3578,7 @@ QUERIES = {
     "returned_item_revenue": q_returned_item_revenue,
     "orders_scd2_intervals": q_orders_scd2_intervals,
     "orders_asof_snapshot": q_orders_asof_snapshot,
+    "orders_bucketed_join": q_orders_bucketed_join,
     "top_orders_per_customer": q_top_orders_per_customer,
     "customers_with_urgent_orders": q_customers_with_urgent_orders,
     "customers_without_orders": q_customers_without_orders,
@@ -3562,6 +3638,7 @@ ORACLES = {
     "returned_item_revenue": ORACLE_RETURNED,
     "orders_scd2_intervals": ORACLE_SCD2,
     "orders_asof_snapshot": ORACLE_ASOF,
+    "orders_bucketed_join": ORACLE_BUCKETED_JOIN,
     "top_orders_per_customer": ORACLE_TOP_ORDERS,
     "customers_with_urgent_orders": ORACLE_SEMI,
     "customers_without_orders": ORACLE_ANTI,

@@ -202,3 +202,35 @@ def test_label_smoothing_big_oracle_matches_window_form():
         a = sorted(map(tuple, con.sql(ORACLE_LABEL_SMOOTHING).fetchall()))
         b = sorted(map(tuple, con.sql(ORACLE_LABEL_SMOOTHING_BIG).fetchall()))
         assert a == b and len(a) > 0, sf
+
+
+def test_orders_bucketed_join_plan_rides_buckets(spark):
+    """The registered orders_bucketed_join must actually ride the
+    bucketed layout. At fixture scale Catalyst (correctly) broadcasts
+    the tiny customer side, so the layout property is pinned on the
+    merge-hinted twin over the SAME catalog tables: SortMergeJoin with
+    ZERO shuffle Exchange below it — the shuffle was paid at write
+    time. The registered plan itself must show bucketed scans."""
+    from osm_poi_database_maker_spark.queries.core import q_orders_bucketed_join
+    from tests.conftest import SF_SMOKE
+
+    df = q_orders_bucketed_join(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan and "SelectedBucketsCount" in plan
+    assert df.count() == 5
+
+    # the catalog tables were registered by the query above
+    to = next(
+        t.name for t in spark.catalog.listTables() if t.name.startswith("bkt_orders_")
+    )
+    tc = next(
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("bkt_customer_")
+    )
+    o, c = spark.table(to), spark.table(tc)
+    smj = o.hint("merge").join(c, o["o_custkey"] == c["c_custkey"])
+    smj_plan = smj._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in smj_plan
+    below = smj_plan[smj_plan.index("SortMergeJoin"):]
+    assert "Exchange" not in below, below[:2000]
