@@ -234,3 +234,70 @@ def test_orders_bucketed_join_plan_rides_buckets(spark):
     assert "SortMergeJoin" in smj_plan
     below = smj_plan[smj_plan.index("SortMergeJoin"):]
     assert "Exchange" not in below, below[:2000]
+
+
+def test_salted_join_left_keeps_unmatched_rows_once(spark):
+    """salted_join(how='left') must emit every unmatched skewed row
+    EXACTLY once (the salt explode touches only the dim side) and
+    match the plain left join on matched rows."""
+    from osm_poi_database_maker_spark.ops.skew import salted_join
+
+    skewed = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d")], "k int, payload string"
+    )
+    dim = spark.createDataFrame([(1, "hot"), (9, "cold")], "k int, tier string")
+    got = sorted(
+        tuple(r) for r in salted_join(skewed, dim, "k", n_salts=4, how="left").collect()
+    )
+    want = sorted(tuple(r) for r in skewed.join(dim, "k", "left").collect())
+    assert got == want
+    assert sum(1 for r in got if r[1] in ("c", "d")) == 2  # unmatched, once each
+
+
+def test_merge_upsert_empty_batch_preserves_state(spark, tmp_path):
+    """An empty CDC micro-batch applied through merge_upsert must leave
+    the state table byte-identical (the foreachBatch path sees empty
+    batches on availableNow catch-ups)."""
+    from osm_poi_database_maker_spark.sink import merge_upsert
+
+    target = str(tmp_path / "state")
+    base = spark.createDataFrame(
+        [(1, 10, 100), (2, 20, 200)], "user_id int, ts int, event_id int"
+    )
+    merge_upsert(spark, target, base, key="user_id", version_cols=("ts", "event_id"))
+    before = sorted(tuple(r) for r in spark.read.parquet(target).collect())
+    empty = spark.createDataFrame([], "user_id int, ts int, event_id int")
+    merge_upsert(spark, target, empty, key="user_id", version_cols=("ts", "event_id"))
+    after = sorted(tuple(r) for r in spark.read.parquet(target).collect())
+    assert before == after == [(1, 10, 100), (2, 20, 200)]
+
+
+def test_retrieval_ndcg_zero_candidate_query_parity(spark, tmp_path):
+    """A query whose terms never occur in the corpus must be ABSENT
+    from both engines' outputs identically (no spurious zero rows on
+    one side only)."""
+    import duckdb
+
+    from osm_poi_database_maker_spark.queries.text import (
+        ORACLE_RETRIEVAL_NDCG,
+        q_doc_retrieval_ndcg,
+    )
+
+    d = str(tmp_path / "docs")
+    rows = [
+        (1, "spark join stream spark", "en", "a", 1),
+        (2, "hash merge sort hash", "en", "a", 1),
+        (3, "spark stream", "en", "b", 1),
+    ]  # qid 3's terms (customer/order/query) never occur
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = sorted(tuple(r) for r in q_doc_retrieval_ndcg(spark, d).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.sql(ORACLE_RETRIEVAL_NDCG).fetchall())
+    assert got == want
+    assert {r[0] for r in got} == {1, 2}  # qid 3 absent from BOTH
