@@ -236,6 +236,78 @@ def q_lineitem_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_APX_ACC = 10_000  # GK sketch accuracy: rank error ≤ n/accuracy
+_APX_QS = (0.5, 0.9, 0.99)
+
+
+def q_lineitem_approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit of SPARK'S OWN ``approx_percentile`` (the Greenwald-Khanna
+    mergeable sketch — the operator a 100 TB profile actually runs
+    instead of exact ``percentile``) against its published contract:
+    for each q the sketch's answer must sit within rank error
+    n/accuracy of the true rank. Same gate pattern as the ANN recall
+    contracts: the engine-specific sketch internals stay ungated, the
+    one-row-per-q summary carries (q, n, the exact percentile, and the
+    contract boolean), and the DuckDB oracle recomputes the exact side
+    (quantile_cont — the established F.percentile parity) and asserts
+    the bound. A regression in the sketch (or in how we call it) trips
+    the driver's value-hash gate.
+
+    Plan: one aggregate computes n + both percentile forms (the exact
+    form is the oracle-parity yardstick, production drops it); the rank
+    check is one conditional-count pass over the fact with the 1-row
+    scalar broadcast — no sort, no window."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("x")
+    )
+    qs = F.array(*[F.lit(q) for q in _APX_QS])
+    stats = li.agg(
+        F.count("*").alias("n"),
+        F.percentile_approx("x", qs, F.lit(_APX_ACC)).alias("apx"),
+        F.percentile("x", qs).alias("ex"),
+    )
+    ranks = li.crossJoin(F.broadcast(stats)).agg(
+        F.first("n").alias("n"),
+        F.first("ex").alias("ex"),
+        *[
+            F.sum(
+                (F.col("x") <= F.element_at("apx", i + 1)).cast("long")
+            ).alias(f"r{i}")
+            for i in range(len(_APX_QS))
+        ],
+    )
+    per_q = F.array(
+        *[
+            F.struct(
+                F.lit(float(q)).alias("q"),
+                F.round(F.element_at("ex", i + 1), 4).alias("exact_r"),
+                (
+                    F.abs(F.col(f"r{i}") - F.lit(q) * F.col("n"))
+                    <= F.col("n") / _APX_ACC + 1
+                ).alias("within_rank_bound"),
+            )
+            for i, q in enumerate(_APX_QS)
+        ]
+    )
+    return ranks.select(
+        F.col("n").cast("long").alias("n"), F.explode(per_q).alias("s")
+    ).select("s.q", "n", "s.exact_r", "s.within_rank_bound")
+
+
+ORACLE_APPROX_QUANTILE_AUDIT = f"""
+WITH e AS (
+  SELECT quantile_cont(l_extendedprice, {list(_APX_QS)!r}) AS ex,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem
+)
+SELECT CAST(unnest({list(_APX_QS)!r}) AS DOUBLE) AS q,
+       n,
+       round(unnest(ex), 4) AS exact_r,
+       TRUE AS within_rank_bound
+FROM e
+"""
+
+
 ORACLE_HIST_QUANTILES = f"""
 WITH s AS (
   SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx,
@@ -956,6 +1028,7 @@ QUERIES = {
     "orders_column_profile": q_orders_column_profile,
     "lineitem_price_outliers_mad": q_lineitem_price_outliers_mad,
     "lineitem_hist_quantiles": q_lineitem_hist_quantiles,
+    "lineitem_approx_quantile_audit": q_lineitem_approx_quantile_audit,
     "events_k_anonymity": q_events_k_anonymity,
     "events_l_diversity": q_events_l_diversity,
     "events_t_closeness": q_events_t_closeness,
@@ -970,6 +1043,7 @@ ORACLES = {
     "orders_column_profile": ORACLE_COLUMN_PROFILE,
     "lineitem_price_outliers_mad": ORACLE_MAD_OUTLIERS,
     "lineitem_hist_quantiles": ORACLE_HIST_QUANTILES,
+    "lineitem_approx_quantile_audit": ORACLE_APPROX_QUANTILE_AUDIT,
     "events_k_anonymity": ORACLE_K_ANONYMITY,
     "events_l_diversity": ORACLE_L_DIVERSITY,
     "events_t_closeness": ORACLE_T_CLOSENESS,
