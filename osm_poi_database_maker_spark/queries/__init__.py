@@ -91,6 +91,7 @@ _VERIFY_FIRST = [
     "orders_asof_snapshot",
     "orders_bucketed_join",
     "lineitem_approx_quantile_audit",
+    "events_hll_cardinality_audit",
     # tier 2a: the LAST 13 r04-evidence queries (r9 verdict #1 — after
     # these, no query's newest driver row predates r05):
     "orders_backlog_aging",
@@ -106,8 +107,8 @@ _VERIFY_FIRST = [
     "order_grouping_sets",
     "orders_above_customer_avg",
     "top_suppliers_by_revenue",
-    # tier 2b: the r05-evidence cohort in registry order — 20 fit the
-    # remaining window slots; the ~28 overflow rotate to r11.
+    # tier 2b: the r05-evidence cohort in registry order — 19 fit the
+    # remaining window slots; the ~29 overflow rotate to r11.
     "events_multi_exists",
     "events_ohlc_bars",
     "events_toi_pipeline",
@@ -127,7 +128,6 @@ _VERIFY_FIRST = [
     "doc_chunk_windows",
     "doc_repetition_stats",
     "doc_stratified_sample",
-    "doc_pack_sequences",
 ]
 
 # tier 4 cohort order: non-core modules first, core last.
