@@ -92,6 +92,10 @@ _VERIFY_FIRST = [
     "orders_bucketed_join",
     "lineitem_approx_quantile_audit",
     "events_hll_cardinality_audit",
+    "orders_dpp_scan",
+    "late_sole_supplier_orders",
+    "doc_fleiss_kappa",
+    "doc_lang_calibration",
     # tier 2a: the LAST 13 r04-evidence queries (r9 verdict #1 — after
     # these, no query's newest driver row predates r05):
     "orders_backlog_aging",
@@ -107,8 +111,8 @@ _VERIFY_FIRST = [
     "order_grouping_sets",
     "orders_above_customer_avg",
     "top_suppliers_by_revenue",
-    # tier 2b: the r05-evidence cohort in registry order — 19 fit the
-    # remaining window slots; the ~29 overflow rotate to r11.
+    # tier 2b: the r05-evidence cohort in registry order — 15 fit the
+    # remaining window slots; the overflow rotates to r11.
     "events_multi_exists",
     "events_ohlc_bars",
     "events_toi_pipeline",
@@ -124,10 +128,6 @@ _VERIFY_FIRST = [
     "doc_lang_id",
     "doc_fingerprint",
     "doc_token_regex",
-    "doc_tfidf_top_terms",
-    "doc_chunk_windows",
-    "doc_repetition_stats",
-    "doc_stratified_sample",
 ]
 
 # tier 4 cohort order: non-core modules first, core last.

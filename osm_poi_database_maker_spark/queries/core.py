@@ -3559,6 +3559,177 @@ JOIN supplier s ON s.s_suppkey = per.l_suppkey
 """
 
 
+# --- dynamic partition pruning through a join (runtime prune) --------------
+
+_DPP_QUARTER = "1995-Q2"
+
+
+def dpp_layout_path(sf_dir: str) -> str:
+    """Content-fingerprint-keyed location of the month-partitioned orders
+    table (written once per fixture version, atomic rename — same
+    discipline as osm.cell_layout_path)."""
+    import hashlib
+    import os
+    import tempfile
+
+    p = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(p)
+    key = hashlib.sha256(
+        f"{p}:{st.st_size}:{st.st_mtime_ns}:dpp1".encode()
+    ).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"ospdms_dpp_orders_{key}")
+
+
+def _quarter_months(quarter: str) -> list[str]:
+    year, q = quarter.split("-Q")
+    start = (int(q) - 1) * 3 + 1
+    return [f"{year}-{m:02d}" for m in range(start, start + 3)]
+
+
+def q_orders_dpp_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic Partition Pruning — the RUNTIME twin of
+    osm_cell_layout_scan's planning-time prune (reference capability:
+    the date-clustered PG layout, schema.sql:264-266, read through a
+    join): orders are written once ``partitionBy(o_month)``, and the
+    query filters them through a JOIN against a calendar dim whose
+    predicate (``quarter = '{_DPP_QUARTER}'``) is NOT expressible on the
+    partition column statically. Catalyst plans a broadcast hash join
+    and inserts a ``dynamicpruning#`` subquery into the scan's
+    PartitionFilters (pinned in tests/test_layout.py), so only the dim's
+    surviving months' directories are read — 3 of ~80 partitions at any
+    SF.
+
+    Scale: this is THE mechanism that makes dim-filtered fact scans
+    cheap at 100 TB — the fact-side prune rides the dim filter's
+    selectivity with zero reads outside the surviving partitions, and
+    the broadcast is reused as the pruning subquery (no extra job)."""
+    import os
+
+    path = dpp_layout_path(sf_dir)
+    if not os.path.exists(path):
+        tmp = f"{path}.tmp.{os.getpid()}"
+        (
+            load_table(spark, sf_dir, "orders")
+            .withColumn("o_month", F.date_format("o_orderdate", "yyyy-MM"))
+            .write.partitionBy("o_month")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        try:
+            os.rename(tmp, path)
+        except OSError:  # lost a concurrent-writer race: theirs is complete
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    months = [
+        (f"{y}-{m:02d}", f"{y}-Q{(m - 1) // 3 + 1}")
+        for y in range(1992, 1999)
+        for m in range(1, 13)
+    ]
+    cal = spark.createDataFrame(months, "o_month string, quarter string").filter(
+        F.col("quarter") == _DPP_QUARTER
+    )
+    o = spark.read.parquet(path)
+    return (
+        o.join(F.broadcast(cal), "o_month")
+        .groupBy("o_month")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_totalprice"),
+        )
+    )
+
+
+ORACLE_DPP_SCAN = f"""
+SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_totalprice
+FROM orders
+WHERE strftime(o_orderdate, '%Y-%m')
+      IN ({", ".join(repr(m) for m in _quarter_months(_DPP_QUARTER))})
+GROUP BY 1
+"""
+
+
+# --- TPC-H Q21 shape: sole-late-supplier blame (multi-EXISTS rewrite) -------
+
+
+def q_late_sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's correlated EXISTS / NOT-EXISTS shape (suppliers who
+    were the SOLE late supplier on a multi-supplier finished order),
+    adapted to the fixture schema (no l_receiptdate — "late" is
+    l_shipdate > o_orderdate + 90 days). The textbook form is two
+    correlated subqueries per lineitem row; the Spark-first rewrite is
+    ONE hash aggregate per order computing (distinct suppliers,
+    distinct late suppliers, the argmax late supplier), then a filter
+    ``n_supp >= 2 AND n_late_supp = 1`` — the EXISTS pair collapses
+    into grouped sufficient statistics, turning two shuffled semi/anti
+    joins into a single exchange on l_orderkey. Top 20 by blame count,
+    suppkey tie-break. The DuckDB oracle keeps the classic correlated
+    EXISTS/NOT-EXISTS formulation, so two independent algorithms gate
+    each other.
+
+    Scale: one shuffle on orderkey (map-side partial agg), one hash
+    agg on suppkey, broadcast supplier dim; no self-joins of lineitem."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    late = F.expr("l_shipdate > o_orderdate + INTERVAL 90 DAYS")
+    per_order = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("blamed_supp"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    ranked = (
+        per_order.groupBy("blamed_supp")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .join(F.broadcast(s), F.col("blamed_supp") == s.s_suppkey)
+        .select(F.col("blamed_supp").alias("suppkey"), "s_name", "numwait")
+    )
+    w = Window.orderBy(F.desc("numwait"), F.asc("suppkey"))
+    return (
+        ranked.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("suppkey", "s_name", "numwait", "rk")
+    )
+
+
+ORACLE_LATE_SOLE_SUPPLIER = """
+WITH blamed AS (
+  SELECT l1.l_suppkey, count(DISTINCT l1.l_orderkey) AS numwait
+  FROM lineitem l1
+  JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+  WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+  GROUP BY 1
+)
+SELECT l_suppkey AS suppkey, s_name, CAST(numwait AS BIGINT) AS numwait, rk
+FROM (
+  SELECT b.l_suppkey, s.s_name, b.numwait,
+         row_number() OVER (ORDER BY b.numwait DESC, b.l_suppkey ASC) AS rk
+  FROM blamed b JOIN supplier s ON s.s_suppkey = b.l_suppkey
+)
+WHERE rk <= 20
+"""
+
+
 QUERIES = {
     "lineitem_discount_elasticity": q_lineitem_discount_elasticity,
     "part_promo_share": q_part_promo_share,
@@ -3579,6 +3750,8 @@ QUERIES = {
     "orders_scd2_intervals": q_orders_scd2_intervals,
     "orders_asof_snapshot": q_orders_asof_snapshot,
     "orders_bucketed_join": q_orders_bucketed_join,
+    "orders_dpp_scan": q_orders_dpp_scan,
+    "late_sole_supplier_orders": q_late_sole_supplier_orders,
     "top_orders_per_customer": q_top_orders_per_customer,
     "customers_with_urgent_orders": q_customers_with_urgent_orders,
     "customers_without_orders": q_customers_without_orders,
@@ -3639,6 +3812,8 @@ ORACLES = {
     "orders_scd2_intervals": ORACLE_SCD2,
     "orders_asof_snapshot": ORACLE_ASOF,
     "orders_bucketed_join": ORACLE_BUCKETED_JOIN,
+    "orders_dpp_scan": ORACLE_DPP_SCAN,
+    "late_sole_supplier_orders": ORACLE_LATE_SOLE_SUPPLIER,
     "top_orders_per_customer": ORACLE_TOP_ORDERS,
     "customers_with_urgent_orders": ORACLE_SEMI,
     "customers_without_orders": ORACLE_ANTI,

@@ -2413,6 +2413,178 @@ HAVING count(*) * {_MG_K + 1} > (SELECT n_total FROM tot)
 """
 
 
+# --- inter-annotator agreement (Fleiss' kappa over 3 heuristic raters) -----
+
+
+def q_doc_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa across THREE deterministic keep/drop raters — the
+    labeling-QA step a human-annotation or LLM-judge pipeline runs
+    before trusting its labels: rater 1 = chars >= 150, rater 2 =
+    tokens >= 25, rater 3 = stopword mass >= 10% (integer
+    cross-multiplied so no float compare sits on a decision boundary).
+    Emits the vote-count distribution plus the exact kappa decomposition
+    (observed agreement P̄, chance agreement P_e from the keep marginal).
+
+    Scale: one narrow projection computes all three votes per document
+    (no shuffles between raters), then a single global aggregate over
+    five integer sufficient statistics — constant state regardless of
+    corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " +")
+    n_tokens = F.size(tokens)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(tokens, lambda t: F.array_contains(stop_arr, t)))
+    votes = d.select(
+        (
+            (F.col("n_chars") >= 150).cast("int")
+            + (n_tokens >= 25).cast("int")
+            + (n_stop * 10 >= n_tokens).cast("int")
+        ).alias("k")
+    )
+    agg = votes.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("k").cast("long").alias("keep_votes"),
+        F.sum(F.col("k") * (F.col("k") - 1) + (3 - F.col("k")) * (2 - F.col("k")))
+        .cast("long")
+        .alias("agree_pairs"),
+        *[
+            F.sum((F.col("k") == i).cast("int")).cast("long").alias(f"n_k{i}")
+            for i in range(4)
+        ],
+    )
+    p_keep = F.col("keep_votes") / (3.0 * F.col("n_docs"))
+    p_bar = F.col("agree_pairs") / (6.0 * F.col("n_docs"))
+    p_e = p_keep * p_keep + (1 - p_keep) * (1 - p_keep)
+    return agg.select(
+        "n_docs",
+        "n_k0",
+        "n_k1",
+        "n_k2",
+        "n_k3",
+        F.round(p_keep, 6).alias("p_keep"),
+        F.round(p_bar, 6).alias("p_bar"),
+        F.round(p_e, 6).alias("p_e"),
+        F.round((p_bar - p_e) / (1 - p_e), 6).alias("kappa"),
+    )
+
+
+ORACLE_FLEISS_KAPPA = """
+WITH votes AS (
+  SELECT (CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END)
+       + (CASE WHEN n_tokens >= 25 THEN 1 ELSE 0 END)
+       + (CASE WHEN n_stop * 10 >= n_tokens THEN 1 ELSE 0 END) AS k
+  FROM (
+    SELECT n_chars,
+           CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(string_split_regex(text, ' +'),
+                                t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT) AS n_stop
+    FROM documents
+  )
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(k) AS BIGINT) AS keep_votes,
+         CAST(sum(k * (k - 1) + (3 - k) * (2 - k)) AS BIGINT) AS agree_pairs,
+         CAST(sum(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_k0,
+         CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_k1,
+         CAST(sum(CASE WHEN k = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_k2,
+         CAST(sum(CASE WHEN k = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_k3
+  FROM votes
+)
+SELECT n_docs, n_k0, n_k1, n_k2, n_k3,
+       round(keep_votes / (3.0 * n_docs), 6) AS p_keep,
+       round(agree_pairs / (6.0 * n_docs), 6) AS p_bar,
+       round(pow(keep_votes / (3.0 * n_docs), 2)
+             + pow(1 - keep_votes / (3.0 * n_docs), 2), 6) AS p_e,
+       round((agree_pairs / (6.0 * n_docs)
+              - (pow(keep_votes / (3.0 * n_docs), 2)
+                 + pow(1 - keep_votes / (3.0 * n_docs), 2)))
+             / (1 - (pow(keep_votes / (3.0 * n_docs), 2)
+                     + pow(1 - keep_votes / (3.0 * n_docs), 2))), 6) AS kappa
+FROM agg
+"""
+
+
+# --- classifier calibration (ECE over the lang-id confidence) ---------------
+
+
+def q_doc_lang_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected-Calibration-Error audit of the lang-id heuristic — the
+    model-eval step that decides whether a classifier's confidence can
+    gate a corpus filter: confidence = winning score's share of total
+    marker mass (uniform 1/5 when no marker hits), binned into deciles
+    by EXACT integer arithmetic (floor(10·win/total) — no float sits on
+    a bin edge), then per-bin mean confidence vs accuracy and the
+    n-weighted ECE. Composes the registered q_doc_lang_id verbatim so
+    the audit grades EXACTLY the production predictions.
+
+    Scale: per-doc confidence is column math over the lang-id frame;
+    one hash aggregate to 10 bins; the ECE constant is a broadcast
+    1-row cross join — no extra pass over the corpus."""
+    pred = q_doc_lang_id(spark, sf_dir)
+    sp = F.greatest(*[F.col(f"score_{lang}") for lang in _LANG_ORDER])
+    tot = sum(F.col(f"score_{lang}") for lang in _LANG_ORDER)
+    scored = pred.select(
+        F.when(tot == 0, F.lit(2))
+        .otherwise(F.least(F.lit(9), F.floor(sp * 10 / tot)))
+        .cast("long")
+        .alias("bin"),
+        F.when(tot == 0, F.lit(0.2)).otherwise(sp / tot).alias("conf"),
+        (F.col("predicted_lang") == F.col("lang")).cast("int").alias("correct"),
+    )
+    bins = scored.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("conf"), 4).alias("mean_conf"),
+        F.round(F.avg("correct"), 4).alias("accuracy"),
+    )
+    gapped = bins.withColumn(
+        "abs_gap", F.round(F.abs(F.col("accuracy") - F.col("mean_conf")), 4)
+    )
+    ece = gapped.agg(
+        F.round(
+            F.sum(F.col("n_docs") * F.col("abs_gap")) / F.sum("n_docs"), 4
+        ).alias("ece")
+    )
+    return gapped.crossJoin(F.broadcast(ece))
+
+
+ORACLE_LANG_CALIBRATION = (
+    "WITH pred AS (" + ORACLE_LANG_ID + """),
+scored AS (
+  SELECT CASE WHEN tot = 0 THEN 2
+              ELSE least(9, CAST(floor(win * 10.0 / tot) AS BIGINT)) END AS bin,
+         CASE WHEN tot = 0 THEN 0.2 ELSE win / CAST(tot AS DOUBLE) END AS conf,
+         CASE WHEN predicted_lang = lang THEN 1 ELSE 0 END AS correct
+  FROM (
+    SELECT lang, predicted_lang,
+           greatest(score_de, score_en, score_es, score_fr, score_zh) AS win,
+           score_de + score_en + score_es + score_fr + score_zh AS tot
+    FROM pred
+  )
+),
+bins AS (
+  SELECT bin,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         round(avg(conf), 4) AS mean_conf,
+         round(avg(correct), 4) AS accuracy
+  FROM scored GROUP BY 1
+),
+-- MATERIALIZED: gapped is referenced twice below; without the hint
+-- DuckDB re-inlines it (re-running the full lang-id scan per use) —
+-- pure execution hint, same rows (see test_materialized_hints).
+gapped AS MATERIALIZED (
+  SELECT bin, n_docs, mean_conf, accuracy,
+         round(abs(accuracy - mean_conf), 4) AS abs_gap
+  FROM bins
+)
+SELECT g.*, e.ece
+FROM gapped g CROSS JOIN (
+  SELECT round(sum(n_docs * abs_gap) / sum(n_docs), 4) AS ece FROM gapped
+) e
+"""
+)
+
+
 QUERIES = {
     "doc_heavy_hitters": q_doc_heavy_hitters,
     "doc_token_stats": q_doc_token_stats,
@@ -2444,6 +2616,8 @@ QUERIES = {
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_pack_sequences": q_doc_pack_sequences,
     "doc_pii_scrub": q_doc_pii_scrub,
+    "doc_fleiss_kappa": q_doc_fleiss_kappa,
+    "doc_lang_calibration": q_doc_lang_calibration,
 }
 
 ORACLES = {
@@ -2477,4 +2651,6 @@ ORACLES = {
     "doc_stratified_sample": ORACLE_STRATIFIED,
     "doc_pack_sequences": ORACLE_PACK,
     "doc_pii_scrub": ORACLE_PII,
+    "doc_fleiss_kappa": ORACLE_FLEISS_KAPPA,
+    "doc_lang_calibration": ORACLE_LANG_CALIBRATION,
 }

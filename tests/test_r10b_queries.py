@@ -1,0 +1,137 @@
+"""Round-10 late additions: dynamic partition pruning, the Q21-shaped
+sole-late-supplier rewrite, Fleiss' kappa, and the lang-id ECE audit."""
+
+from __future__ import annotations
+
+import duckdb
+
+from tests.conftest import SF_SMOKE
+
+
+def test_dpp_scan_prunes_at_runtime(spark):
+    """The calendar-dim join must reach the orders scan as a
+    dynamicpruning PartitionFilter (NOT a static IN-list and NOT a
+    post-scan filter) — the runtime analogue of the static prune
+    test_layout.py pins."""
+    from osm_poi_database_maker_spark.queries.core import (
+        _DPP_QUARTER,
+        _quarter_months,
+        q_orders_dpp_scan,
+    )
+
+    df = q_orders_dpp_scan(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan
+    rows = df.collect()
+    assert rows, "Q2-1995 must be non-empty in the fixture"
+    assert {r["o_month"] for r in rows} <= set(_quarter_months(_DPP_QUARTER))
+
+
+def test_late_sole_supplier_edge_semantics(spark, tmp_path):
+    """The four decisive cases, hand-built: single-supplier order
+    (excluded even when late), two-supplier order with BOTH late
+    (excluded), two-supplier order with exactly one late (counted
+    ONCE even when the late supplier shipped two late lines), and an
+    open-status order (excluded)."""
+    from osm_poi_database_maker_spark.queries.core import (
+        q_late_sole_supplier_orders,
+    )
+
+    d = str(tmp_path / "sf")
+    orders = [
+        (1, 10, "F", 1.0, "1995-01-01 00:00:00", "1-URGENT"),
+        (2, 10, "F", 1.0, "1995-01-01 00:00:00", "1-URGENT"),
+        (3, 10, "F", 1.0, "1995-01-01 00:00:00", "1-URGENT"),
+        (4, 10, "O", 1.0, "1995-01-01 00:00:00", "1-URGENT"),
+    ]
+    late, ontime = "1995-06-01 00:00:00", "1995-01-15 00:00:00"
+    lineitem = [
+        (1, 100, 7, 1, late),    # order 1: sole supplier, late → excluded
+        (2, 100, 7, 1, late),    # order 2: suppliers 7 & 8 both late → excluded
+        (2, 101, 8, 2, late),
+        (3, 100, 7, 1, late),    # order 3: only supplier 7 late (twice) → 1 blame
+        (3, 101, 7, 2, late),
+        (3, 102, 8, 3, ontime),
+        (4, 100, 7, 1, late),    # order 4: status 'O' → excluded
+        (4, 101, 8, 2, ontime),
+    ]
+    supplier = [(7, "S7", 0, 0.0), (8, "S8", 0, 0.0)]
+    spark.createDataFrame(
+        [(k, c, s, p, __import__("datetime").datetime.fromisoformat(dt), pr)
+         for (k, c, s, p, dt, pr) in orders],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        [
+            (ok, pk, sk, ln, 1.0, 1.0, 0.0, 0.0, "N", "O",
+             __import__("datetime").datetime.fromisoformat(sd))
+            for (ok, pk, sk, ln, sd) in lineitem
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    spark.createDataFrame(
+        supplier, "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/supplier.parquet")
+
+    got = [tuple(r) for r in q_late_sole_supplier_orders(spark, d).collect()]
+    assert got == [(7, "S7", 1, 1)]
+
+
+def test_late_sole_supplier_oracle_parity_smoke(spark):
+    """Aggregate rewrite (Spark) vs correlated EXISTS/NOT-EXISTS
+    (DuckDB) — two independent algorithms must agree on the fixture."""
+    from osm_poi_database_maker_spark.queries.core import (
+        ORACLE_LATE_SOLE_SUPPLIER,
+        q_late_sole_supplier_orders,
+    )
+
+    got = sorted(tuple(r) for r in q_late_sole_supplier_orders(spark, SF_SMOKE).collect())
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "supplier"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_SMOKE}/{t}.parquet')"
+        )
+    want = sorted(tuple(r) for r in con.sql(ORACLE_LATE_SOLE_SUPPLIER).fetchall())
+    assert got == want
+
+
+def test_fleiss_kappa_unanimous_raters(spark, tmp_path):
+    """When every document gets a unanimous verdict (some all-keep,
+    some all-drop) the observed agreement is 1 and kappa must be
+    exactly 1.0 regardless of the keep marginal."""
+    from osm_poi_database_maker_spark.queries.text import q_doc_fleiss_kappa
+
+    d = str(tmp_path / "docs")
+    keep_text = ("the a of and to " * 10).strip()  # 50 tokens, all stopwords
+    drop_text = "xyz"
+    rows = [
+        (1, keep_text, "en", "a", 200),
+        (2, keep_text, "en", "a", 200),
+        (3, drop_text, "en", "a", 3),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    row = q_doc_fleiss_kappa(spark, d).collect()[0]
+    assert (row["n_k3"], row["n_k0"]) == (2, 1)
+    assert row["p_bar"] == 1.0
+    assert row["kappa"] == 1.0
+
+
+def test_lang_calibration_ece_is_weighted_gap_mean(spark):
+    """The ece column must equal the n-weighted mean of the per-bin
+    rounded gaps, be constant across rows, and every bin must sit in
+    [0, 9]."""
+    from osm_poi_database_maker_spark.queries.text import q_doc_lang_calibration
+
+    rows = q_doc_lang_calibration(spark, SF_SMOKE).collect()
+    assert rows
+    assert len({r["ece"] for r in rows}) == 1
+    assert all(0 <= r["bin"] <= 9 for r in rows)
+    n = sum(r["n_docs"] for r in rows)
+    want = round(sum(r["n_docs"] * r["abs_gap"] for r in rows) / n, 4)
+    assert abs(rows[0]["ece"] - want) < 1e-9
