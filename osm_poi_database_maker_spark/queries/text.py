@@ -2464,7 +2464,9 @@ def q_doc_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_keep, 6).alias("p_keep"),
         F.round(p_bar, 6).alias("p_bar"),
         F.round(p_e, 6).alias("p_e"),
-        F.round((p_bar - p_e) / (1 - p_e), 6).alias("kappa"),
+        # try_divide: unanimous single-category input makes P_e = 1 and
+        # kappa 0/0 — NULL here (like DuckDB), not an ANSI throw
+        F.round(F.try_divide(p_bar - p_e, 1 - p_e), 6).alias("kappa"),
     )
 
 

@@ -135,3 +135,59 @@ def test_lang_calibration_ece_is_weighted_gap_mean(spark):
     n = sum(r["n_docs"] for r in rows)
     want = round(sum(r["n_docs"] * r["abs_gap"] for r in rows) / n, 4)
     assert abs(rows[0]["ece"] - want) < 1e-9
+
+
+def test_fleiss_kappa_single_category_degenerate(spark, tmp_path):
+    """When EVERY doc is unanimously 'keep', chance agreement P_e = 1
+    and kappa is 0/0 — BOTH engines must yield NULL (Spark non-ANSI
+    and DuckDB both null out division by zero), not Inf/NaN on one
+    side only."""
+    from osm_poi_database_maker_spark.queries.text import (
+        ORACLE_FLEISS_KAPPA,
+        q_doc_fleiss_kappa,
+    )
+
+    d = str(tmp_path / "docs")
+    keep_text = ("the a of and to " * 10).strip()
+    rows = [(i, keep_text, "en", "a", 200) for i in range(3)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = q_doc_fleiss_kappa(spark, d).collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    want = con.sql(ORACLE_FLEISS_KAPPA).fetchall()[0]
+    assert got["p_e"] == 1.0 and want[7] == 1.0
+    assert got["kappa"] is None and want[8] is None
+
+
+def test_lang_calibration_zero_marker_docs_bin(spark, tmp_path):
+    """Docs with NO language-marker hits must land in the uniform
+    1/5-confidence bin (bin 2, conf 0.2) identically in both engines —
+    the tot = 0 branch."""
+    from osm_poi_database_maker_spark.queries.text import (
+        ORACLE_LANG_CALIBRATION,
+        q_doc_lang_calibration,
+    )
+
+    d = str(tmp_path / "docs")
+    rows = [
+        (1, "zzz qqq www", "de", "a", 11),   # zero markers, truth 'de':
+        (2, "zzz qqq www", "en", "a", 11),   # argmax tie-break predicts 'de'
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = sorted(tuple(r) for r in q_doc_lang_calibration(spark, d).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.sql(ORACLE_LANG_CALIBRATION).fetchall())
+    assert got == want
+    assert len(got) == 1 and got[0][0] == 2          # the uniform bin
+    assert got[0][2] == 0.2 and got[0][3] == 0.5     # conf 1/5, 1 of 2 correct
