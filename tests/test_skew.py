@@ -82,3 +82,60 @@ def test_basket_affinity_hot_order_capped(spark, monkeypatch):
     hot_pairs = [r for r in out if r.part_b < 500]
     assert len(hot_pairs) == cap * (cap - 1) // 2
     assert all(r.part_a < cap and r.part_b < cap for r in hot_pairs)
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE's OptimizeSkewedJoin must split a hot key's partition at
+    RUNTIME (`skew=true` in the final adaptive SortMergeJoin) — the
+    zero-code path that complements ops.skew.salted_join: salting is
+    for when the planner can't see the skew (e.g. pre-aggregation),
+    AQE handles it after the shuffle writes its map statistics. Thresholds
+    are lowered so the fixture-scale hot key qualifies; results must be
+    identical to the un-skew-optimized join."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # one hot key (0) carrying 190k rows with an INCOMPRESSIBLE pad
+        # (skew detection reads compressed map-output sizes), 200 cold
+        # keys with ~50 rows each. The skew read is pinned on the BARE
+        # join: a downstream aggregate makes OptimizeSkewedJoin back off
+        # (it won't risk changing output partitioning a parent may
+        # reuse) — which is itself the documented behavior.
+        left = (
+            spark.range(200_000)
+            .withColumn(
+                "k", F.when(F.col("id") < 190_000, F.lit(0)).otherwise(F.col("id") % 200 + 1)
+            )
+            .withColumn("pad", F.sha2(F.col("id").cast("string"), 256))
+        )
+        right = spark.range(201).withColumnRenamed("id", "k").withColumn(
+            "tag", F.concat(F.lit("t"), F.col("k"))
+        )
+        joined = left.join(right, "k")
+        rows = joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, f"AQE never split the hot partition:\n{plan[:500]}"
+        assert "AQEShuffleRead skewed" in plan
+        # semantic neutrality: every row joined exactly once
+        assert len(rows) == 200_000
+        from collections import Counter
+
+        per_tag = Counter(r["tag"] for r in rows)
+        assert per_tag["t0"] == 190_000
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
