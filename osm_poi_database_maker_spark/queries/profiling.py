@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from .text import _LEHMER_A, _LEHMER_M
 
 # ---------------------------------------------------------------------------
 # Column profiling
@@ -1022,8 +1023,142 @@ WHERE rk <= {_TRGM_TOPK}
 ORACLE_TRGM_SEARCH = _trgm_oracle_sql()
 
 
+# ---------------------------------------------------------------------------
+# Delete-a-group jackknife: error bars on distributed aggregates
+
+_JK_GROUPS = 20
+_JK_Z = 1.96
+
+
+def q_lineitem_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-a-group jackknife CI for the per-returnflag mean
+    discounted price — the production way to put an error bar on a
+    100 TB aggregate without resampling the data: rows are hashed into
+    G = {_JK_GROUPS} pseudo-replicates (portable Lehmer hash of the
+    (orderkey, linenumber) row key, so both engines assign identical
+    groups), each leave-one-group-out mean is algebra over the G group
+    subtotals, and the jackknife variance (G-1)/G · Σ(θ̂₍g₎ − θ̄)² prices
+    the CI. Everything downstream of the scan is exact integer
+    sufficient statistics (price cents × discount percent, summed as
+    decimal(38,0)) so the two engines' doubles are bit-identical;
+    deviations are centered on the full-sample mean before squaring to
+    kill cancellation.
+
+    Scale: ONE map-side-combined aggregate to G·|flags| subtotal rows,
+    then window+agg over that tiny frame — the CI costs the same
+    shuffle the plain mean already pays. try_divide guards the
+    degenerate all-rows-in-one-group flag (NULL CI, both engines)."""
+    from .curation import _lehmer_h
+
+    l = load_table(spark, sf_dir, "lineitem")
+    rowkey = F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    pct = F.round(F.col("l_discount") * 100, 0).cast("long")
+    per_g = (
+        l.select(
+            "l_returnflag",
+            (_lehmer_h(rowkey) % _JK_GROUPS).alias("g"),
+            (cents * (100 - pct)).cast("decimal(38,0)").alias("v"),
+        )
+        .groupBy("l_returnflag", "g")
+        .agg(
+            F.sum("v").cast("double").alias("s_g"),
+            F.count("*").cast("double").alias("n_g"),
+        )
+    )
+    w = Window.partitionBy("l_returnflag")
+    loo = (
+        per_g.withColumn("s_tot", F.sum("s_g").over(w))
+        .withColumn("n_tot", F.sum("n_g").over(w))
+        .withColumn("mean_all", F.col("s_tot") / F.col("n_tot"))
+        .withColumn(
+            "dev",
+            F.try_divide(
+                F.col("s_tot") - F.col("s_g"), F.col("n_tot") - F.col("n_g")
+            )
+            - F.col("mean_all"),
+        )
+    )
+    gq = loo.groupBy("l_returnflag").agg(
+        F.max("n_tot").alias("n_rows_d"),
+        F.max("mean_all").alias("mean_all"),
+        F.count("dev").cast("double").alias("g_eff"),
+        F.avg("dev").alias("dev_bar"),
+        F.sum(F.col("dev") * F.col("dev")).alias("dev_sq"),
+    )
+    se = F.sqrt(
+        (F.col("g_eff") - 1)
+        / F.col("g_eff")
+        * (F.col("dev_sq") - F.col("g_eff") * F.col("dev_bar") * F.col("dev_bar"))
+    ) / F.lit(10_000.0)
+    mean_usd = F.col("mean_all") / F.lit(10_000.0)
+    return gq.select(
+        "l_returnflag",
+        F.col("n_rows_d").cast("long").alias("n_rows"),
+        F.round(mean_usd, 4).alias("mean_disc_price"),
+        F.col("g_eff").cast("long").alias("g_groups"),
+        F.round(se, 6).alias("jk_se"),
+        F.round(mean_usd - _JK_Z * se, 4).alias("ci_lo"),
+        F.round(mean_usd + _JK_Z * se, 4).alias("ci_hi"),
+    )
+
+
+q_lineitem_jackknife_ci.__doc__ = q_lineitem_jackknife_ci.__doc__.format(
+    _JK_GROUPS=_JK_GROUPS
+)
+
+ORACLE_JACKKNIFE_CI = f"""
+WITH per_g AS (
+  SELECT l_returnflag,
+         ((((l_orderkey * 8 + l_linenumber) % {_LEHMER_M}) * {_LEHMER_A})
+          % {_LEHMER_M} * {_LEHMER_A} % {_LEHMER_M}) % {_JK_GROUPS} AS g,
+         CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              AS DOUBLE) AS DOUBLE) AS s_g,
+         CAST(count(*) AS DOUBLE) AS n_g
+  FROM lineitem
+  GROUP BY 1, 2
+),
+loo AS (
+  SELECT l_returnflag, s_g, n_g,
+         sum(s_g) OVER (PARTITION BY l_returnflag) AS s_tot,
+         sum(n_g) OVER (PARTITION BY l_returnflag) AS n_tot
+  FROM per_g
+),
+dev AS (
+  SELECT l_returnflag, n_tot, s_tot / n_tot AS mean_all,
+         (s_tot - s_g) / nullif(n_tot - n_g, 0.0) - s_tot / n_tot AS dev
+  FROM loo
+),
+gq AS (
+  SELECT l_returnflag,
+         max(n_tot) AS n_rows_d,
+         max(mean_all) AS mean_all,
+         CAST(count(dev) AS DOUBLE) AS g_eff,
+         avg(dev) AS dev_bar,
+         sum(dev * dev) AS dev_sq
+  FROM dev
+  GROUP BY 1
+)
+SELECT l_returnflag,
+       CAST(n_rows_d AS BIGINT) AS n_rows,
+       round(mean_all / 10000.0, 4) AS mean_disc_price,
+       CAST(g_eff AS BIGINT) AS g_groups,
+       round(sqrt((g_eff - 1) / g_eff
+                  * (dev_sq - g_eff * dev_bar * dev_bar)) / 10000.0, 6) AS jk_se,
+       round(mean_all / 10000.0
+             - {_JK_Z} * sqrt((g_eff - 1) / g_eff
+                  * (dev_sq - g_eff * dev_bar * dev_bar)) / 10000.0, 4) AS ci_lo,
+       round(mean_all / 10000.0
+             + {_JK_Z} * sqrt((g_eff - 1) / g_eff
+                  * (dev_sq - g_eff * dev_bar * dev_bar)) / 10000.0, 4) AS ci_hi
+FROM gq
+"""
+
+
 QUERIES = {
     "part_trgm_search": q_part_trgm_search,
+    "lineitem_jackknife_ci": q_lineitem_jackknife_ci,
     "doc_pii_scan": q_doc_pii_scan,
     "orders_column_profile": q_orders_column_profile,
     "lineitem_price_outliers_mad": q_lineitem_price_outliers_mad,
@@ -1050,6 +1185,7 @@ ORACLES = {
     "customer_name_linkage": ORACLE_NAME_LINKAGE,
     "events_benford_deviation": ORACLE_BENFORD,
     "customer_edit_pairs": ORACLE_EDIT_PAIRS,
+    "lineitem_jackknife_ci": ORACLE_JACKKNIFE_CI,
 }
 
 # SF ≥ 0.1 oracle overrides (see tools/check.py): same result contract,

@@ -191,3 +191,32 @@ def test_lang_calibration_zero_marker_docs_bin(spark, tmp_path):
     assert got == want
     assert len(got) == 1 and got[0][0] == 2          # the uniform bin
     assert got[0][2] == 0.2 and got[0][3] == 0.5     # conf 1/5, 1 of 2 correct
+
+
+def test_jackknife_ci_constant_metric_collapses(spark, tmp_path):
+    """If every row carries the SAME value, every leave-one-group-out
+    mean equals the full mean, so jk_se must be exactly 0 and the CI
+    must collapse onto the point estimate."""
+    from osm_poi_database_maker_spark.queries.profiling import (
+        q_lineitem_jackknife_ci,
+    )
+
+    d = str(tmp_path / "sf")
+    rows = [
+        (i, 1, 1, i % 7 + 1, 1.0, 50.0, 0.10, 0.0, "N", "O",
+         __import__("datetime").datetime(1995, 1, 1))
+        for i in range(400)
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    row = q_lineitem_jackknife_ci(spark, d).collect()[0]
+    # 50.00 * (1 - 0.10) = 45.0 exactly in the integer-cent domain
+    assert row["mean_disc_price"] == 45.0
+    assert row["jk_se"] == 0.0
+    assert row["ci_lo"] == row["ci_hi"] == 45.0
+    assert row["g_groups"] == 20 and row["n_rows"] == 400
