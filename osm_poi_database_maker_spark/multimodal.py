@@ -468,3 +468,126 @@ def pcm_resample_stats(audio: DataFrame) -> DataFrame:
             "out_min long, out_max long"
         ),
     )
+
+
+# --- pHash: DCT perceptual hash in exact scaled-integer arithmetic ----------
+
+# DCT-II basis, orthonormal scaling, quantized to 14 fractional bits:
+# C[u][x] = round(alpha(u) * cos((2x+1)*u*pi/16) * 2^14). Embedding the
+# 64 literals (instead of calling math.cos at query time) makes the
+# Spark kernel and the generated DuckDB oracle share EXACTLY the same
+# integers — the whole transform is int64 arithmetic end to end
+# (max |G| = 46344*255 ~ 1.2e7, max |F| = 46344*1.2e7 ~ 5.5e11).
+PHASH_DCT_C = (
+    (5793, 5793, 5793, 5793, 5793, 5793, 5793, 5793),
+    (8035, 6811, 4551, 1598, -1598, -4551, -6811, -8035),
+    (7568, 3135, -3135, -7568, -7568, -3135, 3135, 7568),
+    (6811, -1598, -8035, -4551, 4551, 8035, 1598, -6811),
+    (5793, -5793, -5793, 5793, 5793, -5793, -5793, 5793),
+    (4551, -8035, 1598, 6811, -6811, -1598, 8035, -4551),
+    (3135, -7568, 7568, -3135, -3135, 7568, -7568, 3135),
+    (1598, -4551, 6811, -8035, 8035, -6811, 4551, -1598),
+)
+PHASH_MAX_HAMMING = 7
+PHASH_BANDS = 8
+
+
+def image_phash(images: DataFrame) -> DataFrame:
+    """DCT perceptual hash per image: the first 64 payload bytes form
+    an 8×8 grayscale tile (DECODE PLUG-POINT — a real decoder yields
+    the downsampled 32×32 luma here), the integer DCT-II F = C·P·Cᵀ
+    transforms it, and the 63 AC coefficients threshold at their exact
+    median (the 32nd order statistic) → a 63-bit signature. Unlike
+    aHash's block means, pHash keys on the LOW-FREQUENCY STRUCTURE, so
+    it survives brightness shifts that flip every aHash bit. Exact
+    int64 arithmetic end to end (scaled-integer basis above) — the
+    stage is bit-reproducible at any batch size or partitioning AND
+    SQL-replayable, so the pairs query is hash-gated (mm_ahash_pairs
+    stays rows-only; this is the oracled twin). Images shorter than 64
+    bytes drop out (no padding invention)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        C = np.array(PHASH_DCT_C, dtype=np.int64)
+        for pdf in it:
+            ids: list = []
+            hashes: list = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload or b"")
+                if len(b) < 64:
+                    continue
+                # DECODE PLUG-POINT (see docstring)
+                P = np.frombuffer(b[:64], dtype=np.uint8).astype(np.int64)
+                P = P.reshape(8, 8)
+                Fm = C @ P @ C.T
+                ac = np.delete(Fm.ravel(), 0)  # drop DC, row-major order
+                med = np.partition(ac, 31)[31]  # 32nd smallest, exact
+                bits = (ac > med).astype(np.int64)
+                h = 0
+                for i in range(63):
+                    h |= int(bits[i]) << i
+                ids.append(doc_id)
+                hashes.append(h)
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes}).astype(
+                {"doc_id": "int64", "phash": "int64"}
+            )
+
+    return images.select("doc_id", "payload").mapInPandas(
+        batches, schema="doc_id long, phash long"
+    )
+
+
+def phash_near_dups(
+    images: DataFrame,
+    max_hamming: int = PHASH_MAX_HAMMING,
+    bands: int = PHASH_BANDS,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """pHash near-duplicate pairs: banded LSH candidates (8 bands of 8
+    bits over the 63-bit signature — pigeonhole-complete for hamming
+    < 8, covering the ≤{PHASH_MAX_HAMMING} threshold), exact
+    bit_count(xor) verify, hot buckets capped at ``max_bucket`` like
+    every other banded dedup op. Same plan shape as ahash_near_dups —
+    shuffle rides band-bucket occupancy, never all-pairs."""
+    from pyspark.sql import Window
+
+    sig = image_phash(images).localCheckpoint(eager=False)
+    width = 64 // bands
+    mask = (1 << width) - 1
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned("phash", i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = sig.select("doc_id", "phash", F.explode(band_arr).alias("b")).select(
+        "doc_id", "phash", F.col("b.band").alias("band"), F.col("b.val").alias("val")
+    )
+    w_rank = F.row_number().over(Window.partitionBy("band", "val").orderBy("doc_id"))
+    banded = (
+        banded.withColumn("__r", w_rank).filter(F.col("__r") <= max_bucket).drop("__r")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -534,8 +534,96 @@ FROM dims
 """
 
 
+# --- pHash near-dup pairs (integer DCT — the ORACLED perceptual hash) ------
+
+
+def q_mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT perceptual-hash near-duplicate image pairs, HASH-GATED: the
+    scaled-integer DCT-II (multimodal.PHASH_DCT_C, 14 fractional bits)
+    makes the signature exact int64 arithmetic end to end, so unlike
+    mm_ahash_pairs (rows-only: numpy float means) the DuckDB oracle can
+    replay the ENTIRE transform — pixels via ascii(), the two matrix-
+    multiply stages as relational joins against the 64-literal basis
+    table, the median as the 32nd order statistic, the banded-LSH
+    result as an exact all-pairs bit_count(xor) ≤ 7 (pigeonhole makes
+    the two algorithms equal). ASCII docs ≥ 64 bytes only, so substr()
+    bytes equal payload bytes in both engines.
+
+    Scale: the Spark side is the banded-LSH plan (8 bands × 8 bits,
+    bucket-capped) — shuffle rides band occupancy (85 max at sf0.1,
+    cap 200; past SF≈0.25 the gate must swap to a cap-replicating
+    ORACLES_BIG since the exact oracle is quadratic)."""
+    from ..multimodal import documents_as_image_table, phash_near_dups
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.octet_length(F.encode("text", "UTF-8")) == F.length("text"))
+        & (F.length("text") >= 64)
+    )
+    return phash_near_dups(documents_as_image_table(d)).select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def _phash_oracle_sql() -> str:
+    from ..multimodal import PHASH_DCT_C, PHASH_MAX_HAMMING
+
+    cmat_rows = ", ".join(
+        f"({u}, {x}, {PHASH_DCT_C[u][x]})" for u in range(8) for x in range(8)
+    )
+    return f"""
+WITH ascii_docs AS (
+  SELECT doc_id, text FROM documents
+  WHERE octet_length(encode(text)) = length(text) AND length(text) >= 64
+),
+pix AS (
+  SELECT doc_id,
+         CAST((t.i - 1) // 8 AS BIGINT) AS x,
+         CAST((t.i - 1) % 8 AS BIGINT) AS y,
+         CAST(ascii(substr(text, CAST(t.i AS INTEGER), 1)) AS BIGINT) AS p
+  FROM ascii_docs, (SELECT unnest(range(1, 65)) AS i) t
+),
+cmat(u, x, c) AS (VALUES {cmat_rows}),
+g AS MATERIALIZED (
+  SELECT pix.doc_id, c1.u, pix.y, sum(c1.c * pix.p) AS gval
+  FROM pix JOIN cmat c1 ON c1.x = pix.x
+  GROUP BY 1, 2, 3
+),
+f AS MATERIALIZED (
+  SELECT g.doc_id, g.u, c2.u AS v, CAST(sum(c2.c * g.gval) AS BIGINT) AS fval
+  FROM g JOIN cmat c2 ON c2.x = g.y
+  GROUP BY 1, 2, 3
+),
+ac AS MATERIALIZED (
+  SELECT doc_id, u, v, fval FROM f WHERE NOT (u = 0 AND v = 0)
+),
+med AS (
+  SELECT doc_id, fval AS m
+  FROM (SELECT doc_id, fval,
+               row_number() OVER (PARTITION BY doc_id ORDER BY fval) AS rn
+        FROM ac)
+  WHERE rn = 32
+),
+sig AS MATERIALIZED (
+  SELECT ac.doc_id,
+         CAST(sum(CASE WHEN ac.fval > med.m
+                       THEN CAST(1 AS BIGINT) << CAST(ac.u * 8 + ac.v - 1 AS INTEGER)
+                       ELSE 0 END) AS BIGINT) AS phash
+  FROM ac JOIN med ON med.doc_id = ac.doc_id
+  GROUP BY 1
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAX_HAMMING}
+"""
+
+
+ORACLE_PHASH_PAIRS = _phash_oracle_sql()
+
+
 QUERIES = {
     "mm_vit_tiling_plan": q_mm_vit_tiling_plan,
+    "mm_phash_pairs": q_mm_phash_pairs,
     "mm_image_features": q_mm_image_features,
     "mm_ahash_pairs": q_mm_ahash_pairs,
     "mm_frame_sample": q_mm_frame_sample,
@@ -549,6 +637,7 @@ QUERIES = {
 
 ORACLES = {
     "mm_vit_tiling_plan": ORACLE_VIT_TILING,
+    "mm_phash_pairs": ORACLE_PHASH_PAIRS,
     "mm_image_features": ORACLE_IMAGE_FEATURES,
     "mm_frame_sample": ORACLE_FRAME_SAMPLE,
     "mm_frame_diff_cuts": ORACLE_FRAME_DIFF,

@@ -220,3 +220,32 @@ def test_jackknife_ci_constant_metric_collapses(spark, tmp_path):
     assert row["jk_se"] == 0.0
     assert row["ci_lo"] == row["ci_hi"] == 45.0
     assert row["g_groups"] == 20 and row["n_rows"] == 400
+
+
+def test_phash_brightness_shift_invariant(spark, tmp_path):
+    """A uniform brightness shift moves only the DC coefficient, so the
+    63-bit AC signature must be IDENTICAL — the structural property
+    that makes pHash survive exposure changes that flip every aHash
+    bit. Built from two byte-wise-shifted 64-byte tiles."""
+    from osm_poi_database_maker_spark.multimodal import (
+        documents_as_image_table,
+        image_phash,
+    )
+
+    d = str(tmp_path / "docs")
+    base = bytes((i * 7) % 64 + 33 for i in range(64)).decode("ascii")
+    shifted = bytes(b + 20 for b in base.encode("ascii")).decode("ascii")
+    rows = [(1, base, "en", "a", 64), (2, shifted, "en", "a", 64)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    from osm_poi_database_maker_spark.io import load_table
+
+    sigs = {
+        r["doc_id"]: r["phash"]
+        for r in image_phash(
+            documents_as_image_table(load_table(spark, d, "documents"))
+        ).collect()
+    }
+    assert sigs[1] == sigs[2]
+    assert sigs[1] > 0  # a real signature, not the empty fallback
