@@ -2322,8 +2322,118 @@ FROM tot CROSS JOIN lab WHERE n_vec - n_lab > 0
 """
 
 
+# --- cross-split leakage audit (decontamination across train/val/test) -----
+
+_SPLIT_RANK = {"train": 0, "val": 1, "test": 2}
+
+
+def q_emb_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination matrix — the decontamination audit
+    every training pipeline runs after splitting: embedding near-dup
+    pairs (the registered exact cosine ≥ {NEARDUP_THRESHOLD} join)
+    whose endpoints landed in DIFFERENT splits are leakage (a val/test
+    doc with a train near-twin inflates eval). Because split membership
+    is a PURE FUNCTION of the id (the shared Lehmer 80/10/10 fold of
+    doc_split_assign), the audit is column math over the pair stream —
+    no join against an assignment table, no extra shuffle — followed by
+    one 6-row aggregate: per (split_lo, split_hi) cell, the pair count,
+    mean cosine, and the count of distinct CONTAMINATED docs (endpoints
+    in the pair's later split).
+
+    Scale: rides the blocked exact-kNN pair join (quadratic by
+    contract; emb_srp_lsh_pairs is the documented LSH swap); the
+    leakage classification adds a broadcast-free projection."""
+    from .curation import _SPLIT_TRAIN, _SPLIT_VAL, _lehmer_u
+
+    pairs = q_emb_cosine_neardup_pairs(spark, sf_dir)
+
+    def split_of(col: str):
+        u = _lehmer_u(F.col(col))
+        return (
+            F.when(u < _SPLIT_TRAIN, F.lit("train"))
+            .when(u < _SPLIT_VAL, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    def rank_of(split_col):
+        return (
+            F.when(split_col == "train", F.lit(0))
+            .when(split_col == "val", F.lit(1))
+            .otherwise(F.lit(2))
+        )
+
+    sa, sb = split_of("doc_a"), split_of("doc_b")
+    ra, rb = rank_of(sa), rank_of(sb)
+    labeled = pairs.select(
+        "cosine",
+        F.when(ra <= rb, sa).otherwise(sb).alias("split_lo"),
+        F.when(ra <= rb, sb).otherwise(sa).alias("split_hi"),
+        # the doc in the LATER split is the contaminated one; within-split
+        # pairs contaminate nothing (count both as NULL → dropped by the
+        # distinct count)
+        F.when(ra < rb, F.col("doc_b"))
+        .when(rb < ra, F.col("doc_a"))
+        .alias("contaminated_doc"),
+    )
+    return labeled.groupBy("split_lo", "split_hi").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(F.avg("cosine"), 4).alias("mean_cosine"),
+        F.countDistinct("contaminated_doc").cast("long").alias("n_contaminated"),
+    )
+
+
+def _split_leakage_oracle_sql() -> str:
+    from .curation import _SPLIT_TRAIN, _SPLIT_VAL
+    from .text import _LEHMER_A, _LEHMER_M
+
+    def u_sql(col: str) -> str:
+        return (
+            f"(((({col} % {_LEHMER_M}) * {_LEHMER_A}) % {_LEHMER_M})"
+            f" * {_LEHMER_A} % {_LEHMER_M}) / {_LEHMER_M}.0"
+        )
+
+    def split_sql(col: str) -> str:
+        return (
+            f"CASE WHEN {u_sql(col)} < {_SPLIT_TRAIN} THEN 'train' "
+            f"WHEN {u_sql(col)} < {_SPLIT_VAL} THEN 'val' "
+            f"ELSE 'test' END"
+        )
+
+    return f"""
+WITH pairs AS MATERIALIZED ({ORACLE_NEARDUP}),
+labeled AS (
+  SELECT cosine,
+         CASE WHEN ra <= rb THEN sa ELSE sb END AS split_lo,
+         CASE WHEN ra <= rb THEN sb ELSE sa END AS split_hi,
+         CASE WHEN ra < rb THEN doc_b WHEN rb < ra THEN doc_a END
+           AS contaminated_doc
+  FROM (
+    SELECT cosine, doc_a, doc_b, sa, sb,
+           CASE sa WHEN 'train' THEN 0 WHEN 'val' THEN 1 ELSE 2 END AS ra,
+           CASE sb WHEN 'train' THEN 0 WHEN 'val' THEN 1 ELSE 2 END AS rb
+    FROM (
+      SELECT cosine, doc_a, doc_b,
+             {split_sql("doc_a")} AS sa,
+             {split_sql("doc_b")} AS sb
+      FROM pairs
+    )
+  )
+)
+SELECT split_lo, split_hi,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(cosine), 4) AS mean_cosine,
+       CAST(count(DISTINCT contaminated_doc) AS BIGINT) AS n_contaminated
+FROM labeled
+GROUP BY 1, 2
+"""
+
+
+ORACLE_SPLIT_LEAKAGE = _split_leakage_oracle_sql()
+
+
 QUERIES = {
     "emb_mutual_knn_clusters": q_emb_mutual_knn_clusters,
+    "emb_split_leakage": q_emb_split_leakage,
     "emb_hard_negatives": q_emb_hard_negatives,
     "emb_rank_fusion": q_emb_rank_fusion,
     "emb_label_smoothing": q_emb_label_smoothing,
@@ -2350,6 +2460,7 @@ QUERIES = {
 
 ORACLES = {
     "emb_mutual_knn_clusters": ORACLE_MUTUAL_KNN,
+    "emb_split_leakage": ORACLE_SPLIT_LEAKAGE,
     "emb_hard_negatives": ORACLE_HARD_NEGATIVES,
     "emb_rank_fusion": ORACLE_RRF,
     "emb_label_smoothing": ORACLE_LABEL_SMOOTHING,

@@ -249,3 +249,48 @@ def test_phash_brightness_shift_invariant(spark, tmp_path):
     }
     assert sigs[1] == sigs[2]
     assert sigs[1] > 0  # a real signature, not the empty fallback
+
+
+def test_split_leakage_labels_later_split_doc(spark, tmp_path):
+    """Hand-built embeddings: two identical vectors whose Lehmer fold
+    puts one in train and one in val must produce exactly one
+    train→val leakage cell with the VAL doc counted as contaminated;
+    an identical within-train twin pair must contaminate nothing."""
+    from osm_poi_database_maker_spark.queries.curation import (
+        _SPLIT_TRAIN,
+        _SPLIT_VAL,
+        _lehmer_u,
+    )
+    from osm_poi_database_maker_spark.queries.similarity import (
+        q_emb_split_leakage,
+    )
+    from pyspark.sql import functions as F
+
+    # find ids per split deterministically with the SAME fold
+    ids = spark.range(1, 4000).select(
+        F.col("id"), _lehmer_u(F.col("id")).alias("u")
+    )
+    train_ids = [r["id"] for r in ids.filter(F.col("u") < _SPLIT_TRAIN).head(2)]
+    val_id = ids.filter(
+        (F.col("u") >= _SPLIT_TRAIN) & (F.col("u") < _SPLIT_VAL)
+    ).head(1)[0]["id"]
+
+    vec_a = [1.0] + [0.0] * 63
+    vec_b = [0.0, 1.0] + [0.0] * 62  # orthogonal to vec_a → never a pair
+    rows = [
+        (train_ids[0], vec_a, 0),   # train twin 1
+        (train_ids[1], vec_a, 0),   # train twin 2 (within-split pair)
+        (val_id, vec_a, 0),         # val twin → contaminated by both
+        (3999, vec_b, 0),
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    got = {
+        (r["split_lo"], r["split_hi"]): (r["n_pairs"], r["n_contaminated"])
+        for r in q_emb_split_leakage(spark, d).collect()
+    }
+    assert got[("train", "val")] == (2, 1)   # two cross pairs, ONE val doc
+    assert got[("train", "train")] == (1, 0)  # twin pair contaminates nothing
+    assert ("val", "test") not in got
