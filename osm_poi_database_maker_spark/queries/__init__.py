@@ -99,6 +99,7 @@ _VERIFY_FIRST = [
     "lineitem_jackknife_ci",
     "mm_phash_pairs",
     "emb_split_leakage",
+    "stream_simhash_dedup",
     # tier 2a: the LAST 13 r04-evidence queries (r9 verdict #1 — after
     # these, no query's newest driver row predates r05):
     "orders_backlog_aging",
@@ -128,7 +129,6 @@ _VERIFY_FIRST = [
     "doc_token_stats",
     "doc_hybrid_rrf",
     "doc_bigram_logprob",
-    "doc_quality_score",
 ]
 
 # tier 4 cohort order: non-core modules first, core last.

@@ -761,8 +761,99 @@ FROM (
 ) WHERE rn = 1
 """
 
+def q_stream_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup dedup — each arriving document tagged with its
+    earliest near-twin (SimHash Hamming ≤ 3) among everything seen so
+    far, the ingest-time dedup a batch pass can't provide (24th stream
+    query). Runs the real banded stateful stream
+    (streaming.simhash_dedup_state: per-bucket first-200 retained
+    signatures via applyInPandasWithState), then a batch finalizer
+    merges the 4 per-band verdicts per doc: dup_of = the minimum
+    matching earlier doc_id, is_dup = any band matched. The DuckDB
+    oracle recomputes the portable SimHash fingerprints bit-for-bit,
+    replays the SAME banding + first-K retention (row_number by doc_id
+    = arrival order), and takes the same min over retained earlier
+    matches — certifying signatures, retention policy, and verdict
+    merge end to end."""
+    out = _materialize(
+        S.simhash_dedup_state(S.stream_documents(spark, sf_dir)), spark, "update"
+    )
+    from pyspark.sql import functions as F
+
+    return out.groupBy("doc_id").agg(
+        F.min(F.when(F.col("match_id") >= 0, F.col("match_id"))).alias("dup_of"),
+    ).select(
+        "doc_id",
+        F.col("dup_of").isNotNull().alias("is_dup"),
+        "dup_of",
+    )
+
+
+def _stream_simhash_dedup_oracle_sql() -> str:
+    from ..dedup import _PORT_A, _PORT_BASE, _PORT_M
+
+    M, A = _PORT_M, _PORT_A
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(text, ' +')) AS tok FROM documents
+),
+h AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(tok, ''),
+                            c -> CAST(ascii(c) AS BIGINT))),
+           (acc, c) -> (acc * {_PORT_BASE} + c) % {M}) AS h0
+  FROM toks
+),
+signs AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (((h0 * 64 + b) % {M}) * {A} % {M} * {A} % {M}) * 2 < {M}
+                  THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN (SELECT unnest(range(64)) AS b) bits
+  GROUP BY 1, 2
+),
+fp AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN mask ELSE CAST(0 AS BIGINT) END)
+              AS BIGINT) AS sh
+  FROM (
+    SELECT doc_id, s,
+           CASE WHEN b < 63 THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER)
+                ELSE CAST(-9223372036854775807 AS BIGINT) - 1 END AS mask
+    FROM signs
+  )
+  GROUP BY 1
+),
+banded AS MATERIALIZED (
+  SELECT doc_id, sh, band, bucket,
+         row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS r
+  FROM (
+    SELECT doc_id, sh, b AS band, (sh >> CAST(b * 16 AS INTEGER)) & 65535 AS bucket
+    FROM fp CROSS JOIN (SELECT unnest(range(4)) AS b) bands
+  )
+),
+matches AS (
+  SELECT d.doc_id, min(r.doc_id) AS dup_of
+  FROM banded d
+  JOIN (SELECT * FROM banded WHERE r <= 200) r
+    ON r.band = d.band AND r.bucket = d.bucket AND r.doc_id < d.doc_id
+  WHERE bit_count(xor(d.sh, r.sh)) <= 3
+  GROUP BY 1
+)
+SELECT f.doc_id,
+       m.dup_of IS NOT NULL AS is_dup,
+       m.dup_of
+FROM fp f LEFT JOIN matches m ON m.doc_id = f.doc_id
+"""
+
+
+ORACLE_STREAM_SIMHASH_DEDUP = _stream_simhash_dedup_oracle_sql()
+
+
 QUERIES = {
     "stream_hourly_window": q_stream_hourly_window,
+    "stream_simhash_dedup": q_stream_simhash_dedup,
     "stream_ohlc_bars": q_stream_ohlc_bars,
     "stream_sliding_window": q_stream_sliding_window,
     "stream_session_windows": q_stream_session_windows,
@@ -789,6 +880,7 @@ QUERIES = {
 
 ORACLES = {
     "stream_hourly_window": ORACLE_HOURLY,
+    "stream_simhash_dedup": ORACLE_STREAM_SIMHASH_DEDUP,
     "stream_ohlc_bars": ORACLE_OHLC,
     "stream_sliding_window": ORACLE_SLIDING,
     "stream_session_windows": ORACLE_SESSION,

@@ -1531,3 +1531,140 @@ def hdr_sketch_state(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming SimHash near-dup dedup (first-seen-wins, banded state) -------
+
+_SIMDEDUP_STATE_SCHEMA = "ids array<long>, sigs array<long>"
+_SIMDEDUP_OUT_SCHEMA = "band int, val long, doc_id long, match_id long"
+
+
+def _simdedup_update(max_hamming: int, bucket_cap: int):
+    def update(key: tuple[Any, ...], pdfs: Any, state: GroupState):
+        """Per-(band, bucket) first-K retained signature list. Incoming
+        docs (in doc_id order = arrival order) check against every
+        RETAINED earlier signature — dedup is against all SEEN docs,
+        not just survivors, so chains collapse the way a streaming
+        dedup actually behaves — and join the retained list while it
+        has room. Emits one row per doc per band with the MINIMUM
+        matching earlier doc_id (or -1); the batch finalizer merges the
+        4 band verdicts per doc. State: ≤ bucket_cap (id, sig) pairs
+        per key, forever.
+
+        Vectorized: the batch's match search is two (m × retained)
+        XOR/popcount matrices (popcount via a 16-bit lookup table) —
+        phase a against the carried state, phase b against the batch's
+        own first-(cap − r₀) prefix (exactly the docs that join the
+        retained list), never a per-row Python loop."""
+        import numpy as np
+
+        pop16 = _POP16()
+        big = np.iinfo(np.int64).max
+
+        def min_match(d, s, rid, rsig):
+            """Per row of (d, s): min rid with rid < d and hamming ≤ h."""
+            if len(rid) == 0:
+                return np.full(len(d), big, dtype=np.int64)
+            x = s[:, None].view(np.uint64) ^ rsig[None, :].view(np.uint64)
+            ham = (
+                pop16[(x & 0xFFFF).astype(np.int64)]
+                + pop16[((x >> 16) & 0xFFFF).astype(np.int64)]
+                + pop16[((x >> 32) & 0xFFFF).astype(np.int64)]
+                + pop16[((x >> 48) & 0xFFFF).astype(np.int64)]
+            )
+            ok = (ham <= max_hamming) & (rid[None, :] < d[:, None])
+            return np.where(ok, rid[None, :], big).min(axis=1)
+
+        r_ids = np.empty(0, dtype=np.int64)
+        r_sigs = np.empty(0, dtype=np.int64)
+        if state.exists:
+            pi, ps = state.get
+            r_ids = np.asarray(pi, dtype=np.int64)
+            r_sigs = np.asarray(ps, dtype=np.int64)
+        frames = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("doc_id")
+            d = pdf["doc_id"].to_numpy(dtype=np.int64)
+            s = pdf["sig"].to_numpy(dtype=np.int64)
+            best = min_match(d, s, r_ids, r_sigs)
+            room = bucket_cap - len(r_ids)
+            k = max(0, min(room, len(d)))
+            if k > 0:
+                best = np.minimum(best, min_match(d, s, d[:k], s[:k]))
+                r_ids = np.concatenate([r_ids, d[:k]])
+                r_sigs = np.concatenate([r_sigs, s[:k]])
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": d,
+                        "match_id": np.where(best == big, np.int64(-1), best),
+                    }
+                )
+            )
+        state.update((r_ids.tolist(), r_sigs.tolist()))
+        out = pd.concat(frames) if frames else pd.DataFrame(
+            {"doc_id": [], "match_id": []}
+        )
+        out.insert(0, "band", int(key[0]))
+        out.insert(1, "val", int(key[1]))
+        yield out.astype(
+            {"band": "int32", "val": "int64", "doc_id": "int64", "match_id": "int64"}
+        )
+
+    return update
+
+
+_POP16_CACHE: list = []
+
+
+def _POP16():
+    """16-bit popcount lookup (built once per worker)."""
+    if not _POP16_CACHE:
+        import numpy as np
+
+        _POP16_CACHE.append(
+            np.array([bin(i).count("1") for i in range(65536)], dtype=np.int64)
+        )
+    return _POP16_CACHE[0]
+
+
+def simhash_dedup_state(
+    documents: DataFrame, max_hamming: int = 3, bucket_cap: int = 200
+) -> DataFrame:
+    """Streaming near-duplicate dedup — the LLM-ingest operator that
+    batch dedup can't replace: as documents arrive, each is checked
+    against everything seen so far and tagged with its earliest
+    near-twin. SimHash signatures (the SAME portable column expression
+    as the batch q_doc_simhash_pairs, so the DuckDB oracle replays them
+    bit-for-bit) band into 4×16-bit bucket keys; per-bucket custom
+    state (applyInPandasWithState) retains the FIRST bucket_cap
+    arrivals' signatures forever — banding makes the state lookup an
+    equi-join on the bucket key, and pigeonhole makes it lossless at
+    Hamming ≤ 3. State is ≤ bucket_cap (id, sig) pairs per bucket
+    regardless of stream length; at 100 TB/day the buckets shard across
+    the cluster's state stores and the RocksDB provider (pinned
+    semantics-free in tests/test_rocksdb_state.py) keeps them on SSD."""
+    from .dedup import simhash64
+
+    sig = documents.select("doc_id", simhash64(F.col("text")).alias("sig"))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.shiftrightunsigned("sig", b * 16)
+                .bitwiseAND(F.lit(65535))
+                .alias("val"),
+            )
+            for b in range(4)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", "sig", F.explode(bands).alias("b")
+    ).select("doc_id", "sig", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    return banded.groupBy("band", "val").applyInPandasWithState(
+        _simdedup_update(max_hamming, bucket_cap),
+        outputStructType=_SIMDEDUP_OUT_SCHEMA,
+        stateStructType=_SIMDEDUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

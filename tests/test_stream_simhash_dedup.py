@@ -1,0 +1,107 @@
+"""Streaming SimHash dedup: cross-batch state + batch/stream parity."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+
+def _finalize(out):
+    return (
+        out.groupBy("doc_id")
+        .agg(
+            F.min(F.when(F.col("match_id") >= 0, F.col("match_id"))).alias("dup_of")
+        )
+        .select("doc_id", F.col("dup_of").isNotNull().alias("is_dup"), "dup_of")
+    )
+
+
+def _drain(df, spark):
+    name = f"simdedup_{uuid.uuid4().hex[:10]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    return spark.table(name)
+
+
+def test_cross_batch_near_dup_flagged(spark, tmp_path):
+    """A doc arriving in batch 3 whose near-twin arrived in batch 1
+    must be flagged with dup_of pointing at the EARLIER doc — the state
+    genuinely carries across micro-batches (maxFilesPerTrigger=1, three
+    files in doc_id order)."""
+    from osm_poi_database_maker_spark.streaming import simhash_dedup_state
+
+    d = str(tmp_path / "docs")
+    uniq = [
+        " ".join(f"tok{i}_{j}" for j in range(30)) for i in range(9)
+    ]  # 9 distinct word-soup docs, far apart in simhash space
+    twin = "the quick brown fox jumps over the lazy dog " * 4
+    batches = [
+        [(10, twin), (11, uniq[0]), (12, uniq[1])],
+        [(200, uniq[2]), (201, uniq[3]), (202, uniq[4])],
+        [(300, twin), (301, uniq[5]), (302, uniq[6])],
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            [(k, t, "en", "a", len(t)) for k, t in rows], schema
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents_{i}.parquet")
+
+    file_schema = spark.read.parquet(f"{d}/documents*.parquet").schema
+    stream = (
+        spark.readStream.schema(file_schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(f"{d}/documents*.parquet")
+    )
+    out = _drain(simhash_dedup_state(stream), spark)
+    got = {
+        r["doc_id"]: (r["is_dup"], r["dup_of"])
+        for r in _finalize(out).collect()
+    }
+    assert got[300] == (True, 10)   # cross-batch twin found in batch-1 state
+    assert got[10] == (False, None)  # first arrival is never a dup
+    assert sum(1 for v in got.values() if v[0]) == 1
+
+
+def test_stream_matches_single_batch_twin(spark, tmp_path):
+    """Replaying the same docs as 3 ordered micro-batches must produce
+    EXACTLY the single-batch (availableNow, one file) result — batch
+    boundaries are invisible because arrival order equals doc_id order
+    and retention is first-K by arrival."""
+    from osm_poi_database_maker_spark.streaming import simhash_dedup_state
+
+    rows = [
+        (i, ("alpha beta gamma delta " * 3) if i % 5 == 0 else
+            " ".join(f"w{i}_{j}" for j in range(25)),
+         "en", "a", 100)
+        for i in range(1, 31)
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    one = str(tmp_path / "one")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{one}/documents.parquet")
+    many = str(tmp_path / "many")
+    for i, chunk in enumerate([rows[:10], rows[10:20], rows[20:]]):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{many}/documents_{i}.parquet")
+
+    def run(path, mft=None):
+        file_schema = spark.read.parquet(f"{path}/documents*.parquet").schema
+        r = spark.readStream.schema(file_schema).format("parquet")
+        if mft:
+            r = r.option("maxFilesPerTrigger", str(mft))
+        stream = r.load(f"{path}/documents*.parquet")
+        out = _drain(simhash_dedup_state(stream), spark)
+        return sorted(tuple(x) for x in _finalize(out).collect())
+
+    assert run(many, mft=1) == run(one)
