@@ -283,17 +283,32 @@ def ahash_near_dups(
     are capped at ``max_bucket`` members before the self-join — the
     same guard the MinHash/SimHash operators use, bounding the worst
     bucket's contribution at max_bucket² candidate rows."""
+    return _banded_hamming_pairs(
+        image_ahash(images), "ahash", bands, max_hamming, max_bucket
+    )
+
+
+def _banded_hamming_pairs(
+    sig: DataFrame, hash_col: str, bands: int, max_hamming: int, max_bucket: int
+) -> DataFrame:
+    """Shared banded-LSH Hamming pair join over a 64-bit signature frame
+    (``doc_id``, ``hash_col``): explode into ``bands`` equal bands,
+    deterministic per-bucket cap (lowest doc_ids win), (band, val)
+    equi-join, exact ``bit_count(xor)`` verify, ``distinct`` to collapse
+    multi-band matches. One implementation serves aHash and pHash so
+    their plan shapes cannot drift apart."""
     from pyspark.sql import Window
+
     # one signature pass shared by both self-join sides (and tiny: 16 B
     # per image), instead of running the mapInPandas hash stage twice
-    sig = image_ahash(images).localCheckpoint(eager=False)
+    sig = sig.localCheckpoint(eager=False)
     width = 64 // bands
     mask = (1 << width) - 1
     band_arr = F.array(
         *[
             F.struct(
                 F.lit(i).alias("band"),
-                F.shiftrightunsigned("ahash", i * width)
+                F.shiftrightunsigned(hash_col, i * width)
                 .bitwiseAND(F.lit(mask))
                 .alias("val"),
             )
@@ -301,12 +316,12 @@ def ahash_near_dups(
         ]
     )
     banded = sig.select(
-        "doc_id", "ahash", F.explode(band_arr).alias("b")
-    ).select("doc_id", "ahash", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+        "doc_id", hash_col, F.explode(band_arr).alias("b")
+    ).select("doc_id", hash_col, F.col("b.band").alias("band"), F.col("b.val").alias("val"))
     w_rank = F.row_number().over(Window.partitionBy("band", "val").orderBy("doc_id"))
     banded = banded.withColumn("__r", w_rank).filter(F.col("__r") <= max_bucket).drop("__r")
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -317,13 +332,12 @@ def ahash_near_dups(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.bit_count(
-                F.col("a.ahash").bitwiseXOR(F.col("b.ahash"))
+                F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
             ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return cand
 
 
 PAYLOAD_STATS_SCHEMA = (
@@ -548,46 +562,14 @@ def phash_near_dups(
     bits over the 63-bit signature — pigeonhole-complete for hamming
     < 8, covering the ≤{PHASH_MAX_HAMMING} threshold), exact
     bit_count(xor) verify, hot buckets capped at ``max_bucket`` like
-    every other banded dedup op. Same plan shape as ahash_near_dups —
-    shuffle rides band-bucket occupancy, never all-pairs."""
-    from pyspark.sql import Window
+    every other banded dedup op. Shares _banded_hamming_pairs with
+    ahash_near_dups — one plan shape, shuffle rides band-bucket
+    occupancy, never all-pairs."""
+    return _banded_hamming_pairs(
+        image_phash(images), "phash", bands, max_hamming, max_bucket
+    )
 
-    sig = image_phash(images).localCheckpoint(eager=False)
-    width = 64 // bands
-    mask = (1 << width) - 1
-    band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.shiftrightunsigned("phash", i * width)
-                .bitwiseAND(F.lit(mask))
-                .alias("val"),
-            )
-            for i in range(bands)
-        ]
-    )
-    banded = sig.select("doc_id", "phash", F.explode(band_arr).alias("b")).select(
-        "doc_id", "phash", F.col("b.band").alias("band"), F.col("b.val").alias("val")
-    )
-    w_rank = F.row_number().over(Window.partitionBy("band", "val").orderBy("doc_id"))
-    banded = (
-        banded.withColumn("__r", w_rank).filter(F.col("__r") <= max_bucket).drop("__r")
-    )
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))).alias(
-                "hamming"
-            ),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
-    )
+
+phash_near_dups.__doc__ = phash_near_dups.__doc__.format(
+    PHASH_MAX_HAMMING=PHASH_MAX_HAMMING
+)

@@ -115,9 +115,9 @@ _VERIFY_FIRST = [
     "order_grouping_sets",
     "orders_above_customer_avg",
     "top_suppliers_by_revenue",
-    # tier 2b: the r05-evidence cohort in registry order — 13 fit the
-    # remaining window slots (the session-2 additions above took 6);
-    # the overflow rotates to r11.
+    # tier 2b: the r05-evidence cohort in registry order — 11 fit the
+    # remaining window slots (the 8 session-2 additions above displaced
+    # 8 of the original 19); the overflow rotates to r11.
     "events_multi_exists",
     "events_ohlc_bars",
     "events_toi_pipeline",

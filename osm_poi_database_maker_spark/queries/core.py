@@ -3640,6 +3640,10 @@ def q_orders_dpp_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+q_orders_dpp_scan.__doc__ = q_orders_dpp_scan.__doc__.format(
+    _DPP_QUARTER=_DPP_QUARTER
+)
+
 ORACLE_DPP_SCAN = f"""
 SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
        CAST(count(*) AS BIGINT) AS n_orders,

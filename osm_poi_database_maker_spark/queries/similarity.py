@@ -2343,6 +2343,7 @@ def q_emb_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: rides the blocked exact-kNN pair join (quadratic by
     contract; emb_srp_lsh_pairs is the documented LSH swap); the
     leakage classification adds a broadcast-free projection."""
+    # (docstring threshold interpolated below, after the def)
     from .curation import _SPLIT_TRAIN, _SPLIT_VAL, _lehmer_u
 
     pairs = q_emb_cosine_neardup_pairs(spark, sf_dir)
@@ -2380,6 +2381,11 @@ def q_emb_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("cosine"), 4).alias("mean_cosine"),
         F.countDistinct("contaminated_doc").cast("long").alias("n_contaminated"),
     )
+
+
+q_emb_split_leakage.__doc__ = q_emb_split_leakage.__doc__.format(
+    NEARDUP_THRESHOLD=NEARDUP_THRESHOLD
+)
 
 
 def _split_leakage_oracle_sql() -> str:

@@ -2532,7 +2532,12 @@ def q_doc_lang_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bin"),
         F.when(tot == 0, F.lit(0.2)).otherwise(sp / tot).alias("conf"),
-        (F.col("predicted_lang") == F.col("lang")).cast("int").alias("correct"),
+        # when/otherwise, not a bare equality cast: a NULL lang must
+        # count as incorrect (0) like the oracle's CASE, not drop out
+        # of avg() as NULL
+        F.when(F.col("predicted_lang") == F.col("lang"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("correct"),
     )
     bins = scored.groupBy("bin").agg(
         F.count("*").cast("long").alias("n_docs"),
@@ -2541,7 +2546,9 @@ def q_doc_lang_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gapped = bins.withColumn(
         "abs_gap", F.round(F.abs(F.col("accuracy") - F.col("mean_conf")), 4)
-    )
+    ).localCheckpoint(eager=False)  # referenced twice below (rows + ece);
+    # without the cut the crossJoin re-runs the whole lang-id lineage —
+    # the Spark twin of the oracle's AS MATERIALIZED hint
     ece = gapped.agg(
         F.round(
             F.sum(F.col("n_docs") * F.col("abs_gap")) / F.sum("n_docs"), 4

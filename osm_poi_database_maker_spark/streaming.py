@@ -1581,29 +1581,28 @@ def _simdedup_update(max_hamming: int, bucket_cap: int):
             pi, ps = state.get
             r_ids = np.asarray(pi, dtype=np.int64)
             r_sigs = np.asarray(ps, dtype=np.int64)
-        frames = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("doc_id")
-            d = pdf["doc_id"].to_numpy(dtype=np.int64)
-            s = pdf["sig"].to_numpy(dtype=np.int64)
-            best = min_match(d, s, r_ids, r_sigs)
-            room = bucket_cap - len(r_ids)
-            k = max(0, min(room, len(d)))
-            if k > 0:
-                best = np.minimum(best, min_match(d, s, d[:k], s[:k]))
-                r_ids = np.concatenate([r_ids, d[:k]])
-                r_sigs = np.concatenate([r_sigs, s[:k]])
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "doc_id": d,
-                        "match_id": np.where(best == big, np.int64(-1), best),
-                    }
-                )
-            )
+        # concat BEFORE sorting: pdfs yields the group's rows as several
+        # Arrow chunks in shuffle order — sorting each chunk on its own
+        # would break the global first-K-by-doc_id retention the oracle
+        # replays (a twin split across chunks would go unmatched)
+        chunks = [pdf for pdf in pdfs]
+        whole = (
+            pd.concat(chunks).sort_values("doc_id")
+            if chunks
+            else pd.DataFrame({"doc_id": [], "sig": []})
+        )
+        d = whole["doc_id"].to_numpy(dtype=np.int64)
+        s = whole["sig"].to_numpy(dtype=np.int64)
+        best = min_match(d, s, r_ids, r_sigs)
+        room = bucket_cap - len(r_ids)
+        k = max(0, min(room, len(d)))
+        if k > 0:
+            best = np.minimum(best, min_match(d, s, d[:k], s[:k]))
+            r_ids = np.concatenate([r_ids, d[:k]])
+            r_sigs = np.concatenate([r_sigs, s[:k]])
         state.update((r_ids.tolist(), r_sigs.tolist()))
-        out = pd.concat(frames) if frames else pd.DataFrame(
-            {"doc_id": [], "match_id": []}
+        out = pd.DataFrame(
+            {"doc_id": d, "match_id": np.where(best == big, np.int64(-1), best)}
         )
         out.insert(0, "band", int(key[0]))
         out.insert(1, "val", int(key[1]))

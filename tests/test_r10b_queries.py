@@ -294,3 +294,30 @@ def test_split_leakage_labels_later_split_doc(spark, tmp_path):
     assert got[("train", "val")] == (2, 1)   # two cross pairs, ONE val doc
     assert got[("train", "train")] == (1, 0)  # twin pair contaminates nothing
     assert ("val", "test") not in got
+
+
+def test_lang_calibration_null_lang_counts_incorrect(spark, tmp_path):
+    """A NULL lang must count as INCORRECT (0) in both engines — not
+    drop out of Spark's avg() as NULL while the oracle's CASE keeps it."""
+    from osm_poi_database_maker_spark.queries.text import (
+        ORACLE_LANG_CALIBRATION,
+        q_doc_lang_calibration,
+    )
+
+    d = str(tmp_path / "docs")
+    rows = [
+        (1, "the the the of and", "en", "a", 18),
+        (2, "the the the of and", None, "a", 18),  # NULL lang → incorrect
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = sorted(tuple(r) for r in q_doc_lang_calibration(spark, d).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.sql(ORACLE_LANG_CALIBRATION).fetchall())
+    assert got == want
+    assert len(got) == 1 and got[0][3] == 0.5  # accuracy counts the NULL as 0

@@ -105,3 +105,37 @@ def test_stream_matches_single_batch_twin(spark, tmp_path):
         return sorted(tuple(x) for x in _finalize(out).collect())
 
     assert run(many, mft=1) == run(one)
+
+
+def test_multi_chunk_group_keeps_global_order(spark, tmp_path):
+    """A (band, bucket) group whose batch data arrives as SEVERAL Arrow
+    chunks must still dedup in global doc_id order: with
+    maxRecordsPerBatch=2, a 12-doc identical-text bucket spans ≥6
+    chunks, and every doc except the first must point at doc 1."""
+    from osm_poi_database_maker_spark.streaming import simhash_dedup_state
+
+    saved = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        d = str(tmp_path / "docs")
+        twin = "identical twin text payload " * 5
+        rows = [(i, twin, "en", "a", len(twin)) for i in range(1, 13)]
+        schema = "doc_id long, text string, lang string, source string, n_chars long"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/documents.parquet")
+        out = _drain(simhash_dedup_state(spark.readStream.schema(
+            spark.read.parquet(f"{d}/documents.parquet").schema
+        ).format("parquet").load(f"{d}/documents*.parquet")), spark)
+        got = {
+            r["doc_id"]: (r["is_dup"], r["dup_of"])
+            for r in _finalize(out).collect()
+        }
+        assert got[1] == (False, None)
+        for i in range(2, 13):
+            assert got[i] == (True, 1), f"doc {i}: {got[i]}"
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", saved)
