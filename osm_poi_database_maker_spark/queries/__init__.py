@@ -100,6 +100,8 @@ _VERIFY_FIRST = [
     "mm_phash_pairs",
     "emb_split_leakage",
     "stream_simhash_dedup",
+    "events_power_analysis",
+    "doc_toxicity_lexicon",
     # tier 2a: the LAST 13 r04-evidence queries (r9 verdict #1 — after
     # these, no query's newest driver row predates r05):
     "orders_backlog_aging",
@@ -115,9 +117,9 @@ _VERIFY_FIRST = [
     "order_grouping_sets",
     "orders_above_customer_avg",
     "top_suppliers_by_revenue",
-    # tier 2b: the r05-evidence cohort in registry order — 11 fit the
-    # remaining window slots (the 8 session-2 additions above displaced
-    # 8 of the original 19); the overflow rotates to r11.
+    # tier 2b: the r05-evidence cohort in registry order — 9 fit the
+    # remaining window slots (the 10 session-2 additions above displaced
+    # 10 of the original 19); the overflow rotates to r11.
     "events_multi_exists",
     "events_ohlc_bars",
     "events_toi_pipeline",
@@ -127,8 +129,6 @@ _VERIFY_FIRST = [
     "events_time_rollup",
     "events_ushape_attribution",
     "doc_token_stats",
-    "doc_hybrid_rrf",
-    "doc_bigram_logprob",
 ]
 
 # tier 4 cohort order: non-core modules first, core last.

@@ -1200,6 +1200,113 @@ FROM agg
 
 
 
+# two-sided alpha = 0.05 and power = 0.80 normal quantiles; literal in
+# both engines so the formula never depends on an erf/quantile builtin
+_Z_ALPHA = 1.959964
+_Z_BETA = 0.841621
+
+
+def q_events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment design readout — the planning half the z-test verdict
+    (q_events_ab_test) doesn't answer: given the OBSERVED rates of the
+    same deterministic 50/50 Lehmer split, the closed-form per-arm
+    sample size needed to detect that lift at α=0.05 two-sided with 80%
+    power (n = (z_α+z_β)²·(p_a(1−p_a)+p_b(1−p_b))/δ²), the achieved
+    z-margin at the current n, and whether the experiment is ALREADY
+    powered (achieved ≥ z_α+z_β). No erf/Φ anywhere — both quantiles
+    are literals, so every value derives from the exact integer arm
+    counts and both engines produce bit-identical doubles.
+
+    Scale: identical to the z-test — one per-user aggregate then a
+    2-row conditional aggregate; the design math is constant work."""
+    e = load_table(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
+    )
+    h = (
+        F.col("user_id") % F.lit(_AB_M) * F.lit(_AB_A) % F.lit(_AB_M)
+        * F.lit(_AB_A) % F.lit(_AB_M)
+    )
+    marked = users.select((h % 2 == 0).alias("is_a"), "conv")
+    agg = marked.groupBy().agg(
+        F.sum(F.col("is_a").cast("long")).alias("n_a"),
+        F.sum((~F.col("is_a")).cast("long")).alias("n_b"),
+        F.sum(F.when(F.col("is_a"), F.col("conv")).otherwise(0).cast("long")).alias("conv_a"),
+        F.sum(F.when(~F.col("is_a"), F.col("conv")).otherwise(0).cast("long")).alias("conv_b"),
+    )
+    n_a = F.nullif(F.col("n_a"), F.lit(0))
+    n_b = F.nullif(F.col("n_b"), F.lit(0))
+    p_a = F.col("conv_a") / n_a
+    p_b = F.col("conv_b") / n_b
+    var_sum = p_a * (1 - p_a) + p_b * (1 - p_b)
+    delta = p_b - p_a
+    z_total = F.lit(_Z_ALPHA + _Z_BETA)
+    n_req = F.ceil(
+        F.try_divide(z_total * z_total * var_sum, delta * delta)
+    ).cast("long")
+    achieved_z = F.try_divide(
+        F.abs(delta), F.sqrt(p_a * (1 - p_a) / n_a + p_b * (1 - p_b) / n_b)
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(p_a, 6).alias("rate_a"),
+        F.round(p_b, 6).alias("rate_b"),
+        F.round(delta, 6).alias("observed_lift"),
+        n_req.alias("n_required_per_arm"),
+        F.round(achieved_z, 4).alias("achieved_z"),
+        F.coalesce(achieved_z >= z_total, F.lit(False)).alias("powered_now"),
+    )
+
+
+ORACLE_POWER = f"""
+WITH users AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1
+),
+marked AS (
+  SELECT (user_id % {_AB_M} * {_AB_A} % {_AB_M} * {_AB_A} % {_AB_M}) % 2 = 0
+           AS is_a,
+         conv
+  FROM users
+),
+agg AS (
+  SELECT CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN is_a THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+         CAST(sum(CASE WHEN is_a THEN 0 ELSE conv END) AS BIGINT) AS conv_b
+  FROM marked
+),
+rates AS (
+  SELECT n_a, n_b,
+         conv_a / CAST(nullif(n_a, 0) AS DOUBLE) AS p_a,
+         conv_b / CAST(nullif(n_b, 0) AS DOUBLE) AS p_b
+  FROM agg
+),
+terms AS (
+  SELECT n_a, n_b, p_a, p_b,
+         p_a * (1 - p_a) + p_b * (1 - p_b) AS var_sum,
+         p_b - p_a AS delta
+  FROM rates
+)
+SELECT n_a, n_b,
+       round(p_a, 6) AS rate_a,
+       round(p_b, 6) AS rate_b,
+       round(delta, 6) AS observed_lift,
+       CAST(ceil({_Z_ALPHA + _Z_BETA} * {_Z_ALPHA + _Z_BETA} * var_sum
+                 / nullif(delta * delta, 0.0)) AS BIGINT)
+         AS n_required_per_arm,
+       round(abs(delta) / nullif(sqrt(p_a * (1 - p_a) / n_a
+                                      + p_b * (1 - p_b) / n_b), 0.0), 4)
+         AS achieved_z,
+       coalesce(abs(delta) / nullif(sqrt(p_a * (1 - p_a) / n_a
+                                         + p_b * (1 - p_b) / n_b), 0.0)
+                >= {_Z_ALPHA + _Z_BETA}, false) AS powered_now
+FROM terms
+"""
+
+
 _SEQ_CAP = 8    # first 8 events per user enter the pattern lattice
 _SEQ_MINSUP = 5  # pattern kept if >= 5 users contain it
 
@@ -1440,6 +1547,7 @@ FROM per_user GROUP BY 1
 
 QUERIES = {
     "events_funnel": q_events_funnel,
+    "events_power_analysis": q_events_power_analysis,
     "events_window_funnel": q_events_window_funnel,
     "events_user_lifecycle": q_events_user_lifecycle,
     "events_dau_wau": q_events_dau_wau,
@@ -1460,6 +1568,7 @@ QUERIES = {
 
 ORACLES = {
     "events_funnel": ORACLE_FUNNEL,
+    "events_power_analysis": ORACLE_POWER,
     "events_window_funnel": ORACLE_WINDOW_FUNNEL,
     "events_user_lifecycle": ORACLE_LIFECYCLE,
     "events_dau_wau": ORACLE_DAU_WAU,

@@ -2507,6 +2507,67 @@ FROM agg
 """
 
 
+# --- safety blocklist scan with obfuscation normalization -------------------
+
+# stand-in blocklist over the fixture vocabulary (a real deployment
+# loads a curated lexicon); mixes a common term, a mid, and a rare one
+# so hit-rate spans the distribution
+_TOX_TERMS = ("slow", "big", "dup")
+# leetspeak fold applied BEFORE matching: 0→o 1→i 3→e 4→a 5→s 7→t @→a $→s
+_LEET_FROM = "013457@$"
+_LEET_TO = "oieastas"
+
+
+def q_doc_toxicity_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safety-blocklist scan — the filtering stage a training corpus
+    runs beside PII scrubbing: documents are matched against a term
+    blocklist AFTER an obfuscation fold (lowercase + leetspeak
+    character translation, so "SL0W"/"b1g" can't slip past a literal
+    match). Per flagged doc: hit count, hit rate, and the sorted
+    distinct terms that fired (the reviewer-facing evidence). Same
+    plan shape as doc_pii_scan — pure column expressions (translate +
+    split + higher-order filter), no UDF, one scan, no shuffle until
+    the output projection."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.translate(F.lower(F.col("text")), _LEET_FROM, _LEET_TO)
+    toks = F.split(norm, " +")
+    block = F.array(*[F.lit(t) for t in _TOX_TERMS])
+    hits = F.filter(toks, lambda t: F.array_contains(block, t))
+    return (
+        d.select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.size(hits).cast("long").alias("n_hits"),
+            F.array_join(
+                F.array_sort(F.array_distinct(hits)), ","
+            ).alias("terms_hit"),
+        )
+        .filter(F.col("n_hits") > 0)
+        .withColumn("hit_rate", F.round(F.col("n_hits") / F.col("n_tokens"), 4))
+    )
+
+
+ORACLE_TOXICITY = f"""
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(hits) AS BIGINT) AS n_hits,
+       array_to_string(list_sort(list_distinct(hits)), ',') AS terms_hit,
+       round(len(hits) / CAST(len(toks) AS DOUBLE), 4) AS hit_rate
+FROM (
+  SELECT doc_id, toks,
+         list_filter(toks, t -> t IN ({", ".join(repr(t) for t in _TOX_TERMS)}))
+           AS hits
+  FROM (
+    SELECT doc_id,
+           string_split_regex(
+             translate(lower(text), '{_LEET_FROM}', '{_LEET_TO}'), ' +') AS toks
+    FROM documents
+  )
+)
+WHERE len(hits) > 0
+"""
+
+
 # --- classifier calibration (ECE over the lang-id confidence) ---------------
 
 
@@ -2627,6 +2688,7 @@ QUERIES = {
     "doc_pii_scrub": q_doc_pii_scrub,
     "doc_fleiss_kappa": q_doc_fleiss_kappa,
     "doc_lang_calibration": q_doc_lang_calibration,
+    "doc_toxicity_lexicon": q_doc_toxicity_lexicon,
 }
 
 ORACLES = {
@@ -2662,4 +2724,5 @@ ORACLES = {
     "doc_pii_scrub": ORACLE_PII,
     "doc_fleiss_kappa": ORACLE_FLEISS_KAPPA,
     "doc_lang_calibration": ORACLE_LANG_CALIBRATION,
+    "doc_toxicity_lexicon": ORACLE_TOXICITY,
 }

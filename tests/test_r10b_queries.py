@@ -321,3 +321,59 @@ def test_lang_calibration_null_lang_counts_incorrect(spark, tmp_path):
     want = sorted(tuple(r) for r in con.sql(ORACLE_LANG_CALIBRATION).fetchall())
     assert got == want
     assert len(got) == 1 and got[0][3] == 0.5  # accuracy counts the NULL as 0
+
+
+def test_toxicity_leetspeak_normalization(spark, tmp_path):
+    """Obfuscated variants (SL0W, b1g, dup→dup) must hit the blocklist
+    after the leet fold, identically in both engines."""
+    from osm_poi_database_maker_spark.queries.text import (
+        ORACLE_TOXICITY,
+        q_doc_toxicity_lexicon,
+    )
+
+    d = str(tmp_path / "docs")
+    rows = [
+        (1, "SL0W query b1g table", "en", "a", 20),  # two leet hits
+        (2, "clean fast query", "en", "a", 16),      # no hits → absent
+        (3, "d4p nope", "en", "a", 8),               # d4p → dap, NOT dup
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = sorted(tuple(r) for r in q_doc_toxicity_lexicon(spark, d).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.sql(ORACLE_TOXICITY).fetchall())
+    assert got == want
+    assert len(got) == 1 and got[0][0] == 1
+    assert got[0][3] == "big,slow"  # folded, deduped, sorted
+
+
+def test_power_analysis_formula_consistency(spark):
+    """n_required_per_arm must equal the closed form recomputed from the
+    emitted rates, and powered_now must match achieved_z vs z_a+z_b."""
+    import math
+
+    from osm_poi_database_maker_spark.queries.behavior import (
+        _Z_ALPHA,
+        _Z_BETA,
+        q_events_power_analysis,
+    )
+    from tests.conftest import SF_SMOKE
+
+    r = q_events_power_analysis(spark, SF_SMOKE).collect()[0]
+    pa, pb = r["rate_a"], r["rate_b"]
+    var_sum = pa * (1 - pa) + pb * (1 - pb)
+    delta = r["observed_lift"]
+    if delta == 0:
+        # zero observed lift → undetectable effect → NULL design size
+        assert r["n_required_per_arm"] is None
+        assert r["powered_now"] is False
+        return
+    want_n = math.ceil((_Z_ALPHA + _Z_BETA) ** 2 * var_sum / delta**2)
+    # recomputed from 6-dp-rounded rates → allow 1% slack on the count
+    assert abs(r["n_required_per_arm"] - want_n) <= max(2, 0.01 * want_n)
+    assert r["powered_now"] == (r["achieved_z"] >= round(_Z_ALPHA + _Z_BETA, 4))
