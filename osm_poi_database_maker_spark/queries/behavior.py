@@ -1120,22 +1120,31 @@ def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ab_finalize(users)
 
 
-def ab_finalize(users: DataFrame) -> DataFrame:
-    """Variant assignment + pooled z-test over a (user_id, conv) frame —
-    the SINGLE definition shared by the batch query and the streaming
-    twin, so both are certified by the same DuckDB oracle (the
-    KMV/CMS/Bloom shared-finalizer contract applied to experimentation)."""
+def _ab_arm_counts(users: DataFrame) -> DataFrame:
+    """Variant assignment + per-arm integer counts over a
+    (user_id, conv) frame — the ONE definition of the 50/50 Lehmer
+    split and its sufficient statistics, shared by the z-test
+    (ab_finalize), its streaming twin, and the power-analysis readout
+    so the three can never decouple."""
     h = (
         F.col("user_id") % F.lit(_AB_M) * F.lit(_AB_A) % F.lit(_AB_M)
         * F.lit(_AB_A) % F.lit(_AB_M)
     )
     marked = users.select((h % 2 == 0).alias("is_a"), "conv")
-    agg = marked.groupBy().agg(
+    return marked.groupBy().agg(
         F.sum(F.col("is_a").cast("long")).alias("n_a"),
         F.sum((~F.col("is_a")).cast("long")).alias("n_b"),
         F.sum(F.when(F.col("is_a"), F.col("conv")).otherwise(0).cast("long")).alias("conv_a"),
         F.sum(F.when(~F.col("is_a"), F.col("conv")).otherwise(0).cast("long")).alias("conv_b"),
     )
+
+
+def ab_finalize(users: DataFrame) -> DataFrame:
+    """Pooled z-test over the shared arm counts — the SINGLE definition
+    shared by the batch query and the streaming twin, so both are
+    certified by the same DuckDB oracle (the KMV/CMS/Bloom
+    shared-finalizer contract applied to experimentation)."""
+    agg = _ab_arm_counts(users)
     # degenerate universes are UNDEFINED readouts, not errors: an empty
     # arm (nullif the denominators) or zero pooled variance (everyone /
     # no one converts) NULL the statistic identically in both engines,
@@ -1162,8 +1171,9 @@ def ab_finalize(users: DataFrame) -> DataFrame:
     )
 
 
-ORACLE_AB = f"""
-WITH users AS (
+# the ONE SQL definition of the 50/50 split + arm counts, shared by
+# ORACLE_AB and ORACLE_POWER (the twin of _ab_arm_counts)
+_AB_ARM_CTES = f"""users AS (
   SELECT user_id,
          max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
   FROM events GROUP BY 1
@@ -1180,7 +1190,10 @@ agg AS (
          CAST(sum(CASE WHEN is_a THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
          CAST(sum(CASE WHEN is_a THEN 0 ELSE conv END) AS BIGINT) AS conv_b
   FROM marked
-)
+)"""
+
+ORACLE_AB = f"""
+WITH {_AB_ARM_CTES}
 SELECT n_a, n_b, conv_a, conv_b,
        round(conv_a / CAST(nullif(n_a, 0) AS DOUBLE), 6) AS rate_a,
        round(conv_b / CAST(nullif(n_b, 0) AS DOUBLE), 6) AS rate_b,
@@ -1223,23 +1236,15 @@ def q_events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     users = e.groupBy("user_id").agg(
         F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
     )
-    h = (
-        F.col("user_id") % F.lit(_AB_M) * F.lit(_AB_A) % F.lit(_AB_M)
-        * F.lit(_AB_A) % F.lit(_AB_M)
-    )
-    marked = users.select((h % 2 == 0).alias("is_a"), "conv")
-    agg = marked.groupBy().agg(
-        F.sum(F.col("is_a").cast("long")).alias("n_a"),
-        F.sum((~F.col("is_a")).cast("long")).alias("n_b"),
-        F.sum(F.when(F.col("is_a"), F.col("conv")).otherwise(0).cast("long")).alias("conv_a"),
-        F.sum(F.when(~F.col("is_a"), F.col("conv")).otherwise(0).cast("long")).alias("conv_b"),
-    )
+    agg = _ab_arm_counts(users)
     n_a = F.nullif(F.col("n_a"), F.lit(0))
     n_b = F.nullif(F.col("n_b"), F.lit(0))
     p_a = F.col("conv_a") / n_a
     p_b = F.col("conv_b") / n_b
     var_sum = p_a * (1 - p_a) + p_b * (1 - p_b)
-    delta = p_b - p_a
+    # SAME sign convention as q_events_ab_test's lift (a minus b): the
+    # two readouts are documented as halves of one analysis
+    delta = p_a - p_b
     z_total = F.lit(_Z_ALPHA + _Z_BETA)
     n_req = F.ceil(
         F.try_divide(z_total * z_total * var_sum, delta * delta)
@@ -1259,25 +1264,14 @@ def q_events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CAST AS DOUBLE everywhere the quantile constant appears: a bare
+# decimal literal parses as DECIMAL(7,6) in DuckDB, and its
+# decimal-exact square converts to a double 1 ulp off Spark's
+# double*double product — enough to flip ceil() at integer boundaries
+_Z_TOT_SQL = f"CAST({_Z_ALPHA + _Z_BETA!r} AS DOUBLE)"
+
 ORACLE_POWER = f"""
-WITH users AS (
-  SELECT user_id,
-         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
-  FROM events GROUP BY 1
-),
-marked AS (
-  SELECT (user_id % {_AB_M} * {_AB_A} % {_AB_M} * {_AB_A} % {_AB_M}) % 2 = 0
-           AS is_a,
-         conv
-  FROM users
-),
-agg AS (
-  SELECT CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-         CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
-         CAST(sum(CASE WHEN is_a THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
-         CAST(sum(CASE WHEN is_a THEN 0 ELSE conv END) AS BIGINT) AS conv_b
-  FROM marked
-),
+WITH {_AB_ARM_CTES},
 rates AS (
   SELECT n_a, n_b,
          conv_a / CAST(nullif(n_a, 0) AS DOUBLE) AS p_a,
@@ -1287,14 +1281,14 @@ rates AS (
 terms AS (
   SELECT n_a, n_b, p_a, p_b,
          p_a * (1 - p_a) + p_b * (1 - p_b) AS var_sum,
-         p_b - p_a AS delta
+         p_a - p_b AS delta
   FROM rates
 )
 SELECT n_a, n_b,
        round(p_a, 6) AS rate_a,
        round(p_b, 6) AS rate_b,
        round(delta, 6) AS observed_lift,
-       CAST(ceil({_Z_ALPHA + _Z_BETA} * {_Z_ALPHA + _Z_BETA} * var_sum
+       CAST(ceil({_Z_TOT_SQL} * {_Z_TOT_SQL} * var_sum
                  / nullif(delta * delta, 0.0)) AS BIGINT)
          AS n_required_per_arm,
        round(abs(delta) / nullif(sqrt(p_a * (1 - p_a) / n_a
@@ -1302,7 +1296,7 @@ SELECT n_a, n_b,
          AS achieved_z,
        coalesce(abs(delta) / nullif(sqrt(p_a * (1 - p_a) / n_a
                                          + p_b * (1 - p_b) / n_b), 0.0)
-                >= {_Z_ALPHA + _Z_BETA}, false) AS powered_now
+                >= {_Z_TOT_SQL}, false) AS powered_now
 FROM terms
 """
 
