@@ -209,8 +209,22 @@ def image_ahash(images: DataFrame, grid: int = AHASH_GRID) -> DataFrame:
     raster (a real image decoder plugs in at the marked point and
     yields the 2-D pixel array; everything after it is identical).
     numpy-vectorized inside mapInPandas Arrow batches; empty payloads
-    drop out. The hash is exact integer arithmetic end to end, so the
-    stage is bit-reproducible at any batch size or partitioning.
+    drop out.
+
+    For payloads ≥ 64 bytes the mean-threshold comparison runs in
+    EXACT int64 cross-multiplied form (the mm_phash_pairs precedent —
+    quantize the transform so an SQL oracle can replay it): block i of
+    length cᵢ with byte-sum sᵢ sets its bit iff sᵢ/cᵢ > mean of block
+    means, and with block lengths taking only the two values b and b+1
+    (b = ⌊L/64⌋, rem = L mod 64 longer blocks) that rational
+    comparison clears denominators to
+        64·b·(b+1)·sᵢ  >  cᵢ·(A·b + B·(b+1)),
+    A = Σ sums of the (b+1)-blocks, B = Σ sums of the b-blocks — exact
+    integer arithmetic end to end, bit-reproducible at any batch size
+    or partitioning, and int64-safe to payloads of ~5 MB
+    (255·L³/64² < 2⁶³). Sub-64-byte payloads keep the float
+    array_split path (empty cells have no rational form) and are
+    excluded from the oracled query.
 
     Only 64-bit signatures are supported (grid² must be 64): the
     two's-complement fold and the int64 output schema are 64-bit."""
@@ -231,21 +245,27 @@ def image_ahash(images: DataFrame, grid: int = AHASH_GRID) -> DataFrame:
                 # DECODE PLUG-POINT: real pipeline decodes to a 2-D
                 # grayscale array here; the stub reads raw bytes as the
                 # raster, which keeps every downstream step real
-                arr = np.frombuffer(b, dtype=np.uint8).astype(np.float64)
+                arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
                 if len(arr) >= n_cells:
-                    # vectorized block means at np.array_split's exact
-                    # boundaries (reduceat beats 64 split views ~10x)
+                    # vectorized block sums at np.array_split's exact
+                    # boundaries (reduceat beats 64 split views ~10x),
+                    # then the exact cross-multiplied threshold
                     base, rem = divmod(len(arr), n_cells)
                     i = np.arange(n_cells)
                     starts = i * base + np.minimum(i, rem)
                     sums = np.add.reduceat(arr, starts)
                     counts = np.diff(np.append(starts, len(arr)))
-                    means = sums / counts
-                else:  # degenerate tiny payload: keep split semantics
-                    means = np.array(
-                        [c.mean() if len(c) else 0.0 for c in np.array_split(arr, n_cells)]
+                    a_hi = int(sums[:rem].sum())
+                    b_lo = int(sums[rem:].sum())
+                    bits = 64 * base * (base + 1) * sums > counts * (
+                        a_hi * base + b_lo * (base + 1)
                     )
-                bits = means > means.mean()
+                else:  # degenerate tiny payload: keep split semantics
+                    farr = arr.astype(np.float64)
+                    means = np.array(
+                        [c.mean() if len(c) else 0.0 for c in np.array_split(farr, n_cells)]
+                    )
+                    bits = means > means.mean()
                 # first block -> MSB, same ordering as a shift-or loop
                 h = int.from_bytes(np.packbits(bits).tobytes(), "big")
                 if h >= 1 << 63:  # two's-complement into int64

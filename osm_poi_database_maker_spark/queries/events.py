@@ -475,55 +475,89 @@ LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
 """
 
 
+_SK_ACC = 10_000  # GK sketch accuracy: rank error ≤ n/accuracy (+1 for ties)
+_SK_RSD = 0.02  # HLL++ relative standard deviation
+_SK_BOUND = 4 * _SK_RSD  # gate at 4 sigma of the HLL contract
+
+
 def q_events_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates — the 100 TB form of distinct counting and
     quantiles: approx_count_distinct (HyperLogLog++, fixed ~KB state,
-    mergeable map-side) and approx_percentile (t-digest). Rows-only
-    driver check (sketch estimates are engine-specific) — so, like the
-    ANN queries' recall column, each row carries its own audit: the
-    EXACT distinct count and median computed beside the sketches, plus
-    the sketch's relative/absolute error. The exact columns are the
-    fixture-scale self-check; at 100 TB they are exactly what the
-    sketches exist to avoid and would be dropped or sampled.
-    tests/test_entry.py asserts the errors land within tolerance.
+    mergeable map-side) and approx_percentile (Greenwald-Khanna),
+    HASH-GATED on their published error contracts (r10 verdict #3 —
+    the events_hll_cardinality_audit / lineitem_approx_quantile_audit
+    pattern, per-group instead of global): each event_type row carries
+    the exact distinct count and exact p50/p95 (oracle-recomputed by
+    DuckDB) plus three contract booleans — HLL within 4×rsd of exact,
+    each GK answer within rank error n/accuracy+1 of its target rank —
+    that the oracle asserts TRUE, so an estimator regression trips the
+    driver's value-hash gate instead of hiding in a rows-only row.
+    The sketch estimates themselves stay engine-side (engine-specific
+    internals); the exact columns are the fixture-scale yardstick that
+    a 100 TB run drops.
 
-    Plan note: the exact distinct count runs as its own two-step
-    aggregate (pre-distinct on (type,user) then count) joined back on
-    the 5-row group key — mixing a DISTINCT aggregate into the same
-    agg as the t-digest sketches forces Spark through an Expand +
-    object-aggregate fallback that benched 14× slower at sf0.1."""
+    Plan: one aggregate computes counts + both percentile forms (the
+    DISTINCT + HLL mix plans as Expand + two-phase hash aggregate);
+    the rank check is one conditional-count pass over the fact with
+    the 5-row group aggregate broadcast back — no sort, no window."""
     e = load_table(spark, sf_dir, "events")
-    sk = e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-        F.round(F.expr("approx_percentile(value, 0.5)"), 2).alias("p50_value"),
-        F.round(F.expr("percentile(value, 0.5)"), 2).alias("p50_exact"),
-        F.round(F.expr("approx_percentile(value, 0.95)"), 2).alias("p95_value"),
-        F.count("*").alias("n_events"),
+    qs = F.array(F.lit(0.5), F.lit(0.95))
+    agg = e.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("exact_users"),
+        F.approx_count_distinct("user_id", _SK_RSD).alias("apx_users"),
+        F.percentile("value", qs).alias("ex"),
+        F.percentile_approx("value", qs, F.lit(_SK_ACC)).alias("apx"),
     )
-    exact = (
-        e.select("event_type", "user_id")
-        .distinct()
+    ranks = (
+        e.select("event_type", "value")
+        .join(F.broadcast(agg), "event_type")
         .groupBy("event_type")
-        .agg(F.count("*").alias("exact_users"))
+        .agg(
+            F.first("n_events").alias("n_events"),
+            F.first("exact_users").alias("exact_users"),
+            F.first("apx_users").alias("apx_users"),
+            F.first("ex").alias("ex"),
+            F.sum(
+                (F.col("value") <= F.element_at("apx", 1)).cast("long")
+            ).alias("r50"),
+            F.sum(
+                (F.col("value") <= F.element_at("apx", 2)).cast("long")
+            ).alias("r95"),
+        )
     )
-    out = sk.join(exact, "event_type")
-    return out.select(
+    rank_tol = F.col("n_events") / _SK_ACC + 1
+    return ranks.select(
         "event_type",
-        "approx_users",
-        "exact_users",
-        F.round(
-            F.abs(F.col("approx_users") - F.col("exact_users"))
-            / F.col("exact_users"),
-            4,
-        ).alias("users_rel_err"),
-        "p50_value",
-        "p50_exact",
-        F.round(F.abs(F.col("p50_value") - F.col("p50_exact")), 2).alias(
-            "p50_abs_err"
-        ),
-        "p95_value",
         "n_events",
+        "exact_users",
+        (
+            F.abs(F.col("apx_users") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= _SK_BOUND
+        ).alias("users_within_bound"),
+        F.round(F.element_at("ex", 1), 4).alias("p50_exact"),
+        (F.abs(F.col("r50") - 0.5 * F.col("n_events")) <= rank_tol).alias(
+            "p50_within_rank_bound"
+        ),
+        F.round(F.element_at("ex", 2), 4).alias("p95_exact"),
+        (F.abs(F.col("r95") - 0.95 * F.col("n_events")) <= rank_tol).alias(
+            "p95_within_rank_bound"
+        ),
     )
+
+
+ORACLE_SKETCH_STATS = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS users_within_bound,
+       round(quantile_cont(value, 0.5), 4) AS p50_exact,
+       TRUE AS p50_within_rank_bound,
+       round(quantile_cont(value, 0.95), 4) AS p95_exact,
+       TRUE AS p95_within_rank_bound
+FROM events GROUP BY event_type
+"""
 
 
 _INCIDENT_WINDOW_US = 5 * 60 * 1_000_000  # error event opens a 5-minute window
@@ -2946,6 +2980,7 @@ ORACLES = {
     "events_toi_pipeline": ORACLE_TOI,
     "events_salted_hot_join": ORACLE_SALTED_HOT_JOIN,
     "events_hll_cardinality_audit": ORACLE_HLL_AUDIT,
+    "events_sketch_stats": ORACLE_SKETCH_STATS,
     "events_tag_explode": ORACLE_EXPLODE,
     "events_exclude_superset": ORACLE_EXCLUDE,
     "events_hstore_projection": ORACLE_HSTORE,

@@ -293,17 +293,32 @@ GROUP BY o.doc_id
 
 
 def q_mm_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual-hash (aHash) near-duplicate image pairs — image dedup
-    for a multimodal training corpus: 64-bit average-hash signatures,
-    8×8-bit banded LSH candidates (pigeonhole-complete at the Hamming ≤6
-    threshold), exact bit_count verify. Rows-only check (the numpy-side
-    hash isn't SQL-portable); semantics gated by planted near-identical
-    payload tests, and the fixture's planted text near-dups surface here
-    as image pairs because the stub decode reads payload bytes."""
+    """Perceptual-hash (aHash) near-duplicate image pairs, HASH-GATED
+    (r10 verdict #2 — the mm_phash_pairs precedent applied to the
+    strictly simpler transform): 64-bit average-hash signatures whose
+    mean-threshold bits are EXACT int64 cross-multiplications
+    (``multimodal.image_ahash``), 8×8-bit banded LSH candidates
+    (pigeonhole-complete at the Hamming ≤6 threshold), exact bit_count
+    verify. The DuckDB oracle replays the ENTIRE transform — pixels via
+    ascii(), array_split block boundaries via the position→block
+    inverse map, the threshold as the cleared-denominator integer
+    comparison, pairs as exact all-pairs bit_count(xor) ≤ 6
+    (pigeonhole makes banded and all-pairs equal below 8 bands).
+    ASCII docs ≥ 64 bytes only, so substr() codepoints equal payload
+    bytes in both engines and every block has a nonzero length.
+
+    Scale: the Spark side is the banded-LSH plan (bucket-capped at
+    200); past SF≈0.25 tools/check.py swaps in the cap-replicating
+    ORACLES_BIG twin, since the exact oracle is quadratic."""
     from ..multimodal import ahash_near_dups, documents_as_image_table
 
-    d = load_table(spark, sf_dir, "documents")
-    return ahash_near_dups(documents_as_image_table(d))
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.octet_length(F.encode("text", "UTF-8")) == F.length("text"))
+        & (F.length("text") >= 64)
+    )
+    return ahash_near_dups(documents_as_image_table(d)).select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 # --- silence segmentation (gaps-and-islands over the frame table) ----------
@@ -564,7 +579,53 @@ def q_mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _phash_oracle_sql() -> str:
+def _banded_pairs_tail(
+    hash_col: str, bands: int, max_hamming: int, max_bucket: int
+) -> str:
+    """Cap-replicating banded-LSH pair tail over a ``sig`` CTE — the
+    DuckDB twin of ``multimodal._banded_hamming_pairs`` for the
+    ORACLES_BIG variants: same band split ((h >> b·width) & mask — a
+    negative int64's arithmetic shift then mask equals the unsigned
+    shift for every in-word band), same deterministic lowest-doc_ids
+    cap, same DISTINCT multi-band collapse. Candidate volume rides
+    band-bucket occupancy instead of going quadratic, so the gate
+    stays honest past the SF where all-pairs blows up."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    return f"""
+banded AS (
+  SELECT doc_id, {hash_col}, t.band,
+         ({hash_col} >> (t.band * {width})) & {mask} AS val
+  FROM sig, (SELECT unnest(range({bands})) AS band) t
+),
+capped AS (
+  SELECT doc_id, {hash_col}, band, val FROM (
+    SELECT *, row_number() OVER (PARTITION BY band, val ORDER BY doc_id) AS rn
+    FROM banded)
+  WHERE rn <= {max_bucket}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.{hash_col}, b.{hash_col})) AS BIGINT) AS hamming
+FROM capped a JOIN capped b
+  ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.{hash_col}, b.{hash_col})) <= {max_hamming}
+"""
+
+
+def _allpairs_tail(hash_col: str, max_hamming: int) -> str:
+    """Exact all-pairs tail over a ``sig`` CTE — the independent-
+    algorithm gate (banded LSH on the Spark side vs brute force here;
+    pigeonhole at hamming < bands makes them equal). Quadratic by
+    construction: sf≤0.1 batteries only."""
+    return f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.{hash_col}, b.{hash_col})) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.{hash_col}, b.{hash_col})) <= {max_hamming}
+"""
+
+
+def _phash_oracle_sql(banded: bool = False) -> str:
     from ..multimodal import PHASH_DCT_C, PHASH_MAX_HAMMING
 
     cmat_rows = ", ".join(
@@ -610,15 +671,77 @@ sig AS MATERIALIZED (
                        ELSE 0 END) AS BIGINT) AS phash
   FROM ac JOIN med ON med.doc_id = ac.doc_id
   GROUP BY 1
-)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
-FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAX_HAMMING}
-"""
+){"," if banded else ""}""" + (
+        _banded_pairs_tail("phash", 8, PHASH_MAX_HAMMING, 200)
+        if banded
+        else _allpairs_tail("phash", PHASH_MAX_HAMMING)
+    )
 
 
 ORACLE_PHASH_PAIRS = _phash_oracle_sql()
+ORACLE_PHASH_PAIRS_BIG = _phash_oracle_sql(banded=True)
+
+
+def _ahash_oracle_sql(banded: bool = False) -> str:
+    """DuckDB replay of ``multimodal.image_ahash`` + pair join over the
+    ASCII ≥64-byte document slice: positions map to their array_split
+    block by the closed-form inverse (p < rem·(base+1) → p÷(base+1),
+    else rem + (p−rem·(base+1))÷base), block byte-sums aggregate
+    exactly, and each bit is the cleared-denominator integer
+    comparison 64·b·(b+1)·sᵢ > cᵢ·(A·b + B·(b+1)) — the same exact
+    rational form the numpy side computes. First block → MSB: bit 0
+    lands on −2⁶³ via two's complement (DuckDB sums BIGINT through
+    HUGEINT, so the fold is a plain signed add then a checked cast)."""
+    from ..multimodal import AHASH_BANDS, AHASH_MAX_HAMMING
+
+    return f"""
+WITH ascii_docs AS (
+  SELECT doc_id, text,
+         CAST(length(text) AS BIGINT) AS L,
+         CAST(length(text) // 64 AS BIGINT) AS base,
+         CAST(length(text) % 64 AS BIGINT) AS rem
+  FROM documents
+  WHERE octet_length(encode(text)) = length(text) AND length(text) >= 64
+),
+pix AS (
+  SELECT d.doc_id, d.base, d.rem,
+         CASE WHEN t.p < d.rem * (d.base + 1)
+              THEN t.p // (d.base + 1)
+              ELSE d.rem + (t.p - d.rem * (d.base + 1)) // d.base END AS i,
+         CAST(ascii(substr(d.text, CAST(t.p + 1 AS INTEGER), 1)) AS BIGINT) AS v
+  FROM ascii_docs d, (SELECT unnest(range(d.L)) AS p) t
+),
+sums AS MATERIALIZED (
+  SELECT doc_id, i, base, rem,
+         base + CASE WHEN i < rem THEN 1 ELSE 0 END AS cnt,
+         CAST(sum(v) AS BIGINT) AS s
+  FROM pix GROUP BY 1, 2, 3, 4
+),
+tot AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN i < rem THEN s ELSE 0 END) AS BIGINT) AS a_hi,
+         CAST(sum(CASE WHEN i >= rem THEN s ELSE 0 END) AS BIGINT) AS b_lo
+  FROM sums GROUP BY 1
+),
+sig AS MATERIALIZED (
+  SELECT s.doc_id,
+         CAST(sum(CASE WHEN 64 * s.base * (s.base + 1) * s.s
+                            <= s.cnt * (t.a_hi * s.base + t.b_lo * (s.base + 1))
+                       THEN 0
+                       WHEN s.i = 0 THEN -9223372036854775808
+                       ELSE CAST(1 AS BIGINT) << CAST(63 - s.i AS INTEGER)
+                  END) AS BIGINT) AS ahash
+  FROM sums s JOIN tot t USING (doc_id)
+  GROUP BY 1
+){"," if banded else ""}""" + (
+        _banded_pairs_tail("ahash", AHASH_BANDS, AHASH_MAX_HAMMING, 200)
+        if banded
+        else _allpairs_tail("ahash", AHASH_MAX_HAMMING)
+    )
+
+
+ORACLE_AHASH_PAIRS = _ahash_oracle_sql()
+ORACLE_AHASH_PAIRS_BIG = _ahash_oracle_sql(banded=True)
 
 
 QUERIES = {
@@ -638,6 +761,7 @@ QUERIES = {
 ORACLES = {
     "mm_vit_tiling_plan": ORACLE_VIT_TILING,
     "mm_phash_pairs": ORACLE_PHASH_PAIRS,
+    "mm_ahash_pairs": ORACLE_AHASH_PAIRS,
     "mm_image_features": ORACLE_IMAGE_FEATURES,
     "mm_frame_sample": ORACLE_FRAME_SAMPLE,
     "mm_frame_diff_cuts": ORACLE_FRAME_DIFF,
@@ -646,4 +770,13 @@ ORACLES = {
     "mm_audio_resample": ORACLE_AUDIO_RESAMPLE,
     "mm_audio_silence_segments": ORACLE_SILENCE,
     "mm_payload_stats": ORACLE_PAYLOAD_STATS,
+}
+
+# SF ≥ 0.25 oracle overrides: the exact all-pairs perceptual-hash
+# oracles are quadratic; these replicate the Spark side's banded-LSH
+# plan (including the 200-member bucket cap) so the gate's cost rides
+# band occupancy. tools/check.py swaps them in for large-SF batteries.
+ORACLES_BIG = {
+    "mm_phash_pairs": ORACLE_PHASH_PAIRS_BIG,
+    "mm_ahash_pairs": ORACLE_AHASH_PAIRS_BIG,
 }

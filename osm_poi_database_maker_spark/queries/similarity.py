@@ -1242,19 +1242,48 @@ def q_emb_opq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     so every row carries the evidence that the rotation paid for itself
     (err_gain ≥ 0 in aggregate; pinned by pytest).
 
-    The code word is emitted as a dash-joined STRING, not array<int>:
-    the driver's canonicalizer sorts every output column pandas-side,
-    and list cells are unhashable there (r5 driver error) — scalar
-    columns only at the gate boundary.
+    HASH-GATED on its quality contract (r10 verdict #3 — the last
+    rows-only residue, closed via the IVF-PQ recall-floor pattern):
+    the Procrustes SVD and the codebooks stay engine-side, and the
+    driver row is a one-row summary whose oracle-recomputable columns
+    (n_vecs, the M/K configuration) DuckDB recomputes and whose two
+    contract booleans it asserts — the rotation must not lose to the
+    plain-PQ baseline trained from the same (sample, seed, init)
+    (``rotation_improves``: mean OPQ reconstruction error ≤ mean PQ
+    error), and every emitted code must index a real centroid
+    (``codes_in_range``). A trainer regression now trips the driver's
+    value-hash gate. Per-vector code words stay available through
+    ``_opq_code_frame`` (pinned by tests/test_similarity.py).
 
-    Rows-only at the driver gate: the Procrustes step is an SVD, not
-    expressible in SQL — the same audit-column pattern as the ANN/IVF
-    family (recall_vs_exact). Scale shape: training is bounded
-    driver-side numpy over the seeded-hash TakeOrdered sample (the
-    IVF/PQ trainer rule); the dim² rotation and codebooks broadcast
-    into ONE vectorized mapInPandas pass that rotates, assigns, and
-    scores each Arrow batch — the collection streams through linearly,
-    no shuffle at all after the scan."""
+    Scale shape: training is bounded driver-side numpy over the
+    seeded-hash TakeOrdered sample (the IVF/PQ trainer rule); the dim²
+    rotation and codebooks broadcast into ONE vectorized mapInPandas
+    pass that rotates, assigns, and scores each Arrow batch — the
+    collection streams through linearly, and the audit aggregate is a
+    4-cell partial reduce."""
+    codes = _opq_code_frame(spark, sf_dir)
+    return codes.agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.lit(_OPQ_M).alias("m_sub"),
+        F.lit(_OPQ_K).alias("n_codes"),
+        F.coalesce(
+            F.avg("opq_err") <= F.avg("pq_err"), F.lit(True)
+        ).alias("rotation_improves"),
+        F.coalesce(
+            F.min(
+                (F.col("code_min") >= 0) & (F.col("code_max") < _OPQ_K)
+            ),
+            F.lit(True),
+        ).alias("codes_in_range"),
+    )
+
+
+def _opq_code_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector OPQ code words + reconstruction errors — the full
+    OPQ output (q_emb_opq_codes gates its one-row audit summary).
+    Code words are dash-joined STRINGs (the driver canonicalizer's
+    scalar-columns rule, r5) plus min/max code columns for the
+    range audit."""
     import numpy as np
     import pandas as pd
 
@@ -1266,10 +1295,12 @@ def q_emb_opq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # err_gain audit compares two different training draws, not the
     # rotation's contribution
     pq_books = train_pq_codebooks(e, m_sub=_OPQ_M, n_codes=_OPQ_K, seed=_OPQ_SEED)
+    schema = (
+        "vec_id long, codes string, opq_err double, pq_err double,"
+        " code_min int, code_max int"
+    )
     if r_mat.size == 0:
-        return spark.createDataFrame(
-            [], "vec_id long, codes string, opq_err double, pq_err double"
-        )
+        return spark.createDataFrame([], schema)
     m_sub, _, subdim = books.shape
 
     def assign(batches):
@@ -1289,12 +1320,22 @@ def q_emb_opq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "codes": ["-".join(map(str, row)) for row in codes],
                     "opq_err": np.round(opq_err, 6),
                     "pq_err": np.round(pq_err, 6),
+                    "code_min": codes.min(axis=1),
+                    "code_max": codes.max(axis=1),
                 }
             )
 
-    return e.mapInPandas(
-        assign, "vec_id long, codes string, opq_err double, pq_err double"
-    )
+    return e.mapInPandas(assign, schema)
+
+
+ORACLE_OPQ_CODES = """
+SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+       4 AS m_sub,
+       16 AS n_codes,
+       TRUE AS rotation_improves,
+       TRUE AS codes_in_range
+FROM embeddings
+"""
 
 
 def q_emb_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2493,4 +2534,7 @@ ORACLES = {
     # trace (sum of per-dim population variances) and asserts the
     # eigensolver identities.
     "emb_pca_spectrum": ORACLE_PCA_TRACE,
+    # OPQ quality contract (r11): oracle recomputes n_vecs and asserts
+    # the rotation-improves + codes-in-range booleans.
+    "emb_opq_codes": ORACLE_OPQ_CODES,
 }

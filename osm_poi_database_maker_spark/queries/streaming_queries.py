@@ -776,7 +776,11 @@ def q_stream_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches — certifying signatures, retention policy, and verdict
     merge end to end."""
     out = _materialize(
-        S.simhash_dedup_state(S.stream_documents(spark, sf_dir)), spark, "update"
+        S.simhash_dedup_state(
+            S.stream_documents(spark, sf_dir, assert_doc_id_file_order=True)
+        ),
+        spark,
+        "update",
     )
     from pyspark.sql import functions as F
 

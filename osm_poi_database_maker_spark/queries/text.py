@@ -2501,8 +2501,9 @@ SELECT n_docs, n_k0, n_k1, n_k2, n_k3,
        round((agree_pairs / (6.0 * n_docs)
               - (pow(keep_votes / (3.0 * n_docs), 2)
                  + pow(1 - keep_votes / (3.0 * n_docs), 2)))
-             / (1 - (pow(keep_votes / (3.0 * n_docs), 2)
-                     + pow(1 - keep_votes / (3.0 * n_docs), 2))), 6) AS kappa
+             / nullif(1 - (pow(keep_votes / (3.0 * n_docs), 2)
+                           + pow(1 - keep_votes / (3.0 * n_docs), 2)), 0.0),
+             6) AS kappa
 FROM agg
 """
 

@@ -1370,19 +1370,51 @@ def lateness_state(events: DataFrame) -> DataFrame:
     )
 
 
-def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_documents(
+    spark: SparkSession, sf_dir: str, assert_doc_id_file_order: bool = False
+) -> DataFrame:
     """File-source stream over the documents fixture (footer-probed
     schema, same rule as stream_events — never hardcode a schema
     against a fixture whose encoding can change between driver
     generations). Documents carry no event time, so downstream state
     ops run unwatermarked; at 100 TB a production corpus stream would
     key state on a bounded shard id (as mg_heavy_hitters_state does),
-    never on an unbounded key."""
-    file_schema = spark.read.parquet(f"{sf_dir}/documents*.parquet").schema
+    never on an unbounded key.
+
+    ``assert_doc_id_file_order=True`` verifies (one cheap footer-scale
+    batch pass) that per-file doc_id ranges are DISJOINT and ascend in
+    lexical file order — the precondition arrival-order-sensitive
+    consumers rely on: stream_simhash_dedup's oracle replays first-K
+    band-bucket retention as ``row_number() ORDER BY doc_id``, which
+    equals arrival order only while this holds (r10 advice #3). A
+    fixture regeneration that breaks the property now fails loudly at
+    the query instead of silently desyncing oracle parity."""
+    path = f"{sf_dir}/documents*.parquet"
+    file_schema = spark.read.parquet(path).schema
+    if assert_doc_id_file_order:
+        from pyspark.sql import functions as F
+
+        ranges = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+            .orderBy("f")
+            .collect()
+        )
+        prev_hi, prev_f = None, None
+        for r in ranges:
+            if prev_hi is not None and r.lo <= prev_hi:
+                raise AssertionError(
+                    "documents fixture violates the doc_id/file-order "
+                    f"precondition: {prev_f} ends at doc_id {prev_hi} but "
+                    f"{r.f} starts at {r.lo}; arrival-order oracles "
+                    "(stream_simhash_dedup) are not valid on this fixture"
+                )
+            prev_hi, prev_f = r.hi, r.f
     return (
         spark.readStream.schema(file_schema)
         .format("parquet")
-        .load(f"{sf_dir}/documents*.parquet")
+        .load(path)
     )
 
 

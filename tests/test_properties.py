@@ -182,8 +182,9 @@ def test_pcm_energy_matches_pure_python(spark, payload, frame_samples):
 )
 def test_ahash_matches_pure_python(spark, payloads):
     """image_ahash's vectorized reduceat path must equal an independent
-    pure-Python re-derivation (np.array_split boundaries, mean
-    threshold, MSB-first packing) for arbitrary byte payloads."""
+    pure-Python re-derivation (np.array_split boundaries, exact
+    cross-multiplied mean threshold for ≥64-byte payloads / float
+    threshold below, MSB-first packing) for arbitrary byte payloads."""
     from osm_poi_database_maker_spark.multimodal import image_ahash
 
     def expected(b: bytes) -> int | None:
@@ -191,16 +192,28 @@ def test_ahash_matches_pure_python(spark, payloads):
             return None
         import numpy as np
 
-        arr = np.frombuffer(b, dtype=np.uint8).astype(np.float64)
+        arr = np.frombuffer(b, dtype=np.uint8)
         cells = np.array_split(arr, 64)
-        # np.mean over the means, mirroring production's pairwise
-        # reduction — a sequential Python sum can differ in the last
-        # ulp and flip a threshold-straddling bit
-        means = np.array([c.mean() if len(c) else 0.0 for c in cells])
-        thresh = means.mean()
+        if len(arr) >= 64:
+            # exact rational comparison sᵢ/cᵢ > (1/64)·Σⱼ sⱼ/cⱼ with
+            # Fraction — fully independent of production's int64
+            # cross-multiplication
+            from fractions import Fraction
+
+            means = [Fraction(int(c.sum()), len(c)) for c in cells]
+            thresh = Fraction(sum(means), 64)
+            bits = [m > thresh for m in means]
+        else:
+            # np.mean over the means, mirroring production's pairwise
+            # reduction — a sequential Python sum can differ in the
+            # last ulp and flip a threshold-straddling bit
+            fmeans = np.array(
+                [c.astype(np.float64).mean() if len(c) else 0.0 for c in cells]
+            )
+            bits = list(fmeans > fmeans.mean())
         h = 0
-        for m in means:
-            h = (h << 1) | int(m > thresh)
+        for bit in bits:
+            h = (h << 1) | int(bit)
         return h - (1 << 64) if h >= 1 << 63 else h
 
     rows = [(i, p) for i, p in enumerate(payloads)]

@@ -104,3 +104,51 @@ def test_apply_in_pandas_with_state_parity_under_rocksdb(spark, rocksdb_conf):
         return sorted(latest.values())
 
     assert final_state(got) == final_state(want)
+
+
+def test_simhash_dedup_parity_under_rocksdb(spark, rocksdb_conf):
+    """r10 verdict #4: the most state-novel custom-state stream —
+    per-band SimHash first-K retention via applyInPandasWithState —
+    must be row-identical under RocksDB. The raw state pipeline runs
+    once under RocksDB to prove the provider engaged; the registered
+    query (state pipeline + batch finalizer) runs under both providers
+    for the row-equality half."""
+    from osm_poi_database_maker_spark import streaming as S
+    from osm_poi_database_maker_spark.queries.streaming_queries import (
+        q_stream_simhash_dedup,
+    )
+
+    spark.conf.set(_PROVIDER_CONF, _ROCKSDB)
+    _, progress = _run_to_memory(
+        S.simhash_dedup_state(S.stream_documents(spark, SF_SMOKE)), "update"
+    )
+    ops = (progress or {}).get("stateOperators", [])
+    custom = " ".join(str(o.get("customMetrics", {})) for o in ops)
+    assert "rocksdb" in custom.lower(), f"RocksDB never engaged: {custom[:200]}"
+
+    got = sorted(tuple(r) for r in q_stream_simhash_dedup(spark, SF_SMOKE).collect())
+    spark.conf.unset(_PROVIDER_CONF)
+    want = sorted(tuple(r) for r in q_stream_simhash_dedup(spark, SF_SMOKE).collect())
+    assert got == want and len(got) > 0
+
+
+def test_cdc_latest_state_parity_under_rocksdb(spark, rocksdb_conf):
+    """r10 verdict #4, second flagship: CDC apply keeps its state
+    SINK-side (foreachBatch → merge_upsert parquet swaps), not in the
+    state store — the provider swap must therefore be a strict no-op
+    on the final materialized state, which is exactly the
+    backend-independence contract a lakehouse CDC pipeline relies on
+    when an operator with store-backed state is composed upstream."""
+    from osm_poi_database_maker_spark.queries.streaming_queries import (
+        q_stream_cdc_latest_state,
+    )
+
+    spark.conf.set(_PROVIDER_CONF, _ROCKSDB)
+    got = sorted(
+        tuple(r) for r in q_stream_cdc_latest_state(spark, SF_SMOKE).collect()
+    )
+    spark.conf.unset(_PROVIDER_CONF)
+    want = sorted(
+        tuple(r) for r in q_stream_cdc_latest_state(spark, SF_SMOKE).collect()
+    )
+    assert got == want and len(got) > 0

@@ -424,7 +424,7 @@ def test_opq_rotation_is_orthogonal_and_improves_on_pq(spark):
     e = load_table(spark, SF_SMOKE, "embeddings")
     r_mat, books = train_opq(e, m_sub=S2._OPQ_M, n_codes=S2._OPQ_K)
     assert np.allclose(r_mat @ r_mat.T, np.eye(r_mat.shape[0]), atol=1e-9)
-    rows = S2.q_emb_opq_codes(spark, SF_SMOKE).collect()
+    rows = S2._opq_code_frame(spark, SF_SMOKE).collect()
     assert len(rows) == e.count()
     tot_opq = sum(r.opq_err for r in rows)
     tot_pq = sum(r.pq_err for r in rows)
@@ -432,6 +432,10 @@ def test_opq_rotation_is_orthogonal_and_improves_on_pq(spark):
     parsed = [[int(c) for c in r.codes.split("-")] for r in rows]
     assert all(len(cs) == S2._OPQ_M for cs in parsed)
     assert all(0 <= c < S2._OPQ_K for cs in parsed for c in cs)
+    # the driver-gated summary asserts the same contracts in one row
+    (summary,) = S2.q_emb_opq_codes(spark, SF_SMOKE).collect()
+    assert summary.n_vecs == len(rows)
+    assert summary.rotation_improves and summary.codes_in_range
 
 
 def test_opq_training_is_deterministic(spark):
