@@ -63,72 +63,68 @@ _MODULES = (
 # Every registered query keeps a pytest + tools/check.py local gate
 # regardless of window position.
 _VERIFY_FIRST = [
-    # tier 1a (round 10): queries whose implementation or oracle CHANGED
+    # tier 1a (round 11): queries whose implementation or oracle CHANGED
     # this round, so they need a fresh driver row —
-    # the 3 ANN quality contracts (rows-only → hash-gated recall-floor
-    # summary rows, r9 verdict #2):
-    "emb_ann_topk",
-    "emb_ivf_topk",
-    "emb_ivf_pq_topk",
-    # the degenerate-centroid oracle slice fix (ring[1:-1] → ring[1:-2],
-    # r9 advice #1) + the guarded ray-cast restructure (advice #3):
-    "osm_point_in_polygon",
-    "osm_ways_centroids",
-    "osm_mp_centroids",
-    # atomic content-keyed fixture write (advice #2):
-    "osm_poi_pipeline_full",
-    # AS MATERIALIZED oracle hints (r9 verdict #5 — semantics-free,
-    # pytest-pinned byte-identical, but a fresh row proves it):
-    "emb_mutual_knn_clusters",
-    "doc_graph_pagerank",
-    # PCA spectrum rows-only → trace-identity hash contract (r10):
-    "emb_pca_spectrum",
-    # tier 1b (round 10): new queries this round.
-    "osm_cell_layout_scan",
-    "stream_cdc_latest_state",
-    "doc_retrieval_ndcg",
-    "events_salted_hot_join",
-    "orders_asof_snapshot",
-    "orders_bucketed_join",
-    "lineitem_approx_quantile_audit",
-    "events_hll_cardinality_audit",
-    "orders_dpp_scan",
-    "late_sole_supplier_orders",
+    # the 3 rows-only residue queries hash-gated per r10 verdict #2/#3
+    # (exact-int aHash transform replay, per-group sketch error
+    # contracts, OPQ quality-contract summary):
+    "mm_ahash_pairs",
+    "events_sketch_stats",
+    "emb_opq_codes",
+    # nullif zero-guard in the Fleiss kappa oracle (r10 advice #1):
     "doc_fleiss_kappa",
-    "doc_lang_calibration",
-    "lineitem_jackknife_ci",
-    "mm_phash_pairs",
-    "emb_split_leakage",
+    # fixture file-order precondition assertion (r10 advice #3):
     "stream_simhash_dedup",
-    "events_power_analysis",
-    "doc_toxicity_lexicon",
-    # tier 2a: the LAST 13 r04-evidence queries (r9 verdict #1 — after
-    # these, no query's newest driver row predates r05):
-    "orders_backlog_aging",
-    "basket_part_affinity",
-    "nation_volume_shipping",
-    "orders_scd2_intervals",
-    "order_rollup",
-    "order_priority_cube",
-    "shipping_priority",
-    "order_value_percentiles",
-    "brand_returnflag_pivot",
-    "customer_value_ranks",
-    "order_grouping_sets",
-    "orders_above_customer_avg",
-    "top_suppliers_by_revenue",
-    # tier 2b: the r05-evidence cohort in registry order — 9 fit the
-    # remaining window slots (the 10 session-2 additions above displaced
-    # 10 of the original 19); the overflow rotates to r11.
-    "events_multi_exists",
-    "events_ohlc_bars",
-    "events_toi_pipeline",
-    "events_tag_explode",
-    "events_exclude_superset",
-    "events_hstore_projection",
-    "events_time_rollup",
-    "events_ushape_attribution",
-    "doc_token_stats",
+    # tier 1b (round 11): new queries this round.
+    "emb_binary_quantize_recall",
+    "doc_dsir_importance",
+    "lineitem_zorder_scan",
+    # tier 2a (r10 verdict #1): the ENTIRE r05-evidence cohort — after
+    # this window no registry row's newest driver evidence predates r06.
+    "orders_pk_audit",
+    "doc_quality_score",
+    "doc_lang_id",
+    "doc_fingerprint",
+    "doc_token_regex",
+    "doc_tfidf_top_terms",
+    "doc_chunk_windows",
+    "doc_repetition_stats",
+    "doc_stratified_sample",
+    "doc_exact_dedup",
+    "doc_ngram_jaccard_pairs",
+    "doc_minhash_pairs",
+    "doc_simhash_pairs",
+    "stream_stateful_user_totals",
+    "stream_dedup_watermark",
+    "stream_static_join",
+    "osm_relation_areas",
+    "osm_poi_nodes_noname",
+    "doc_pack_sequences",
+    "doc_pii_scrub",
+    "osm_pbf_scan",
+    "doc_decontaminate",
+    "doc_mixture_sample",
+    "doc_shuffle_shards",
+    "emb_int8_quantize",
+    "doc_curation_pipeline",
+    "osm_xml_scan",
+    "doc_bigram_logprob",
+    "emb_label_centroids",
+    "emb_kmeans_iterations",
+    "emb_semdedup",
+    "large_volume_customers",
+    "doc_substring_dedup",
+    "lineitem_hist_quantiles",
+    "nation_market_share",
+    "doc_hybrid_rrf",
+    "stream_ohlc_bars",
+    "emb_matryoshka_recall",
+    # tier 2b: r06-evidence cohort, stalest-first — 4 fit the remaining
+    # window slots; the rest rotate to r12.
+    "pricing_summary",
+    "revenue_by_nation",
+    "events_hourly_window",
+    "events_sliding_window",
 ]
 
 # tier 4 cohort order: non-core modules first, core last.

@@ -3655,6 +3655,158 @@ GROUP BY 1
 """
 
 
+# --- Z-order (bit-interleaved) layout: 2-D box scan with partition prune ---
+
+_Z_BITS = 3  # bits per dimension -> 64 z-cells
+
+
+def zorder_layout_path(sf_dir: str) -> str:
+    """Content-fingerprint-keyed location of the Z-order-partitioned
+    lineitem table (same write-once / atomic-rename discipline as
+    dpp_layout_path)."""
+    import hashlib
+    import os
+    import tempfile
+
+    p = os.path.join(sf_dir, "lineitem.parquet")
+    st = os.stat(p)
+    key = hashlib.sha256(
+        f"{p}:{st.st_size}:{st.st_mtime_ns}:z{_Z_BITS}".encode()
+    ).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"ospdms_zorder_li_{key}")
+
+
+def _z_cell_expr(pc, sc):
+    """Bit-interleave two _Z_BITS-wide cell coordinates into one
+    Morton/Z value (part bits odd, supp bits even)."""
+    z = F.lit(0)
+    for b in range(_Z_BITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftrightunsigned(pc, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+            + F.shiftleft(F.shiftrightunsigned(sc, b).bitwiseAND(F.lit(1)), 2 * b)
+        )
+    return z
+
+
+def q_lineitem_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER layout + 2-D box scan, planner-pruned — the generic
+    lakehouse ``OPTIMIZE ZORDER BY (a, b)`` twin of the geo-specific
+    osm_cell_layout_scan (which orders by a spatial grid): lineitem is
+    written once partitioned by the Morton interleave of its
+    (l_partkey, l_suppkey) cells — each key quantized to 3 bits from
+    table-stats min/max, bits interleaved so the 64 z-cell directories
+    are coherent in BOTH dimensions — and a (part × supp) box query
+    reads it back with the box's covering z-cell IN-list (static
+    PartitionFilters, pytest-pinned directory count) plus the exact
+    key predicates as PushedFilters. Box bounds derive from the same
+    min/max stats by pure integer arithmetic, so the DuckDB oracle
+    recomputes bounds, cells, and rows independently and a
+    boundary-row drop can never hide.
+
+    Scale: one interleaved layout serves range predicates on EITHER
+    or BOTH keys — the reason Delta/Iceberg Z-order beats
+    single-column sort for multi-dim scans; cost rides box area, not
+    table size. At 100 TB the 3-bit cells become ~10-bit (10⁶ files)
+    and the cover computation stays a driver-side loop over the
+    query box's cell rectangle."""
+    import os
+
+    li = load_table(spark, sf_dir, "lineitem")
+    st = li.agg(
+        F.min("l_partkey").alias("pmin"),
+        F.max("l_partkey").alias("pmax"),
+        F.min("l_suppkey").alias("smin"),
+        F.max("l_suppkey").alias("smax"),
+    ).collect()[0]
+    n = 1 << _Z_BITS
+    pspan, sspan = st.pmax - st.pmin + 1, st.smax - st.smin + 1
+    path = zorder_layout_path(sf_dir)
+    if not os.path.exists(path):
+        tmp = f"{path}.tmp.{os.getpid()}"
+        # integer DIV, never float division: (v-lo)*8/span can land an
+        # ulp under an exact integer and floor into the wrong cell
+        pc = F.expr(f"(l_partkey - {st.pmin}L) * {n} DIV {pspan}L")
+        sc = F.expr(f"(l_suppkey - {st.smin}L) * {n} DIV {sspan}L")
+        (
+            li.withColumn("z_cell", _z_cell_expr(pc, sc))
+            .write.partitionBy("z_cell")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        try:
+            os.rename(tmp, path)
+        except OSError:  # lost a concurrent-writer race: theirs is complete
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    # box = [25%, 45%] of each key range, integer arithmetic (exact in
+    # both engines); covering cells = the box's cell rectangle
+    p_lo, p_hi = st.pmin + (st.pmax - st.pmin) // 4, st.pmin + 9 * (st.pmax - st.pmin) // 20
+    s_lo, s_hi = st.smin + (st.smax - st.smin) // 4, st.smin + 9 * (st.smax - st.smin) // 20
+
+    def cell(v, lo, span):
+        return (v - lo) * n // span
+
+    def interleave(pc, sc):
+        return sum(
+            (((pc >> b) & 1) << (2 * b + 1)) + (((sc >> b) & 1) << (2 * b))
+            for b in range(_Z_BITS)
+        )
+
+    cover = [
+        interleave(pc, sc)
+        for pc in range(cell(p_lo, st.pmin, pspan), cell(p_hi, st.pmin, pspan) + 1)
+        for sc in range(cell(s_lo, st.smin, sspan), cell(s_hi, st.smin, sspan) + 1)
+    ]
+    return (
+        spark.read.parquet(path)
+        .filter(
+            F.col("z_cell").isin(cover)
+            & F.col("l_partkey").between(p_lo, p_hi)
+            & F.col("l_suppkey").between(s_lo, s_hi)
+        )
+        .select(
+            "l_orderkey",
+            F.col("l_linenumber").cast("long").alias("l_linenumber"),
+            "l_partkey",
+            "l_suppkey",
+            F.col("z_cell").cast("long").alias("z_cell"),
+        )
+    )
+
+
+ORACLE_ZORDER_SCAN = f"""
+WITH s AS (
+  SELECT CAST(min(l_partkey) AS BIGINT) AS pmin, CAST(max(l_partkey) AS BIGINT) AS pmax,
+         CAST(min(l_suppkey) AS BIGINT) AS smin, CAST(max(l_suppkey) AS BIGINT) AS smax
+  FROM lineitem
+),
+b AS (
+  SELECT pmin, smin,
+         pmax - pmin + 1 AS pspan, smax - smin + 1 AS sspan,
+         pmin + (pmax - pmin) // 4 AS p_lo, pmin + 9 * (pmax - pmin) // 20 AS p_hi,
+         smin + (smax - smin) // 4 AS s_lo, smin + 9 * (smax - smin) // 20 AS s_hi
+  FROM s
+),
+cells AS (
+  SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+         l.l_partkey, l.l_suppkey,
+         (l.l_partkey - b.pmin) * 8 // b.pspan AS pc,
+         (l.l_suppkey - b.smin) * 8 // b.sspan AS sc
+  FROM lineitem l, b
+  WHERE l.l_partkey BETWEEN b.p_lo AND b.p_hi
+    AND l.l_suppkey BETWEEN b.s_lo AND b.s_hi
+)
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       CAST(  ((pc >> 0) & 1) * 2 + ((sc >> 0) & 1)
+            + (((pc >> 1) & 1) * 2 + ((sc >> 1) & 1)) * 4
+            + (((pc >> 2) & 1) * 2 + ((sc >> 2) & 1)) * 16
+           AS BIGINT) AS z_cell
+FROM cells
+"""
+
+
 # --- TPC-H Q21 shape: sole-late-supplier blame (multi-EXISTS rewrite) -------
 
 
@@ -3755,6 +3907,7 @@ QUERIES = {
     "orders_asof_snapshot": q_orders_asof_snapshot,
     "orders_bucketed_join": q_orders_bucketed_join,
     "orders_dpp_scan": q_orders_dpp_scan,
+    "lineitem_zorder_scan": q_lineitem_zorder_scan,
     "late_sole_supplier_orders": q_late_sole_supplier_orders,
     "top_orders_per_customer": q_top_orders_per_customer,
     "customers_with_urgent_orders": q_customers_with_urgent_orders,
@@ -3817,6 +3970,7 @@ ORACLES = {
     "orders_asof_snapshot": ORACLE_ASOF,
     "orders_bucketed_join": ORACLE_BUCKETED_JOIN,
     "orders_dpp_scan": ORACLE_DPP_SCAN,
+    "lineitem_zorder_scan": ORACLE_ZORDER_SCAN,
     "late_sole_supplier_orders": ORACLE_LATE_SOLE_SUPPLIER,
     "top_orders_per_customer": ORACLE_TOP_ORDERS,
     "customers_with_urgent_orders": ORACLE_SEMI,

@@ -1537,6 +1537,115 @@ FROM tagged GROUP BY fold
 ORACLE_PURGED_FOLDS = _purged_folds_oracle_sql()
 
 
+# --- DSIR importance weights (hashed-n-gram data selection) ----------------
+
+_DSIR_B = 512  # hashed feature buckets
+
+
+def q_doc_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how target-like it is under two hashed bag-of-words
+    unigram models — log w(x) = Σ_tokens [ln p_target(bucket) −
+    ln p_raw(bucket)] with add-1 smoothing over B=512 buckets. The
+    target slice is the lexicographically-first source (a stand-in for
+    "trusted corpus"; production points the target counts at Wikipedia
+    /books), the raw model is the whole corpus, and the emitted score
+    is the per-token mean log-ratio (bounded magnitude — the
+    doc_bigram_logprob rounding discipline). Buckets use the portable
+    Lehmer token hash, so the DuckDB oracle replays the feature map
+    bit-identically.
+
+    Plan: one explode of the token stream feeds both bucket-count
+    aggregates (B-bounded maps that AQE broadcasts back), the two
+    1-row totals broadcast, and the per-doc score is one map-side
+    combining aggregate — no Python, no window, shuffle bounded by
+    B + |docs|. At 100 TB this is the canonical cheap-classifier
+    selection pass: two fixed-size count tables trained in one scan,
+    applied in one scan."""
+    from ..dedup import portable_token_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", "source", F.explode(F.split("text", " +")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select(
+            "doc_id",
+            "source",
+            (portable_token_hash(F.col("tok")) % _DSIR_B).alias("k"),
+        )
+    )
+    tsrc = d.agg(F.min("source").alias("tsrc"))
+    toks = toks.crossJoin(F.broadcast(tsrc)).withColumn(
+        "in_target", F.col("source") == F.col("tsrc")
+    )
+    raw = toks.groupBy("k").agg(F.count("*").alias("cr"))
+    tgt = (
+        toks.filter("in_target").groupBy("k").agg(F.count("*").alias("ct"))
+    )
+    totals = toks.agg(
+        F.count("*").alias("nr"),
+        F.sum(F.col("in_target").cast("long")).alias("nt"),
+    )
+    scored = (
+        toks.join(raw, "k")
+        .join(tgt, "k", "left")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "lr",
+            F.log(
+                (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                / (F.col("nt") + _DSIR_B)
+            )
+            - F.log((F.col("cr") + 1) / (F.col("nr") + _DSIR_B)),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.first("in_target").alias("in_target"),
+        F.round(F.avg("lr"), 4).alias("avg_logratio"),
+    )
+
+
+ORACLE_DSIR = f"""
+WITH tsrc AS (SELECT min(source) AS s FROM documents),
+toks AS (
+  SELECT doc_id, source, tok FROM (
+    SELECT doc_id, source, unnest(string_split_regex(text, ' +')) AS tok
+    FROM documents)
+  WHERE tok <> ''
+),
+b AS MATERIALIZED (
+  SELECT doc_id, source = (SELECT s FROM tsrc) AS in_target,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(tok, ''),
+                            c -> CAST(ascii(c) AS BIGINT))),
+           (acc, c) -> (acc * 31 + c) % 2147483647) % {_DSIR_B} AS k
+  FROM toks
+),
+raw AS (SELECT k, count(*) AS cr FROM b GROUP BY 1),
+tgt AS (SELECT k, count(*) AS ct FROM b WHERE in_target GROUP BY 1),
+totals AS (
+  SELECT count(*) AS nr,
+         sum(CASE WHEN in_target THEN 1 ELSE 0 END) AS nt
+  FROM b
+)
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       bool_or(b.in_target) AS in_target,
+       round(avg(
+         ln((coalesce(tgt.ct, 0) + 1) / CAST(totals.nt + {_DSIR_B} AS DOUBLE))
+         - ln((raw.cr + 1) / CAST(totals.nr + {_DSIR_B} AS DOUBLE))
+       ), 4) AS avg_logratio
+FROM b
+JOIN raw USING (k)
+LEFT JOIN tgt USING (k)
+CROSS JOIN totals
+GROUP BY b.doc_id
+"""
+
+
 QUERIES = {
     "events_purged_folds": q_events_purged_folds,
     "doc_decontaminate": q_doc_decontaminate,
@@ -1556,10 +1665,12 @@ QUERIES = {
     "emb_int8_quantize": q_emb_int8_quantize,
     "emb_label_centroids": q_emb_label_centroids,
     "doc_curation_pipeline": q_doc_curation_pipeline,
+    "doc_dsir_importance": q_doc_dsir_importance,
 }
 
 ORACLES = {
     "events_purged_folds": ORACLE_PURGED_FOLDS,
+    "doc_dsir_importance": ORACLE_DSIR,
     "doc_decontaminate": ORACLE_DECONTAM,
     "doc_bloom_decontaminate": ORACLE_BLOOM_DECONTAM,
     "doc_split_assign": ORACLE_SPLIT_ASSIGN,

@@ -264,6 +264,38 @@ def q_emb_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RECALL_FLOOR_BINARY = 0.65
+_BINARY_RERANK = 24
+
+
+def q_emb_binary_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit (sign) quantized top-k, hash-gated on its quality contract
+    — the fourth member of the ANN recall-gate family (r11): sign
+    signatures compress the scan to one int64 XOR+popcount per vector
+    (32× less memory traffic than the float dot product), a k·24
+    Hamming shortlist is reranked by exact cosine, and the one-row
+    summary's micro-averaged recall@k must clear 0.65 (DuckDB
+    recomputes the exact top-k and asserts the floor).
+
+    The floor is the near-uniform fixture's honest sf0.1 operating
+    point (measured 0.81 there, 0.94-0.99 at the gate SFs — axis-sign
+    planes on near-uniform vectors are the 1-bit worst case; real
+    embedding corpora with anisotropic spectra sit far higher at the
+    same shortlist). At 100 TB the 8 B/vector signature column is the
+    resident index and the float vectors page in only for the
+    shortlist — binary quantization is the memory-bandwidth cut that
+    composes with IVF's compute cut (emb_ivf_topk)."""
+    from ..similarity import binary_topk, cosine_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_RECALL_QUERIES)
+    return _recall_gate_row(
+        binary_topk(e, q, k=TOP_K, rerank=_BINARY_RERANK),
+        cosine_topk(e, q, k=TOP_K),
+        RECALL_FLOOR_BINARY,
+    )
+
+
 NEARDUP_THRESHOLD = 0.4
 
 
@@ -2499,6 +2531,7 @@ QUERIES = {
     "emb_centroid_distances": q_emb_centroid_distances,
     "emb_ann_topk": q_emb_ann_topk,
     "emb_ivf_pq_topk": q_emb_ivf_pq_topk,
+    "emb_binary_quantize_recall": q_emb_binary_quantize_recall,
     "emb_ivf_topk": q_emb_ivf_topk,
     "emb_cosine_neardup_pairs": q_emb_cosine_neardup_pairs,
     "emb_srp_lsh_pairs": q_emb_srp_lsh_pairs,
@@ -2530,6 +2563,7 @@ ORACLES = {
     "emb_ann_topk": _recall_gate_oracle(RECALL_FLOOR_ANN),
     "emb_ivf_topk": _recall_gate_oracle(RECALL_FLOOR_IVF),
     "emb_ivf_pq_topk": _recall_gate_oracle(RECALL_FLOOR_IVF_PQ),
+    "emb_binary_quantize_recall": _recall_gate_oracle(RECALL_FLOOR_BINARY),
     # PCA spectrum contract (r10): oracle recomputes the covariance
     # trace (sum of per-dim population variances) and asserts the
     # eigensolver identities.

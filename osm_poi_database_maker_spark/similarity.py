@@ -653,6 +653,87 @@ def cosine_neardup_pairs(
     )
 
 
+def sign_signature(
+    vecs: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """1-bit (sign) quantization of a 64-dim embedding into ONE int64
+    word: bit d set iff v_d > 0. The 32× compression (8 B vs 256 B of
+    float32) that makes a 100 TB vector corpus scannable from memory —
+    Hamming distance over sign bits is a monotone proxy for angular
+    distance on centered data (Charikar's SRP with axis-aligned
+    planes). Pure column expressions: zip_with masks + a disjoint-mask
+    sum (bit 63 lands on Long.MIN_VALUE via Java shift wrap — exact
+    two's complement, never an ANSI overflow since masks are disjoint).
+    Dims past 64 are ignored; shorter vectors zero-pad (NULL zip slots
+    take the 0 branch)."""
+    sig = F.expr(
+        f"""
+        aggregate(
+          zip_with({vec_col}, sequence(0, 63),
+                   (v, d) -> CASE WHEN v > CAST(0 AS DOUBLE)
+                                  THEN shiftleft(CAST(1 AS BIGINT), CAST(d AS INT))
+                                  ELSE CAST(0 AS BIGINT) END),
+          CAST(0 AS BIGINT), (s, m) -> s + m)
+        """
+    )
+    return vecs.select(
+        F.col(id_col), F.col(vec_col), sig.alias("sign_sig")
+    )
+
+
+def binary_topk(
+    collection: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via 1-bit quantization: scan Hamming distance
+    over 64-bit sign signatures (one XOR+popcount per vector — the
+    32×-compressed scan), shortlist k·rerank per query, rerank the
+    shortlist with exact cosine. Same output contract as
+    :func:`cosine_topk` (query_id, neighbor_id, cosine, rk),
+    deterministic at both stages (hamming ties → id asc; rounded
+    cosine ties → id asc).
+
+    At 100 TB the signature column is the resident index: the full
+    scan touches 8 B/vector, the float vectors page in only for the
+    k·rerank shortlist — the memory-bandwidth shape (not an index
+    build) that keeps brute-force viable, and composable with IVF
+    cell pruning for the compute cut."""
+    csig = sign_signature(collection, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("sign_sig").alias("c_sig"),
+    )
+    qsig = sign_signature(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("sign_sig").alias("q_sig"),
+    )
+    cand = csig.join(
+        F.broadcast(qsig), F.col("neighbor_id") != F.col("query_id")
+    ).withColumn(
+        "hamming", F.bit_count(F.col("c_sig").bitwiseXOR(F.col("q_sig")))
+    )
+    w_h = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    short = cand.withColumn("hrk", F.row_number().over(w_h)).filter(
+        F.col("hrk") <= k * rerank
+    )
+    scored = short.withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
+    w_c = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cosine", 6)), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w_c))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rk")
+    )
+
+
 def knn_graph(
     collection: DataFrame,
     k: int = 3,
