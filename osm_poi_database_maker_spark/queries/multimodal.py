@@ -566,8 +566,10 @@ def q_mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the Spark side is the banded-LSH plan (8 bands × 8 bits,
     bucket-capped) — shuffle rides band occupancy (85 max at sf0.1,
-    cap 200; past SF≈0.25 the gate must swap to a cap-replicating
-    ORACLES_BIG since the exact oracle is quadratic)."""
+    cap 200); past SF 0.1 tools/check.py swaps in the registered
+    cap-replicating ORACLES_BIG twin (the exact oracle is quadratic),
+    and tests/test_r11_queries.py pins both the occupancy-under-cap
+    precondition and banded==exact agreement at the gate SF."""
     from ..multimodal import documents_as_image_table, phash_near_dups
 
     d = load_table(spark, sf_dir, "documents").filter(
