@@ -79,6 +79,8 @@ _VERIFY_FIRST = [
     "emb_binary_quantize_recall",
     "doc_dsir_importance",
     "lineitem_zorder_scan",
+    "doc_sentence_dedup",
+    "emb_whitening_audit",
     # tier 2a (r10 verdict #1): the ENTIRE r05-evidence cohort — after
     # this window no registry row's newest driver evidence predates r06.
     "orders_pk_audit",
@@ -119,12 +121,10 @@ _VERIFY_FIRST = [
     "doc_hybrid_rrf",
     "stream_ohlc_bars",
     "emb_matryoshka_recall",
-    # tier 2b: r06-evidence cohort, stalest-first — 4 fit the remaining
+    # tier 2b: r06-evidence cohort, stalest-first — 2 fit the remaining
     # window slots; the rest rotate to r12.
     "pricing_summary",
     "revenue_by_nation",
-    "events_hourly_window",
-    "events_sliding_window",
 ]
 
 # tier 4 cohort order: non-core modules first, core last.

@@ -1512,6 +1512,91 @@ LEFT JOIN overlap o ON o.doc_id = i.doc_id
 """
 
 
+# --- sentence/line-level global dedup (the C4 discipline) -------------------
+
+_SENT_W = 8  # tokens per segment (line-split stand-in on the fixture corpus)
+
+
+def q_doc_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-level GLOBAL dedup — the C4 (Raffel et al. 2020)
+    "three-sentence span seen before → drop the line" discipline that
+    removes boilerplate (cookie banners, nav bars) exact-doc dedup
+    misses: every segment keeps only its FIRST corpus occurrence
+    ((doc_id, seg_idx) order), and each doc reports how many of its
+    segments were elsewhere-first plus the exact tokens a rewrite
+    would delete. Segments are disjoint 8-token windows (the fixture
+    corpus has no sentence punctuation; a real corpus splits on
+    newline/period — every downstream step is identical).
+
+    Plan: one explode into segments, ONE shuffle keyed by the segment
+    string (first-occurrence = row_number over (doc_id, seg_idx) — at
+    100 TB the key becomes xxhash64(seg), identical equality classes,
+    8-byte shuffle rows), one per-doc re-aggregate. Output is exact
+    integers end to end — no float anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " +")
+    segs = (
+        d.select("doc_id", t.alias("tk"))
+        .select(
+            "doc_id",
+            F.col("tk"),
+            F.explode(
+                F.sequence(F.lit(0), F.ceil(F.size("tk") / _SENT_W).cast("int") - 1)
+            ).alias("seg_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("seg_idx").cast("long").alias("seg_idx"),
+            F.array_join(
+                F.slice(F.col("tk"), F.col("seg_idx") * _SENT_W + 1, _SENT_W), " "
+            ).alias("seg"),
+            F.least(
+                F.lit(_SENT_W), F.size("tk") - F.col("seg_idx") * _SENT_W
+            )
+            .cast("long")
+            .alias("seg_len"),
+        )
+    )
+    w = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    ranked = segs.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_segs"),
+        F.sum((F.col("rn") > 1).cast("long")).alias("n_dup_segs"),
+        F.sum(
+            F.when(F.col("rn") > 1, F.col("seg_len")).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_tokens_removed"),
+    )
+
+
+ORACLE_SENTENCE_DEDUP = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(text, ' +') AS tk FROM documents
+),
+segs AS (
+  SELECT doc_id, i AS seg_idx,
+         array_to_string(tk[i * {_SENT_W} + 1 : i * {_SENT_W} + {_SENT_W}], ' ') AS seg,
+         least({_SENT_W}, len(tk) - i * {_SENT_W}) AS seg_len
+  FROM (
+    SELECT doc_id, tk,
+           unnest(range(CAST(ceil(len(tk) / {_SENT_W}.0) AS BIGINT))) AS i
+    FROM t)
+),
+ranked AS (
+  SELECT doc_id, seg_len,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+  FROM segs
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_segs,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segs,
+       CAST(sum(CASE WHEN rn > 1 THEN seg_len ELSE 0 END) AS BIGINT)
+         AS n_tokens_removed
+FROM ranked GROUP BY 1
+"""
+
+
 QUERIES = {
     "doc_dedup_threshold_curve": q_doc_dedup_threshold_curve,
     "doc_exact_dedup": q_doc_exact_dedup,
@@ -1530,6 +1615,7 @@ QUERIES = {
     "doc_graph_pagerank": q_doc_graph_pagerank,
     "doc_graph_triangles": q_doc_graph_triangles,
     "doc_incremental_dedup": q_doc_incremental_dedup,
+    "doc_sentence_dedup": q_doc_sentence_dedup,
 }
 
 ORACLES = {
@@ -1550,4 +1636,5 @@ ORACLES = {
     "doc_dedup_survivors": ORACLE_SURVIVORS,
     "doc_survivorship_merge": ORACLE_SURVIVORSHIP,
     "doc_graph_pagerank": ORACLE_PAGERANK,
+    "doc_sentence_dedup": ORACLE_SENTENCE_DEDUP,
 }

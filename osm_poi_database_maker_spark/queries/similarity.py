@@ -1445,6 +1445,99 @@ FROM dimvar
 """
 
 
+_WHITEN_EPS = 1e-9  # relative eigenvalue floor: components below drop
+_WHITEN_TOL = 1e-6  # unit-variance / decorrelation contract tolerance
+
+
+def q_emb_whitening_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA whitening + its own distributed audit — the decorrelation
+    transform feature pipelines run before cosine/linear probes (and
+    the preconditioning OPQ's rotation approximates): W = V·Λ^(-½)
+    from the population covariance's eigendecomposition, applied in
+    one broadcast-W mapInPandas pass. The one-row summary is
+    hash-gated on the transform's DEFINING contract (the
+    emb_pca_spectrum pattern): the whitened collection's per-dim
+    variances must all be 1 and its off-diagonal covariances 0 (both
+    within 1e-6), verified by a SECOND independent distributed
+    covariance pass over the whitened frame — not by trusting the
+    algebra. DuckDB recomputes n and the input covariance trace (sum
+    of per-dim population variances) and asserts the booleans.
+
+    Scale: two covariance_matrix passes (d²-cell sufficient-statistic
+    shuffles, vectors never shuffled), one d×d eigh on the driver,
+    one linear transform pass — the 100 TB shape of every
+    moment-based preprocessor in this repo."""
+    import numpy as np
+    import pandas as pd
+
+    from ..similarity import covariance_matrix
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cov, n = covariance_matrix(e)
+    schema = (
+        "n_vecs long, trace_r double, unit_variance boolean,"
+        " decorrelated boolean"
+    )
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    trace = float(np.trace(cov))
+    evals, evecs = np.linalg.eigh(cov)
+    keep = evals > _WHITEN_EPS * max(float(evals.max()), 1.0)
+    w_mat = evecs[:, keep] / np.sqrt(evals[keep])[None, :]
+    mean_rows = (
+        e.select(F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.avg("val").alias("m"))
+        .collect()
+    )
+    mean = np.zeros(cov.shape[0])
+    for r in mean_rows:
+        mean[r.pos] = r.m
+
+    def whiten(batches):
+        for pdf in batches:
+            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            z = (x - mean) @ w_mat
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "embedding": list(z)}
+            )
+
+    whitened = e.mapInPandas(whiten, "vec_id long, embedding array<double>")
+    cov_w, n_w = covariance_matrix(whitened)
+    diag = np.diag(cov_w)
+    off = cov_w - np.diag(diag)
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                round(trace, 6),
+                bool(
+                    n_w == n
+                    and np.all(np.abs(diag - 1.0) <= _WHITEN_TOL)
+                ),
+                bool(np.max(np.abs(off)) <= _WHITEN_TOL),
+            )
+        ],
+        schema,
+    )
+
+
+ORACLE_WHITENING = """
+WITH el AS (
+  SELECT vec_id,
+         CAST(unnest(embedding) AS DOUBLE) AS val,
+         unnest(range(len(embedding))) AS idx
+  FROM embeddings
+),
+dimvar AS (SELECT idx, var_pop(val) AS v FROM el GROUP BY idx)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vecs,
+       round(sum(v), 6) AS trace_r,
+       TRUE AS unit_variance,
+       TRUE AS decorrelated
+FROM dimvar
+"""
+
+
 _MAT_DIMS = (8, 16, 32)  # truncation prefixes audited against the full dim
 _MAT_K = 5
 _MAT_QUERIES = 10  # query batch: vec_id < 10
@@ -2532,6 +2625,7 @@ QUERIES = {
     "emb_ann_topk": q_emb_ann_topk,
     "emb_ivf_pq_topk": q_emb_ivf_pq_topk,
     "emb_binary_quantize_recall": q_emb_binary_quantize_recall,
+    "emb_whitening_audit": q_emb_whitening_audit,
     "emb_ivf_topk": q_emb_ivf_topk,
     "emb_cosine_neardup_pairs": q_emb_cosine_neardup_pairs,
     "emb_srp_lsh_pairs": q_emb_srp_lsh_pairs,
@@ -2571,4 +2665,7 @@ ORACLES = {
     # OPQ quality contract (r11): oracle recomputes n_vecs and asserts
     # the rotation-improves + codes-in-range booleans.
     "emb_opq_codes": ORACLE_OPQ_CODES,
+    # whitening contract (r11): oracle recomputes n + input covariance
+    # trace and asserts unit-variance/decorrelation booleans.
+    "emb_whitening_audit": ORACLE_WHITENING,
 }

@@ -240,3 +240,56 @@ def test_opq_summary_contract(spark):
     (row,) = S2.q_emb_opq_codes(spark, SF_SMOKE).collect()
     assert row.rotation_improves and row.codes_in_range
     assert row.m_sub == S2._OPQ_M and row.n_codes == S2._OPQ_K
+
+
+def test_sentence_dedup_plants(spark):
+    """A doc sharing an 8-token segment with an earlier doc reports the
+    duplicate; the earlier doc keeps it; token-removal counts are exact
+    including the short tail segment."""
+    from osm_poi_database_maker_spark.queries.dedup import _SENT_W
+
+    assert _SENT_W == 8
+    seg = "a b c d e f g h"
+    rows = [
+        (1, seg + " x y z"),          # owns the segment + 3-token tail
+        (2, seg + " p q r"),          # dup segment, distinct tail
+        (3, "u v w"),                 # single short segment, unique
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    import osm_poi_database_maker_spark.queries.dedup as D
+    from osm_poi_database_maker_spark.io import load_table as _orig
+
+    # run the query body against the in-memory frame via monkeypatched load
+    try:
+        D.load_table = lambda *_a, **_k: df
+        got = {r.doc_id: r for r in D.q_doc_sentence_dedup(spark, "unused").collect()}
+    finally:
+        D.load_table = _orig
+    assert got[1].n_segs == 2 and got[1].n_dup_segs == 0
+    assert got[2].n_segs == 2 and got[2].n_dup_segs == 1
+    assert got[2].n_tokens_removed == 8
+    assert got[3].n_segs == 1 and got[3].n_dup_segs == 0
+
+
+def test_whitening_audit_contract(spark):
+    """The whitening booleans are computed by a second covariance pass,
+    so they certify the transform numerically; trace matches an
+    independent recompute."""
+    from osm_poi_database_maker_spark.queries.similarity import (
+        q_emb_whitening_audit,
+    )
+
+    (row,) = q_emb_whitening_audit(spark, SF_SMOKE).collect()
+    assert row.unit_variance and row.decorrelated
+    (want,) = (
+        _duck(SF_SMOKE)
+        .execute(
+            "SELECT round(sum(v), 6) FROM (SELECT var_pop(val) AS v FROM ("
+            "SELECT CAST(unnest(embedding) AS DOUBLE) AS val,"
+            " unnest(range(len(embedding))) AS idx FROM embeddings)"
+            " GROUP BY idx)"
+        )
+        .fetchone()
+    )
+    assert abs(row.trace_r - want) < 1e-9
