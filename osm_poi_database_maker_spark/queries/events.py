@@ -496,19 +496,30 @@ def q_events_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     internals); the exact columns are the fixture-scale yardstick that
     a 100 TB run drops.
 
-    Plan: one aggregate computes counts + both percentile forms (the
-    DISTINCT + HLL mix plans as Expand + two-phase hash aggregate);
-    the rank check is one conditional-count pass over the fact with
-    the 5-row group aggregate broadcast back — no sort, no window."""
+    Plan: the sketches + exact percentiles share one aggregate; the
+    EXACT distinct count runs as its own two-step aggregate
+    (pre-distinct on (type, user) then count) joined back on the 5-row
+    group key — mixing a DISTINCT aggregate into the same agg as the
+    object-aggregate percentiles forces Spark through an Expand +
+    object-hash-aggregate fallback that benched 13× slower at sf0.1
+    (re-measured r11; same finding as the r5 original). The rank check
+    is one conditional-count pass over the fact with the 5-row group
+    aggregate broadcast back — no sort, no window."""
     e = load_table(spark, sf_dir, "events")
     qs = F.array(F.lit(0.5), F.lit(0.95))
     agg = e.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n_events"),
-        F.countDistinct("user_id").cast("long").alias("exact_users"),
         F.approx_count_distinct("user_id", _SK_RSD).alias("apx_users"),
         F.percentile("value", qs).alias("ex"),
         F.percentile_approx("value", qs, F.lit(_SK_ACC)).alias("apx"),
     )
+    exact = (
+        e.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("exact_users"))
+    )
+    agg = agg.join(exact, "event_type")
     ranks = (
         e.select("event_type", "value")
         .join(F.broadcast(agg), "event_type")
