@@ -126,6 +126,13 @@ _VERIFY_FIRST = [
     "pricing_summary",
     "revenue_by_nation",
 ]
+# r12 rotation TODO: after this window lands, the stalest evidence is
+# the remaining r06 cohort (~41 queries: events_hourly_window,
+# events_sliding_window, events_session_windows, events_asof_join,
+# events_gap_stats, emb_cosine_neardup_pairs, osm_toi_dim,
+# osm_poi_nodes, osm_way_assembly, ... — recompute exactly with the
+# CORRECTNESS_r*.json scan in tools/coverage.py / the session snippet).
+# 41 fits one window alongside r12's changed/new tier 1.
 
 # tier 4 cohort order: non-core modules first, core last.
 _COHORT_MODULES = (
