@@ -1506,6 +1506,9 @@ def q_emb_whitening_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov_w, n_w = covariance_matrix(whitened)
     diag = np.diag(cov_w)
     off = cov_w - np.diag(diag)
+    # all-constant collection: every component drops, cov_w is 0×0 and
+    # the contracts hold vacuously (np.max on empty would raise)
+    max_off = float(np.max(np.abs(off))) if off.size else 0.0
     return spark.createDataFrame(
         [
             (
@@ -1515,7 +1518,7 @@ def q_emb_whitening_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     n_w == n
                     and np.all(np.abs(diag - 1.0) <= _WHITEN_TOL)
                 ),
-                bool(np.max(np.abs(off)) <= _WHITEN_TOL),
+                bool(max_off <= _WHITEN_TOL),
             )
         ],
         schema,

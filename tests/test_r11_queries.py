@@ -293,3 +293,22 @@ def test_whitening_audit_contract(spark):
         .fetchone()
     )
     assert abs(row.trace_r - want) < 1e-9
+
+
+def test_whitening_audit_degenerate_constant_collection(spark):
+    """An all-constant collection drops every component; the contracts
+    hold vacuously (0×0 whitened covariance) instead of crashing."""
+    import osm_poi_database_maker_spark.queries.similarity as S2
+
+    df = spark.createDataFrame(
+        [(i, [1.0] * 64) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    orig = S2.load_table
+    try:
+        S2.load_table = lambda *_a, **_k: df
+        (row,) = S2.q_emb_whitening_audit(spark, "unused").collect()
+    finally:
+        S2.load_table = orig
+    assert row.n_vecs == 10 and row.trace_r == 0.0
+    assert row.unit_variance and row.decorrelated
