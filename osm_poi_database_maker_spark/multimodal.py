@@ -201,6 +201,38 @@ AHASH_BANDS = 8  # 8 bands x 8 bits: pigeonhole-complete for hamming <= 7
 AHASH_MAX_HAMMING = 6
 
 
+def _ahash_int64_safe_bytes(n_cells: int = 64) -> int:
+    """Largest payload length L for which BOTH sides of image_ahash's
+    cross-multiplied threshold provably fit int64 at the all-0xFF worst
+    case. numpy int64 multiplication WRAPS silently past this (the
+    DuckDB oracle side would instead raise on BIGINT overflow), so the
+    Spark side must fail loudly too — computed exactly in Python
+    bigints once at import, binary-searched rather than the ~5 MB
+    closed-form approximation in the docstring."""
+
+    def worst(L: int) -> int:
+        base, rem = divmod(L, n_cells)
+        cmax = base + 1 if rem else base
+        smax = 255 * cmax
+        lhs = n_cells * base * (base + 1) * smax
+        a_hi = 255 * (base + 1) * rem
+        b_lo = 255 * base * (n_cells - rem)
+        rhs = cmax * (a_hi * base + b_lo * (base + 1))
+        return max(lhs, rhs)
+
+    lo, hi = n_cells, 64 << 20  # 64 MiB upper bracket
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if worst(mid) < 1 << 63:
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
+
+
+AHASH_INT64_SAFE_BYTES = _ahash_int64_safe_bytes()
+
+
 def image_ahash(images: DataFrame, grid: int = AHASH_GRID) -> DataFrame:
     """Perceptual average-hash per image: downsample the grayscale
     raster to grid×grid block means, threshold each block at the global
@@ -222,7 +254,9 @@ def image_ahash(images: DataFrame, grid: int = AHASH_GRID) -> DataFrame:
     A = Σ sums of the (b+1)-blocks, B = Σ sums of the b-blocks — exact
     integer arithmetic end to end, bit-reproducible at any batch size
     or partitioning, and int64-safe to payloads of ~5 MB
-    (255·L³/64² < 2⁶³). Sub-64-byte payloads keep the float
+    (255·L³/64² < 2⁶³; the exact bound is ``AHASH_INT64_SAFE_BYTES``,
+    binary-searched in bigints at import, and oversized payloads RAISE
+    rather than silently wrap). Sub-64-byte payloads keep the float
     array_split path (empty cells have no rational form) and are
     excluded from the oracled query.
 
@@ -246,6 +280,16 @@ def image_ahash(images: DataFrame, grid: int = AHASH_GRID) -> DataFrame:
                 # grayscale array here; the stub reads raw bytes as the
                 # raster, which keeps every downstream step real
                 arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                if len(arr) > AHASH_INT64_SAFE_BYTES:
+                    # past the proven bound the cross-multiplied compare
+                    # would WRAP in numpy int64 and emit wrong bits with
+                    # no error; fail loudly like the oracle side would
+                    raise ValueError(
+                        f"image_ahash payload {len(arr)} B exceeds the "
+                        f"int64-exact bound {AHASH_INT64_SAFE_BYTES} B "
+                        "(doc_id "
+                        f"{doc_id}); decode/downsample before hashing"
+                    )
                 if len(arr) >= n_cells:
                     # vectorized block sums at np.array_split's exact
                     # boundaries (reduceat beats 64 split views ~10x),

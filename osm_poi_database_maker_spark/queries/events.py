@@ -489,7 +489,11 @@ def q_events_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern, per-group instead of global): each event_type row carries
     the exact distinct count and exact p50/p95 (oracle-recomputed by
     DuckDB) plus three contract booleans — HLL within 4×rsd of exact,
-    each GK answer within rank error n/accuracy+1 of its target rank —
+    each GK answer's occupied rank interval [count(<)+1, count(<=)]
+    intersecting its target rank ± n/accuracy+1 (tie-robust: a
+    duplicated value occupies a rank RANGE, so the <=-count alone can
+    overshoot by the tie multiplicity even when the sketch is in
+    contract) —
     that the oracle asserts TRUE, so an estimator regression trips the
     driver's value-hash gate instead of hiding in a rows-only row.
     The sketch estimates themselves stay engine-side (engine-specific
@@ -531,13 +535,34 @@ def q_events_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("ex").alias("ex"),
             F.sum(
                 (F.col("value") <= F.element_at("apx", 1)).cast("long")
-            ).alias("r50"),
+            ).alias("r50_le"),
+            F.sum(
+                (F.col("value") < F.element_at("apx", 1)).cast("long")
+            ).alias("r50_lt"),
             F.sum(
                 (F.col("value") <= F.element_at("apx", 2)).cast("long")
-            ).alias("r95"),
+            ).alias("r95_le"),
+            F.sum(
+                (F.col("value") < F.element_at("apx", 2)).cast("long")
+            ).alias("r95_lt"),
         )
     )
+    # Tie-robust rank gate (r11 advice #3): the returned value q̂
+    # OCCUPIES the whole rank interval [count(< q̂)+1, count(<= q̂)] —
+    # with duplicated values the <=-count alone can overshoot the
+    # target by the tie multiplicity even when the sketch satisfies
+    # its guarantee. Gate on the INTERVAL intersecting
+    # [qn − tol, qn + tol]: lt+1 ≤ qn+tol AND le ≥ qn−tol. For
+    # all-distinct values le = lt+1 and this reduces exactly to the
+    # old |le − qn| ≤ tol form.
     rank_tol = F.col("n_events") / _SK_ACC + 1
+
+    def within(lt: str, le: str, q: float):
+        target = q * F.col("n_events")
+        return (F.col(lt) + 1 <= target + rank_tol) & (
+            F.col(le) >= target - rank_tol
+        )
+
     return ranks.select(
         "event_type",
         "n_events",
@@ -548,13 +573,9 @@ def q_events_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= _SK_BOUND
         ).alias("users_within_bound"),
         F.round(F.element_at("ex", 1), 4).alias("p50_exact"),
-        (F.abs(F.col("r50") - 0.5 * F.col("n_events")) <= rank_tol).alias(
-            "p50_within_rank_bound"
-        ),
+        within("r50_lt", "r50_le", 0.5).alias("p50_within_rank_bound"),
         F.round(F.element_at("ex", 2), 4).alias("p95_exact"),
-        (F.abs(F.col("r95") - 0.95 * F.col("n_events")) <= rank_tol).alias(
-            "p95_within_rank_bound"
-        ),
+        within("r95_lt", "r95_le", 0.95).alias("p95_within_rank_bound"),
     )
 
 

@@ -1360,10 +1360,12 @@ def _opq_code_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.mapInPandas(assign, schema)
 
 
-ORACLE_OPQ_CODES = """
+# interpolate _OPQ_M/_OPQ_K (the Spark side emits F.lit(_OPQ_M) /
+# F.lit(_OPQ_K)) so a future constant bump can't desync the oracle
+ORACLE_OPQ_CODES = f"""
 SELECT CAST(count(*) AS BIGINT) AS n_vecs,
-       4 AS m_sub,
-       16 AS n_codes,
+       {_OPQ_M} AS m_sub,
+       {_OPQ_K} AS n_codes,
        TRUE AS rotation_improves,
        TRUE AS codes_in_range
 FROM embeddings

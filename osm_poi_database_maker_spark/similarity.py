@@ -664,12 +664,17 @@ def sign_signature(
     planes). Pure column expressions: zip_with masks + a disjoint-mask
     sum (bit 63 lands on Long.MIN_VALUE via Java shift wrap — exact
     two's complement, never an ANSI overflow since masks are disjoint).
-    Dims past 64 are ignored; shorter vectors zero-pad (NULL zip slots
-    take the 0 branch)."""
+    Dims past 64 are ignored — the vector is ``slice``d to 64 BEFORE
+    zipping, because ``zip_with`` pads the SHORTER side with NULL: a
+    65-dim vector would otherwise pad ``sequence(0, 63)`` with a NULL
+    dim index, whose mask is NULL, collapsing the whole aggregate (and
+    a NULL signature sorts FIRST under Hamming asc, flooding top-k
+    shortlists with garbage). Shorter vectors zero-pad (NULL value
+    slots take the 0 branch: ``NULL > 0`` is NULL → ELSE)."""
     sig = F.expr(
         f"""
         aggregate(
-          zip_with({vec_col}, sequence(0, 63),
+          zip_with(slice({vec_col}, 1, 64), sequence(0, 63),
                    (v, d) -> CASE WHEN v > CAST(0 AS DOUBLE)
                                   THEN shiftleft(CAST(1 AS BIGINT), CAST(d AS INT))
                                   ELSE CAST(0 AS BIGINT) END),

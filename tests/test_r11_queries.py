@@ -203,6 +203,12 @@ def test_sign_signature_bit_layout(spark):
         (2, [-1.0] * 64),
         (3, [1.0 if d == 63 else -1.0 for d in range(64)]),
         (4, [1.0, -1.0, 1.0]),  # short vector: bits 0,2 only
+        # >64-dim: dims past 64 must be IGNORED, not NULL-poison the
+        # aggregate (r11 advice: zip_with pads sequence(0,63) with a
+        # NULL dim index for longer vectors unless the vector is
+        # sliced first — a NULL signature then floods Hamming top-k).
+        (5, [1.0] * 65),
+        (6, [-1.0] * 64 + [1.0, 1.0, 1.0]),  # positives only past 64
     ]
     df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
     sig = {r.vec_id: r.sign_sig for r in sign_signature(df).collect()}
@@ -210,6 +216,8 @@ def test_sign_signature_bit_layout(spark):
     assert sig[2] == 0
     assert sig[3] == -(1 << 63)
     assert sig[4] == 0b101
+    assert sig[5] == -1  # dim 64 ignored, not NULL
+    assert sig[6] == 0  # positive tail past dim 63 contributes nothing
 
 
 def test_dsir_importance_orders_target_docs_higher(spark):

@@ -1,0 +1,107 @@
+"""Round-12 additions: aHash int64-overflow loud guard, tie-robust GK
+rank-interval gate, OPQ oracle constant interpolation, plus the r12
+query additions' pins."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+SF_GATE = "/root/testdata/sf0.01"
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    for t in ("documents", "lineitem", "events", "embeddings", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def test_image_ahash_oversized_payload_raises(spark):
+    """Past the int64-exact bound the cross-multiplied threshold would
+    WRAP silently in numpy (the DuckDB side would instead raise on
+    BIGINT overflow) — the Spark side must fail loudly too (r11 advice
+    #2). In-bound payloads keep hashing."""
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from osm_poi_database_maker_spark.multimodal import (
+        AHASH_INT64_SAFE_BYTES,
+        image_ahash,
+    )
+
+    assert 5_000_000 < AHASH_INT64_SAFE_BYTES < 6_000_000  # ~5 MB
+    ok = spark.createDataFrame(
+        [(1, bytes(range(256)) * 4)], "doc_id long, payload binary"
+    )
+    assert image_ahash(ok).count() == 1
+    big = spark.createDataFrame(
+        [(2, b"\xff" * (AHASH_INT64_SAFE_BYTES + 1))],
+        "doc_id long, payload binary",
+    )
+    with pytest.raises(PythonException, match="int64-exact bound"):
+        image_ahash(big).collect()
+
+
+def test_ahash_exact_at_the_int64_bound():
+    """The binary-searched bound itself is exact: the worst-case
+    compare at AHASH_INT64_SAFE_BYTES fits int64, at +1 it does not."""
+    from osm_poi_database_maker_spark.multimodal import (
+        AHASH_INT64_SAFE_BYTES,
+        _ahash_int64_safe_bytes,
+    )
+
+    assert _ahash_int64_safe_bytes() == AHASH_INT64_SAFE_BYTES
+
+    def worst(L, n_cells=64):
+        base, rem = divmod(L, n_cells)
+        cmax = base + 1 if rem else base
+        lhs = n_cells * base * (base + 1) * 255 * cmax
+        a_hi = 255 * (base + 1) * rem
+        b_lo = 255 * base * (n_cells - rem)
+        rhs = cmax * (a_hi * base + b_lo * (base + 1))
+        return max(lhs, rhs)
+
+    assert worst(AHASH_INT64_SAFE_BYTES) < 1 << 63
+    assert worst(AHASH_INT64_SAFE_BYTES + 1) >= 1 << 63
+
+
+def test_sketch_rank_gate_tie_robust(spark, tmp_path):
+    """A value duplicated across most of a group occupies a rank
+    INTERVAL; the old <=-count gate overshoots the target by the tie
+    multiplicity and trips spuriously. The interval-intersection gate
+    (r11 advice #3) must pass such a fixture."""
+    from osm_poi_database_maker_spark.queries.events import (
+        q_events_sketch_stats,
+    )
+
+    rows = [
+        (i, "2024-01-01 00:00:00", i % 7, "tied", 1.0, "{}")
+        for i in range(400)
+    ] + [(400 + i, "2024-01-01 00:00:00", i, "tied", 2.0, "{}") for i in range(4)]
+    spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts")).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    (row,) = q_events_sketch_stats(spark, str(tmp_path)).collect()
+    # 404 events, 400 of them the same value: count(<= 1.0) = 400 vs
+    # target rank 202 ± 1.04 — the old gate fails, the interval gate
+    # [count(<)+1, count(<=)] = [1, 400] ∋ 202 passes.
+    assert row.p50_within_rank_bound
+    assert row.p95_within_rank_bound
+
+
+def test_opq_oracle_tracks_constants():
+    """ORACLE_OPQ_CODES interpolates _OPQ_M/_OPQ_K (r11 advice #4) so a
+    constant bump cannot desync the oracle from the Spark side."""
+    from osm_poi_database_maker_spark.queries import similarity as s
+
+    assert f"{s._OPQ_M} AS m_sub" in s.ORACLE_OPQ_CODES
+    assert f"{s._OPQ_K} AS n_codes" in s.ORACLE_OPQ_CODES
