@@ -63,76 +63,72 @@ _MODULES = (
 # Every registered query keeps a pytest + tools/check.py local gate
 # regardless of window position.
 _VERIFY_FIRST = [
-    # tier 1a (round 11): queries whose implementation or oracle CHANGED
-    # this round, so they need a fresh driver row —
-    # the 3 rows-only residue queries hash-gated per r10 verdict #2/#3
-    # (exact-int aHash transform replay, per-group sketch error
-    # contracts, OPQ quality-contract summary):
-    "mm_ahash_pairs",
+    # tier 1a (round 12): queries whose implementation or oracle CHANGED
+    # this round (r11 advice fixes), so they need a fresh driver row —
+    # tie-robust GK rank-interval gate:
     "events_sketch_stats",
+    # oracle now interpolates _OPQ_M/_OPQ_K:
     "emb_opq_codes",
-    # nullif zero-guard in the Fleiss kappa oracle (r10 advice #1):
-    "doc_fleiss_kappa",
-    # fixture file-order precondition assertion (r10 advice #3):
-    "stream_simhash_dedup",
-    # tier 1b (round 11): new queries this round.
+    # sign_signature slices to 64 dims before zip_with:
     "emb_binary_quantize_recall",
-    "doc_dsir_importance",
-    "lineitem_zorder_scan",
-    "doc_sentence_dedup",
-    "emb_whitening_audit",
-    # tier 2a (r10 verdict #1): the ENTIRE r05-evidence cohort — after
-    # this window no registry row's newest driver evidence predates r06.
-    "orders_pk_audit",
-    "doc_quality_score",
-    "doc_lang_id",
-    "doc_fingerprint",
-    "doc_token_regex",
-    "doc_tfidf_top_terms",
-    "doc_chunk_windows",
-    "doc_repetition_stats",
-    "doc_stratified_sample",
-    "doc_exact_dedup",
-    "doc_ngram_jaccard_pairs",
-    "doc_minhash_pairs",
-    "doc_simhash_pairs",
-    "stream_stateful_user_totals",
-    "stream_dedup_watermark",
-    "stream_static_join",
-    "osm_relation_areas",
-    "osm_poi_nodes_noname",
-    "doc_pack_sequences",
-    "doc_pii_scrub",
-    "osm_pbf_scan",
-    "doc_decontaminate",
-    "doc_mixture_sample",
-    "doc_shuffle_shards",
-    "emb_int8_quantize",
-    "doc_curation_pipeline",
-    "osm_xml_scan",
-    "doc_bigram_logprob",
-    "emb_label_centroids",
-    "emb_kmeans_iterations",
-    "emb_semdedup",
-    "large_volume_customers",
-    "doc_substring_dedup",
-    "lineitem_hist_quantiles",
-    "nation_market_share",
-    "doc_hybrid_rrf",
-    "stream_ohlc_bars",
-    "emb_matryoshka_recall",
-    # tier 2b: r06-evidence cohort, stalest-first — 2 fit the remaining
-    # window slots; the rest rotate to r12.
-    "pricing_summary",
-    "revenue_by_nation",
+    # int64-overflow loud guard in image_ahash:
+    "mm_ahash_pairs",
+    # bounded-state eviction horizon (r11 verdict #5):
+    "stream_simhash_dedup",
+    # tier 1b (round 12): new queries this round.
+    "doc_tokenizer_fertility",
+    "doc_kn_bigram_lm",
+    "events_reservoir_sample",
+    "emb_zscore_ood",
+    "doc_softdedup_reweight",
+    "lineitem_manifest_skipping",
+    # tier 2 (r11 verdict #1): the ENTIRE remaining r06-evidence cohort
+    # (tools/staleness.py, judge-confirmed list of 39) — after this
+    # window no registry row's newest driver evidence predates r07.
+    "events_incident_windows",
+    "events_hourly_window",
+    "events_sliding_window",
+    "events_session_windows",
+    "events_asof_join",
+    "events_gap_stats",
+    "events_gapfill_locf",
+    "events_funnel",
+    "events_markov_transitions",
+    "events_retention",
+    "events_running_totals",
+    "doc_collapse_repeats",
+    "doc_zipf_fit",
+    "doc_hapax_ratio",
+    "doc_length_histogram",
+    "doc_bigram_pmi",
+    "doc_bloom_decontaminate",
+    "doc_containment_pairs",
+    "doc_winnow_fingerprints",
+    "emb_knn_graph",
+    "emb_cosine_neardup_pairs",
+    "emb_srp_lsh_pairs",
+    "osm_pbf_source_scan",
+    "osm_toi_dim",
+    "osm_poi_nodes",
+    "osm_way_assembly",
+    "osm_spatial_bbox",
+    "mm_image_features",
+    "mm_frame_sample",
+    "mm_resize",
+    "lineitem_discount_elasticity",
+    "returned_item_revenue",
+    "customer_order_distribution",
+    "customer_referral_closure",
+    "order_window_zoo",
+    "min_cost_supplier",
+    "product_type_profit",
+    "important_part_stock",
+    "brand_supplier_counts",
 ]
-# r12 rotation TODO: after this window lands, the stalest evidence is
-# the remaining r06 cohort (~41 queries: events_hourly_window,
-# events_sliding_window, events_session_windows, events_asof_join,
-# events_gap_stats, emb_cosine_neardup_pairs, osm_toi_dim,
-# osm_poi_nodes, osm_way_assembly, ... — recompute exactly with the
-# CORRECTNESS_r*.json scan in tools/coverage.py / the session snippet).
-# 41 fits one window alongside r12's changed/new tier 1.
+# r13 rotation TODO: after this window lands, the stalest evidence is
+# the r07 cohort (~46 queries — recompute exactly with
+# tools/staleness.py); it does NOT all fit one window, so rotate the
+# stalest ~39 alongside r13's changed/new tier 1 and carry the rest.
 
 # tier 4 cohort order: non-core modules first, core last.
 _COHORT_MODULES = (

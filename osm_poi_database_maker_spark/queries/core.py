@@ -3886,7 +3886,98 @@ WHERE rk <= 20
 """
 
 
+_MAN_EPOCH = "1995-01-01"  # weekly shards anchored here
+_MAN_LO = "1996-01-01 00:00:00"
+_MAN_HI = "1996-04-01 00:00:00"  # exclusive
+
+
+def q_lineitem_manifest_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-statistics pruning audit — the Iceberg/Delta manifest model
+    as relational math: a time-clustered layout writes one "file" per
+    week of l_shipdate; each file's manifest entry carries (min, max,
+    rows); a date-range query prunes every file whose [min, max]
+    interval misses the predicate before reading a byte. This query
+    computes the manifest, replays the pruning decision, and audits it:
+    pruned files must contain zero matching rows (exact min/max bounds
+    make skipping lossless) and the scan fraction is reported — the #1
+    read-side lever at 100 TB, complementing the PLANNER-proven pruning
+    twins (static cell IN-lists in osm_cell_layout_scan, runtime DPP in
+    orders_dpp_scan, Morton boxes in lineitem_zorder_scan) with the
+    manifest arithmetic itself, engine-replayable and hash-gated.
+
+    Plan: one scan → per-shard aggregate (map-side partial: min, max,
+    count, match-count) → one |shards|-row final aggregate. No joins,
+    no window, data-linear; shard count grows with the DATE RANGE, not
+    the volume."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = F.lit(_MAN_LO).cast("timestamp")
+    hi = F.lit(_MAN_HI).cast("timestamp")
+    dd = F.datediff(F.to_date("l_shipdate"), F.to_date(F.lit(_MAN_EPOCH)))
+    man = (
+        li.withColumn("shard", F.floor(dd / F.lit(7)))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_shipdate").alias("mn"),
+            F.max("l_shipdate").alias("mx"),
+            F.sum(
+                ((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)).cast(
+                    "long"
+                )
+            ).alias("n_match"),
+        )
+    )
+    pruned = (F.col("mx") < lo) | (F.col("mn") >= hi)
+    scanned = F.sum(F.when(~pruned, F.col("n_rows")).otherwise(F.lit(0)))
+    return man.agg(
+        F.count("*").cast("long").alias("n_shards"),
+        F.sum(pruned.cast("long")).alias("n_pruned"),
+        F.sum("n_rows").alias("rows_total"),
+        scanned.alias("rows_scanned"),
+        F.sum("n_match").alias("rows_matched"),
+        (
+            F.sum(F.when(pruned, F.col("n_match")).otherwise(F.lit(0))) == 0
+        ).alias("pruned_no_match"),
+        F.round(F.try_divide(scanned, F.sum("n_rows")), 4).alias(
+            "scan_fraction_r"
+        ),
+    )
+
+
+ORACLE_MANIFEST_SKIPPING = f"""
+WITH man AS (
+  SELECT floor(date_diff('day', DATE '{_MAN_EPOCH}',
+                         CAST(l_shipdate AS DATE)) / 7) AS shard,
+         count(*) AS n_rows,
+         min(l_shipdate) AS mn,
+         max(l_shipdate) AS mx,
+         sum(CASE WHEN l_shipdate >= TIMESTAMP '{_MAN_LO}'
+                   AND l_shipdate < TIMESTAMP '{_MAN_HI}'
+                  THEN 1 ELSE 0 END) AS n_match
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_shards,
+       CAST(sum(CASE WHEN mx < TIMESTAMP '{_MAN_LO}'
+                       OR mn >= TIMESTAMP '{_MAN_HI}'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+       CAST(sum(n_rows) AS BIGINT) AS rows_total,
+       CAST(sum(CASE WHEN mx < TIMESTAMP '{_MAN_LO}'
+                       OR mn >= TIMESTAMP '{_MAN_HI}'
+                     THEN 0 ELSE n_rows END) AS BIGINT) AS rows_scanned,
+       CAST(sum(n_match) AS BIGINT) AS rows_matched,
+       (sum(CASE WHEN mx < TIMESTAMP '{_MAN_LO}'
+                   OR mn >= TIMESTAMP '{_MAN_HI}'
+                 THEN n_match ELSE 0 END) = 0) AS pruned_no_match,
+       round(CAST(sum(CASE WHEN mx < TIMESTAMP '{_MAN_LO}'
+                             OR mn >= TIMESTAMP '{_MAN_HI}'
+                           THEN 0 ELSE n_rows END) AS DOUBLE)
+             / nullif(sum(n_rows), 0), 4) AS scan_fraction_r
+FROM man
+"""
+
+
 QUERIES = {
+    "lineitem_manifest_skipping": q_lineitem_manifest_skipping,
     "lineitem_discount_elasticity": q_lineitem_discount_elasticity,
     "part_promo_share": q_part_promo_share,
     "small_qty_revenue": q_small_qty_revenue,
@@ -3950,6 +4041,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "lineitem_manifest_skipping": ORACLE_MANIFEST_SKIPPING,
     "lineitem_discount_elasticity": ORACLE_ELASTICITY,
     "part_promo_share": ORACLE_PROMO_SHARE,
     "small_qty_revenue": ORACLE_SMALL_QTY,

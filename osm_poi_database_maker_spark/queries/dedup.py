@@ -1597,7 +1597,97 @@ FROM ranked GROUP BY 1
 """
 
 
+def q_doc_softdedup_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication — reWEIGHT instead of remove (the SoftDedup
+    idea: hard dedup throws away the evidence that a document's content
+    is common; soft dedup keeps every doc and shrinks its sampling
+    weight instead, preserving distributional coverage while flattening
+    the duplicate spike). Per-doc sampling weight
+
+        w = 1 / (n_copies · (1 + ln(commonness)))
+
+    where n_copies is the doc's exact-hash duplicate-cluster size and
+    commonness is the mean corpus document-frequency of its distinct
+    3-word shingles (≥ 1; shingle-free short docs read 1, factor 1) —
+    an exact verbatim copy halves the weight via n_copies, boilerplate
+    prose shared across many non-identical docs shrinks it via the
+    ln-damped commonness.
+
+    Plan: the cluster size is one sha2 groupBy joined back on the hash;
+    commonness is the shingle-df pipeline of the Jaccard family
+    (explode → df groupBy → join back on the 8-byte shingle hash →
+    per-doc avg) — two hash-keyed shuffles total, both data-linear; no
+    pair join anywhere, so this costs a fraction of any pair-producing
+    dedup while covering every doc."""
+    d = load_table(spark, sf_dir, "documents")
+    sizes = (
+        d.select("doc_id", F.sha2(F.col("text"), 256).alias("text_hash"))
+        .withColumn(
+            "n_copies", F.count("*").over(Window.partitionBy("text_hash"))
+        )
+        .select("doc_id", F.col("n_copies").cast("long").alias("n_copies"))
+    )
+    tok = d.select("doc_id", F.split(F.col("text"), " +").alias("t")).repartition(
+        "doc_id"
+    )
+    t = F.col("t")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(t, i),
+                F.element_at(t, i + 1),
+                F.element_at(t, i + 2),
+            ),
+        )
+    )
+    sh = (
+        tok.filter(F.size(t) >= 3)
+        .select("doc_id", F.explode(shingles).alias("shingle"))
+        .select("doc_id", F.xxhash64("shingle").alias("h"))
+    )
+    dfs = sh.groupBy("h").agg(F.count("*").alias("df"))
+    com = sh.join(dfs, "h").groupBy("doc_id").agg(F.avg("df").alias("c"))
+    joined = sizes.join(com, "doc_id", "left").withColumn(
+        "c", F.coalesce(F.col("c"), F.lit(1.0))
+    )
+    return joined.select(
+        "doc_id",
+        "n_copies",
+        F.round("c", 4).alias("commonness_r"),
+        F.round(
+            F.lit(1.0) / (F.col("n_copies") * (F.lit(1.0) + F.log("c"))), 6
+        ).alias("soft_weight_r"),
+    )
+
+
+ORACLE_SOFTDEDUP = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, ' +') AS t FROM documents
+  WHERE len(string_split_regex(text, ' +')) >= 3
+),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS shingle
+  FROM (SELECT doc_id, t, unnest(range(len(t) - 2)) AS i FROM toks)
+),
+dfs AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+com AS (SELECT doc_id, avg(df) AS c FROM sh JOIN dfs USING (shingle) GROUP BY 1),
+cl AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY sha256(text)) AS n_copies
+  FROM documents
+)
+SELECT cl.doc_id,
+       CAST(cl.n_copies AS BIGINT) AS n_copies,
+       round(coalesce(com.c, 1.0), 4) AS commonness_r,
+       round(1.0 / (cl.n_copies * (1.0 + ln(coalesce(com.c, 1.0)))), 6)
+         AS soft_weight_r
+FROM cl LEFT JOIN com USING (doc_id)
+"""
+
+
 QUERIES = {
+    "doc_softdedup_reweight": q_doc_softdedup_reweight,
     "doc_dedup_threshold_curve": q_doc_dedup_threshold_curve,
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_ngram_jaccard_pairs": q_doc_ngram_jaccard_pairs,
@@ -1619,6 +1709,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_softdedup_reweight": ORACLE_SOFTDEDUP,
     "doc_dedup_threshold_curve": ORACLE_DEDUP_CURVE,
     "doc_graph_triangles": ORACLE_TRIANGLES,
     "doc_incremental_dedup": ORACLE_INCREMENTAL,

@@ -2959,8 +2959,68 @@ GROUP BY 1, 2
 """
 
 
+_RES_K = 20  # sample size per group
+
+
+def q_events_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group reservoir sample — bottom-k by a
+    portable hash priority (the distributed form of reservoir sampling:
+    assign every row a pseudo-random priority, keep the k smallest per
+    group; same sample no matter how the data is partitioned, re-run,
+    or merged — the property that makes the sample auditable and the
+    reference's REST-sourced top-k analogue for facts). Priority is the
+    repo's two-step Lehmer mix of event_id (the curation samplers'
+    portable hash), so the DuckDB oracle replays the exact sample.
+
+    Plan: one window row_number per event_type ordered by (priority,
+    id) with the rk ≤ k filter — Spark's WindowGroupLimit rewrite
+    pushes the limit BELOW the shuffle as a per-partition partial
+    top-k, so each map task forwards at most k rows per group: the
+    shuffle carries O(groups·k·partitions) rows, not the corpus. That
+    is precisely the merge step of distributed reservoir sampling, for
+    free from the optimizer."""
+    from .text import _LEHMER_A, _LEHMER_M
+
+    e = load_table(spark, sf_dir, "events")
+    h = (
+        (F.col("event_id") % F.lit(_LEHMER_M))
+        * F.lit(_LEHMER_A)
+        % F.lit(_LEHMER_M)
+        * F.lit(_LEHMER_A)
+        % F.lit(_LEHMER_M)
+    )
+    w = Window.partitionBy("event_type").orderBy(F.asc("h"), F.asc("event_id"))
+    return (
+        e.withColumn("h", h)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _RES_K)
+        .select("event_type", "rk", "event_id", "user_id", "value")
+    )
+
+
+def _oracle_reservoir() -> str:
+    from .text import _LEHMER_A, _LEHMER_M
+
+    h = (
+        f"(((event_id % {_LEHMER_M}) * {_LEHMER_A}) % {_LEHMER_M})"
+        f" * {_LEHMER_A} % {_LEHMER_M}"
+    )
+    return f"""
+SELECT event_type,
+       CAST(row_number() OVER (
+         PARTITION BY event_type ORDER BY {h}, event_id) AS BIGINT) AS rk,
+       event_id, user_id, value
+FROM events
+QUALIFY rk <= {_RES_K}
+"""
+
+
+ORACLE_RESERVOIR = _oracle_reservoir()
+
+
 QUERIES = {
     "events_hdr_quantiles": q_events_hdr_quantiles,
+    "events_reservoir_sample": q_events_reservoir_sample,
     "events_kmv_overlap": q_events_kmv_overlap,
     "events_decay_engagement": q_events_decay_engagement,
     "events_kmv_rolling_distinct": q_events_kmv_rolling_distinct,
@@ -2999,6 +3059,7 @@ QUERIES = {
 
 ORACLES = {
     "events_multi_exists": ORACLE_MULTI_EXISTS,
+    "events_reservoir_sample": ORACLE_RESERVOIR,
     "events_hdr_quantiles": ORACLE_HDR_QUANTILES,
     "events_kmv_overlap": ORACLE_KMV_OVERLAP,
     "events_decay_engagement": ORACLE_DECAY,

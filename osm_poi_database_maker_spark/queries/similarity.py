@@ -2608,7 +2608,96 @@ GROUP BY 1, 2
 ORACLE_SPLIT_LEAKAGE = _split_leakage_oracle_sql()
 
 
+_OOD_K = 50  # outliers reported
+
+
+def q_emb_zscore_ood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-distribution scoring over the embedding collection —
+    diagonal-covariance Mahalanobis (per-dim z-score energy): score(x)
+    = Σ_d ((x_d − μ_d)/σ_d)², the standard first-pass OOD filter a
+    training pipeline runs to quarantine corrupt / wrong-modality /
+    mis-embedded vectors before they poison contrastive batches. The
+    full-covariance variant is :func:`q_emb_whitening_audit`'s
+    transform; the diagonal form stays exactly SQL-replayable, so the
+    top-k outlier rows themselves are hash-gated (not just contract
+    booleans). Constant dims (σ=0) contribute 0 by definition.
+
+    Plan: per-dim (μ, σ) is one posexplode aggregate that map-side
+    partial aggregation collapses to d cells per task — a d-row
+    bounded collect (the whitening/PCA trainer-rule precedent) — then
+    ONE vectorized mapInPandas scoring pass with the d-vector stats in
+    the closure: vectors are never shuffled, and the only exchange is
+    the rank-k window whose WindowGroupLimit rewrite forwards k rows
+    per map task. Scores are rounded half-away BEFORE ranking so both
+    engines rank the identical key."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    stats = (
+        e.select(F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.avg("val").alias("mu"), F.stddev_pop("val").alias("sd"))
+        .collect()
+    )
+    schema = "vec_id long, zood_r double, rk long"
+    if not stats:
+        return spark.createDataFrame([], schema)
+    d = max(r.pos for r in stats) + 1
+    mu = np.zeros(d)
+    sd = np.zeros(d)
+    for r in stats:
+        mu[r.pos] = r.mu
+        sd[r.pos] = r.sd
+    safe = np.where(sd > 0, sd, 1.0)
+    live = sd > 0
+
+    def score(batches):
+        for pdf in batches:
+            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            z = np.where(live, (x - mu) / safe, 0.0)
+            s = (z * z).sum(axis=1)
+            # half AWAY from zero (scores ≥ 0): matches F.round/DuckDB
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "zood_r": np.floor(s * 1e4 + 0.5) / 1e4,
+                }
+            )
+
+    scored = e.mapInPandas(score, "vec_id long, zood_r double")
+    w = Window.orderBy(F.desc("zood_r"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _OOD_K)
+        .select("vec_id", "zood_r", "rk")
+    )
+
+
+ORACLE_ZSCORE_OOD = f"""
+WITH el AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(unnest(embedding) AS DOUBLE) AS val,
+         unnest(range(len(embedding))) AS idx
+  FROM embeddings
+),
+st AS (SELECT idx, avg(val) AS mu, stddev_pop(val) AS sd FROM el GROUP BY idx),
+sc AS (
+  SELECT vec_id,
+         round(sum(CASE WHEN sd > 0
+                        THEN ((val - mu) / sd) * ((val - mu) / sd)
+                        ELSE 0 END), 4) AS zood_r
+  FROM el JOIN st USING (idx) GROUP BY vec_id
+)
+SELECT vec_id, zood_r,
+       CAST(row_number() OVER (ORDER BY zood_r DESC, vec_id) AS BIGINT) AS rk
+FROM sc
+QUALIFY rk <= {_OOD_K}
+"""
+
+
 QUERIES = {
+    "emb_zscore_ood": q_emb_zscore_ood,
     "emb_mutual_knn_clusters": q_emb_mutual_knn_clusters,
     "emb_split_leakage": q_emb_split_leakage,
     "emb_hard_negatives": q_emb_hard_negatives,
@@ -2638,6 +2727,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "emb_zscore_ood": ORACLE_ZSCORE_OOD,
     "emb_mutual_knn_clusters": ORACLE_MUTUAL_KNN,
     "emb_split_leakage": ORACLE_SPLIT_LEAKAGE,
     "emb_hard_negatives": ORACLE_HARD_NEGATIVES,

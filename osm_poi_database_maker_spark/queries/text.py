@@ -2656,8 +2656,173 @@ FROM gapped g CROSS JOIN (
 )
 
 
+# BPE-ish piece proxy: greedy ≤4-char alphanumeric chunks + punctuation
+# singles — deterministic in both engines (Java regex and RE2 are both
+# leftmost-first here), so "fertility" (pieces per whitespace word) is
+# exactly replayable without shipping a trained tokenizer.
+_FERT_PIECE_RE = r"[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]"
+_FERT_WORD_RE = r"[A-Za-z0-9]+"
+
+
+def q_doc_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — the multilingual-budget metric
+    (pieces per word, bytes per piece) a training-data pipeline tracks
+    per language before fixing a token budget: a high-fertility language
+    pays more sequence length per word, so corpus mixing by raw bytes
+    over-represents low-fertility languages. Pieces use a deterministic
+    BPE-ish proxy (greedy ≤4-char alphanumeric chunks + punctuation
+    singles) so the DuckDB oracle replays it exactly.
+
+    Plan: one scan, two regexp_extract_all counts + octet_length per
+    row, one |langs|-row aggregate — map-side partial aggregation does
+    all the work; nothing shuffles but the tiny group table."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.select(
+        "lang",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_FERT_WORD_RE), 0))
+        .cast("long")
+        .alias("w"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_FERT_PIECE_RE), 0))
+        .cast("long")
+        .alias("p"),
+        F.octet_length("text").cast("long").alias("b"),
+    )
+    return per.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("w").alias("n_words"),
+        F.sum("p").alias("n_pieces"),
+        F.round(F.try_divide(F.sum("p"), F.sum("w")), 4).alias("fertility_r"),
+        F.round(F.try_divide(F.sum("b"), F.sum("p")), 4).alias(
+            "bytes_per_piece_r"
+        ),
+    )
+
+
+ORACLE_FERTILITY = rf"""
+WITH per AS (
+  SELECT lang,
+         len(regexp_extract_all(text, '{_FERT_WORD_RE}')) AS w,
+         len(regexp_extract_all(text, '{_FERT_PIECE_RE}')) AS p,
+         strlen(text) AS b
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(w) AS BIGINT) AS n_words,
+       CAST(sum(p) AS BIGINT) AS n_pieces,
+       round(CAST(sum(p) AS DOUBLE) / nullif(sum(w), 0), 4) AS fertility_r,
+       round(CAST(sum(b) AS DOUBLE) / nullif(sum(p), 0), 4) AS bytes_per_piece_r
+FROM per GROUP BY lang
+"""
+
+
+_KN_D = 0.75  # Kneser-Ney absolute discount
+
+
+def q_doc_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean log-probability under an interpolated Kneser-Ney
+    bigram model — the smoothed upgrade of :func:`q_doc_bigram_logprob`
+    (whose MLE assigns unseen-context mass nothing): KN backs off to the
+    CONTINUATION unigram (how many distinct contexts a word follows —
+    "Francisco" is frequent but follows only "San", so its continuation
+    mass is tiny), the distribution KenLM-style quality filters actually
+    use.
+
+        P(w2|w1) = (max(c12 − D, 0) + D·N1+(w1,·)·N1+(·,w2)/N1+(··)) / c1
+
+    Plan: one explode of the bigram stream feeds the three count tables
+    — c12 by bigram hash, (c1, distinct-following) by w1 hash in ONE
+    aggregate, distinct-preceding by w2 hash over the distinct-bigram
+    frame — all equi-joins on 8-byte xxhash64 keys (vocab-sized sides:
+    AQE broadcasts when they fit), plus a 1-row type-count cross join.
+    No Python in the plan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.split(F.col("text"), " +").alias("t")).repartition(
+        "doc_id"
+    )
+    t = F.col("t")
+    bigrams = (
+        tok.filter(F.size(t) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - 1),
+                    lambda i: F.struct(
+                        F.element_at(t, i).alias("w1"),
+                        F.element_at(t, i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .select(
+            "doc_id",
+            F.xxhash64("bg.w1", "bg.w2").alias("h12"),
+            F.xxhash64("bg.w1").alias("h1"),
+            F.xxhash64("bg.w2").alias("h2"),
+        )
+    )
+    c12 = bigrams.groupBy("h12").agg(F.count("*").alias("c12"))
+    # c1 and N1+(w1,·) share one aggregate; countDistinct is safe here —
+    # no object aggregate in the same agg (the Expand trap is specific
+    # to mixing DISTINCT with percentile-class aggregates)
+    fw = bigrams.groupBy("h1").agg(
+        F.count("*").alias("c1"), F.countDistinct("h12").alias("n_fw")
+    )
+    types = bigrams.select("h12", "h2").distinct()
+    bw = types.groupBy("h2").agg(F.count("*").alias("n_bw"))
+    n_types = bw.agg(F.sum("n_bw").alias("n_types"))
+    p = (
+        F.greatest(F.col("c12") - F.lit(_KN_D), F.lit(0.0))
+        + F.lit(_KN_D) * F.col("n_fw") * F.col("n_bw") / F.col("n_types")
+    ) / F.col("c1")
+    scored = (
+        bigrams.join(c12, "h12")
+        .join(fw, "h1")
+        .join(bw, "h2")
+        .crossJoin(F.broadcast(n_types))
+        .withColumn("p", p)
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.avg(F.log("p")), 4).alias("avg_kn_logprob"),
+    )
+
+
+ORACLE_KN_BIGRAM = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, ' +') AS t FROM documents
+  WHERE len(string_split_regex(text, ' +')) >= 2
+),
+bigrams AS MATERIALIZED (
+  SELECT doc_id, t[i + 1] AS w1, t[i + 2] AS w2
+  FROM (SELECT doc_id, t, unnest(range(len(t) - 1)) AS i FROM toks)
+),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bigrams GROUP BY 1, 2),
+fw AS (SELECT w1, count(*) AS c1, count(DISTINCT w2) AS n_fw
+       FROM bigrams GROUP BY 1),
+types AS MATERIALIZED (SELECT DISTINCT w1, w2 FROM bigrams),
+bw AS (SELECT w2, count(*) AS n_bw FROM types GROUP BY 1),
+nt AS (SELECT count(*) AS n_types FROM types)
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln(
+         (greatest(c12 - {_KN_D}, 0.0)
+          + {_KN_D} * n_fw * n_bw / n_types) / c1)), 4) AS avg_kn_logprob
+FROM bigrams b
+JOIN c12 USING (w1, w2)
+JOIN fw USING (w1)
+JOIN bw USING (w2)
+CROSS JOIN nt
+GROUP BY b.doc_id
+"""
+
+
 QUERIES = {
     "doc_heavy_hitters": q_doc_heavy_hitters,
+    "doc_tokenizer_fertility": q_doc_tokenizer_fertility,
+    "doc_kn_bigram_lm": q_doc_kn_bigram_lm,
     "doc_token_stats": q_doc_token_stats,
     "doc_phrase_search": q_doc_phrase_search,
     "doc_token_entropy": q_doc_token_entropy,
@@ -2694,6 +2859,8 @@ QUERIES = {
 
 ORACLES = {
     "doc_heavy_hitters": ORACLE_HEAVY_HITTERS,
+    "doc_tokenizer_fertility": ORACLE_FERTILITY,
+    "doc_kn_bigram_lm": ORACLE_KN_BIGRAM,
     "doc_hybrid_rrf": ORACLE_HYBRID_RRF,
     "doc_collapse_repeats": ORACLE_COLLAPSE_REPEATS,
     "doc_token_stats": ORACLE_TOKEN_STATS,
