@@ -139,3 +139,77 @@ def test_multi_chunk_group_keeps_global_order(spark, tmp_path):
             spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
         else:
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", saved)
+
+
+def test_generation_horizon_and_eviction(spark, tmp_path):
+    """generation_span mode (r11 verdict #5): retention is first-K per
+    (bucket, generation), matching sees only gens >= own - 1, and
+    evicted history is invisible — so a twin one generation back is
+    caught, a twin many generations back is not, and a full bucket's
+    cap RESETS each generation instead of starving forever."""
+    from osm_poi_database_maker_spark.streaming import simhash_dedup_state
+
+    d = str(tmp_path / "docs")
+    twin = "the quick brown fox jumps over the lazy dog " * 4
+    batches = [
+        [(10, twin), (11, twin), (12, twin)],  # gen 0
+        [(150, twin)],                         # gen 1
+        [(250, twin), (350, twin)],            # gens 2, 3
+        [(999, twin)],                         # gen 9: horizon is empty
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            [(k, t, "en", "a", len(t)) for k, t in rows], schema
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents_{i}.parquet")
+    file_schema = spark.read.parquet(f"{d}/documents*.parquet").schema
+    stream = (
+        spark.readStream.schema(file_schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(f"{d}/documents*.parquet")
+    )
+    out = _drain(
+        simhash_dedup_state(stream, bucket_cap=1, generation_span=100), spark
+    )
+    got = {
+        r["doc_id"]: (r["is_dup"], r["dup_of"])
+        for r in _finalize(out).collect()
+    }
+    assert got[10] == (False, None)
+    assert got[11] == (True, 10)   # cap 1: 11 not retained, still matched
+    assert got[12] == (True, 10)
+    assert got[150] == (True, 10)  # previous generation is in horizon
+    # gen-0 history is OUT of 250's horizon; 150 was retained because
+    # generation 1 got a fresh cap despite the bucket being "full"
+    assert got[250] == (True, 150)
+    assert got[350] == (True, 250)
+    assert got[999] == (False, None)  # nothing lives in gens >= 8
+
+
+def test_generation_mode_default_off_is_unchanged(spark, tmp_path):
+    """generation_span=None must keep the registered query's exact
+    first-K-forever semantics (the DuckDB oracle replays those)."""
+    from osm_poi_database_maker_spark.streaming import simhash_dedup_state
+
+    d = str(tmp_path / "docs")
+    twin = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [(10, twin), (150, twin), (99999, twin)]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(
+        [(k, t, "en", "a", len(t)) for k, t in rows], schema
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents_0.parquet")
+    file_schema = spark.read.parquet(f"{d}/documents*.parquet").schema
+    stream = (
+        spark.readStream.schema(file_schema)
+        .format("parquet")
+        .load(f"{d}/documents*.parquet")
+    )
+    out = _drain(simhash_dedup_state(stream, bucket_cap=1), spark)
+    got = {
+        r["doc_id"]: (r["is_dup"], r["dup_of"])
+        for r in _finalize(out).collect()
+    }
+    # no horizon: the arbitrarily-old first arrival still matches
+    assert got[99999] == (True, 10)
+    assert got[150] == (True, 10)
