@@ -105,3 +105,40 @@ def test_opq_oracle_tracks_constants():
 
     assert f"{s._OPQ_M} AS m_sub" in s.ORACLE_OPQ_CODES
     assert f"{s._OPQ_K} AS n_codes" in s.ORACLE_OPQ_CODES
+
+
+@pytest.mark.parametrize("sf_dir", [SF_SMOKE, SF_GATE])
+def test_band_bucket_occupancy_headroom_both_sfs(sf_dir):
+    """r11 verdict #4, generalized from the r11 gate-SF-only pin: band
+    bucket occupancy asserted at BOTH SFs for every banded LSH join.
+
+    ahash/phash: the exact all-pairs oracles are valid only while no
+    bucket reaches the 200 cap (pigeonhole equivalence breaks above
+    it) — a fixture regeneration that saturates a bucket must fail
+    HERE, loudly, not as a silent gate divergence.
+
+    SRP: the cap is REPLICATED in the oracle (capped CTE), so
+    saturation is lossy-but-engine-symmetric by documented design;
+    the pin instead bounds HOW saturated (occupancy < 4x cap keeps
+    per-bucket candidate recall cap/occ above ~25%), so a fixture
+    drift toward one mega-bucket still fails loudly."""
+    from osm_poi_database_maker_spark.queries import multimodal as mm
+    from osm_poi_database_maker_spark.queries import similarity as sim
+
+    con = _duck(sf_dir)
+    checks = (
+        ("ahash", mm.ORACLE_AHASH_PAIRS_BIG, "banded", "band, val", 200, 1),
+        ("phash", mm.ORACLE_PHASH_PAIRS_BIG, "banded", "band, val", 200, 1),
+        ("srp", sim.ORACLE_SRP, "bands", "band, bval",
+         sim._SRP_BUCKET_CAP, 4),
+    )
+    for name, sql, cte, keys, cap, mult in checks:
+        occ_sql = (
+            sql.split("capped AS")[0]
+            + "q AS (SELECT 1)\nSELECT max(c) FROM"
+            f" (SELECT {keys}, count(*) AS c FROM {cte} GROUP BY 1, 2)"
+        )
+        (occ,) = con.execute(occ_sql).fetchone()
+        assert occ < cap * mult, (
+            f"{name}: occupancy {occ} >= {cap}x{mult} at {sf_dir}"
+        )
