@@ -2666,11 +2666,18 @@ def q_emb_zscore_ood(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     scored = e.mapInPandas(score, "vec_id long, zood_r double")
+    # orderBy().limit(k) compiles to TakeOrderedAndProject — a
+    # per-partition partial top-k merged on the driver — so the global
+    # ranking never funnels the full collection through one partition
+    # (the unpartitioned-window rewrite does NOT fire across the Python
+    # boundary here; measured: WindowExec moved all rows to 1 task).
+    # The row_number window then ranks only the k survivors.
+    top = scored.orderBy(F.desc("zood_r"), F.asc("vec_id")).limit(_OOD_K)
     w = Window.orderBy(F.desc("zood_r"), F.asc("vec_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= _OOD_K)
-        .select("vec_id", "zood_r", "rk")
+        top.withColumn("rk", F.row_number().over(w).cast("long")).select(
+            "vec_id", "zood_r", "rk"
+        )
     )
 
 

@@ -26,6 +26,11 @@ _SAMPLE = [
     "emb_whitening_audit",      # two covariance sufficient-stat passes
     "lineitem_hist_quantiles",  # histogram + nearest-rank quantiles
     "doc_sentence_dedup",       # window rank over a string-keyed shuffle
+    # r12 additions with float partial-aggregation or global rank
+    "doc_kn_bigram_lm",         # avg(ln) of a 3-table smoothed ratio
+    "emb_zscore_ood",           # stats collect + TakeOrdered top-k
+    "doc_softdedup_reweight",   # per-doc avg(df) into a log-damped ratio
+    "events_reservoir_sample",  # WindowGroupLimit bottom-k per group
 ]
 
 

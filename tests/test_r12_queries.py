@@ -142,3 +142,106 @@ def test_band_bucket_occupancy_headroom_both_sfs(sf_dir):
         assert occ < cap * mult, (
             f"{name}: occupancy {occ} >= {cap}x{mult} at {sf_dir}"
         )
+
+
+def test_fertility_semantics(spark):
+    """Pieces can never undercount words (every word yields >= 1 piece),
+    so fertility >= 1 wherever words exist; byte counts cover pieces."""
+    from osm_poi_database_maker_spark.queries.text import (
+        q_doc_tokenizer_fertility,
+    )
+
+    rows = q_doc_tokenizer_fertility(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.n_pieces >= r.n_words
+        assert r.fertility_r is None or r.fertility_r >= 1.0
+        assert r.n_docs > 0
+
+
+def test_kn_bigram_lm_is_a_proper_smoothing(spark):
+    """Kneser-Ney log-probs are log of probabilities < 1 (negative),
+    cover the same bigram stream as the MLE scorer (identical
+    n_bigrams per doc), and never assign -inf (the discount never
+    zeroes a seen bigram because the continuation term is > 0)."""
+    from osm_poi_database_maker_spark.queries.text import (
+        q_doc_bigram_logprob,
+        q_doc_kn_bigram_lm,
+    )
+
+    kn = {r.doc_id: r for r in q_doc_kn_bigram_lm(spark, SF_SMOKE).collect()}
+    mle = {
+        r.doc_id: r for r in q_doc_bigram_logprob(spark, SF_SMOKE).collect()
+    }
+    assert kn.keys() == mle.keys() and kn
+    import math
+
+    for doc_id, r in kn.items():
+        assert r.n_bigrams == mle[doc_id].n_bigrams
+        assert r.avg_kn_logprob < 0
+        assert math.isfinite(r.avg_kn_logprob)
+
+
+def test_softdedup_weights_semantics(spark):
+    """Weights live in (0, 1]; exact duplicates are damped at least by
+    their copy count; commonness never falls below 1."""
+    from osm_poi_database_maker_spark.queries.dedup import (
+        q_doc_softdedup_reweight,
+    )
+
+    rows = q_doc_softdedup_reweight(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.soft_weight_r <= 1.0
+        assert r.commonness_r >= 1.0
+        if r.n_copies > 1:
+            assert r.soft_weight_r <= 1.0 / r.n_copies + 1e-9
+
+
+def test_manifest_skipping_is_lossless(spark):
+    """The pruning decision must be lossless (no match inside a pruned
+    shard), the scan must cover every match, and the fixture predicate
+    must actually prune (scan fraction strictly < 1)."""
+    from osm_poi_database_maker_spark.queries.core import (
+        q_lineitem_manifest_skipping,
+    )
+
+    (row,) = q_lineitem_manifest_skipping(spark, SF_SMOKE).collect()
+    assert row.pruned_no_match
+    assert row.rows_scanned >= row.rows_matched
+    assert 0 < row.n_pruned < row.n_shards
+    assert 0 < row.scan_fraction_r < 1.0
+    assert row.rows_total > row.rows_scanned
+
+
+def test_reservoir_sample_is_partition_stable_bottom_k(spark):
+    """The sample is the EXACT bottom-k by Lehmer priority per group —
+    recomputed independently here — and every group emits min(k, n)
+    rows with contiguous ranks."""
+    from osm_poi_database_maker_spark.queries.events import (
+        _RES_K,
+        q_events_reservoir_sample,
+    )
+    from osm_poi_database_maker_spark.queries.text import (
+        _LEHMER_A,
+        _LEHMER_M,
+    )
+    from osm_poi_database_maker_spark.io import load_table
+
+    got = q_events_reservoir_sample(spark, SF_SMOKE).collect()
+    by_type = {}
+    for r in got:
+        by_type.setdefault(r.event_type, []).append(r)
+    all_events = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "event_type"
+    ).collect()
+    want = {}
+    for r in all_events:
+        h = (r.event_id % _LEHMER_M) * _LEHMER_A % _LEHMER_M * _LEHMER_A % _LEHMER_M
+        want.setdefault(r.event_type, []).append((h, r.event_id))
+    for etype, expect in want.items():
+        expect.sort()
+        expect_ids = [eid for _, eid in expect[:_RES_K]]
+        rows = sorted(by_type[etype], key=lambda r: r.rk)
+        assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+        assert [r.event_id for r in rows] == expect_ids

@@ -166,8 +166,9 @@ def main() -> int:
     from osm_poi_database_maker_spark.queries import QUERIES
 
     dirs = {1: src}
+    tag = os.path.basename(os.path.normpath(src))  # replicas are per-base-SF
     for n in (4, 16):
-        dst = f"/tmp/scale16_growth_{n}x"
+        dst = f"/tmp/scale16_growth_{tag}_{n}x"
         if not os.path.isdir(dst):
             print(f"building {n}x growth replica at {dst} ...")
             try:
