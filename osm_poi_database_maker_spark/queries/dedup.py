@@ -354,8 +354,23 @@ def q_doc_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~doc-length hash arrays, never a second explode. Reference parity:
     the engine joins on 64-bit shingle hashes (8-byte shuffle keys); the
     oracle brute-forces the same threshold over shingle strings —
-    equality certifies the pruning is lossless."""
-    d = load_table(spark, sf_dir, "documents")
+    equality certifies the pruning is lossless.
+
+    Duplicate-mass caveat (measured, SCALE.md §16x-growth): verify cost
+    is Θ(candidates) and candidates are Θ(true pairs), so a corpus with
+    heavy VERBATIM duplication pays dup² verify work by contract —
+    1037 s at 16× twin mass vs 5.5 s at 1× on the same base corpus.
+    :func:`ppjoin_pairs_collapsed` is the scale path for that regime
+    (collapse exact twins → join representatives → expand), identical
+    output with verify cost independent of duplicate mass; the
+    registered query keeps the direct plan because the curation
+    pipeline runs exact dedup upstream anyway."""
+    return ppjoin_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def ppjoin_pairs(d: DataFrame) -> DataFrame:
+    """The PPJoin engine over any (doc_id, text, ...) frame — see
+    :func:`q_doc_ppjoin_pairs` for the algorithm and guarantees."""
     tok_df = d.select("doc_id", F.split(F.col("text"), " +").alias("t")).repartition(
         "doc_id"
     )
@@ -432,6 +447,89 @@ def q_doc_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= PPJOIN_T)
         .select("doc_a", "doc_b", "shared", "jaccard")
     )
+
+
+def ppjoin_pairs_collapsed(d: DataFrame) -> DataFrame:
+    """Duplicate-mass-proof PPJoin: collapse VERBATIM duplicates first
+    (group by text hash, keep the min-id representative), run the exact
+    prefix-filtered join on representatives only, then expand rep pairs
+    back to member pairs — identical output to :func:`ppjoin_pairs`
+    (verbatim twins have identical shingle sets, so every member pair
+    inherits its rep pair's exact shared/jaccard, and within-cluster
+    pairs are jaccard 1.0 by definition), but the verify stage touches
+    only UNIQUE texts: its cost is flat in duplicate mass instead of
+    Θ(dup²). Measured at 16× twin mass (SCALE.md §16x-growth): the
+    direct join's 80 M candidate verifies collapse to the 1× volume
+    (~310 K) plus an output-sized expansion, which is owed.
+
+    The expansion joins are equi-joins on cluster keys with fan-out
+    exactly the owed output size; within-cluster pairs respect the
+    ≥3-token shingle-set precondition the direct path applies (twin
+    pairs of shingle-free docs emit nothing there too). Same xxhash64
+    collision caveat as the shingle keys (P ≈ n²/2⁶⁵, and a collision
+    only merges two texts whose pairs exact verification would
+    re-separate in the direct path — the one semantic divergence,
+    immaterial at corpus scale)."""
+    keyed = d.select("doc_id", "text", F.xxhash64("text").alias("k"))
+    clusters = keyed.groupBy("k").agg(
+        F.min("doc_id").alias("rep_id"),
+        F.min("text").alias("rep_text"),
+        F.count("*").alias("m"),
+    )
+    reps = clusters.select(
+        F.col("rep_id").alias("doc_id"), F.col("rep_text").alias("text")
+    )
+    rp = ppjoin_pairs(reps)
+    members = keyed.select("k", "doc_id")
+    # cross-cluster: every member pair inherits the rep pair's verdict
+    ka = clusters.select(F.col("rep_id").alias("doc_a"), F.col("k").alias("ka"))
+    kb = clusters.select(F.col("rep_id").alias("doc_b"), F.col("k").alias("kb"))
+    cross = (
+        rp.join(ka, "doc_a")
+        .join(kb, "doc_b")
+        .join(members.select(F.col("k").alias("ka"), F.col("doc_id").alias("a_id")), "ka")
+        .join(members.select(F.col("k").alias("kb"), F.col("doc_id").alias("b_id")), "kb")
+        .select(
+            F.least("a_id", "b_id").alias("doc_a"),
+            F.greatest("a_id", "b_id").alias("doc_b"),
+            "shared",
+            "jaccard",
+        )
+    )
+    # within-cluster: C(m, 2) exact-twin pairs at jaccard 1.0, gated on
+    # the same ≥3-token precondition; shared = the rep's distinct
+    # shingle count
+    t = F.split(F.col("rep_text"), " +")
+    n_sh = F.size(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(t, i),
+                    F.element_at(t, i + 1),
+                    F.element_at(t, i + 2),
+                ),
+            )
+        )
+    )
+    dup_clusters = clusters.filter(
+        (F.col("m") >= 2) & (F.size(F.split(F.col("rep_text"), " +")) >= 3)
+    ).select("k", n_sh.cast("long").alias("n_sh"))
+    ma = members.select("k", F.col("doc_id").alias("doc_a"))
+    mb = members.select("k", F.col("doc_id").alias("doc_b"))
+    within = (
+        dup_clusters.join(ma, "k")
+        .join(mb, "k")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_sh").alias("shared"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 ORACLE_PPJOIN = f"""

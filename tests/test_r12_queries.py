@@ -245,3 +245,38 @@ def test_reservoir_sample_is_partition_stable_bottom_k(spark):
         rows = sorted(by_type[etype], key=lambda r: r.rk)
         assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
         assert [r.event_id for r in rows] == expect_ids
+
+
+def test_ppjoin_collapsed_equals_direct(spark):
+    """ppjoin_pairs_collapsed must produce the EXACT row set of the
+    direct join — on the real fixture and on an adversarial frame of
+    verbatim twin clusters, near-dups, and shingle-free short docs."""
+    from osm_poi_database_maker_spark.io import load_table
+    from osm_poi_database_maker_spark.queries.dedup import (
+        ppjoin_pairs,
+        ppjoin_pairs_collapsed,
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    base = " ".join(f"w{i}" for i in range(12))
+    near = " ".join(f"w{i}" for i in range(11)) + " zz"  # high overlap
+    other = " ".join(f"q{i}" for i in range(12))
+    frame = spark.createDataFrame(
+        [
+            (1, base), (2, base), (3, base),          # twin cluster A
+            (4, near),                                 # near-dup of A
+            (5, other), (6, other),                    # twin cluster B
+            (7, "too short"), (8, "too short"),        # shingle-free twins
+            (9, "w0 w1 w2"),                           # minimal 1-shingle doc
+        ],
+        "doc_id long, text string",
+    )
+    assert rows(ppjoin_pairs_collapsed(frame)) == rows(ppjoin_pairs(frame))
+    got = {(r.doc_a, r.doc_b): r for r in ppjoin_pairs_collapsed(frame).collect()}
+    assert got[(1, 2)].jaccard == 1.0 and got[(1, 2)].shared == 10
+    assert (7, 8) not in got  # shingle-free twins emit nothing
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    assert rows(ppjoin_pairs_collapsed(d)) == rows(ppjoin_pairs(d))
