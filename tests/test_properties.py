@@ -509,3 +509,75 @@ def test_wfunnel_fold_matches_brute_force(evs, n_batches):
     want = brute(rows)
     got = int(out["level"].iloc[0]) if out is not None else 0
     assert got == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-10, max_value=10, allow_nan=False),
+            min_size=0,
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_sign_signature_matches_pure_python(spark, vecs):
+    """sign_signature over arbitrary-length vectors (including >64-dim,
+    the r11-advice regression class) must equal the bit-for-bit Python
+    reference: bit d set iff v_d > 0, dims past 64 ignored, shorter
+    vectors zero-padded."""
+    from osm_poi_database_maker_spark.similarity import sign_signature
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: r.sign_sig for r in sign_signature(df).collect()}
+    for i, v in enumerate(vecs):
+        want = 0
+        for d, x in enumerate(v[:64]):
+            if x > 0:
+                want |= 1 << d
+        if want >= 1 << 63:
+            want -= 1 << 64
+        assert got[i] == want, (i, v)
+
+
+def test_kn_bigram_formula_is_a_probability_distribution():
+    """The interpolated Kneser-Ney formula the query implements,
+    P(w2|w1) = (max(c12−D,0) + D·N1+(w1,·)·N1+(·,w2)/N1+(··)) / c1,
+    must sum to EXACTLY 1 over the full bigram-type vocabulary for
+    every context w1 (the identity holds because Σ max(c12−D,0) =
+    c1 − D·N1+(w1,·) when every seen count ≥ 1 > D, and Σ Pcont = 1).
+    A formula bug (wrong normalizer, wrong continuation table) breaks
+    this identity immediately."""
+    import itertools
+    from collections import Counter
+
+    corpus = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown cat sleeps",
+        "a lazy dog and a lazy cat",
+        "san francisco san francisco san jose",
+    ]
+    D = 0.75
+    bigrams = []
+    for doc in corpus:
+        t = doc.split()
+        bigrams += list(zip(t, t[1:]))
+    c12 = Counter(bigrams)
+    c1 = Counter(w1 for w1, _ in bigrams)
+    types = set(c12)
+    n_fw = Counter(w1 for w1, _ in types)
+    n_bw = Counter(w2 for _, w2 in types)
+    n_types = len(types)
+    vocab2 = {w2 for _, w2 in types}
+    for w1 in c1:
+        total = sum(
+            (max(c12.get((w1, w2), 0) - D, 0.0)
+             + D * n_fw[w1] * n_bw[w2] / n_types) / c1[w1]
+            for w2 in vocab2
+        )
+        assert abs(total - 1.0) < 1e-12, (w1, total)

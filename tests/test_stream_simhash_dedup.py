@@ -213,3 +213,55 @@ def test_generation_mode_default_off_is_unchanged(spark, tmp_path):
     # no horizon: the arbitrarily-old first arrival still matches
     assert got[99999] == (True, 10)
     assert got[150] == (True, 10)
+
+
+def test_generation_mode_invariant_to_batching(spark, tmp_path):
+    """The generation-horizon semantics are a pure function of doc_id
+    (arrival order), so the SAME docs must produce the SAME finalized
+    verdicts whether they arrive as one batch, one file per doc-pair,
+    or an uneven split — the determinism claim the docstring makes,
+    pinned."""
+    from osm_poi_database_maker_spark.streaming import simhash_dedup_state
+
+    twin = "the quick brown fox jumps over the lazy dog " * 4
+    uniq = [" ".join(f"tok{i}_{j}" for j in range(30)) for i in range(4)]
+    docs = [
+        (10, twin), (11, uniq[0]), (12, twin),
+        (150, twin), (151, uniq[1]),
+        (250, uniq[2]), (251, twin),
+        (990, twin), (991, uniq[3]),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def run(splits):
+        d = str(tmp_path / f"docs_{len(splits)}_{splits[0]}")
+        i0 = 0
+        for fi, n in enumerate(splits):
+            rows = docs[i0 : i0 + n]
+            i0 += n
+            spark.createDataFrame(
+                [(k, t, "en", "a", len(t)) for k, t in rows], schema
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{d}/documents_{fi}.parquet"
+            )
+        file_schema = spark.read.parquet(f"{d}/documents*.parquet").schema
+        stream = (
+            spark.readStream.schema(file_schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(f"{d}/documents*.parquet")
+        )
+        out = _drain(
+            simhash_dedup_state(stream, bucket_cap=2, generation_span=100),
+            spark,
+        )
+        return sorted(
+            (r["doc_id"], r["is_dup"], r["dup_of"])
+            for r in _finalize(out).collect()
+        )
+
+    one = run([9])
+    pairs = run([2, 2, 2, 2, 1])
+    uneven = run([3, 1, 5])
+    assert one == pairs == uneven
+    assert any(is_dup for _, is_dup, _ in one)  # the fixture has dups
