@@ -129,6 +129,16 @@ _VERIFY_FIRST = [
 # the r07 cohort (~46 queries — recompute exactly with
 # tools/staleness.py); it does NOT all fit one window, so rotate the
 # stalest ~39 alongside r13's changed/new tier 1 and carry the rest.
+#
+# r13 natural tier-1b candidates (library capability already tested,
+# registration deferred because the r12 window was full at 50):
+#   * doc_ppjoin_collapsed — register dedup.ppjoin_pairs_collapsed;
+#     ORACLE_PPJOIN applies VERBATIM (identical output, pytest-pinned
+#     equality; 86× faster at 16× twin mass, SCALE.md §16x-growth).
+#   * stream_simhash_dedup_horizon — generation_span mode of
+#     simhash_dedup_state; needs a horizon-aware oracle (first-K per
+#     (bucket, gen), match gens ≥ own−1 — replayable in SQL with the
+#     same row_number machinery as the current oracle).
 
 # tier 4 cohort order: non-core modules first, core last.
 _COHORT_MODULES = (
