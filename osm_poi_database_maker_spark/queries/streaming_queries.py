@@ -855,6 +855,62 @@ FROM fp f LEFT JOIN matches m ON m.doc_id = f.doc_id
 ORACLE_STREAM_SIMHASH_DEDUP = _stream_simhash_dedup_oracle_sql()
 
 
+_SIMHASH_HORIZON_SPAN = 100  # generation width (doc_ids per generation)
+
+
+def q_stream_simhash_dedup_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generation-horizon variant of :func:`q_stream_simhash_dedup`
+    (r11 verdict #5's eviction story, prepared for r13 registration —
+    NOT in the r12 registry because the 50-slot window was full):
+    retention is first-K per (bucket, generation) with gen =
+    doc_id // _SIMHASH_HORIZON_SPAN, a doc matches only retained
+    entries from gens ≥ its own − 1, and below-horizon state is
+    physically evicted. Same finalizer; the oracle replays the
+    per-generation retention and the horizon mask with one extra
+    window key and one extra join predicate."""
+    out = _materialize(
+        S.simhash_dedup_state(
+            S.stream_documents(spark, sf_dir, assert_doc_id_file_order=True),
+            generation_span=_SIMHASH_HORIZON_SPAN,
+        ),
+        spark,
+        "update",
+    )
+    from pyspark.sql import functions as F
+
+    return out.groupBy("doc_id").agg(
+        F.min(F.when(F.col("match_id") >= 0, F.col("match_id"))).alias("dup_of"),
+    ).select(
+        "doc_id",
+        F.col("dup_of").isNotNull().alias("is_dup"),
+        "dup_of",
+    )
+
+
+def _stream_simhash_horizon_oracle_sql() -> str:
+    """The unbounded oracle with two edits: the retention row_number
+    gains the generation as a partition key (first-K per (bucket,
+    GEN)), and the match join gains the horizon predicate
+    (r.gen ≥ d.gen − 1). Eviction needs no SQL model: arrival order
+    makes max-gen monotone, so evicted entries are exactly the ones
+    the horizon predicate already excludes."""
+    g = _SIMHASH_HORIZON_SPAN
+    base = _stream_simhash_dedup_oracle_sql()
+    base = base.replace(
+        "row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS r",
+        "row_number() OVER (PARTITION BY band, bucket, doc_id // "
+        f"{g} ORDER BY doc_id) AS r",
+    )
+    return base.replace(
+        "WHERE bit_count(xor(d.sh, r.sh)) <= 3",
+        "WHERE bit_count(xor(d.sh, r.sh)) <= 3\n"
+        f"    AND r.doc_id // {g} >= d.doc_id // {g} - 1",
+    )
+
+
+ORACLE_STREAM_SIMHASH_HORIZON = _stream_simhash_horizon_oracle_sql()
+
+
 QUERIES = {
     "stream_hourly_window": q_stream_hourly_window,
     "stream_simhash_dedup": q_stream_simhash_dedup,

@@ -265,3 +265,32 @@ def test_generation_mode_invariant_to_batching(spark, tmp_path):
     uneven = run([3, 1, 5])
     assert one == pairs == uneven
     assert any(is_dup for _, is_dup, _ in one)  # the fixture has dups
+
+
+def test_horizon_variant_matches_duckdb_oracle(spark):
+    """The r13-ready horizon query and its SQL oracle must already
+    agree row-for-row on the smoke fixture (the exact comparison the
+    driver gate will run once it is registered), and must differ from
+    the unbounded variant's SQL only in the two documented edits."""
+    import duckdb
+
+    from osm_poi_database_maker_spark.queries.streaming_queries import (
+        ORACLE_STREAM_SIMHASH_DEDUP,
+        ORACLE_STREAM_SIMHASH_HORIZON,
+        q_stream_simhash_dedup_horizon,
+    )
+    from tests.conftest import SF_SMOKE
+
+    got = sorted(
+        (r.doc_id, r.is_dup, r.dup_of)
+        for r in q_stream_simhash_dedup_horizon(spark, SF_SMOKE).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{SF_SMOKE}/documents.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(ORACLE_STREAM_SIMHASH_HORIZON).fetchall())
+    assert got == want and len(got) > 0
+    assert ORACLE_STREAM_SIMHASH_HORIZON != ORACLE_STREAM_SIMHASH_DEDUP
+    assert "doc_id // 100" in ORACLE_STREAM_SIMHASH_HORIZON
