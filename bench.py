@@ -38,6 +38,14 @@ CONTROL_QUERIES = (
     "events_cusum_changepoints",
     "brand_supplier_counts",
     "orders_referential_integrity",
+    # Python-worker-family controls (r12 verdict #5): the six above are
+    # all JVM-side plans, so driver-vs-local drift in the Python/numpy
+    # worker family (Python DataSource scans, mapInPandas/mapInArrow)
+    # was previously inseparable from JVM drift. These two are
+    # plan-stable members of that family — one Python DataSource scan,
+    # one numpy-in-Arrow-batch pipeline.
+    "osm_pbf_source_scan",
+    "mm_audio_energy",
 )
 
 import __spark_entry__ as entrymod  # noqa: E402
@@ -128,7 +136,14 @@ def main() -> None:
             rnd = max(rounds, default=0) + 1
             dest = os.path.join(REPO, f"BENCH_LOCAL_r{rnd:02d}.json")
             if os.path.exists(dest):
+                # First-run-wins applies to the driver artifact too: a
+                # third/fourth run in the same round must not clobber the
+                # driver's recorded numbers — suffix -2/-3/… instead.
                 dest = os.path.join(REPO, f"BENCH_DRIVER_r{rnd:02d}.json")
+                k = 2
+                while os.path.exists(dest):
+                    dest = os.path.join(REPO, f"BENCH_DRIVER_r{rnd:02d}-{k}.json")
+                    k += 1
         with open(dest, "w") as fh:
             json.dump(out, fh, indent=1, sort_keys=True)
     except OSError:

@@ -63,82 +63,81 @@ _MODULES = (
 # Every registered query keeps a pytest + tools/check.py local gate
 # regardless of window position.
 _VERIFY_FIRST = [
-    # tier 1a (round 12): queries whose implementation or oracle CHANGED
-    # this round (r11 advice fixes), so they need a fresh driver row —
-    # tie-robust GK rank-interval gate:
-    "events_sketch_stats",
-    # oracle now interpolates _OPQ_M/_OPQ_K:
-    "emb_opq_codes",
-    # sign_signature slices to 64 dims before zip_with:
-    "emb_binary_quantize_recall",
-    # int64-overflow loud guard in image_ahash:
-    "mm_ahash_pairs",
-    # bounded-state eviction horizon (r11 verdict #5):
-    "stream_simhash_dedup",
-    # tier 1b (round 12): new queries this round.
-    "doc_tokenizer_fertility",
-    "doc_kn_bigram_lm",
-    "events_reservoir_sample",
+    # tier 1a (round 13): queries whose implementation changed this
+    # round (r12 advice fixes) and need a fresh driver row —
+    # ragged-dimensionality loud guard in the mapInPandas scorer
+    # (result-identical on well-formed data, implementation touched):
     "emb_zscore_ood",
-    "doc_softdedup_reweight",
-    "lineitem_manifest_skipping",
-    # tier 2 (r11 verdict #1): the ENTIRE remaining r06-evidence cohort
-    # (tools/staleness.py, judge-confirmed list of 39) — after this
-    # window no registry row's newest driver evidence predates r07.
-    "events_incident_windows",
-    "events_hourly_window",
-    "events_sliding_window",
-    "events_session_windows",
-    "events_asof_join",
-    "events_gap_stats",
-    "events_gapfill_locf",
-    "events_funnel",
-    "events_markov_transitions",
-    "events_retention",
-    "events_running_totals",
-    "doc_collapse_repeats",
-    "doc_zipf_fit",
-    "doc_hapax_ratio",
-    "doc_length_histogram",
-    "doc_bigram_pmi",
-    "doc_bloom_decontaminate",
-    "doc_containment_pairs",
-    "doc_winnow_fingerprints",
-    "emb_knn_graph",
-    "emb_cosine_neardup_pairs",
-    "emb_srp_lsh_pairs",
-    "osm_pbf_source_scan",
-    "osm_toi_dim",
-    "osm_poi_nodes",
-    "osm_way_assembly",
-    "osm_spatial_bbox",
-    "mm_image_features",
-    "mm_frame_sample",
-    "mm_resize",
-    "lineitem_discount_elasticity",
-    "returned_item_revenue",
-    "customer_order_distribution",
-    "customer_referral_closure",
-    "order_window_zoo",
-    "min_cost_supplier",
-    "product_type_profit",
-    "important_part_stock",
-    "brand_supplier_counts",
+    # tier 1b (round 13): new registrations this round. Both were
+    # implemented + locally pinned in r12; registration was deferred
+    # because that window was full at 50.
+    # duplicate-mass-proof PPJoin (86x at 16x twin mass, ORACLE_PPJOIN
+    # verbatim, output pytest-pinned identical to doc_ppjoin_pairs):
+    "doc_ppjoin_collapsed",
+    # generation-horizon eviction mode of the streaming simhash dedup
+    # (r11 verdict #5 story; horizon-aware oracle, RocksDB-parity pin):
+    "stream_simhash_dedup_horizon",
+    # tier 2 (r12 verdict #1): the ENTIRE r07-evidence cohort — all 46
+    # fit because tier 1 is only 3 entries (tools/staleness.py order),
+    # plus the single stalest r08 query in the spare 50th slot. After
+    # this window no registry row's newest driver evidence predates
+    # r08, and the r08 rotation has begun.
+    "events_kmv_distinct",
+    "events_cms_counts",
+    "events_bloom_admit",
+    "events_session_overlap",
+    "events_m4_downsample",
+    "doc_phrase_search",
+    "doc_token_entropy",
+    "doc_mmr_rerank",
+    "doc_longest_eval_overlap",
+    "doc_weighted_sample",
+    "doc_dedup_clusters",
+    "doc_dedup_survivors",
+    "doc_survivorship_merge",
+    "emb_jl_projection",
+    "emb_maximin_centers",
+    "emb_cosine_topk",
+    "emb_norm_quantiles",
+    "emb_centroid_distances",
+    "events_benford_deviation",
+    "osm_poi_density_grid",
+    "mm_audio_energy",
+    "mm_audio_silence_segments",
+    "mm_payload_stats",
+    "stream_hourly_window",
+    "stream_sliding_window",
+    "stream_session_windows",
+    "stream_stream_attribution",
+    "stream_kmv_distinct",
+    "stream_cms_counts",
+    "stream_bloom_admit",
+    "stream_gapfill_locf",
+    "stream_m4_downsample",
+    "orders_mom_growth",
+    "lineitem_unpivot",
+    "nation_lateral_topk",
+    "top_orders_per_customer",
+    "customers_with_urgent_orders",
+    "customers_without_orders",
+    "customer_dag_min_paths",
+    "customer_referral_rollup",
+    "orders_snapshot_diff",
+    "nation_set_ops",
+    "shipping_lag_buckets",
+    "excess_shipped_suppliers",
+    "part_skyline",
+    "basket_frequent_itemsets",
+    # spare 50th slot: the stalest r08-evidence query (r08 rotation
+    # lead; the rest of the r08 cohort is r14's tier 2).
+    "events_kmv_overlap",
 ]
-# r13 rotation TODO: after this window lands, the stalest evidence is
-# the r07 cohort (~46 queries — recompute exactly with
-# tools/staleness.py); it does NOT all fit one window, so rotate the
-# stalest ~39 alongside r13's changed/new tier 1 and carry the rest.
+# r14 rotation TODO: after this window lands, the stalest evidence is
+# the r08 cohort minus events_kmv_overlap (~48 queries — recompute
+# exactly with tools/staleness.py); it does NOT all fit one window, so
+# rotate the stalest alongside r14's changed/new tier 1 and carry the
+# rest to r15.
 #
-# r13 natural tier-1b candidates (library capability already tested,
-# registration deferred because the r12 window was full at 50):
-#   * doc_ppjoin_collapsed — register dedup.ppjoin_pairs_collapsed;
-#     ORACLE_PPJOIN applies VERBATIM (identical output, pytest-pinned
-#     equality; 86× faster at 16× twin mass, SCALE.md §16x-growth).
-#   * stream_simhash_dedup_horizon — generation_span mode of
-#     simhash_dedup_state; needs a horizon-aware oracle (first-K per
-#     (bucket, gen), match gens ≥ own−1 — replayable in SQL with the
-#     same row_number machinery as the current oracle).
 
 # tier 4 cohort order: non-core modules first, core last.
 _COHORT_MODULES = (

@@ -498,17 +498,23 @@ def ppjoin_pairs_collapsed(d: DataFrame) -> DataFrame:
     )
     # within-cluster: C(m, 2) exact-twin pairs at jaccard 1.0, gated on
     # the same ≥3-token precondition; shared = the rep's distinct
-    # shingle count
+    # shingle count, counted over xxhash64(shingle) VALUES — the exact
+    # key space the direct path's array_intersect counts — so an
+    # intra-doc 64-bit shingle collision perturbs both paths
+    # identically instead of opening a string-vs-hash divergence
+    # channel between the twins.
     t = F.split(F.col("rep_text"), " +")
     n_sh = F.size(
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), F.size(t) - 2),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(t, i),
-                    F.element_at(t, i + 1),
-                    F.element_at(t, i + 2),
+                lambda i: F.xxhash64(
+                    F.concat_ws(
+                        " ",
+                        F.element_at(t, i),
+                        F.element_at(t, i + 1),
+                        F.element_at(t, i + 2),
+                    )
                 ),
             )
         )
@@ -530,6 +536,22 @@ def ppjoin_pairs_collapsed(d: DataFrame) -> DataFrame:
         )
     )
     return cross.unionByName(within)
+
+
+def q_doc_ppjoin_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered surface for :func:`ppjoin_pairs_collapsed` — the
+    duplicate-mass-proof PPJoin (collapse verbatim twins → exact
+    prefix-filtered join on unique texts → expand back). OUTPUT
+    CONTRACT: the exact row set of :func:`q_doc_ppjoin_pairs`
+    (pytest-pinned equality, tests/test_r12_queries.py), so
+    ``ORACLE_PPJOIN`` applies verbatim; what changes is the COST
+    SHAPE — verify work rides unique-text volume, not duplicate mass
+    (measured 86× faster at 16× twin mass, SCALE.md §16x-growth).
+    This is the ordering a raw ingest should run when exact dedup has
+    NOT already removed verbatim twins upstream; reference parity is
+    the same near-dup contract as ``doc_ppjoin_pairs``
+    (SURVEY §2 dedup family)."""
+    return ppjoin_pairs_collapsed(load_table(spark, sf_dir, "documents"))
 
 
 ORACLE_PPJOIN = f"""
@@ -1790,6 +1812,7 @@ QUERIES = {
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_ngram_jaccard_pairs": q_doc_ngram_jaccard_pairs,
     "doc_ppjoin_pairs": q_doc_ppjoin_pairs,
+    "doc_ppjoin_collapsed": q_doc_ppjoin_collapsed,
     "doc_graph_kcore": q_doc_graph_kcore,
     "doc_ngram_novelty": q_doc_ngram_novelty,
     "doc_containment_pairs": q_doc_containment_pairs,
@@ -1814,6 +1837,7 @@ ORACLES = {
     "doc_exact_dedup": ORACLE_EXACT,
     "doc_ngram_jaccard_pairs": ORACLE_NGRAM,
     "doc_ppjoin_pairs": ORACLE_PPJOIN,
+    "doc_ppjoin_collapsed": ORACLE_PPJOIN,
     "doc_graph_kcore": ORACLE_KCORE,
     "doc_ngram_novelty": ORACLE_NOVELTY,
     "doc_containment_pairs": ORACLE_CONTAINMENT,

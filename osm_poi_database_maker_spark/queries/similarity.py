@@ -2629,7 +2629,16 @@ def q_emb_zscore_ood(spark: SparkSession, sf_dir: str) -> DataFrame:
     the closure: vectors are never shuffled, and the only exchange is
     the rank-k window whose WindowGroupLimit rewrite forwards k rows
     per map task. Scores are rounded half-away BEFORE ranking so both
-    engines rank the identical key."""
+    engines rank the identical key.
+
+    NOTE (eager stats): unlike the rest of the registry this builder
+    runs a Spark job at CONSTRUCTION time — the d-row (μ, σ) collect
+    must complete before the scoring plan can close over it, the same
+    trainer-rule shape as the whitening/PCA/OPQ builders. Callers that
+    only want the lazy plan should not construct this query. The scorer
+    asserts uniform embedding dimensionality per batch (a ragged
+    collection is a data bug — fail loudly, not with a numpy stacking
+    artifact)."""
     import numpy as np
     import pandas as pd
 
@@ -2654,6 +2663,13 @@ def q_emb_zscore_ood(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def score(batches):
         for pdf in batches:
+            lens = pdf["embedding"].map(len)
+            if len(lens) and not (lens == d).all():
+                bad = sorted(set(lens[lens != d].tolist()))[:5]
+                raise ValueError(
+                    f"emb_zscore_ood: ragged embeddings — expected dim {d}, "
+                    f"saw lengths {bad}"
+                )
             x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             z = np.where(live, (x - mu) / safe, 0.0)
             s = (z * z).sum(axis=1)

@@ -914,6 +914,7 @@ ORACLE_STREAM_SIMHASH_HORIZON = _stream_simhash_horizon_oracle_sql()
 QUERIES = {
     "stream_hourly_window": q_stream_hourly_window,
     "stream_simhash_dedup": q_stream_simhash_dedup,
+    "stream_simhash_dedup_horizon": q_stream_simhash_dedup_horizon,
     "stream_ohlc_bars": q_stream_ohlc_bars,
     "stream_sliding_window": q_stream_sliding_window,
     "stream_session_windows": q_stream_session_windows,
@@ -941,6 +942,7 @@ QUERIES = {
 ORACLES = {
     "stream_hourly_window": ORACLE_HOURLY,
     "stream_simhash_dedup": ORACLE_STREAM_SIMHASH_DEDUP,
+    "stream_simhash_dedup_horizon": ORACLE_STREAM_SIMHASH_HORIZON,
     "stream_ohlc_bars": ORACLE_OHLC,
     "stream_sliding_window": ORACLE_SLIDING,
     "stream_session_windows": ORACLE_SESSION,
