@@ -425,9 +425,20 @@ def q_doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash — only the final per-shard position needs the one shard
     exchange.
     """
+    return curation_pipeline(spark, sf_dir)
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str, d: DataFrame | None = None) -> DataFrame:
+    """Engine for :func:`q_doc_curation_pipeline`; ``d`` overrides the
+    input corpus (default: the sf_dir ``documents`` table) so upstream
+    stages — e.g. near-dup removal, :func:`curation_with_neardup` — can
+    compose with the identical downstream plan. The decontamination
+    stage always reads the eval slice from ``sf_dir`` (its contract is
+    against the fixed eval benchmark, not the possibly-filtered input)."""
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents")
+    if d is None:
+        d = load_table(spark, sf_dir, "documents")
     # 1. exact dedup: keep the lowest doc_id per verbatim text
     w_dup = Window.partitionBy("text_hash").orderBy("doc_id")
     base = (
@@ -505,6 +516,38 @@ SELECT doc_id, source, lang,
        ) AS INT) AS pos
 FROM sampled
 """
+
+
+def curation_with_neardup(
+    spark: SparkSession, sf_dir: str, collapsed: bool = True
+) -> DataFrame:
+    """The recommended RAW-INGEST ordering (r12 verdict #7): near-dup
+    removal THROUGH the duplicate-mass-proof collapsed PPJoin, then the
+    standard curation pipeline on the survivors — the composition a
+    real ingest should run when verbatim twins have NOT been removed
+    upstream (the registered ``doc_curation_pipeline`` assumes its own
+    exact-dedup stage 1 is enough, which is true only after near-dups
+    are already handled).
+
+    Near-dup removal is deterministic greedy min-id survivorship: any
+    doc that appears as ``doc_b`` of a PPJoin pair (jaccard ≥ T,
+    doc_a < doc_b — which INCLUDES verbatim twins at jaccard 1.0) is
+    dropped; survivors flow into :func:`curation_pipeline` unchanged.
+    ``collapsed=False`` routes the pair join through the direct
+    :func:`~.dedup.ppjoin_pairs` — output-identical by the pytest pin
+    (both paths emit the same pair set, so the same survivor set, so
+    the same curated rows), but its verify cost is Θ(dup²) in twin mass
+    where the collapsed path rides unique-text volume (measured 86× at
+    16× twin mass, SCALE.md §16x-growth). Not registered: same result
+    contract as the composition of two registered queries; this is the
+    ordering-documentation surface, measured in SCALE.md §r13-composed."""
+    from .dedup import ppjoin_pairs, ppjoin_pairs_collapsed
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = (ppjoin_pairs_collapsed if collapsed else ppjoin_pairs)(d)
+    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    survivors = d.join(losers, "doc_id", "left_anti")
+    return curation_pipeline(spark, sf_dir, survivors)
 
 
 # ---------------------------------------------------------------------------
