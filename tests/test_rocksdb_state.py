@@ -162,35 +162,16 @@ def _rows(spark, name):
     )
 
 
-@pytest.mark.parametrize(
-    "name",
-    [
-        "stream_simhash_dedup",
-        "stream_stateful_user_totals",
-        "stream_dedup_watermark",
-        "stream_static_join",
-        "stream_ohlc_bars",
-        "stream_hourly_window",
-        "stream_sliding_window",
-        "stream_session_windows",
-        "stream_stream_attribution",
-        "stream_kmv_distinct",
-        "stream_cms_counts",
-        "stream_bloom_admit",
-        "stream_gapfill_locf",
-        "stream_markov_transitions",
-        "stream_m4_downsample",
-        "stream_ab_test",
-        "stream_cusum_changepoints",
-        "stream_incremental_rollup",
-        "stream_window_funnel",
-        "stream_kmv_rolling_distinct",
-        "stream_lateness_profile",
-        "stream_heavy_hitters",
-        "stream_hdr_quantiles",
-        "stream_cdc_latest_state",
-    ],
-)
+def _registered_stream_names():
+    """Derive the sweep from the registry itself (r13: was a hardcoded
+    24-name list that silently excluded new streaming registrations —
+    now a new stream query is parity-swept the round it lands)."""
+    from osm_poi_database_maker_spark.queries import streaming_queries
+
+    return sorted(streaming_queries.QUERIES)
+
+
+@pytest.mark.parametrize("name", _registered_stream_names())
 def test_every_registered_stream_is_rocksdb_parity(spark, rocksdb_conf, name):
     """FULL-class RocksDB parity (closes the r10 verdict's 'only two
     representative shapes' gap for good): every registered streaming
