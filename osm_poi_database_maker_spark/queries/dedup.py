@@ -362,9 +362,12 @@ def q_doc_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     1037 s at 16× twin mass vs 5.5 s at 1× on the same base corpus.
     :func:`ppjoin_pairs_collapsed` is the scale path for that regime
     (collapse exact twins → join representatives → expand), identical
-    output with verify cost independent of duplicate mass; the
-    registered query keeps the direct plan because the curation
-    pipeline runs exact dedup upstream anyway."""
+    output with verify cost independent of duplicate mass — registered
+    since r13 as ``doc_ppjoin_collapsed`` (same oracle, since the row
+    sets are pinned identical). This query keeps the direct plan: it
+    is the lossless baseline the collapsed variant is certified
+    against, and the regime where the direct plan wins (no twin mass,
+    e.g. after upstream exact dedup) is the curation pipeline's."""
     return ppjoin_pairs(load_table(spark, sf_dir, "documents"))
 
 
