@@ -138,6 +138,17 @@ _VERIFY_FIRST = [
 # rotate the stalest alongside r14's changed/new tier 1 and carry the
 # rest to r15.
 #
+# r14 natural tier-1b candidate (library capability already implemented
+# + differentially pinned in r13, registration deferred because this
+# window is full at 50):
+#   * stream_reservoir_sample — register
+#     streaming_queries.q_stream_reservoir_sample; events.ORACLE_RESERVOIR
+#     applies VERBATIM (the mergeable bottom-k state IS the batch
+#     sample; single/multi-batch, duplicate-replay, and RocksDB parity
+#     all pytest-pinned in tests/test_r14_prep.py). Would be the 26th
+#     streaming query and completes the "every sketch family has a
+#     streaming twin" arc for the r12 reservoir.
+#
 
 # tier 4 cohort order: non-core modules first, core last.
 _COHORT_MODULES = (

@@ -911,6 +911,44 @@ def _stream_simhash_horizon_oracle_sql() -> str:
 ORACLE_STREAM_SIMHASH_HORIZON = _stream_simhash_horizon_oracle_sql()
 
 
+def q_stream_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming bottom-k reservoir sample (r14-prep: implemented +
+    differentially pinned this round, NOT in the r13 registry because
+    the 50-slot window is full with the r07-stale rotation — register
+    in r14 tier 1b with ``events.ORACLE_RESERVOIR`` VERBATIM). The
+    custom applyInPandasWithState state is the k smallest
+    (Lehmer-priority, event_id) rows per event_type — the mergeable
+    form of reservoir sampling, so the retained sample is byte-for-byte
+    the batch q_events_reservoir_sample result regardless of micro-batch
+    boundaries (3-file replay + RocksDB parity pytest-pinned). Update
+    mode emits the full current reservoir per touched key; the final
+    reservoir is the emission with the largest n_seen (strictly
+    monotone per key)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .events import _RES_K
+
+    out = _materialize(
+        S.reservoir_sample_state(S.stream_events(spark, sf_dir), k=_RES_K),
+        spark,
+        "update",
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_seen"))
+    last = out.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    z = F.arrays_zip("ids", "users", "vals")
+    return (
+        last.select("event_type", F.posexplode(z).alias("pos", "r"))
+        .select(
+            "event_type",
+            (F.col("pos") + 1).cast("long").alias("rk"),
+            F.col("r.ids").alias("event_id"),
+            F.col("r.users").alias("user_id"),
+            F.col("r.vals").alias("value"),
+        )
+    )
+
+
 QUERIES = {
     "stream_hourly_window": q_stream_hourly_window,
     "stream_simhash_dedup": q_stream_simhash_dedup,

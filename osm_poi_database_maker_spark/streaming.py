@@ -246,6 +246,94 @@ def kmv_sketch_state(events: DataFrame, k: int = 64) -> DataFrame:
     )
 
 
+_RES_STATE_SCHEMA = (
+    "hs array<long>, ids array<long>, users array<long>,"
+    " vals array<double>, n_seen long"
+)
+_RES_OUT_SCHEMA = (
+    "event_type string, n_seen long, hs array<long>, ids array<long>,"
+    " users array<long>, vals array<double>"
+)
+
+
+def _reservoir_update(k: int):
+    def update(key: tuple[Any, ...], pdfs: Any, state: GroupState):
+        import numpy as np
+
+        if state.exists:
+            hs, ids, users, vals, n_seen = state.get
+            rows = {int(i): (int(h), int(i), int(u), float(v))
+                    for h, i, u, v in zip(hs, ids, users, vals)}
+        else:
+            rows, n_seen = {}, 0
+        for pdf in pdfs:
+            e = pdf["event_id"].to_numpy(dtype=np.int64)
+            u = pdf["user_id"].to_numpy(dtype=np.int64)
+            v = pdf["value"].to_numpy(dtype=np.float64)
+            # identical two-step Lehmer mix to the batch operator /
+            # ORACLE_RESERVOIR: (id % M) * A % M * A % M over
+            # nonnegative ids, where Spark/DuckDB/numpy `%` agree
+            h = (e % _KMV_M) * _KMV_A % _KMV_M * _KMV_A % _KMV_M
+            n_seen += len(e)
+            # keyed by event_id so a replayed/duplicate row cannot
+            # occupy two reservoir slots — the merge stays idempotent
+            for hh, ee, uu, vv in zip(h, e, u, v):
+                rows[int(ee)] = (int(hh), int(ee), int(uu), float(vv))
+        top = sorted(rows.values())[:k]
+        state.update((
+            [r[0] for r in top],
+            [r[1] for r in top],
+            [r[2] for r in top],
+            [r[3] for r in top],
+            n_seen,
+        ))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_seen": [n_seen],
+                "hs": [[r[0] for r in top]],
+                "ids": [[r[1] for r in top]],
+                "users": [[r[2] for r in top]],
+                "vals": [[r[3] for r in top]],
+            }
+        )
+
+    return update
+
+
+def reservoir_sample_state(events: DataFrame, k: int = 20) -> DataFrame:
+    """Streaming bottom-k reservoir per event_type — the custom-state
+    twin of queries/events.q_events_reservoir_sample (r14-prep; k
+    defaults to events._RES_K). State per key is the k rows with the
+    smallest (priority, event_id) where priority is the SAME two-step
+    Lehmer mix of event_id as the batch operator, so the retained
+    sample is literally the batch sample: bottom-k-by-hash is the
+    mergeable form of reservoir sampling (union, keep the k minima —
+    associative and idempotent; the event_id keying additionally makes
+    replayed rows no-ops), which is why micro-batch boundaries cannot
+    change the final reservoir and ORACLE_RESERVOIR certifies the
+    stream verbatim.
+
+    Scale shape: state is k (long,long,long,double) tuples per event
+    type FOREVER — constant in stream length, the whole point of a
+    reservoir on an unbounded stream; hashing is vectorized numpy per
+    Arrow batch; keys shard across the cluster's state stores. Emission
+    is the full current reservoir per touched key per micro-batch
+    (update mode); the final sample is the emission with the largest
+    n_seen, which is strictly monotone per key."""
+    return (
+        events.select("event_type", "event_id", "user_id", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _reservoir_update(k),
+            outputStructType=_RES_OUT_SCHEMA,
+            stateStructType=_RES_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 _CMS_STATE_SCHEMA = "counters array<long>, n_seen long"
 _CMS_OUT_SCHEMA = "d long, cell long, cell_total long, n_seen long"
 

@@ -1,0 +1,164 @@
+"""r14-prep pins: the streaming bottom-k reservoir twin
+(streaming.reservoir_sample_state + q_stream_reservoir_sample),
+implemented and differentially certified this round, registration
+deferred to r14 tier 1b (the r13 window is full with the r07-stale
+rotation). ORACLE_RESERVOIR applies verbatim once registered — these
+pins establish exactly that: the streaming sample IS the batch sample
+under single-batch, multi-batch, duplicate-replay, and RocksDB
+execution."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+_ROCKSDB = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _batch(spark):
+    from osm_poi_database_maker_spark.queries.events import (
+        q_events_reservoir_sample,
+    )
+
+    return _rows(
+        q_events_reservoir_sample(spark, SF_SMOKE).select(
+            "event_type", "rk", "event_id", "user_id", "value"
+        )
+    )
+
+
+def test_stream_reservoir_matches_batch(spark):
+    from osm_poi_database_maker_spark.queries.streaming_queries import (
+        q_stream_reservoir_sample,
+    )
+
+    got = _rows(q_stream_reservoir_sample(spark, SF_SMOKE))
+    want = _batch(spark)
+    assert got == want and len(got) > 0
+
+
+def test_stream_reservoir_multibatch_replay(spark, tmp_path):
+    """4 time-ordered files, one per trigger: the reservoir must carry
+    across micro-batches and still equal the batch sample — the
+    union/keep-k-minima merge rule made observable."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from osm_poi_database_maker_spark import streaming as S
+    from osm_poi_database_maker_spark.io import load_table
+    from osm_poi_database_maker_spark.queries.events import _RES_K
+
+    src = load_table(spark, SF_SMOKE, "events").orderBy("ts")
+    rows = src.collect()
+    d = tmp_path / "ev"
+    d.mkdir()
+    chunk = (len(rows) + 3) // 4
+    for i in range(4):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if part:
+            spark.createDataFrame(part, src.schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(d / f"events_{i:02d}.parquet"))
+
+    stream = S.stream_events(spark, str(d), max_files_per_trigger=1)
+    name = f"res_{uuid.uuid4().hex[:8]}"
+    q = (
+        S.reservoir_sample_state(stream, k=_RES_K)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    out = spark.table(name)
+    # several micro-batches → several emissions per key, n_seen monotone
+    per_key = out.groupBy("event_type").count().collect()
+    assert all(r["count"] >= 2 for r in per_key)
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_seen"))
+    last = out.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    z = F.arrays_zip("ids", "users", "vals")
+    got = _rows(
+        last.select("event_type", F.posexplode(z).alias("pos", "r")).select(
+            "event_type",
+            (F.col("pos") + 1).cast("long").alias("rk"),
+            F.col("r.ids").alias("event_id"),
+            F.col("r.users").alias("user_id"),
+            F.col("r.vals").alias("value"),
+        )
+    )
+    assert got == _batch(spark)
+
+
+def test_stream_reservoir_duplicate_replay_is_noop(spark, tmp_path):
+    """Writing the same rows TWICE (two identical files) must yield the
+    identical reservoir: the event_id-keyed state makes duplicate
+    delivery idempotent, so at-least-once replay cannot double-occupy
+    reservoir slots (n_seen counts deliveries; the sample does not)."""
+    from osm_poi_database_maker_spark.io import load_table
+    from osm_poi_database_maker_spark.queries.streaming_queries import (
+        q_stream_reservoir_sample,
+    )
+
+    src = load_table(spark, SF_SMOKE, "events")
+    d = tmp_path / "dup"
+    d.mkdir()
+    src.coalesce(1).write.parquet(str(d / "events_a.parquet"))
+    src.coalesce(1).write.parquet(str(d / "events_b.parquet"))
+    got = _rows(q_stream_reservoir_sample(spark, str(d)))
+    assert got == _batch(spark)
+
+
+@pytest.fixture()
+def _rocksdb(spark):
+    had = spark.conf.get(_PROVIDER_CONF, None)
+    spark.conf.set(_PROVIDER_CONF, _ROCKSDB)
+    yield
+    if had is None:
+        spark.conf.unset(_PROVIDER_CONF)
+    else:
+        spark.conf.set(_PROVIDER_CONF, had)
+
+
+def test_stream_reservoir_rocksdb_parity(spark, _rocksdb):
+    from osm_poi_database_maker_spark.queries.streaming_queries import (
+        q_stream_reservoir_sample,
+    )
+
+    got = _rows(q_stream_reservoir_sample(spark, SF_SMOKE))
+    assert got == _batch(spark) and len(got) > 0
+
+
+def test_stream_reservoir_oracle_verbatim(spark):
+    """The registration contract: the streaming rows hash-match
+    ORACLE_RESERVOIR (the batch oracle, unchanged) on the smoke
+    fixture — the same verbatim-oracle pattern doc_ppjoin_collapsed
+    used in its r12 prep."""
+    import duckdb
+
+    from osm_poi_database_maker_spark.queries.events import ORACLE_RESERVOIR
+    from osm_poi_database_maker_spark.queries.streaming_queries import (
+        q_stream_reservoir_sample,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_SMOKE}/events.parquet')"
+    )
+    want = sorted(
+        (t, int(rk), int(e), int(u), round(float(v), 9))
+        for t, rk, e, u, v in con.execute(ORACLE_RESERVOIR).fetchall()
+    )
+    got = sorted(
+        (r.event_type, int(r.rk), int(r.event_id), int(r.user_id), round(float(r.value), 9))
+        for r in q_stream_reservoir_sample(spark, SF_SMOKE).collect()
+    )
+    assert got == want
