@@ -25,12 +25,14 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 # In-session controls (SCALE.md adjudication protocol, automated per the
-# r11 verdict): six plan-stable queries spanning the cost range whose
-# times are copied into a dedicated "controls" block of the JSON, so
-# cross-round normalization (environment drift vs plan regression) is a
-# one-liner instead of a hand-computed median ratio. Chosen for plan
-# stability across r7-r11 (the same set SCALE.md's manual adjudications
-# used) — do not rewrite these queries casually.
+# r11 verdict): eight plan-stable queries spanning the cost range AND
+# both execution families (six JVM-side + two Python-worker-side, r12
+# verdict #5) whose times are copied into a dedicated "controls" block
+# of the JSON, so cross-round normalization (environment drift vs plan
+# regression) is a one-liner instead of a hand-computed median ratio —
+# and JVM drift is separable from Python/numpy-worker drift. Chosen for
+# plan stability (the same set SCALE.md's manual adjudications used) —
+# do not rewrite these queries casually.
 CONTROL_QUERIES = (
     "customer_order_distribution",
     "doc_quantile_normalize",
