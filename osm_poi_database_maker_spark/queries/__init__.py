@@ -138,16 +138,22 @@ _VERIFY_FIRST = [
 # rotate the stalest alongside r14's changed/new tier 1 and carry the
 # rest to r15.
 #
-# r14 natural tier-1b candidate (library capability already implemented
-# + differentially pinned in r13, registration deferred because this
-# window is full at 50):
-#   * stream_reservoir_sample — register
-#     streaming_queries.q_stream_reservoir_sample; events.ORACLE_RESERVOIR
-#     applies VERBATIM (the mergeable bottom-k state IS the batch
-#     sample; single/multi-batch, duplicate-replay, and RocksDB parity
-#     all pytest-pinned in tests/test_r14_prep.py). Would be the 26th
-#     streaming query and completes the "every sketch family has a
-#     streaming twin" arc for the r12 reservoir.
+# r14 natural tier-1b candidates (library capabilities already
+# implemented + differentially pinned in r13, registration deferred
+# because this window is full at 50; both oracles apply VERBATIM and
+# both have single/multi-batch + RocksDB parity + DuckDB-oracle pins in
+# tests/test_r14_prep.py). NOTE the r14 window math: ~48 r08-stale +
+# these 2 = 50 exactly — if r14 has tier-1a (changed) entries, carry
+# the excess stale to r15, don't drop the new registrations' rows.
+#   * stream_reservoir_sample — streaming_queries.q_stream_reservoir_sample
+#     with events.ORACLE_RESERVOIR (mergeable bottom-k state IS the
+#     batch sample; duplicate-replay idempotence also pinned). The 26th
+#     streaming query; completes the streaming-twin arc for the r12
+#     reservoir.
+#   * stream_weighted_sample — streaming_queries.q_stream_weighted_sample
+#     with curation.ORACLE_WEIGHTED_SAMPLE (per-source top-k by the
+#     rounded Efraimidis–Spirakis key — the mergeable form of weighted
+#     sampling without replacement).
 #
 
 # tier 4 cohort order: non-core modules first, core last.

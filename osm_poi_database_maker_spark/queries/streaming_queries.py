@@ -949,6 +949,44 @@ def q_stream_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Efraimidis–Spirakis weighted sample (r14-prep,
+    unregistered this round — window full; register in r14 tier 1b with
+    ``curation.ORACLE_WEIGHTED_SAMPLE`` VERBATIM). State is the per-source
+    top-k by the rounded E–S key — the mergeable form of weighted
+    sampling without replacement — so the retained sample equals the
+    batch q_doc_weighted_sample rows regardless of micro-batch
+    boundaries. Finalizer: max-n_seen emission per source, arrays
+    exploded into the batch contract columns (es_key re-rounded to 6
+    from the stored raw key, rk = position + 1 since state is kept in
+    rank order)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .curation import _WS_TOP_K
+
+    out = _materialize(
+        S.weighted_sample_state(
+            S.stream_documents(spark, sf_dir), k=_WS_TOP_K
+        ),
+        spark,
+        "update",
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n_seen"))
+    last = out.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    z = F.arrays_zip("ids", "chars", "raws")
+    return (
+        last.select("source", F.posexplode(z).alias("pos", "r"))
+        .select(
+            "source",
+            F.col("r.ids").alias("doc_id"),
+            F.col("r.chars").alias("n_chars"),
+            F.round(F.col("r.raws"), 6).alias("es_key"),
+            (F.col("pos") + 1).cast("long").alias("rk"),
+        )
+    )
+
+
 QUERIES = {
     "stream_hourly_window": q_stream_hourly_window,
     "stream_simhash_dedup": q_stream_simhash_dedup,

@@ -334,6 +334,92 @@ def reservoir_sample_state(events: DataFrame, k: int = 20) -> DataFrame:
     )
 
 
+_WRES_STATE_SCHEMA = (
+    "keys array<double>, ids array<long>, chars array<long>,"
+    " raws array<double>, n_seen long"
+)
+_WRES_OUT_SCHEMA = (
+    "source string, n_seen long, keys array<double>, ids array<long>,"
+    " chars array<long>, raws array<double>"
+)
+
+
+def _weighted_reservoir_update(k: int):
+    def update(key: tuple[Any, ...], pdfs: Any, state: GroupState):
+        import numpy as np
+
+        if state.exists:
+            keys, ids, chars, raws, n_seen = state.get
+            rows = {int(i): (float(kk), int(i), int(c), float(r))
+                    for kk, i, c, r in zip(keys, ids, chars, raws)}
+        else:
+            rows, n_seen = {}, 0
+        for pdf in pdfs:
+            i = pdf["doc_id"].to_numpy(dtype=np.int64)
+            c = pdf["n_chars"].to_numpy(dtype=np.int64)
+            # identical Efraimidis–Spirakis key to the batch operator /
+            # ORACLE_WEIGHTED_SAMPLE: u = (lehmer(doc_id)+0.5)/M,
+            # key = ln(u)/ln(1+n_chars); ranking uses the key ROUNDED
+            # to 12 decimals (the batch query's cross-libm mitigation —
+            # numpy log joins JVM/DuckDB libm under the same rounding)
+            h = (i % _KMV_M) * _KMV_A % _KMV_M * _KMV_A % _KMV_M
+            u = (h + 0.5) / float(_KMV_M)
+            raw = np.log(u) / np.log(1.0 + c)
+            k12 = np.round(raw, 12)
+            n_seen += len(i)
+            for kk, ii, cc, rr in zip(k12, i, c, raw):
+                rows[int(ii)] = (float(kk), int(ii), int(cc), float(rr))
+        # E–S keeps the LARGEST keys: sort by (−key12, doc_id)
+        top = sorted(rows.values(), key=lambda r: (-r[0], r[1]))[:k]
+        state.update((
+            [r[0] for r in top],
+            [r[1] for r in top],
+            [r[2] for r in top],
+            [r[3] for r in top],
+            n_seen,
+        ))
+        yield pd.DataFrame(
+            {
+                "source": [key[0]],
+                "n_seen": [n_seen],
+                "keys": [[r[0] for r in top]],
+                "ids": [[r[1] for r in top]],
+                "chars": [[r[2] for r in top]],
+                "raws": [[r[3] for r in top]],
+            }
+        )
+
+    return update
+
+
+def weighted_sample_state(docs: DataFrame, k: int = 25) -> DataFrame:
+    """Streaming weighted reservoir (Efraimidis–Spirakis A-ES) per
+    source — the custom-state twin of
+    queries/curation.q_doc_weighted_sample (r14-prep; k defaults to
+    curation._WS_TOP_K). State per key is the k docs with the largest
+    (rounded E–S key, asc doc_id) seen so far: A-ES's defining property
+    is exactly that the weighted sample equals the top-k by key, which
+    is a mergeable bottom-k — union, keep the winners, associative and
+    idempotent (doc_id-keyed state makes replays no-ops) — so
+    micro-batch boundaries cannot change the final sample and the batch
+    ORACLE_WEIGHTED_SAMPLE certifies the stream verbatim.
+
+    Scale shape: state is k (double,long,long,double) tuples per source
+    FOREVER — constant in stream length; key arithmetic is vectorized
+    numpy per Arrow batch; sources shard across state stores."""
+    return (
+        docs.select("source", "doc_id", "n_chars")
+        .groupBy("source")
+        .applyInPandasWithState(
+            _weighted_reservoir_update(k),
+            outputStructType=_WRES_OUT_SCHEMA,
+            stateStructType=_WRES_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 _CMS_STATE_SCHEMA = "counters array<long>, n_seen long"
 _CMS_OUT_SCHEMA = "d long, cell long, cell_total long, n_seen long"
 

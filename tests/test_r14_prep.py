@@ -162,3 +162,123 @@ def test_stream_reservoir_oracle_verbatim(spark):
         for r in q_stream_reservoir_sample(spark, SF_SMOKE).collect()
     )
     assert got == want
+
+
+# --- streaming weighted E-S sample (second r14-prep twin) -------------------
+
+
+def _batch_ws(spark):
+    from osm_poi_database_maker_spark.queries.curation import (
+        q_doc_weighted_sample,
+    )
+
+    return sorted(
+        (r.source, int(r.doc_id), int(r.n_chars), round(float(r.es_key), 9), int(r.rk))
+        for r in q_doc_weighted_sample(spark, SF_SMOKE).collect()
+    )
+
+
+def _got_ws(df):
+    return sorted(
+        (r.source, int(r.doc_id), int(r.n_chars), round(float(r.es_key), 9), int(r.rk))
+        for r in df.collect()
+    )
+
+
+def test_stream_weighted_sample_matches_batch(spark):
+    from osm_poi_database_maker_spark.queries.streaming_queries import (
+        q_stream_weighted_sample,
+    )
+
+    got = _got_ws(q_stream_weighted_sample(spark, SF_SMOKE))
+    want = _batch_ws(spark)
+    assert got == want and len(got) > 0
+
+
+def test_stream_weighted_sample_multibatch_replay(spark, tmp_path):
+    """4 files, one per trigger: per-source top-k by E-S key must merge
+    across micro-batches into the batch sample."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from osm_poi_database_maker_spark import streaming as S
+    from osm_poi_database_maker_spark.io import load_table
+    from osm_poi_database_maker_spark.queries.curation import _WS_TOP_K
+
+    src = load_table(spark, SF_SMOKE, "documents")
+    rows = src.collect()
+    d = tmp_path / "docs"
+    d.mkdir()
+    chunk = (len(rows) + 3) // 4
+    for i in range(4):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if part:
+            spark.createDataFrame(part, src.schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(d / f"documents_{i:02d}.parquet"))
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{d}/documents*.parquet")
+    )
+    name = f"wres_{uuid.uuid4().hex[:8]}"
+    q = (
+        S.weighted_sample_state(stream, k=_WS_TOP_K)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    out = spark.table(name)
+    assert all(r["count"] >= 2 for r in out.groupBy("source").count().collect())
+    w = Window.partitionBy("source").orderBy(F.desc("n_seen"))
+    last = out.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    z = F.arrays_zip("ids", "chars", "raws")
+    got = _got_ws(
+        last.select("source", F.posexplode(z).alias("pos", "r")).select(
+            "source",
+            F.col("r.ids").alias("doc_id"),
+            F.col("r.chars").alias("n_chars"),
+            F.round(F.col("r.raws"), 6).alias("es_key"),
+            (F.col("pos") + 1).cast("long").alias("rk"),
+        )
+    )
+    assert got == _batch_ws(spark)
+
+
+def test_stream_weighted_sample_rocksdb_parity(spark, _rocksdb):
+    from osm_poi_database_maker_spark.queries.streaming_queries import (
+        q_stream_weighted_sample,
+    )
+
+    got = _got_ws(q_stream_weighted_sample(spark, SF_SMOKE))
+    assert got == _batch_ws(spark) and len(got) > 0
+
+
+def test_stream_weighted_sample_oracle_verbatim(spark):
+    """Registration contract: the streaming rows match
+    ORACLE_WEIGHTED_SAMPLE (the batch oracle, unchanged) on the smoke
+    fixture."""
+    import duckdb
+
+    from osm_poi_database_maker_spark.queries.curation import (
+        ORACLE_WEIGHTED_SAMPLE,
+    )
+    from osm_poi_database_maker_spark.queries.streaming_queries import (
+        q_stream_weighted_sample,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet')"
+    )
+    want = sorted(
+        (s, int(i), int(c), round(float(k), 9), int(rk))
+        for s, i, c, k, rk in con.execute(ORACLE_WEIGHTED_SAMPLE).fetchall()
+    )
+    got = _got_ws(q_stream_weighted_sample(spark, SF_SMOKE))
+    assert got == want
