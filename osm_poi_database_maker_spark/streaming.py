@@ -320,7 +320,15 @@ def reservoir_sample_state(events: DataFrame, k: int = 20) -> DataFrame:
     Arrow batch; keys shard across the cluster's state stores. Emission
     is the full current reservoir per touched key per micro-batch
     (update mode); the final sample is the emission with the largest
-    n_seen, which is strictly monotone per key."""
+    n_seen, which is strictly monotone per key.
+
+    PRECONDITION (same class as stream_documents' doc_id-order
+    assert): event_id is the ROW IDENTITY — two deliveries of the same
+    event_id are treated as replays of one row (last payload wins),
+    which is what makes at-least-once delivery a no-op. A corpus where
+    distinct rows share an event_id would diverge from the batch twin,
+    which ranks every physical row; the fixture (and any sane event
+    log) has unique ids."""
     return (
         events.select("event_type", "event_id", "user_id", "value")
         .groupBy("event_type")
@@ -406,7 +414,11 @@ def weighted_sample_state(docs: DataFrame, k: int = 25) -> DataFrame:
 
     Scale shape: state is k (double,long,long,double) tuples per source
     FOREVER — constant in stream length; key arithmetic is vectorized
-    numpy per Arrow batch; sources shard across state stores."""
+    numpy per Arrow batch; sources shard across state stores.
+
+    PRECONDITION: doc_id is the row identity (redeliveries are no-ops,
+    distinct rows must not share a doc_id) — same contract as
+    reservoir_sample_state's event_id keying."""
     return (
         docs.select("source", "doc_id", "n_chars")
         .groupBy("source")

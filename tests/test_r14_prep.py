@@ -282,3 +282,48 @@ def test_stream_weighted_sample_oracle_verbatim(spark):
     )
     got = _got_ws(q_stream_weighted_sample(spark, SF_SMOKE))
     assert got == want
+
+
+def test_stream_reservoir_id_identity_last_payload_wins(spark, tmp_path):
+    """The documented row-identity precondition, pinned from the state
+    side: two deliveries of the SAME event_id with different payloads
+    collapse to one reservoir slot carrying the LAST payload (replay
+    semantics), never two slots."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from osm_poi_database_maker_spark import streaming as S
+
+    d = tmp_path / "idrows"
+    d.mkdir()
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string"
+    )
+    first = [(1, None, 10, "click", 1.0, None), (2, None, 20, "click", 2.0, None)]
+    second = [(1, None, 99, "click", 9.0, None)]  # same id, new payload
+    spark.createDataFrame(first, schema).coalesce(1).write.parquet(
+        str(d / "events_00.parquet")
+    )
+    spark.createDataFrame(second, schema).coalesce(1).write.parquet(
+        str(d / "events_01.parquet")
+    )
+    import uuid as _uuid
+
+    name = f"idp_{_uuid.uuid4().hex[:8]}"
+    q = (
+        S.reservoir_sample_state(
+            S.stream_events(spark, str(d), max_files_per_trigger=1), k=20
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    rows = spark.table(name).orderBy("n_seen").collect()
+    last = rows[-1]
+    assert last.n_seen == 3  # deliveries counted
+    assert sorted(last.ids) == [1, 2]  # but only one slot per id
+    payload = dict(zip(last.ids, zip(last.users, last.vals)))
+    assert payload[1] == (99, 9.0)  # last payload won
