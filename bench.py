@@ -54,6 +54,35 @@ import __spark_entry__ as entrymod  # noqa: E402
 from osm_poi_database_maker_spark.session import get_spark  # noqa: E402
 
 
+def pick_dest(repo: str) -> str:
+    """Destination for this run's bench JSON under first-run-wins.
+
+    Pure function of the repo dir's contents so the artifact policy has
+    exactly one implementation (r13 advice #4): the round's first full
+    run owns BENCH_LOCAL_r{N}.json, the second lands in
+    BENCH_DRIVER_r{N}.json, and any further run suffixes -2/-3/… —
+    nothing is ever clobbered. N = 1 + the highest driver-written
+    BENCH_r*.json. Tests call this directly instead of replicating it.
+    """
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(repo)
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+    ]
+    rnd = max(rounds, default=0) + 1
+    dest = os.path.join(repo, f"BENCH_LOCAL_r{rnd:02d}.json")
+    if os.path.exists(dest):
+        # First-run-wins applies to the driver artifact too: a
+        # third/fourth run in the same round must not clobber the
+        # driver's recorded numbers — suffix -2/-3/… instead.
+        dest = os.path.join(repo, f"BENCH_DRIVER_r{rnd:02d}.json")
+        k = 2
+        while os.path.exists(dest):
+            dest = os.path.join(repo, f"BENCH_DRIVER_r{rnd:02d}-{k}.json")
+            k += 1
+    return dest
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
@@ -128,24 +157,7 @@ def main() -> None:
     # environment drift as a regression. SPARK_GRAFT_BENCH_OUT overrides
     # the destination outright (used by ad-hoc experiments).
     try:
-        dest = os.environ.get("SPARK_GRAFT_BENCH_OUT")
-        if not dest:
-            rounds = [
-                int(m.group(1))
-                for f in os.listdir(REPO)
-                if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
-            ]
-            rnd = max(rounds, default=0) + 1
-            dest = os.path.join(REPO, f"BENCH_LOCAL_r{rnd:02d}.json")
-            if os.path.exists(dest):
-                # First-run-wins applies to the driver artifact too: a
-                # third/fourth run in the same round must not clobber the
-                # driver's recorded numbers — suffix -2/-3/… instead.
-                dest = os.path.join(REPO, f"BENCH_DRIVER_r{rnd:02d}.json")
-                k = 2
-                while os.path.exists(dest):
-                    dest = os.path.join(REPO, f"BENCH_DRIVER_r{rnd:02d}-{k}.json")
-                    k += 1
+        dest = os.environ.get("SPARK_GRAFT_BENCH_OUT") or pick_dest(REPO)
         with open(dest, "w") as fh:
             json.dump(out, fh, indent=1, sort_keys=True)
     except OSError:

@@ -191,6 +191,75 @@ def minhash_near_dups(
     )
 
 
+def minhash_cap_audit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = DEFAULT_BANDS,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Cap-health summary for the MinHash-LSH bucket cap (r13 verdict
+    #3): one row —
+
+    * ``n_buckets``          distinct (band, bucket) groups,
+    * ``multi_buckets``      groups with ≥ 2 members (the ones that can
+      emit candidates),
+    * ``saturated_buckets``  groups whose size EXCEEDS ``max_bucket``
+      (the cap binds there — rows past the cap are shaved before the
+      within-bucket join),
+    * ``max_bucket_size``    the largest group, and
+    * ``capped_pair_delta``  Σ over saturated groups of C(size,2) −
+      C(cap,2) — the exact count of within-bucket candidate pairs the
+      cap removes (an upper bound on LOST pairs, since a shaved pair
+      may still surface through another band).
+
+    The r13 64×-twin-mass measurement found the cap-binding onset (15
+    saturated buckets, 99.943% recall) only via an offline SCALE.md
+    experiment; this makes cap health driver-observable at any scale.
+    Same signature/banding pipeline as :func:`minhash_near_dups`
+    (identical equality classes, identical ≥3-token gate), stopping at
+    bucket sizes — no self-join, so the audit is cap-independent linear
+    work: shingle explode → 64-min aggregate → band explode → two
+    aggregations.
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    sh = (
+        base.filter(F.size(F.split(F.col("text"), " +")) >= 3)
+        .select("id", F.explode(word_shingles(F.col("text"))).alias("s"))
+        .select("id", portable_token_hash(F.col("s")).alias("h"))
+    )
+    mins = [
+        F.min(_port_mix(F.col("h"), F.lit(i).cast("long"))).alias(f"m{i}")
+        for i in range(HASH_COUNT)
+    ]
+    sigs = (
+        sh.groupBy("id")
+        .agg(*mins)
+        .select("id", F.array(*[F.col(f"m{i}") for i in range(HASH_COUNT)]).alias("sig"))
+    )
+    sizes = (
+        sigs.select("id", F.explode(lsh_bands(F.col("sig"), bands)).alias("bb"))
+        .groupBy(F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+    n = F.col("n")
+    # C(c,2) via shiftright: c*(c-1) is even, so >>1 is exact integer
+    # halving — no double rounding even when C(n,2) exceeds 2^53 (a
+    # 10^9-row degenerate bucket at full scale)
+    pairs = lambda c: F.shiftright(c * (c - F.lit(1)), 1)  # noqa: E731
+    cap = F.lit(max_bucket).cast("long")
+    return sizes.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum((n >= 2).cast("long")).alias("multi_buckets"),
+        F.sum((n > cap).cast("long")).alias("saturated_buckets"),
+        F.max(n).alias("max_bucket_size"),
+        F.sum(F.when(n > cap, pairs(n) - pairs(cap)).otherwise(F.lit(0)))
+        .alias("capped_pair_delta"),
+    )
+
+
 # --------------------------------------------------------------------------
 # SimHash — portable hash family
 # --------------------------------------------------------------------------

@@ -63,98 +63,79 @@ _MODULES = (
 # Every registered query keeps a pytest + tools/check.py local gate
 # regardless of window position.
 _VERIFY_FIRST = [
-    # tier 1a (round 13): queries whose implementation changed this
-    # round (r12 advice fixes) and need a fresh driver row —
-    # ragged-dimensionality loud guard in the mapInPandas scorer
-    # (result-identical on well-formed data, implementation touched):
-    "emb_zscore_ood",
-    # tier 1b (round 13): new registrations this round. Both were
-    # implemented + locally pinned in r12; registration was deferred
-    # because that window was full at 50.
-    # duplicate-mass-proof PPJoin (86x at 16x twin mass, ORACLE_PPJOIN
-    # verbatim, output pytest-pinned identical to doc_ppjoin_pairs):
-    "doc_ppjoin_collapsed",
-    # generation-horizon eviction mode of the streaming simhash dedup
-    # (r11 verdict #5 story; horizon-aware oracle, RocksDB-parity pin):
-    "stream_simhash_dedup_horizon",
-    # tier 2 (r12 verdict #1): the ENTIRE r07-evidence cohort — all 46
-    # fit because tier 1 is only 3 entries (tools/staleness.py order),
-    # plus the single stalest r08 query in the spare 50th slot. After
-    # this window no registry row's newest driver evidence predates
-    # r08, and the r08 rotation has begun.
-    "events_kmv_distinct",
-    "events_cms_counts",
-    "events_bloom_admit",
-    "events_session_overlap",
-    "events_m4_downsample",
-    "doc_phrase_search",
-    "doc_token_entropy",
-    "doc_mmr_rerank",
-    "doc_longest_eval_overlap",
-    "doc_weighted_sample",
-    "doc_dedup_clusters",
-    "doc_dedup_survivors",
-    "doc_survivorship_merge",
-    "emb_jl_projection",
-    "emb_maximin_centers",
-    "emb_cosine_topk",
-    "emb_norm_quantiles",
-    "emb_centroid_distances",
-    "events_benford_deviation",
-    "osm_poi_density_grid",
-    "mm_audio_energy",
-    "mm_audio_silence_segments",
-    "mm_payload_stats",
-    "stream_hourly_window",
-    "stream_sliding_window",
-    "stream_session_windows",
-    "stream_stream_attribution",
-    "stream_kmv_distinct",
-    "stream_cms_counts",
-    "stream_bloom_admit",
-    "stream_gapfill_locf",
-    "stream_m4_downsample",
-    "orders_mom_growth",
-    "lineitem_unpivot",
-    "nation_lateral_topk",
-    "top_orders_per_customer",
-    "customers_with_urgent_orders",
-    "customers_without_orders",
-    "customer_dag_min_paths",
-    "customer_referral_rollup",
-    "orders_snapshot_diff",
-    "nation_set_ops",
-    "shipping_lag_buckets",
-    "excess_shipped_suppliers",
-    "part_skyline",
-    "basket_frequent_itemsets",
-    # spare 50th slot: the stalest r08-evidence query (r08 rotation
-    # lead; the rest of the r08 cohort is r14's tier 2).
-    "events_kmv_overlap",
+    # tier 1a (round 14): none — no registered query's implementation
+    # or oracle changed this round (the r13-advice edits are comments/
+    # docstrings, and the curation auto-routing lives in an
+    # unregistered composition surface).
+    # tier 1b (round 14): new registrations this round.
+    # in-band cap-health audit for the MinHash bucket cap (r13 verdict
+    # #3): saturated-bucket count + exact capped-pair delta, sharing the
+    # minhash oracle's signature/banding CTEs:
+    "doc_minhash_cap_audit",
+    # the two r13-prepped streaming sampling twins (r13 verdict #1;
+    # oracles are the batch twins' SQL VERBATIM, 10 differential pins in
+    # tests/test_r14_prep.py since r13) — the 26th/27th streaming queries:
+    "stream_reservoir_sample",
+    "stream_weighted_sample",
+    # tier 2 (r13 verdict #1): 47 of the 48 r08-evidence queries
+    # (tools/staleness.py order). Tier 1 takes 3 slots, so ONE r08 query
+    # — supplier_return_pchart, the last in cohort order — carries to
+    # r15 (per the standing rule: never drop a new registration's row to
+    # squeeze in stale rotation). After this window the stale set is
+    # exactly {supplier_return_pchart} at r08 + the r09 cohort.
+    "events_decay_engagement",
+    "events_kmv_rolling_distinct",
+    "events_robotic_cadence",
+    "events_lateness_profile",
+    "events_time_weighted_avg",
+    "events_lead_lag_corr",
+    "events_cusum_changepoints",
+    "events_stl_decompose",
+    "events_pit_enrich",
+    "events_rolling_range_window",
+    "events_incremental_rollup",
+    "events_window_funnel",
+    "events_ab_test",
+    "events_sequence_patterns",
+    "doc_heavy_hitters",
+    "doc_heaps_law",
+    "doc_global_index",
+    "doc_sequence_packing",
+    "doc_stratified_split",
+    "doc_source_psi",
+    "doc_quantile_normalize",
+    "doc_dedup_threshold_curve",
+    "doc_ppjoin_pairs",
+    "doc_graph_kcore",
+    "doc_ngram_novelty",
+    "emb_rank_fusion",
+    "emb_label_smoothing",
+    "emb_cluster_silhouette",
+    "part_trgm_search",
+    "events_l_diversity",
+    "customer_edit_pairs",
+    "osm_poi_nearest_within",
+    "osm_dbscan_clusters",
+    "mm_frame_diff_cuts",
+    "stream_markov_transitions",
+    "stream_ab_test",
+    "stream_cusum_changepoints",
+    "stream_incremental_rollup",
+    "stream_window_funnel",
+    "nation_revenue_trend",
+    "nation_revenue_concentration",
+    "customer_repeat_ladder",
+    "customer_km_survival",
+    "orders_dow_chisq",
+    "orders_referential_integrity",
+    "nation_forecast_backtest",
+    "brand_weighted_median",
 ]
-# r14 rotation TODO: after this window lands, the stalest evidence is
-# the r08 cohort minus events_kmv_overlap (~48 queries — recompute
-# exactly with tools/staleness.py); it does NOT all fit one window, so
-# rotate the stalest alongside r14's changed/new tier 1 and carry the
-# rest to r15.
-#
-# r14 natural tier-1b candidates (library capabilities already
-# implemented + differentially pinned in r13, registration deferred
-# because this window is full at 50; both oracles apply VERBATIM and
-# both have single/multi-batch + RocksDB parity + DuckDB-oracle pins in
-# tests/test_r14_prep.py). NOTE the r14 window math: ~48 r08-stale +
-# these 2 = 50 exactly — if r14 has tier-1a (changed) entries, carry
-# the excess stale to r15, don't drop the new registrations' rows.
-#   * stream_reservoir_sample — streaming_queries.q_stream_reservoir_sample
-#     with events.ORACLE_RESERVOIR (mergeable bottom-k state IS the
-#     batch sample; duplicate-replay idempotence also pinned). The 26th
-#     streaming query; completes the streaming-twin arc for the r12
-#     reservoir.
-#   * stream_weighted_sample — streaming_queries.q_stream_weighted_sample
-#     with curation.ORACLE_WEIGHTED_SAMPLE (per-source top-k by the
-#     rounded Efraimidis–Spirakis key — the mergeable form of weighted
-#     sampling without replacement).
-#
+# r15 rotation TODO: stalest evidence after this window = 
+# supplier_return_pchart (r08, the carried one) then the r09 cohort
+# (~43 queries — recompute with tools/staleness.py); both fit one
+# window alongside a small tier 1.
+
 
 # tier 4 cohort order: non-core modules first, core last.
 _COHORT_MODULES = (

@@ -518,8 +518,24 @@ FROM sampled
 """
 
 
+def neardup_twin_mass(d: DataFrame) -> int:
+    """Verbatim-twin mass of a documents DataFrame: ``count(*) −
+    count(distinct xxhash64(text))`` — 0 iff every text is unique
+    (a ~2^-64 hash collision can only OVER-count mass, flipping the
+    route toward collapsed — the duplicate-mass-proof path — so the
+    failure direction is harmless). One map-side-combined aggregate
+    over one scan; this is the ``curation_with_neardup`` auto-routing
+    probe (r13 verdict #5), exposed so tests pin the routing decision
+    itself."""
+    return int(
+        d.agg(
+            (F.count("*") - F.countDistinct(F.xxhash64("text"))).alias("m")
+        ).collect()[0]["m"]
+    )
+
+
 def curation_with_neardup(
-    spark: SparkSession, sf_dir: str, collapsed: bool = True
+    spark: SparkSession, sf_dir: str, collapsed: bool | None = None
 ) -> DataFrame:
     """The recommended RAW-INGEST ordering (r12 verdict #7): near-dup
     removal THROUGH the duplicate-mass-proof collapsed PPJoin, then the
@@ -529,21 +545,33 @@ def curation_with_neardup(
     exact-dedup stage 1 is enough, which is true only after near-dups
     are already handled).
 
-    Near-dup removal is deterministic greedy min-id survivorship: any
-    doc that appears as ``doc_b`` of a PPJoin pair (jaccard ≥ T,
-    doc_a < doc_b — which INCLUDES verbatim twins at jaccard 1.0) is
-    dropped; survivors flow into :func:`curation_pipeline` unchanged.
-    ``collapsed=False`` routes the pair join through the direct
-    :func:`~.dedup.ppjoin_pairs` — output-identical by the pytest pin
-    (both paths emit the same pair set, so the same survivor set, so
-    the same curated rows), but its verify cost is Θ(dup²) in twin mass
-    where the collapsed path rides unique-text volume (measured 86× at
-    16× twin mass, SCALE.md §16x-growth). Not registered: same result
-    contract as the composition of two registered queries; this is the
+    Near-dup removal drops ANY PAIR LOSER: every doc appearing as
+    ``doc_b`` of a PPJoin pair (jaccard ≥ T, doc_a < doc_b — which
+    INCLUDES verbatim twins at jaccard 1.0) is removed. This is NOT
+    transitive-aware greedy clustering (r13 advice #5): in a chain
+    A~B~C with no A~C pair, C is dropped solely because of the
+    already-dropped B — deterministic, identical across both join
+    paths, but it can delete MORE docs than greedy
+    cluster-representative selection would. Survivors flow into
+    :func:`curation_pipeline` unchanged.
+
+    ``collapsed=None`` (the default) SELF-TUNES (r13 verdict #5): one
+    exact-hash aggregate — ``count(*) − count(distinct xxhash64(text))``,
+    a single map-side-combined scan — measures verbatim-twin mass and
+    routes collapsed when any exists, direct when zero. The probe costs
+    one cheap pass; it removes the documented hand-ordering (twin-free
+    → direct avoids the collapse pass's ~30% overhead; any twin mass →
+    collapsed, whose verify cost rides unique-text volume where the
+    direct path is Θ(dup²) — measured 86× at 16× twin mass, SCALE.md
+    §16x-growth). Explicit True/False still forces a path (the pinned
+    row-identity tests use both). Not registered: same result contract
+    as the composition of two registered queries; this is the
     ordering-documentation surface, measured in SCALE.md §r13-composed."""
     from .dedup import ppjoin_pairs, ppjoin_pairs_collapsed
 
     d = load_table(spark, sf_dir, "documents")
+    if collapsed is None:
+        collapsed = neardup_twin_mass(d) > 0
     pairs = (ppjoin_pairs_collapsed if collapsed else ppjoin_pairs)(d)
     losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     survivors = d.join(losers, "doc_id", "left_anti")

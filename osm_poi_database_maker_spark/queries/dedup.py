@@ -503,9 +503,13 @@ def ppjoin_pairs_collapsed(d: DataFrame) -> DataFrame:
     # the same ≥3-token precondition; shared = the rep's distinct
     # shingle count, counted over xxhash64(shingle) VALUES — the exact
     # key space the direct path's array_intersect counts — so an
-    # intra-doc 64-bit shingle collision perturbs both paths
-    # identically instead of opening a string-vs-hash divergence
-    # channel between the twins.
+    # intra-doc 64-bit shingle collision perturbs `shared` identically
+    # in both paths. Residual (~2^-64) asymmetry: the direct path's
+    # n_a/n_b still count distinct shingle STRINGS, so under such a
+    # collision the direct jaccard dips below the collapsed path's
+    # literal 1.0 (possibly below the threshold). Accepted: equalizing
+    # n would mean hashing every non-twin doc's shingles twice, and the
+    # twins' row-identity pins run on collision-free fixtures.
     t = F.split(F.col("rep_text"), " +")
     n_sh = F.size(
         F.array_distinct(
@@ -871,6 +875,54 @@ WHERE est_jaccard >= {_MINHASH_THRESHOLD}
 
 
 ORACLE_MINHASH = _minhash_oracle_sql()
+
+
+def q_doc_minhash_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap-health audit for the MinHash bucket cap (r13 verdict #3):
+    one row with bucket counts, the saturated-bucket count (size >
+    cap — where the deterministic keep-lowest-ids shave bites) and the
+    exact within-bucket candidate-pair delta the cap removes. The r13
+    64× twin-mass experiment located the cap-binding ONSET (15
+    saturated buckets, 99.943% recall) only offline in SCALE.md; this
+    registers the same measurement as a driver-observable, hash-gated
+    query so cap health is monitored in-band at any scale. Shares
+    :func:`~..dedup.minhash_near_dups`'s exact signature/banding
+    pipeline (same ≥3-token gate, same band keys) but stops at bucket
+    SIZES — no self-join, so the audit is linear in corpus size and
+    independent of how hard the cap binds."""
+    from ..dedup import minhash_cap_audit
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_cap_audit(d, max_bucket=_MINHASH_MAX_BUCKET)
+
+
+def _minhash_cap_audit_oracle_sql() -> str:
+    """Replays the minhash oracle's signature/banding CTEs, then
+    aggregates bucket sizes instead of self-joining. Buckets group on
+    the comma-joined band slice (bm) — Spark groups on xxhash64(bm):
+    identical equality classes modulo the accepted ~2^-64 collision
+    channel shared with ORACLE_MINHASH itself."""
+    base = _minhash_oracle_sql()
+    head, sep, _ = base.partition("capped AS (")
+    assert sep, "minhash oracle shape changed — update the cap audit"
+    cap = _MINHASH_MAX_BUCKET
+    return head + f"""sizes AS (
+  SELECT band, bm, count(*) AS n FROM bandsig GROUP BY band, bm
+)
+SELECT count(*)                                           AS n_buckets,
+       CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                                                          AS multi_buckets,
+       CAST(sum(CASE WHEN n > {cap} THEN 1 ELSE 0 END) AS BIGINT)
+                                                          AS saturated_buckets,
+       max(n)                                             AS max_bucket_size,
+       CAST(sum(CASE WHEN n > {cap}
+                     THEN (n * (n - 1)) // 2 - {cap * (cap - 1) // 2}
+                     ELSE 0 END) AS BIGINT)               AS capped_pair_delta
+FROM sizes
+"""
+
+
+ORACLE_MINHASH_CAP_AUDIT = _minhash_cap_audit_oracle_sql()
 
 
 _SIMHASH_MAX_BUCKET = 200
@@ -1822,6 +1874,7 @@ QUERIES = {
     "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
     "doc_substring_dedup": q_doc_substring_dedup,
     "doc_minhash_pairs": q_doc_minhash_pairs,
+    "doc_minhash_cap_audit": q_doc_minhash_cap_audit,
     "doc_simhash_pairs": q_doc_simhash_pairs,
     "doc_dedup_clusters": q_doc_dedup_clusters,
     "doc_dedup_survivors": q_doc_dedup_survivors,
@@ -1848,6 +1901,7 @@ ORACLES = {
     "doc_substring_dedup": ORACLE_SUBSTRING,
     "doc_simhash_pairs": ORACLE_SIMHASH,
     "doc_minhash_pairs": ORACLE_MINHASH,
+    "doc_minhash_cap_audit": ORACLE_MINHASH_CAP_AUDIT,
     "doc_dedup_clusters": ORACLE_CLUSTERS,
     "doc_dedup_survivors": ORACLE_SURVIVORS,
     "doc_survivorship_merge": ORACLE_SURVIVORSHIP,

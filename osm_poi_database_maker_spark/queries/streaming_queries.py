@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .. import streaming as S
 from .behavior import ORACLE_AB, ORACLE_MARKOV, ORACLE_WINDOW_FUNNEL
 from .text import ORACLE_HEAVY_HITTERS
+from .curation import ORACLE_WEIGHTED_SAMPLE
 from .events import (
     ORACLE_HDR_QUANTILES,
     ORACLE_KMV_ROLLING,
@@ -29,6 +30,7 @@ from .events import (
     ORACLE_KMV,
     ORACLE_M4,
     ORACLE_OHLC,
+    ORACLE_RESERVOIR,
     ORACLE_SESSION,
     ORACLE_SLIDING,
 )
@@ -912,10 +914,10 @@ ORACLE_STREAM_SIMHASH_HORIZON = _stream_simhash_horizon_oracle_sql()
 
 
 def q_stream_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming bottom-k reservoir sample (r14-prep: implemented +
-    differentially pinned this round, NOT in the r13 registry because
-    the 50-slot window is full with the r07-stale rotation — register
-    in r14 tier 1b with ``events.ORACLE_RESERVOIR`` VERBATIM). The
+    """Streaming bottom-k reservoir sample (implemented + differentially
+    pinned in r13 as prep, REGISTERED in r14 tier 1b with
+    ``events.ORACLE_RESERVOIR`` verbatim — the 26th streaming query,
+    completing the streaming-twin arc for the sampling family). The
     custom applyInPandasWithState state is the k smallest
     (Lehmer-priority, event_id) rows per event_type — the mergeable
     form of reservoir sampling, so the retained sample is byte-for-byte
@@ -950,9 +952,9 @@ def q_stream_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming Efraimidis–Spirakis weighted sample (r14-prep,
-    unregistered this round — window full; register in r14 tier 1b with
-    ``curation.ORACLE_WEIGHTED_SAMPLE`` VERBATIM). State is the per-source
+    """Streaming Efraimidis–Spirakis weighted sample (r13 prep,
+    REGISTERED in r14 tier 1b with ``curation.ORACLE_WEIGHTED_SAMPLE``
+    verbatim — the 27th streaming query). State is the per-source
     top-k by the rounded E–S key — the mergeable form of weighted
     sampling without replacement — so the retained sample equals the
     batch q_doc_weighted_sample rows regardless of micro-batch
@@ -1013,6 +1015,8 @@ QUERIES = {
     "stream_heavy_hitters": q_stream_heavy_hitters,
     "stream_hdr_quantiles": q_stream_hdr_quantiles,
     "stream_cdc_latest_state": q_stream_cdc_latest_state,
+    "stream_reservoir_sample": q_stream_reservoir_sample,
+    "stream_weighted_sample": q_stream_weighted_sample,
 }
 
 ORACLES = {
@@ -1041,4 +1045,10 @@ ORACLES = {
     "stream_heavy_hitters": ORACLE_HEAVY_HITTERS,
     "stream_hdr_quantiles": ORACLE_HDR_QUANTILES,
     "stream_cdc_latest_state": ORACLE_CDC_LATEST,
+    # the r14 registrations (r13 verdict #1): the streaming twins share
+    # their batch twins' oracles VERBATIM — mergeable state (bottom-k /
+    # per-source E–S top-k) makes the retained sample micro-batch-
+    # boundary-invariant, so the batch SQL is the exact contract.
+    "stream_reservoir_sample": ORACLE_RESERVOIR,
+    "stream_weighted_sample": ORACLE_WEIGHTED_SAMPLE,
 }

@@ -369,7 +369,15 @@ def _weighted_reservoir_update(k: int):
             # ORACLE_WEIGHTED_SAMPLE: u = (lehmer(doc_id)+0.5)/M,
             # key = ln(u)/ln(1+n_chars); ranking uses the key ROUNDED
             # to 12 decimals (the batch query's cross-libm mitigation —
-            # numpy log joins JVM/DuckDB libm under the same rounding)
+            # numpy log joins JVM/DuckDB libm under the same rounding).
+            # Residual risk (r13 advice #3): np.round is
+            # round-half-to-even on the binary double, while the batch
+            # twin's F.round is BigDecimal HALF_UP — a third libm +
+            # rounding combination. Parity with the batch sample near an
+            # exact 12-dp boundary is therefore probabilistic, not
+            # guaranteed (same accepted class as the batch-vs-DuckDB
+            # mitigation; an empirical 200k-key sweep showed zero
+            # divergence, and a flip requires |raw - boundary| < ~1e-16).
             h = (i % _KMV_M) * _KMV_A % _KMV_M * _KMV_A % _KMV_M
             u = (h + 0.5) / float(_KMV_M)
             raw = np.log(u) / np.log(1.0 + c)

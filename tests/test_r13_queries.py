@@ -18,16 +18,15 @@ def _rows(df):
 
 
 def test_new_registrations_in_window():
-    """doc_ppjoin_collapsed + stream_simhash_dedup_horizon must sit in
-    the driver's 50-entry window (tier 1) with oracles, and the whole
-    r07-stale cohort must be inside the window too."""
+    """The r13 registrations stay registered with their contract
+    oracles. (Window-POSITION pins rotate each round — the r13 window
+    head moved to tier 3 when the r14 window landed, so position lives
+    in test_r14_queries; the oracle identities are permanent.)"""
     from osm_poi_database_maker_spark import queries as q
 
-    names = list(q.QUERIES)
-    window = names[:50]
-    assert "doc_ppjoin_collapsed" in window[:5]
-    assert "stream_simhash_dedup_horizon" in window[:5]
-    assert "emb_zscore_ood" in window[:5]
+    assert "doc_ppjoin_collapsed" in q.QUERIES
+    assert "stream_simhash_dedup_horizon" in q.QUERIES
+    assert "emb_zscore_ood" in q.QUERIES
     assert q.ORACLES["doc_ppjoin_collapsed"] == q.ORACLES["doc_ppjoin_pairs"]
     assert "row_number() OVER (PARTITION BY band, bucket, doc_id // " in (
         q.ORACLES["stream_simhash_dedup_horizon"]
@@ -113,7 +112,7 @@ def test_curation_with_neardup_paths_identical(spark, tmp_path):
         shutil.rmtree(dst, ignore_errors=True)
 
 
-def test_zscore_ood_ragged_embeddings_raise(spark):
+def test_zscore_ood_ragged_embeddings_raise(spark, tmp_path):
     """r12 advice #2: a ragged embedding collection must fail LOUDLY
     with the dimensionality message, not a numpy stacking artifact."""
     import numpy as np
@@ -121,7 +120,9 @@ def test_zscore_ood_ragged_embeddings_raise(spark):
 
     from osm_poi_database_maker_spark.queries.similarity import q_emb_zscore_ood
 
-    ragged_dir = "/tmp/r13_ragged_emb"
+    # tmp_path, not a shared /tmp literal: parallel sessions must not
+    # collide on the fixture dir (r13 advice #1).
+    ragged_dir = str(tmp_path / "ragged_emb")
     os.makedirs(ragged_dir, exist_ok=True)
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -149,36 +150,20 @@ def test_zscore_ood_ragged_embeddings_raise(spark):
 
 def test_bench_driver_artifact_never_overwritten(tmp_path, monkeypatch):
     """r12 advice #1: once BENCH_LOCAL and BENCH_DRIVER both exist for
-    the round, further runs must suffix -2/-3 — never clobber."""
-    import re
+    the round, further runs must suffix -2/-3 — never clobber.
 
-    # replicate bench.py's destination logic against a sandbox repo dir
+    r13 advice #4: exercises bench.pick_dest ITSELF (the single
+    implementation main() calls), not a test-local replica that could
+    drift from bench.py's real branch logic.
+    """
+    import bench
+
     repo = str(tmp_path)
     (tmp_path / "BENCH_r12.json").write_text("{}")
 
-    def pick_dest():
-        rounds = [
-            int(m.group(1))
-            for f in os.listdir(repo)
-            if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
-        ]
-        rnd = max(rounds, default=0) + 1
-        dest = os.path.join(repo, f"BENCH_LOCAL_r{rnd:02d}.json")
-        if os.path.exists(dest):
-            dest = os.path.join(repo, f"BENCH_DRIVER_r{rnd:02d}.json")
-            k = 2
-            while os.path.exists(dest):
-                dest = os.path.join(repo, f"BENCH_DRIVER_r{rnd:02d}-{k}.json")
-                k += 1
-        return dest
-
-    # the sandbox replica must stay in lockstep with bench.py's logic
-    src = open(os.path.join(os.path.dirname(__file__), "..", "bench.py")).read()
-    assert 'f"BENCH_DRIVER_r{rnd:02d}-{k}.json"' in src
-
     seen = []
     for _ in range(4):
-        dest = pick_dest()
+        dest = bench.pick_dest(repo)
         seen.append(os.path.basename(dest))
         open(dest, "w").write("{}")
     assert seen == [

@@ -1,0 +1,152 @@
+"""Round-14 pins: the three new registrations (minhash cap audit + the
+two streaming sampling twins), the r14 driver window composition, and
+the r13-verdict #5 self-tuning route of curation_with_neardup."""
+
+from __future__ import annotations
+
+import os
+
+from tests.conftest import SF_SMOKE
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_r14_registrations_in_window():
+    """The three r14 registrations must lead the driver's 50-entry
+    window; the two streaming twins reuse their batch twins' oracles
+    VERBATIM (the property the r13 differential pins certified); the
+    one carried r08 query must be outside the window, everything else
+    from the r08 cohort inside."""
+    from osm_poi_database_maker_spark import queries as q
+    from osm_poi_database_maker_spark.queries import curation, events
+
+    names = list(q.QUERIES)
+    window = names[:50]
+    assert window[:3] == [
+        "doc_minhash_cap_audit",
+        "stream_reservoir_sample",
+        "stream_weighted_sample",
+    ]
+    assert q.ORACLES["stream_reservoir_sample"] is events.ORACLE_RESERVOIR
+    assert q.ORACLES["stream_weighted_sample"] is curation.ORACLE_WEIGHTED_SAMPLE
+    assert "saturated_buckets" in q.ORACLES["doc_minhash_cap_audit"]
+    # the single carried r08 query (tier-1 takes 3 slots; 47+3=50)
+    assert "supplier_return_pchart" not in window
+    assert "brand_weighted_median" in window
+    assert len(window) == len(set(window)) == 50
+
+
+def test_cap_audit_stock_fixture_unsaturated(spark, tmp_path):
+    """r13 verdict #3 done-criteria: the audit reads 0 saturated buckets
+    on the stock fixture — and the row must match the DuckDB oracle
+    exactly (schema + values)."""
+    import duckdb
+
+    from osm_poi_database_maker_spark.queries.dedup import (
+        ORACLE_MINHASH_CAP_AUDIT,
+        q_doc_minhash_cap_audit,
+    )
+
+    df = q_doc_minhash_cap_audit(spark, SF_SMOKE)
+    [row] = df.collect()
+    assert row.n_buckets > 0 and row.multi_buckets > 0
+    assert row.saturated_buckets == 0 and row.capped_pair_delta == 0
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(SF_SMOKE, 'documents.parquet')}'"
+    )
+    assert con.sql(ORACLE_MINHASH_CAP_AUDIT).fetchall() == [tuple(row)]
+
+
+def test_cap_audit_binds_on_twin_mass(spark, tmp_path):
+    """On a corpus with more verbatim twins than the bucket cap, every
+    band's shared bucket saturates and the audit reports the EXACT
+    capped-pair delta — pinned against the closed form and against the
+    DuckDB oracle replay on the same parquet."""
+    import duckdb
+
+    from osm_poi_database_maker_spark.dedup import DEFAULT_BANDS
+    from osm_poi_database_maker_spark.queries.dedup import (
+        _MINHASH_MAX_BUCKET,
+        ORACLE_MINHASH_CAP_AUDIT,
+        q_doc_minhash_cap_audit,
+    )
+
+    m = _MINHASH_MAX_BUCKET + 10  # 10 rows past the cap in every bucket
+    d = spark.range(1, m + 1).selectExpr(
+        "id AS doc_id", "'alpha beta gamma delta epsilon' AS text"
+    )
+    out = str(tmp_path / "twins")
+    d.coalesce(1).write.parquet(out)
+    # rename part file so the oracle's view glob and load_table both work
+    part = [f for f in os.listdir(out) if f.endswith(".parquet")][0]
+    os.replace(
+        os.path.join(out, part), os.path.join(out, "documents.parquet")
+    )
+    [row] = q_doc_minhash_cap_audit(spark, out).collect()
+    c2 = lambda k: k * (k - 1) // 2  # noqa: E731
+    assert row.n_buckets == DEFAULT_BANDS  # identical sig → 1 bucket/band
+    assert row.saturated_buckets == DEFAULT_BANDS
+    assert row.max_bucket_size == m
+    assert row.capped_pair_delta == DEFAULT_BANDS * (
+        c2(m) - c2(_MINHASH_MAX_BUCKET)
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(out, 'documents.parquet')}'"
+    )
+    assert con.sql(ORACLE_MINHASH_CAP_AUDIT).fetchall() == [tuple(row)]
+
+
+def test_neardup_twin_mass_probe(spark, tmp_path):
+    """The curation auto-routing probe (r13 verdict #5): zero on the
+    twin-free stock fixture (→ direct path), positive on the twin-heavy
+    growth replica (→ collapsed path)."""
+    import shutil
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from scale_experiment import build_replica
+
+    from osm_poi_database_maker_spark.io import load_table
+    from osm_poi_database_maker_spark.queries.curation import neardup_twin_mass
+
+    assert neardup_twin_mass(load_table(spark, SF_SMOKE, "documents")) == 0
+    dst = str(tmp_path / "growth4x")
+    build_replica(SF_SMOKE, dst, 4, "growth")
+    try:
+        assert neardup_twin_mass(load_table(spark, dst, "documents")) > 0
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_curation_autoroute_row_identity(spark, tmp_path):
+    """collapsed=None must route by the probe AND stay row-identical to
+    the explicitly-forced paths (which are pinned identical to each
+    other in test_r13_queries): auto == collapsed-path rows on the
+    twin-heavy replica, auto == direct-path rows on the stock fixture."""
+    import shutil
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from scale_experiment import build_replica
+
+    from osm_poi_database_maker_spark.queries.curation import (
+        curation_with_neardup,
+    )
+
+    dst = str(tmp_path / "growth4x")
+    build_replica(SF_SMOKE, dst, 4, "growth")
+    try:
+        auto = _rows(curation_with_neardup(spark, dst))
+        forced = _rows(curation_with_neardup(spark, dst, collapsed=True))
+        assert auto == forced and len(auto) > 0
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
+    auto_stock = _rows(curation_with_neardup(spark, SF_SMOKE))
+    direct_stock = _rows(curation_with_neardup(spark, SF_SMOKE, collapsed=False))
+    assert auto_stock == direct_stock and len(auto_stock) > 0
