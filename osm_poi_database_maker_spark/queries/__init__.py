@@ -63,10 +63,12 @@ _MODULES = (
 # Every registered query keeps a pytest + tools/check.py local gate
 # regardless of window position.
 _VERIFY_FIRST = [
-    # tier 1a (round 14): none — no registered query's implementation
-    # or oracle changed this round (the r13-advice edits are comments/
-    # docstrings, and the curation auto-routing lives in an
-    # unregistered composition surface).
+    # tier 1a (round 14): doc_global_index, doc_sequence_packing and
+    # doc_quantile_normalize changed this round (the sf1.0-battery
+    # range-partitioner fix — see curation._range_pid) and need fresh
+    # driver rows; all three ALREADY sit in the r08 cohort below, so
+    # they occupy tier-2 slots rather than extra ones and the window
+    # stays 3 new + 47 stale = 50.
     # tier 1b (round 14): new registrations this round.
     # in-band cap-health audit for the MinHash bucket cap (r13 verdict
     # #3): saturated-bucket count + exact capped-pair delta, sharing the

@@ -1169,19 +1169,70 @@ ORACLE_BLOOM_DECONTAM = _bloom_oracle_sql()
 _GIDX_PARTS = 32
 
 
+_GIDX_SAMPLE = _GIDX_PARTS * 128  # boundary sample cap: 4096 keys, driver-side
+
+
+def _key_ge(order_cols: list, bound: tuple):
+    """Lexicographic ``(col_0, …, col_k) >= (bound_0, …, bound_k)`` as a
+    plain boolean expression over literals."""
+    c0, b0 = F.col(order_cols[0]), F.lit(bound[0])
+    if len(order_cols) == 1:
+        return c0 >= b0
+    return (c0 > b0) | ((c0 == b0) & _key_ge(order_cols[1:], bound[1:]))
+
+
+def _range_pid(df: DataFrame, order_cols: list) -> DataFrame:
+    """Ordered equi-depth bucket id (``pid``) as a DETERMINISTIC literal
+    expression, replacing ``repartitionByRange + spark_partition_id``.
+
+    Why not the partitioner: ``repartitionByRange`` draws its boundary
+    sample with a seed derived from the RDD id, so two ACTIONS over the
+    same lineage (the per-bucket ranks and the bucket-offset table are
+    separate jobs rejoined on pid) can see DIFFERENT boundaries — the
+    pid spaces then disagree and offset+rank is garbage. Sub-sampling
+    only kicks in past ~thousands of rows per partition, so the sf0.1
+    battery never tripped it; the r14 sf1.0 battery did (doc_global_index
+    48k/50k rows mis-ranked, unstable across runs).
+
+    Here the boundaries are computed ONCE — a bounded distributed
+    bottom-k by ``xxhash64`` of the key columns (TakeOrdered, one
+    column-pruned pass, ≤ ``_GIDX_SAMPLE`` rows collected) — sorted,
+    thinned to ≤ ``_GIDX_PARTS − 1`` cut points, and baked into the
+    returned plan as literals. Every branch of every downstream job
+    shares the identical bucket function by construction, and the
+    rank/cumsum results are boundary-placement-independent anyway (the
+    sample only controls balance). Window shuffles on pid replace the
+    range exchange; parallelism stays |buckets| ≈ ``_GIDX_PARTS``."""
+    smp = (
+        df.select(*order_cols)
+        .orderBy(F.xxhash64(*order_cols), *order_cols)
+        .limit(_GIDX_SAMPLE)
+        .collect()
+    )
+    keys = sorted(tuple(r) for r in smp)
+    step = max(1, len(keys) // _GIDX_PARTS)
+    bounds: list = []
+    for i in range(step, len(keys), step):
+        if not bounds or keys[i] != bounds[-1]:
+            bounds.append(keys[i])
+    pid = F.lit(0)
+    for b in bounds[: _GIDX_PARTS - 1]:
+        pid = pid + _key_ge(order_cols, b).cast("int")
+    return df.withColumn("pid", pid)
+
+
 def _global_rank(df: DataFrame, order_cols: list, out: str = "global_id") -> DataFrame:
     """Dense 0-based global rank by ``order_cols`` (a deterministic total
-    order) without a single-partition window: range-exchange on the
-    order key, per-partition ``row_number`` (sorts run in parallel), and
-    a |partitions|-row running-count offset table broadcast back —
-    ``out = offset + local_rank - 1``. The result is independent of
-    where the range boundaries fall (partition i holds only keys ≤
-    partition i+1's), so it reproduces ``row_number() OVER (ORDER BY
-    ...) - 1`` exactly; the single-partition exchange exists only under
-    the tiny offsets aggregate. The global-order primitive shared by
-    the shard indexer and the quantile normalizer."""
-    ranged = df.repartitionByRange(_GIDX_PARTS, *order_cols)
-    with_pid = ranged.withColumn("pid", F.spark_partition_id())
+    order) without a single-partition window: deterministic range-bucket
+    id (:func:`_range_pid`), per-bucket ``row_number`` (sorts run in
+    parallel), and a |buckets|-row running-count offset table broadcast
+    back — ``out = offset + local_rank - 1``. The result is independent
+    of where the bucket boundaries fall (bucket i holds only keys ≤
+    bucket i+1's), so it reproduces ``row_number() OVER (ORDER BY ...)
+    - 1`` exactly; the single-partition exchange exists only under the
+    tiny offsets aggregate. The global-order primitive shared by the
+    shard indexer and the quantile normalizer."""
+    with_pid = _range_pid(df, order_cols)
     w_local = Window.partitionBy("pid").orderBy(*order_cols)
     local = with_pid.withColumn("local_rank", F.row_number().over(w_local))
     w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -1273,8 +1324,12 @@ def q_doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "long"
         ).alias("n_tok"),
     )
-    ranged = toks.repartitionByRange(_GIDX_PARTS, "doc_id")
-    with_pid = ranged.withColumn("pid", F.spark_partition_id())
+    # deterministic literal bucket id, NOT repartitionByRange +
+    # spark_partition_id: the two consumers below are separate jobs, and
+    # the range partitioner's per-RDD-id boundary sampling can give them
+    # different pid spaces past the sampling threshold (see _range_pid —
+    # the r14 sf1.0 battery caught exactly that in _global_rank).
+    with_pid = _range_pid(toks, ["doc_id"])
     w_local = Window.partitionBy("pid").orderBy("doc_id")
     local = with_pid.withColumn("local_cum", F.sum("n_tok").over(w_local))
     w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)

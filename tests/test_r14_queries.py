@@ -102,6 +102,31 @@ def test_cap_audit_binds_on_twin_mass(spark, tmp_path):
     assert con.sql(ORACLE_MINHASH_CAP_AUDIT).fetchall() == [tuple(row)]
 
 
+def test_global_rank_above_sampling_threshold(spark):
+    """r14 sf1.0-battery regression: _global_rank must be exact and
+    run-stable ABOVE the range-partitioner sampling threshold (~50k
+    rows), where the old repartitionByRange+spark_partition_id pattern
+    let the rank branch and the offset branch sample DIFFERENT
+    boundaries (48k/50k rows mis-ranked at the 10x replica, unstable
+    across runs). Sparse two-block ids mimic the replica's +1e9 offset
+    layout that exposed it."""
+    from pyspark.sql import functions as F
+
+    from osm_poi_database_maker_spark.queries.curation import _global_rank
+
+    d = spark.range(0, 50000).select(
+        (F.when(F.col("id") % 2 == 0, F.col("id"))
+         .otherwise(F.col("id") + 1_000_000_000)).alias("k")
+    )
+    expected = {k: i for i, k in enumerate(sorted(
+        (i if i % 2 == 0 else i + 1_000_000_000) for i in range(50000)
+    ))}
+    for _ in range(2):  # twice: the old failure mode was run-unstable
+        got = {r.k: r.global_id for r in _global_rank(d, ["k"]).collect()}
+        assert len(got) == 50000
+        assert got == expected
+
+
 def test_neardup_twin_mass_probe(spark, tmp_path):
     """The curation auto-routing probe (r13 verdict #5): zero on the
     twin-free stock fixture (→ direct path), positive on the twin-heavy
