@@ -67,6 +67,13 @@ def extract_image_features(images: DataFrame, decode_stub: bool = True) -> DataF
             mean = pdf["payload"].apply(
                 lambda b: (sum(b) / len(b) / 255.0) if len(b) else 0.0
             )
+            # round HALF-AWAY like SQL round() — not pandas/numpy
+            # half-to-even: the r14 sf1.0 battery hit a payload whose
+            # mean is the exact double 0.3478125, which .round(6) sends
+            # to ...812 while Spark's F.round and DuckDB both emit
+            # ...813. floor(x·1e6 + 0.5) == half-away for nonnegative x.
+            import numpy as np
+
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -74,7 +81,7 @@ def extract_image_features(images: DataFrame, decode_stub: bool = True) -> DataF
                     "width": (16 + n % 64).astype("int32"),
                     "height": (16 + (n // 64) % 64).astype("int32"),
                     "channels": 3,
-                    "mean_intensity": mean.round(6),
+                    "mean_intensity": np.floor(mean * 1e6 + 0.5) / 1e6,
                 }
             )
 

@@ -63,12 +63,17 @@ _MODULES = (
 # Every registered query keeps a pytest + tools/check.py local gate
 # regardless of window position.
 _VERIFY_FIRST = [
-    # tier 1a (round 14): doc_global_index, doc_sequence_packing and
-    # doc_quantile_normalize changed this round (the sf1.0-battery
-    # range-partitioner fix — see curation._range_pid) and need fresh
-    # driver rows; all three ALREADY sit in the r08 cohort below, so
-    # they occupy tier-2 slots rather than extra ones and the window
-    # stays 3 new + 47 stale = 50.
+    # tier 1a (round 14): queries whose implementation changed this
+    # round — the sf1.0-replica battery fixes. doc_global_index,
+    # doc_sequence_packing and doc_quantile_normalize also changed
+    # (curation._range_pid) but already sit in the r08 cohort below.
+    # half-even → half-away rounding in the image-feature stub:
+    "mm_image_features",
+    # exact e4-integer money + integer-space cents rounding (double
+    # partial sums straddled the 2-dp grain at ~1e9..1e11 magnitudes):
+    "part_promo_share",
+    "orders_snapshot_diff",
+    "brand_returnflag_pivot",
     # tier 1b (round 14): new registrations this round.
     # in-band cap-health audit for the MinHash bucket cap (r13 verdict
     # #3): saturated-bucket count + exact capped-pair delta, sharing the
@@ -79,12 +84,13 @@ _VERIFY_FIRST = [
     # tests/test_r14_prep.py since r13) — the 26th/27th streaming queries:
     "stream_reservoir_sample",
     "stream_weighted_sample",
-    # tier 2 (r13 verdict #1): 47 of the 48 r08-evidence queries
-    # (tools/staleness.py order). Tier 1 takes 3 slots, so ONE r08 query
-    # — supplier_return_pchart, the last in cohort order — carries to
-    # r15 (per the standing rule: never drop a new registration's row to
-    # squeeze in stale rotation). After this window the stale set is
-    # exactly {supplier_return_pchart} at r08 + the r09 cohort.
+    # tier 2 (r13 verdict #1): 43 of the 48 r08-evidence queries
+    # (tools/staleness.py order). Tier 1 takes 7 slots, so FIVE r08
+    # queries — the last five in cohort order: orders_dow_chisq,
+    # orders_referential_integrity, nation_forecast_backtest,
+    # brand_weighted_median, supplier_return_pchart — carry to r15
+    # (standing rule: never drop a changed/new query's row to squeeze
+    # in stale rotation).
     "events_decay_engagement",
     "events_kmv_rolling_distinct",
     "events_robotic_cadence",
@@ -128,15 +134,13 @@ _VERIFY_FIRST = [
     "nation_revenue_concentration",
     "customer_repeat_ladder",
     "customer_km_survival",
-    "orders_dow_chisq",
-    "orders_referential_integrity",
-    "nation_forecast_backtest",
-    "brand_weighted_median",
 ]
-# r15 rotation TODO: stalest evidence after this window = 
-# supplier_return_pchart (r08, the carried one) then the r09 cohort
-# (~43 queries — recompute with tools/staleness.py); both fit one
-# window alongside a small tier 1.
+# r15 rotation TODO: stalest evidence after this window = the five
+# carried r08 queries (orders_dow_chisq, orders_referential_integrity,
+# nation_forecast_backtest, brand_weighted_median,
+# supplier_return_pchart) then the r09 cohort (~43 queries — recompute
+# with tools/staleness.py); both fit one window alongside a small
+# tier 1.
 
 
 # tier 4 cohort order: non-core modules first, core last.

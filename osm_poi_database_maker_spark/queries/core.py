@@ -892,13 +892,24 @@ def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", F.col("o_totalprice").alias("price"), "o_orderstatus"
     )
     d = snapshot_diff(old, new, ["o_orderkey"], ["price", "o_orderstatus"])
+    # price sums accumulate as exact integer cents (prices are 2-dp
+    # money; the −10.00 update is an exact double subtraction, so
+    # round(price·100) is the true integer) — the r14 sf1.0 battery
+    # caught the former double sum straddling the 2-dp grain at ~2.8e11.
+    # Cast-to-double BEFORE the /100 divide so both engines round the
+    # identical nearest-double of the same exact integer.
+    cents = lambda c: F.round(F.col(c) * 100).cast("decimal(28,0)")  # noqa: E731
     return (
         d.groupBy("diff_class")
         .agg(
             F.count("*").alias("n_rows"),
             F.sum("o_orderkey").alias("key_checksum"),
-            F.round(F.sum("old_price"), 2).alias("sum_old_price"),
-            F.round(F.sum("new_price"), 2).alias("sum_new_price"),
+            F.round(F.sum(cents("old_price")).cast("double") / 100, 2).alias(
+                "sum_old_price"
+            ),
+            F.round(F.sum(cents("new_price")).cast("double") / 100, 2).alias(
+                "sum_new_price"
+            ),
         )
         .orderBy("diff_class")
     )
@@ -935,8 +946,10 @@ d AS (
 )
 SELECT diff_class, count(*) AS n_rows,
        CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
-       round(sum(old_price), 2) AS sum_old_price,
-       round(sum(new_price), 2) AS sum_new_price
+       round(CAST(sum(CAST(round(old_price * 100) AS BIGINT)) AS DOUBLE) / 100, 2)
+         AS sum_old_price,
+       round(CAST(sum(CAST(round(new_price * 100) AS BIGINT)) AS DOUBLE) / 100, 2)
+         AS sum_new_price
 FROM d GROUP BY 1 ORDER BY 1
 """
 
@@ -1363,27 +1376,53 @@ def q_brand_returnflag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: revenue per part brand × return flag as columns. The part
     dimension is broadcast into the fact scan; the pivot's value list is
     explicit so Spark skips the extra distinct-values job and plans ONE
-    aggregation (each pivot cell is a conditional partial agg)."""
+    aggregation (each pivot cell is a conditional partial agg).
+
+    Cells accumulate as exact e4 fixed-point integers (the
+    revenue_by_nation pattern) — the r14 sf1.0 battery caught a ~4.0e9
+    double cell sum straddling the 2-dp rounding grain between engines.
+    """
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
+    rev_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    ).cast("decimal(28,0)")
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .pivot("l_returnflag", list(_RETURN_FLAGS))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2))
+        .agg(F.sum(rev_e4))
         .select(
             "p_brand",
-            *[F.coalesce(F.col(f), F.lit(0.0)).alias(f"rev_{f}") for f in _RETURN_FLAGS],
+            *[
+                # integer-space half-up to cents first ((e4+50) div 100):
+                # e4/10000 sits on exact .xx50 ties by construction,
+                # where the engines' double-rounding tie rules differ
+                F.coalesce(
+                    F.round(
+                        F.floor((F.col(f) + 50) / 100).cast("double") / 100, 2
+                    ),
+                    F.lit(0.0),
+                ).alias(f"rev_{f}")
+                for f in _RETURN_FLAGS
+            ],
         )
     )
 
 
 ORACLE_PIVOT = """
+WITH e4 AS (
+  SELECT p_brand, l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_e4
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
 SELECT p_brand,
-       coalesce(round(sum(CASE WHEN l_returnflag = 'A' THEN l_extendedprice * (1 - l_discount) END), 2), 0.0) AS rev_A,
-       coalesce(round(sum(CASE WHEN l_returnflag = 'N' THEN l_extendedprice * (1 - l_discount) END), 2), 0.0) AS rev_N,
-       coalesce(round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice * (1 - l_discount) END), 2), 0.0) AS rev_R
-FROM lineitem JOIN part ON l_partkey = p_partkey
+       coalesce(round(CAST((sum(CASE WHEN l_returnflag = 'A' THEN rev_e4 END) + 50) // 100 AS DOUBLE) / 100, 2), 0.0) AS rev_A,
+       coalesce(round(CAST((sum(CASE WHEN l_returnflag = 'N' THEN rev_e4 END) + 50) // 100 AS DOUBLE) / 100, 2), 0.0) AS rev_N,
+       coalesce(round(CAST((sum(CASE WHEN l_returnflag = 'R' THEN rev_e4 END) + 50) // 100 AS DOUBLE) / 100, 2), 0.0) AS rev_R
+FROM e4
 GROUP BY p_brand
 """
 
@@ -1890,37 +1929,69 @@ def q_part_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~84 distinct months — map-side partials reduce the exchange to a few
     hundred rows regardless of fact size. At 100 TB nothing changes: the
     only exchange carries (month → two partial sums).
+
+    Exactness: revenue accumulates as the e4 fixed-point integer
+    ``round(price·100)·(100 − round(disc·100))`` (the revenue_by_nation
+    pattern), NOT as a rounded double sum — the r14 sf1.0 battery caught
+    a monthly total near 3.6e9 where double partial-sum order put the
+    two engines on opposite sides of the 2-dp rounding grain. Integer
+    partials are order-independent; decimal(28,0) sums keep them exact
+    past int64 at full scale.
     """
     l = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"
     )
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    rev_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    ).cast("decimal(28,0)")
+    promo_e4 = F.when(F.col("p_type") == "PROMO", rev_e4).otherwise(
+        F.lit(0).cast("decimal(28,0)")
+    )
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
         .agg(
-            F.round(F.sum(promo_rev), 2).alias("promo_revenue"),
-            F.round(F.sum(rev), 2).alias("total_revenue"),
-            F.round(100.0 * F.sum(promo_rev) / F.sum(rev), 4).alias("promo_share_pct"),
+            F.sum(promo_e4).alias("p_e4"),
+            F.sum(rev_e4).alias("t_e4"),
             F.count("*").alias("n_items"),
+        )
+        .select(
+            "ship_month",
+            # the 2-dp round happens in INTEGER space — (e4 + 50) div
+            # 100 = exact half-up cents — because e4/10000 lands on
+            # exact .xx50 decimal ties BY CONSTRUCTION, where Spark's
+            # BigDecimal half-up and DuckDB's scaled-double rounding
+            # disagree; both engines then divide the identical integer
+            F.round(F.floor((F.col("p_e4") + 50) / 100).cast("double") / 100, 2)
+            .alias("promo_revenue"),
+            F.round(F.floor((F.col("t_e4") + 50) / 100).cast("double") / 100, 2)
+            .alias("total_revenue"),
+            F.round(
+                100.0 * F.col("p_e4").cast("double") / F.col("t_e4").cast("double"), 4
+            ).alias("promo_share_pct"),
+            "n_items",
         )
     )
 
 
 ORACLE_PROMO_SHARE = """
-SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
-       round(sum(CASE WHEN p_type = 'PROMO'
-                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2)
-         AS promo_revenue,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
-       round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                              THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
-                   / sum(l_extendedprice * (1 - l_discount)), 4)
-         AS promo_share_pct,
+WITH e4 AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_e4,
+         CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS is_promo
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT ship_month,
+       round(CAST((sum(CASE WHEN is_promo = 1 THEN rev_e4 ELSE 0 END) + 50) // 100
+                  AS DOUBLE) / 100, 2) AS promo_revenue,
+       round(CAST((sum(rev_e4) + 50) // 100 AS DOUBLE) / 100, 2) AS total_revenue,
+       round(100.0 * CAST(sum(CASE WHEN is_promo = 1 THEN rev_e4 ELSE 0 END) AS DOUBLE)
+                   / CAST(sum(rev_e4) AS DOUBLE), 4) AS promo_share_pct,
        count(*) AS n_items
-FROM lineitem JOIN part ON l_partkey = p_partkey
+FROM e4
 GROUP BY 1
 """
 

@@ -24,7 +24,13 @@ def test_r14_registrations_in_window():
 
     names = list(q.QUERIES)
     window = names[:50]
-    assert window[:3] == [
+    assert window[:7] == [
+        # tier 1a: the sf1.0-battery fixes needing fresh driver rows
+        "mm_image_features",
+        "part_promo_share",
+        "orders_snapshot_diff",
+        "brand_returnflag_pivot",
+        # tier 1b: the three new registrations
         "doc_minhash_cap_audit",
         "stream_reservoir_sample",
         "stream_weighted_sample",
@@ -32,9 +38,18 @@ def test_r14_registrations_in_window():
     assert q.ORACLES["stream_reservoir_sample"] is events.ORACLE_RESERVOIR
     assert q.ORACLES["stream_weighted_sample"] is curation.ORACLE_WEIGHTED_SAMPLE
     assert "saturated_buckets" in q.ORACLES["doc_minhash_cap_audit"]
-    # the single carried r08 query (tier-1 takes 3 slots; 47+3=50)
-    assert "supplier_return_pchart" not in window
-    assert "brand_weighted_median" in window
+    # the changed _range_pid queries already occupy r08-cohort slots
+    for n in ("doc_global_index", "doc_sequence_packing", "doc_quantile_normalize"):
+        assert n in window
+    # the five carried r08 queries (tier-1 takes 7 slots; 43+7=50)
+    for n in (
+        "orders_dow_chisq",
+        "orders_referential_integrity",
+        "nation_forecast_backtest",
+        "brand_weighted_median",
+        "supplier_return_pchart",
+    ):
+        assert n not in window
     assert len(window) == len(set(window)) == 50
 
 

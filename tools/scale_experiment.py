@@ -113,9 +113,18 @@ def build_replica(src: str, dst: str, n: int, mode: str) -> None:
                     f" l_linestatus, l_shipdate FROM read_parquet('{sp}')"
                 )
             elif t == "customer":
+                if mode == "constant" and k > 0:
+                    # suffix names too: TPC-H names are key-unique, so a
+                    # verbatim copy gives every name k twins — which made
+                    # the FastSS edit-distance join face a quadratic
+                    # twin-mass problem the mode's contract (per-key
+                    # frequencies at 1x) says it must not (r14 finding)
+                    name = f"c_name || '{k}' AS c_name"
+                else:
+                    name = "c_name"
                 parts.append(
-                    f"SELECT c_custkey + {off} AS c_custkey,"
-                    " * EXCLUDE (c_custkey)"
+                    f"SELECT c_custkey + {off} AS c_custkey, {name},"
+                    " * EXCLUDE (c_custkey, c_name)"
                     f" FROM read_parquet('{sp}')"
                 )
             else:  # dims: nation/region/supplier/part — keep one copy
