@@ -74,6 +74,10 @@ _VERIFY_FIRST = [
     "part_promo_share",
     "orders_snapshot_diff",
     "brand_returnflag_pivot",
+    # sweep-line rewrite: n_concurrent via two order-statistics sweeps
+    # instead of the Θ(concurrency²) bucket pair join (270 s → 7 s at
+    # the sf1.0 replica):
+    "events_session_overlap",
     # tier 1b (round 14): new registrations this round.
     # in-band cap-health audit for the MinHash bucket cap (r13 verdict
     # #3): saturated-bucket count + exact capped-pair delta, sharing the
@@ -84,13 +88,13 @@ _VERIFY_FIRST = [
     # tests/test_r14_prep.py since r13) — the 26th/27th streaming queries:
     "stream_reservoir_sample",
     "stream_weighted_sample",
-    # tier 2 (r13 verdict #1): 43 of the 48 r08-evidence queries
-    # (tools/staleness.py order). Tier 1 takes 7 slots, so FIVE r08
-    # queries — the last five in cohort order: orders_dow_chisq,
-    # orders_referential_integrity, nation_forecast_backtest,
-    # brand_weighted_median, supplier_return_pchart — carry to r15
-    # (standing rule: never drop a changed/new query's row to squeeze
-    # in stale rotation).
+    # tier 2 (r13 verdict #1): 42 of the 48 r08-evidence queries
+    # (tools/staleness.py order). Tier 1 takes 8 slots, so SIX r08
+    # queries — the last six in cohort order: customer_km_survival,
+    # orders_dow_chisq, orders_referential_integrity,
+    # nation_forecast_backtest, brand_weighted_median,
+    # supplier_return_pchart — carry to r15 (standing rule: never drop
+    # a changed/new query's row to squeeze in stale rotation).
     "events_decay_engagement",
     "events_kmv_rolling_distinct",
     "events_robotic_cadence",
@@ -133,12 +137,11 @@ _VERIFY_FIRST = [
     "nation_revenue_trend",
     "nation_revenue_concentration",
     "customer_repeat_ladder",
-    "customer_km_survival",
 ]
-# r15 rotation TODO: stalest evidence after this window = the five
-# carried r08 queries (orders_dow_chisq, orders_referential_integrity,
-# nation_forecast_backtest, brand_weighted_median,
-# supplier_return_pchart) then the r09 cohort (~43 queries — recompute
+# r15 rotation TODO: stalest evidence after this window = the six
+# carried r08 queries (customer_km_survival, orders_dow_chisq,
+# orders_referential_integrity, nation_forecast_backtest,
+# brand_weighted_median, supplier_return_pchart) then the r09 cohort (~43 queries — recompute
 # with tools/staleness.py); both fit one window alongside a small
 # tier 1.
 

@@ -990,23 +990,72 @@ _OVL_GAP_US = 1_800_000_000  # session gap: 30 minutes
 _OVL_BUCKET_US = 3_600_000_000  # overlap-join grid: 1 hour
 
 
-def q_events_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concurrency analysis — a VARIABLE-length interval × interval
-    overlap join: per-user activity sessions (30-minute-gap islands)
-    joined against every OTHER user's overlapping session, counting how
-    many sessions ran concurrently with each one.
+def _rank_against(markers: DataFrame, queries: DataFrame, inclusive: bool) -> DataFrame:
+    """For every query row, the COUNT of marker values ≤ v (inclusive)
+    or < v (strict) — a distributed order-statistics sweep, no pair
+    join: markers (weight 1) and queries (weight 0) merge into one
+    stream bucketed by the deterministic literal range id
+    (:func:`~.curation._range_pid`), a per-bucket cumulative weight sum
+    runs in parallel, and a |buckets|-row running-offset broadcast
+    lifts local sums to global counts. Tie rule rides the sort: at
+    equal v, markers order before queries for ≤ and after them for <.
+    One shuffle of |markers|+|queries| skinny rows; linear at any scale.
+    """
+    from pyspark.sql import Window
 
-    ``events_incident_windows`` covers the fixed-length case, where
-    every interval spans exactly 2 grid buckets; variable intervals
-    need the general decomposition: each session explodes into the
-    ⌈len/W⌉+1 grid buckets it covers (sequence over the bucket range),
-    the join becomes a bucket EQUI-join, pairs sharing several buckets
-    dedupe with one distinct, and the exact overlap predicate
-    (t0_a ≤ t1_b ∧ t0_b ≤ t1_a) filters bucket-neighbors that don't
-    truly overlap. Fan-out is Σ⌈len/W⌉ — proportional to total session
-    HOURS, not to the pair count — and a hot bucket is precisely peak
-    concurrency, the skew AQE re-splits. Sessions with no overlap
-    survive through the final left join (n_concurrent = 0).
+    from .curation import _range_pid
+
+    mk = markers.select(
+        "v",
+        F.lit(1).alias("w"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.lit(None).cast("long").alias("sid"),
+        F.lit(0 if inclusive else 1).alias("kind"),
+    )
+    qr = queries.select(
+        "v",
+        F.lit(0).alias("w"),
+        "user_id",
+        "sid",
+        F.lit(1 if inclusive else 0).alias("kind"),
+    )
+    u = _range_pid(mk.unionByName(qr), ["v"])
+    w_local = Window.partitionBy("pid").orderBy("v", "kind", "user_id", "sid")
+    local = u.withColumn(
+        "cum", F.sum("w").over(w_local.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        u.groupBy("pid")
+        .agg(F.sum("w").alias("n"))
+        .withColumn("off", F.coalesce(F.sum("n").over(w_off), F.lit(0)))
+        .select("pid", "off")
+    )
+    return (
+        local.filter(F.col("w") == 0)
+        .join(F.broadcast(offsets), "pid")
+        .select("user_id", "sid", (F.col("off") + F.col("cum")).alias("cnt"))
+    )
+
+
+def q_events_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrency analysis — for each per-user activity session
+    (30-minute-gap island), how many OTHER users' sessions ran
+    concurrently with it (t0_a ≤ t1_b ∧ t0_b ≤ t1_a).
+
+    Plan (r14 rewrite): the answer is a COUNT, so no pair is ever
+    materialized — the sweep-line identity
+    ``n_concurrent = |{t0 ≤ t1_s}| − |{t1 < t0_s}| − 1`` turns the
+    interval join into two order-statistics sweeps (:func:`_rank_against`,
+    linear, bucketed prefix sums). The identity is exact because
+    same-user sessions are >30-min-gap-separated by construction and can
+    never overlap, so the only same-user member of the overlap set is
+    the session itself (the −1). The former bucket-decomposed pair join
+    (grid explode + bucket equi-join + distinct) materialized
+    Θ(peak-concurrency²) candidates — measured 270 s at the sf1.0
+    replica where 10× users share one wall-clock span vs ~linear for
+    this form; the DuckDB oracle still computes the literal pair join
+    (IEJoin), keeping the two engines algorithm-independent.
 
     Determinism: session boundaries depend only on the sorted micros
     sequence per user (gap > 30 min opens a new island; the cumulative
@@ -1034,35 +1083,27 @@ def q_events_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    w = F.lit(_OVL_BUCKET_US)
-    buckets = sess.withColumn(
-        "bucket",
-        F.explode(F.sequence((F.col("t0") / w).cast("long"), (F.col("t1") / w).cast("long"))),
-    )
-    a = buckets.select(
-        F.col("user_id").alias("ua"), F.col("sid").alias("sa"),
-        F.col("t0").alias("t0a"), F.col("t1").alias("t1a"), "bucket",
-    )
-    b = buckets.select(
-        F.col("user_id").alias("ub"), F.col("sid").alias("sb"),
-        F.col("t0").alias("t0b"), F.col("t1").alias("t1b"), "bucket",
-    )
-    ovl = (
-        a.join(b, "bucket")
-        .filter(F.col("ua") != F.col("ub"))
-        .select("ua", "sa", "ub", "sb", "t0a", "t1a", "t0b", "t1b")
-        .distinct()
-        .filter((F.col("t0a") <= F.col("t1b")) & (F.col("t0b") <= F.col("t1a")))
-        .groupBy(F.col("ua").alias("user_id"), F.col("sa").alias("sid"))
-        .agg(F.count("*").alias("n_concurrent"))
-    )
+    # starts ≤ t1_s (inclusive) minus ends < t0_s (strict) minus self
+    a = _rank_against(
+        sess.select(F.col("t0").alias("v")),
+        sess.select("user_id", "sid", F.col("t1").alias("v")),
+        inclusive=True,
+    ).withColumnRenamed("cnt", "n_start_le")
+    b = _rank_against(
+        sess.select(F.col("t1").alias("v")),
+        sess.select("user_id", "sid", F.col("t0").alias("v")),
+        inclusive=False,
+    ).withColumnRenamed("cnt", "n_end_lt")
     return (
-        sess.join(ovl, ["user_id", "sid"], "left")
+        sess.join(a, ["user_id", "sid"])
+        .join(b, ["user_id", "sid"])
         .select(
             "user_id",
             F.col("t0").alias("session_t0_us"),
             "n_events",
-            F.coalesce("n_concurrent", F.lit(0)).cast("long").alias("n_concurrent"),
+            (F.col("n_start_le") - F.col("n_end_lt") - 1)
+            .cast("long")
+            .alias("n_concurrent"),
         )
     )
 

@@ -24,12 +24,13 @@ def test_r14_registrations_in_window():
 
     names = list(q.QUERIES)
     window = names[:50]
-    assert window[:7] == [
+    assert window[:8] == [
         # tier 1a: the sf1.0-battery fixes needing fresh driver rows
         "mm_image_features",
         "part_promo_share",
         "orders_snapshot_diff",
         "brand_returnflag_pivot",
+        "events_session_overlap",
         # tier 1b: the three new registrations
         "doc_minhash_cap_audit",
         "stream_reservoir_sample",
@@ -41,8 +42,9 @@ def test_r14_registrations_in_window():
     # the changed _range_pid queries already occupy r08-cohort slots
     for n in ("doc_global_index", "doc_sequence_packing", "doc_quantile_normalize"):
         assert n in window
-    # the five carried r08 queries (tier-1 takes 7 slots; 43+7=50)
+    # the six carried r08 queries (tier-1 takes 8 slots; 42+8=50)
     for n in (
+        "customer_km_survival",
         "orders_dow_chisq",
         "orders_referential_integrity",
         "nation_forecast_backtest",
@@ -140,6 +142,62 @@ def test_global_rank_above_sampling_threshold(spark):
         got = {r.k: r.global_id for r in _global_rank(d, ["k"]).collect()}
         assert len(got) == 50000
         assert got == expected
+
+
+def test_session_overlap_sweep_boundary_semantics(spark, tmp_path):
+    """The r14 sweep-line rewrite of events_session_overlap rests on two
+    facts pinned here with hand-built sessions: (1) touching intervals
+    COUNT (t0_b == t1_a satisfies the inclusive predicate — the ≤ vs <
+    tie rules in the two sweeps), and (2) same-user islands are
+    >gap-separated so the only same-user overlap is self (the −1)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osm_poi_database_maker_spark.queries.events import (
+        _OVL_GAP_US,
+        q_events_session_overlap,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    us = lambda x: base + dt.timedelta(microseconds=x)  # noqa: E731
+    m = 60_000_000  # one minute; events inside an island stay < the 30-min gap
+    rows = [
+        # user 1, island A: [0, 20m]; island B: one event past the gap
+        (1, 1, us(0)),
+        (2, 1, us(20 * m)),
+        (3, 1, us(20 * m + _OVL_GAP_US + 1)),
+        # user 2: one session [20m, 40m] — touches user1-A at exactly 20m
+        (4, 2, us(20 * m)),
+        (5, 2, us(40 * m)),
+        # user 3: one session strictly inside user2's: [25m, 30m]
+        (6, 3, us(25 * m)),
+        (7, 3, us(30 * m)),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array(["e"] * len(rows)),
+            "value": pa.array([1.0] * len(rows)),
+        }
+    )
+    d = str(tmp_path / "sfov")
+    os.makedirs(d)
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    out = q_events_session_overlap(spark, d).collect()
+    per_user: dict = {}
+    for r in sorted(out, key=lambda r: (r.user_id, r.session_t0_us)):
+        per_user.setdefault(r.user_id, []).append(r.n_concurrent)
+    assert per_user == {
+        # island A touches user2 at the boundary (counts); island B is
+        # past the gap — no self/same-user count
+        1: [1, 0],
+        2: [2],  # user1-A (touching) + user3 (contained)
+        3: [1],  # inside user2 only
+    }
 
 
 def test_neardup_twin_mass_probe(spark, tmp_path):
