@@ -6,8 +6,22 @@ parent edge — org charts, referral chains, category trees, Fenwick-style
 aggregation paths): pointer doubling. Where a recursive CTE walks one
 edge per pass (O(depth) sequential joins — at 100 TB depth-30 chains
 mean 30 shuffles), doubling squares the reach every round, so the whole
-closure materializes in ceil(log2(max_depth)) self-joins; each round is
-one shuffle on the join key plus a distinct.
+closure materializes in ceil(log2(max_depth)) self-joins.
+
+Round structure (optimization round r14, guide §2.4 "remove shuffles
+outright"): both closures share one semi-naive delta loop. Each round
+composes only the DELTA (pairs new or improved last round) with the
+closure, in both orders, then folds closure ∪ fwd ∪ bwd through ONE
+(node, ancestor) min-aggregation that carries an ``old`` flag column
+(old rows keep their previous dist, composed rows carry NULL), so the
+next delta is ``min(dist) < min(old)`` — a FILTER over the aggregated
+frame instead of the previous implementation's per-round LEFT-ANTI
+join of the full closure against itself (one whole closure-sized
+shuffle removed per round), and the previous ``distinct`` over
+(node, ancestor, dist) triples with per-split-point multiplicity
+(ancestor_closure) collapses into the same aggregation. Convergence
+and the cycle guard ride a 1-row flags aggregate over the lazily
+checkpointed round frame — exactly one job per round.
 """
 
 from __future__ import annotations
@@ -16,25 +30,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def ancestor_closure(edges: DataFrame, max_rounds: int = 12) -> DataFrame:
-    """Full ancestor closure of a functional parent graph.
+def _doubling_closure(
+    edges: DataFrame, max_rounds: int, detect_cycles: bool, caller: str
+) -> DataFrame:
+    """Shared semi-naive pointer-doubling loop over ``(node, anc)`` edges.
 
-    Input: ``(node, anc)`` — one parent edge per non-root node; the
-    graph must be acyclic (a cycle never converges and trips the
-    ``max_rounds`` guard). Output: ``(node, ancestor, dist)`` — every
-    ancestor of every node with its path length, exactly the rows a
-    linear recursive CTE produces.
+    Returns ``(node, ancestor, dist)`` with dist = the MINIMUM edge count
+    over all paths. Invariant: after round k every pair whose shortest
+    distance is ≤ 2^k carries that exact distance — split a shortest path
+    at its midpoint: both halves are shortest paths of length ≤ 2^(k-1),
+    exact by induction; the composition records their sum, and min() can
+    keep no overestimate because every recorded dist is a realizable path
+    length. Completeness of the delta composition: any shortest path of
+    length ≤ 2^(k+1) splits into two exact halves ≤ 2^k, and if both
+    halves were already exact a round earlier their composition was
+    produced then — so at least one half sits in the delta.
 
-    Invariant: after round k the frame holds every ancestor path of
-    length ≤ 2^k (every prefix of a path is itself a path, so the
-    x.ancestor = y.node join composes all splits and ``distinct``
-    collapses them — in a functional graph (node, ancestor) pairs are
-    unique per dist, so no min() is needed). ``max_rounds = 12`` covers
-    depth 4096: detecting convergence costs one extra no-change round,
-    so the loop runs ``max_rounds + 1`` iterations — depth 2^max_rounds
-    completes its closure on round max_rounds and the +1 round proves
-    it. Each round eagerly checkpoints to cut the doubling lineage and
-    make the convergence count a cheap scan.
+    ``detect_cycles`` raises the moment any self-pair (node == ancestor)
+    materializes — a node is self-reachable iff the graph has a cycle,
+    so this is the exact acyclicity guard (and fires in O(log cycle-len)
+    rounds instead of only at ``max_rounds`` exhaustion).
     """
     closure = (
         edges.select(
@@ -42,25 +57,85 @@ def ancestor_closure(edges: DataFrame, max_rounds: int = 12) -> DataFrame:
             F.col("anc").cast("long").alias("ancestor"),
             F.lit(1).cast("long").alias("dist"),
         )
-        .distinct()
-        .localCheckpoint(eager=True)
+        .groupBy("node", "ancestor")
+        .agg(F.min("dist").alias("dist"))
+        .localCheckpoint(eager=False)
     )
-    n_prev = closure.count()
-    for _ in range(max_rounds + 1):
-        x, y = closure.alias("x"), closure.alias("y")
-        doubled = x.join(y, F.col("x.ancestor") == F.col("y.node")).select(
+    if detect_cycles:
+        # a self-loop edge is a cycle the delta loop would never flag
+        # (its composed dists are never improvements over dist 1)
+        if closure.filter(F.col("node") == F.col("ancestor")).limit(1).count():
+            raise RuntimeError(
+                f"{caller} did not converge: cyclic input "
+                "(self-loop edge — a node is its own ancestor)"
+            )
+    delta = closure
+    improved = F.col("old").isNull() | (F.col("dist") < F.col("old"))
+    for rnd in range(max_rounds + 1):
+        x, y = delta.alias("x"), closure.alias("y")
+        fwd = x.join(y, F.col("x.ancestor") == F.col("y.node")).select(
             F.col("x.node").alias("node"),
             F.col("y.ancestor").alias("ancestor"),
             (F.col("x.dist") + F.col("y.dist")).alias("dist"),
         )
-        closure = closure.unionByName(doubled).distinct().localCheckpoint(eager=True)
-        n_now = closure.count()
-        if n_now == n_prev:
+        if rnd == 0:
+            # round 1 has delta == closure, so the two composition
+            # orders produce identical row sets — one join suffices
+            cand = fwd
+        else:
+            p, q = closure.alias("p"), delta.alias("q")
+            bwd = p.join(q, F.col("p.ancestor") == F.col("q.node")).select(
+                F.col("p.node").alias("node"),
+                F.col("q.ancestor").alias("ancestor"),
+                (F.col("p.dist") + F.col("q.dist")).alias("dist"),
+            )
+            cand = fwd.unionByName(bwd)
+        allc = (
+            closure.withColumn("old", F.col("dist"))
+            .unionByName(cand.withColumn("old", F.lit(None).cast("long")))
+            .groupBy("node", "ancestor")
+            .agg(F.min("dist").alias("dist"), F.min("old").alias("old"))
+            .localCheckpoint(eager=False)
+        )
+        # one job: materializes the round's frame AND answers both
+        # "anything new/improved?" and "any self-pair?" (cycle guard)
+        flags = allc.agg(
+            F.max(improved.cast("int")).alias("any_new"),
+            F.max((F.col("node") == F.col("ancestor")).cast("int")).alias(
+                "any_self"
+            ),
+        ).collect()[0]
+        closure = allc.select("node", "ancestor", "dist")
+        delta = allc.filter(improved).select("node", "ancestor", "dist")
+        if detect_cycles and flags["any_self"]:
+            raise RuntimeError(
+                f"{caller} did not converge: cyclic input "
+                "(a node is reachable from itself)"
+            )
+        if not flags["any_new"]:
             return closure
-        n_prev = n_now
     raise RuntimeError(
-        f"ancestor_closure did not converge in {max_rounds} doubling rounds "
-        f"(depth > {2 ** max_rounds}): cyclic input or pathological hierarchy"
+        f"{caller} did not converge in {max_rounds} doubling rounds "
+        f"(depth > {2 ** max_rounds}): pathological hierarchy"
+    )
+
+
+def ancestor_closure(edges: DataFrame, max_rounds: int = 12) -> DataFrame:
+    """Full ancestor closure of a functional parent graph.
+
+    Input: ``(node, anc)`` — one parent edge per non-root node; the
+    graph must be acyclic (a cycle raises — detected exactly via
+    self-reachability, see :func:`_doubling_closure`). Output:
+    ``(node, ancestor, dist)`` — every ancestor of every node with its
+    path length, exactly the rows a linear recursive CTE produces: in a
+    functional graph each (node, ancestor) pair has exactly ONE path,
+    so the shared min-dist loop's minimum IS that unique path length.
+    ``max_rounds = 12`` covers depth 4096; detecting convergence costs
+    one extra no-change round, so the loop runs ``max_rounds + 1``
+    iterations.
+    """
+    return _doubling_closure(
+        edges, max_rounds, detect_cycles=True, caller="ancestor_closure"
     )
 
 
@@ -79,70 +154,7 @@ def min_dist_closure(edges: DataFrame, max_rounds: int = 12) -> DataFrame:
     every reachable pair), so a cycle of length L simply yields
     ``(n, n, L)`` self-rows instead of diverging — a recursive CTE
     needs an explicit depth guard for the same input.
-
-    Where :func:`ancestor_closure` dedups with ``distinct`` (in a
-    functional graph each (node, anc, dist) path is unique), a DAG
-    needs a min() re-aggregation per doubling round. Invariant: after
-    round k every pair whose shortest distance is ≤ 2^k carries that
-    exact distance — split a shortest path at its midpoint: both halves
-    are shortest paths of length ≤ 2^(k-1), exact by induction; the
-    self-join records their sum, and min() can keep no overestimate
-    because every recorded dist is a realizable path length.
-
-    Work bound — semi-naive doubling: composing the WHOLE closure with
-    itself each round recomputes every old∘old pair it already derived;
-    instead each round composes only the round's DELTA (pairs new or
-    improved last round) with the closure, in both orders. Completeness
-    holds because any shortest path of length ≤ 2^(k+1) splits into two
-    exact halves ≤ 2^k, and if both halves were already exact a round
-    earlier their composition (≤ 2^k) was produced then — so at least
-    one half sits in the delta. The delta shrinks geometrically once
-    reach saturates, so total join input approaches the CTE's
-    O(paths) while keeping the O(log depth) round count. Convergence =
-    empty delta (exact, no checksum). Per round: two delta⋈closure
-    joins + one min() re-aggregation + one anti-join for the next
-    delta, all key-partitioned; lazy localCheckpoints cut the lineage
-    with the stats/anti-join action materializing each round in one
-    job.
     """
-    closure = (
-        edges.select(
-            F.col("node").cast("long").alias("node"),
-            F.col("anc").cast("long").alias("ancestor"),
-            F.lit(1).cast("long").alias("dist"),
-        )
-        .groupBy("node", "ancestor")
-        .agg(F.min("dist").alias("dist"))
-        .localCheckpoint(eager=False)
-    )
-    delta = closure
-    for _ in range(max_rounds + 1):
-        x, y = delta.alias("x"), closure.alias("y")
-        fwd = x.join(y, F.col("x.ancestor") == F.col("y.node")).select(
-            F.col("x.node").alias("node"),
-            F.col("y.ancestor").alias("ancestor"),
-            (F.col("x.dist") + F.col("y.dist")).alias("dist"),
-        )
-        p, q = closure.alias("p"), delta.alias("q")
-        bwd = p.join(q, F.col("p.ancestor") == F.col("q.node")).select(
-            F.col("p.node").alias("node"),
-            F.col("q.ancestor").alias("ancestor"),
-            (F.col("p.dist") + F.col("q.dist")).alias("dist"),
-        )
-        new_closure = (
-            closure.unionByName(fwd)
-            .unionByName(bwd)
-            .groupBy("node", "ancestor")
-            .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=False)
-        )
-        delta = new_closure.join(
-            closure, ["node", "ancestor", "dist"], "left_anti"
-        ).localCheckpoint(eager=False)
-        closure = new_closure
-        if delta.limit(1).count() == 0:
-            return closure
-    raise RuntimeError(
-        f"min_dist_closure did not converge in {max_rounds} doubling rounds "
-        f"(shortest-path depth > {2 ** max_rounds}): pathological diameter"
+    return _doubling_closure(
+        edges, max_rounds, detect_cycles=False, caller="min_dist_closure"
     )

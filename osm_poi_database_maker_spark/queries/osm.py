@@ -811,15 +811,27 @@ def q_osm_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the only iteration is the log-round label closure."""
     from ..dedup import dedup_clusters
 
-    pairs = q_osm_node_neighbor_pairs(spark, sf_dir).select("id_a", "id_b")
+    # materialize the neighbor-pair join ONCE: five consumers (two und
+    # branches, core_edges, and the border join's und reuse) would each
+    # re-run the cell equi-join + haversine otherwise — the before-plan
+    # showed the pair subtree expanded 5x (30 SortMergeJoins / 60
+    # exchanges); one localCheckpoint collapses it (guide §2.4, §3.3)
+    pairs = (
+        q_osm_node_neighbor_pairs(spark, sf_dir)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
     und = pairs.select(F.col("id_a").alias("id"), F.col("id_b").alias("nb")).unionByName(
         pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("nb"))
     )
+    # cores feeds four consumers (both core_edges join sides, core_lab,
+    # the border anti-join) — checkpoint the degree aggregate once too
     cores = (
         und.groupBy("id")
         .agg(F.count("*").alias("n_nb"))
         .filter(F.col("n_nb") >= _DBSCAN_MINPTS - 1)
         .select("id")
+        .localCheckpoint(eager=False)
     )
     core_edges = (
         pairs.join(cores.withColumnRenamed("id", "id_a"), "id_a")

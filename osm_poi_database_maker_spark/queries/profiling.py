@@ -719,19 +719,32 @@ def q_customer_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithms agreeing on the exact result set.
     """
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    # signature duplicates only arise WITHIN one name (deleting either
+    # copy of a doubled character yields the same string), so the dedup
+    # is array-side array_distinct — the previous row-level .distinct()
+    # paid a full shuffle of every (key, name, sig) row for the same
+    # result (guide §2.4: remove shuffles outright)
     sigs = c.select(
         "c_custkey",
         "c_name",
         F.explode(
-            F.concat(
-                F.array(F.col("c_name")),
-                F.expr(
-                    "transform(sequence(1, length(c_name)), i -> "
-                    "concat(substring(c_name, 1, i - 1), substring(c_name, i + 1)))"
-                ),
+            F.array_distinct(
+                F.concat(
+                    F.array(F.col("c_name")),
+                    F.expr(
+                        "transform(sequence(1, length(c_name)), i -> "
+                        "concat(substring(c_name, 1, i - 1), substring(c_name, i + 1)))"
+                    ),
+                )
             )
         ).alias("sig"),
-    ).distinct()
+    )
+    # join on the 64-bit hash of the signature, not the string: an
+    # 8-byte shuffle key instead of a ~25-byte one (guide §2.3 "narrower
+    # types"). Result-identical: equal signatures always hash equal (no
+    # false negatives), and a hash collision only adds a candidate pair
+    # that the exact levenshtein verification below discards.
+    sigs = sigs.select("c_custkey", "c_name", F.xxhash64("sig").alias("sig"))
     left = sigs.select(
         F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a"), "sig"
     )

@@ -32,12 +32,31 @@ def get_spark(app_name: str = "osm_poi_database_maker_spark") -> SparkSession:
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # coalesce post-shuffle partitions to the advisory size (64MB)
-        # rather than preserving parallelism: tiny shuffles collapse to
-        # one task (map-side work keeps full parallelism), big shuffles
-        # still split at 64MB — the right behavior at every scale
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # parallelismFirst=true (the upstream default, restored r14):
+        # size-only coalescing (=false) collapsed every byte-small
+        # post-shuffle stage to ONE task, serializing the CPU-dense
+        # verify stages (levenshtein / array_intersect / percentile
+        # verifies are kilobytes of rows but milliseconds of CPU each) —
+        # measured interleaved at sf0.1: doc_ppjoin_pairs 5.69→2.24 s,
+        # customer_edit_pairs 5.96→4.90 s, no query slower. At cluster
+        # scale the setting only floors byte-small shuffles at
+        # defaultParallelism tasks; partitions above the advisory size
+        # coalesce identically either way.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # prefer shuffled-hash over sort-merge when the planner's size
+        # conditions hold, and let AQE rewrite SMJ→SHJ at runtime when
+        # every post-shuffle build partition is under 64 MB (guide §3.1;
+        # r14 interleaved A/B at sf0.1: every join query faster, e.g.
+        # doc_ppjoin_pairs 3.06→2.20 s, brand_supplier_counts
+        # 1.61→1.06 s, none slower — the hash build skips both sorts).
+        # Sort-merge remains the fallback for build sides above the
+        # threshold, so the OOM-safety story at 100 TB is unchanged.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
