@@ -69,6 +69,103 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     )
 
 
+def _char_hp_step(a: Column, c: Column) -> Column:
+    """One char step of the portable fold, carrying (h, p) where h is the
+    polynomial hash so far and p = B^len so far (the composition
+    multiplier). The empty-string pseudo-char (``split('', '')`` yields
+    one ``''`` element) contributes ascii 0 to h — a no-op since h is 0
+    at that point — and must multiply p by 1, not B, so the empty token
+    composes as the identity (H=0, P=1), exactly as it contributes zero
+    characters to the concatenated shingle."""
+    return F.struct(
+        ((a["h"] * _PORT_BASE + F.ascii(c)) % _PORT_M).alias("h"),
+        (
+            (a["p"] * F.when(c == "", F.lit(1)).otherwise(F.lit(_PORT_BASE)))
+            % _PORT_M
+        ).alias("p"),
+    )
+
+
+def shingle_hash_array(toks: Column) -> Column:
+    """array<long> of portable 3-word-shingle hashes of a token array —
+    value-identical to hashing each ``'w_i w_{i+1} w_{i+2}'`` string
+    with :func:`portable_token_hash`, but each token is char-folded
+    EXACTLY ONCE (optimization r14, guide §4.2: the char fold is an
+    interpreted higher-order expression, and the string formulation
+    re-folds every character ~3× through overlapping shingles plus
+    pays concat_ws string building and a per-shingle re-split).
+
+    Composition lemma for the polynomial hash: H(a ⧺ b) =
+    (H(a)·B^len(b) + H(b)) mod M, so with per-token (H, P=B^len) the
+    shingle hash is five multiply-add-mod steps (two of them appending
+    the single space, H=32/P=31). All intermediates < M·M < 2^62 — no
+    overflow. Docs with < 3 tokens yield an empty array (the ≥3-token
+    gate, previously an explicit filter). The single ``aggregate``
+    keeps a 2-token (h, p) window plus the output array as fold state;
+    lambda variables bind evaluated values, so nothing is recomputed."""
+    sp = F.lit(32).cast("long")  # ascii(' ')
+
+    def step(acc: Column, w: Column) -> Column:
+        return F.aggregate(
+            F.split(w, ""),
+            F.struct(F.lit(0).cast("long").alias("h"), F.lit(1).cast("long").alias("p")),
+            _char_hp_step,
+            lambda hp: F.struct(
+                F.when(
+                    F.size(acc["win"]) == 2,
+                    F.concat(F.slice(acc["win"], 2, 1), F.array(hp)),
+                )
+                .otherwise(F.concat(acc["win"], F.array(hp)))
+                .alias("win"),
+                F.when(
+                    F.size(acc["win"]) == 2,
+                    F.concat(
+                        acc["out"],
+                        F.array(
+                            (
+                                (
+                                    (
+                                        (
+                                            (
+                                                (
+                                                    F.element_at(acc["win"], 1)["h"]
+                                                    * _PORT_BASE
+                                                    + sp
+                                                )
+                                                % _PORT_M
+                                            )
+                                            * F.element_at(acc["win"], 2)["p"]
+                                            + F.element_at(acc["win"], 2)["h"]
+                                        )
+                                        % _PORT_M
+                                        * _PORT_BASE
+                                        + sp
+                                    )
+                                    % _PORT_M
+                                )
+                                * hp["p"]
+                                + hp["h"]
+                            )
+                            % _PORT_M
+                        ),
+                    ),
+                )
+                .otherwise(acc["out"])
+                .alias("out"),
+            ),
+        )
+
+    return F.aggregate(
+        toks,
+        F.struct(
+            F.array().cast("array<struct<h:bigint,p:bigint>>").alias("win"),
+            F.array().cast("array<bigint>").alias("out"),
+        ),
+        step,
+        lambda acc: acc["out"],
+    )
+
+
 def minhash_signature(shingles: Column, n_hashes: int = HASH_COUNT) -> Column:
     """64 independent minhashes in one pass: each shingle is char-hashed
     once (the portable polynomial family below), then hash_i =
@@ -142,11 +239,18 @@ def minhash_near_dups(
     # transform/aggregate higher-order expression (interpreted, no
     # codegen), explode + groupBy stays inside whole-stage codegen and
     # gets map-side partial aggregation — the shuffle carries 64×8 bytes
-    # per doc regardless of document size
-    sh = (
-        base.filter(F.size(F.split(F.col("text"), " +")) >= 3)
-        .select("id", F.explode(word_shingles(F.col("text"))).alias("s"))
-        .select("id", portable_token_hash(F.col("s")).alias("h"))
+    # per doc regardless of document size. Shingle hashes come from the
+    # composed per-token fold (r14, see shingle_hash_array): same values
+    # as hashing the shingle STRINGS, ~3× less interpreted char-folding.
+    # array_distinct on the hash VALUES replaces the string-level
+    # distinct — duplicates are harmless under min() anyway, the dedup
+    # only trims the ×64 _port_mix work; docs with <3 tokens yield an
+    # empty array, which explode drops (the former explicit filter).
+    sh = base.select(
+        "id",
+        F.explode(
+            F.array_distinct(shingle_hash_array(F.split(F.col("text"), " +")))
+        ).alias("h"),
     )
     mins = [
         F.min(_port_mix(F.col("h"), F.lit(i).cast("long"))).alias(f"m{i}")
@@ -225,10 +329,13 @@ def minhash_cap_audit(
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")).repartition(
         df.sparkSession.sparkContext.defaultParallelism
     )
-    sh = (
-        base.filter(F.size(F.split(F.col("text"), " +")) >= 3)
-        .select("id", F.explode(word_shingles(F.col("text"))).alias("s"))
-        .select("id", portable_token_hash(F.col("s")).alias("h"))
+    # same composed shingle-hash fold as minhash_near_dups (r14) — the
+    # audit must share the exact signature/banding equality classes
+    sh = base.select(
+        "id",
+        F.explode(
+            F.array_distinct(shingle_hash_array(F.split(F.col("text"), " +")))
+        ).alias("h"),
     )
     mins = [
         F.min(_port_mix(F.col("h"), F.lit(i).cast("long"))).alias(f"m{i}")
@@ -376,11 +483,22 @@ def simhash_near_dups(
     # SWAR-packed 32-aggregate variant was measured slower: the extra
     # shift/multiply per element costs more than the narrower agg
     # buffer saves.)
-    th = base.select("id", F.explode(F.split(F.col("text"), " +")).alias("tok")).select(
-        "id", portable_token_hash(F.col("tok")).alias("th")
+    # r14: fold each DISTINCT (id, token) once and weight by its count —
+    # Σ_occurrences ±1 == Σ_distinct cnt·(±1) exactly, and the fixture-
+    # typical ~2.3× token repetition means ~2.3× less interpreted char
+    # folding and ×64 sign evaluation (guide §4.2). The (id, tok)
+    # aggregation dedups map-side (a doc's tokens never span partitions),
+    # so the added exchange carries only distinct tokens per doc.
+    th = (
+        base.select("id", F.explode(F.split(F.col("text"), " +")).alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("cnt"))
+        .select("id", portable_token_hash(F.col("tok")).alias("th"), "cnt")
     )
     bit_sums = [
-        F.sum(_port_bit_sign(F.col("th"), F.lit(b).cast("long"))).alias(f"s{b}")
+        F.sum(_port_bit_sign(F.col("th"), F.lit(b).cast("long")) * F.col("cnt")).alias(
+            f"s{b}"
+        )
         for b in range(HASH_COUNT)
     ]
     packed = sum(
