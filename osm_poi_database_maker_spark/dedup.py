@@ -606,11 +606,18 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                 cand.alias("label"),
                 (cand < F.col("label")).alias("__chg"),
             )
-            .localCheckpoint(eager=True)  # cut the growing lineage per round
+            # lazy checkpoint + one full-scan aggregate: the SAME job
+            # materializes the round's frame (cutting lineage) AND
+            # answers the convergence probe — one job per round instead
+            # of the former eager-checkpoint job plus a count job (r14,
+            # the ops/recursion.py flags pattern)
+            .localCheckpoint(eager=False)
         )
-        changed = new_labels.filter(F.col("__chg")).limit(1).count()
+        changed = new_labels.agg(
+            F.max(F.col("__chg").cast("int")).alias("c")
+        ).collect()[0]["c"]
         labels = new_labels.drop("__chg")
-        if changed == 0:
+        if not changed:
             break
     else:
         # exhausting max_iters without a fixpoint means labels (and the

@@ -2411,7 +2411,16 @@ def q_emb_mutual_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..similarity import knn_graph
 
     e = load_table(spark, sf_dir, "embeddings")
-    nn = knn_graph(e, k=_MUTUAL_K).select("vec_id", "neighbor_id")
+    # materialize the n·k-row edge list once (r14, interleaved A/B
+    # 6.3→5.2 s at sf0.1): the mutuality semi-join consumes this frame
+    # on both sides, and without the barrier the blocked-matmul kNN —
+    # the one expensive subtree — executes twice in the edge-build job
+    # (exchange reuse only recovers part of it)
+    nn = (
+        knn_graph(e, k=_MUTUAL_K)
+        .select("vec_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
     rev = nn.select(
         F.col("neighbor_id").alias("vec_id"), F.col("vec_id").alias("neighbor_id")
     )
