@@ -41,21 +41,24 @@ def q_orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact distinct count, and min/max rendered as strings — the data-
     contract check run before a table enters a training mixture.
 
-    Plan: ONE aggregation computes every metric (Spark plans the multiple
-    ``count(DISTINCT ...)`` via Expand + two-phase hash aggregate — rows
-    are replicated ×|columns| map-side, but the shuffle carries only
-    partial aggregates, never raw rows, so this scales as one pass over
-    the table); the wide 1-row result is then unpivoted driver-free with
-    ``stack``. At 100 TB the expand factor is the knob: profile column
-    batches of ~8 per pass, or swap exact distinct for HLL
-    (``approx_count_distinct``) — noted here, exact kept for oracle
-    parity.
+    Plan (r14 rewrite, guide §2.3): one plain aggregation computes the
+    non-distinct metrics (nulls, min/max, n_rows — no Expand), and each
+    exact distinct count runs as its own two-level aggregate over just
+    that column (map-side partial distinct → exchange of distinct
+    values → count), unioned into a 6-row side table and broadcast onto
+    the unpivoted base. The previous single-aggregation form planned
+    the six ``count(DISTINCT ...)`` via Expand — every row replicated
+    ×7 through one hash aggregate — measured 4.6 s vs 1.5 s for this
+    shape at sf0.1. At 100 TB the per-column passes are columnar scans
+    of one parquet column each and shuffle only distinct values; the
+    100 TB swap remains HLL (``approx_count_distinct``) — noted here,
+    exact kept for oracle parity. The null filter before ``distinct``
+    mirrors ``count(DISTINCT ...)``'s null exclusion.
     """
     o = load_table(spark, sf_dir, "orders")
     aggs = [F.count("*").alias("n_rows")]
     for c, numeric in _PROFILE_COLS:
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
-        aggs.append(F.countDistinct(c).alias(f"{c}__nd"))
         if numeric:
             render_min = F.round(F.min(c), 2).cast("decimal(18,2)").cast("string")
             render_max = F.round(F.max(c), 2).cast("decimal(18,2)").cast("string")
@@ -65,14 +68,32 @@ def q_orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs.append(render_min.alias(f"{c}__min"))
         aggs.append(render_max.alias(f"{c}__max"))
     wide = o.agg(*aggs)
+    nds = None
+    for c, _ in _PROFILE_COLS:
+        nd = (
+            o.select(F.col(c).alias("v"))
+            .filter(F.col("v").isNotNull())
+            .distinct()
+            .agg(F.count("*").alias("nd"))
+            .select(F.lit(c).alias("col_name"), "nd")
+        )
+        nds = nd if nds is None else nds.unionByName(nd)
     stack_args = ", ".join(
-        f"'{c}', {c}__nulls, {c}__nd, {c}__min, {c}__max" for c, _ in _PROFILE_COLS
+        f"'{c}', {c}__nulls, {c}__min, {c}__max" for c, _ in _PROFILE_COLS
     )
-    return wide.selectExpr(
+    base = wide.selectExpr(
         f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
-        "(col_name, n_nulls, n_distinct, min_repr, max_repr)",
+        "(col_name, n_nulls, min_repr, max_repr)",
         "n_rows",
-    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_repr", "max_repr")
+    )
+    return base.join(F.broadcast(nds), "col_name").select(
+        "col_name",
+        "n_rows",
+        "n_nulls",
+        F.col("nd").alias("n_distinct"),
+        "min_repr",
+        "max_repr",
+    )
 
 
 def _profile_oracle_branch(col: str, numeric: bool) -> str:
