@@ -42,6 +42,19 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _cosine_prenorm() -> Column:
+    """Per-pair cosine from a fresh dot product and PRE-COMPUTED side
+    norms (``q_norm``/``c_norm`` columns attached once per row before
+    the join). Bit-identical to :func:`cosine`: the norms are the same
+    sequential zip_with/aggregate fold evaluated earlier, and
+    ``dot / (q_norm * c_norm)`` multiplies/divides the same doubles in
+    the same order — only the EVALUATION COUNT changes (r14, guide
+    §4.2: the interpreted higher-order fold ran 3× per candidate pair,
+    re-deriving each side's norm for every pairing; now it runs once
+    per pair for the dot plus once per ROW per side for the norms)."""
+    return dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
+
+
 def cosine_topk(
     collection: DataFrame,
     queries: DataFrame,
@@ -53,10 +66,12 @@ def cosine_topk(
     broadcast queries). Deterministic rank: rounded cosine desc, id asc."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
-    c = collection.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    ).withColumn("q_norm", norm(F.col("q_vec")))
+    c = collection.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).withColumn("c_norm", norm(F.col("c_vec")))
     scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).withColumn(
-        "cosine", cosine(F.col("q_vec"), F.col("c_vec"))
+        "cosine", _cosine_prenorm()
     )
     w = Window.partitionBy("query_id").orderBy(F.desc(F.round("cosine", 6)), F.asc("neighbor_id"))
     return (
@@ -247,12 +262,21 @@ def ivf_topk(
         cell_col = F.explode(
             topcells_udf(cents, n_assign)(F.col(vec_col))
         ).alias("cell")
+    # norms attached alongside the cell generator: the generator's
+    # sibling expressions are evaluated once per INPUT row and carried
+    # through the replication, so each side's norm folds once per
+    # vector instead of once per (pair × probed cell) — see
+    # _cosine_prenorm for the bit-identity argument
     c = collection.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), cell_col
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+        cell_col,
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
         F.explode(topcells_udf(cents, n_probe)(F.col(vec_col))).alias("cell"),
     )
     cand = c.join(F.broadcast(q), "cell").filter(
@@ -264,7 +288,7 @@ def ivf_topk(
         # single assignment each neighbor lives in exactly one cell, so
         # the extra exchange is skipped)
         cand = cand.dropDuplicates(["query_id", "neighbor_id"])
-    scored = cand.withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
+    scored = cand.withColumn("cosine", _cosine_prenorm())
     w = Window.partitionBy("query_id").orderBy(F.desc(F.round("cosine", 6)), F.asc("neighbor_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -575,17 +599,22 @@ def ivf_pq_topk(
         .filter(F.col("pq_rk") <= k * rerank)
         .select("query_id", "neighbor_id")
     )
-    # exact rerank: raw vectors fetched ONLY for the shortlist
+    # exact rerank: raw vectors fetched ONLY for the shortlist; norms
+    # pre-folded per row (see _cosine_prenorm)
     qv = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
     )
     cv = collection.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
     )
     scored = (
         shortlist.join(cv, "neighbor_id")
         .join(F.broadcast(qv), "query_id")
-        .withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("cosine", _cosine_prenorm())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc(F.round("cosine", 6)), F.asc("neighbor_id")
@@ -710,11 +739,13 @@ def binary_topk(
     csig = sign_signature(collection, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
         F.col("sign_sig").alias("c_sig"),
     )
     qsig = sign_signature(queries, id_col, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
         F.col("sign_sig").alias("q_sig"),
     )
     cand = csig.join(
@@ -728,7 +759,7 @@ def binary_topk(
     short = cand.withColumn("hrk", F.row_number().over(w_h)).filter(
         F.col("hrk") <= k * rerank
     )
-    scored = short.withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
+    scored = short.withColumn("cosine", _cosine_prenorm())
     w_c = Window.partitionBy("query_id").orderBy(
         F.desc(F.round("cosine", 6)), F.asc("neighbor_id")
     )
@@ -886,9 +917,15 @@ def ann_topk(
     # projection (a small parquet file scans as one partition) and reuse
     # the same exchange for signature generation and the rerank join
     c_base = collection.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
     ).repartition("neighbor_id")
-    q_base = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    q_base = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+    )
     c = with_sigs(c_base, "neighbor_id", "c_vec")
     q = with_sigs(q_base, "query_id", "q_vec")
     cand = (
@@ -900,7 +937,7 @@ def ann_topk(
     scored = (
         cand.join(c_base, "neighbor_id")
         .join(F.broadcast(q_base), "query_id")
-        .withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("cosine", _cosine_prenorm())
     )
     w = Window.partitionBy("query_id").orderBy(F.desc(F.round("cosine", 6)), F.asc("neighbor_id"))
     return (
