@@ -166,6 +166,71 @@ def shingle_hash_array(toks: Column) -> Column:
     )
 
 
+def distinct_shingle_hash_array(toks: Column) -> Column:
+    """array<long> of portable 3-word-shingle hashes over the DISTINCT
+    shingle STRINGS of a token array — value-identical to hashing each
+    element of :func:`word_shingles` (which dedups the k-gram strings)
+    with :func:`portable_token_hash`, but each token is char-folded
+    exactly once (same composition lemma as :func:`shingle_hash_array`).
+
+    The dedup must match string-level distinctness EXACTLY (the Bloom
+    decontamination oracle counts distinct shingle strings, and the
+    portable hash is only ~31 bits — intra-doc collisions of DIFFERENT
+    strings are a real possibility at scale, so distinct-by-hash would
+    silently shrink ``n_sh``). The fold therefore also carries the
+    token strings and emits ``struct<s, h>`` pairs; ``array_distinct``
+    over the structs equals distinct-by-``s`` because ``h`` is a pure
+    function of ``s`` (equal strings can never carry different hashes,
+    so no two structs share ``s`` and differ in ``h``), and the final
+    ``transform`` projects the hashes of the distinct strings — the
+    identical multiset the string formulation produced. The concat_ws
+    per window is retained (string building is cheap); only the
+    per-char interpreted re-fold (~3× per char, plus the per-shingle
+    re-split) is eliminated."""
+    sp = F.lit(32).cast("long")  # ascii(' ')
+
+    def step(acc: Column, w: Column) -> Column:
+        def finish(hp: Column) -> Column:
+            entry = F.struct(
+                hp["h"].alias("h"), hp["p"].alias("p"), w.alias("w")
+            )
+            w1, w2 = F.element_at(acc["win"], 1), F.element_at(acc["win"], 2)
+            # H(w1 ⧺ ' ' ⧺ w2 ⧺ ' ' ⧺ w) by the composition lemma
+            h12 = ((w1["h"] * _PORT_BASE + sp) % _PORT_M * w2["p"] + w2["h"]) % _PORT_M
+            h123 = ((h12 * _PORT_BASE + sp) % _PORT_M * hp["p"] + hp["h"]) % _PORT_M
+            shingle = F.struct(
+                F.concat_ws(" ", w1["w"], w2["w"], w).alias("s"),
+                h123.alias("h"),
+            )
+            full = F.size(acc["win"]) == 2
+            return F.struct(
+                F.when(full, F.concat(F.slice(acc["win"], 2, 1), F.array(entry)))
+                .otherwise(F.concat(acc["win"], F.array(entry)))
+                .alias("win"),
+                F.when(full, F.concat(acc["out"], F.array(shingle)))
+                .otherwise(acc["out"])
+                .alias("out"),
+            )
+
+        return F.aggregate(
+            F.split(w, ""),
+            F.struct(F.lit(0).cast("long").alias("h"), F.lit(1).cast("long").alias("p")),
+            _char_hp_step,
+            finish,
+        )
+
+    folded = F.aggregate(
+        toks,
+        F.struct(
+            F.array().cast("array<struct<h:bigint,p:bigint,w:string>>").alias("win"),
+            F.array().cast("array<struct<s:string,h:bigint>>").alias("out"),
+        ),
+        step,
+        lambda acc: acc["out"],
+    )
+    return F.transform(F.array_distinct(folded), lambda z: z["h"])
+
+
 def minhash_signature(shingles: Column, n_hashes: int = HASH_COUNT) -> Column:
     """64 independent minhashes in one pass: each shingle is char-hashed
     once (the portable polynomial family below), then hash_i =

@@ -1029,24 +1029,32 @@ def q_doc_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~3 s for this form; the bitmask kills that shuffle entirely.) The
     exact-membership audit join reuses the eval hash set the Bloom
     replaces, at fixture scale where that's free."""
-    from ..dedup import _PORT_A, _PORT_M, _port_mix, portable_token_hash, word_shingles
+    from ..dedup import _PORT_A, _PORT_M, _port_mix, distinct_shingle_hash_array
 
     # two measured guards on the shingle stage: (1) spread DOCS across
     # cores BEFORE the k-gram construction (a small parquet file scans
     # as ONE partition — measured 8.4 s single-slot vs ~1.7 s spread at
     # sf0.1; shuffling raw doc rows round-robin beat a post-split
     # repartition("doc_id") barrier carrying token arrays, 1.7 s vs
-    # 2.9 s, so the split inlining is the cheaper side here); (2) docs
-    # under 3 tokens are excluded — same guard as minhash — because
-    # word_shingles would emit a SHORTER shingle for them (concat_ws
-    # skips nulls) while the oracle's range() emits none.
+    # 2.9 s, so the split inlining is the cheaper side here); (2) the
+    # shingle hashes come from the composed per-token fold over the
+    # DISTINCT shingle strings (r14, dedup.distinct_shingle_hash_array
+    # — value-identical to word_shingles + portable_token_hash
+    # including string-level distinctness, ~3× less interpreted char
+    # folding), whose empty array for <3-token docs replaces the
+    # former explicit filter — word_shingles would emit a SHORTER
+    # shingle for them (concat_ws skips nulls) while the oracle's
+    # range() emits none.
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
     sh = (
-        d.filter(F.size(F.split(F.col("text"), " +")) >= 3)
-        .select("doc_id", F.explode(word_shingles(F.col("text"))).alias("s"))
-        .select("doc_id", portable_token_hash(F.col("s")).alias("h0"))
+        d.select(
+            "doc_id",
+            F.explode(
+                distinct_shingle_hash_array(F.split(F.col("text"), " +"))
+            ).alias("h0"),
+        )
         .localCheckpoint(eager=False)
     )
     is_eval = (F.col("doc_id") % _EVAL_MOD) == _EVAL_REM

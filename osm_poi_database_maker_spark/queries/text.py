@@ -1854,28 +1854,40 @@ def q_doc_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc before/after token accounting and a 50-char prefix of the
     cleaned text for every doc the transform actually changed.
 
-    Spark side is a pure ARRAY expression — filter(tokens, (x, i) ->
-    i = 0 OR x ≠ get(tokens, i−1)) — one row in, one row out, no
-    explode, no window: at 100 TB this is a map-only pass (plus the one
-    materialization exchange below), exactly what an inline cleaning
-    stage must be. (get() is the 0-based null-safe accessor, so the
-    i = 0 head needs no special case: `true OR null` is true.) The
-    token array MUST materialize behind an optimizer barrier first: the
-    lambda references the array once per ELEMENT via get(), so
-    CollapseProject would inline the split() into every reference —
-    O(tokens²) re-splits per doc, measured 10.5 s vs ~1 s at sf0.1 (the
-    repo's standing CollapseProject trap, worst instance yet). The
-    oracle has no indexed array lambda, so it replays the identical
+    Spark side is a pure ARRAY expression — zip each token with its
+    predecessor (a slice-shifted copy of the array, NULL-headed) and
+    keep tokens that differ from the predecessor — one row in, one row
+    out, no explode, no window: at 100 TB this is a map-only pass,
+    exactly what an inline cleaning stage must be. (split() never
+    yields NULL elements, so a NULL predecessor uniquely marks the
+    head; `NULL-pred OR x ≠ pred` keeps it, matching the previous
+    indexed form's i = 0 branch.)
+
+    r14 rewrite (guide §2.4 — remove shuffles outright): the previous
+    form compared via ``get(tokens, i−1)`` INSIDE the filter lambda —
+    one whole-array reference per ELEMENT — so CollapseProject would
+    inline the split() into every reference (O(tokens²) re-splits per
+    doc, measured 10.5 s vs ~1 s at sf0.1) and a repartition("doc_id")
+    exchange had to stand as an optimizer barrier. The shifted-array
+    form references the array a BOUNDED number of times (≤6 after
+    inlining, linear work), so the barrier — a full shuffle of the
+    token arrays — is dropped; interpreted-projection subexpression
+    elimination additionally evaluates the shared `kept` tree once.
+    The oracle has no array lambda at all: it replays the identical
     semantics relationally (unnest WITH ORDINALITY + lag window +
-    ordered string_agg) — same result, different idiom, which is itself
-    evidence the semantics are engine-independent."""
-    d = load_table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.split(F.col("text"), " +").alias("t")
-    ).repartition("doc_id")
+    ordered string_agg) — same result, different idiom, which is
+    itself evidence the semantics are engine-independent."""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tok = d.select("doc_id", F.split(F.col("text"), " +").alias("t"))
     t = F.col("t")
+    prev = F.concat(
+        F.array(F.lit(None).cast("string")), F.slice(t, 1, F.size(t) - 1)
+    )
     kept = F.filter(
-        t, lambda x, i: (i == F.lit(0)) | (x != F.get(t, i - F.lit(1)))
+        F.zip_with(t, prev, lambda x, p: F.when(p.isNull() | (x != p), x)),
+        lambda x: x.isNotNull(),
     )
     return (
         tok.select(

@@ -248,3 +248,78 @@ def test_curation_autoroute_row_identity(spark, tmp_path):
     auto_stock = _rows(curation_with_neardup(spark, SF_SMOKE))
     direct_stock = _rows(curation_with_neardup(spark, SF_SMOKE, collapsed=False))
     assert auto_stock == direct_stock and len(auto_stock) > 0
+
+
+def test_distinct_shingle_hash_matches_string_path(spark):
+    """The r14 composed-fold distinct shingle hashes must equal hashing
+    the DISTINCT shingle STRINGS (word_shingles + portable_token_hash)
+    value-for-value and order-for-order — including the leading/trailing
+    empty-token shingles, duplicated shingles (distinct by string, not
+    by multiset), and the <3-token empty-array gate the explicit filter
+    used to provide."""
+    from pyspark.sql import functions as F
+
+    from osm_poi_database_maker_spark.dedup import (
+        distinct_shingle_hash_array,
+        portable_token_hash,
+        word_shingles,
+    )
+
+    texts = [
+        "a b c ",
+        " a b c",
+        "x y x y x y z",
+        "spam spam spam spam",
+        "a",
+        "",
+        "  ",
+        "t1 t2 t3 t1 t2 t3 t1 t2 t3",
+        "a b",
+        "one two three four five",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    ge3 = F.size(F.split("text", " +")) >= 3
+    rows = df.select(
+        "text",
+        F.when(
+            ge3,
+            F.transform(
+                word_shingles(F.col("text")), lambda s: portable_token_hash(s)
+            ),
+        )
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("old"),
+        distinct_shingle_hash_array(F.split("text", " +")).alias("new"),
+    ).collect()
+    for r in rows:
+        assert list(r.old) == list(r.new), r.text
+
+
+def test_collapse_repeats_shifted_zip_matches_indexed_form(spark):
+    """The r14 shifted-array zip_with formulation of
+    doc_collapse_repeats must be row-identical to the previous
+    get(t, i−1) indexed-lambda formulation (which needed a shuffle
+    barrier against CollapseProject's quadratic re-split)."""
+    from pyspark.sql import functions as F
+
+    from osm_poi_database_maker_spark.io import load_table
+    from osm_poi_database_maker_spark.queries.text import q_doc_collapse_repeats
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    tok = d.select("doc_id", F.split(F.col("text"), " +").alias("t")).repartition(
+        "doc_id"
+    )
+    t = F.col("t")
+    kept = F.filter(t, lambda x, i: (i == F.lit(0)) | (x != F.get(t, i - F.lit(1))))
+    old = (
+        tok.select(
+            "doc_id",
+            F.size(t).alias("n_tokens"),
+            F.size(kept).alias("n_after"),
+            (F.size(t) - F.size(kept)).alias("n_removed"),
+            F.substring(F.concat_ws(" ", kept), 1, 50).alias("cleaned_prefix"),
+        )
+        .filter(F.col("n_removed") > 0)
+        .orderBy("doc_id")
+    )
+    assert _rows(old) == _rows(q_doc_collapse_repeats(spark, SF_SMOKE))
