@@ -772,13 +772,26 @@ def q_customer_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = sigs.select(
         F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b"), "sig"
     )
+    # r14 verify-stage reshape (guide §2.3, measured stage volumes at
+    # sf0.1: 223.5k sig rows → 977.5k joined candidates → 956k distinct
+    # pairs → 262.5k verified): (1) verification runs BEFORE the dedup,
+    # so the distinct shuffles only the ~27% of candidate rows that
+    # survive — and carries (key_a, key_b, dist) instead of two name
+    # strings (~4× narrower rows); re-verifying the ~2% duplicated
+    # candidates is far cheaper than shuffling the 73% non-matches.
+    # (2) the banded threshold form levenshtein(a, b, 1) computes an
+    # O(len·1) diagonal band instead of the O(len²) DP — it returns the
+    # EXACT distance whenever that distance is ≤ 1 and −1 otherwise, so
+    # `dist >= 0` keeps precisely the `dist <= 1` rows with identical
+    # dist values. Dedup on (key_a, key_b, dist) ≡ on (key_a, key_b):
+    # dist is a function of the pair.
     pairs = (
         left.join(right, "sig")
         .filter(F.col("key_a") < F.col("key_b"))
-        .select("key_a", "key_b", "name_a", "name_b")
+        .withColumn("dist", F.levenshtein("name_a", "name_b", 1))
+        .filter(F.col("dist") >= 0)
+        .select("key_a", "key_b", "dist")
         .distinct()
-        .withColumn("dist", F.levenshtein("name_a", "name_b"))
-        .filter(F.col("dist") <= 1)
     )
     # checksum accumulates in decimal(38,0) and reduces mod 2³¹−1: the
     # raw Σ(key·1000003+key) passes 2⁶³ once custkey ≈ 1.5e7 meets ~6e5
