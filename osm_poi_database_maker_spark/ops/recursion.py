@@ -31,7 +31,11 @@ from pyspark.sql import functions as F
 
 
 def _doubling_closure(
-    edges: DataFrame, max_rounds: int, detect_cycles: bool, caller: str
+    edges: DataFrame,
+    max_rounds: int,
+    detect_cycles: bool,
+    caller: str,
+    dedup_edges: bool = True,
 ) -> DataFrame:
     """Shared semi-naive pointer-doubling loop over ``(node, anc)`` edges.
 
@@ -51,24 +55,21 @@ def _doubling_closure(
     so this is the exact acyclicity guard (and fires in O(log cycle-len)
     rounds instead of only at ``max_rounds`` exhaustion).
     """
-    closure = (
-        edges.select(
-            F.col("node").cast("long").alias("node"),
-            F.col("anc").cast("long").alias("ancestor"),
-            F.lit(1).cast("long").alias("dist"),
-        )
-        .groupBy("node", "ancestor")
-        .agg(F.min("dist").alias("dist"))
-        .localCheckpoint(eager=False)
+    closure = edges.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("anc").cast("long").alias("ancestor"),
+        F.lit(1).cast("long").alias("dist"),
     )
-    if detect_cycles:
-        # a self-loop edge is a cycle the delta loop would never flag
-        # (its composed dists are never improvements over dist 1)
-        if closure.filter(F.col("node") == F.col("ancestor")).limit(1).count():
-            raise RuntimeError(
-                f"{caller} did not converge: cyclic input "
-                "(self-loop edge — a node is its own ancestor)"
-            )
+    if dedup_edges:
+        # multi-parent inputs may repeat (node, anc); a functional graph
+        # (ancestor_closure's contract: ≤ 1 parent edge per node) cannot,
+        # so its caller skips this shuffle (r14, guide §2.1)
+        closure = closure.groupBy("node", "ancestor").agg(F.min("dist").alias("dist"))
+    closure = closure.localCheckpoint(eager=False)
+    # Self-loop edges (the cycle the delta loop's improvements would
+    # never flag) surface as (n, n, 1) rows of round 0's aggregated
+    # frame, so the `any_self` flag below catches them — no upfront
+    # probe job (r14: one job per closure query removed).
     delta = closure
     improved = F.col("old").isNull() | (F.col("dist") < F.col("old"))
     for rnd in range(max_rounds + 1):
@@ -135,7 +136,13 @@ def ancestor_closure(edges: DataFrame, max_rounds: int = 12) -> DataFrame:
     iterations.
     """
     return _doubling_closure(
-        edges, max_rounds, detect_cycles=True, caller="ancestor_closure"
+        edges,
+        max_rounds,
+        detect_cycles=True,
+        caller="ancestor_closure",
+        # functional graph: ≤ 1 parent edge per node, so (node, anc)
+        # pairs are unique by contract — no dedup shuffle needed
+        dedup_edges=False,
     )
 
 

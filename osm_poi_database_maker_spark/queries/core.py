@@ -759,15 +759,18 @@ def q_customer_dag_min_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_custkey").cast("long").alias("node"))
         .filter(F.col("node") >= 2)
     )
-    edges = (
-        c.select(
-            "node",
-            F.explode(F.array(F.expr("node div 2"), F.expr("node div 3"))).alias("anc"),
-        )
-        .filter(F.col("anc") >= 1)
-        .distinct()
-    )
+    edges = c.select(
+        "node",
+        F.explode(F.array(F.expr("node div 2"), F.expr("node div 3"))).alias("anc"),
+    ).filter(F.col("anc") >= 1)
+    # min_dist_closure dedups (node, anc) itself (its initial min-dist
+    # groupBy), so the query-side .distinct() was a second identical
+    # shuffle — removed r14.
     clo = min_dist_closure(edges)
+    # (A hand-split two-level (dist, node) aggregation was A/B'd r14 and
+    # measured flat: Spark already plans this single-distinct aggregate
+    # as partial-on-(dist,node) → merge, no Expand — kept the clearer
+    # form.)
     return (
         clo.groupBy("dist")
         .agg(
