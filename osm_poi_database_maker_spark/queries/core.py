@@ -3958,11 +3958,15 @@ def q_late_sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), F.col("blamed_supp") == s.s_suppkey)
         .select(F.col("blamed_supp").alias("suppkey"), "s_name", "numwait")
     )
+    # orderBy().limit(20) compiles to TakeOrderedAndProject — partial
+    # per-partition top-k, no single-partition WindowExec sort of the
+    # |suppliers|-row frame (r14, guide §2.5; same rewrite as
+    # emb_zscore_ood). The row_number window then ranks only the 20
+    # survivors — identical rows and rk under the same total order.
+    top = ranked.orderBy(F.desc("numwait"), F.asc("suppkey")).limit(20)
     w = Window.orderBy(F.desc("numwait"), F.asc("suppkey"))
-    return (
-        ranked.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
-        .select("suppkey", "s_name", "numwait", "rk")
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "suppkey", "s_name", "numwait", "rk"
     )
 
 

@@ -2965,10 +2965,15 @@ def q_events_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     counts = e.groupBy("user_id").agg(F.count("*").alias("n"))
+    # orderBy().limit(k) → TakeOrderedAndProject instead of ranking the
+    # |users|-row count table through a single-partition WindowExec
+    # (r14, guide §2.5); the row_number then ranks only the k survivors
+    # — identical rows under the same deterministic total order.
     w = Window.orderBy(F.desc("n"), F.asc("user_id"))
     dim = (
-        counts.withColumn("hot_rank", F.row_number().over(w))
-        .filter(F.col("hot_rank") <= _HOT_USERS)
+        counts.orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(_HOT_USERS)
+        .withColumn("hot_rank", F.row_number().over(w))
         .select("user_id", "hot_rank")
     )
     joined = salted_join(

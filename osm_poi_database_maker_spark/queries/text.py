@@ -2244,6 +2244,14 @@ def q_doc_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     novel = owners.groupBy(F.col("first_owner").alias("doc_id")).agg(
         F.count("*").alias("n_new")
     )
+    # Honest bound: the cumulative window runs the |docs|-row rollup
+    # through one task — fine through ~10⁸ docs (8 B counters). Past
+    # that, swap in the curation module's two-pass prefix pattern
+    # (`_range_pid` bucket + per-bucket cumsum + |buckets|-row offset
+    # table); the sums are integers, so the split is exact. Measured
+    # r14: the two-pass form is 0.60 → 1.31 s at sf0.1 (the boundary
+    # sample job + two extra shuffles dwarf a 5 000-row window), so the
+    # single-window form stays until the input warrants it.
     w_cum = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
     curve = (
         per_doc.join(novel, "doc_id", "left")
