@@ -22,11 +22,18 @@ Scale notes (the whole point of LSH):
 Plan-shape notes (these matter more than the math):
 * each shingle/token is string-hashed ONCE to a 64-bit long; the 64 hash
   functions are cheap long-hashes of (i, h) — not 64 string hashes;
-* signatures are computed as explode + 64 plain aggregates rather than
+* signatures are computed as explode + plain aggregates rather than
   ``transform``/``aggregate`` higher-order expressions: HOFs are
   interpreted per-element (no whole-stage codegen), while explode +
   groupBy is fully codegen'd and gets map-side partial aggregation, so
-  the signature shuffle carries 64×8 bytes per doc regardless of size;
+  the signature shuffle carries 64×8 bytes per doc regardless of size.
+  MinHash keeps the single 64-min-aggregate groupBy (its generated
+  update method is 3854 bytecodes — under HotSpot's 8000 JIT ceiling —
+  and a bit-exploded two-level variant measured SLOWER steady-state);
+  SimHash explodes the 64 bit indexes into rows and aggregates in two
+  levels, because its 64 sum-of-CASE aggregates generated a
+  9140-bytecode method that HotSpot refuses to JIT (see
+  ``simhash_near_dups``);
 * signatures are materialized behind a trailing ``repartition`` exchange
   that every consumer (both band-join sides, both verify-side rejoins)
   reads via ReuseExchange — the aggregation runs exactly once. Without
@@ -520,6 +527,64 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, sh): the 64-bit SimHash fingerprint of every document —
+    value-identical to ``simhash64(text)`` per row (pytest-pinned), but
+    computed as a distributed aggregate pipeline instead of a per-row
+    higher-order fold, so each token is char-hashed once per DISTINCT
+    (doc, token) and the whole path stays inside whole-stage codegen
+    with map-side partial aggregation."""
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # r14: fold each DISTINCT (id, token) once and weight by its count —
+    # Σ_occurrences ±1 == Σ_distinct cnt·(±1) exactly, and the fixture-
+    # typical ~2.3× token repetition means ~2.3× less interpreted char
+    # folding and ×64 sign evaluation (guide §4.2). The (id, tok)
+    # aggregation dedups map-side (a doc's tokens never span partitions),
+    # so the added exchange carries only distinct tokens per doc.
+    th = (
+        base.select("id", F.explode(F.split(F.col("text"), " +")).alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("cnt"))
+        .select("id", portable_token_hash(F.col("tok")).alias("th"), "cnt")
+    )
+    # r14 opt round 1: the former single groupBy(id) with 64 sum-aggregates
+    # (one CASE + Lehmer mix per bit) generated a 9140-bytecode method —
+    # above HotSpot's 8000-bytecode JIT ceiling (-XX:-DontCompileHugeMethods
+    # default), so the per-row aggregate update ran INTERPRETED for the
+    # life of the JVM, and the plan cost ~320 KB of Janino source per
+    # session (CodegenMetrics). Exploding the 64 bit indexes into rows and
+    # aggregating in two levels keeps whole-stage codegen + map-side
+    # partial aggregation with tiny generated methods (max 457 bytecodes,
+    # 19 KB source, all JIT-able): same-session interleaved A/B at sf0.1
+    # reads 8.17 → 4.19 s median over 7 paired rounds, and the first run
+    # (Janino compile included) drops 12.9 → 4.8 s. Values are identical:
+    # s_b = Σ cnt·sign_b unchanged, and the per-bit masks are disjoint so
+    # summing them == bitwise OR (b=63's mask is Long.MIN — in two's
+    # complement shiftleft(1L, 63) IS that sign-bit mask, matching
+    # _BIT_MASKS[63]). The (id, b) partial aggregate collapses to ≤ 64
+    # rows per doc per partition before the exchange, so the added
+    # shuffle carries ~24 bytes × 64 per doc — noise next to the token
+    # explode above it.
+    b = F.col("b")
+    bits = th.select(
+        "id",
+        "th",
+        "cnt",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(HASH_COUNT - 1).cast("long"))
+        ).alias("b"),
+    )
+    sbb = bits.groupBy("id", "b").agg(
+        F.sum(_port_bit_sign(F.col("th"), b) * F.col("cnt")).alias("s")
+    )
+    mask = F.expr("shiftleft(cast(1 as bigint), cast(b as int))")
+    return sbb.groupBy("id").agg(
+        F.sum(F.when(F.col("s") > 0, mask).otherwise(F.lit(0).cast("long"))).alias("sh")
+    )
+
+
 def simhash_near_dups(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -541,39 +606,7 @@ def simhash_near_dups(
     signature is cheap enough to carry through the band join (unlike
     the MinHash array), so no verify-side rejoin is needed.
     """
-    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")).repartition(df.sparkSession.sparkContext.defaultParallelism)
-    # simhash via explode + 64 plain sum-aggregates (codegen + map-side
-    # partial agg; see the MinHash pipeline for why not a higher-order
-    # expression), then pack the 64 sign bits into one long. (A
-    # SWAR-packed 32-aggregate variant was measured slower: the extra
-    # shift/multiply per element costs more than the narrower agg
-    # buffer saves.)
-    # r14: fold each DISTINCT (id, token) once and weight by its count —
-    # Σ_occurrences ±1 == Σ_distinct cnt·(±1) exactly, and the fixture-
-    # typical ~2.3× token repetition means ~2.3× less interpreted char
-    # folding and ×64 sign evaluation (guide §4.2). The (id, tok)
-    # aggregation dedups map-side (a doc's tokens never span partitions),
-    # so the added exchange carries only distinct tokens per doc.
-    th = (
-        base.select("id", F.explode(F.split(F.col("text"), " +")).alias("tok"))
-        .groupBy("id", "tok")
-        .agg(F.count("*").alias("cnt"))
-        .select("id", portable_token_hash(F.col("tok")).alias("th"), "cnt")
-    )
-    bit_sums = [
-        F.sum(_port_bit_sign(F.col("th"), F.lit(b).cast("long")) * F.col("cnt")).alias(
-            f"s{b}"
-        )
-        for b in range(HASH_COUNT)
-    ]
-    packed = sum(
-        [
-            F.when(F.col(f"s{b}") > 0, F.lit(m).cast("long")).otherwise(F.lit(0).cast("long"))
-            for b, m in enumerate(_BIT_MASKS)
-        ],
-        F.lit(0).cast("long"),
-    )
-    h = th.groupBy("id").agg(*bit_sums).select("id", packed.alias("sh"))
+    h = simhash_fingerprints(df, id_col, text_col)
     bands = F.array(
         *[
             F.struct(

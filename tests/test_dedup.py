@@ -72,6 +72,35 @@ def test_simhash_banding_matches_bruteforce(spark):
     assert not any(4 in p for p in got)  # far content never pairs
 
 
+def test_simhash_fingerprint_pipeline_matches_expression(spark):
+    """The two-level exploded-bit aggregate (r14 opt: replaces the 64
+    sum-aggregates whose generated update method exceeded HotSpot's
+    8000-bytecode JIT ceiling) must produce fingerprints bit-identical
+    to the per-row ``simhash64`` expression — including the count
+    weighting of repeated tokens (Σ_occurrences ±1 == Σ_distinct
+    cnt·(±1)) and the b=63 sign-bit mask (shiftleft(1L, 63) ==
+    Long.MIN == _BIT_MASKS[63])."""
+    from osm_poi_database_maker_spark.dedup import simhash64, simhash_fingerprints
+
+    rows = [
+        (1, "alpha beta gamma alpha alpha beta"),  # heavy repetition
+        (2, "alpha beta gamma"),                    # same vocab, diff counts
+        (3, "  leading  spaces   and gaps "),       # split('', ' +') edges
+        (4, "one-token"),
+        (5, ""),                                    # empty text
+    ] + [(100 + i, f"word{i} " * (i + 1) + f"tail{i} mid{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    expr_fp = {
+        r.doc_id: r.sh
+        for r in df.select("doc_id", simhash64(F.col("text")).alias("sh")).collect()
+    }
+    pipe_fp = {r.id: r.sh for r in simhash_fingerprints(df).collect()}
+    assert pipe_fp == expr_fp
+    # the sign-bit path must actually be exercised: some fingerprint has
+    # bit 63 set (reads negative as a signed long)
+    assert any(v < 0 for v in pipe_fp.values())
+
+
 def test_dedup_clusters_transitive(spark):
     from osm_poi_database_maker_spark.dedup import dedup_clusters
 
