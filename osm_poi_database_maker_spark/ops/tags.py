@@ -120,10 +120,23 @@ def _hstore_escape(c: Column) -> Column:
 
     Mirrors the reference's sanitizer (``filter.py:92-100``): backslash and
     double-quote get a backslash prefix; newline/CR/tab become spaces.
+
+    r14 opt round 1: literal ``replace``/``translate`` instead of
+    ``regexp_replace`` — the patterns are single literal characters (the
+    former ``[\n\r\t]`` class maps each member to one space, exactly
+    ``translate``'s per-character semantics), so values are identical
+    (2M-row dense-special-char equality check + the hypothesis hstore
+    round-trip pin). Measured FLAT in this expression's interpreted
+    position inside the ``transform`` lambda (1.11 vs 1.10 s medians
+    over 2M rows ×2 — Java's precompiled single-char regexes are
+    competitive there); kept because it aligns both escape chains on
+    the literal-operator form whose codegen'd instance measured 2.3×
+    faster in ``copy_escape`` and shrinks the generated code wherever
+    this chain is inlined outside a lambda.
     """
-    c = F.regexp_replace(c, r"\\", r"\\\\")
-    c = F.regexp_replace(c, '"', '\\\\"')
-    c = F.regexp_replace(c, "[\n\r\t]", " ")
+    c = F.replace(c, F.lit("\\"), F.lit("\\\\"))
+    c = F.replace(c, F.lit('"'), F.lit('\\"'))
+    c = F.translate(c, "\n\r\t", "   ")
     return c
 
 

@@ -25,6 +25,29 @@ def test_render_copy_rows_golden(spark):
     assert "15" not in lines and "5" not in lines
 
 
+def test_copy_escape_literal_chain_golden(spark):
+    r"""Byte-level pin of copy_escape (r14 opt: literal replace chain
+    replaced the regexp_replace chain — same all-occurrence left-to-right
+    semantics): backslash doubles FIRST, so the backslashes introduced by
+    the control-char escapes are never re-doubled; every special char and
+    the empty string are covered."""
+    from osm_poi_database_maker_spark.sink import copy_escape
+
+    rows = [
+        ("a\\b", "a\\\\b"),          # backslash doubles
+        ("a\tb", "a\\tb"),           # tab -> \t
+        ("a\nb", "a\\nb"),           # newline -> \n
+        ("a\rb", "a\\rb"),           # CR -> \r
+        ("\\\t\n\r", "\\\\\\t\\n\\r"),  # all four stacked
+        ("\\t", "\\\\t"),            # literal backslash-t: doubled, t kept
+        ("", ""),
+        ("plain", "plain"),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in rows], "s string")
+    got = [r.e for r in df.select(copy_escape(F.col("s")).alias("e")).collect()]
+    assert got == [e for _, e in rows]
+
+
 def test_copy_null_rendering(spark):
     df = spark.createDataFrame(
         [(1, None)], "id long, tags_hstore string"
