@@ -778,7 +778,8 @@ def q_customer_dag_min_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("node").alias("n_nodes"),
             F.sum("ancestor").alias("sum_anc"),
         )
-        .orderBy("dist")
+        # no trailing orderBy: the driver/oracle hash is order-insensitive,
+        # so a presentation sort is a pure extra exchange (guide §2.4)
     )
 
 
@@ -914,7 +915,7 @@ def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sum_new_price"
             ),
         )
-        .orderBy("diff_class")
+        # no trailing orderBy (order-insensitive hash; sort = wasted exchange)
     )
 
 
@@ -2403,7 +2404,7 @@ def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, l.l_orderkey == o.o_orderkey)
         .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
         .agg(F.round(F.sum(profit_c4) / F.lit(10000.0), 2).alias("profit"))
-        .orderBy("n_name", F.desc("o_year"))
+        # no trailing orderBy (order-insensitive hash; sort = wasted exchange)
     )
 
 
@@ -2478,7 +2479,7 @@ def q_important_part_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("value_c4") / 10000.0, 2).alias("value"),
             F.floor(F.col("value_c4") * 10000 / F.col("total_c4")).cast("long").alias("share_bp"),
         )
-        .orderBy(F.desc("value"), "p_partkey")
+        # no trailing orderBy (order-insensitive hash; sort = wasted exchange)
     )
 
 
@@ -2556,7 +2557,7 @@ def q_shipping_lag_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_lag_days",
             "max_lag_days",
         )
-        .orderBy("lag_bucket")
+        # no trailing orderBy (order-insensitive hash; sort = wasted exchange)
     )
 
 
@@ -2620,7 +2621,7 @@ def q_brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((F.col("p_size") - 1) / 10).cast("int").alias("size_band"),
         )
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
-        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "size_band")
+        # no trailing orderBy (order-insensitive hash; sort = wasted exchange)
     )
 
 
@@ -2700,7 +2701,7 @@ def q_excess_shipped_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         dominant.join(rs, dominant.l_suppkey == rs.s_suppkey)
         .select("s_suppkey", "s_name", "n_name", "n_dominant_parts", "dominant_qty")
-        .orderBy("s_name", "s_suppkey")
+        # no trailing orderBy (order-insensitive hash; sort = wasted exchange)
     )
 
 

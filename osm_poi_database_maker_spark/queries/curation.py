@@ -1111,7 +1111,7 @@ def q_doc_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_hit",
             (F.col("n_bloom_hit") - F.col("n_hit")).alias("n_false_pos"),
         )
-        .orderBy("doc_id")
+        # no trailing orderBy (order-insensitive hash; sort = wasted exchange)
     )
 
 

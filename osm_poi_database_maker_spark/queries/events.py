@@ -945,7 +945,7 @@ def cms_finalize(
             "cms_estimate",
             (F.col("cms_estimate") - F.col("exact_count")).alias("overcount"),
         )
-        .orderBy("user_id")
+        # no trailing orderBy (order-insensitive hash; sort = wasted exchange)
     )
 
 
@@ -1259,7 +1259,7 @@ def bloom_admit_finalize(
             "n_distinct_users",
             (F.col("n_distinct_users") - F.col("n_admitted")).alias("n_fp_rejected"),
         )
-        .orderBy("event_type")
+        # no trailing orderBy (order-insensitive hash; sort = wasted exchange)
     )
 
 

@@ -687,7 +687,7 @@ def q_events_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("exp_frac", exp_frac)
         .withColumn("abs_dev", F.round(F.abs(F.col("obs_frac") - F.col("exp_frac")), 4))
         .select("event_type", "digit", "n", "obs_frac", "exp_frac", "abs_dev")
-        .orderBy("event_type", "digit")
+        # no trailing orderBy (order-insensitive hash; sort = wasted exchange)
     )
 
 

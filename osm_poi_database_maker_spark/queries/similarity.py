@@ -469,7 +469,7 @@ def _srp_pairs(e: DataFrame) -> DataFrame:
         .withColumn("cosine", F.round(cosine, 4))
         .filter(F.col("cosine") >= NEARDUP_THRESHOLD)
         .select("vec_a", "vec_b", "n_bands", "cosine")
-        .orderBy("vec_a", "vec_b")
+        # no trailing orderBy (order-insensitive hash; sort = wasted exchange)
     )
 
 
@@ -1985,7 +1985,7 @@ def q_emb_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d_proj",
             F.round(F.sqrt(p2) / F.sqrt(d2), 4).alias("ratio"),
         )
-        .orderBy("vec_a", "vec_b")
+        # no trailing orderBy (order-insensitive hash; sort = wasted exchange)
     )
 
 

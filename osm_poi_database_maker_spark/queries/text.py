@@ -1898,7 +1898,7 @@ def q_doc_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(F.concat_ws(" ", kept), 1, 50).alias("cleaned_prefix"),
         )
         .filter(F.col("n_removed") > 0)
-        .orderBy("doc_id")
+        # no trailing orderBy (order-insensitive hash; sort = wasted exchange)
     )
 
 

@@ -598,7 +598,9 @@ def test_jl_projection_preserves_geometry(spark):
     assert med > 0
     assert all(0.25 * med <= x <= 4.0 * med for x in ratios)
     again = q_emb_jl_projection(spark, SF_SMOKE).collect()
-    assert rows == again
+    # value-level determinism pin; row ORDER is unpinned since the r14
+    # trailing-sort removal (the driver hash is order-insensitive)
+    assert sorted(rows) == sorted(again)
 
 
 def test_silhouette_separated_vs_merged_clusters(spark, monkeypatch):
