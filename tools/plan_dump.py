@@ -24,7 +24,7 @@ def main() -> None:
     tag = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(REPO, "plans", "r14")
+    out_dir = os.path.join(REPO, "plans", "r15")
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("plan_dump")
     for name in names:
