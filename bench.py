@@ -121,6 +121,15 @@ def main() -> None:
 
     timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
     total = round(sum(timings.values()), 3)
+    # Honest attribution under within-session memoization (r14 verdict
+    # #6, additions-only): a handful of queries share materialized
+    # subtrees / memoized boundary samples (_PAIRS_CACHE, _BPE_CACHE,
+    # _PID_BOUNDS_CACHE), so whichever consumer runs FIRST in round 1
+    # pays the producer cost and the median of 3 interleaved rounds
+    # reads mostly-cached. first_run records every query's round-1 wall
+    # time so cache-payer costs are visible without changing the
+    # headline metric or cross-round comparability.
+    first_run = {name: round(ts[0], 3) for name, ts in samples.items() if ts}
     # Key order matters downstream: the driver's record keeps only the
     # LAST ~2000 chars of this line, so the headline keys (value, errors,
     # slowest) go AFTER the large queries dict or they get truncated away.
@@ -128,6 +137,7 @@ def main() -> None:
         "metric": "total_query_runtime",
         "unit": "sec",
         "queries": timings,
+        "first_run": first_run,
         "slowest": dict(
             sorted(timings.items(), key=lambda kv: -kv[1])[:10]
         ),
