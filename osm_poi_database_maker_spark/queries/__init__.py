@@ -63,87 +63,73 @@ _MODULES = (
 # Every registered query keeps a pytest + tools/check.py local gate
 # regardless of window position.
 _VERIFY_FIRST = [
-    # tier 1a (round 14): queries whose implementation changed this
-    # round — the sf1.0-replica battery fixes. doc_global_index,
-    # doc_sequence_packing and doc_quantile_normalize also changed
-    # (curation._range_pid) but already sit in the r08 cohort below.
-    # half-even → half-away rounding in the image-feature stub:
-    "mm_image_features",
-    # exact e4-integer money + integer-space cents rounding (double
-    # partial sums straddled the 2-dp grain at ~1e9..1e11 magnitudes):
-    "part_promo_share",
-    "orders_snapshot_diff",
-    "brand_returnflag_pivot",
-    # sweep-line rewrite: n_concurrent via two order-statistics sweeps
-    # instead of the Θ(concurrency²) bucket pair join (270 s → 7 s at
-    # the sf1.0 replica):
-    "events_session_overlap",
-    # tier 1b (round 14): new registrations this round.
-    # in-band cap-health audit for the MinHash bucket cap (r13 verdict
-    # #3): saturated-bucket count + exact capped-pair delta, sharing the
-    # minhash oracle's signature/banding CTEs:
-    "doc_minhash_cap_audit",
-    # the two r13-prepped streaming sampling twins (r13 verdict #1;
-    # oracles are the batch twins' SQL VERBATIM, 10 differential pins in
-    # tests/test_r14_prep.py since r13) — the 26th/27th streaming queries:
-    "stream_reservoir_sample",
-    "stream_weighted_sample",
-    # tier 2 (r13 verdict #1): 42 of the 48 r08-evidence queries
-    # (tools/staleness.py order). Tier 1 takes 8 slots, so SIX r08
-    # queries — the last six in cohort order: customer_km_survival,
-    # orders_dow_chisq, orders_referential_integrity,
-    # nation_forecast_backtest, brand_weighted_median,
-    # supplier_return_pchart — carry to r15 (standing rule: never drop
-    # a changed/new query's row to squeeze in stale rotation).
-    "events_decay_engagement",
-    "events_kmv_rolling_distinct",
-    "events_robotic_cadence",
-    "events_lateness_profile",
-    "events_time_weighted_avg",
-    "events_lead_lag_corr",
-    "events_cusum_changepoints",
-    "events_stl_decompose",
-    "events_pit_enrich",
-    "events_rolling_range_window",
-    "events_incremental_rollup",
-    "events_window_funnel",
-    "events_ab_test",
-    "events_sequence_patterns",
-    "doc_heavy_hitters",
-    "doc_heaps_law",
+    # tier 1a (round 15): queries whose implementation changed this
+    # round — every one needs a fresh driver row on the final tree.
+    # iterative-graph shape cuts (fewer tiny stages, same values):
+    "doc_graph_pagerank",
+    "doc_graph_kcore",
+    # _range_pid boundary-sample memoization + quantile window fuse:
     "doc_global_index",
     "doc_sequence_packing",
-    "doc_stratified_split",
-    "doc_source_psi",
     "doc_quantile_normalize",
-    "doc_dedup_threshold_curve",
-    "doc_ppjoin_pairs",
-    "doc_graph_kcore",
-    "doc_ngram_novelty",
-    "emb_rank_fusion",
-    "emb_label_smoothing",
-    "emb_cluster_silhouette",
-    "part_trgm_search",
-    "events_l_diversity",
-    "customer_edit_pairs",
-    "osm_poi_nearest_within",
-    "osm_dbscan_clusters",
-    "mm_frame_diff_cuts",
-    "stream_markov_transitions",
-    "stream_ab_test",
-    "stream_cusum_changepoints",
-    "stream_incremental_rollup",
-    "stream_window_funnel",
-    "nation_revenue_trend",
-    "nation_revenue_concentration",
-    "customer_repeat_ladder",
+    "events_session_overlap",
+    # exact money sums as split long partials (hi/lo at 1e5):
+    "part_promo_share",
+    "brand_returnflag_pivot",
+    "orders_snapshot_diff",
+    # tier 1b: the six r08-stale queries carried from the r14 rotation
+    # (r14 verdict item 2) — the stalest driver evidence in the registry:
+    "customer_km_survival",
+    "orders_dow_chisq",
+    "orders_referential_integrity",
+    "nation_forecast_backtest",
+    "brand_weighted_median",
+    "supplier_return_pchart",
+    # tier 2 (r14 verdict item 2): r14-optimized queries whose window
+    # slot predated the optimization session, so their post-change
+    # evidence is builder-local only. Plan-shape changes first:
+    "orders_column_profile",
+    "doc_simhash_pairs",
+    "doc_minhash_pairs",
+    "doc_bloom_decontaminate",
+    "doc_collapse_repeats",
+    "basket_frequent_itemsets",
+    "basket_part_affinity",
+    "customer_referral_closure",
+    "customer_referral_rollup",
+    "customer_dag_min_paths",
+    "emb_mutual_knn_clusters",
+    "emb_knn_graph",
+    "emb_cosine_topk",
+    "emb_ann_topk",
+    "emb_ivf_topk",
+    "emb_ivf_pq_topk",
+    "emb_binary_quantize_recall",
+    "emb_split_leakage",
+    "osm_poi_pipeline_full",
+    "osm_poi_nodes",
+    "events_toi_pipeline",
+    "events_hstore_projection",
+    "late_sole_supplier_orders",
+    "events_salted_hot_join",
+    # tier 3: the r14 trailing-sort removals (strict-subset plan change,
+    # lowest risk) — 11 of 12 fit this window; stream_bloom_admit
+    # carries to r16 (its batch twin events_bloom_admit is gated here):
+    "product_type_profit",
+    "important_part_stock",
+    "shipping_lag_buckets",
+    "brand_supplier_counts",
+    "excess_shipped_suppliers",
+    "events_cms_counts",
+    "stream_cms_counts",
+    "events_bloom_admit",
+    "emb_jl_projection",
+    "emb_srp_lsh_pairs",
+    "events_benford_deviation",
 ]
-# r15 rotation TODO: stalest evidence after this window = the six
-# carried r08 queries (customer_km_survival, orders_dow_chisq,
-# orders_referential_integrity, nation_forecast_backtest,
-# brand_weighted_median, supplier_return_pchart) then the r09 cohort (~43 queries — recompute
-# with tools/staleness.py); both fit one window alongside a small
-# tier 1.
+# r16 rotation TODO: stream_bloom_admit (the one r14 sort-removal that
+# missed this window), then the stalest cohort by tools/staleness.py
+# (r09 evidence ages out next).
 
 
 # tier 4 cohort order: non-core modules first, core last.

@@ -599,8 +599,14 @@ def test_jl_projection_preserves_geometry(spark):
     assert all(0.25 * med <= x <= 4.0 * med for x in ratios)
     again = q_emb_jl_projection(spark, SF_SMOKE).collect()
     # value-level determinism pin; row ORDER is unpinned since the r14
-    # trailing-sort removal (the driver hash is order-insensitive)
-    assert sorted(rows) == sorted(again)
+    # trailing-sort removal (the driver hash is order-insensitive).
+    # Canonicalize with a null-tolerant key (r15, ADVICE): comparing
+    # Row objects directly would TypeError if a column ever went
+    # nullable instead of failing cleanly.
+    key = lambda r: tuple(  # noqa: E731
+        (v is None, v) for v in r
+    )
+    assert sorted(map(tuple, rows), key=key) == sorted(map(tuple, again), key=key)
 
 
 def test_silhouette_separated_vs_merged_clusters(spark, monkeypatch):
