@@ -1764,13 +1764,17 @@ def q_doc_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lehmer token hash, so the DuckDB oracle replays the feature map
     bit-identically.
 
-    Plan: one explode of the token stream feeds both bucket-count
-    aggregates (B-bounded maps that AQE broadcasts back), the two
-    1-row totals broadcast, and the per-doc score is one map-side
-    combining aggregate — no Python, no window, shuffle bounded by
-    B + |docs|. At 100 TB this is the canonical cheap-classifier
-    selection pass: two fixed-size count tables trained in one scan,
-    applied in one scan."""
+    Plan: one explode of the token stream feeds ONE fused bucket-count
+    aggregate — cr = count, ct = conditional count per bucket (r15: the
+    former separate raw/tgt/totals subtrees each re-derived the
+    per-character hash fold, so the expensive token pipeline executed
+    four times; now the B-row bucket table answers raw AND target
+    counts, the 1-row totals aggregate over those 512 rows, and the
+    token stream is computed exactly twice) — then the per-doc score is
+    one map-side combining aggregate over the broadcast bucket table.
+    No Python, no window, shuffle bounded by B + |docs|. At 100 TB this
+    is the canonical cheap-classifier selection pass: two fixed-size
+    count tables trained in one scan, applied in one scan."""
     from ..dedup import portable_token_hash
 
     d = load_table(spark, sf_dir, "documents")
@@ -1787,24 +1791,25 @@ def q_doc_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = toks.crossJoin(F.broadcast(tsrc)).withColumn(
         "in_target", F.col("source") == F.col("tsrc")
     )
-    raw = toks.groupBy("k").agg(F.count("*").alias("cr"))
-    tgt = (
-        toks.filter("in_target").groupBy("k").agg(F.count("*").alias("ct"))
+    bk = toks.groupBy("k").agg(
+        F.count("*").alias("cr"),
+        F.sum(F.col("in_target").cast("long")).alias("ct"),
     )
-    totals = toks.agg(
-        F.count("*").alias("nr"),
-        F.sum(F.col("in_target").cast("long")).alias("nt"),
+    # totals ride the B-row bucket table as window sums (B = 512 rows
+    # by construction — the single-partition window is a non-issue at
+    # any scale), so bk is referenced ONCE and the token pipeline is
+    # not re-derived for a 1-row aggregate
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    bk = bk.withColumn("nr", F.sum("cr").over(w_all)).withColumn(
+        "nt", F.sum("ct").over(w_all)
     )
     scored = (
-        toks.join(raw, "k")
-        .join(tgt, "k", "left")
-        .crossJoin(F.broadcast(totals))
+        toks.join(F.broadcast(bk), "k")
         .withColumn(
             "lr",
-            F.log(
-                (F.coalesce(F.col("ct"), F.lit(0)) + 1)
-                / (F.col("nt") + _DSIR_B)
-            )
+            F.log((F.col("ct") + 1) / (F.col("nt") + _DSIR_B))
             - F.log((F.col("cr") + 1) / (F.col("nr") + _DSIR_B)),
         )
     )
