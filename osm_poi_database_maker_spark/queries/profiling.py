@@ -739,7 +739,21 @@ def q_customer_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the brute-force O(n²) theta-join — two INDEPENDENT
     algorithms agreeing on the exact result set.
     """
-    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    # fan out BEFORE the signature explode (r15, measured at the 10x
+    # replica: the scan+explode stage ran as ONE 49 s pure-CPU task —
+    # parquet packs a small file into max(4MB, bytes/parallelism)
+    # splits, AND a keyed repartition gets size-coalesced right back to
+    # one task because the bytes are small; the stage is byte-small but
+    # CPU-dense, the one shape size-based coalescing cannot see. The
+    # EXPLICIT partition count pins the fan-out (user-specified N is
+    # exempt from AQE coalescing); it is the session's core count, not
+    # a constant, so cluster deployments fan to their own width. The
+    # exchange moves only the narrow (key, name) rows once.
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name")
+        .repartition(spark.sparkContext.defaultParallelism, "c_custkey")
+    )
     # signature duplicates only arise WITHIN one name (deleting either
     # copy of a doubled character yields the same string), so the dedup
     # is array-side array_distinct — the previous row-level .distinct()
